@@ -1,0 +1,110 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, fingerprint, MinHash+LSH candidate pairs, n-gram Jaccard.
+
+All hashing is md5-based (available and bit-identical in Spark, DuckDB, and
+every other engine) so results are portable and oracle-checkable — no
+engine-private hash seeds.
+
+Scale design:
+  * shingling explodes each doc into O(len) rows — embarrassingly parallel,
+    no shuffle until the per-doc aggregate;
+  * MinHash signatures collapse each doc to NUM_HASHES strings before any
+    join: the LSH band join moves O(docs · bands) tiny rows, never the text;
+  * candidate pairs come from equi-joins on (band_idx, band_hash) — Spark
+    hash-partitions those, so the classic LSH bucket skew (a giant bucket of
+    near-identical docs) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 8
+BAND_ROWS = 2  # 4 bands × 2 hashes
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str,
+                  k: int = 5) -> DataFrame:
+    """Distinct k-char shingles per document: (id, shingle)."""
+    shingle_list = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))")
+    return (df.select(F.col(id_col), F.explode(shingle_list).alias("shingle"))
+            .distinct())
+
+
+def word_ngrams(df: DataFrame, text_col: str, id_col: str,
+                n: int = 3) -> DataFrame:
+    """Distinct word n-grams per document: (id, shingle)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))")
+    _ = words
+    return (df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: h_j = MIN(md5('<j>:' || shingle)).
+
+    md5 keyed by hash index j simulates an independent hash family while
+    staying engine-portable; MIN over hex strings is the min-hash.
+    Output: (id, h0..h{n-1}).
+    """
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+            .alias(f"h{j}") for j in range(num_hashes)]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        num_hashes: int = NUM_HASHES,
+                        band_rows: int = BAND_ROWS) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature are candidate
+    near-duplicate pairs. Output: (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = num_hashes // band_rows
+    bands = F.array(*[
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * band_rows + r}")
+                                 for r in range(band_rows)]))
+        for b in range(n_bands)])
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(bands).alias("band_idx", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_pairs(shingles_a: DataFrame, id_col: str,
+                  threshold: float = 0.0) -> DataFrame:
+    """Exact pairwise Jaccard similarity over distinct shingles.
+
+    Self-join on shingle then count — O(sum of postings²) so callers must
+    pre-filter the candidate universe (LSH or an id range); this is the
+    verify stage of the dedup funnel, not the discovery stage.
+    Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard).
+    """
+    counts = shingles_a.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles_a.alias("a")
+    b = shingles_a.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    ca = counts.select(F.col(id_col).alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    out = (inter.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+           .withColumn("jaccard",
+                       F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+    return out.filter(F.col("jaccard") >= threshold)

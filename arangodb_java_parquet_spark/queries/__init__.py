@@ -1,0 +1,17 @@
+"""Declared query inventory: every operator from SURVEY.md §2 gets a named
+entry with (a) a Spark implementation ``(spark, sf_dir) -> DataFrame`` and
+(b) where SQL-expressible, an equivalent ANSI-SQL DuckDB oracle string.
+
+Determinism contract (the driver hash-compares values): floating-point
+aggregates are computed as exact DECIMAL sums and only then cast to DOUBLE,
+so result values are bit-identical between Spark and DuckDB regardless of
+partitioning / aggregation order. See queries/common.py.
+"""
+
+from arangodb_java_parquet_spark.queries.common import QUERIES, ORACLES  # noqa: F401
+# Importing the modules registers their queries.
+from arangodb_java_parquet_spark.queries import relational  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import windows  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import similarity  # noqa: F401,E402

@@ -1,0 +1,126 @@
+"""Similarity-search inventory over the ``embeddings`` table
+(array<float> × 64): exact brute-force cosine top-k, SRP-LSH bucketed
+approximate top-k, per-label embedding stats.
+
+Oracle strategy: the DuckDB SQL evaluates dot products with the exact same
+left-to-right double accumulation as the Spark `F.aggregate` implementation
+(list_transform with per-element double casts — NOT list_dot_product, which
+accumulates in float32 and diverges at ~1e-8), then both sides round to 9
+decimals before ranking. See operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.similarity import (
+    dot, norm, srp_bucket, topk_cosine_bruteforce, topk_cosine_lsh)
+from arangodb_java_parquet_spark.queries.common import query, t
+
+_DOT = ("list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"round(({d}) / (({na}) * ({nb})), 9)"
+
+
+@query("sim_topk_bruteforce", f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.qid != e.vec_id
+),
+ranked AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+  FROM pairs
+)
+SELECT qid, vid, cos_sim, rn FROM ranked WHERE rn <= 5
+""")
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for query vectors vec_id<5 against the corpus.
+    Scale: query side broadcast; corpus scanned once, no corpus shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    return topk_cosine_bruteforce(
+        e.filter(F.col("vec_id") < 5), e, id_col="vec_id",
+        vec_col="embedding", k=5)
+
+
+@query("sim_topk_lsh_bucketed", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 20),
+pairs AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE q.qid != e.vec_id
+),
+ranked AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+  FROM pairs
+)
+SELECT qid, vid, cos_sim, rn FROM ranked WHERE rn <= 5
+""")
+def sim_topk_lsh_bucketed(spark, sf_dir):
+    """Approximate top-5 via sign-projection LSH buckets: equi-join on bucket
+    replaces the cross product — the 100 TB path (comparisons / 2^bits)."""
+    e = t(spark, sf_dir, "embeddings")
+    return topk_cosine_lsh(
+        e.filter(F.col("vec_id") < 20), e, id_col="vec_id",
+        vec_col="embedding", k=5, n_bits=4)
+
+
+@query("emb_label_stats", f"""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(sqrt({_DOT.format(a='embedding', b='embedding')}), 6)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_norm,
+       CAST(MIN(embedding[1]) AS DOUBLE) AS min_first,
+       CAST(MAX(embedding[1]) AS DOUBLE) AS max_first
+FROM embeddings
+GROUP BY label
+""")
+def emb_label_stats(spark, sf_dir):
+    """Per-label embedding stats: vector count, exact sum of (rounded) L2
+    norms, extrema of the first coordinate."""
+    e = t(spark, sf_dir, "embeddings")
+    rounded_norm = F.round(norm(F.col("embedding")), 6)
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(rounded_norm.cast("decimal(30,6)")).cast("double")
+                 .alias("sum_norm"),
+                 F.min(F.col("embedding").getItem(0)).cast("double")
+                 .alias("min_first"),
+                 F.max(F.col("embedding").getItem(0)).cast("double")
+                 .alias("max_first")))
+
+
+@query("emb_bucket_histogram", """
+SELECT ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+        (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+        (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+        (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket,
+       COUNT(*) AS n_vecs
+FROM embeddings
+GROUP BY 1
+""")
+def emb_bucket_histogram(spark, sf_dir):
+    """SRP bucket occupancy histogram — the skew diagnostic you run before
+    trusting an LSH join at scale."""
+    e = t(spark, sf_dir, "embeddings")
+    return (e.groupBy(srp_bucket(F.col("embedding"), 4).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_vecs")))

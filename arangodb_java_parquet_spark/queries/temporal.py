@@ -1,0 +1,99 @@
+"""Temporal query inventory: range join, as-of join, tumbling window
+aggregation, sessionization — the time-series surface a training-data /
+event pipeline needs (SURVEY.md §2.2 joins row: range/as-of; §7 phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.temporal import asof_join, sessionize
+from arangodb_java_parquet_spark.queries.common import dsum, query, sql_dsum, t
+
+
+@query("join_range_interval", f"""
+SELECT l.l_orderkey, o.o_orderkey, COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS total_price
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_orderkey, o.o_orderkey
+""")
+def join_range_interval(spark, sf_dir):
+    """Equi + range (interval) join: lineitems shipped within 60 days of the
+    order date. The equi key carries the shuffle; the range predicate is a
+    post-join filter — the scalable shape for equi+range conditions."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = ((li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    return (li.join(o, cond)
+            .groupBy("l_orderkey", "o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 dsum("l_extendedprice").alias("total_price")))
+
+
+@query("join_asof_backward", """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT MAX(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+       AS asof_o_orderdate
+FROM events e
+""")
+def join_asof_backward(spark, sf_dir):
+    """As-of join (backward): latest order at-or-before each event, per user.
+
+    Uses the union+window formulation from operators/temporal.py — one
+    shuffle, no cross-match materialization (see its docstring for the
+    100 TB argument)."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(e, o, on="user_id", right_on="o_custkey",
+                     left_time="ts", right_time="o_orderdate",
+                     value_cols=["o_orderdate"]
+                     ).select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
+@query("window_tumbling_agg", f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def window_tumbling_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    windowed agg; streaming/ runs the same plan incrementally)."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").start.alias("win_start"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value")))
+
+
+@query("sessionize_events", """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS session_seq
+FROM flagged
+""")
+def sessionize_events(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap (lag + cumulative
+    boundary flags; one shuffle on user_id)."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return (sessionize(e, key="user_id", time="ts", gap=F.lit(1800.0),
+                       tiebreak=["event_id"])
+            .select("user_id", "event_id", "ts", "session_seq"))

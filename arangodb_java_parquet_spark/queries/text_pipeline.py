@@ -1,0 +1,279 @@
+"""Training-data text pipeline inventory over the ``documents`` table:
+exact/fingerprint dedup, MinHash+LSH candidate pairs, n-gram Jaccard,
+text-quality stats, language-ID heuristic, token counting, fingerprinting,
+multimodal binary metadata.
+
+All hashes are md5 (engine-portable — see operators/dedup.py) so every one
+of these has a full DuckDB value oracle, not just a row-count check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.dedup import (
+    char_shingles, jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
+    word_ngrams)
+from arangodb_java_parquet_spark.queries.common import query, t
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content; keep the min doc_id.
+    Scale: the shuffle moves (hash, id) pairs only — never the text."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query("dedup_fingerprint", """
+SELECT md5(lower(replace(text, ' ', ''))) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""")
+def dedup_fingerprint(spark, sf_dir):
+    """Normalized-fingerprint dedup (case/whitespace-insensitive)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+    return (d.groupBy(fp.alias("fingerprint"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+_MINHASH_SIG_SQL = """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                                     i -> text[i:i+4])) AS shingle
+        FROM documents)
+),
+sigs AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+  FROM shingles GROUP BY doc_id
+)
+"""
+
+@query("dedup_minhash_lsh", _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8 hashes) + LSH(4 bands × 2 rows) near-duplicate candidate
+    pairs over 5-char shingles. See operators/dedup.py for the scale story
+    (signatures collapse docs before any join)."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5)
+    sigs = minhash_signatures(sh, "doc_id")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+@query("dedup_minhash_signatures", _MINHASH_SIG_SQL + """
+SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs
+""")
+def dedup_minhash_signatures(spark, sf_dir):
+    """The MinHash signature table itself (verifies the sketch, not just the
+    pair output)."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_signatures(char_shingles(d, "text", "doc_id", k=5), "doc_id")
+
+
+@query("dedup_ngram_jaccard", """
+WITH grams AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                                     i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingle
+        FROM documents WHERE doc_id < 100)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       ca.n_sh AS n_a, cb.n_sh AS n_b,
+       i.n_common / (ca.n_sh + cb.n_sh - i.n_common) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE i.n_common / (ca.n_sh + cb.n_sh - i.n_common) >= 0.05
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over a bounded candidate universe
+    (doc_id < 100) — the verify stage of the dedup funnel."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    grams = word_ngrams(d, "text", "doc_id", n=3)
+    return jaccard_pairs(grams, "doc_id", threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_quality_stats", """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_m,
+       LEN(string_split(text, ' ')) AS n_tokens,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         / LEN(string_split(text, ' ')) AS avg_token_len,
+       CAST((LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS BIGINT)
+         AS n_the,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT)
+         AS n_spaces
+FROM documents
+""")
+def text_quality_stats(spark, sf_dir):
+    """Per-document quality features: char/token counts, mean token length,
+    stopword occurrences, whitespace share. Pure JVM expressions — no UDF."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    no_space = F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.length(no_space).cast("double") / F.size(toks))
+        .alias("avg_token_len"),
+        ((F.length("text")
+          - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))) / 3)
+        .cast("long").alias("n_the"),
+        (F.length("text") - F.length(no_space)).cast("long")
+        .alias("n_spaces"))
+
+
+@query("text_lang_id", """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5 AS de_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4 AS fr_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es_score
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(en_score AS BIGINT) AS en_score, CAST(de_score AS BIGINT) AS de_score,
+       CAST(fr_score AS BIGINT) AS fr_score, CAST(es_score AS BIGINT) AS es_score,
+       CASE WHEN en_score >= GREATEST(de_score, fr_score, es_score) THEN 'en'
+            WHEN de_score >= GREATEST(fr_score, es_score) THEN 'de'
+            WHEN fr_score >= es_score THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scored
+""")
+def text_lang_id(spark, sf_dir):
+    """Stopword-count language-ID heuristic (n-gram-free variant); a fixed
+    priority order breaks score ties deterministically."""
+    d = t(spark, sf_dir, "documents")
+
+    def occ(token, width):
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(token), F.lit(""))))
+                / width)
+
+    scored = d.select(
+        "doc_id", "lang",
+        occ(" the ", 5).alias("en_f"), occ(" und ", 5).alias("de_f"),
+        occ(" et ", 4).alias("fr_f"), occ(" el ", 4).alias("es_f"))
+    pred = (F.when(F.col("en_f") >= F.greatest("de_f", "fr_f", "es_f"), "en")
+            .when(F.col("de_f") >= F.greatest("fr_f", "es_f"), "de")
+            .when(F.col("fr_f") >= F.col("es_f"), "fr")
+            .otherwise("es"))
+    return scored.select(
+        "doc_id", "lang",
+        F.col("en_f").cast("long").alias("en_score"),
+        F.col("de_f").cast("long").alias("de_score"),
+        F.col("fr_f").cast("long").alias("fr_score"),
+        F.col("es_f").cast("long").alias("es_score"),
+        pred.alias("lang_pred"))
+
+
+@query("text_token_count", """
+SELECT doc_id,
+       LEN(string_split(text, ' ')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe_est
+FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace split, regex word tokens, and the standard
+    chars/4 BPE estimate."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).cast("long")
+        .alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("bpe_est"))
+
+
+@query("text_fingerprint", """
+WITH shingles AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(length(text)-7, 1)+1),
+                               i -> text[i:i+7])) AS shingle
+  FROM documents
+)
+SELECT doc_id,
+       MIN(md5(shingle)) AS min_gram_hash,
+       MAX(md5(shingle)) AS max_gram_hash,
+       COUNT(DISTINCT shingle) AS n_distinct_grams
+FROM shingles GROUP BY doc_id
+""")
+def text_fingerprint(spark, sf_dir):
+    """Rolling 8-gram fingerprint (winnowing-style min/max hash selection +
+    distinct-gram cardinality)."""
+    d = t(spark, sf_dir, "documents")
+    grams = F.expr("transform(sequence(1, greatest(length(text)-7, 1)),"
+                   " i -> substring(text, i, 8))")
+    return (d.select("doc_id", F.explode(grams).alias("shingle"))
+            .groupBy("doc_id")
+            .agg(F.min(F.md5("shingle")).alias("min_gram_hash"),
+                 F.max(F.md5("shingle")).alias("max_gram_hash"),
+                 F.countDistinct("shingle").alias("n_distinct_grams")))
+
+
+@query("multimodal_binary_meta", """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       source AS modality_tag
+FROM documents
+""")
+def multimodal_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata (size, content hash, modality tag). The decode /
+    feature-extract stage for real image/audio bytes is the mapInPandas
+    operator in operators/multimodal.py (stubbed decode, real plumbing)."""
+    d = t(spark, sf_dir, "documents")
+    binary = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(binary).cast("long").alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.col("source").alias("modality_tag"))

@@ -1,0 +1,110 @@
+"""Window-function inventory (SURVEY.md §2.2 "Window functions"): ranking
+(row_number/rank/dense_rank), analytic (lag/lead), aggregate windows with
+row frames (running totals, moving averages), top-k per group, ntile.
+
+Every window ORDER BY includes a unique tiebreak key so results are
+deterministic for the oracle hash (and reproducible run to run — the same
+discipline you want in production pipelines).
+
+Scale: a window over partitionBy(k) is one shuffle on k; frames evaluate
+streaming within each sorted partition. Skewed partition keys are the main
+risk at 100 TB — customer keys here are near-uniform; for skewed data the
+top-k-per-group pattern switches to the (salted agg → merge) variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+
+@query("window_rank_topk_per_group", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""")
+def window_rank_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer via ranking windows (the scalable top-k-per-
+    group idiom: no global sort, one shuffle on the partition key)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"),
+                     F.rank().over(w).alias("rnk"),
+                     F.dense_rank().over(w).alias("drnk"))
+            .filter(F.col("rn") <= 3))
+
+
+@query("window_running_total", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS moving_sum_3
+FROM orders
+""")
+def window_running_total(spark, sf_dir):
+    """Running total + 3-row moving sum (ROWS frames), decimal-exact."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(30,4)")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.sum(price_dec).over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double").alias("running_total"),
+        F.sum(price_dec).over(w.rowsBetween(-2, 0))
+        .cast("double").alias("moving_sum_3"))
+
+
+@query("window_lag_lead", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       o_totalprice - LAG(o_totalprice) OVER w AS delta_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_lag_lead(spark, sf_dir):
+    """LAG/LEAD analytic functions; per-row double subtraction is IEEE-
+    deterministic so no decimal dance is needed."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .alias("delta_price"))
+
+
+@query("window_ntile_first_last", """
+SELECT o_custkey, o_orderkey,
+       NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+""")
+def window_ntile_first_last(spark, sf_dir):
+    """NTILE bucketing + FIRST/LAST_VALUE over full-partition frames."""
+    o = t(spark, sf_dir, "orders")
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+              .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w_price).alias("quartile"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"))

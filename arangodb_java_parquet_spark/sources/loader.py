@@ -1,0 +1,161 @@
+"""ParquetLoader — the reference's public API surface, Spark-first.
+
+Reference: ``ParquetArangoLoader`` (ParquetArangoLoader.java:85-269) reads one
+Parquet file row-at-a-time on one thread, JSON-encodes each row, and inserts
+fixed-size batches into an ArangoDB collection, optionally async with at most
+``maxParallelBatches`` (+1, ``>`` vs ``>=`` — ParquetArangoLoader.java:244)
+in-flight insert requests.
+
+Spark re-expression (SURVEY.md §2.1 #1,2,6,7):
+  * scan        -> ``spark.read.parquet`` (distributed, vectorized, multi-file,
+                   column-pruned — strictly more general than the reference's
+                   single-file row loop at ParquetArangoLoader.java:139-150)
+  * encode      -> Column-expression ``to_json`` fast path or reference-fidelity
+                   pandas-UDF path (functions/docjson.py)
+  * batch+sink  -> ``foreachPartition``: each task batches its iterator into
+                   ``batch_size`` chunks and calls ``collection.insert_many``.
+                   Task parallelism IS the async model: N parallel partition
+                   tasks ≈ the reference's ``maxParallelBatches`` in-flight
+                   requests, minus the 10 ms busy-wait poll
+                   (ParquetArangoLoader.java:239-250) which Spark's scheduler
+                   replaces outright.
+
+Scale posture: no driver-side collect anywhere; memory per task is
+O(batch_size); works identically on a 1000-executor cluster writing to a
+shared filesystem or a server-backed collection.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arangodb_java_parquet_spark.functions.docjson import (
+    DOC_COL,
+    encode_documents,
+)
+from arangodb_java_parquet_spark.sources.collections import Collection, batched
+
+DEFAULT_BATCH_SIZE = 1000          # ParquetArangoLoader.java:35
+DEFAULT_MAX_PARALLEL_BATCHES = 10  # ParquetArangoLoader.java:36
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    The write path serializes closures referencing package classes
+    (Collection backends, the batch iterator); executors deserialize them by
+    importing the package, which isn't on their path when the driver process
+    runs from another directory — and on a real cluster isn't present at
+    all. Zipping the package once per SparkContext makes the loader
+    self-contained (the standard --py-files pattern, automated).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ajps_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"ajps_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name,
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._ajps_pkg_shipped = True
+
+
+class ParquetLoader:
+    """Load Parquet data into a document collection.
+
+    ``type_converters`` maps a Spark DataType simple-string (``"timestamp"``,
+    ``"date"``, ``"binary"``, ``"decimal(10,2)"``, ...) to a
+    ``Column -> Column`` function — the Spark analog of the reference's
+    per-Avro-LogicalType converter registry
+    (ParquetArangoLoader.java:34,56-58,74-76).
+    """
+
+    def __init__(self, spark: SparkSession, type_converters: dict | None = None):
+        self.spark = spark
+        self.type_converters = dict(type_converters or {})
+
+    def add_type_converter(self, type_simple_string: str, fn) -> None:
+        """Register ``fn: Column -> Column`` for all top-level fields of the
+        given type (ParquetArangoLoader.java:74-76)."""
+        self.type_converters[type_simple_string] = fn
+
+    # -- read + encode ------------------------------------------------------
+
+    def read(self, path: str) -> DataFrame:
+        """Distributed Parquet scan; accepts file, directory, or glob."""
+        return self.spark.read.parquet(path)
+
+    def encode(self, df: DataFrame, mode: str = "spark") -> DataFrame:
+        return encode_documents(df, mode=mode, converters=self.type_converters)
+
+    # -- load (sync entry point parity) -------------------------------------
+
+    def load(self, path: str, collection: Collection, *,
+             overwrite: bool = False,
+             batch_size: int = DEFAULT_BATCH_SIZE,
+             mode: str = "spark",
+             max_parallel_batches: int | None = None) -> int:
+        """Load a Parquet path into ``collection``; returns rows loaded.
+
+        Parity with ``loadParquetFileIntoArango`` /
+        ``loadParquetFileIntoArangoAsync`` (ParquetArangoLoader.java:122-157,
+        213-269): append semantics, ``overwrite`` drops and recreates the
+        collection first, every batch holds at most ``batch_size`` documents,
+        batch-size validation raises like the reference
+        (ParquetArangoLoader.java:123-125).
+
+        ``max_parallel_batches`` maps to write-task parallelism
+        (``repartition``) — a documented approximation of the reference's
+        bounded in-flight async requests (SURVEY.md §7 hard part 4). ``None``
+        keeps the scan's natural partitioning (best at scale: no extra
+        shuffle).
+        """
+        if batch_size < 1:
+            raise ValueError("batch size must be >= 1")
+        if max_parallel_batches is not None and max_parallel_batches < 1:
+            raise ValueError("max parallel batches must be >= 1")
+
+        df = self.read(path)
+        return self.load_dataframe(
+            df, collection, overwrite=overwrite, batch_size=batch_size,
+            mode=mode, max_parallel_batches=max_parallel_batches)
+
+    def load_dataframe(self, df: DataFrame, collection: Collection, *,
+                       overwrite: bool = False,
+                       batch_size: int = DEFAULT_BATCH_SIZE,
+                       mode: str = "spark",
+                       max_parallel_batches: int | None = None) -> int:
+        """Encode ``df`` rows as JSON documents and bulk-insert them."""
+        ensure_package_shipped(self.spark)
+        collection.ensure(overwrite=overwrite)
+
+        docs = self.encode(df, mode=mode)
+        if max_parallel_batches is not None:
+            docs = docs.repartition(max_parallel_batches)
+
+        # foreachPartition: executor-side batched insert, O(batch_size) memory
+        # per task — the distributed analog of the reference's chunk loop
+        # (ParquetArangoLoader.java:142-154; ChunkedParquetReaderIterator.java).
+        bs = batch_size
+        sink = collection
+
+        def write_partition(rows) -> None:
+            for batch in batched((r[DOC_COL] for r in rows), bs):
+                sink.insert_many(batch)
+
+        docs.foreachPartition(write_partition)
+        # Rows loaded this call; counted on the pre-encode plan (parquet
+        # metadata count — no re-encode, no sink round trip).
+        return df.count()

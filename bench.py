@@ -1,0 +1,70 @@
+"""Benchmark runner (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line with per-query wall seconds.
+
+Queries are forced with the noop sink (full execution, no driver collect /
+result materialization cost — measures the engine, not the python driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from arangodb_java_parquet_spark.queries import QUERIES
+from arangodb_java_parquet_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "join_range_interval",
+    "join_asof_backward",
+    "window_rank_topk_per_group",
+    "window_running_total",
+    "agg_cube",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "text_quality_stats",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh_bucketed",
+    "sessionize_events",
+    "window_tumbling_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers with one cheap action so per-query
+    # timings measure steady-state execution, not session startup.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Loader parity tests — mirror the reference's test matrix
+(ParquetArangoLoaderTest.java:108-162: overwrite / append / small batch,
+row-count assertions) and go beyond it with content assertions vs a
+pyarrow oracle (SURVEY.md §5 engine test plan)."""
+
+import json
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from arangodb_java_parquet_spark.sources import LocalCollection, ParquetLoader
+
+
+@pytest.fixture()
+def collection(tmp_path):
+    return LocalCollection(str(tmp_path), "docs")
+
+
+def nation_path(sf_dir):
+    return f"{sf_dir}/nation.parquet"
+
+
+def test_load_overwrite_counts(spark, sf_dir, collection):
+    loader = ParquetLoader(spark)
+    n = loader.load(nation_path(sf_dir), collection, overwrite=True)
+    assert n == 25
+    assert collection.count() == 25
+
+
+def test_load_append_semantics(spark, sf_dir, collection):
+    # reference: loads always append; expects numDocs*2
+    # (ParquetArangoLoaderTest.java:117-125)
+    loader = ParquetLoader(spark)
+    loader.load(nation_path(sf_dir), collection, overwrite=True)
+    loader.load(nation_path(sf_dir), collection)
+    assert collection.count() == 50
+
+
+def test_load_overwrite_resets(spark, sf_dir, collection):
+    loader = ParquetLoader(spark)
+    loader.load(nation_path(sf_dir), collection, overwrite=True)
+    loader.load(nation_path(sf_dir), collection, overwrite=True)
+    assert collection.count() == 25
+
+
+def test_small_batch_sizes(spark, sf_dir, collection):
+    # batchSize=3 forces many partial/full batch boundaries
+    # (ParquetArangoLoaderTest.java:127-134)
+    loader = ParquetLoader(spark)
+    loader.load(nation_path(sf_dir), collection, overwrite=True, batch_size=3)
+    assert collection.count() == 25
+
+
+def test_batch_size_validation(spark, sf_dir, collection):
+    # ParquetArangoLoader.java:123-125,214-219
+    loader = ParquetLoader(spark)
+    with pytest.raises(ValueError):
+        loader.load(nation_path(sf_dir), collection, batch_size=0)
+    with pytest.raises(ValueError):
+        loader.load(nation_path(sf_dir), collection, max_parallel_batches=0)
+
+
+def test_max_parallel_batches_maps_to_partitions(spark, sf_dir, collection):
+    loader = ParquetLoader(spark)
+    n = loader.load(nation_path(sf_dir), collection, overwrite=True,
+                    max_parallel_batches=4)
+    assert n == 25 and collection.count() == 25
+
+
+def test_content_matches_pyarrow_oracle(spark, sf_dir, collection):
+    # stronger than the reference's count-only assertions: decode written
+    # docs and compare values + field order against the parquet source.
+    loader = ParquetLoader(spark)
+    loader.load(nation_path(sf_dir), collection, overwrite=True)
+    table = pq.read_table(nation_path(sf_dir))
+    expected = {r["n_nationkey"]: r for r in table.to_pylist()}
+    docs = collection.read_all()
+    assert len(docs) == len(expected)
+    for doc in docs:
+        exp = expected[doc["n_nationkey"]]
+        assert doc == exp
+        assert list(doc.keys()) == table.schema.names  # schema field order
+
+
+def test_type_converter_registry(spark, sf_dir, collection):
+    # Spark analog of addTypeConverter (ParquetArangoLoader.java:74-76):
+    # register timestamp -> ISO-8601 string like the reference Javadoc example.
+    from pyspark.sql import functions as F
+    loader = ParquetLoader(spark)
+    loader.add_type_converter(
+        "timestamp", lambda c: F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss"))
+    loader.load(f"{sf_dir}/orders.parquet", collection, overwrite=True)
+    doc = collection.read_all()[0]
+    assert isinstance(doc["o_orderdate"], str) and "T" in doc["o_orderdate"]
+
+
+def test_reference_fidelity_encoding(spark):
+    """Fidelity mode reproduces the reference encoder's special cases
+    (GenericRecordJsonEncoder.java:113-124,174-216)."""
+    from pyspark.sql import types as T
+    from arangodb_java_parquet_spark.functions.docjson import encode_documents
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("b", T.BinaryType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("i", T.LongType()),
+    ])
+    rows = [
+        ('he"llo\n x', bytes([0x41, 0xFF, 0x00]), float("nan"), 7),
+        (None, None, float("inf"), None),
+        ("plain", b"AB", 1.5, -3),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    docs = [r[0] for r in encode_documents(df, mode="reference").collect()]
+    d0 = next(d for d in docs if '"i": 7' in d)
+    # field order, escaped quote+newline, U+2028 as uppercase \uXXXX
+    assert d0.startswith('{"s": "he\\"llo\\n\\u2028x"')
+    # bytes wrapper with ISO-8859-1 decoding (0xFF -> ÿ, 0x00 -> \u0000)
+    assert '"b": {"bytes": "Aÿ\\u0000"}' in d0
+    # NaN quoted
+    assert '"d": "NaN"' in d0
+    d1 = next(d for d in docs if '"d": "Infinity"' in d)
+    assert '"s": null' in d1 and '"b": null' in d1 and '"i": null' in d1
+    d2 = next(d for d in docs if '"i": -3' in d)
+    assert '"d": 1.5' in d2
+    # all docs parse as JSON
+    for d in docs:
+        json.loads(d)
+
+
+def test_fidelity_timestamp_epoch_fallthrough(spark, sf_dir):
+    """Unconverted timestamps emit raw epoch micros, matching the reference's
+    logical-type fall-through (GenericRecordJsonEncoder.java:133-137)."""
+    from arangodb_java_parquet_spark.functions.docjson import encode_documents
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(5)
+    docs = [json.loads(r[0]) for r in
+            encode_documents(df, mode="reference").collect()]
+    for doc in docs:
+        v = doc["o_orderdate"]
+        assert isinstance(v, int) and v > 10**14  # epoch micros magnitude
