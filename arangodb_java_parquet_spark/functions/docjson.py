@@ -156,6 +156,8 @@ def _kind_of(dt: T.DataType) -> str:
 
 
 def _encode_reference_fidelity(df: DataFrame) -> DataFrame:
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(df.sparkSession)
     fields = [(f.name, _kind_of(f.dataType)) for f in df.schema.fields]
 
     # Arrow->pandas conflates SQL NULL with float NaN; the reference encodes

@@ -1,0 +1,62 @@
+"""Rows-only (non-SQL-expressible) query entries: structured streaming and
+multimodal operators. The driver records a weaker rows-only check for these;
+their correctness is covered by dedicated pytest suites instead
+(tests/test_streaming.py, tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.multimodal import (
+    attach_binary_payload, extract_image_features, frame_sample_stub)
+from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.streaming.ingest import windowed_event_counts
+
+
+@query("stream_windowed_counts")
+def stream_windowed_counts(spark, sf_dir):
+    """Drive the watermarked tumbling-window agg as a REAL streaming query:
+    readStream over the events parquet -> memory sink -> drain -> result.
+
+    (The batch twin `window_tumbling_agg` is the oracle-checked variant of
+    the same plan; this entry proves the incremental execution path.)
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a directory source; glob-filter to the events table
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC above
+    # so collected values still equal the batch NTZ variant
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = windowed_event_counts(stream, window="1 hour")
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark, sf_dir):
+    """Binary payload -> decode(stub) -> typed image metadata via Arrow-
+    batched mapInPandas (operators/multimodal.py)."""
+    d = t(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d)
+    return extract_image_features(payloads)
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: one row per sampled frame."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = attach_binary_payload(d)
+    return frame_sample_stub(payloads, every_n=3)

@@ -27,49 +27,17 @@ shared filesystem or a server-backed collection.
 
 from __future__ import annotations
 
-import os
-import tempfile
-import zipfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from arangodb_java_parquet_spark.functions.docjson import (
     DOC_COL,
     encode_documents,
 )
+from arangodb_java_parquet_spark.shipping import ensure_package_shipped
 from arangodb_java_parquet_spark.sources.collections import Collection, batched
 
 DEFAULT_BATCH_SIZE = 1000          # ParquetArangoLoader.java:35
 DEFAULT_MAX_PARALLEL_BATCHES = 10  # ParquetArangoLoader.java:36
-
-
-def ensure_package_shipped(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers via ``addPyFile``.
-
-    The write path serializes closures referencing package classes
-    (Collection backends, the batch iterator); executors deserialize them by
-    importing the package, which isn't on their path when the driver process
-    runs from another directory — and on a real cluster isn't present at
-    all. Zipping the package once per SparkContext makes the loader
-    self-contained (the standard --py-files pattern, automated).
-    """
-    sc = spark.sparkContext
-    if getattr(sc, "_ajps_pkg_shipped", False):
-        return
-    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join(tempfile.gettempdir(),
-                            f"ajps_pkg_{os.getpid()}.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(root, fn)
-                    rel = os.path.join(pkg_name,
-                                       os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
-    sc.addPyFile(zip_path)
-    sc._ajps_pkg_shipped = True
 
 
 class ParquetLoader:

@@ -1,0 +1,83 @@
+"""Structured Streaming surface (SURVEY.md §2.2 "Streaming", §7 phase 4).
+
+The reference's async loader (ParquetArangoLoader.java:213-269) is a bounded
+batch pipeline, not a stream; its true Spark analog is
+``readStream`` over a growing directory -> ``foreachBatch`` into the
+collection sink — each micro-batch reuses the exact batch-load path, giving
+the reference's bounded in-flight behavior with checkpointed exactly-once
+progress tracking (which the reference lacks: SURVEY.md §7 hard part 3).
+
+Event-time analytics: watermarked tumbling windows and session windows over
+the ``events`` table schema.
+
+Scale posture: watermark bounds state; `session_window` / windowed aggs
+shuffle on (key, window) — the streaming state store partitions by the same
+shuffle, so a 1000-executor cluster partitions state horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.sources.collections import Collection
+from arangodb_java_parquet_spark.sources.loader import ParquetLoader
+
+
+def stream_load_to_collection(spark: SparkSession, path: str,
+                              collection: Collection, *,
+                              schema, checkpoint_dir: str,
+                              batch_size: int = 1000,
+                              mode: str = "spark",
+                              trigger_once: bool = True):
+    """Continuously load parquet files appearing under ``path`` into a
+    document collection (streaming generalization of ParquetLoader.load).
+
+    Returns the started StreamingQuery; caller stops it (or uses
+    ``trigger_once`` for a drain-and-stop run).
+    """
+    loader = ParquetLoader(spark)
+    collection.ensure()
+
+    stream = (spark.readStream.schema(schema).parquet(path))
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        loader.load_dataframe(batch_df, collection, batch_size=batch_size,
+                              mode=mode)
+
+    writer = (stream.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(sink_batch))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, *,
+                          window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type; works on both a
+    streaming and a batch events DataFrame (same plan, incremental vs full).
+    """
+    # watermarks need TIMESTAMP (LTZ); NTZ inputs cast losslessly under the
+    # pinned-UTC session
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).start.alias("win_start"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                 .alias("sum_value")))
+
+
+def session_window_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — streaming-native
+    sessionization; batch equivalent is operators/temporal.sessionize."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (events
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "n_events"))

@@ -1,0 +1,83 @@
+"""Physical-plan assertions — the 100 TB-readiness checks (SURVEY.md §4):
+filters and projections must reach the parquet scan, dimension joins must
+broadcast, top-k must not global-sort, python must stay out of JVM-only
+pipelines. These guard against regressions that correctness tests can't see.
+"""
+
+import pytest
+
+from arangodb_java_parquet_spark.queries import QUERIES
+
+
+def plan(spark, sf_dir, name) -> str:
+    import contextlib
+    import io
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    p = plan(spark, sf_dir, "filter_project_pushdown")
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_shipdate)" in p or "GreaterThanOrEqual(l_shipdate" in p
+    # projection pruned to the needed columns only
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" not in read_schema  # not referenced by this query
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) then final agg: two HashAggregate nodes
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "q5_local_supplier_volume")
+    # all four dimension joins broadcast; only lineitem⋈orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    p = plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan(spark, sf_dir, "join_anti")
+
+
+def test_jvm_only_hot_paths(spark, sf_dir):
+    """Oracle-checked relational/text/similarity queries must contain no
+    python evaluation (BatchEvalPython / ArrowEvalPython / FlatMapsInPandas)
+    — everything stays in codegen'd JVM operators."""
+    for name in ("q1_pricing_summary", "text_quality_stats",
+                 "dedup_minhash_lsh", "sim_topk_bruteforce",
+                 "window_running_total", "join_asof_backward"):
+        p = plan(spark, sf_dir, name)
+        assert "EvalPython" not in p and "InPandas" not in p, name
+
+
+def test_wholestage_codegen_coverage(spark, sf_dir):
+    import contextlib
+    import io
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")  # AQE formatted mode hides codegen spans
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_broadcast_in_similarity(spark, sf_dir):
+    p = plan(spark, sf_dir, "sim_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -1,0 +1,65 @@
+"""Structured-streaming tests: file-stream ingest into a collection sink
+(the reference async loader's true Spark analog) and windowed event-time
+aggregation driven to completion with availableNow."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.sources import LocalCollection
+from arangodb_java_parquet_spark.streaming.ingest import (
+    session_window_agg, stream_load_to_collection, windowed_event_counts)
+
+
+def test_stream_load_to_collection(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "incoming")
+    # stage the parquet file into a stream-watched directory
+    import os
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/nation.parquet", f"{src}/nation.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/nation.parquet").schema
+    col = LocalCollection(str(tmp_path), "stream_docs")
+    q = stream_load_to_collection(
+        spark, src, col, schema=schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), batch_size=7)
+    q.awaitTermination()
+    assert col.count() == 25
+    # second file appears -> only the delta is ingested (checkpointing)
+    shutil.copy(f"{sf_dir}/region.parquet", f"{src}/region.parquet")
+    q = stream_load_to_collection(
+        spark, src, col, schema=schema,
+        checkpoint_dir=str(tmp_path / "ckpt"), batch_size=7)
+    q.awaitTermination()
+    assert col.count() == 30  # 25 nations + 5 regions, no re-ingest
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, sf_dir):
+    from arangodb_java_parquet_spark.queries.common import t
+    events = t(spark, sf_dir, "events")
+    batch = windowed_event_counts(events, window="1 hour")
+
+    from arangodb_java_parquet_spark.queries import QUERIES
+    streamed = QUERIES["stream_windowed_counts"](spark, sf_dir)
+    b = {tuple(r[:2]): r[2] for r in
+         batch.select("win_start", "event_type", "n_events").collect()}
+    s = {tuple(r[:2]): r[2] for r in
+         streamed.select("win_start", "event_type", "n_events").collect()}
+    assert b == s and len(b) > 0
+
+
+def test_session_window_agg_batch(spark, sf_dir):
+    from arangodb_java_parquet_spark.queries.common import t
+    events = t(spark, sf_dir, "events")
+    out = session_window_agg(events, gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.sess_start <= r.sess_end and r.n_events >= 1 for r in rows)
+    # sessions per user don't overlap
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.sess_start, r.sess_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2
