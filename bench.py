@@ -44,9 +44,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + parquet footers with one cheap action so per-query
-    # timings measure steady-state execution, not session startup.
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the JVM (codegen, shuffle machinery, python workers) with a full
+    # pass at the smallest scale factor so per-query timings measure
+    # steady-state execution, not first-run JIT compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        for name in BENCH_QUERIES:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite").save()
+    else:
+        spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
