@@ -11,6 +11,7 @@ partitioning / aggregation order. See queries/common.py.
 from arangodb_java_parquet_spark.queries.common import QUERIES, ORACLES  # noqa: F401
 # Importing the modules registers their queries.
 from arangodb_java_parquet_spark.queries import relational  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import relational2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import windows  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402

@@ -1,0 +1,325 @@
+"""Second relational batch: TPC-H-flavored analytics (Q10/Q12/Q14/Q18/Q19
+shapes), argmin-per-group, full-outer/cross joins, unpivot, exact
+percentiles, regexp/null-handling/date-arithmetic scalar coverage, array
+functions. Completes the SURVEY.md §2.2 category matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import (
+    dsum, query, sql_dsum, t)
+
+
+@query("q10_returned_items", f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Scale: customer+nation broadcast; lineitem filtered on the scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(dsum(rev).alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+@query("q12_priority_shipping", """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+GROUP BY l.l_linestatus
+""")
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counting (CASE inside SUM)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, (li.l_orderkey == o.o_orderkey)
+                    & (li.l_shipdate >= o.o_orderdate))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query("q14_promo_effect", f"""
+SELECT 100.0 * ({sql_dsum("CASE WHEN p.p_type = 'PROMO' "
+                          "THEN l.l_extendedprice * (1 - l.l_discount) "
+                          "ELSE 0.0 END")})
+             / ({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')})
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-revenue ratio; part is broadcast."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-01-01")
+                  & (F.col("l_shipdate") < "1997-03-01")))
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg((F.lit(100.0) * dsum(promo) / dsum(rev))
+                 .alias("promo_revenue_pct")))
+
+
+@query("q18_large_orders", f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {sql_dsum('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING {sql_dsum('l.l_quantity')} > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over an aggregate + top-k."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (li.join(o, o.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(dsum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(20))
+
+
+@query("q19_disjunctive_predicates", f"""
+SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+""")
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicates (tests OR
+    pushdown / join-condition planning)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (((F.col("p_brand") == "Brand#13")
+             & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 20))
+            | ((F.col("p_brand") == "Brand#19")
+               & F.col("p_size").between(10, 30)
+               & F.col("l_quantity").between(10, 40)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(dsum(rev).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@query("argmin_per_group", """
+SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+JOIN (SELECT p_brand, MIN(p_retailprice) AS min_price
+      FROM part GROUP BY p_brand) m
+  ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+""")
+def argmin_per_group(spark, sf_dir):
+    """Cheapest part per brand (argmin): agg + join-back, the shuffle-
+    friendly formulation (vs a window over the whole table)."""
+    p = t(spark, sf_dir, "part").alias("p")
+    m = (t(spark, sf_dir, "part").groupBy("p_brand")
+         .agg(F.min("p_retailprice").alias("min_price"))
+         .withColumnRenamed("p_brand", "m_brand").alias("m"))
+    return (p.join(F.broadcast(m),
+                   (F.col("p.p_brand") == F.col("m.m_brand"))
+                   & (F.col("p.p_retailprice") == F.col("m.min_price")))
+            .select("p.p_brand", "p.p_partkey", "p.p_name",
+                    "p.p_retailprice"))
+
+
+@query("join_full_outer", """
+WITH cust AS (SELECT c_nationkey, COUNT(*) AS n_cust
+              FROM customer GROUP BY c_nationkey),
+     supp AS (SELECT s_nationkey, COUNT(*) AS n_supp
+              FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM cust c FULL OUTER JOIN supp s ON c.c_nationkey = s.s_nationkey
+""")
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join with COALESCE null-handling."""
+    c = (t(spark, sf_dir, "customer").groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_cust")))
+    s = (t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_supp")))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+
+
+@query("join_cross", """
+SELECT r.r_name, m.c_mktsegment
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) m
+""")
+def join_cross(spark, sf_dir):
+    """Explicit cross join (tiny × tiny; any bigger pairing goes through
+    the LSH/bucketed patterns instead)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    m = t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(m)
+
+
+@query("unpivot_metrics", """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+FROM customer
+""")
+def unpivot_metrics(spark, sf_dir):
+    """Unpivot (wide -> long) via stack()."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("stack(2, 'acctbal', c_acctbal,"
+               " 'nationkey', CAST(c_nationkey AS DOUBLE))")
+        .alias("metric", "value"))
+
+
+@query("agg_exact_percentiles", """
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.5) AS median_bal,
+       quantile_cont(c_acctbal, 0.9) AS p90_bal,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+""")
+def agg_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median, p90) per segment."""
+    c = t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.expr("percentile(c_acctbal, 0.5)").alias("median_bal"),
+                 F.expr("percentile(c_acctbal, 0.9)").alias("p90_bal"),
+                 F.min("c_acctbal").cast("double").alias("min_bal"),
+                 F.max("c_acctbal").cast("double").alias("max_bal")))
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — sketch values are engine-
+    specific so this entry is rows-only; the exact twin
+    (agg_count_distinct) is the oracle-checked variant."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"),
+                 F.expr("approx_percentile(o_totalprice, 0.5)")
+                 .alias("approx_median_price")))
+
+
+@query("scalar_regexp_funcs", """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       CASE WHEN regexp_matches(p_name, '^(small|large)') THEN 1 ELSE 0 END
+         AS sized,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+""")
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regexp scalar coverage: extract/match/replace (patterns restricted to
+    the RE2 ∩ Java-regex common subset so both engines agree)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.when(F.col("p_name").rlike("^(small|large)"), 1).otherwise(0)
+        .cast("int").alias("sized"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"))
+
+
+@query("scalar_null_handling", """
+SELECT o_orderkey,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+       CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END
+         AS price_filled,
+       (o_orderstatus = 'O') AS is_open
+FROM orders
+""")
+def scalar_null_handling(spark, sf_dir):
+    """NULLIF / COALESCE / IS NULL / boolean projection."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")),
+                   F.lit("PENDING")).alias("status_resolved"),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.col("o_totalprice")).alias("price_filled"),
+        (F.col("o_orderstatus") == "O").alias("is_open"))
+
+
+@query("scalar_date_arith", """
+SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT)
+         AS ship_delay_days,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate + INTERVAL 120 DAY
+GROUP BY 1
+""")
+def scalar_date_arith(spark, sf_dir):
+    """Date arithmetic: day differences + interval bounds, histogrammed."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (li.join(o, (li.l_orderkey == o.o_orderkey)
+                    & (li.l_shipdate
+                       < F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")))
+            .groupBy(F.datediff("l_shipdate", "o_orderdate")
+                     .alias("ship_delay_days"))
+            .agg(F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("array_functions", """
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_words,
+       (string_split(text, ' '))[1] AS first_word,
+       list_sort(list_distinct(string_split(text, ' ')))[1] AS min_word,
+       CASE WHEN list_contains(string_split(text, ' '), 'spark')
+            THEN 1 ELSE 0 END AS has_spark
+FROM documents
+""")
+def array_functions(spark, sf_dir):
+    """Array function coverage: distinct/sort/index/contains over token
+    arrays (all JVM-side, no UDF)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique_words"),
+        words.getItem(0).alias("first_word"),
+        F.array_sort(F.array_distinct(words)).getItem(0).alias("min_word"),
+        F.when(F.array_contains(words, "spark"), 1).otherwise(0)
+        .cast("int").alias("has_spark"))

@@ -1,0 +1,113 @@
+"""Multi-format source readers (SURVEY.md §2.2 "Sources" row).
+
+The reference reads exactly one format — a single Parquet file
+(ParquetArangoLoader.java:139). The engine generalizes to every format the
+surrounding ecosystem uses, all through ``spark.read`` so Catalyst
+pushdown/pruning apply wherever the format supports it:
+
+  parquet / orc        columnar, predicate+projection pushdown, schema from
+                       file metadata (dynamic, like the reference)
+  csv / json / jsonl   schema REQUIRED in production paths (inference scans
+                       the data twice and types drift run-to-run; at 100 TB
+                       inference is a correctness and cost bug) — pass
+                       ``schema=`` or opt in with ``infer=True`` for
+                       exploration
+  jdbc                 partitioned reads via (column, bounds, numPartitions)
+  collection           read back a LocalCollection (JSONL parts dir) as a
+                       DataFrame — closes the loader round trip
+
+Kafka / Delta / Iceberg need jars not present in this image; their readers
+raise a clear error (import-try gate) rather than failing mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from arangodb_java_parquet_spark.sources.collections import LocalCollection
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_csv(spark: SparkSession, path: str, *, schema=None,
+             header: bool = True, infer: bool = False,
+             **options) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError(
+            "read_csv requires an explicit schema (or infer=True for "
+            "exploration); schema inference double-scans the input")
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, *, schema=None,
+              infer: bool = False, **options) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError(
+            "read_json requires an explicit schema (or infer=True); "
+            "inference double-scans the input")
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, *,
+              partition_column: str | None = None,
+              lower_bound=None, upper_bound=None,
+              num_partitions: int | None = None, **options) -> DataFrame:
+    """Partitioned JDBC read — without (column, bounds, numPartitions) a
+    JDBC source reads on ONE task, which is never right at scale."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError("partitioned jdbc needs lower/upper bound and "
+                             "numPartitions alongside partition_column")
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_collection(spark: SparkSession, collection: LocalCollection, *,
+                    schema=None) -> DataFrame:
+    """Read a LocalCollection back as a DataFrame (schema-on-read over the
+    JSONL part files — the document store's dynamic-schema model)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(f"{collection.path}/part-*.jsonl")
+
+
+def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
+               **options) -> DataFrame:  # pragma: no cover - needs jars
+    """Kafka streaming source (requires the spark-sql-kafka jar)."""
+    try:
+        reader = (spark.readStream.format("kafka")
+                  .option("kafka.bootstrap.servers", bootstrap_servers)
+                  .option("subscribe", topic))
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    except Exception as e:
+        raise RuntimeError(
+            "kafka source requires the spark-sql-kafka connector jar on the "
+            "classpath (not present in this image)") from e

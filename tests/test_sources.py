@@ -1,0 +1,50 @@
+"""Multi-format source tests: each format round-trips the nation table and
+produces identical rows; collection read-back closes the loader loop."""
+
+import pytest
+
+from arangodb_java_parquet_spark.sources import LocalCollection, ParquetLoader
+from arangodb_java_parquet_spark.sources.readers import (
+    read_collection, read_csv, read_json, read_orc, read_parquet)
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/nation.parquet")
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in
+                  df.select("n_nationkey", "n_name", "n_regionkey").collect())
+
+
+def test_orc_roundtrip(spark, nation, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("orc") / "nation_orc")
+    nation.write.orc(out)
+    assert rows_of(read_orc(spark, out)) == rows_of(nation)
+
+
+def test_csv_roundtrip_with_schema(spark, nation, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("csv") / "nation_csv")
+    nation.write.option("header", "true").csv(out)
+    got = read_csv(spark, out, schema=nation.schema)
+    assert rows_of(got) == rows_of(nation)
+
+
+def test_csv_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        read_csv(spark, "/nonexistent")
+
+
+def test_json_roundtrip(spark, nation, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("json") / "nation_json")
+    nation.write.json(out)
+    got = read_json(spark, out, schema=nation.schema)
+    assert rows_of(got) == rows_of(nation)
+
+
+def test_collection_readback(spark, sf_dir, nation, tmp_path):
+    col = LocalCollection(str(tmp_path), "nations")
+    ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col, overwrite=True)
+    got = read_collection(spark, col, schema=nation.schema)
+    assert rows_of(got) == rows_of(nation)
