@@ -114,6 +114,40 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
             .distinct())
 
 
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_bits: int = 16) -> DataFrame:
+    """SimHash fingerprints over whitespace tokens.
+
+    Each token hashes to ``n_bits`` bits (md5 hex digits -> 4 bits each);
+    per document, each bit position accumulates +1/-1 votes across tokens;
+    the sign vector is the fingerprint. Near-duplicates differ in few bits.
+
+    Engine-portable construction (md5 + hex-digit arithmetic only, no
+    engine-private hash), so the DuckDB oracle reproduces it exactly.
+    Output: (id, simhash) with simhash as an n_bits-char '0'/'1' string.
+
+    Scale: explode(tokens) -> groupBy(id) with n_bits SUM aggregates —
+    map-side combinable, one shuffle of (id, n_bits ints); the fingerprint
+    join/bucketing afterwards moves fingerprints only, never text.
+    """
+    toks = (spread(df)
+            .select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok")))
+    h = F.md5(F.col("tok"))
+    votes = []
+    for b in range(n_bits):
+        hex_char = F.substring(h, b // 4 + 1, 1)
+        digit = F.expr(f"instr('0123456789abcdef', substring(md5(tok), {b // 4 + 1}, 1)) - 1")
+        bit = (digit.cast("int") / (2 ** (3 - b % 4))).cast("int") % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+        _ = hex_char
+    agg = toks.groupBy(id_col).agg(*votes)
+    fingerprint = F.concat(*[
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(n_bits)])
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
 def jaccard_pairs(shingles_a: DataFrame, id_col: str,
                   threshold: float = 0.0) -> DataFrame:
     """Exact pairwise Jaccard similarity over distinct shingles.

@@ -302,6 +302,94 @@ def scalar_date_arith(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_lines")))
 
 
+_MOMENTS = """
+  SELECT l_returnflag,
+         COUNT(l_quantity) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_moment_stats", f"""
+WITH m AS ({_MOMENTS})
+SELECT l_returnflag, n,
+       round(sx / n, 9) AS mean_qty,
+       round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS stddev_qty,
+       round((n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_qty_price
+FROM m
+""")
+def agg_moment_stats(spark, sf_dir):
+    """Statistical aggregates (mean/variance/stddev/correlation) computed
+    from exact decimal moment sums so results are deterministic bit-for-bit
+    — unlike streaming stddev/corr whose float accumulation is
+    order-dependent. Still one shuffle, still map-side combinable (the
+    moments are plain sums)."""
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def ms(e):
+        return F.sum(e.cast("decimal(30,8)")).cast("double")
+
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count("l_quantity").alias("n"), ms(q).alias("sx"),
+              ms(q * q).alias("sxx"), ms(p).alias("sy"),
+              ms(p * p).alias("syy"), ms(q * p).alias("sxy")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    # rounded to 9 decimals: the cancellation-sensitive derived stats can
+    # differ by a few ulps across engines (expression fusion/FMA), even
+    # with identical exact moments in
+    return m.select(
+        "l_returnflag", "n",
+        F.round(sx / n, 9).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 9).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 9).alias("stddev_qty"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 9)
+        .alias("corr_qty_price"))
+
+
+@query("agg_bool_and_or", """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 100) AS all_over_100,
+       bool_or(o_orderstatus = 'F') AS any_finished,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_bool_and_or(spark, sf_dir):
+    """Boolean aggregates (every/any)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.expr("bool_and(o_totalprice > 100)").alias("all_over_100"),
+                 F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@query("sort_nulls_ordering", """
+SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+FROM customer
+ORDER BY seg NULLS FIRST, c_custkey
+LIMIT 30
+""")
+def sort_nulls_ordering(spark, sf_dir):
+    """Explicit NULLS FIRST ordering + limit (null placement changes which
+    rows survive the limit, so the oracle checks the semantics)."""
+    c = t(spark, sf_dir, "customer")
+    return (c.select("c_custkey",
+                     F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+                     .alias("seg"))
+            .orderBy(F.col("seg").asc_nulls_first(), "c_custkey")
+            .limit(30))
+
+
 @query("array_functions", """
 SELECT doc_id,
        len(list_distinct(string_split(text, ' '))) AS n_unique_words,

@@ -84,6 +84,40 @@ def sim_topk_lsh_bucketed(spark, sf_dir):
         vec_col="embedding", k=5, n_bits=4)
 
 
+@query("emb_near_dup_pairs", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
+""")
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: SRP-LSH bucket equi-join
+    replaces the all-pairs cross product; exact cosine filters within the
+    bucket — the embedding leg of the dedup funnel at corpus scale."""
+    e = t(spark, sf_dir, "embeddings")
+    from arangodb_java_parquet_spark.operators.similarity import cosine
+    b = e.select("vec_id", "embedding",
+                 srp_bucket(F.col("embedding"), 4).alias("bucket"))
+    a = b.alias("a")
+    c = (b.withColumnRenamed("vec_id", "vec_id_b")
+         .withColumnRenamed("embedding", "embedding_b").alias("c"))
+    cos = F.round(cosine(F.col("a.embedding"), F.col("c.embedding_b")), 9)
+    return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id_b")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("c.vec_id_b").alias("vec_b"),
+                    cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.4))
+
+
 @query("emb_label_stats", f"""
 SELECT label,
        COUNT(*) AS n_vecs,

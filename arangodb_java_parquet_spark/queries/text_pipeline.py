@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
-    word_ngrams)
+    simhash_signatures, word_ngrams)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -132,6 +132,54 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
     return jaccard_pairs(grams, "doc_id", threshold=0.05)
+
+
+_SIMHASH_BITS = 16
+_SIMHASH_VOTES = ",\n         ".join(
+    f"SUM((((instr('0123456789abcdef', substring(md5(tok), {b // 4 + 1}, 1)) - 1)"
+    f" // {2 ** (3 - b % 4)}) % 2) * 2 - 1) AS v{b}"
+    for b in range(_SIMHASH_BITS))
+_SIMHASH_CONCAT = " || ".join(
+    f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS))
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM votes
+"""
+
+
+@query("dedup_simhash_signatures", _SIMHASH_SQL)
+def dedup_simhash_signatures(spark, sf_dir):
+    """SimHash fingerprints (16-bit, md5-derived — operators/dedup.py) per
+    document; identical fingerprints are near-duplicate candidates."""
+    d = t(spark, sf_dir, "documents")
+    return simhash_signatures(d, "text", "doc_id", n_bits=_SIMHASH_BITS)
+
+
+@query("dedup_simhash_pairs", f"""
+WITH sigs AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate candidate pairs via equi-join on the
+    fingerprint (scalable: joins fingerprints, never text)."""
+    sigs = simhash_signatures(t(spark, sf_dir, "documents"), "text",
+                              "doc_id", n_bits=_SIMHASH_BITS)
+    a = sigs.alias("a")
+    b = sigs.withColumnRenamed("doc_id", "doc_id_b").alias("b")
+    return (a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id_b")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id_b").alias("doc_b"),
+                    F.col("a.simhash")))
 
 
 # ---------------------------------------------------------------------------

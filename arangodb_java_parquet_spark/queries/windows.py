@@ -88,6 +88,43 @@ def window_lag_lead(spark, sf_dir):
         .alias("delta_price"))
 
 
+@query("window_range_frame", """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+         AS n_similar_priced
+FROM orders
+""")
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based window): peers within ±1000 of each order's
+    price — the frame other engines call a band join per row."""
+    o = t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-1000, 1000))
+    return o.select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.count(F.lit(1)).over(w).alias("n_similar_priced"))
+
+
+@query("window_rank_distribution", """
+SELECT o_custkey, o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(NTILE(10) OVER w AS INT) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def window_rank_distribution(spark, sf_dir):
+    """PERCENT_RANK / CUME_DIST / NTILE distribution functions (exact
+    rational values — deterministic across engines)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"))
+
+
 @query("window_ntile_first_last", """
 SELECT o_custkey, o_orderkey,
        NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,

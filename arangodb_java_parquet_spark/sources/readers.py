@@ -97,6 +97,23 @@ def read_collection(spark: SparkSession, collection: LocalCollection, *,
     return reader.json(f"{collection.path}/part-*.jsonl")
 
 
+def compact_collection(spark: SparkSession, collection: LocalCollection,
+                       out_path: str, *, schema=None,
+                       partitions: int | None = None) -> None:
+    """Compact a JSONL collection into a columnar parquet snapshot.
+
+    The operational companion to the document sink: many small JSONL part
+    files (one per insert batch) -> few parquet files, with schema
+    consolidation. At scale this is the nightly job that keeps the
+    collection queryable (small-files problem); ``partitions`` controls
+    output file count (coalesce — no shuffle).
+    """
+    df = read_collection(spark, collection, schema=schema)
+    if partitions is not None:
+        df = df.coalesce(partitions)
+    df.write.mode("overwrite").parquet(out_path)
+
+
 def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
                **options) -> DataFrame:  # pragma: no cover - needs jars
     """Kafka streaming source (requires the spark-sql-kafka jar)."""

@@ -71,6 +71,39 @@ def windowed_event_counts(events: DataFrame, *,
                  .alias("sum_value")))
 
 
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user lifetime counters (events seen, value sum) maintained across
+    micro-batches in the state store, emitting the updated totals each
+    batch.
+
+    This is the template for operators Spark lacks natively (per-key model
+    state, dedup-within-key, custom sessionization): state is a tuple per
+    key, partitioned by the groupBy shuffle, checkpointed with the query.
+    """
+    import pandas as pd  # executor-side import
+
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(events.sparkSession)
+
+    def update(key, pdfs, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [total]})
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, n_events long, sum_value double",
+                stateStructType="n long, total double",
+                outputMode="update",
+                timeoutConf="NoTimeout"))
+
+
 def session_window_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     """Session windows (gap-based) per user — streaming-native
     sessionization; batch equivalent is operators/temporal.sessionize."""

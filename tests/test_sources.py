@@ -48,3 +48,18 @@ def test_collection_readback(spark, sf_dir, nation, tmp_path):
     ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col, overwrite=True)
     got = read_collection(spark, col, schema=nation.schema)
     assert rows_of(got) == rows_of(nation)
+
+
+def test_compact_collection(spark, sf_dir, nation, tmp_path):
+    from arangodb_java_parquet_spark.sources.readers import compact_collection
+    col = LocalCollection(str(tmp_path), "nations")
+    # small batches -> many part files, the small-files problem
+    ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col,
+                              overwrite=True, batch_size=3)
+    assert len(col._part_files()) > 1
+    out = str(tmp_path / "compacted")
+    compact_collection(spark, col, out, schema=nation.schema, partitions=1)
+    got = read_parquet(spark, out)
+    assert rows_of(got) == rows_of(nation)
+    import glob
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 1
