@@ -6,6 +6,7 @@ their correctness is covered by dedicated pytest suites instead
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import functions as F
@@ -43,6 +44,26 @@ def stream_windowed_counts(spark, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+@query("loader_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def loader_roundtrip(spark, sf_dir):
+    """The reference's core capability as an oracle-checked query: load the
+    nation parquet into a document collection (scan -> JSON encode ->
+    batched partition-parallel insert), read the collection back, and
+    return the rows — the oracle is simply the source table, so the WHOLE
+    loader pipeline (encode fidelity included) is value-checked."""
+    from arangodb_java_parquet_spark.sources import (LocalCollection,
+                                                     ParquetLoader)
+    from arangodb_java_parquet_spark.sources.readers import read_collection
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    col = LocalCollection(tempfile.mkdtemp(prefix="ajps_rt_"), "nation_rt")
+    ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col,
+                              overwrite=True, batch_size=7)
+    return (read_collection(spark, col, schema=src.schema)
+            .select("n_nationkey", "n_name", "n_regionkey"))
 
 
 @query("multimodal_image_features")

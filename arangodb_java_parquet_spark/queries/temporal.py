@@ -75,6 +75,34 @@ def window_tumbling_agg(spark, sf_dir):
                  dsum("value").alias("sum_value")))
 
 
+@query("agg_salted_skew", f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events
+GROUP BY event_type
+""")
+def agg_salted_skew(spark, sf_dir):
+    """Skew-resistant aggregation over the genuinely-skewed event_type key
+    (5 hot keys): salted two-stage agg (operators/skew.py), value-checked
+    against the plain GROUP BY oracle — salting must not change results."""
+    from arangodb_java_parquet_spark.operators.skew import salted_agg
+    e = t(spark, sf_dir, "events")
+    dec = "decimal(30,8)"
+    return salted_agg(
+        e, key="event_type", salt_src="event_id", n_salts=16,
+        aggs={
+            "n_events": ("event_id", F.count, F.sum),
+            "sum_value": ("value",
+                          lambda c: F.sum(c.cast(dec)),
+                          lambda c: F.sum(c).cast("double")),
+            "max_value": ("value",
+                          lambda c: F.max(c),
+                          lambda c: F.max(c).cast("double")),
+        })
+
+
 @query("sessionize_events", """
 WITH flagged AS (
   SELECT user_id, ts, event_id,

@@ -5,6 +5,7 @@ pipelines. These guard against regressions that correctness tests can't see.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.queries import QUERIES
 
@@ -81,3 +82,38 @@ def test_wholestage_codegen_coverage(spark, sf_dir):
 def test_broadcast_in_similarity(spark, sf_dir):
     p = plan(spark, sf_dir, "sim_topk_bruteforce")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing co-locates both join sides: the bucketed fact-fact join
+    plans without an Exchange on either side — the pre-partitioning story
+    for repeated large joins at 100 TB."""
+    import contextlib
+    import io
+    # (warehouse dir is a static conf; tables land in ./spark-warehouse,
+    # gitignored, and are dropped in the finally block)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("li_b"))
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("o_b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("li_b")
+             .join(spark.table("o_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderstatus").count())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        join_section = p.split("HashAggregate")[0]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "Exchange" not in join_section
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
