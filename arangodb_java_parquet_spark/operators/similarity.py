@@ -72,6 +72,79 @@ def srp_bucket(vec: Column, n_bits: int = 4) -> Column:
     return out
 
 
+def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
+                    id_col: str, vec_col: str, k: int,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-lite centroids
+    partition the corpus into cells; each query probes only its ``n_probe``
+    nearest cells.
+
+    Centroid construction is one sampled KMeans iteration computed on the
+    driver from a bounded sample (deterministic: seeded sample, fixed
+    iteration count) — at 100 TB the sample stays bounded while cell
+    assignment/probing remain fully distributed (a broadcast of
+    n_centroids × dim floats and one shuffle-free filter-join).
+
+    Recall/speed trade: n_probe/n_centroids of the corpus is scanned per
+    query instead of all of it.
+    """
+    import numpy as np
+
+    sample = (corpus.select(vec_col)
+              .sample(False, 1.0, seed=seed)  # bounded corpora: take all
+              .limit(2000).collect())
+    X = np.array([list(r[0]) for r in sample], dtype="float64")
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                        replace=False)]
+    for _ in range(5):  # fixed Lloyd iterations, deterministic
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            m = X[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    centroids = [[float(v) for v in c] for c in cent]
+
+    cent_arr = F.array(*[
+        F.array(*[F.lit(v) for v in c]) for c in centroids])
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        # distances to each centroid via transform over the literal array,
+        # then take indices of the n smallest — all JVM expressions
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(c, vec, lambda x, y: (x - y.cast("double")) ** 2),
+                F.lit(0.0), lambda a, v: a + v))
+        idx = F.transform(dists, lambda d, i: F.struct(d.alias("d"),
+                                                      i.alias("i")))
+        return F.slice(F.transform(F.array_sort(idx), lambda s: s["i"]),
+                       1, n)
+
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qvec"),
+                       F.explode(nearest_cells(F.col(vec_col), n_probe))
+                       .alias("cell"))
+    c = corpus.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("cvec"),
+                      nearest_cells(F.col(vec_col), 1).getItem(0)
+                      .alias("cell"))
+    pairs = (c.join(F.broadcast(q), "cell")
+             .filter(F.col("qid") != F.col("vid"))
+             .select("qid", "vid",
+                     F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+                     .alias("cos_sim")))
+    # a (qid, vid) pair can appear once per probed cell — dedup before rank
+    return (pairs.groupBy("qid", "vid")
+            .agg(F.first("cos_sim").alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vid", "cos_sim", "rn"))
+
+
 def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
                     id_col: str, vec_col: str, k: int,
                     n_bits: int = 4) -> DataFrame:

@@ -66,6 +66,18 @@ def loader_roundtrip(spark, sf_dir):
             .select("n_nationkey", "n_name", "n_regionkey"))
 
 
+@query("sim_topk_ivf")
+def sim_topk_ivf(spark, sf_dir):
+    """IVF approximate nearest-neighbor top-5 (rows-only: centroid training
+    makes exact results engine-specific; recall vs brute force is asserted
+    in tests/test_similarity.py)."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        ivf_topk_cosine)
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk_cosine(e.filter(F.col("vec_id") < 10), e,
+                           id_col="vec_id", vec_col="embedding", k=5)
+
+
 @query("multimodal_image_features")
 def multimodal_image_features(spark, sf_dir):
     """Binary payload -> decode(stub) -> typed image metadata via Arrow-

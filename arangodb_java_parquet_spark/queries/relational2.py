@@ -390,6 +390,65 @@ def sort_nulls_ordering(spark, sf_dir):
             .limit(30))
 
 
+@query("scalar_date_trunc", f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS order_quarter,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY 1, 2
+""")
+def scalar_date_trunc(spark, sf_dir):
+    """date_trunc to month/quarter grain (the partition-key derivation every
+    time-partitioned lake table uses)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date")
+        .alias("order_month"),
+        F.date_trunc("quarter", "o_orderdate").cast("date")
+        .alias("order_quarter"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum("o_totalprice").alias("total")))
+
+
+@query("union_by_name_missing_cols", """
+SELECT c_custkey AS entity_key, c_acctbal AS balance, c_mktsegment AS segment
+FROM customer
+UNION ALL BY NAME
+SELECT s_suppkey AS entity_key, s_acctbal AS balance, NULL AS segment
+FROM supplier
+""")
+def union_by_name_missing_cols(spark, sf_dir):
+    """unionByName with missing columns (schema evolution across sources —
+    the mixed-vintage-files reality of any long-lived lake)."""
+    c = (t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").alias("entity_key"),
+                 F.col("c_acctbal").alias("balance"),
+                 F.col("c_mktsegment").alias("segment")))
+    s = (t(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").alias("entity_key"),
+                 F.col("s_acctbal").alias("balance")))
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query("agg_collect_list_sorted", """
+SELECT o_orderpriority,
+       list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_collect_list_sorted(spark, sf_dir):
+    """Array aggregation (collect_set) — sorted so the result is
+    deterministic under any partitioning (unsorted collect_list is the
+    classic nondeterminism bug in distributed aggs)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.sort_array(F.collect_set("o_orderstatus"))
+                 .alias("statuses"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 @query("array_functions", """
 SELECT doc_id,
        len(list_distinct(string_split(text, ' '))) AS n_unique_words,

@@ -71,6 +71,19 @@ def windowed_event_counts(events: DataFrame, *,
                  .alias("sum_value")))
 
 
+def dedup_stream(events: DataFrame, *, key: str = "event_id",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: ``dropDuplicates`` on the key
+    with a watermark bounding the dedup state (events older than the
+    watermark are expired from the state store — without it, state grows
+    forever; with it, duplicates arriving within the window are dropped).
+
+    The streaming side of the exact-dedup operator (dedup_exact is the
+    batch twin)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
 def stateful_user_counters(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user lifetime counters (events seen, value sum) maintained across

@@ -48,6 +48,33 @@ def test_windowed_event_counts_streaming_matches_batch(spark, sf_dir):
     assert b == s and len(b) > 0
 
 
+def test_dedup_stream_drops_replayed_file(spark, sf_dir, tmp_path):
+    """Feed the same events twice (two copies in the watched dir); the
+    watermarked streaming dedup emits each event_id exactly once."""
+    import os
+    from pyspark.sql import functions as F
+    from arangodb_java_parquet_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{src}/a.parquet").schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    q = (dedup_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_out")
+    n_distinct = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_distinct  # 2x input, 1x output
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
 def test_session_window_agg_batch(spark, sf_dir):
     from arangodb_java_parquet_spark.queries.common import t
     events = t(spark, sf_dir, "events")
