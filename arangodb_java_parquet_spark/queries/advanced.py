@@ -78,10 +78,34 @@ def sim_topk_ivf(spark, sf_dir):
                            id_col="vec_id", vec_col="embedding", k=5)
 
 
-@query("multimodal_image_features")
+# the decode stub derives metadata from md5 bytes, so it is exactly
+# SQL-expressible: byte_i = hexpair_i of md5 parsed via digit position
+_HEXD = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"
+_BYTE = (f"(({_HEXD.format(pos='{p1}')}) * 16 + ({_HEXD.format(pos='{p2}')}))")
+_B0 = _BYTE.format(p1=1, p2=2)
+_B1 = _BYTE.format(p1=3, p2=4)
+_B2 = _BYTE.format(p1=5, p2=6)
+
+_MM_ORACLE = f"""
+WITH hashed AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE ({_B0}) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            ELSE 'webp' END AS format,
+       CAST(64 + (({_B1}) % 64) * 16 AS INT) AS width,
+       CAST(64 + (({_B2}) % 64) * 16 AS INT) AS height,
+       substring(h, 1, 16) AS phash
+FROM hashed
+"""
+
+
+@query("multimodal_image_features", _MM_ORACLE)
 def multimodal_image_features(spark, sf_dir):
     """Binary payload -> decode(stub) -> typed image metadata via Arrow-
-    batched mapInPandas (operators/multimodal.py)."""
+    batched mapInPandas (operators/multimodal.py). The deterministic stub
+    is md5-derived, so even this Python-side operator gets a full DuckDB
+    value oracle — the plumbing (binary transfer, batching, schema) is what
+    is really under test."""
     d = t(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d)
     return extract_image_features(payloads)

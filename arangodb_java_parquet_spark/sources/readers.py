@@ -114,6 +114,23 @@ def compact_collection(spark: SparkSession, collection: LocalCollection,
     df.write.mode("overwrite").parquet(out_path)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      *, mode: str = "overwrite",
+                      max_records_per_file: int | None = None) -> None:
+    """Hive-style partitioned parquet write — the lake layout that makes
+    partition pruning work: a reader filtering on ``partition_cols`` scans
+    only matching directories (PartitionFilters in the plan, asserted in
+    tests/test_sources.py).
+
+    ``max_records_per_file`` bounds file sizes (the other half of the
+    small-files/huge-files balance at 100 TB).
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
 def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
                **options) -> DataFrame:  # pragma: no cover - needs jars
     """Kafka streaming source (requires the spark-sql-kafka jar)."""

@@ -50,6 +50,34 @@ def test_collection_readback(spark, sf_dir, nation, tmp_path):
     assert rows_of(got) == rows_of(nation)
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Partitioned lake write + partition-pruned read: the filter on the
+    partition column appears as PartitionFilters and non-matching
+    directories are never listed into the scan."""
+    import contextlib
+    import io
+    import os
+    from pyspark.sql import functions as F
+    from arangodb_java_parquet_spark.sources.readers import write_partitioned
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    assert sorted(d for d in os.listdir(out)
+                  if d.startswith("o_orderstatus=")) == [
+        "o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+
+    pruned = (spark.read.parquet(out)
+              .filter(F.col("o_orderstatus") == "O"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "o_orderstatus" in p
+    expected = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert pruned.count() == expected
+
+
 def test_compact_collection(spark, sf_dir, nation, tmp_path):
     from arangodb_java_parquet_spark.sources.readers import compact_collection
     col = LocalCollection(str(tmp_path), "nations")
