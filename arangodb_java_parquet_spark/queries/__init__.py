@@ -12,6 +12,7 @@ from arangodb_java_parquet_spark.queries.common import QUERIES, ORACLES  # noqa:
 # Importing the modules registers their queries.
 from arangodb_java_parquet_spark.queries import relational  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational2  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import relational3  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import windows  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402

@@ -1,0 +1,195 @@
+"""Third relational batch: multi-nation volume/market-share analytics
+(TPC-H Q7/Q8 shapes), global-share HAVING (Q11 shape), NOT-IN + distinct
+counting (Q16 shape), multi-EXISTS self-join (Q21 shape) — adapted to this
+corpus's schema (no partsupp table; supplier linkage goes through
+lineitem.l_suppkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import (
+    dsum, query, sql_dsum, t)
+
+
+@query("q7_nation_volume", f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY cn.n_name, sn.n_name, 3
+""")
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Two aliases of the broadcast nation dim; the OR pair predicate filters
+    after the dimension joins."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .filter(pair)
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").alias("ship_year"))
+            .agg(dsum(rev).alias("volume")))
+
+
+@query("q8_market_share", f"""
+WITH all_sales AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END")}
+         / {sql_dsum('volume')} AS mkt_share
+FROM all_sales
+GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    per year (conditional-sum ratio)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"))
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+             .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+             .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+             .select(F.year("o_orderdate").alias("o_year"),
+                     vol.alias("volume"), "supp_nation"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1",
+                        F.col("volume")).otherwise(F.lit(0.0))
+    return (sales.groupBy("o_year")
+            .agg((dsum(nation_vol) / dsum("volume")).alias("mkt_share")))
+
+
+@query("q11_important_parts", f"""
+WITH part_value AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice')} AS part_total
+  FROM lineitem GROUP BY l_partkey
+),
+global_total AS (
+  SELECT {sql_dsum('l_extendedprice')} AS g FROM lineitem
+)
+SELECT pv.l_partkey, pv.part_total
+FROM part_value pv, global_total
+WHERE pv.part_total > 0.0008 * global_total.g
+""")
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose share exceeds a fraction of a global
+    scalar aggregate (HAVING vs uncorrelated scalar subquery)."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = (li.groupBy("l_partkey")
+          .agg(dsum("l_extendedprice").alias("part_total")))
+    g = li.agg(dsum("l_extendedprice").alias("g"))
+    return (pv.crossJoin(F.broadcast(g))
+            .filter(F.col("part_total") > 0.0008 * F.col("g"))
+            .select("l_partkey", "part_total"))
+
+
+@query("q16_supplier_counting", """
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size >= 20
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 500)
+GROUP BY p.p_brand, p.p_type
+""")
+def q16_supplier_counting(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN subquery exclusion + distinct counting per
+    group (expressed via the SQL surface so the NOT-IN null-aware anti-join
+    rewrite is the plan under test)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql("""
+        SELECT p.p_brand, p.p_type,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM q16_lineitem l
+        JOIN q16_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size >= 20
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM q16_supplier
+                                  WHERE s_acctbal < 500)
+        GROUP BY p.p_brand, p.p_type
+    """)
+
+
+@query("q21_waiting_supplier", """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY s.s_name
+""")
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the only late supplier on multi-supplier finished
+    orders — correlated EXISTS + NOT EXISTS over lineitem self-joins,
+    via the SQL surface (two predicate-subquery rewrites in one plan)."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    return spark.sql("""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY s.s_name
+    """)

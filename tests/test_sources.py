@@ -78,6 +78,22 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == expected
 
 
+def test_python_datasource_collection(spark, sf_dir, nation, tmp_path):
+    """PySpark-4 Python Data Source: read a collection through
+    spark.read.format('ajps_collection') with one partition per part file."""
+    from arangodb_java_parquet_spark.sources.pyds import register
+    col = LocalCollection(str(tmp_path), "nations")
+    ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col,
+                              overwrite=True, batch_size=5)
+    register(spark)
+    df = (spark.read.format("ajps_collection")
+          .schema(nation.schema)
+          .option("path", col.path).load())
+    assert rows_of(df) == rows_of(nation)
+    # file-parallel: as many input partitions as part files
+    assert df.rdd.getNumPartitions() == len(col._part_files())
+
+
 def test_compact_collection(spark, sf_dir, nation, tmp_path):
     from arangodb_java_parquet_spark.sources.readers import compact_collection
     col = LocalCollection(str(tmp_path), "nations")
