@@ -308,6 +308,82 @@ def text_fingerprint(spark, sf_dir):
                  F.countDistinct("shingle").alias("n_distinct_grams")))
 
 
+@query("text_top_tokens", """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS freq
+FROM toks
+GROUP BY tok
+ORDER BY freq DESC, tok
+LIMIT 50
+""")
+def text_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequency top-50 (the vocabulary-building word
+    count; explode -> map-side-combined count -> TakeOrdered)."""
+    from arangodb_java_parquet_spark.operators.dedup import spread
+    d = spread(t(spark, sf_dir, "documents"))
+    return (d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "tok")
+            .limit(50))
+
+
+@query("pipeline_clean_corpus", """
+WITH stats AS (
+  SELECT doc_id, text, lang,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LENGTH(text) AS n_chars
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM stats
+  WHERE n_tokens BETWEEN 20 AND 2000
+    AND n_chars BETWEEN 100 AND 20000
+    AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3.0 AND 12.0
+),
+deduped AS (
+  SELECT md5(text) AS text_hash,
+         MIN(doc_id) AS keep_id,
+         MIN(lang) AS lang,
+         MIN(n_tokens) AS n_tokens
+  FROM filtered
+  GROUP BY md5(text)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped
+GROUP BY lang
+""")
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data prep pipeline in one plan: quality filter
+    (token/char bounds, mean token length) -> exact dedup (keep min id) ->
+    per-language corpus stats. The composition every LLM data pipeline
+    runs, expressed as a single Catalyst plan: filters push to the scan,
+    dedup shuffles hashes not text, stats are map-side combined."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    stats = d.select(
+        "doc_id", "text", "lang",
+        toks.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+    filtered = stats.filter(
+        F.col("n_tokens").between(20, 2000)
+        & F.col("n_chars").between(100, 20000)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens"))
+        .between(3.0, 12.0))
+    deduped = (filtered.groupBy(F.md5("text").alias("text_hash"))
+               .agg(F.min("doc_id").alias("keep_id"),
+                    F.min("lang").alias("lang"),
+                    F.min("n_tokens").alias("n_tokens")))
+    return (deduped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
+
+
 @query("multimodal_binary_meta", """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,

@@ -75,6 +75,31 @@ def test_dedup_stream_drops_replayed_file(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_distinct
 
 
+def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
+    """Stream-static join: streaming events enriched with the static
+    customer dimension (broadcast per micro-batch — the streaming
+    dimension-lookup pattern)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = stream.join(F.broadcast(cust),
+                           stream.user_id == cust.c_custkey, "left")
+    q = (enriched.select("event_id", "user_id", "c_mktsegment")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("enriched_out")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("enriched_out")
+    assert got.count() == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # every matched user carries its segment; user_ids exist in customer
+    assert got.filter("c_mktsegment IS NULL").count() == 0
+
+
 def test_session_window_agg_batch(spark, sf_dir):
     from arangodb_java_parquet_spark.queries.common import t
     events = t(spark, sf_dir, "events")
