@@ -449,6 +449,22 @@ def agg_collect_list_sorted(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_orders")))
 
 
+@query("posexplode_positions", """
+SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos,
+       (string_split(d.text, ' '))[u.i] AS tok
+FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) d,
+     (SELECT UNNEST(range(1, 2001)) AS i) u
+WHERE u.i <= len(string_split(d.text, ' '))
+""")
+def posexplode_positions(spark, sf_dir):
+    """posexplode: tokens with their ordinal positions (the LATERAL
+    VIEW/UNNEST WITH ORDINALITY pattern)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (d.select("doc_id",
+                     F.posexplode(F.split(F.col("text"), " "))
+                     .alias("pos", "tok")))
+
+
 @query("array_functions", """
 SELECT doc_id,
        len(list_distinct(string_split(text, ' '))) AS n_unique_words,

@@ -75,6 +75,26 @@ def window_tumbling_agg(spark, sf_dir):
                  dsum("value").alias("sum_value")))
 
 
+@query("events_enriched_by_segment", f"""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""")
+def events_enriched_by_segment(spark, sf_dir):
+    """Dimension enrichment of the event stream (batch twin of the
+    stream-static broadcast join in streaming/): events ⋈ broadcast
+    customer, aggregated by segment × type."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (e.join(F.broadcast(c), e.user_id == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value")))
+
+
 @query("agg_salted_skew", f"""
 SELECT event_type,
        COUNT(*) AS n_events,

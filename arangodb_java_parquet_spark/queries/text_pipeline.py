@@ -182,6 +182,49 @@ def dedup_simhash_pairs(spark, sf_dir):
                     F.col("a.simhash")))
 
 
+@query("dedup_simhash_hamming1", f"""
+WITH sigs AS ({_SIMHASH_SQL}),
+probes AS (
+  SELECT doc_id, simhash,
+         CASE WHEN u.i = 0 THEN simhash
+              ELSE substring(simhash, 1, u.i - 1) ||
+                   (CASE WHEN substring(simhash, u.i, 1) = '1'
+                         THEN '0' ELSE '1' END) ||
+                   substring(simhash, u.i + 1)
+         END AS probe
+  FROM sigs, (SELECT UNNEST(range(0, {_SIMHASH_BITS + 1})) AS i) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM probes a JOIN sigs b ON a.probe = b.simhash AND a.doc_id < b.doc_id
+""")
+def dedup_simhash_hamming1(spark, sf_dir):
+    """SimHash multiprobe: near-duplicate pairs within Hamming distance 1.
+
+    Each doc emits its fingerprint plus all n_bits one-bit-flipped probes;
+    an equi-join of probes against exact fingerprints finds every pair at
+    distance ≤1 WITHOUT any pairwise distance computation — the multiprobe
+    trick that keeps Hamming-radius search equi-joinable at corpus scale
+    (probe volume is docs × (n_bits+1) small strings, never docs²).
+    """
+    sigs = simhash_signatures(t(spark, sf_dir, "documents"), "text",
+                              "doc_id", n_bits=_SIMHASH_BITS)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS))).alias("i")
+    probes = sigs.select("doc_id", "simhash", idx).select(
+        "doc_id",
+        F.when(F.col("i") == 0, F.col("simhash")).otherwise(
+            F.concat(
+                F.expr("substring(simhash, 1, i - 1)"),
+                F.when(F.expr("substring(simhash, i, 1)") == "1",
+                       F.lit("0")).otherwise(F.lit("1")),
+                F.expr("substring(simhash, i + 1)"))).alias("probe"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sig_b"))
+    return (probes.join(b, (F.col("probe") == F.col("sig_b"))
+                        & (F.col("doc_id") < F.col("doc_b")))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct())
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
