@@ -449,6 +449,33 @@ def agg_collect_list_sorted(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_orders")))
 
 
+@query("set_ops_all_variants", """
+WITH a AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_linestatus = 'F'),
+     b AS (SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25)
+SELECT 'intersect_all' AS op, flag, COUNT(*) AS n FROM
+  (SELECT flag FROM a INTERSECT ALL SELECT flag FROM b) GROUP BY flag
+UNION ALL
+SELECT 'except_all' AS op, flag, COUNT(*) AS n FROM
+  (SELECT flag FROM a EXCEPT ALL SELECT flag FROM b) GROUP BY flag
+""")
+def set_ops_all_variants(spark, sf_dir):
+    """Duplicate-preserving set ops (INTERSECT ALL / EXCEPT ALL) —
+    multiset semantics, counted per key for a compact deterministic
+    result."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") > 25).select(
+        F.col("l_returnflag").alias("flag"))
+    ia = (a.intersectAll(b).groupBy("flag")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("intersect_all").alias("op"), "flag", "n"))
+    ea = (a.exceptAll(b).groupBy("flag")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("except_all").alias("op"), "flag", "n"))
+    return ia.unionByName(ea)
+
+
 @query("posexplode_positions", """
 SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos,
        (string_split(d.text, ' '))[u.i] AS tok

@@ -10,14 +10,12 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.queries import QUERIES
 
 
+from arangodb_java_parquet_spark.plans import (  # noqa: E402
+    codegen_plan, formatted_plan, is_python_free)
+
+
 def plan(spark, sf_dir, name) -> str:
-    import contextlib
-    import io
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return formatted_plan(QUERIES[name](spark, sf_dir))
 
 
 def test_filter_and_projection_pushdown(spark, sf_dir):
@@ -65,18 +63,12 @@ def test_jvm_only_hot_paths(spark, sf_dir):
     for name in ("q1_pricing_summary", "text_quality_stats",
                  "dedup_minhash_lsh", "sim_topk_bruteforce",
                  "window_running_total", "join_asof_backward"):
-        p = plan(spark, sf_dir, name)
-        assert "EvalPython" not in p and "InPandas" not in p, name
+        assert is_python_free(QUERIES[name](spark, sf_dir)), name
 
 
 def test_wholestage_codegen_coverage(spark, sf_dir):
-    import contextlib
-    import io
-    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("codegen")  # AQE formatted mode hides codegen spans
-    assert "WholeStageCodegen" in buf.getvalue()
+    assert "WholeStageCodegen" in codegen_plan(
+        QUERIES["q1_pricing_summary"](spark, sf_dir))
 
 
 def test_broadcast_in_similarity(spark, sf_dir):
