@@ -1,0 +1,161 @@
+"""Event-analytics patterns over the events table: date-spine gap filling
+with LOCF, cumulative distinct users, cohort retention, ordered funnels.
+The standard product-analytics workloads a 100 TB event lake serves — each
+expressed as one declarative plan (no driver loops, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import dsum, query, sql_dsum, t
+
+
+@query("timeseries_gap_fill", f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value')} AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+joined AS (
+  SELECT s.day, d.day_value FROM spine s LEFT JOIN daily d ON s.day = d.day
+)
+SELECT day, day_value,
+       COALESCE(day_value,
+                LAST_VALUE(day_value IGNORE NULLS)
+                  OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)) AS filled_value
+FROM joined
+""")
+def timeseries_gap_fill(spark, sf_dir):
+    """Date-spine gap filling with last-observation-carried-forward:
+    generate the full calendar (sequence), left-join daily aggregates,
+    fill gaps via last(ignorenulls) over the preceding frame. The spine is
+    tiny and broadcast; the heavy side aggregates before joining."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(dsum("value").alias("day_value")))
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-30',"
+        " INTERVAL 1 DAY)) AS day")
+    joined = spine.join(daily, "day", "left")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    return joined.select(
+        "day", "day_value",
+        F.coalesce(F.col("day_value"),
+                   F.last("day_value", ignorenulls=True).over(w))
+        .alias("filled_value"))
+
+
+@query("cumulative_distinct_users", """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM per_day
+""")
+def cumulative_distinct_users(spark, sf_dir):
+    """Running distinct-user count via first-seen dates: distinct per user
+    once, then a cumulative sum over days — O(users) state instead of the
+    naive per-day distinct-over-growing-window (which rescans history)."""
+    e = t(spark, sf_dir, "events")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(F.date_trunc("day", "ts").cast("date"))
+                       .alias("first_day")))
+    per_day = (first_seen.groupBy(F.col("first_day").alias("day"))
+               .agg(F.count(F.lit(1)).alias("new_users")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"))
+
+
+@query("cohort_retention", """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+           AS day_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       COUNT(*) AS active_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""")
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each subsequent activity-day offset (first week). The first_seen
+    dim is small (per-user) and broadcast back onto events."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = (e.groupBy("user_id")
+                  .agg(F.min(day).alias("cohort_day")))
+    activity = (e.join(F.broadcast(first_seen), "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(day, F.col("cohort_day"))
+                        .alias("day_offset"))
+                .distinct())
+    return (activity.filter(F.col("day_offset") <= 7)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("active_users")))
+
+
+@query("funnel_conversion", """
+WITH stage_times AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+FROM stage_times
+""")
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per-user first-touch
+    times via conditional MIN, then ordered-stage counting — one shuffle on
+    user_id, no self-joins (the naive N-way event self-join explodes at
+    scale; conditional aggregation doesn't)."""
+    e = t(spark, sf_dir, "events")
+
+    def first_time(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    stages = (e.groupBy("user_id")
+              .agg(first_time("view").alias("t_view"),
+                   first_time("click").alias("t_click"),
+                   first_time("purchase").alias("t_purchase")))
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0))
+        .alias("purchased_after_click"))
