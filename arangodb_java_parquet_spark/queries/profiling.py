@@ -1,0 +1,141 @@
+"""Data-profiling / dataset-management operators: column profiles,
+z-score anomaly flagging, deterministic hash-based train/test splits,
+fixed-width histograms. The dataset-curation utilities around a training
+corpus, all exact and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+
+@query("profile_orders_columns", """
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_orderkey) AS n_non_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority) FROM orders
+""")
+def profile_orders_columns(spark, sf_dir):
+    """Column profile (null/distinct counts) in long format — the
+    data-quality report every ingestion job emits. One scan per column
+    group via unioned aggregates (Spark computes them in parallel jobs of
+    one plan)."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"))
+
+    out = prof("o_orderkey")
+    for c in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        out = out.unionByName(prof(c))
+    return out
+
+
+@query("anomaly_zscore_days", """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS day_total
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(day_total AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(day_total * day_total AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT d.day, d.event_type, d.day_total,
+       round((d.day_total - s.sx / s.n)
+             / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS zscore
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE abs((d.day_total - s.sx / s.n)
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 1.5
+""")
+def anomaly_zscore_days(spark, sf_dir):
+    """Daily-volume anomaly flagging: days whose total deviates >1.5σ from
+    their event-type mean (exact decimal moments, rounded z-scores)."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                       "event_type")
+             .agg(F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                  .alias("day_total")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("day_total").cast("decimal(30,8)"))
+                  .cast("double").alias("sx"),
+                  F.sum((F.col("day_total") * F.col("day_total"))
+                        .cast("decimal(38,8)")).cast("double").alias("sxx")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = ((F.col("day_total") - sx / n)
+         / F.sqrt((sxx - sx * sx / n) / (n - 1)))
+    return (daily.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(z) > 1.5)
+            .select("day", "event_type", "day_total",
+                    F.round(z, 6).alias("zscore")))
+
+
+@query("train_test_split_hash", """
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN instr('0123456789abcdef',
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+              THEN 'train'
+              WHEN instr('0123456789abcdef',
+                         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+              THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM assigned GROUP BY split
+""")
+def train_test_split_hash(spark, sf_dir):
+    """Deterministic hash-based train/valid/test split (~81/6/13 via md5
+    first hex digit) — stable under reshuffles, engine-portable, and
+    leakage-free by construction (membership depends only on the id). The
+    canonical dataset-splitting op for training pipelines."""
+    d = t(spark, sf_dir, "documents")
+    digit = (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+             - 1)
+    split = (F.when(digit < 13, "train")
+             .when(digit < 14, "valid")
+             .otherwise("test"))
+    return (d.select("doc_id", split.alias("split"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+@query("histogram_fixed_width", """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+FROM orders
+GROUP BY 1
+""")
+def histogram_fixed_width(spark, sf_dir):
+    """Fixed-width histogram (50k buckets over order value) — floor
+    bucketing is deterministic double arithmetic in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 50000.0)
+                      .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").cast("double").alias("bucket_min"),
+                 F.max("o_totalprice").cast("double").alias("bucket_max")))
