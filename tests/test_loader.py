@@ -83,6 +83,22 @@ def test_content_matches_pyarrow_oracle(spark, sf_dir, collection):
         assert list(doc.keys()) == table.schema.names  # schema field order
 
 
+def test_multi_file_directory_load(spark, sf_dir, collection, tmp_path):
+    """The distributed generalization beyond the reference's single-file
+    scan (ParquetArangoLoader.java:139): a directory of parquet files loads
+    as one dataset."""
+    import shutil
+    d = tmp_path / "many"
+    d.mkdir()
+    shutil.copy(nation_path(sf_dir), d / "part1.parquet")
+    shutil.copy(f"{sf_dir}/region.parquet", d / "ignore.txt")  # non-parquet
+    (d / "ignore.txt").unlink()
+    shutil.copy(nation_path(sf_dir), d / "part2.parquet")
+    loader = ParquetLoader(spark)
+    n = loader.load(str(d), collection, overwrite=True)
+    assert n == 50 and collection.count() == 50
+
+
 def test_type_converter_registry(spark, sf_dir, collection):
     # Spark analog of addTypeConverter (ParquetArangoLoader.java:74-76):
     # register timestamp -> ISO-8601 string like the reference Javadoc example.

@@ -100,6 +100,54 @@ def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
     assert got.filter("c_mktsegment IS NULL").count() == 0
 
 
+def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
+    """Stream-stream inner join: clicks ⋈ purchases per user within a
+    time bound, both sides watermarked (state eviction) — the hardest
+    Structured Streaming join shape, verified against the batch result."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream_side(etype, alias_prefix):
+        s = (spark.readStream.schema(schema)
+             .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+             .filter(F.col("event_type") == etype)
+             .withWatermark("ts", "1 hour"))
+        return s.select(F.col("user_id").alias(f"{alias_prefix}_user"),
+                        F.col("ts").alias(f"{alias_prefix}_ts"),
+                        F.col("event_id").alias(f"{alias_prefix}_id"))
+
+    clicks = stream_side("click", "c")
+    purchases = stream_side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")))
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("ss_join").count()
+
+    # batch ground truth on the same condition
+    from arangodb_java_parquet_spark.queries.common import t
+    e = t(spark, sf_dir, "events")
+    c = (e.filter("event_type = 'click'")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    p = (e.filter("event_type = 'purchase'")
+         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")))
+    expected = c.join(
+        p, (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    ).count()
+    assert got == expected and got > 0
+
+
 def test_session_window_agg_batch(spark, sf_dir):
     from arangodb_java_parquet_spark.queries.common import t
     events = t(spark, sf_dir, "events")
