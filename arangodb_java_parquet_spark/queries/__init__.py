@@ -21,3 +21,4 @@ from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import subqueries  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import event_analytics  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import profiling  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import scalar_extra  # noqa: F401,E402

@@ -1,0 +1,107 @@
+"""Extended scalar/function coverage: string manipulation batch 2
+(trim/pad/initcap/translate/repeat/reverse/left-right), bitwise operators,
+nth_value windows, LATERAL correlated subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+
+@query("scalar_string_funcs2", """
+SELECT p_partkey,
+       trim('  ' || p_name || ' ') AS trimmed,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       upper(left(p_name, 1)) || substring(p_name, 2) AS name_capitalized,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_upper,
+       repeat('-', p_size % 5) AS dashes,
+       reverse(p_brand) AS brand_rev,
+       left(p_type, 3) AS type3,
+       right(p_name, 4) AS name_tail
+FROM part
+""")
+def scalar_string_funcs2(spark, sf_dir):
+    """String batch 2: trim/lpad/capitalize/translate/repeat/reverse/
+    left/right — all JVM expressions with identical semantics in DuckDB
+    (initcap avoided: not in DuckDB's function catalog)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" ")))
+        .alias("trimmed"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat(F.upper(F.substring("p_name", 1, 1)),
+                 F.expr("substring(p_name, 2)")).alias("name_capitalized"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_upper"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_tail"))
+
+
+@query("scalar_bitwise_ops", """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+       CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+       CAST(o_orderkey << 2 AS BIGINT) AS shifted_l,
+       CAST(o_orderkey >> 3 AS BIGINT) AS shifted_r
+FROM orders WHERE o_orderkey < 1000
+""")
+def scalar_bitwise_ops(spark, sf_dir):
+    """Bitwise AND/OR/XOR/shifts (hash-partitioning and flag-field
+    arithmetic primitives)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("with_flag"),
+        F.expr("o_orderkey ^ 21845").alias("xored"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_l"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_r"))
+
+
+@query("window_nth_value", """
+SELECT o_custkey, o_orderkey,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       NTH_VALUE(o_orderkey, 3) OVER w AS third_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_nth_value(spark, sf_dir):
+    """NTH_VALUE over a full-partition frame."""
+    o = t(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order"))
+
+
+@query("join_lateral_topn", """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_mktsegment = 'BUILDING'
+""")
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (top-2 orders per customer) through the
+    SQL surface — Catalyst decorrelates to a ranked join, the same plan the
+    window idiom produces, but exercising the LateralJoin path."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)

@@ -4,7 +4,6 @@ row-count assertions) and go beyond it with content assertions vs a
 pyarrow oracle (SURVEY.md §5 engine test plan)."""
 
 import json
-import math
 
 import pyarrow.parquet as pq
 import pytest

@@ -4,7 +4,6 @@ broadcast, top-k must not global-sort, python must stay out of JVM-only
 pipelines. These guard against regressions that correctness tests can't see.
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.queries import QUERIES

@@ -4,7 +4,6 @@ aggregation driven to completion with availableNow."""
 
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.sources import LocalCollection
