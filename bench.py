@@ -37,6 +37,12 @@ BENCH_QUERIES = [
     "sim_topk_lsh_bucketed",
     "sessionize_events",
     "window_tumbling_agg",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "dedup_simhash_signatures",
+    "pipeline_clean_corpus",
+    "funnel_conversion",
+    "train_test_split_hash",
 ]
 
 
