@@ -94,6 +94,29 @@ def test_python_datasource_collection(spark, sf_dir, nation, tmp_path):
     assert df.rdd.getNumPartitions() == len(col._part_files())
 
 
+def test_python_datasource_write(spark, sf_dir, nation, tmp_path):
+    """Write side of the Python Data Source: df.write round-trips through
+    the collection layout, append accumulates, overwrite replaces."""
+    from arangodb_java_parquet_spark.sources.pyds import register
+    register(spark)
+    path = str(tmp_path / "outcol")
+    (nation.write.format("ajps_collection").option("path", path)
+     .mode("append").save())
+    col = LocalCollection(str(tmp_path), "outcol")
+    assert col.count() == 25
+    got = (spark.read.format("ajps_collection").schema(nation.schema)
+           .option("path", path).load())
+    assert rows_of(got) == rows_of(nation)
+    # append accumulates
+    (nation.write.format("ajps_collection").option("path", path)
+     .mode("append").save())
+    assert col.count() == 50
+    # overwrite replaces
+    (nation.limit(5).write.format("ajps_collection").option("path", path)
+     .mode("overwrite").save())
+    assert col.count() == 5
+
+
 def test_compact_collection(spark, sf_dir, nation, tmp_path):
     from arangodb_java_parquet_spark.sources.readers import compact_collection
     col = LocalCollection(str(tmp_path), "nations")
