@@ -46,6 +46,45 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@query("stream_stateful_user_totals", """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+""")
+def stream_stateful_user_totals(spark, sf_dir):
+    """The custom stateful streaming operator (applyInPandasWithState
+    per-user lifetime counters), driven to completion and VALUE-CHECKED
+    against the SQL oracle — possible because the operator accumulates
+    state as exact scaled decimals, so totals are independent of
+    micro-batch boundaries (streaming/ingest.py docstring)."""
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stateful_user_counters)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = stateful_user_counters(stream)
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ajps_ck_")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); the final totals are
+    # the ones with the highest event count (monotone), not max(sum) —
+    # sums can decrease with negative values
+    tbl = spark.table(name)
+    return (tbl.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.expr("max_by(sum_value, n_events)").alias("sum_value")))
+
+
 @query("loader_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation
 """)

@@ -93,26 +93,38 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     This is the template for operators Spark lacks natively (per-key model
     state, dedup-within-key, custom sessionization): state is a tuple per
     key, partitioned by the groupBy shuffle, checkpointed with the query.
+
+    Determinism: the running sum is accumulated as an EXACT decimal
+    (each double quantized to 8 decimal places, summed without float
+    error, state-stored as the scaled integer) so the final totals are
+    independent of micro-batch boundaries and bit-equal to a decimal SQL
+    aggregation — which makes even this stateful operator oracle-checkable.
     """
     import pandas as pd  # executor-side import
 
     from arangodb_java_parquet_spark.shipping import ensure_package_shipped
     ensure_package_shipped(events.sparkSession)
 
+    SCALE = 10 ** 8
+
     def update(key, pdfs, state):
-        n, total = state.get() if state.exists else (0, 0.0)
+        from decimal import ROUND_HALF_EVEN, Decimal
+        n, total_scaled = state.get() if state.exists else (0, 0)
+        q = Decimal(1).scaleb(-8)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            for v in pdf["value"]:
+                d = Decimal(repr(float(v))).quantize(q, ROUND_HALF_EVEN)
+                total_scaled += int(d * SCALE)
+        state.update((n, total_scaled))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "sum_value": [total]})
+                            "sum_value": [float(total_scaled) / SCALE]})
 
     return (events.groupBy("user_id")
             .applyInPandasWithState(
                 update,
                 outputStructType="user_id long, n_events long, sum_value double",
-                stateStructType="n long, total double",
+                stateStructType="n long, total long",
                 outputMode="update",
                 timeoutConf="NoTimeout"))
 
