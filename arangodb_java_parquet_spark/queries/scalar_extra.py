@@ -83,6 +83,60 @@ def window_nth_value(spark, sf_dir):
         F.nth_value("o_orderkey", 3).over(w).alias("third_order"))
 
 
+@query("map_functions", """
+WITH m AS (
+  SELECT p_partkey, map(['brand', 'type'], [p_brand, p_type]) AS attrs
+  FROM part
+)
+SELECT p_partkey,
+       (attrs['brand'])[1] AS brand_val,
+       (attrs['type'])[1] AS type_val,
+       map_keys(attrs) AS attr_keys,
+       CAST(len(map_keys(attrs)) AS INT) AS n_attrs
+FROM m
+""")
+def map_functions(spark, sf_dir):
+    """Map-type coverage: construct, extract, keys, size (DuckDB's map
+    extraction returns a single-element list — unwrapped in the oracle so
+    both sides yield scalars)."""
+    p = t(spark, sf_dir, "part")
+    attrs = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")))
+    return p.select(
+        "p_partkey",
+        F.element_at(attrs, "brand").alias("brand_val"),
+        F.element_at(attrs, "type").alias("type_val"),
+        F.map_keys(attrs).alias("attr_keys"),
+        F.size(F.map_keys(attrs)).alias("n_attrs"))
+
+
+@query("agg_median_abs_deviation", """
+WITH med AS (
+  SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       round(quantile_cont(abs(c.c_acctbal - m.med_bal), 0.5), 6) AS mad_bal,
+       round(MIN(m.med_bal), 6) AS median_bal
+FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+GROUP BY c.c_mktsegment
+""")
+def agg_median_abs_deviation(spark, sf_dir):
+    """Median absolute deviation per segment: two-level exact percentile
+    (median of |x - median|) — the robust dispersion metric; medians
+    broadcast back onto the fact rows."""
+    c = t(spark, sf_dir, "customer")
+    med = (c.groupBy("c_mktsegment")
+           .agg(F.expr("percentile(c_acctbal, 0.5)").alias("med_bal")))
+    joined = c.join(F.broadcast(med), "c_mktsegment")
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.round(F.expr(
+                "percentile(abs(c_acctbal - med_bal), 0.5)"), 6)
+                .alias("mad_bal"),
+                F.round(F.min("med_bal"), 6).alias("median_bal")))
+
+
 @query("join_lateral_topn", """
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c,
