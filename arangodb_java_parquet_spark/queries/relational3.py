@@ -125,6 +125,64 @@ def q11_important_parts(spark, sf_dir):
             .select("l_partkey", "part_total"))
 
 
+@query("q9_product_profit", f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)"
+                 " - 0.1 * p.p_retailprice * l.l_quantity")} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, 2
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and year
+    (cost modeled from part retail price — this corpus has no partsupp
+    table). All dims broadcast; lineitem⋈orders is the lone shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(dsum(profit).alias("profit")))
+
+
+@query("q13_order_count_distribution", """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""")
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join with
+    an extra join-side predicate (zero-order customers kept), then a
+    second-level histogram aggregation."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy(c.c_custkey)
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
 @query("q16_supplier_counting", """
 SELECT p.p_brand, p.p_type,
        COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
