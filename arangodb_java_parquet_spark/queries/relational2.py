@@ -433,7 +433,8 @@ def union_by_name_missing_cols(spark, sf_dir):
 
 @query("agg_collect_list_sorted", """
 SELECT o_orderpriority,
-       list_sort(array_agg(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(array_agg(DISTINCT o_orderstatus)), ',')
+         AS statuses,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_orderpriority
@@ -441,11 +442,13 @@ GROUP BY o_orderpriority
 def agg_collect_list_sorted(spark, sf_dir):
     """Array aggregation (collect_set) — sorted so the result is
     deterministic under any partitioning (unsorted collect_list is the
-    classic nondeterminism bug in distributed aggs)."""
+    classic nondeterminism bug in distributed aggs). The array is joined
+    to a comma-separated string so hash-comparison harnesses that cannot
+    canonicalize array-typed cells still value-check it."""
     o = t(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority")
-            .agg(F.sort_array(F.collect_set("o_orderstatus"))
-                 .alias("statuses"),
+            .agg(F.array_join(F.sort_array(F.collect_set("o_orderstatus")),
+                              ",").alias("statuses"),
                  F.count(F.lit(1)).alias("n_orders")))
 
 

@@ -135,9 +135,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 _SIMHASH_BITS = 16
+# Mirror of operators/dedup.py:simhash_signatures — hash each token once
+# (first 4 md5 hex digits -> one integer), then extract bits with shifts.
+_SIMHASH_HV = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(tok), {d + 1}, 1)) - 1)"
+    f" * {16 ** (_SIMHASH_BITS // 4 - 1 - d)}"
+    for d in range(_SIMHASH_BITS // 4))
 _SIMHASH_VOTES = ",\n         ".join(
-    f"SUM((((instr('0123456789abcdef', substring(md5(tok), {b // 4 + 1}, 1)) - 1)"
-    f" // {2 ** (3 - b % 4)}) % 2) * 2 - 1) AS v{b}"
+    f"SUM(((hv >> {_SIMHASH_BITS - 1 - b}) % 2) * 2 - 1) AS v{b}"
     for b in range(_SIMHASH_BITS))
 _SIMHASH_CONCAT = " || ".join(
     f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS))
@@ -146,10 +151,13 @@ _SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
 ),
+hashed AS (
+  SELECT doc_id, {_SIMHASH_HV} AS hv FROM toks
+),
 votes AS (
   SELECT doc_id,
          {_SIMHASH_VOTES}
-  FROM toks GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM votes
 """
