@@ -9,16 +9,20 @@ partitioning / aggregation order. See queries/common.py.
 """
 
 from arangodb_java_parquet_spark.queries.common import QUERIES, ORACLES  # noqa: F401
-# Importing the modules registers their queries.
+# Importing the modules registers their queries. Registration order is
+# verification order for budgeted harnesses: cheap, fully-oracle-checked
+# modules first; the streaming / rows-only entries (advanced) last, so a
+# time-budgeted run covers the maximum number of value-checked entries
+# before paying streaming-drive fixed costs.
 from arangodb_java_parquet_spark.queries import relational  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational3  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import windows  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
-from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402
-from arangodb_java_parquet_spark.queries import similarity  # noqa: F401,E402
-from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import subqueries  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import event_analytics  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import profiling  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import scalar_extra  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import similarity  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
