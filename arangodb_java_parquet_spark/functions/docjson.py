@@ -11,30 +11,56 @@ Two modes (SURVEY.md §1.3, §7 "hard parts"):
   (JSON has no NaN), timestamps/dates are ISO strings (the reference emits raw
   epoch numbers unless a converter is registered).
 
-* ``mode="reference"`` (fidelity path): an Arrow-batched pandas UDF that
-  reproduces the reference encoder's exact output byte-for-byte for flat
-  schemas:
-    - output field order = schema field order
-      (GenericRecordJsonEncoder.java:150-152)
-    - bytes -> ``{"bytes": "<ISO-8859-1-decoded, escaped>"}`` wrapper
-      (GenericRecordJsonEncoder.java:113-117,174-176)
+* ``mode="reference"`` (fidelity path): an Arrow-batched ``mapInArrow``
+  transform that reproduces the reference encoder's output for FULL nested
+  schemas (struct / array / map, recursively — the reference serializer's
+  isRecord/isArray/isMap dispatch at GenericRecordJsonEncoder.java:54-108):
+    - output field order = schema field order, ``"name": value`` pairs joined
+      with ``", "`` (GenericRecordJsonEncoder.java:60-71)
+    - arrays as ``[e1, e2]`` (GenericRecordJsonEncoder.java:73-89)
+    - maps as ``{key: value, ...}`` with keys serialized exactly like values
+      (GenericRecordJsonEncoder.java:90-108) — string keys are quoted+escaped;
+      a non-string-keyed Spark map is emitted with raw keys, faithfully
+      reproducing the reference's fallback (which never quotes non-strings).
+      Entry order is the data's own entry order (the reference iterates a
+      HashMap, whose order is unspecified — any order is reference-valid).
+    - bytes -> ``{"bytes": "<ISO-8859-1-decoded, escaped>"}`` wrapper at any
+      nesting depth (GenericRecordJsonEncoder.java:113-117,174-176)
     - NaN / ±Infinity quoted as JSON strings ("NaN", "Infinity",
       "-Infinity") (GenericRecordJsonEncoder.java:118-124)
     - string escaping of ", \\, \\b \\f \\n \\r \\t plus \\uXXXX
       (uppercase hex) for U+0000–U+001F, U+007F–U+009F and U+2000–U+20FF
       (GenericRecordJsonEncoder.java:178-216)
+    - finite float/double formatting follows Java's
+      ``Double.toString``/``Float.toString`` rules (the reference's
+      ``buffer.append(datum)`` fall-through at
+      GenericRecordJsonEncoder.java:136): decimal notation for
+      1e-3 <= |v| < 1e7, otherwise computerized scientific notation
+      (``1.0E10``), shortest round-trip digits, float32 formatted from its
+      own 32-bit shortest representation (``1.1``, not
+      ``1.100000023841858``). Digit selection is Python/NumPy shortest
+      round-trip — byte-identical to Java's output except for pathological
+      values where distinct shortest representations exist (e.g. extreme
+      subnormals) or where Java's pre-19 legacy formatter carries extra
+      digits; values are always numerically round-trip-equal.
     - unconverted timestamp/date columns emit raw epoch numbers, matching the
       reference's fall-through for unregistered logical types
       (GenericRecordJsonEncoder.java:133-137): timestamps as epoch
       microseconds, dates as days since epoch.
+    - circular references (GenericRecordJsonEncoder.java:55-58) cannot occur
+      in Spark data — the guard has no Spark analog.
 
 The fidelity path is Python (slow path by design, opt-in); the default path
-stays entirely JVM-side.
+stays entirely JVM-side. Null-vs-NaN exactness: the fidelity path consumes
+Arrow record batches directly (``to_pylist`` honors the validity bitmap), so
+SQL NULL -> ``null`` and NaN -> ``"NaN"`` at every nesting depth with no
+pandas conflation.
 """
 
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 from typing import Iterator
 
 import pandas as pd
@@ -81,7 +107,7 @@ def apply_type_converters(df: DataFrame, converters: dict) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# fidelity path: exact reference-encoder semantics (flat schemas)
+# fidelity path: exact reference-encoder semantics (nested schemas)
 # ---------------------------------------------------------------------------
 
 _ESCAPES = {'"': '\\"', "\\": "\\\\", "\b": "\\b", "\f": "\\f",
@@ -105,6 +131,46 @@ def _escape_string(s: str) -> str:
     return "".join(out)
 
 
+def _java_number_str(shortest: str, negative: bool) -> str:
+    """Format shortest-round-trip decimal digits the way Java's
+    ``Double.toString`` does (the spec both legacy and Ryū implement):
+    plain decimal for 1e-3 <= v < 1e7, else ``D.DDDEk`` scientific with a
+    bare integer exponent; at least one digit on each side of the point."""
+    d = Decimal(shortest)
+    tup = d.as_tuple()
+    k = (len(tup.digits) - 1) + tup.exponent  # value = d_0.d_1d_2... * 10^k
+    digits = "".join(map(str, tup.digits)).rstrip("0") or "0"
+    sign = "-" if negative else ""
+    if -3 <= k <= 6:  # exactly the 1e-3 <= v < 1e7 band for nonzero v
+        if k >= 0:
+            ip = digits[:k + 1].ljust(k + 1, "0")
+            fp = digits[k + 1:] or "0"
+            return f"{sign}{ip}.{fp}"
+        return sign + "0." + "0" * (-k - 1) + digits
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{k}"
+
+
+def _java_double_str(f: float) -> str:
+    if f == 0.0:
+        return "-0.0" if math.copysign(1.0, f) < 0 else "0.0"
+    return _java_number_str(repr(abs(f)), f < 0)
+
+
+def _java_float32_str(f: float) -> str:
+    """Java ``Float.toString``: digits are the shortest round-trip for the
+    32-bit value (numpy's dragon4 shortest), same notation bands."""
+    import numpy as np
+    v = np.float32(f)
+    if v == np.float32(0.0):
+        return "-0.0" if math.copysign(1.0, float(v)) < 0 else "0.0"
+    return _java_number_str(
+        np.format_float_positional(abs(v), unique=True, trim="-")
+        if 1e-3 <= abs(float(v)) < 1e7 else
+        np.format_float_scientific(abs(v), unique=True, trim="-"),
+        float(v) < 0)
+
+
 def _encode_scalar(v, kind: str) -> str:
     if v is None:
         return "null"
@@ -116,13 +182,13 @@ def _encode_scalar(v, kind: str) -> str:
         return '{"bytes": "%s"}' % _escape_string(bytes(v).decode("ISO-8859-1"))
     if kind == "bool":
         return "true" if v else "false"
-    if kind == "float":
+    if kind in ("float", "float32"):
         f = float(v)
         if math.isnan(f):
             return '"NaN"'  # quoted (GenericRecordJsonEncoder.java:118-124)
         if math.isinf(f):
             return '"Infinity"' if f > 0 else '"-Infinity"'
-        return repr(f)
+        return _java_float32_str(f) if kind == "float32" else _java_double_str(f)
     if kind == "timestamp":  # raw epoch micros fall-through (§1.3)
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
@@ -131,7 +197,7 @@ def _encode_scalar(v, kind: str) -> str:
     if kind == "date":  # raw epoch days fall-through (§1.3)
         return str((pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days)
     # int/long fall-through (GenericRecordJsonEncoder.java:133-137); int(v)
-    # because Arrow->pandas widens nullable int columns to float64.
+    # tolerates numeric widenings from intermediate frames.
     return str(int(v))
 
 
@@ -142,7 +208,9 @@ def _kind_of(dt: T.DataType) -> str:
         return "bytes"
     if isinstance(dt, T.BooleanType):
         return "bool"
-    if isinstance(dt, (T.FloatType, T.DoubleType)):
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
         return "float"
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return "timestamp"
@@ -151,44 +219,50 @@ def _kind_of(dt: T.DataType) -> str:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "int"
     raise TypeError(
-        f"reference-fidelity encoder supports flat schemas only; got {dt} "
-        "(use mode='spark' for nested struct/array/map)")
+        f"reference-fidelity encoder: unsupported scalar type {dt} "
+        "(register a type converter to pre-map it, or use mode='spark')")
+
+
+def _encode_value(v, dt: T.DataType) -> str:
+    """Recursive serializer — the Spark analog of the reference's
+    isRecord/isArray/isMap dispatch (GenericRecordJsonEncoder.java:53-108)."""
+    if v is None:
+        return "null"
+    if isinstance(dt, T.StructType):
+        # field order = schema order (GenericRecordJsonEncoder.java:60-71)
+        return "{%s}" % ", ".join(
+            '"%s": %s' % (_escape_string(f.name),
+                          _encode_value(v.get(f.name), f.dataType))
+            for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return "[%s]" % ", ".join(
+            _encode_value(e, dt.elementType) for e in v)
+    if isinstance(dt, T.MapType):
+        # keys serialized like values (GenericRecordJsonEncoder.java:100-103)
+        items = v.items() if isinstance(v, dict) else v
+        return "{%s}" % ", ".join(
+            "%s: %s" % (_encode_value(k, dt.keyType),
+                        _encode_value(val, dt.valueType))
+            for k, val in items)
+    return _encode_scalar(v, _kind_of(dt))
 
 
 def _encode_reference_fidelity(df: DataFrame) -> DataFrame:
     from arangodb_java_parquet_spark.shipping import ensure_package_shipped
     ensure_package_shipped(df.sparkSession)
-    fields = [(f.name, _kind_of(f.dataType)) for f in df.schema.fields]
+    fields = [(f.name, f.dataType) for f in df.schema.fields]
 
-    # Arrow->pandas conflates SQL NULL with float NaN; the reference encodes
-    # null as `null` but NaN as quoted "NaN", so carry explicit null masks
-    # for float columns (computed JVM-side, exact).
-    float_cols = [n for n, k in fields if k == "float"]
-    masked = df.select(
-        *df.columns,
-        *[F.isnull(c).alias(f"__isnull_{c}") for c in float_cols])
-
-    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def encode_batches(it: Iterator) -> Iterator:
+        import pyarrow as pa
+        for batch in it:
             docs = []
-            n = len(fields)
-            for row in pdf.itertuples(index=False):
-                vals, masks = row[:n], row[n:]
-                nullmask = dict(zip(float_cols, masks))
-                parts = []
-                for (name, kind), v in zip(fields, vals):
-                    if kind == "float":
-                        is_na = bool(nullmask[name])
-                    elif kind in ("timestamp", "date", "int", "bool"):
-                        # nullable ints/bools surface as NaN/None in pandas
-                        is_na = v is None or (not isinstance(v, (bytes, str))
-                                              and pd.isna(v))
-                    else:
-                        is_na = v is None
-                    parts.append('"%s": %s' % (
-                        _escape_string(name),
-                        "null" if is_na else _encode_scalar(v, kind)))
+            # to_pylist honors Arrow validity bitmaps: SQL NULL -> None and
+            # NaN -> nan at any depth, so no null-masking is needed.
+            for row in batch.to_pylist():
+                parts = ['"%s": %s' % (_escape_string(name),
+                                       _encode_value(row[name], dtype))
+                         for name, dtype in fields]
                 docs.append("{%s}" % ", ".join(parts))
-            yield pd.DataFrame({DOC_COL: docs})
+            yield pa.RecordBatch.from_pydict({DOC_COL: docs})
 
-    return masked.mapInPandas(encode_batches, schema=f"{DOC_COL} string")
+    return df.mapInArrow(encode_batches, schema=f"{DOC_COL} string")

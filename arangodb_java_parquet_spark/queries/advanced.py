@@ -41,6 +41,57 @@ def loader_roundtrip(spark, sf_dir):
             .select("n_nationkey", "n_name", "n_regionkey"))
 
 
+@query("loader_roundtrip_nested", """
+SELECT c_custkey,
+       c_name,
+       c_acctbal,
+       c_nationkey AS tag0,
+       c_mktsegment AS segment
+FROM customer
+WHERE c_custkey <= 400
+""")
+def loader_roundtrip_nested(spark, sf_dir):
+    """Nested-schema fidelity roundtrip: build a struct/array/map frame from
+    customer, push it through the reference-fidelity encoder
+    (functions/docjson.py — recursive struct/array/map per
+    GenericRecordJsonEncoder.java:54-108) into a document collection, read
+    the JSON back with the nested schema, and flatten to scalars the oracle
+    reproduces from the source table. Value-checks Java-style double
+    formatting too (c_acctbal survives encode -> parse bit-exactly because
+    the digits are shortest-round-trip)."""
+    from pyspark.sql import types as T
+
+    from arangodb_java_parquet_spark.sources import (LocalCollection,
+                                                     ParquetLoader)
+    from arangodb_java_parquet_spark.sources.readers import read_collection
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    # 401 rows: a handful of Python-stage tasks, not one per core — worker
+    # startup would dwarf the work (a real corpus keeps natural partitioning)
+    nested = c.coalesce(2).select(
+        "c_custkey",
+        F.struct("c_name", "c_acctbal").alias("profile"),
+        F.array("c_nationkey").alias("tags"),
+        F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("attrs"))
+    col = LocalCollection(tempfile.mkdtemp(prefix="ajps_rtn_"), "cust_nested")
+    ParquetLoader(spark).load_dataframe(nested, col, overwrite=True,
+                                        batch_size=500, mode="reference")
+    schema = T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("profile", T.StructType([
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType())])),
+        T.StructField("tags", T.ArrayType(T.LongType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+    ])
+    back = read_collection(spark, col, schema=schema)
+    return back.select(
+        "c_custkey",
+        F.col("profile.c_name").alias("c_name"),
+        F.col("profile.c_acctbal").alias("c_acctbal"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.element_at("attrs", "segment").alias("segment"))
+
+
 # the decode stub derives metadata from md5 bytes, so it is exactly
 # SQL-expressible: byte_i = hexpair_i of md5 parsed via digit position
 _HEXD = "instr('0123456789abcdef', substring(h, {pos}, 1)) - 1"

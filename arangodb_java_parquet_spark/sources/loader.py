@@ -90,11 +90,6 @@ class ParquetLoader:
         keeps the scan's natural partitioning (best at scale: no extra
         shuffle).
         """
-        if batch_size < 1:
-            raise ValueError("batch size must be >= 1")
-        if max_parallel_batches is not None and max_parallel_batches < 1:
-            raise ValueError("max parallel batches must be >= 1")
-
         df = self.read(path)
         return self.load_dataframe(
             df, collection, overwrite=overwrite, batch_size=batch_size,
@@ -105,7 +100,17 @@ class ParquetLoader:
                        batch_size: int = DEFAULT_BATCH_SIZE,
                        mode: str = "spark",
                        max_parallel_batches: int | None = None) -> int:
-        """Encode ``df`` rows as JSON documents and bulk-insert them."""
+        """Encode ``df`` rows as JSON documents and bulk-insert them.
+
+        Validation lives here (not just in ``load``) because this is the
+        public API the streaming ``foreachBatch`` path calls directly —
+        batch_size < 1 must raise like the reference
+        (ParquetArangoLoader.java:123-125), never silently mis-batch.
+        """
+        if batch_size < 1:
+            raise ValueError("batch size must be >= 1")
+        if max_parallel_batches is not None and max_parallel_batches < 1:
+            raise ValueError("max parallel batches must be >= 1")
         ensure_package_shipped(self.spark)
         collection.ensure(overwrite=overwrite)
 

@@ -45,6 +45,41 @@ def test_float_encoding_reference_semantics(f):
         assert json.loads(out) == f
 
 
+@given(st.floats(allow_nan=True, allow_infinity=True, width=32))
+@settings(max_examples=200, deadline=None)
+def test_float32_encoding_roundtrips_to_same_float32(f):
+    import numpy as np
+    out = _encode_scalar(f, "float32")
+    if math.isnan(f):
+        assert out == '"NaN"'
+    elif math.isinf(f):
+        assert out in ('"Infinity"', '"-Infinity"')
+    else:
+        # shortest-for-float32 digits: parsing back as float32 is lossless
+        assert np.float32(json.loads(out)) == np.float32(f)
+
+
+def test_java_double_tostring_notation():
+    """Known Java Double.toString outputs — the notation bands and digit
+    layout of GenericRecordJsonEncoder's buffer.append(double) fallback."""
+    from arangodb_java_parquet_spark.functions.docjson import (
+        _java_double_str, _java_float32_str)
+    cases = {1.0: "1.0", -1.5: "-1.5", 1e7: "1.0E7",
+             9999999.0: "9999999.0", 1e10: "1.0E10", 0.001: "0.001",
+             1e-4: "1.0E-4", 12345.678: "12345.678", 100.0: "100.0",
+             2.5e-3: "0.0025", 6.02214076e23: "6.02214076E23",
+             1.23e-300: "1.23E-300"}
+    for v, expected in cases.items():
+        assert _java_double_str(v) == expected, v
+    assert _java_double_str(0.0) == "0.0"
+    assert _java_double_str(-0.0) == "-0.0"
+    # Float.toString: digits come from the 32-bit value, not the widened 64
+    f32 = {1.1: "1.1", 3.4028235e38: "3.4028235E38", 100.5: "100.5",
+           1.17549435e-38: "1.1754944E-38", 0.001: "0.001", 1e-4: "1.0E-4"}
+    for v, expected in f32.items():
+        assert _java_float32_str(v) == expected, v
+
+
 @given(st.integers(min_value=-2**63, max_value=2**63 - 1))
 @settings(max_examples=200, deadline=None)
 def test_int_encoding(i):
@@ -61,8 +96,82 @@ def test_control_ranges_always_escaped(s):
         assert not (cp <= 0x1F or 0x7F <= cp <= 0x9F or 0x2000 <= cp <= 0x20FF)
 
 
+def test_nested_struct_array_map_encoding():
+    """Recursive fidelity semantics (GenericRecordJsonEncoder.java:54-108):
+    schema-ordered structs, ", "-joined arrays, maps with keys serialized
+    like values, bytes wrapper and NaN quoting at depth."""
+    from arangodb_java_parquet_spark.functions.docjson import _encode_value
+    dt = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("scores", T.ArrayType(T.DoubleType())),
+        T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("raw", T.BinaryType()),
+        T.StructField("inner", T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.StringType())])),
+    ])
+    v = {"name": 'a"b', "scores": [1.5, None, float("nan")],
+         "attrs": [("k1", 7), ("k2", None)], "raw": b"\x9f",
+         "inner": {"x": None, "y": "z"}}
+    out = _encode_value(v, dt)
+    assert out == (
+        '{"name": "a\\"b", "scores": [1.5, null, "NaN"], '
+        '"attrs": {"k1": 7, "k2": null}, '
+        '"raw": {"bytes": "\\u009F"}, '
+        '"inner": {"x": null, "y": "z"}}')
+    # null struct / null array / null map at depth
+    assert _encode_value(None, dt) == "null"
+    assert _encode_value({"name": None, "scores": None, "attrs": None,
+                          "raw": None, "inner": None}, dt) == \
+        ('{"name": null, "scores": null, "attrs": null, "raw": null, '
+         '"inner": null}')
+
+
+def test_spark_encode_nested_rows(spark):
+    """Nested rows through the full mapInArrow path: parse as JSON, field
+    order preserved at every level, NULL vs NaN distinguished inside
+    arrays (the Arrow-validity-bitmap property pandas cannot give)."""
+    from arangodb_java_parquet_spark.functions.docjson import (
+        DOC_COL, encode_documents)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+        T.StructField("meta", T.StructType([
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.DoubleType())])),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ])
+    rows = [
+        (1, [0.5, None, float("nan")], ("en", 0.25), {"a": "b"}),
+        (2, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema).coalesce(1).orderBy("id")
+    docs = [r[0] for r in
+            encode_documents(df, mode="reference").collect()]
+    assert json.loads(docs[1]) == {"id": 2, "vec": None, "meta": None,
+                                   "tags": None}
+    d0 = docs[0] if '"id": 1' in docs[0] else docs[1]
+    assert '"vec": [0.5, null, "NaN"]' in d0
+    parsed = json.loads(d0.replace('"NaN"', "0"))
+    assert list(parsed.keys()) == ["id", "vec", "meta", "tags"]
+    assert list(parsed["meta"].keys()) == ["lang", "score"]
+    assert parsed["tags"] == {"a": "b"}
+
+
+def test_spark_encode_float32_column(spark):
+    """FloatType columns format from the 32-bit shortest digits."""
+    from arangodb_java_parquet_spark.functions.docjson import (
+        encode_documents)
+    schema = T.StructType([T.StructField("f", T.FloatType())])
+    df = spark.createDataFrame([(1.1,), (None,)], schema).coalesce(1)
+    docs = sorted(r[0] for r in
+                  encode_documents(df, mode="reference").collect())
+    assert '{"f": 1.1}' in docs
+    assert '{"f": null}' in docs
+
+
 def test_spark_encode_random_rows_parse(spark):
-    """One Spark-side sweep: random-ish rows through the full mapInPandas
+    """One Spark-side sweep: random-ish rows through the full mapInArrow
     path parse as JSON with reference field order."""
     schema = T.StructType([
         T.StructField("s", T.StringType()),
