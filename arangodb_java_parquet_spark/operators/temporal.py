@@ -16,46 +16,106 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               value_cols: list[str],
               right_on: str | None = None,
               direction: str = "backward") -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    ``right_time <= left_time`` (direction="backward"), matched on ``on``.
+    """As-of join, matched on ``on``; for each left row take
+
+    * ``direction="backward"`` — the most recent right row with
+      ``right_time <= left_time``;
+    * ``direction="forward"`` — the earliest right row with
+      ``right_time >= left_time``;
+    * ``direction="nearest"`` — whichever of the two is closer in time
+      (ties prefer backward, matching pandas ``merge_asof``).
 
     Strategy — union + sorted window, the shuffle-minimal formulation:
     tag both sides, union them, and within each ``on`` partition ordered by
     time take ``last(right value, ignorenulls=True)`` over the preceding
-    frame. ONE shuffle total (the window partition), versus the naive
-    inequality-join + groupBy which is O(matches) intermediate rows and two
-    shuffles. At equal timestamps right rows sort before left rows so the
-    match is inclusive.
+    frame (backward) / ``first`` over the following frame (forward). ONE
+    shuffle total (the window partition), versus the naive inequality-join
+    + groupBy which is O(matches) intermediate rows and two shuffles. At
+    equal timestamps the right row sorts inside the frame so the match is
+    inclusive in every direction.
+
+    Standard as-of semantics: right rows with a NULL key or NULL time never
+    supply values (SQL/DuckDB ASOF never matches on NULL); left rows with a
+    NULL time match nothing.
 
     Scale: this is the standard large-scale formulation (also how
     pd.merge_asof would be driven per group); it never materializes the
     cross-match, so a user with 10^9 events × 10^7 quotes per key range
-    stays linear.
+    stays linear. ``nearest`` reuses the same single exchange for both
+    window passes (two sorts, one shuffle).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     right_on = right_on or on
+    right = right.filter(F.col(right_on).isNotNull()
+                         & F.col(right_time).isNotNull())
 
+    rt_type = right.schema[right_time].dataType
     l_tag = left.select(
         F.col(on).alias("__k"), F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
+        F.lit(None).cast(rt_type).alias("__rt"),
         F.struct(*left.columns).alias("__row"))
     r_tag = right.select(
         F.col(right_on).alias("__k"), F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__rt"),
         F.lit(None).cast(l_tag.schema["__row"].dataType).alias("__row"))
 
     unioned = l_tag.unionByName(r_tag)
-    w = (W.partitionBy("__k").orderBy("__t", "__is_left")
-         .rowsBetween(W.unboundedPreceding, 0))
-    filled = unioned.select(
+    # backward frame: right (0) sorts before left (1) at equal time ->
+    # inclusive; forward frame: reversed tag order so the equal-time right
+    # row falls INSIDE the left row's following frame.
+    wb = (W.partitionBy("__k").orderBy("__t", "__is_left")
+          .rowsBetween(W.unboundedPreceding, 0))
+    wf = (W.partitionBy("__k").orderBy(F.col("__t"), F.col("__is_left").desc())
+          .rowsBetween(0, W.unboundedFollowing))
+    # left NULL-time rows sort first (nulls-first) where the forward frame
+    # would see every right row — mask them to "no match" explicitly.
+    has_t = F.col("__t").isNotNull()
+
+    def backward(c):
+        return F.when(has_t, F.last(c, ignorenulls=True).over(wb))
+
+    def forward(c):
+        return F.when(has_t, F.first(c, ignorenulls=True).over(wf))
+
+    if direction in ("backward", "forward"):
+        pick = backward if direction == "backward" else forward
+        filled = unioned.select(
+            "__is_left", "__row",
+            *[pick(f"__r_{c}").alias(f"asof_{c}") for c in value_cols])
+        return (filled.filter(F.col("__is_left") == 1)
+                .select("__row.*", *[f"asof_{c}" for c in value_cols]))
+
+    # nearest: evaluate both directions over the SAME exchange, then pick
+    # per row by time distance (strict > so ties keep the backward match).
+    both = unioned.select(
+        "__is_left", "__row", "__t",
+        F.when(has_t, F.last("__rt", ignorenulls=True).over(wb)).alias("__bt"),
+        F.when(has_t, F.first("__rt", ignorenulls=True).over(wf)).alias("__ft"),
+        *[backward(f"__r_{c}").alias(f"__b_{c}") for c in value_cols],
+        *[forward(f"__r_{c}").alias(f"__f_{c}") for c in value_cols])
+
+    t_dtype = dict(both.dtypes)["__t"]
+    if t_dtype.startswith(("timestamp", "date")):
+        def micros(c):
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def micros(c):
+            return c
+    pick_fwd = (F.col("__bt").isNull()
+                | (F.col("__ft").isNotNull()
+                   & ((micros(F.col("__t")) - micros(F.col("__bt")))
+                      > (micros(F.col("__ft")) - micros(F.col("__t"))))))
+    out = both.select(
         "__is_left", "__row",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-          for c in value_cols])
-    return (filled.filter(F.col("__is_left") == 1)
+        *[F.when(pick_fwd, F.col(f"__f_{c}")).otherwise(F.col(f"__b_{c}"))
+          .alias(f"asof_{c}") for c in value_cols])
+    return (out.filter(F.col("__is_left") == 1)
             .select("__row.*", *[f"asof_{c}" for c in value_cols]))
 
 

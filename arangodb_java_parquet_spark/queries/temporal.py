@@ -57,6 +57,50 @@ def join_asof_backward(spark, sf_dir):
                      ).select("event_id", "user_id", "ts", "asof_o_orderdate")
 
 
+@query("join_asof_forward", """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT MIN(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+       AS asof_o_orderdate
+FROM events e
+""")
+def join_asof_forward(spark, sf_dir):
+    """As-of join (forward): earliest order at-or-after each event, per
+    user — same one-shuffle union+window formulation with a following
+    frame (operators/temporal.py)."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(e, o, on="user_id", right_on="o_custkey",
+                     left_time="ts", right_time="o_orderdate",
+                     value_cols=["o_orderdate"], direction="forward"
+                     ).select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
+@query("join_asof_nearest", """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT o.o_orderdate FROM orders o
+        WHERE o.o_custkey = e.user_id
+        ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                     - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                 o.o_orderdate
+        LIMIT 1)
+       AS asof_o_orderdate
+FROM events e
+""")
+def join_asof_nearest(spark, sf_dir):
+    """As-of join (nearest): the time-closest order per event, ties to the
+    earlier (backward) side — one shuffle, both direction passes over the
+    same exchange (operators/temporal.py). Oracle: per-event ORDER BY
+    absolute distance with the date as tiebreak (earlier date == backward
+    preference)."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(e, o, on="user_id", right_on="o_custkey",
+                     left_time="ts", right_time="o_orderdate",
+                     value_cols=["o_orderdate"], direction="nearest"
+                     ).select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
 @query("window_tumbling_agg", f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
        event_type,
