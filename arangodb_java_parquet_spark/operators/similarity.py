@@ -81,9 +81,12 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
     nearest cells.
 
     Centroid construction is one sampled KMeans iteration computed on the
-    driver from a bounded sample (deterministic: seeded sample, fixed
-    iteration count) — at 100 TB the sample stays bounded while cell
-    assignment/probing remain fully distributed (a broadcast of
+    driver from a bounded sample — the first 2000 vectors BY ID via a
+    distributed top-k (TakeOrderedAndProject), which is deterministic
+    under any partitioning / file layout (a bare LIMIT would return
+    whichever partitions scan first; a Bernoulli sample's per-partition
+    seeding also shifts with layout). At 100 TB the sample stays bounded
+    while cell assignment/probing remain fully distributed (a broadcast of
     n_centroids × dim floats and one shuffle-free filter-join).
 
     Recall/speed trade: n_probe/n_centroids of the corpus is scanned per
@@ -91,10 +94,9 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
     """
     import numpy as np
 
-    sample = (corpus.select(vec_col)
-              .sample(False, 1.0, seed=seed)  # bounded corpora: take all
-              .limit(2000).collect())
-    X = np.array([list(r[0]) for r in sample], dtype="float64")
+    sample = (corpus.select(id_col, vec_col)
+              .orderBy(id_col).limit(2000).collect())
+    X = np.array([list(r[1]) for r in sample], dtype="float64")
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
                         replace=False)]

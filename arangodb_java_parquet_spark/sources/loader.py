@@ -123,12 +123,18 @@ class ParquetLoader:
         # (ParquetArangoLoader.java:142-154; ChunkedParquetReaderIterator.java).
         bs = batch_size
         sink = collection
+        # rows-loaded via accumulator: counted on the SAME action as the
+        # write (no second scan). Task retries could over-count, but a
+        # retried partition also re-inserts — the count stays truthful to
+        # documents actually sent to the sink.
+        n_loaded = self.spark.sparkContext.accumulator(0)
 
         def write_partition(rows) -> None:
+            n = 0
             for batch in batched((r[DOC_COL] for r in rows), bs):
                 sink.insert_many(batch)
+                n += len(batch)
+            n_loaded.add(n)
 
         docs.foreachPartition(write_partition)
-        # Rows loaded this call; counted on the pre-encode plan (parquet
-        # metadata count — no re-encode, no sink round trip).
-        return df.count()
+        return n_loaded.value
