@@ -17,6 +17,7 @@ from arangodb_java_parquet_spark.queries.common import QUERIES, ORACLES  # noqa:
 from arangodb_java_parquet_spark.queries import relational  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational3  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import partsupp_shapes  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import windows  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import subqueries  # noqa: F401,E402
