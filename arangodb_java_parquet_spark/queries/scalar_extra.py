@@ -159,3 +159,30 @@ def join_lateral_topn(spark, sf_dir):
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_mktsegment = 'BUILDING'
     """)
+
+
+@query("udtf_tokenize_lateral", """
+SELECT doc_id,
+       UNNEST(range(0, len(string_split(text, ' ')))) AS pos,
+       UNNEST(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 50
+""")
+def udtf_tokenize_lateral(spark, sf_dir):
+    """SQL UDTF exercised in the lateral position: a Python table function
+    (functions/udtfs.py TokenizeUDTF) expanding each document into
+    (position, token) rows via ``FROM d, LATERAL ajps_tokenize(d.text)``,
+    value-checked against DuckDB's zipped-UNNEST oracle. Input bounded to
+    50 docs — Python UDTFs are deliberately not a hot-path operator here
+    (tokenization at scale runs through the JVM split/posexplode twin in
+    text_pipeline.py)."""
+    from arangodb_java_parquet_spark.functions.udtfs import register_udtfs
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+    register_udtfs(spark)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, tk.pos, tk.token
+        FROM __udtf_docs d, LATERAL ajps_tokenize(d.text) tk
+    """)

@@ -131,6 +131,53 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def read_avro(spark: SparkSession, path: str, *,
+              avro_schema: str | None = None, **options) -> DataFrame:
+    """Avro source — the reference's native row model
+    (ParquetArangoLoader.java:139 reads parquet THROUGH Avro
+    GenericRecords; an Avro file source is the same data model without
+    the parquet container).
+
+    Spark's avro support lives in the external spark-avro module
+    (``org.apache.spark:spark-avro_2.13``); this image ships only the
+    avro core jars, so the reader try-gates with an actionable error
+    instead of failing mid-plan. ``avro_schema`` (JSON) pins the reader
+    schema for schema-evolution reads, like the loader's dynamic-schema
+    handling.
+    """
+    reader = spark.read.format("avro")
+    if avro_schema is not None:
+        reader = reader.option("avroSchema", avro_schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load(path)
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "avro source requires the external spark-avro module on the "
+                "classpath (org.apache.spark:spark-avro_2.13; not present "
+                "in this image) — pass --packages or add the jar") from e
+        raise
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite",
+               **options) -> None:
+    """Avro sink (same spark-avro module gate as :func:`read_avro`)."""
+    writer = df.write.mode(mode).format("avro")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save(path)
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "avro sink requires the external spark-avro module on the "
+                "classpath (org.apache.spark:spark-avro_2.13; not present "
+                "in this image) — pass --packages or add the jar") from e
+        raise
+
+
 def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
                **options) -> DataFrame:  # pragma: no cover - needs jars
     """Kafka streaming source (requires the spark-sql-kafka jar)."""

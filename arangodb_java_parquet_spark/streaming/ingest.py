@@ -129,6 +129,37 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
                 timeoutConf="NoTimeout"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         left_key: str, right_key: str,
+                         left_time: str, right_time: str,
+                         within: str = "30 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream join on a key with a bounded event-time interval:
+    right rows within ``[left_time, left_time + within]``.
+
+    Both inputs must already carry watermarks (callers own the delay
+    choice); the time-range condition is what lets Spark bound join state
+    on BOTH sides — without it, state grows forever. Supports ``inner``
+    and the outer variants (``left_outer``/``right_outer``/``full_outer``):
+    unmatched outer rows are emitted only after the GLOBAL watermark (the
+    minimum across both sides — spark.sql.streaming.multipleWatermarkPolicy)
+    passes their join window, in a subsequent micro-batch. A drained
+    availableNow run therefore reports matches immediately but holds
+    late-window unmatched rows in state until a later run's watermark
+    releases them — exactly-once across restarts via the checkpoint
+    (tests/test_streaming.py drives this two-run shape).
+
+    Scale: state is hash-partitioned by the join key (the same shuffle as
+    the join), watermark-bounded on both sides — a 1000-executor cluster
+    holds only the active window per key.
+    """
+    cond = ((F.col(left_key) == F.col(right_key))
+            & (F.col(right_time) >= F.col(left_time))
+            & (F.col(right_time)
+               <= F.col(left_time) + F.expr(f"INTERVAL {within}")))
+    return left.join(right, cond, how)
+
+
 def session_window_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
     """Session windows (gap-based) per user — streaming-native
     sessionization; batch equivalent is operators/temporal.sessionize."""

@@ -130,3 +130,24 @@ def test_compact_collection(spark, sf_dir, nation, tmp_path):
     assert rows_of(got) == rows_of(nation)
     import glob
     assert len(glob.glob(f"{out}/part-*.parquet")) == 1
+
+
+def test_avro_roundtrip_or_clean_gate(spark, nation, tmp_path):
+    """Avro round-trips when the spark-avro module is on the classpath;
+    otherwise both reader and writer raise the actionable gate error
+    (never a raw ClassNotFound mid-plan)."""
+    import pytest
+
+    from arangodb_java_parquet_spark.sources.readers import (read_avro,
+                                                             write_avro)
+    path = str(tmp_path / "nation_avro")
+    try:
+        write_avro(nation, path)
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, path)
+        pytest.skip("spark-avro module not on classpath (gated cleanly)")
+    back = read_avro(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)

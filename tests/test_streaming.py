@@ -147,6 +147,79 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
     assert got == expected and got > 0
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows are emitted with
+    NULL right columns once the global watermark passes their join window.
+
+    The drive is two availableNow runs over a shared checkpoint: run 1
+    sees a matched click/purchase pair and an unmatched click; run 2 adds
+    far-future rows on BOTH sides (the global watermark is the min across
+    sides) which releases the held unmatched row from state."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stream_interval_join)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck_sslo")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(path, rows):
+        pq.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "kind": pa.array([r[2] for r in rows]),
+            "eid": pa.array([r[3] for r in rows], pa.int64())}), path)
+
+    def drive():
+        schema = "user_id long, ts timestamp, kind string, eid long"
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        clicks = (stream.filter("kind = 'click'")
+                  .withWatermark("ts", "1 hour")
+                  .select(F.col("user_id").alias("c_user"),
+                          F.col("ts").alias("c_ts"),
+                          F.col("eid").alias("c_id")))
+        purchases = (stream.filter("kind = 'purchase'")
+                     .withWatermark("ts", "1 hour")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("ts").alias("p_ts"),
+                             F.col("eid").alias("p_id")))
+        joined = stream_interval_join(
+            clicks, purchases, left_key="c_user", right_key="p_user",
+            left_time="c_ts", right_time="p_ts",
+            within="30 minutes", how="left_outer")
+        q = (joined.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write(src / "f1.parquet", [
+        (1, t0, "click", 1),
+        (1, t0 + dt.timedelta(minutes=10), "purchase", 2),  # match for 1
+        (2, t0, "click", 3),                                # never matched
+    ])
+    drive()
+    got1 = {(r.c_id, r.p_id) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 2)}  # unmatched row still held in state
+
+    d10 = t0 + dt.timedelta(days=10)
+    write(src / "f2.parquet", [(9, d10, "click", 4),
+                               (9, d10, "purchase", 5)])
+    drive()
+    got2 = {(r.c_id, r.p_id) for r in spark.read.parquet(out).collect()}
+    # watermark passed click 3's window -> emitted with NULL right side
+    assert got2 == {(1, 2), (3, None), (4, 5)}
+    null_row = [r for r in spark.read.parquet(out).collect()
+                if r.c_id == 3][0]
+    assert null_row.p_user is None and null_row.p_ts is None
+
+
 def test_session_window_agg_batch(spark, sf_dir):
     from arangodb_java_parquet_spark.queries.common import t
     events = t(spark, sf_dir, "events")
