@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",
     "funnel_conversion",
     "train_test_split_hash",
+    "q2_min_cost_supplier",
+    "q20_excess_inventory_suppliers",
+    "join_asof_nearest",
 ]
 
 
