@@ -1,0 +1,155 @@
+"""Dataset-curation operators for large-scale training-data pipelines:
+benchmark decontamination, duplicate-cluster resolution (connected
+components), deterministic sampling, and token-budget sequence packing.
+
+All hashing is md5-based (engine-portable, like operators/dedup.py) so every
+operator here is DuckDB-oracle-checkable bit-for-bit.
+
+Scale design notes, per operator:
+  * decontaminate: the benchmark side is tiny (a held-out eval set, typically
+    1e3-1e6 docs) — its n-gram hash set is BROADCAST, so the 100 TB train
+    side never shuffles: one scan, map-side semi-join, done.
+  * connected_components: iterative min-label propagation; each iteration is
+    one equi-join + one map-side-combinable MIN aggregation over the EDGE
+    list (pairs), never the documents. Converges in O(diameter) rounds —
+    near-dup graphs are unions of small cliques, so 2-4 rounds in practice.
+    (At extreme scale the large-star/small-star variant halves rounds; the
+    join/agg building blocks are the same.)
+  * hash_sample: a pure map-side filter — no shuffle, no RNG state, same
+    rows selected on any cluster layout, any partitioning, any engine.
+  * pack_sequences: running token sums within an explicit shard column.
+    Packing is inherently sequential, so the scalable form is per-shard
+    packing (exactly what training pipelines do: pack within a shard, shards
+    in parallel); the window partitions by shard and never sees a global
+    sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame, text_col: str,
+                  id_col: str, n: int = 5) -> DataFrame:
+    """Per-train-doc benchmark contamination: the count of distinct word
+    ``n``-grams the doc shares with ANY benchmark document.
+
+    The industry-standard eval-leakage guard (n-gram overlap against held-out
+    benchmarks) expressed as a broadcast semi-structure: benchmark n-grams
+    are hashed to md5 and broadcast; train n-grams join map-side. Output:
+    (id, n_hit_grams) for contaminated docs only — anti-join the result
+    against the corpus to drop them.
+    """
+    def grams(df):
+        e = F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col},' '))-{n-1}, 1)),"
+            f" i -> md5(array_join(slice(split({text_col},' '), i, {n}), ' ')))")
+        return df.select(F.col(id_col), F.explode(e).alias("gh")).distinct()
+
+    bench_grams = grams(benchmark).select("gh").distinct()
+    return (grams(train)
+            .join(F.broadcast(bench_grams), "gh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hit_grams")))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 20
+                         ) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node's label converges to the smallest
+    node id reachable from it. Output: (node, component) — the canonical
+    dedup-cluster assignment (keep ``node == component``, drop the rest).
+
+    Deterministic: labels are min-ids, independent of iteration order or
+    partitioning. Each round does (a) a neighbor-min step (join the edge
+    list with current labels, map-side-combinable MIN) and (b) a
+    pointer-doubling shortcut (a node's label jumps to its label's label) —
+    (b) turns O(diameter) convergence into O(log n), the same acceleration
+    union-find path-halving / large-star-small-star give. Labels only ever
+    DECREASE, so the fixpoint test is a scalar checksum (sum of labels
+    unchanged ⟺ nothing changed) — one cheap aggregate action per round,
+    the standard driver-coordinated loop of iterative graph algorithms.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    prev_sum = None
+    for _ in range(max_iter):
+        # (a) candidate label for each node: min over (its own label,
+        # labels of all neighbors)
+        neighbor = (edges.join(labels,
+                               edges["dst"] == labels["node"])
+                    .select(F.col("src").alias("node"),
+                            F.col("component")))
+        merged = (labels.select("node", "component").union(neighbor)
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component")))
+        # (b) shortcut: follow the label chain one hop (label's label).
+        # Every component value is itself a node id, so the self-join is
+        # total; least() keeps monotone decrease.
+        lab2 = merged.select(F.col("node").alias("component"),
+                             F.col("component").alias("cc"))
+        labels = (merged.join(lab2, "component")
+                  .select(F.col("node"),
+                          F.least("component", "cc").alias("component"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float,
+                stratum_col: str | None = None,
+                rates: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic sampling: keep a row iff the first 8 md5 hex digits of
+    its (stratum:)id key, read as a 32-bit integer fraction, fall under the
+    rate. With ``stratum_col``+``rates``, each stratum gets its own rate
+    (language/source rebalancing).
+
+    Unlike ``df.sample`` (seeded per-partition RNG — results change with
+    partitioning), this selects the same rows on any engine and layout, so
+    a resampled corpus is reproducible bit-for-bit.
+    """
+    if stratum_col is None:
+        key = F.concat(F.lit("s:"), F.col(id_col).cast("string"))
+        frac = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") \
+            / float(1 << 32)
+        return df.filter(frac < rate)
+    key = F.concat(F.col(stratum_col), F.lit(":"),
+                   F.col(id_col).cast("string"))
+    frac = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") \
+        / float(1 << 32)
+    rate_expr = F.lit(rate)
+    for stratum, r in (rates or {}).items():
+        rate_expr = F.when(F.col(stratum_col) == stratum, F.lit(r)) \
+            .otherwise(rate_expr)
+    return df.filter(frac < rate_expr)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   shard_col: str, budget: int) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, walk docs in
+    id order accumulating token counts; a document's sequence number is
+    floor(start_offset / budget). Output adds (seq_id, offset_in_seq).
+
+    This is the streaming formulation (documents may straddle a budget
+    boundary — training pipelines truncate or pad at materialization time);
+    it is fully window-expressible, integer-exact, and partitions by shard
+    so no global sort ever happens.
+    """
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(tokens_col).over(w)
+    start = (cum - F.col(tokens_col)).alias("start_offset")
+    return (df.select(F.col(id_col), F.col(shard_col), F.col(tokens_col),
+                      start)
+            .withColumn("seq_id", F.floor(F.col("start_offset") / budget))
+            .withColumn("offset_in_seq", F.col("start_offset") % budget))

@@ -25,5 +25,6 @@ from arangodb_java_parquet_spark.queries import event_analytics  # noqa: F401,E4
 from arangodb_java_parquet_spark.queries import profiling  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import scalar_extra  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import curation  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import similarity  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402

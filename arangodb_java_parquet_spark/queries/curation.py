@@ -1,0 +1,310 @@
+"""Dataset-curation inventory over the ``documents`` table: benchmark
+decontamination, duplicate-cluster resolution, Gopher-style quality rules,
+TF-IDF vocabulary ranking, deterministic stratified sampling, and
+token-budget sequence packing — the operations a training-data pipeline
+runs between "raw crawl" and "tokenized shards".
+
+Every entry has a full DuckDB value oracle (md5 hashing + integer/decimal
+arithmetic only; doubles that pass through transcendental functions are
+rounded to 9 digits on both sides per the determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.curation import (
+    connected_components, decontaminate, hash_sample, pack_sequences)
+from arangodb_java_parquet_spark.operators.dedup import (
+    char_shingles, lsh_candidate_pairs, minhash_signatures)
+from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_NGRAM = 4
+# DuckDB slicing l[a:b] is 1-based INCLUSIVE: [i : i+n-1] is an n-element
+# window, matching Spark's slice(arr, i, n).
+_DECON_SQL = f"""
+WITH grams_train AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string((string_split(text,' '))[i:i+{_NGRAM - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, greatest(len(string_split(text,' '))-{_NGRAM - 1}, 1)+1)) AS i
+        FROM documents WHERE doc_id % 97 <> 0)
+),
+grams_bench AS (
+  SELECT DISTINCT
+         md5(array_to_string((string_split(text,' '))[i:i+{_NGRAM - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, greatest(len(string_split(text,' '))-{_NGRAM - 1}, 1)+1)) AS i
+        FROM documents WHERE doc_id % 97 = 0)
+)
+SELECT t.doc_id, COUNT(*) AS n_hit_grams
+FROM grams_train t JOIN grams_bench b USING (gh)
+GROUP BY t.doc_id
+"""
+
+
+@query("decontaminate_benchmark_overlap", _DECON_SQL)
+def decontaminate_benchmark_overlap(spark, sf_dir):
+    """Eval-leakage guard: for every training document, count distinct word
+    4-grams shared with a benchmark set (here: every 97th doc standing in
+    for a held-out eval suite). Docs in the result are contaminated; an
+    anti-join removes them. Scale: the benchmark gram set is broadcast —
+    the train side is scanned once and never shuffled."""
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(train, bench, "text", "doc_id", n=_NGRAM)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SQL = _MINHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+"""
+
+
+@query("dedup_cluster_components", _CLUSTER_SQL)
+def dedup_cluster_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS, not just pairs: connected components over
+    the MinHash-LSH candidate-pair graph by min-label propagation
+    (operators/curation.py). component == min doc_id reachable; keeping
+    node == component and dropping the rest is the canonical cluster-dedup
+    policy. The DuckDB oracle computes the same closure with a recursive
+    CTE."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+@query("quality_filter_rules", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+rep AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(c) AS top_tok_freq
+  FROM freq GROUP BY doc_id
+),
+feats AS (
+  SELECT d.doc_id,
+         r.n_tokens,
+         ROUND(CAST(LENGTH(REPLACE(d.text, ' ', '')) AS DOUBLE)
+               / r.n_tokens, 9) AS mean_word_len,
+         ROUND(CAST(r.n_distinct AS DOUBLE) / r.n_tokens, 9)
+           AS distinct_ratio,
+         ROUND(CAST(r.top_tok_freq AS DOUBLE) / r.n_tokens, 9)
+           AS top_token_frac,
+         CAST((LENGTH(d.text) - LENGTH(REPLACE(d.text, 'the', ''))) / 3
+              AS BIGINT) AS n_stopword
+  FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+)
+SELECT *,
+       (n_tokens BETWEEN 15 AND 2000
+        AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND distinct_ratio >= 0.2
+        AND top_token_frac <= 0.25) AS keep
+FROM feats
+""")
+def quality_filter_rules(spark, sf_dir):
+    """Gopher/C4-style repetition + shape quality rules per document:
+    token count bounds, mean word length, distinct-token ratio, top-token
+    frequency fraction, stopword presence — and the boolean keep verdict.
+    One explode + two map-side-combinable aggregations; no UDFs."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    rep = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok_freq"))
+    feats = (d.join(rep, "doc_id")
+             .select(
+                 "doc_id",
+                 F.col("n_tokens"),
+                 F.round(F.length(F.replace(F.col("text"), F.lit(" "),
+                                            F.lit(""))).cast("double")
+                         / F.col("n_tokens"), 9).alias("mean_word_len"),
+                 F.round(F.col("n_distinct").cast("double")
+                         / F.col("n_tokens"), 9).alias("distinct_ratio"),
+                 F.round(F.col("top_tok_freq").cast("double")
+                         / F.col("n_tokens"), 9).alias("top_token_frac"),
+                 ((F.length("text")
+                   - F.length(F.replace(F.col("text"), F.lit("the"),
+                                        F.lit("")))) / 3)
+                 .cast("long").alias("n_stopword")))
+    keep = (F.col("n_tokens").between(15, 2000)
+            & F.col("mean_word_len").between(2.0, 12.0)
+            & (F.col("distinct_ratio") >= 0.2)
+            & (F.col("top_token_frac") <= 0.25))
+    return feats.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF vocabulary ranking
+# ---------------------------------------------------------------------------
+
+@query("tfidf_top_terms", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+""")
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+    The document-frequency table is tiny (vocabulary-sized) and broadcast;
+    rank ordering uses the 9-digit-rounded score with the token as a unique
+    tiebreak, so ranking is engine-stable."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    score = F.round(
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (tf.join(F.broadcast(df), "tok")
+            .select("doc_id", "tok", "tf", "df", score.alias("score"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.35}
+_SAMPLE_DEFAULT = 0.2
+
+_SAMPLE_RATE_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items())
+    + f" ELSE {_SAMPLE_DEFAULT} END")
+
+
+@query("sample_stratified_hash", f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(CAST('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) AS DOUBLE) / 4294967296.0
+      < {_SAMPLE_RATE_SQL}
+""")
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic per-language stratified sampling (operators/curation.py
+    hash_sample): md5-fraction threshold per stratum — a pure map-side
+    filter that selects identical rows on any engine, layout, or cluster,
+    unlike seeded per-partition RNG sampling."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    return hash_sample(d, "doc_id", _SAMPLE_DEFAULT, stratum_col="lang",
+                       rates=_SAMPLE_RATES)
+
+
+@query("sample_language_quota", """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rnk FROM ranked WHERE rnk <= 40
+""")
+def sample_language_quota(spark, sf_dir):
+    """Language-balanced resampling: an exact per-language quota (40 docs)
+    selected in md5 order — deterministic 'random' without RNG state.
+    Window partitions by language; at 100 TB the per-stratum top-k would be
+    the same plan with a quota-sized heap per partition."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 40))
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@query("pack_token_sequences", f"""
+WITH sized AS (
+  SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM sized
+)
+SELECT doc_id, lang AS shard, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT) AS seq_id,
+       start_offset % {_PACK_BUDGET} AS offset_in_seq
+FROM packed
+""")
+def pack_token_sequences(spark, sf_dir):
+    """Greedy contiguous packing of documents into {budget}-token training
+    sequences, per language shard (operators/curation.py pack_sequences).
+    Integer-exact running sums; partitioned by shard so there is never a
+    global sort — the same per-shard packing a tokenizer pipeline runs."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.col("lang").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return pack_sequences(sized, "doc_id", "n_tokens", "shard",
+                          _PACK_BUDGET)

@@ -131,6 +131,27 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     writer.partitionBy(*partition_cols).parquet(path)
 
 
+def read_binary_files(spark: SparkSession, path: str, *,
+                      glob: str | None = None,
+                      recursive: bool = False) -> DataFrame:
+    """Binary-file source for multimodal ingest: each file becomes one row
+    (path, modificationTime, length, content: binary) via Spark's built-in
+    ``binaryFile`` format — the scan half of the multimodal pipeline
+    (operators/multimodal.py decodes/extracts from the ``content`` column).
+
+    ``glob`` narrows the listing (e.g. ``*.jpg``) at the SOURCE — file
+    pruning before any read, the binary analog of partition pruning. At
+    100 TB of media, rows are file-sized, so downstream repartitioning
+    (not file count) controls task granularity.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def read_avro(spark: SparkSession, path: str, *,
               avro_schema: str | None = None, **options) -> DataFrame:
     """Avro source — the reference's native row model

@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier",
     "q20_excess_inventory_suppliers",
     "join_asof_nearest",
+    "decontaminate_benchmark_overlap",
+    "dedup_cluster_components",
+    "quality_filter_rules",
+    "tfidf_top_terms",
+    "pack_token_sequences",
 ]
 
 

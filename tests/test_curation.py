@@ -1,0 +1,83 @@
+"""Unit tests for dataset-curation operators (operators/curation.py):
+decontamination, connected components, deterministic sampling, packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.curation import (
+    connected_components, decontaminate, hash_sample, pack_sequences)
+
+
+def test_decontaminate_counts_shared_ngrams(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"),        # shares 3-gram "b c d", "c d e" w/ bench
+         (2, "x y z w q r"),        # no overlap
+         (3, "a b c d x")],         # shares "b c d"
+        ["id", "txt"])
+    bench = spark.createDataFrame([(100, "z b c d e")], ["id", "txt"])
+    out = {r["id"]: r["n_hit_grams"]
+           for r in decontaminate(train, bench, "txt", "id", n=3).collect()}
+    # bench 3-grams: "z b c", "b c d", "c d e"
+    assert out == {1: 2, 3: 1}
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 iteration) + clique {10,11,12}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        ["doc_a", "doc_b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_deterministic_across_partitioning(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], ["doc_a", "doc_b"])
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple,
+                   connected_components(pairs.repartition(7)).collect()))
+    assert a == b
+    assert all(c == 1 for _, c in a)
+
+
+def test_hash_sample_deterministic_and_rate_monotone(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    s30 = hash_sample(df, "id", 0.3)
+    s60 = hash_sample(df, "id", 0.6)
+    ids30 = {r["id"] for r in s30.collect()}
+    ids60 = {r["id"] for r in s60.collect()}
+    # determinism under repartitioning
+    again = {r["id"] for r in hash_sample(df.repartition(13), "id", 0.3)
+             .collect()}
+    assert ids30 == again
+    # nested: a row sampled at 30% is sampled at 60%
+    assert ids30 <= ids60
+    # rate is approximately honored
+    assert 0.25 < len(ids30) / 2000 < 0.35
+    assert 0.55 < len(ids60) / 2000 < 0.65
+
+
+def test_hash_sample_stratified_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        ["id", "lang"])
+    out = hash_sample(df, "id", 0.1, stratum_col="lang",
+                      rates={"en": 0.8}).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    assert 0.7 < en / 1000 < 0.9
+    assert 0.05 < de / 1000 < 0.15
+
+
+def test_pack_sequences_offsets_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 300), (2, "s", 300), (3, "s", 300), (4, "other", 100)],
+        ["id", "shard", "toks"])
+    rows = {(r["id"]): (r["seq_id"], r["offset_in_seq"], r["start_offset"])
+            for r in pack_sequences(df, "id", "toks", "shard", 512)
+            .collect()}
+    assert rows[1] == (0, 0, 0)
+    assert rows[2] == (0, 300, 300)     # starts at 300, straddles boundary
+    assert rows[3] == (1, 88, 600)      # 600 = floor 1, offset 600-512
+    assert rows[4] == (0, 0, 0)         # separate shard packs independently

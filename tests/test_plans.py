@@ -108,3 +108,30 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast (the train side never
+    shuffles for the overlap join) and the train/bench filters must reach
+    the scan."""
+    p = plan(spark, sf_dir, "decontaminate_benchmark_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "PushedFilters: [" in p
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary-sized document-frequency table joins broadcast-side;
+    no python evaluation anywhere."""
+    p = plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert is_python_free(QUERIES["tfidf_top_terms"](spark, sf_dir))
+
+
+def test_pack_sequences_partitions_by_shard(spark, sf_dir):
+    """Packing must window per shard (no global single-partition sort)."""
+    p = plan(spark, sf_dir, "pack_token_sequences")
+    assert "partitionBy" not in p or "Window" in p
+    # the window partitions by the shard column, so the exchange is
+    # hashpartitioning on shard — never SinglePartition
+    assert "SinglePartition" not in p

@@ -151,3 +151,20 @@ def test_avro_roundtrip_or_clean_gate(spark, nation, tmp_path):
     back = read_avro(spark, path)
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source: one row per file with content bytes; glob filter
+    prunes at the listing."""
+    from arangodb_java_parquet_spark.sources.readers import read_binary_files
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8jpegdata")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8more")
+    (tmp_path / "c.txt").write_bytes(b"not an image")
+    all_rows = read_binary_files(spark, str(tmp_path)).collect()
+    assert len(all_rows) == 3
+    jpgs = read_binary_files(spark, str(tmp_path), glob="*.jpg")
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+           for r in jpgs.collect()}
+    assert got == {"a.jpg": b"\xff\xd8jpegdata", "b.jpg": b"\xff\xd8more"}
+    assert all(r["length"] == len(bytes(r["content"]))
+               for r in jpgs.collect())
