@@ -158,3 +158,29 @@ def emb_bucket_histogram(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return (e.groupBy(srp_bucket(F.col("embedding"), 4).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
+_L2 = ("sqrt(list_sum(list_transform(range(1, len(embedding)+1),"
+       " i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))")
+
+
+@query("emb_l2_normalize", f"""
+SELECT vec_id,
+       round({_L2}, 9) AS l2_norm,
+       round(embedding[1]::DOUBLE / {_L2}, 9) AS u1,
+       round(embedding[2]::DOUBLE / {_L2}, 9) AS u2,
+       round(embedding[3]::DOUBLE / {_L2}, 9) AS u3,
+       round(embedding[4]::DOUBLE / {_L2}, 9) AS u4
+FROM embeddings
+""")
+def emb_l2_normalize(spark, sf_dir):
+    """L2 normalization of the embedding column — the preprocessing step
+    every cosine-similarity pipeline needs (normalized vectors turn cosine
+    top-k into dot-product top-k). Pure JVM array expressions, one scan, no
+    shuffle; the first four unit-vector coordinates are value-checked (the
+    full array column would defeat the driver's scalar canonicalizer)."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = norm(F.col("embedding"))
+    cols = [F.round(F.col("embedding").getItem(i).cast("double") / nrm, 9)
+            .alias(f"u{i + 1}") for i in range(4)]
+    return e.select("vec_id", F.round(nrm, 9).alias("l2_norm"), *cols)

@@ -119,6 +119,30 @@ def window_tumbling_agg(spark, sf_dir):
                  dsum("value").alias("sum_value")))
 
 
+@query("window_hopping_agg", f"""
+SELECT time_bucket(INTERVAL '30 minutes', ts)
+         - u.k * INTERVAL '30 minutes' AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events, (SELECT UNNEST(range(0, 2)) AS k) u
+GROUP BY 1, 2
+""")
+def window_hopping_agg(spark, sf_dir):
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes — each event lands in exactly 2 overlapping windows
+    (``F.window(ts, size, slide)``; the streaming form is the same
+    expression under readStream). The oracle reproduces the window
+    assignment by exploding each event into its size/slide bucket
+    offsets — both engines' 30-minute buckets are epoch-aligned."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.window("ts", "1 hour", "30 minutes").start.alias("win_start"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum("value").alias("sum_value")))
+
+
 @query("events_enriched_by_segment", f"""
 SELECT c.c_mktsegment AS segment, e.event_type,
        COUNT(*) AS n_events,

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "quality_filter_rules",
     "tfidf_top_terms",
     "pack_token_sequences",
+    "window_hopping_agg",
+    "emb_l2_normalize",
 ]
 
 

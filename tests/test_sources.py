@@ -168,3 +168,60 @@ def test_binary_file_source(spark, tmp_path):
     assert got == {"a.jpg": b"\xff\xd8jpegdata", "b.jpg": b"\xff\xd8more"}
     assert all(r["length"] == len(bytes(r["content"]))
                for r in jpgs.collect())
+
+
+def test_write_sorted_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_sorted: each parquet file covers a disjoint slice of the sort
+    key (checked via parquet footer min/max stats) — the layout row-group
+    skipping depends on."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from arangodb_java_parquet_spark.sources.readers import write_sorted
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+    out = str(tmp_path / "sorted_lake")
+    write_sorted(li, out, ["l_shipdate"], num_files=4)
+    ranges = []
+    for f in globmod.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name
+               for i in range(md.num_columns)].index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint (boundary value may touch)
+    # and the sorted lake round-trips completely
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune partitions at
+    RUNTIME (dynamicpruning in the scan) — the mechanism that keeps
+    star-schema joins from scanning the full 100 TB fact."""
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.sources.readers import (
+        read_parquet, write_partitioned)
+    from arangodb_java_parquet_spark.plans import formatted_plan
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    fact_path = str(tmp_path / "orders_by_priority")
+    write_partitioned(o, fact_path, ["o_orderpriority"])
+    fact = read_parquet(spark, fact_path)
+    dim = (spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "med"),
+         ("4-NOT SPECIFIED", "none"), ("5-LOW", "low")],
+        ["o_orderpriority", "tag"])
+        .filter(F.col("tag") == "urgent"))
+    joined = fact.join(dim, "o_orderpriority")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() > 0
