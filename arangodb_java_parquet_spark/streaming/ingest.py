@@ -129,6 +129,63 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
                 timeoutConf="NoTimeout"))
 
 
+def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
+    """The same per-user lifetime counters as
+    :func:`stateful_user_counters`, on the PySpark-4
+    ``transformWithStateInPandas`` API — the successor to
+    ``applyInPandasWithState`` (typed state objects via a handle, multiple
+    named states, timers, TTL). One ValueState holds (n, total_scaled);
+    the exact-decimal accumulation makes output independent of micro-batch
+    boundaries, like the legacy-API twin (see its docstring).
+    """
+    import pandas as pd  # executor-side import
+
+    try:  # the TWS state-server protocol is protobuf-based
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(python<->state-server protocol; not present in this image) — "
+            "pip install protobuf, or use stateful_user_counters "
+            "(applyInPandasWithState), which has no such dependency") from e
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(events.sparkSession)
+
+    SCALE = 10 ** 8
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", "n long, total long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            from decimal import ROUND_HALF_EVEN, Decimal
+            n, total_scaled = (self._state.get() if self._state.exists()
+                               else (0, 0))
+            q = Decimal(1).scaleb(-8)
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    d = Decimal(repr(float(v))).quantize(q, ROUND_HALF_EVEN)
+                    total_scaled += int(d * SCALE)
+            self._state.update((n, total_scaled))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [float(total_scaled) / SCALE]})
+
+        def close(self):
+            pass
+
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotals(),
+                outputStructType=(
+                    "user_id long, n_events long, sum_value double"),
+                outputMode="Update",
+                timeMode="None"))
+
+
 def stream_interval_join(left: DataFrame, right: DataFrame, *,
                          left_key: str, right_key: str,
                          left_time: str, right_time: str,
