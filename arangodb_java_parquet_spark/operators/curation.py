@@ -72,10 +72,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     unchanged ⟺ nothing changed) — one cheap aggregate action per round,
     the standard driver-coordinated loop of iterative graph algorithms.
     """
+    # no edge dedup: duplicate edges cannot change a MIN aggregation, so a
+    # distinct here would be a pure extra shuffle of the widest relation
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
-             .distinct()
              .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))

@@ -251,3 +251,33 @@ def q21_waiting_supplier(spark, sf_dir):
                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
         GROUP BY s.s_name
     """)
+
+
+# ---------------------------------------------------------------------------
+# SQL interface portability: ONE ANSI SQL string executed verbatim by BOTH
+# engines — Spark runs it through spark.sql over temp views, DuckDB runs it
+# as the oracle. Demonstrates the engine's SQL front door (not just the
+# DataFrame API) and that the inventory's determinism discipline (exact
+# decimal sums) is plain ANSI, not dialect trickery.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_portable_agg", _PORTABLE_SQL)
+def sql_portable_agg(spark, sf_dir):
+    """The SQL front door: registers the driver tables as temp views and
+    executes the SAME SQL text the DuckDB oracle runs — byte-identical
+    query in, hash-identical result out. Catalyst treats the SQL and
+    DataFrame formulations identically (same optimized plan)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_PORTABLE_SQL)

@@ -48,3 +48,32 @@ def test_frame_sample_explodes(spark, sf_dir):
     rows = frames.collect()
     assert len(rows) >= 10  # at least one frame per doc
     assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_binary_file_lake_to_features(spark, tmp_path):
+    """End-to-end multimodal ingest: a lake of binary files read via the
+    binaryFile source, decoded through the Arrow-batched mapInPandas
+    feature extractor — the full scan->decode pipeline with real plumbing
+    (the decode itself is the documented deterministic stub)."""
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.sources.readers import read_binary_files
+
+    payloads = {1: b"\x89PNGfakedata-one", 2: b"\xff\xd8JPEGfake-two",
+                3: b"RIFFwebp-fake-three"}
+    for i, b in payloads.items():
+        (tmp_path / f"img_{i}.bin").write_bytes(b)
+
+    lake = read_binary_files(spark, str(tmp_path), glob="img_*.bin")
+    with_ids = lake.select(
+        F.regexp_extract("path", r"img_(\d+)\.bin", 1).cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"))
+    feats = {r.doc_id: r for r in extract_image_features(with_ids).collect()}
+    assert set(feats) == {1, 2, 3}
+    for i, b in payloads.items():
+        expected = decode_image_stub(b)
+        assert feats[i].phash == expected["phash"]
+        assert feats[i].n_bytes == len(b)
+        assert (feats[i].width, feats[i].height) == (
+            expected["width"], expected["height"])

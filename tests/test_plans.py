@@ -135,3 +135,48 @@ def test_pack_sequences_partitions_by_shard(spark, sf_dir):
     # the window partitions by the shard column, so the exchange is
     # hashpartitioning on shard — never SinglePartition
     assert "SinglePartition" not in p
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter semi-join pruning: a selective dim filter must
+    inject might_contain on the fact scan side of a shuffle join — the
+    row-group-level read reducer for non-partition join keys at 100 TB.
+    (Thresholds are lowered to demonstrate the mechanism at test scale.)"""
+    saved = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled":
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".creationSideThreshold"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold"),
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "1000GB")
+        # the fact side must look "large" for the filter to pay off; at
+        # test scale that means lowering the floor to zero
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+            .select("l_orderkey", "l_quantity")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_totalprice") > 400000)
+             .select("o_orderkey"))
+        p = formatted_plan(li.join(o, li["l_orderkey"] == o["o_orderkey"]))
+        assert "might_contain" in p, p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
