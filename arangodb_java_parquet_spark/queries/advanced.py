@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.multimodal import (
     attach_binary_payload, extract_image_features, frame_sample_stub)
-from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.common import query, sql_dsum, t
 from arangodb_java_parquet_spark.streaming.ingest import windowed_event_counts
 
 
@@ -179,13 +179,22 @@ def stream_stateful_user_totals(spark, sf_dir):
                  F.expr("max_by(sum_value, n_events)").alias("sum_value")))
 
 
-@query("stream_windowed_counts")
+@query("stream_windowed_counts", f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
 def stream_windowed_counts(spark, sf_dir):
     """Drive the watermarked tumbling-window agg as a REAL streaming query:
     readStream over the events parquet -> memory sink -> drain -> result.
 
-    (The batch twin `window_tumbling_agg` is the oracle-checked variant of
-    the same plan; this entry proves the incremental execution path.)
+    Fully value-checked against the batch SQL: an availableNow drive over a
+    static source is one micro-batch, so the watermark drops nothing and
+    the complete-mode output must equal the batch aggregation — counts plus
+    exact-decimal sums make that bit-stable.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -225,9 +234,26 @@ def sim_topk_ivf(spark, sf_dir):
                            id_col="vec_id", vec_col="embedding", k=5)
 
 
-@query("multimodal_frame_sample")
+@query("multimodal_frame_sample", """
+WITH f AS (
+  SELECT doc_id, text,
+         UNNEST(range(0, greatest(octet_length(encode(text)) // 100, 1), 3))
+           AS fi
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(fi AS INT) AS frame_idx,
+       substring(md5(text[fi * 100 + 1 : fi * 100 + 100]), 1, 12)
+         AS frame_hash
+FROM f
+""")
 def multimodal_frame_sample(spark, sf_dir):
-    """Video-style frame sampling plumbing: one row per sampled frame."""
+    """Video-style frame sampling plumbing: one row per sampled frame.
+
+    Value-checked: the stub derives frames arithmetically from the payload
+    bytes (every-3rd 100-byte "frame", md5 per frame), and the corpus is
+    pure ASCII, so the DuckDB oracle reproduces the byte slicing with
+    1-based character slicing exactly."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payloads = attach_binary_payload(d)
     return frame_sample_stub(payloads, every_n=3)
