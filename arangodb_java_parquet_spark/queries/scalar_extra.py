@@ -186,3 +186,32 @@ def udtf_tokenize_lateral(spark, sf_dir):
         SELECT d.doc_id, tk.pos, tk.token
         FROM __udtf_docs d, LATERAL ajps_tokenize(d.text) tk
     """)
+
+
+@query("udaf_geomean_pandas", """
+SELECT o_orderpriority,
+       ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(*)), 6) AS geomean_price
+FROM orders
+GROUP BY o_orderpriority
+""")
+def udaf_geomean_pandas(spark, sf_dir):
+    """Custom UDAF surface: a grouped-aggregate pandas UDF (Arrow-batched
+    Series -> scalar) computing the per-group geometric mean — the one
+    member of the UDF/UDAF/UDTF triple not expressible as a converter or
+    table function.
+
+    Determinism: the python side sums the logs with math.fsum (exact);
+    DuckDB sums naively but with per-group n in the hundreds both land
+    within ~1e-11 of the true sum, so rounding the final geomean to 6
+    decimals (magnitude ~1e5) is engine-stable. A production hot path
+    would use the pure-JVM EXP(AVG(LN(x))) twin; this entry exists to
+    exercise the pandas-UDAF contract."""
+    from arangodb_java_parquet_spark.functions.udafs import geomean
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+
+    o = t(spark, sf_dir, "orders")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(geomean("o_totalprice"), 6)
+                 .alias("geomean_price")))
