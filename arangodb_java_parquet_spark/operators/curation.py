@@ -107,6 +107,59 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     return labels
 
 
+def connected_components_bipartite(membership: DataFrame, node_col: str,
+                                   group_cols: list[str],
+                                   max_iter: int = 20) -> DataFrame:
+    """Connected components over a node×group bipartite membership list
+    (e.g. docs × LSH band buckets) WITHOUT enumerating pairs: each round
+    takes the min label per group (map-side-combinable) and joins it back
+    to members. A k-member bucket costs O(k) per round here versus the
+    O(k²) candidate pairs the pairwise formulation generates — at corpus
+    scale, where one degenerate LSH bucket can hold thousands of
+    near-identical docs, this is the difference between a shuffle of
+    millions and billions of rows.
+
+    Only nodes sharing a group with ≥2 distinct nodes are emitted (matching
+    the pairwise operator's node universe). Output: (node, component) with
+    component = min reachable node id. Deterministic; same monotone-sum
+    convergence check as :func:`connected_components`.
+    """
+    # restrict to buckets that actually connect something — bucket-level
+    # count, cheap, and it shrinks every later round
+    grp = [F.col(c) for c in group_cols]
+    active = (membership
+              .groupBy(*grp)
+              .agg(F.countDistinct(node_col).alias("__n"))
+              .filter(F.col("__n") >= 2)
+              .drop("__n"))
+    member = (membership.join(active, group_cols)
+              .select(node_col, *grp)
+              .localCheckpoint(eager=False))
+    labels = (member.select(node_col).distinct()
+              .withColumn("component", F.col(node_col)))
+    def propagate(lab):
+        gmin = (member.join(lab, node_col)
+                .groupBy(*grp).agg(F.min("component").alias("gmin")))
+        cand = (member.join(gmin, group_cols)
+                .groupBy(node_col).agg(F.min("gmin").alias("nmin")))
+        return (lab.join(cand, node_col)
+                .select(F.col(node_col),
+                        F.least("component", "nmin").alias("component")))
+
+    # one propagation hop per materialized round: `labels` feeds both the
+    # group-min join and the final least(), so unrolling two hops between
+    # checkpoints recomputes the inner hop twice (measured 2x slower) —
+    # the checkpoint per round is what keeps each hop computed once
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = propagate(labels).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col(node_col).alias("node"), "component")
+
+
 def hash_sample(df: DataFrame, id_col: str, rate: float,
                 stratum_col: str | None = None,
                 rates: dict[str, float] | None = None) -> DataFrame:

@@ -90,19 +90,32 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
-                        num_hashes: int = NUM_HASHES,
-                        band_rows: int = BAND_ROWS) -> DataFrame:
-    """LSH banding: docs sharing any band of their signature are candidate
-    near-duplicate pairs. Output: (doc_a, doc_b) with doc_a < doc_b."""
+def lsh_bands(sigs: DataFrame, id_col: str,
+              num_hashes: int = NUM_HASHES,
+              band_rows: int = BAND_ROWS) -> DataFrame:
+    """Explode MinHash signatures into LSH band-bucket memberships:
+    (id, band_idx, band_hash). Docs sharing a (band_idx, band_hash) bucket
+    are near-duplicate candidates; downstream consumers either enumerate
+    pairs (lsh_candidate_pairs) or propagate labels directly over the
+    bipartite doc×bucket graph (curation.connected_components_bipartite —
+    the scale path, since a k-doc bucket costs O(k) there vs O(k²) pairs).
+    """
     n_bands = num_hashes // band_rows
     bands = F.array(*[
         F.md5(F.concat_ws("|", *[F.col(f"h{b * band_rows + r}")
                                  for r in range(band_rows)]))
         for b in range(n_bands)])
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        num_hashes: int = NUM_HASHES,
+                        band_rows: int = BAND_ROWS) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature are candidate
+    near-duplicate pairs. Output: (doc_a, doc_b) with doc_a < doc_b."""
+    banded = lsh_bands(sigs, id_col, num_hashes, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -15,9 +15,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.curation import (
-    connected_components, decontaminate, hash_sample, pack_sequences)
+    connected_components_bipartite, decontaminate, hash_sample,
+    pack_sequences)
 from arangodb_java_parquet_spark.operators.dedup import (
-    char_shingles, lsh_candidate_pairs, minhash_signatures)
+    char_shingles, lsh_bands, minhash_signatures)
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
@@ -95,15 +96,18 @@ SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
 @query("dedup_cluster_components", _CLUSTER_SQL)
 def dedup_cluster_components(spark, sf_dir):
     """Near-duplicate CLUSTERS, not just pairs: connected components over
-    the MinHash-LSH candidate-pair graph by min-label propagation
-    (operators/curation.py). component == min doc_id reachable; keeping
-    node == component and dropping the rest is the canonical cluster-dedup
-    policy. The DuckDB oracle computes the same closure with a recursive
-    CTE."""
+    the doc×LSH-bucket BIPARTITE graph by min-label propagation
+    (operators/curation.py connected_components_bipartite) — label flow
+    goes doc→bucket→doc, so a k-doc bucket costs O(k) per round instead of
+    the O(k²) pairs the pairwise formulation enumerates. component == min
+    doc_id reachable; keeping node == component and dropping the rest is
+    the canonical cluster-dedup policy. The DuckDB oracle computes the
+    same closure over the (equivalent) pair graph with a recursive CTE."""
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
-    return connected_components(pairs)
+    bands = lsh_bands(minhash_signatures(sh, "doc_id"), "doc_id")
+    return connected_components_bipartite(
+        bands, "doc_id", ["band_idx", "band_hash"])
 
 
 # ---------------------------------------------------------------------------

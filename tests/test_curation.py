@@ -81,3 +81,30 @@ def test_pack_sequences_offsets_exact(spark):
     assert rows[2] == (0, 300, 300)     # starts at 300, straddles boundary
     assert rows[3] == (1, 88, 600)      # 600 = floor 1, offset 600-512
     assert rows[4] == (0, 0, 0)         # separate shard packs independently
+
+
+def test_bipartite_cc_equivalent_to_pairwise(spark):
+    """The bipartite (node×group) formulation finds the same components as
+    pairwise propagation over the expanded pair graph."""
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.operators.curation import (
+        connected_components_bipartite)
+    # groups: {1,2,3}, {3,4}, {7,8}, {9} (singleton: excluded), chain via 3
+    member = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (3, "g2"), (4, "g2"),
+         (7, "g3"), (8, "g3"), (9, "g4")], ["node_id", "grp"])
+    got = {r["node"]: r["component"]
+           for r in connected_components_bipartite(
+               member, "node_id", ["grp"]).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    # pairwise on the expanded pairs agrees
+    a = member.alias("a")
+    b = member.alias("b")
+    pairs = (a.join(b, (F.col("a.grp") == F.col("b.grp"))
+                    & (F.col("a.node_id") < F.col("b.node_id")))
+             .select(F.col("a.node_id").alias("doc_a"),
+                     F.col("b.node_id").alias("doc_b")))
+    pw = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert pw == got
