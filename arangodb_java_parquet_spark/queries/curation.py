@@ -312,3 +312,27 @@ def pack_token_sequences(spark, sf_dir):
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
     return pack_sequences(sized, "doc_id", "n_tokens", "shard",
                           _PACK_BUDGET)
+
+
+@query("filter_by_percentile", """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id), 9) AS pr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, pr
+FROM ranked
+WHERE pr >= 0.1
+""")
+def filter_by_percentile(spark, sf_dir):
+    """Percentile-threshold filtering: drop the bottom decile of documents
+    by length WITHIN each language — the distribution-aware cousin of the
+    fixed-bound quality rules (short for English may be normal for another
+    stratum). Rank-based, so fully deterministic with the doc_id tiebreak;
+    per-stratum windows keep the sort partitioned."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.round(F.percent_rank().over(w), 9).alias("pr"))
+            .filter(F.col("pr") >= 0.1))

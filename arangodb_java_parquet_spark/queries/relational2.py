@@ -516,3 +516,37 @@ def array_functions(spark, sf_dir):
         F.array_sort(F.array_distinct(words)).getItem(0).alias("min_word"),
         F.when(F.array_contains(words, "spark"), 1).otherwise(0)
         .cast("int").alias("has_spark"))
+
+
+@query("join_null_safe", """
+WITH a AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id % 5 END AS k
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id % 5 END AS k
+  FROM documents
+)
+SELECT a.k AS k, COUNT(*) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""")
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics ordinary equi-joins silently drop.
+    Catalyst plans eqNullSafe as a hash join on a null-wrapped key, so it
+    stays shuffle-partitioned like any equi-join (no NLJ fallback)."""
+    d = t(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("doc_id") % 5).alias("k"))
+    b = a.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.when(F.col("doc_id") % 11 == 0, None)
+        .otherwise(F.col("doc_id") % 5).alias("kb"))
+    return (a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -235,3 +235,53 @@ def test_session_window_agg_batch(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2
+
+
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    """Incremental MinHash dedup at ingest: a doc arriving in batch 2 that
+    near-duplicates a batch-1 doc is flagged against the signature store;
+    exact in-batch duplicates are flagged too."""
+    import pyspark.sql.functions as F
+
+    from arangodb_java_parquet_spark.streaming.neardup import (
+        incremental_neardup_stream)
+
+    base = ("spark shuffles data between stages when aggregations "
+            "group by keys across partitions of the cluster " * 3)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # batch 1: doc 1 (base) + doc 2 (unrelated); batch 2: doc 3 ~= doc 1
+    spark.createDataFrame(
+        [(1, base), (2, "completely different text about databases and "
+                        "storage engines with columnar layouts " * 3)],
+        ["doc_id", "text"]).coalesce(1).write.parquet(str(inbox / "b1"))
+    spark.createDataFrame(
+        [(3, base + " extra tail tokens"), (4, base)],
+        ["doc_id", "text"]).coalesce(1).write.parquet(str(inbox / "b2"))
+
+    schema = "doc_id long, text string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(inbox)))
+    q = incremental_neardup_stream(
+        spark, stream,
+        store_path=str(tmp_path / "store"),
+        dups_path=str(tmp_path / "dups"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    dups = {(r.new_id, r.existing_id)
+            for r in spark.read.parquet(str(tmp_path / "dups")).collect()}
+    flagged_new = {n for n, _ in dups}
+    # docs 3 and 4 near-duplicate doc 1 (cross-batch via the store, or
+    # in-batch between themselves); doc 2 is never flagged
+    assert 3 in flagged_new or 4 in flagged_new
+    assert (3, 1) in dups or (4, 1) in dups  # cross-batch hit via store
+    assert 2 not in flagged_new
+    assert not any(e == 2 for _, e in dups)
+    # the store accumulated bands for all docs
+    store_ids = {r.doc_id for r in
+                 spark.read.parquet(str(tmp_path / "store"))
+                 .select("doc_id").distinct().collect()}
+    assert store_ids == {1, 2, 3, 4}
