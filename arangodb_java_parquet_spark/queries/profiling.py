@@ -6,6 +6,7 @@ corpus, all exact and oracle-checked.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -139,3 +140,59 @@ def histogram_fixed_width(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.min("o_totalprice").cast("double").alias("bucket_min"),
                  F.max("o_totalprice").cast("double").alias("bucket_max")))
+
+
+@query("rfm_segmentation", """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+  FROM per_cust
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       CASE WHEN r_quartile = 1 AND f_quartile = 1 THEN 'champion'
+            WHEN r_quartile <= 2 AND m_quartile <= 2 THEN 'loyal'
+            WHEN r_quartile = 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""")
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    (NTILE with unique tiebreaks) composed into segment labels — the
+    canonical mart query a document-store user runs after loading orders.
+    The quartile windows are global rank windows; at 100 TB you'd ntile
+    within a hash-bucketed stratum or use approx quantile cutpoints —
+    the aggregation below them is the heavy part and shuffles only
+    per-customer rows."""
+    from arangodb_java_parquet_spark.queries.common import dsum
+    o = t(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     dsum("o_totalprice").alias("monetary")))
+    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        "*",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"))
+    seg = (F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1),
+                  "champion")
+           .when((F.col("r_quartile") <= 2) & (F.col("m_quartile") <= 2),
+                 "loyal")
+           .when(F.col("r_quartile") == 4, "at_risk")
+           .otherwise("regular"))
+    return scored.withColumn("segment", seg)

@@ -454,3 +454,79 @@ def multimodal_binary_meta(spark, sf_dir):
         F.octet_length(binary).cast("long").alias("n_bytes"),
         F.md5("text").alias("content_hash"),
         F.col("source").alias("modality_tag"))
+
+
+@query("dedup_simhash_hamming2", f"""
+WITH sigs AS ({_SIMHASH_SQL}),
+flips AS (
+  SELECT u.i, v.j
+  FROM (SELECT UNNEST(range(0, {_SIMHASH_BITS + 1})) AS i) u,
+       (SELECT UNNEST(range(0, {_SIMHASH_BITS + 1})) AS j) v
+  WHERE u.i < v.j OR (u.i = 0 AND v.j = 0) OR (u.i = 0 AND v.j > 0)
+),
+probes AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN f.j = 0 THEN simhash
+              ELSE substring(
+                     CASE WHEN f.i = 0 THEN simhash
+                          ELSE substring(simhash, 1, f.i - 1) ||
+                               (CASE WHEN substring(simhash, f.i, 1) = '1'
+                                     THEN '0' ELSE '1' END) ||
+                               substring(simhash, f.i + 1) END,
+                     1, f.j - 1) ||
+                   (CASE WHEN substring(
+                             CASE WHEN f.i = 0 THEN simhash
+                                  ELSE substring(simhash, 1, f.i - 1) ||
+                                       (CASE WHEN substring(simhash, f.i, 1) = '1'
+                                             THEN '0' ELSE '1' END) ||
+                                       substring(simhash, f.i + 1) END,
+                             f.j, 1) = '1'
+                         THEN '0' ELSE '1' END) ||
+                   substring(
+                     CASE WHEN f.i = 0 THEN simhash
+                          ELSE substring(simhash, 1, f.i - 1) ||
+                               (CASE WHEN substring(simhash, f.i, 1) = '1'
+                                     THEN '0' ELSE '1' END) ||
+                               substring(simhash, f.i + 1) END,
+                     f.j + 1)
+         END AS probe
+  FROM sigs, flips f
+  WHERE f.i < f.j OR (f.i = 0)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM probes a JOIN sigs b ON a.probe = b.simhash AND a.doc_id < b.doc_id
+""")
+def dedup_simhash_hamming2(spark, sf_dir):
+    """SimHash multiprobe at Hamming radius 2: each doc emits its
+    fingerprint plus every 1- and 2-bit-flipped variant ((n_bits choose 2)
+    + n_bits + 1 = 137 probes at 16 bits); probes equi-join against exact
+    fingerprints, finding every pair within distance 2 with NO pairwise
+    distance computation. Probe volume grows O(n_bits^radius) — the
+    standard recall/cost dial of multiprobe LSH; still linear in corpus
+    size, which is what matters at scale."""
+    sigs = simhash_signatures(t(spark, sf_dir, "documents"), "text",
+                              "doc_id", n_bits=_SIMHASH_BITS)
+    # flip positions i<j, with 0 meaning "no flip" (so (0,0)=identity and
+    # (0,j)=single flips come along for free)
+    flips = (F.sequence(F.lit(0), F.lit(_SIMHASH_BITS)),
+             F.sequence(F.lit(0), F.lit(_SIMHASH_BITS)))
+    one = ("CASE WHEN {p} = 0 THEN {s} "
+           "ELSE substring({s}, 1, {p} - 1) || "
+           "(CASE WHEN substring({s}, {p}, 1) = '1' THEN '0' ELSE '1' END)"
+           " || substring({s}, {p} + 1) END")
+    flip1 = one.format(s="simhash", p="i")
+    flip2 = one.format(s=f"({flip1})", p="j")
+    probes = (sigs
+              .select("doc_id", "simhash",
+                      F.explode(flips[0]).alias("i"))
+              .select("doc_id", "simhash", "i",
+                      F.explode(flips[1]).alias("j"))
+              .filter((F.col("i") < F.col("j")) | (F.col("i") == 0))
+              .select("doc_id", F.expr(flip2).alias("probe"))
+              .distinct())
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash").alias("sig_b"))
+    return (probes.join(b, (F.col("probe") == F.col("sig_b"))
+                        & (F.col("doc_id") < F.col("doc_b")))
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct())
