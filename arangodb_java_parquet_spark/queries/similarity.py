@@ -11,10 +11,12 @@ decimals before ranking. See operators/similarity.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.similarity import (
-    dot, norm, srp_bucket, topk_cosine_bruteforce, topk_cosine_lsh)
+    cosine, dot, norm, srp_bucket, topk_cosine_bruteforce,
+    topk_cosine_lsh)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 _DOT = ("list_sum(list_transform(range(1, len({a})+1),"
@@ -184,3 +186,76 @@ def emb_l2_normalize(spark, sf_dir):
     cols = [F.round(F.col("embedding").getItem(i).cast("double") / nrm, 9)
             .alias(f"u{i + 1}") for i in range(4)]
     return e.select("vec_id", F.round(nrm, 9).alias("l2_norm"), *cols)
+
+
+_D2 = ("round(list_sum(list_transform(range(1, len({a})+1),"
+       " i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+       " * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), 9)")
+
+
+@query("sim_topk_ivf_rulebased", f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_D2.format(a='embedding', b='cvec')},
+                                     cid) AS crn
+  FROM embeddings CROSS JOIN cents
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS qid, embedding AS qvec, cid AS cell
+  FROM assign WHERE vec_id < 10 AND crn <= 2
+),
+pairs AS (
+  SELECT p.qid, c.vec_id AS vid,
+         {_sql_cos('p.qvec', 'c.embedding')} AS cos_sim
+  FROM cells c JOIN probes p ON c.cell = p.cell
+  WHERE p.qid != c.vec_id
+),
+ranked AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vid) AS rn
+  FROM pairs
+)
+SELECT qid, vid, cos_sim, rn FROM ranked WHERE rn <= 5
+""")
+def sim_topk_ivf_rulebased(spark, sf_dir):
+    """IVF ANN made fully value-checkable: centroids are a deterministic
+    RULE (every 37th vector) instead of a fitted sample, so the whole
+    index — cell assignment (argmin rounded squared-L2, centroid-id
+    tiebreak), n_probe=2 probing, in-cell cosine top-5 — reproduces
+    bit-for-bit in the DuckDB oracle. Same physical shape as the fitted
+    variant (centroids broadcast, assignment map-side, join per cell);
+    sim_topk_ivf keeps the KMeans-fitted centroids and its recall test."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("embedding", "cvec",
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda a, v: a + v), 9)
+    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid"))
+    assign = (e.crossJoin(F.broadcast(cents))
+              .withColumn("crn", F.row_number().over(wc)))
+    cells = (assign.filter(F.col("crn") == 1)
+             .select("vec_id", "embedding", F.col("cid").alias("cell")))
+    probes = (assign.filter((F.col("vec_id") < 10) & (F.col("crn") <= 2))
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qvec"),
+                      F.col("cid").alias("cell")))
+    pairs = (cells.join(F.broadcast(probes), "cell")
+             .filter(F.col("qid") != F.col("vec_id"))
+             .select("qid", F.col("vec_id").alias("vid"),
+                     F.round(cosine(F.col("qvec"), F.col("embedding")), 9)
+                     .alias("cos_sim")))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
+    return (pairs.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 5))
