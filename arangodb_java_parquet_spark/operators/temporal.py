@@ -15,7 +15,8 @@ def asof_join(left: DataFrame, right: DataFrame, *,
               on: str, left_time: str, right_time: str,
               value_cols: list[str],
               right_on: str | None = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: float | None = None) -> DataFrame:
     """As-of join, matched on ``on``; for each left row take
 
     * ``direction="backward"`` — the most recent right row with
@@ -37,6 +38,13 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     Standard as-of semantics: right rows with a NULL key or NULL time never
     supply values (SQL/DuckDB ASOF never matches on NULL); left rows with a
     NULL time match nothing.
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``): a match
+    further than this from the left time is masked to NULL — equivalent to
+    restricting the match window to [t-tol, t] / [t, t+tol], because the
+    as-of match is already the time-extremal candidate. Seconds for
+    temporal columns, raw units for numeric time columns. Applied as a
+    post-match mask, so it adds no shuffle.
 
     Scale: this is the standard large-scale formulation (also how
     pd.merge_asof would be driven per group); it never materializes the
@@ -83,11 +91,34 @@ def asof_join(left: DataFrame, right: DataFrame, *,
     def forward(c):
         return F.when(has_t, F.first(c, ignorenulls=True).over(wf))
 
+    t_dtype = dict(unioned.dtypes)["__t"]
+    if t_dtype.startswith(("timestamp", "date")):
+        def micros(c):
+            return F.unix_micros(c.cast("timestamp"))
+        tol_units = (None if tolerance_seconds is None
+                     else int(tolerance_seconds * 1_000_000))
+    else:
+        def micros(c):
+            return c
+        tol_units = tolerance_seconds
+
+    def mask_tolerance(filled, matched_time_col):
+        if tol_units is None:
+            return filled
+        dist = F.abs(micros(F.col("__t")) - micros(F.col(matched_time_col)))
+        within = F.col(matched_time_col).isNotNull() & (dist <= tol_units)
+        return filled.select(
+            "__is_left", "__row", "__t", matched_time_col,
+            *[F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+              for c in value_cols])
+
     if direction in ("backward", "forward"):
         pick = backward if direction == "backward" else forward
         filled = unioned.select(
-            "__is_left", "__row",
+            "__is_left", "__row", "__t",
+            pick("__rt").alias("__mt"),
             *[pick(f"__r_{c}").alias(f"asof_{c}") for c in value_cols])
+        filled = mask_tolerance(filled, "__mt")
         return (filled.filter(F.col("__is_left") == 1)
                 .select("__row.*", *[f"asof_{c}" for c in value_cols]))
 
@@ -100,21 +131,17 @@ def asof_join(left: DataFrame, right: DataFrame, *,
         *[backward(f"__r_{c}").alias(f"__b_{c}") for c in value_cols],
         *[forward(f"__r_{c}").alias(f"__f_{c}") for c in value_cols])
 
-    t_dtype = dict(both.dtypes)["__t"]
-    if t_dtype.startswith(("timestamp", "date")):
-        def micros(c):
-            return F.unix_micros(c.cast("timestamp"))
-    else:
-        def micros(c):
-            return c
     pick_fwd = (F.col("__bt").isNull()
                 | (F.col("__ft").isNotNull()
                    & ((micros(F.col("__t")) - micros(F.col("__bt")))
                       > (micros(F.col("__ft")) - micros(F.col("__t"))))))
     out = both.select(
-        "__is_left", "__row",
+        "__is_left", "__row", "__t",
+        F.when(pick_fwd, F.col("__ft")).otherwise(F.col("__bt"))
+        .alias("__mt"),
         *[F.when(pick_fwd, F.col(f"__f_{c}")).otherwise(F.col(f"__b_{c}"))
           .alias(f"asof_{c}") for c in value_cols])
+    out = mask_tolerance(out, "__mt")
     return (out.filter(F.col("__is_left") == 1)
             .select("__row.*", *[f"asof_{c}" for c in value_cols]))
 

@@ -119,6 +119,30 @@ def window_tumbling_agg(spark, sf_dir):
                  dsum("value").alias("sum_value")))
 
 
+@query("join_asof_tolerance", """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT MAX(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          AND CAST(o.o_orderdate AS TIMESTAMP)
+              >= CAST(e.ts AS TIMESTAMP) - INTERVAL 7 DAY)
+       AS asof_o_orderdate
+FROM events e
+""")
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with max staleness (pandas merge_asof tolerance): the
+    latest order at-or-before each event, but only if within 7 days —
+    older matches are masked to NULL. The tolerance is a post-match mask
+    on the one-shuffle union+window plan (operators/temporal.py), not an
+    extra join."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return asof_join(e, o, on="user_id", right_on="o_custkey",
+                     left_time="ts", right_time="o_orderdate",
+                     value_cols=["o_orderdate"],
+                     tolerance_seconds=7 * 86400
+                     ).select("event_id", "user_id", "ts", "asof_o_orderdate")
+
+
 @query("window_hopping_agg", f"""
 SELECT time_bucket(INTERVAL '30 minutes', ts)
          - u.k * INTERVAL '30 minutes' AS win_start,
