@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "pack_token_sequences",
     "window_hopping_agg",
     "emb_l2_normalize",
+    "dedup_simhash_hamming2",
+    "rfm_segmentation",
+    "sim_topk_ivf_rulebased",
+    "join_asof_tolerance",
 ]
 
 
