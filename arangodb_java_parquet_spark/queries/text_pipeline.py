@@ -135,32 +135,48 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 _SIMHASH_BITS = 16
-# Mirror of operators/dedup.py:simhash_signatures — hash each token once
-# (first 4 md5 hex digits -> one integer), then extract bits with shifts.
-_SIMHASH_HV = " + ".join(
-    f"(instr('0123456789abcdef', substring(md5(tok), {d + 1}, 1)) - 1)"
-    f" * {16 ** (_SIMHASH_BITS // 4 - 1 - d)}"
-    for d in range(_SIMHASH_BITS // 4))
-_SIMHASH_VOTES = ",\n         ".join(
-    f"SUM(((hv >> {_SIMHASH_BITS - 1 - b}) % 2) * 2 - 1) AS v{b}"
-    for b in range(_SIMHASH_BITS))
-_SIMHASH_CONCAT = " || ".join(
-    f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS))
 
-_SIMHASH_SQL = f"""
+
+def _simhash_sql(bits: int, as_int: bool = False) -> str:
+    """DuckDB mirror of operators/dedup.py:simhash_signatures at any
+    fingerprint width — hash each token once (first bits/4 md5 hex digits
+    -> one integer), then extract bits with shifts. ``as_int`` emits the
+    fingerprint as a BIGINT (column ``sig``) instead of a '0'/'1' string
+    (column ``simhash``) — the form XOR-multiprobe consumes."""
+    hv = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(tok), {d + 1}, 1)) - 1)"
+        f" * {16 ** (bits // 4 - 1 - d)}"
+        for d in range(bits // 4))
+    votes = ",\n         ".join(
+        f"SUM(((hv >> {bits - 1 - b}) % 2) * 2 - 1) AS v{b}"
+        for b in range(bits))
+    if as_int:
+        final = " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {1 << (bits - 1 - b)}::BIGINT"
+            f" ELSE 0 END)" for b in range(bits)) + " AS sig"
+    else:
+        final = " || ".join(
+            f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)"
+            for b in range(bits)) + " AS simhash"
+    return f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
 ),
 hashed AS (
-  SELECT doc_id, {_SIMHASH_HV} AS hv FROM toks
+  SELECT doc_id, {hv} AS hv FROM toks
 ),
 votes AS (
   SELECT doc_id,
-         {_SIMHASH_VOTES}
+         {votes}
   FROM hashed GROUP BY doc_id
 )
-SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM votes
+SELECT doc_id, {final} FROM votes
 """
+
+
+_SIMHASH_SQL = _simhash_sql(_SIMHASH_BITS)
+# radius-2 multiprobe uses wider fingerprints (see dedup_simhash_hamming2)
+_H2_BITS = 24
 
 
 @query("dedup_simhash_signatures", _SIMHASH_SQL)
@@ -457,75 +473,47 @@ def multimodal_binary_meta(spark, sf_dir):
 
 
 @query("dedup_simhash_hamming2", f"""
-WITH sigs AS ({_SIMHASH_SQL}),
-flips AS (
-  SELECT u.i, v.j
-  FROM (SELECT UNNEST(range(0, {_SIMHASH_BITS + 1})) AS i) u,
-       (SELECT UNNEST(range(0, {_SIMHASH_BITS + 1})) AS j) v
-  WHERE u.i < v.j OR (u.i = 0 AND v.j = 0) OR (u.i = 0 AND v.j > 0)
+WITH sigs AS ({_simhash_sql(_H2_BITS, as_int=True)}),
+masks AS (
+  SELECT 0 AS m
+  UNION ALL
+  SELECT (1::BIGINT << i) FROM (SELECT UNNEST(range(0, {_H2_BITS})) AS i)
+  UNION ALL
+  SELECT (1::BIGINT << u.i) | (1::BIGINT << v.j)
+  FROM (SELECT UNNEST(range(0, {_H2_BITS})) AS i) u,
+       (SELECT UNNEST(range(0, {_H2_BITS})) AS j) v
+  WHERE u.i < v.j
 ),
 probes AS (
-  SELECT DISTINCT doc_id,
-         CASE WHEN f.j = 0 THEN simhash
-              ELSE substring(
-                     CASE WHEN f.i = 0 THEN simhash
-                          ELSE substring(simhash, 1, f.i - 1) ||
-                               (CASE WHEN substring(simhash, f.i, 1) = '1'
-                                     THEN '0' ELSE '1' END) ||
-                               substring(simhash, f.i + 1) END,
-                     1, f.j - 1) ||
-                   (CASE WHEN substring(
-                             CASE WHEN f.i = 0 THEN simhash
-                                  ELSE substring(simhash, 1, f.i - 1) ||
-                                       (CASE WHEN substring(simhash, f.i, 1) = '1'
-                                             THEN '0' ELSE '1' END) ||
-                                       substring(simhash, f.i + 1) END,
-                             f.j, 1) = '1'
-                         THEN '0' ELSE '1' END) ||
-                   substring(
-                     CASE WHEN f.i = 0 THEN simhash
-                          ELSE substring(simhash, 1, f.i - 1) ||
-                               (CASE WHEN substring(simhash, f.i, 1) = '1'
-                                     THEN '0' ELSE '1' END) ||
-                               substring(simhash, f.i + 1) END,
-                     f.j + 1)
-         END AS probe
-  FROM sigs, flips f
-  WHERE f.i < f.j OR (f.i = 0)
+  SELECT doc_id, xor(sig, m) AS probe FROM sigs, masks
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM probes a JOIN sigs b ON a.probe = b.simhash AND a.doc_id < b.doc_id
+FROM probes a JOIN sigs b ON a.probe = b.sig AND a.doc_id < b.doc_id
 """)
 def dedup_simhash_hamming2(spark, sf_dir):
-    """SimHash multiprobe at Hamming radius 2: each doc emits its
-    fingerprint plus every 1- and 2-bit-flipped variant ((n_bits choose 2)
-    + n_bits + 1 = 137 probes at 16 bits); probes equi-join against exact
-    fingerprints, finding every pair within distance 2 with NO pairwise
-    distance computation. Probe volume grows O(n_bits^radius) — the
-    standard recall/cost dial of multiprobe LSH; still linear in corpus
-    size, which is what matters at scale."""
+    """SimHash multiprobe at Hamming radius 2 on INTEGER fingerprints:
+    each doc emits sig XOR mask for every 0/1/2-bit mask ((n_bits choose
+    2) + n_bits + 1 = 301 masks at 24 bits); probes equi-join against
+    exact fingerprints, finding every pair within distance 2 with NO
+    pairwise distance computation and NO string surgery (the XOR form is
+    ~an order of magnitude cheaper per probe than bit-string editing).
+    Probe volume is the standard multiprobe recall/cost dial and stays
+    linear in corpus size. Radius 2 uses WIDER fingerprints (24 bits) than
+    the radius-0/1 entries: in a 16-bit space a 2-bit ball covers so much
+    of the corpus that matches are birthday noise."""
     sigs = simhash_signatures(t(spark, sf_dir, "documents"), "text",
-                              "doc_id", n_bits=_SIMHASH_BITS)
-    # flip positions i<j, with 0 meaning "no flip" (so (0,0)=identity and
-    # (0,j)=single flips come along for free)
-    flips = (F.sequence(F.lit(0), F.lit(_SIMHASH_BITS)),
-             F.sequence(F.lit(0), F.lit(_SIMHASH_BITS)))
-    one = ("CASE WHEN {p} = 0 THEN {s} "
-           "ELSE substring({s}, 1, {p} - 1) || "
-           "(CASE WHEN substring({s}, {p}, 1) = '1' THEN '0' ELSE '1' END)"
-           " || substring({s}, {p} + 1) END")
-    flip1 = one.format(s="simhash", p="i")
-    flip2 = one.format(s=f"({flip1})", p="j")
-    probes = (sigs
-              .select("doc_id", "simhash",
-                      F.explode(flips[0]).alias("i"))
-              .select("doc_id", "simhash", "i",
-                      F.explode(flips[1]).alias("j"))
-              .filter((F.col("i") < F.col("j")) | (F.col("i") == 0))
-              .select("doc_id", F.expr(flip2).alias("probe"))
-              .distinct())
-    b = sigs.select(F.col("doc_id").alias("doc_b"),
-                    F.col("simhash").alias("sig_b"))
+                              "doc_id", n_bits=_H2_BITS)
+    si = sigs.select("doc_id",
+                     F.conv("simhash", 2, 10).cast("long").alias("sig"))
+    masks = [0] + [1 << i for i in range(_H2_BITS)] + [
+        (1 << i) | (1 << j)
+        for i in range(_H2_BITS) for j in range(i + 1, _H2_BITS)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    probes = (si.select("doc_id", "sig", F.explode(mask_arr).alias("m"))
+              .select("doc_id",
+                      F.col("m").bitwiseXOR(F.col("sig")).alias("probe")))
+    b = si.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sig").alias("sig_b"))
     return (probes.join(b, (F.col("probe") == F.col("sig_b"))
                         & (F.col("doc_id") < F.col("doc_b")))
             .select(F.col("doc_id").alias("doc_a"), "doc_b")
