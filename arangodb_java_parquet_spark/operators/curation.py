@@ -125,11 +125,13 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
     convergence check as :func:`connected_components`.
     """
     # restrict to buckets that actually connect something — bucket-level
-    # count, cheap, and it shrinks every later round
+    # count, cheap, and it shrinks every later round. Plain COUNT(*): a
+    # node appears at most once per bucket, so it equals COUNT(DISTINCT)
+    # without the distinct-agg cost.
     grp = [F.col(c) for c in group_cols]
     active = (membership
               .groupBy(*grp)
-              .agg(F.countDistinct(node_col).alias("__n"))
+              .agg(F.count(F.lit(1)).alias("__n"))
               .filter(F.col("__n") >= 2)
               .drop("__n"))
     member = (membership.join(active, group_cols)
@@ -140,11 +142,12 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
     def propagate(lab):
         gmin = (member.join(lab, node_col)
                 .groupBy(*grp).agg(F.min("component").alias("gmin")))
-        cand = (member.join(gmin, group_cols)
-                .groupBy(node_col).agg(F.min("gmin").alias("nmin")))
-        return (lab.join(cand, node_col)
-                .select(F.col(node_col),
-                        F.least("component", "nmin").alias("component")))
+        # every node is a member of each of its buckets, so its own label
+        # participates in those buckets' minima: min-over-buckets is
+        # already <= the old label, and IS the new label — no join back
+        # against the old labels needed
+        return (member.join(gmin, group_cols)
+                .groupBy(node_col).agg(F.min("gmin").alias("component")))
 
     # one propagation hop per materialized round: `labels` feeds both the
     # group-min join and the final least(), so unrolling two hops between
