@@ -210,3 +210,74 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                       start)
             .withColumn("seq_id", F.floor(F.col("start_offset") / budget))
             .withColumn("offset_in_seq", F.col("start_offset") % budget))
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style): fit a unigram language model
+    on the corpus itself (token -> count / total), then score every
+    document by the mean log-probability of its tokens. Low scores flag
+    gibberish / boilerplate; training pipelines threshold or bucket on it.
+
+    Scale: the vocabulary aggregation is map-side combinable and its result
+    is tiny relative to the corpus (Heaps' law), so the score join
+    broadcasts the vocab — the corpus tokens are scanned twice but never
+    shuffled by token. Determinism: ln() output is rounded to 9 digits
+    per token type, then summed exactly in decimal (the engines' libm may
+    differ in the last ulp; per-value rounding confines that to a
+    vanishing boundary set, and the decimal sum removes order sensitivity).
+
+    Output: (id, n_tokens, avg_logprob).
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (vocab.crossJoin(F.broadcast(total))
+          .select("tok",
+                  F.round(F.log(F.col("cnt").cast("double")
+                                / F.col("total").cast("double")), 9)
+                  .alias("logp")))
+    return (toks.join(F.broadcast(lp), "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum(F.col("logp").cast("decimal(20,9)"))
+                         .cast("double") / F.count(F.lit(1)), 9)
+                 .alias("avg_logprob")))
+
+
+def cap_per_group(df: DataFrame, id_col: str, group_col: str,
+                  n: int) -> DataFrame:
+    """Per-domain/source document cap (RefinedWeb-style): keep at most
+    ``n`` documents per group, chosen by a deterministic md5 hash order so
+    the kept subset is engine- and layout-independent (a plain LIMIT or
+    ``sample`` would not be). One window shuffle on the group key; AQE
+    skew-split handles a pathological mega-domain.
+    """
+    order_key = F.md5(F.concat(F.lit("cap:"),
+                               F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n))
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
+# pattern string runs on Spark (java.util.regex) and DuckDB (RE2).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+
+def redact_pii(col) -> dict[str, "F.Column"]:
+    """Regex PII scrub of a text column: emails then phone numbers are
+    replaced with typed placeholder tokens, and per-kind match counts are
+    emitted for audit. Pure JVM regexp expressions — no Python in the row
+    path, whole-stage-codegen friendly, embarrassingly parallel.
+
+    Returns dict with 'redacted', 'n_emails', 'n_phones' Columns.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0)))
+    no_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE),
+                                           F.lit(0)))
+    red = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+    return {"redacted": red, "n_emails": n_emails, "n_phones": n_phones}

@@ -168,3 +168,52 @@ def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("qid", "vid", "cos_sim", "rn"))
+
+
+def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
+                   cent_mod: int = 37, tau: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then compare pairs only
+    WITHIN a cluster and drop every vector that has a higher-similarity
+    "representative" with a smaller id. The clustering bounds the pairwise
+    stage to O(sum k_c^2) over cell sizes instead of O(n^2) — exactly the
+    published design, which is what makes semantic dedup feasible at
+    corpus scale (cells are capped in practice by the centroid count).
+
+    Centroids here are a deterministic rule (every ``cent_mod``-th vector)
+    rather than fitted k-means so the whole operator — assignment, in-cell
+    pairs, prune verdicts — value-checks against a SQL oracle; the fitted
+    variant would swap in KMeans centroids with the identical plan shape
+    (broadcast centroids -> map-side argmin -> cell equi-join).
+
+    Output: one row per DROPPED vector: (id, cell, n_dups, max_cos) where
+    n_dups counts its >= tau in-cell partners with smaller id.
+    """
+    cents = (emb.filter(F.col(id_col) % cent_mod == 0)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(vec_col, "cvec",
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda a, v: a + v), 9)
+    wc = W.partitionBy(id_col).orderBy(d2.asc(), F.col("cid"))
+    cells = (emb.crossJoin(F.broadcast(cents))
+             .withColumn("crn", F.row_number().over(wc))
+             .filter(F.col("crn") == 1)
+             .select(F.col(id_col), F.col(vec_col),
+                     F.col("cid").alias("cell")))
+    a = cells.alias("a")
+    b = (cells.withColumnRenamed(id_col, "__idb")
+         .withColumnRenamed(vec_col, "__vecb").alias("b"))
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col("b.__vecb")), 9)
+    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col(f"a.{id_col}") < F.col("b.__idb")))
+            .select(F.col("b.__idb").alias(id_col),
+                    F.col("a.cell").alias("cell"),
+                    cos.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= tau)
+            .groupBy(id_col, "cell")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.max("cos_sim").alias("max_cos")))

@@ -15,8 +15,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.curation import (
-    connected_components_bipartite, decontaminate, hash_sample,
-    pack_sequences)
+    PII_EMAIL, PII_PHONE, cap_per_group, connected_components_bipartite,
+    decontaminate, hash_sample, pack_sequences, redact_pii,
+    unigram_logprob)
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_bands, minhash_signatures)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -336,3 +337,106 @@ def filter_by_percentile(spark, sf_dir):
     return (d.select("doc_id", "lang", "n_chars",
                      F.round(F.percent_rank().over(w), 9).alias("pr"))
             .filter(F.col("pr") >= 0.1))
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM quality scoring (CCNet-style unigram log-prob)
+# ---------------------------------------------------------------------------
+
+_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok, round(ln(cnt::DOUBLE / total::DOUBLE), 9) AS logp
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(CAST(logp AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 9)
+         AS avg_logprob
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
+@query("quality_unigram_logprob", _LOGPROB_SQL)
+def quality_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality score: fit a unigram model on the corpus
+    (token -> count/total), score each doc by mean token log-prob. The
+    vocab is tiny (Heaps' law) and broadcast; corpus tokens never shuffle
+    by token. See operators/curation.py:unigram_logprob for determinism
+    notes (per-value round-9 then exact decimal sum)."""
+    return unigram_logprob(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-domain cap + PII redaction
+# ---------------------------------------------------------------------------
+
+_CAP_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, rn FROM ranked WHERE rn <= 40
+"""
+
+
+@query("per_source_cap", _CAP_SQL)
+def per_source_cap(spark, sf_dir):
+    """RefinedWeb-style per-domain cap: keep at most 40 docs per source,
+    picked by deterministic md5 order (layout-independent, unlike LIMIT or
+    sample). One window shuffle on the group key; AQE skew-split covers a
+    mega-domain. See operators/curation.py:cap_per_group."""
+    d = t(spark, sf_dir, "documents")
+    return cap_per_group(d, "doc_id", "source", 40) \
+        .select("doc_id", "source", "rn")
+
+
+_PII_SQL = ("""
+WITH aug AS (
+  SELECT doc_id,
+         left(text, 40) || ' contact user' || doc_id ||
+         '@example.com or +1-555-' ||
+         lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ||
+         ' now' AS txt
+  FROM documents
+),
+step1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(txt, __EMAIL__)) AS n_emails,
+         regexp_replace(txt, __EMAIL__, '<EMAIL>', 'g') AS txt1
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(txt1, __PHONE__)) AS n_phones,
+       regexp_replace(txt1, __PHONE__, '<PHONE>', 'g') AS redacted
+FROM step1
+"""
+            .replace("__EMAIL__", "'" + PII_EMAIL + "'")
+            .replace("__PHONE__", "'" + PII_PHONE + "'"))
+
+
+@query("pii_redaction", _PII_SQL)
+def pii_redaction(spark, sf_dir):
+    """PII scrub: a deterministic synthetic email+phone suffix is appended
+    to each doc (the corpus itself is PII-free word salad), then redacted
+    with the RE2-compatible patterns in operators/curation.py — the SAME
+    pattern strings run on Spark (java.util.regex) and DuckDB (RE2). Pure
+    JVM regexp expressions, whole-stage-codegen friendly; per-kind match
+    counts emitted for audit."""
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.expr("left(text, 40)"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad(((F.col("doc_id") * 7919) % 10000).cast("string"), 4, "0"),
+        F.lit(" now"))
+    cols = redact_pii(aug)
+    return d.select("doc_id",
+                    cols["n_emails"].alias("n_emails"),
+                    cols["n_phones"].alias("n_phones"),
+                    cols["redacted"].alias("redacted"))

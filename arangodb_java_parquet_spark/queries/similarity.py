@@ -259,3 +259,39 @@ def sim_topk_ivf_rulebased(spark, sf_dir):
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(wr))
             .filter(F.col("rn") <= 5))
+
+
+@query("semdedup_prune", f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_D2.format(a='embedding', b='cvec')},
+                                     cid) AS crn
+  FROM embeddings CROSS JOIN cents
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE crn = 1),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.cell AS cell,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cell, COUNT(*) AS n_dups, MAX(cos_sim) AS max_cos
+FROM pairs WHERE cos_sim >= 0.4
+GROUP BY vec_id, cell
+""")
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) semantic dedup: cluster embeddings to
+    cells (deterministic rule centroids: every 37th vector), pairwise
+    cosine ONLY within a cell, drop vectors with a >= 0.4 neighbor of
+    smaller id. The cluster stage bounds the quadratic comparison to cell
+    sizes — the property that makes semantic dedup run at corpus scale.
+    See operators/similarity.py:semdedup_prune."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        semdedup_prune as _sd)
+    e = t(spark, sf_dir, "embeddings")
+    return _sd(e, id_col="vec_id", vec_col="embedding",
+               cent_mod=37, tau=0.4)

@@ -108,3 +108,63 @@ def test_bipartite_cc_equivalent_to_pairwise(spark):
     pw = {r["node"]: r["component"]
           for r in connected_components(pairs).collect()}
     assert pw == got
+
+
+def test_unigram_logprob_small_corpus(spark):
+    from arangodb_java_parquet_spark.operators.curation import unigram_logprob
+    import math
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, total=5
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["id", "txt"])
+    got = {r["id"]: r for r in unigram_logprob(df, "txt", "id").collect()}
+    lp = {t: round(math.log(c / 5), 9) for t, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_logprob"] == pytest.approx(
+        round((2 * lp["a"] + lp["b"]) / 3, 9), abs=1e-9)
+    assert got[2]["avg_logprob"] == pytest.approx(
+        round((lp["b"] + lp["c"]) / 2, 9), abs=1e-9)
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from arangodb_java_parquet_spark.operators.curation import cap_per_group
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(60)], ["id", "grp"])
+    out = cap_per_group(df, "id", "grp", 5)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # layout-independent choice of survivors
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in
+               cap_per_group(df.repartition(13), "id", "grp", 5).collect())
+    assert a == b
+
+
+def test_redact_pii_counts_and_text(spark):
+    from arangodb_java_parquet_spark.operators.curation import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org and +1-555-012-3456 ok"),
+         (2, "no pii here")], ["id", "txt"])
+    cols = redact_pii("txt")
+    out = {r["id"]: r for r in
+           df.select("id", cols["redacted"].alias("red"),
+                     cols["n_emails"].alias("ne"),
+                     cols["n_phones"].alias("np")).collect()}
+    assert out[1]["ne"] == 1 and out[1]["np"] == 1
+    assert out[1]["red"] == "mail <EMAIL> and <PHONE> ok"
+    assert out[2]["ne"] == 0 and out[2]["np"] == 0
+    assert out[2]["red"] == "no pii here"
+
+
+def test_semdedup_prune_drops_higher_id_near_dup(spark):
+    from arangodb_java_parquet_spark.operators.similarity import (
+        semdedup_prune)
+    # ids 0,1: near-identical vectors (cos ~1); id 2: orthogonal-ish
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    # cent_mod=3 -> single centroid (id 0), all vectors share one cell
+    out = semdedup_prune(df, id_col="vec_id", vec_col="embedding",
+                         cent_mod=3, tau=0.9).collect()
+    assert [(r["vec_id"], r["n_dups"]) for r in out] == [(1, 1)]

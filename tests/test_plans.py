@@ -61,7 +61,9 @@ def test_jvm_only_hot_paths(spark, sf_dir):
     — everything stays in codegen'd JVM operators."""
     for name in ("q1_pricing_summary", "text_quality_stats",
                  "dedup_minhash_lsh", "sim_topk_bruteforce",
-                 "window_running_total", "join_asof_backward"):
+                 "window_running_total", "join_asof_backward",
+                 "quality_unigram_logprob", "pii_redaction",
+                 "per_source_cap", "semdedup_prune"):
         assert is_python_free(QUERIES[name](spark, sf_dir)), name
 
 
