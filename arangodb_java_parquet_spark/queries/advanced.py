@@ -257,3 +257,42 @@ def multimodal_frame_sample(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     payloads = attach_binary_payload(d)
     return frame_sample_stub(payloads, every_n=3)
+
+
+@query("stream_dedup_exact", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup: readStream over events ->
+    watermark + dropDuplicates on (user_id, event_type) -> memory sink.
+    The watermark bounds the dedup state store (keys older than the delay
+    are evicted — the only way streaming dedup survives an unbounded
+    stream); emitting just the key columns keeps the result value-checkable
+    (WHICH physical row survives per key is arrival-order dependent, the
+    key set is not). availableNow over a static source is one micro-batch,
+    so the emitted key set equals batch SELECT DISTINCT."""
+    import tempfile as _tf
+    import uuid as _uuid
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)"))
+    dedup = (stream.withWatermark("ts", "1 day")
+             .dropDuplicates(["user_id", "event_type"])
+             .select("user_id", "event_type"))
+    name = f"dedup_out_{_uuid.uuid4().hex[:8]}"
+    ckpt = _tf.mkdtemp(prefix="ajps_ck_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (dedup.writeStream.outputMode("append").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

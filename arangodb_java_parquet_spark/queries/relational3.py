@@ -281,3 +281,31 @@ def sql_portable_agg(spark, sf_dir):
     DataFrame formulations identically (same optimized plan)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_PORTABLE_SQL)
+
+
+_ZORDER_SQL = """
+SELECT o_orderkey,
+       o_custkey % 1024 AS dim_x,
+       o_orderkey % 1024 AS dim_y,
+       ((((o_custkey % 1024) >> 0) & 1) << 0) | ((((o_custkey % 1024) >> 1) & 1) << 2) | ((((o_custkey % 1024) >> 2) & 1) << 4) | ((((o_custkey % 1024) >> 3) & 1) << 6) | ((((o_custkey % 1024) >> 4) & 1) << 8) | ((((o_custkey % 1024) >> 5) & 1) << 10) | ((((o_custkey % 1024) >> 6) & 1) << 12) | ((((o_custkey % 1024) >> 7) & 1) << 14) | ((((o_custkey % 1024) >> 8) & 1) << 16) | ((((o_custkey % 1024) >> 9) & 1) << 18) | ((((o_orderkey % 1024) >> 0) & 1) << 1) | ((((o_orderkey % 1024) >> 1) & 1) << 3) | ((((o_orderkey % 1024) >> 2) & 1) << 5) | ((((o_orderkey % 1024) >> 3) & 1) << 7) | ((((o_orderkey % 1024) >> 4) & 1) << 9) | ((((o_orderkey % 1024) >> 5) & 1) << 11) | ((((o_orderkey % 1024) >> 6) & 1) << 13) | ((((o_orderkey % 1024) >> 7) & 1) << 15) | ((((o_orderkey % 1024) >> 8) & 1) << 17) | ((((o_orderkey % 1024) >> 9) & 1) << 19) AS zkey
+FROM orders
+"""
+
+
+@query("zorder_cluster_key", _ZORDER_SQL)
+def zorder_cluster_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over two bucketed dimensions of
+    orders — the multi-column data-skipping layout: sorting by the single
+    interleaved key co-locates rows close in BOTH dimensions, so range
+    files carry tight min/max stats on each column at once (a
+    lexicographic sort only helps the leading column). Pure integer
+    shift/and/or, codegen-friendly; write path in
+    sources/readers.py:write_zordered."""
+    from arangodb_java_parquet_spark.sources.readers import zorder_key
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("dim_x"),
+        (F.col("o_orderkey") % 1024).alias("dim_y"),
+        zorder_key([F.col("o_custkey") % 1024,
+                    F.col("o_orderkey") % 1024], 10).alias("zkey"))

@@ -22,7 +22,8 @@ raise a clear error (import-try gate) rather than failing mid-plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.sources.collections import LocalCollection
 
@@ -232,3 +233,40 @@ def read_kafka(spark: SparkSession, bootstrap_servers: str, topic: str,
         raise RuntimeError(
             "kafka source requires the spark-sql-kafka connector jar on the "
             "classpath (not present in this image)") from e
+
+
+def zorder_key(cols: list[Column], n_bits: int = 10) -> Column:
+    """Z-order (Morton) clustering key: bit-interleave the low ``n_bits``
+    of each (non-negative integral) column so that sorting by the single
+    key co-locates rows that are close in EVERY dimension — the layout
+    trick behind multi-column data skipping in modern lakehouses: range
+    files get tight min/max footer stats on all participating columns at
+    once, where a lexicographic sort only helps the leading column.
+
+    Pure integer bit arithmetic (shift/and/or), portable to any engine,
+    whole-stage-codegen friendly. Callers bucket unbounded domains first
+    (e.g. ``col % 1024`` or a quantile bucket) to fit ``n_bits``.
+    """
+    n_dims = len(cols)
+    out = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        cc = c.cast("long")
+        for i in range(n_bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)),
+                            i * n_dims + d))
+    return out
+
+
+def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], *,
+                   n_bits: int = 10, mode: str = "overwrite",
+                   num_files: int | None = None) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    interleaved key (one shuffle), so selective predicates on ANY of the
+    participating columns skip most files via row-group stats."""
+    key = zorder_key([df[c] for c in zorder_cols], n_bits).alias("__zkey")
+    with_key = df.withColumn("__zkey", key)
+    ranged = (with_key.repartitionByRange(num_files, "__zkey") if num_files
+              else with_key.repartitionByRange("__zkey"))
+    (ranged.sortWithinPartitions("__zkey").drop("__zkey")
+     .write.mode(mode).parquet(path))

@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "rfm_segmentation",
     "sim_topk_ivf_rulebased",
     "join_asof_tolerance",
+    "quality_unigram_logprob",
+    "semdedup_prune",
+    "per_source_cap",
+    "pii_redaction",
 ]
 
 

@@ -225,3 +225,62 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() > 0
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.sources.readers import zorder_key
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (5, 2), (1023, 1023)], ["x", "y"])
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], 10).alias("z"))
+        .collect()}
+
+    def ref(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y)
+    assert got[(1, 0)] == 1 and got[(0, 1)] == 2 and got[(3, 3)] == 15
+
+
+def test_write_zordered_skips_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered layout: footer min/max on BOTH participating columns must
+    be selective — a point predicate on either dimension touches only a
+    strict subset of files (the property a single-column sort cannot give
+    for the trailing column)."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.sources.readers import write_zordered
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey") \
+        .withColumn("bx", F.col("o_custkey") % 64) \
+        .withColumn("by", F.col("o_orderkey") % 64)
+    out = str(tmp_path / "zlake")
+    write_zordered(o, out, ["bx", "by"], n_bits=6, num_files=8)
+    stats = {"bx": [], "by": []}
+    files = globmod.glob(f"{out}/part-*.parquet")
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for col in stats:
+            idx = names.index(col)
+            mins = [md.row_group(rg).column(idx).statistics.min
+                    for rg in range(md.num_row_groups)]
+            maxs = [md.row_group(rg).column(idx).statistics.max
+                    for rg in range(md.num_row_groups)]
+            stats[col].append((min(mins), max(maxs)))
+    assert len(files) >= 6
+    for col in ("bx", "by"):
+        # a point lookup at value 0 must be skippable in >= half the files
+        touched = sum(1 for lo, hi in stats[col] if lo <= 0 <= hi)
+        assert touched <= len(files) // 2, (col, stats[col])
+    assert spark.read.parquet(out).count() == o.count()
