@@ -170,6 +170,55 @@ def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
             .select("qid", "vid", "cos_sim", "rn"))
 
 
+def centroid_d2(vec: Column, cvec: Column) -> Column:
+    """Rounded squared-L2 distance between two array<float> columns (same
+    left-to-right double accumulation as the oracle's list_transform)."""
+    return F.round(F.aggregate(
+        F.zip_with(vec, cvec, lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda a, v: a + v), 9)
+
+
+def centroid_scores(cents: DataFrame, vec_col: str) -> "tuple":
+    """Build the broadcast-scalar centroid array and the per-row scored
+    expression: a 1-row DataFrame holding collect_list(struct(cid, cvec))
+    to crossJoin(broadcast(...)), and a Column of
+    array<struct<d2, cid>> distances for ``vec_col``. Downstream argmin /
+    top-n is then array_min / slice(array_sort(...)) — pure codegen
+    expressions, NO per-(vector, centroid) intermediate rows and NO
+    shuffle, versus the crossJoin+window formulation that materializes
+    n_vectors x n_centroids rows and sorts them. Centroid count is a
+    bounded constant in IVF, so the scalar array stays broadcast-sized at
+    any corpus scale.
+    """
+    cents_arr = cents.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("__cs"))
+    scored = F.transform(
+        F.col("__cs"), lambda c: F.struct(
+            centroid_d2(F.col(vec_col), c["cvec"]).alias("d2"),
+            c["cid"].alias("cid")))
+    return cents_arr, scored
+
+
+def assign_cells(emb: DataFrame, cents: DataFrame, *, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Assign every vector to its nearest centroid — argmin over the
+    broadcast centroid array via array_min on (d2, cid) structs, which is
+    exactly ROW_NUMBER() OVER (ORDER BY d2, cid) = 1 but with zero extra
+    rows or shuffles. Output: (id, vec, cell)."""
+    cents_arr, scored = centroid_scores(cents, vec_col)
+    # coalesce makes the cell expression NON-nullable: otherwise a later
+    # equi-join on cell infers an isnotnull(cell) constraint that gets
+    # pushed into this join's CONDITION, evaluating the whole centroid
+    # argmin a second time per row (visible as the array_min expression
+    # duplicated into the BroadcastNestedLoopJoin condition in the plan)
+    return (emb.crossJoin(F.broadcast(cents_arr))
+            .select(F.col(id_col), F.col(vec_col),
+                    F.coalesce(F.array_min(scored)["cid"], F.lit(-1))
+                    .alias("cell")))
+
+
 def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
                    cent_mod: int = 37, tau: float = 0.4) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -192,22 +241,23 @@ def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
     cents = (emb.filter(F.col(id_col) % cent_mod == 0)
              .select(F.col(id_col).alias("cid"),
                      F.col(vec_col).alias("cvec")))
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(vec_col, "cvec",
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda a, v: a + v), 9)
-    wc = W.partitionBy(id_col).orderBy(d2.asc(), F.col("cid"))
-    cells = (emb.crossJoin(F.broadcast(cents))
-             .withColumn("crn", F.row_number().over(wc))
-             .filter(F.col("crn") == 1)
-             .select(F.col(id_col), F.col(vec_col),
-                     F.col("cid").alias("cell")))
+    # norm precomputed per VECTOR (identical left-to-right sum as a
+    # per-pair norm, so cosine values are bit-equal) -> the in-cell pair
+    # stage runs one dot product instead of three. The explicit
+    # repartition on the join key materializes assignment+norm in ONE
+    # Exchange that Catalyst reuses for both sides of the self-join
+    # (ReusedExchange) — without it each side re-evaluates the centroid
+    # argmin projection — and the join is then co-partitioned (no further
+    # shuffle).
+    cells = (assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+             .withColumn("__nrm", norm(F.col(vec_col)))
+             .repartition("cell"))
     a = cells.alias("a")
     b = (cells.withColumnRenamed(id_col, "__idb")
-         .withColumnRenamed(vec_col, "__vecb").alias("b"))
-    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col("b.__vecb")), 9)
+         .withColumnRenamed(vec_col, "__vecb")
+         .withColumnRenamed("__nrm", "__nrmb").alias("b"))
+    cos = F.round(dot(F.col(f"a.{vec_col}"), F.col("b.__vecb"))
+                  / (F.col("a.__nrm") * F.col("b.__nrmb")), 9)
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col(f"a.{id_col}") < F.col("b.__idb")))
             .select(F.col("b.__idb").alias(id_col),

@@ -229,28 +229,28 @@ def sim_topk_ivf_rulebased(spark, sf_dir):
     RULE (every 37th vector) instead of a fitted sample, so the whole
     index — cell assignment (argmin rounded squared-L2, centroid-id
     tiebreak), n_probe=2 probing, in-cell cosine top-5 — reproduces
-    bit-for-bit in the DuckDB oracle. Same physical shape as the fitted
-    variant (centroids broadcast, assignment map-side, join per cell);
-    sim_topk_ivf keeps the KMeans-fitted centroids and its recall test."""
+    bit-for-bit in the DuckDB oracle. Assignment and probing are argmin /
+    top-2 over the broadcast centroid array computed as pure expressions
+    (array_min / array_sort of (d2, cid) structs) — zero per-(vector,
+    centroid) rows and zero shuffle, where ROW_NUMBER over a crossJoin
+    materializes and sorts n_vectors x n_centroids rows. sim_topk_ivf
+    keeps the KMeans-fitted centroids and its recall test."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        assign_cells, centroid_scores)
     e = t(spark, sf_dir, "embeddings")
     cents = (e.filter(F.col("vec_id") % 37 == 0)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("cvec")))
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("embedding", "cvec",
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda a, v: a + v), 9)
-    wc = Window.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid"))
-    assign = (e.crossJoin(F.broadcast(cents))
-              .withColumn("crn", F.row_number().over(wc)))
-    cells = (assign.filter(F.col("crn") == 1)
-             .select("vec_id", "embedding", F.col("cid").alias("cell")))
-    probes = (assign.filter((F.col("vec_id") < 10) & (F.col("crn") <= 2))
+    cells = assign_cells(e, cents, id_col="vec_id", vec_col="embedding")
+    cents_arr, scored = centroid_scores(cents, "embedding")
+    probes = (e.filter(F.col("vec_id") < 10)
+              .crossJoin(F.broadcast(cents_arr))
               .select(F.col("vec_id").alias("qid"),
                       F.col("embedding").alias("qvec"),
-                      F.col("cid").alias("cell")))
+                      F.explode(
+                          F.slice(F.transform(F.array_sort(scored),
+                                              lambda s: s["cid"]), 1, 2))
+                      .alias("cell")))
     pairs = (cells.join(F.broadcast(probes), "cell")
              .filter(F.col("qid") != F.col("vec_id"))
              .select("qid", F.col("vec_id").alias("vid"),
