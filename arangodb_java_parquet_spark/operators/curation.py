@@ -124,17 +124,17 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
     component = min reachable node id. Deterministic; same monotone-sum
     convergence check as :func:`connected_components`.
     """
-    # restrict to buckets that actually connect something — bucket-level
-    # count, cheap, and it shrinks every later round. Plain COUNT(*): a
+    # restrict to buckets that actually connect something. A window count
+    # over the bucket does it in ONE pass with one shuffle — the
+    # groupBy+self-join formulation evaluates the (expensive) upstream
+    # membership pipeline twice, once per join branch. Plain COUNT(*): a
     # node appears at most once per bucket, so it equals COUNT(DISTINCT)
     # without the distinct-agg cost.
     grp = [F.col(c) for c in group_cols]
-    active = (membership
-              .groupBy(*grp)
-              .agg(F.count(F.lit(1)).alias("__n"))
+    wb = Window.partitionBy(*grp)
+    member = (membership
+              .withColumn("__n", F.count(F.lit(1)).over(wb))
               .filter(F.col("__n") >= 2)
-              .drop("__n"))
-    member = (membership.join(active, group_cols)
               .select(node_col, *grp)
               .localCheckpoint(eager=False))
     labels = (member.select(node_col).distinct()
