@@ -39,3 +39,34 @@ def salted_agg(df: DataFrame, key: str, salt_src: str, aggs: dict,
               .agg(*[fn2(F.col(f"__p_{out}")).alias(out)
                      for out, (_c, _f1, fn2) in aggs.items()]))
     return stage2
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, *,
+                n_salts: int = 8,
+                salt_src: str | None = None) -> DataFrame:
+    """Skew-mitigating inner equi-join: the big side gets a deterministic
+    salt in [0, n_salts) from a row-unique column's md5, the small side is
+    replicated once per salt value (explode of a literal sequence), and
+    the join runs on (key, salt) — a hot key's rows spread across
+    ``n_salts`` reducers instead of one straggler.
+
+    Result set is EXACTLY the plain inner join (each big row still meets
+    every matching small row exactly once — under exactly one salt).
+    Replication multiplies the small side by n_salts, so this is for a
+    modest build side with a skewed probe side; with a truly tiny build
+    side just broadcast() instead, and note AQE's skew-join split covers
+    the sort-merge case when statistics catch it — this operator is the
+    explicit, planner-independent fallback.
+
+    md5 salt (not F.hash) keeps runs portable/reproducible per the
+    determinism rules.
+    """
+    src = salt_src if salt_src is not None else key
+    salt = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("salt:"), F.col(src).cast("string"))),
+        1, 8), 16, 10).cast("long") % n_salts).alias("__salt")
+    b = big.withColumn("__salt", salt)
+    s = (small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                       F.lit(n_salts - 1).cast("long")))))
+    return b.join(s, [key, "__salt"]).drop("__salt")

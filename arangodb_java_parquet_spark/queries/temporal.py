@@ -237,3 +237,108 @@ def sessionize_events(spark, sf_dir):
     return (sessionize(e, key="user_id", time="ts", gap=F.lit(1800.0),
                        tiebreak=["event_id"])
             .select("user_id", "event_id", "ts", "session_seq"))
+
+
+_SCD2_SQL = """
+WITH upd0 AS (
+  SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(30,8))
+              + SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           AS acctbal,
+         c_mktsegment AS mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate <  DATE '1995-07-01'
+  GROUP BY c_custkey, c_acctbal, c_mktsegment
+),
+upd AS (
+  SELECT c_custkey, acctbal, mktsegment FROM upd0
+  UNION ALL
+  SELECT c_custkey + 10000000, acctbal, 'NEW' FROM upd0
+  WHERE c_custkey % 211 = 0
+)
+SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+       DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       DATE '1990-01-01', DATE '1995-07-01'
+FROM customer JOIN upd0 USING (c_custkey)
+UNION ALL
+SELECT c_custkey, acctbal, mktsegment,
+       DATE '1995-07-01', CAST(NULL AS DATE)
+FROM upd
+"""
+
+
+@query("scd2_merge_customers", _SCD2_SQL)
+def scd2_merge_customers(spark, sf_dir):
+    """Slowly-changing-dimension type-2 merge (operators/scd.py): the
+    customer dim is the current history (open rows), a half-year of order
+    revenue produces balance updates, plus a slice of brand-new keys.
+    Unchanged rows pass through, changed rows are closed at the effective
+    date and re-opened with the new balance, new keys open fresh rows —
+    Delta-style MERGE semantics from one full-outer join + unions, no
+    MERGE engine. Exact decimal balance arithmetic keeps the doubles
+    hash-identical cross-engine."""
+    from arangodb_java_parquet_spark.operators.scd import scd2_merge
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"))
+    upd0 = (o.filter((F.col("o_orderdate") >= "1995-01-01")
+                     & (F.col("o_orderdate") < "1995-07-01"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_acctbal", "c_mktsegment")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .alias("__rev"))
+            .select("c_custkey",
+                    (F.col("c_acctbal").cast("decimal(30,8)")
+                     + F.col("__rev")).cast("double").alias("acctbal"),
+                    F.col("c_mktsegment").alias("mktsegment")))
+    updates = (upd0.unionByName(
+        upd0.filter(F.col("c_custkey") % 211 == 0)
+        .select((F.col("c_custkey") + 10000000).alias("c_custkey"),
+                "acctbal", F.lit("NEW").alias("mktsegment")))
+        .withColumn("eff_date", F.to_date(F.lit("1995-07-01"))))
+    return scd2_merge(dim, updates, key="c_custkey",
+                      attrs=["acctbal", "mktsegment"])
+
+
+_SALTED_JOIN_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       COUNT(DISTINCT p_brand) AS n_brands
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY l_returnflag
+"""
+
+
+@query("join_skew_salted", _SALTED_JOIN_SQL)
+def join_skew_salted(spark, sf_dir):
+    """Salted skew join (operators/skew.py:salted_join): lineitem's salt
+    comes from md5(l_orderkey) so a hot part key's rows spread over 8
+    reducers; the part side is replicated 8x via an exploded sequence and
+    the join runs on (key, salt). Result is EXACTLY the plain inner join
+    — the oracle is the unsalted SQL — aggregated per returnflag so the
+    checked output stays compact. Planner-independent counterpart to AQE's
+    skew-join split (which only triggers on sort-merge statistics)."""
+    from arangodb_java_parquet_spark.operators.skew import salted_join
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_returnflag", "l_extendedprice")
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_size") <= 25)
+         .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    joined = salted_join(li, p, "l_partkey", n_salts=8,
+                         salt_src="l_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 dsum("l_extendedprice").alias("sum_price"),
+                 F.countDistinct("p_brand").alias("n_brands")))
