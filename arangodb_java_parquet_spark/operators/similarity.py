@@ -267,3 +267,120 @@ def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
             .groupBy(id_col, "cell")
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.max("cos_sim").alias("max_cos")))
+
+
+def pq_codebook(emb: DataFrame, *, id_col: str, vec_col: str,
+                cent_mod: int) -> DataFrame:
+    """1-row DataFrame holding the sorted codeword array for product
+    quantization: array_sort(collect_list(struct(cid, cvec))) — the sort
+    makes the array order deterministic (collect_list order is not)."""
+    return (emb.filter(F.col(id_col) % cent_mod == 0)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec"))
+            .agg(F.array_sort(F.collect_list(F.struct("cid", "cvec")))
+                 .alias("__cb")))
+
+
+def _sub_d2(vec: Column, cvec: Column, s: int, sub_dim: int) -> Column:
+    """Rounded squared-L2 between subvectors s of two full vectors."""
+    return centroid_d2(F.slice(vec, s * sub_dim + 1, sub_dim),
+                       F.slice(cvec, s * sub_dim + 1, sub_dim))
+
+
+def pq_encode(emb: DataFrame, *, id_col: str, vec_col: str,
+              n_sub: int = 8, sub_dim: int = 8,
+              cent_mod: int = 37, emit: str = "cid") -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011, the FAISS PQ
+    scheme): split each vector into ``n_sub`` subvectors and store, per
+    subspace, only the id of the nearest codeword — compressing a
+    64-float embedding to n_sub small ints, the representation that lets
+    billion-vector indexes fit in memory.
+
+    Codewords here are the sub-slices of a deterministic rule subset
+    (every ``cent_mod``-th vector), so encoding is fully value-checkable
+    against a SQL oracle; a fitted variant would train per-subspace
+    k-means with the identical plan. The codebook is a broadcast scalar
+    array; per-row argmin per subspace is a pure expression
+    (array_min over (d2, cid) structs) — no joins, no shuffle, and the
+    encode stage scales linearly with the corpus.
+
+    ``emit="cid"`` outputs codeword IDs (pq_code: array<bigint>);
+    ``emit="pos"`` outputs 0-based POSITIONS in the sorted codebook
+    (pq_pos: array<int>) — the form ADC lookup tables index by. Only the
+    requested form is computed (the argmin expression would otherwise be
+    evaluated twice per subspace).
+
+    Output: (id, vec, pq_code | pq_pos).
+    """
+    cb = pq_codebook(emb, id_col=id_col, vec_col=vec_col,
+                     cent_mod=cent_mod)
+
+    # NB: factory fn, not a `lambda c, s=s` default-arg closure — a
+    # two-parameter PySpark HOF lambda means (element, index); here the
+    # index parameter is used ON PURPOSE to carry the codebook position
+    # (it cannot influence the argmin: cid is unique, so (d2, cid)
+    # decides before pos is compared)
+    def best_expr(s: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("__cb"), lambda c, i: F.struct(
+                _sub_d2(F.col(vec_col), c["cvec"], s, sub_dim)
+                .alias("d2"),
+                c["cid"].alias("cid"),
+                i.alias("pos"))))
+
+    if emit == "cid":
+        codes = [F.coalesce(best_expr(s)["cid"], F.lit(-1))
+                 for s in range(n_sub)]
+        out = F.array(*codes).alias("pq_code")
+    else:
+        codes = [F.coalesce(best_expr(s)["pos"], F.lit(-1))
+                 for s in range(n_sub)]
+        out = F.array(*codes).alias("pq_pos")
+    return (emb.crossJoin(F.broadcast(cb))
+            .select(F.col(id_col), F.col(vec_col), out))
+
+
+def pq_adc_topk(queries: DataFrame, encoded: DataFrame, cb: DataFrame, *,
+                id_col: str, vec_col: str, k: int,
+                n_sub: int = 8, sub_dim: int = 8) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, the FAISS ADC scheme:
+    approximate dist(q, x) = sum_s d2(q_s, codeword(code_s(x))).
+
+    Per-QUERY lookup tables, the trick that makes ADC fast: each query
+    row precomputes, per subspace, the d2 to EVERY codeword (an array
+    aligned with codebook position) BEFORE meeting the corpus — a few
+    rows times n_sub * |codebook| work. The corpus side then carries only
+    (id, pq_pos) and each pair costs n_sub O(1) element_at lookups plus
+    decimal adds; no embeddings are read or decoded on the corpus scan,
+    which is the entire point of PQ at billion-vector scale.
+
+    ``encoded`` must come from pq_encode(..., emit="pos").
+
+    Determinism: LUT entries are d2 rounded to 9 digits stored as exact
+    decimals; the per-pair sum is decimal (associative, order-free), so
+    an oracle's unordered SUM over cid-joined subspace distances matches
+    bit-for-bit. Output: (qid, vid, adc_dist, rn).
+    """
+    def lut_expr(s: int) -> Column:
+        return F.transform(
+            F.col("__cb"),
+            lambda c: _sub_d2(F.col("qvec"), c["cvec"], s, sub_dim)
+            .cast("decimal(20,9)"))
+
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"))
+         .crossJoin(F.broadcast(cb))
+         .select("qid", *[lut_expr(s).alias(f"__lut{s}")
+                          for s in range(n_sub)]))
+    pairs = (encoded.select(F.col(id_col).alias("vid"), "pq_pos")
+             .crossJoin(F.broadcast(q))
+             .filter(F.col("qid") != F.col("vid")))
+    terms = [F.element_at(F.col(f"__lut{s}"),
+                          F.col("pq_pos").getItem(s) + 1)
+             for s in range(n_sub)]
+    adc = sum(terms[1:], terms[0]).cast("double")
+    ranked = (pairs.select("qid", "vid", adc.alias("adc_dist"))
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("qid").orderBy("adc_dist", "vid")))
+              .filter(F.col("rn") <= k))
+    return ranked

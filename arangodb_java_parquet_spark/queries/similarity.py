@@ -295,3 +295,99 @@ def semdedup_prune(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return _sd(e, id_col="vec_id", vec_col="embedding",
                cent_mod=37, tau=0.4)
+
+
+_PQ_COMMON = """
+WITH subs AS (SELECT UNNEST(range(0, 8)) AS s),
+cb AS (
+  SELECT s, vec_id AS cid, embedding AS cvec
+  FROM embeddings CROSS JOIN subs WHERE vec_id % 37 = 0
+),
+sv AS (SELECT vec_id, s, embedding FROM embeddings CROSS JOIN subs),
+scored AS (
+  SELECT sv.vec_id, sv.s, cb.cid,
+         round(list_sum(list_transform(range(1, 9),
+               i -> (sv.embedding[sv.s*8 + i]::DOUBLE
+                     - cb.cvec[cb.s*8 + i]::DOUBLE)
+                  * (sv.embedding[sv.s*8 + i]::DOUBLE
+                     - cb.cvec[cb.s*8 + i]::DOUBLE))), 9) AS d2
+  FROM sv JOIN cb ON sv.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, cid) AS rn
+    FROM scored) WHERE rn = 1
+)
+"""
+
+_PQ_ENCODE_SQL = _PQ_COMMON + """
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS pq_code
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("sim_pq_encode", _PQ_ENCODE_SQL)
+def sim_pq_encode(spark, sf_dir):
+    """Product-quantization encode (Jegou et al. 2011 / FAISS PQ): each
+    64-dim embedding -> 8 codeword ids (nearest codeword per 8-dim
+    subspace; rule codebook = every 37th vector, so the whole encoding
+    value-checks). Codebook broadcast, per-subspace argmin as pure
+    array_min expressions — linear scan, no shuffle. Code emitted as a
+    '-'-joined string (driver canonicalizer needs scalar columns).
+    operators/similarity.py:pq_encode."""
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding")
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"))
+
+
+_PQ_ADC_SQL = _PQ_COMMON + """,
+q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+      WHERE vec_id < 5),
+adc0 AS (
+  SELECT q.qid, codes.vec_id AS vid,
+         CAST(round(list_sum(list_transform(range(1, 9),
+              i -> (q.qvec[codes.s*8 + i]::DOUBLE
+                    - cb.cvec[codes.s*8 + i]::DOUBLE)
+                 * (q.qvec[codes.s*8 + i]::DOUBLE
+                    - cb.cvec[codes.s*8 + i]::DOUBLE))), 9)
+              AS DECIMAL(20,9)) AS d2
+  FROM codes
+  JOIN cb ON codes.s = cb.s AND codes.cid = cb.cid
+  CROSS JOIN q
+  WHERE q.qid != codes.vec_id
+),
+adc AS (
+  SELECT qid, vid, CAST(SUM(d2) AS DOUBLE) AS adc_dist
+  FROM adc0 GROUP BY qid, vid
+)
+SELECT qid, vid, adc_dist, rn FROM (
+  SELECT qid, vid, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_dist, vid) AS rn
+  FROM adc) WHERE rn <= 5
+"""
+
+
+@query("sim_topk_pq_adc", _PQ_ADC_SQL)
+def sim_topk_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-5: the query vector stays exact, every
+    corpus vector is its quantized reconstruction — the corpus side of
+    the scan carries ONLY (id, 8-int code); codeword vectors come from
+    the broadcast codebook via array-lookup expressions. Per-subspace d2
+    rounded to 9 then summed as exact decimals so the oracle's unordered
+    SUM is bit-equal. operators/similarity.py:pq_adc_topk."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode)
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
+                    emit="pos").select("vec_id", "pq_pos")
+    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    return pq_adc_topk(e.filter(F.col("vec_id") < 5), enc, cb,
+                       id_col="vec_id", vec_col="embedding", k=5)

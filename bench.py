@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "per_source_cap",
     "pii_redaction",
+    "sim_pq_encode",
+    "sim_topk_pq_adc",
 ]
 
 

@@ -63,7 +63,8 @@ def test_jvm_only_hot_paths(spark, sf_dir):
                  "dedup_minhash_lsh", "sim_topk_bruteforce",
                  "window_running_total", "join_asof_backward",
                  "quality_unigram_logprob", "pii_redaction",
-                 "per_source_cap", "semdedup_prune"):
+                 "per_source_cap", "semdedup_prune",
+                 "sim_pq_encode", "sim_topk_pq_adc"):
         assert is_python_free(QUERIES[name](spark, sf_dir)), name
 
 

@@ -87,3 +87,60 @@ def test_pandas_udf_cosine_matches_jvm(spark, sf_dir):
     rows = pairs.collect()
     assert len(rows) == 600
     assert all(abs(r.jvm - r.pd) < 1e-9 for r in rows)
+
+
+def test_pq_encode_code_shape_and_determinism(spark, sf_dir):
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding")
+    rows = enc.limit(50).collect()
+    assert all(len(r.pq_code) == 8 for r in rows)
+    # codes reference actual codeword ids (rule subset)
+    cids = {r.vec_id for r in e.filter(F.col("vec_id") % 37 == 0)
+            .select("vec_id").collect()}
+    assert all(all(c in cids for c in r.pq_code) for r in rows)
+    # layout-independent
+    a = {r.vec_id: list(r.pq_code) for r in rows}
+    b = {r.vec_id: list(r.pq_code) for r in
+         pq_encode(e.repartition(7), id_col="vec_id",
+                   vec_col="embedding").limit(0).union(
+             pq_encode(e.repartition(7), id_col="vec_id",
+                       vec_col="embedding")).collect()
+         if r.vec_id in a}
+    assert a == b
+
+
+def test_pq_adc_approximates_exact_l2_ranking(spark, sf_dir):
+    """ADC distance over PQ codes must put a decent fraction of the true
+    L2 top-5 into its top-5 (quantization loses precision, not order of
+    magnitude)."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        centroid_d2, pq_adc_topk, pq_codebook, pq_encode)
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
+                    emit="pos").select("vec_id", "pq_pos")
+    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    approx = _topk_sets(pq_adc_topk(q, enc, cb, id_col="vec_id",
+                                    vec_col="embedding", k=5))
+    # exact L2 top-5 via brute force
+    from pyspark.sql import Window as W
+    qq = q.select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qvec"))
+    c = e.select(F.col("vec_id").alias("vid"),
+                 F.col("embedding").alias("cvec"))
+    d2 = centroid_d2(F.col("qvec"), F.col("cvec"))
+    exact = _topk_sets(
+        c.crossJoin(F.broadcast(qq))
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("qid").orderBy("d", "vid")))
+        .filter(F.col("rn") <= 5).drop("d", "rn"))
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    # this corpus is near-uniform random: pairwise distances concentrate,
+    # so top-5 membership is decided by tiny margins any quantizer
+    # scrambles — the meaningful bar is "way above chance" (chance =
+    # k/corpus ~= 0.01 here), not the 0.5+ PQ reaches on clustered data
+    assert recall >= 0.05, f"PQ-ADC recall at chance level: {recall:.2f}"
