@@ -159,3 +159,35 @@ def funnel_conversion(spark, sf_dir):
         F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
         F.sum(F.when(purchased, 1).otherwise(0))
         .alias("purchased_after_click"))
+
+
+_CASCADE_SQL = f"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup_cascade_daily", _CASCADE_SQL)
+def rollup_cascade_daily(spark, sf_dir):
+    """Hypertable-style cascading rollup (continuous-aggregate pattern):
+    the DAILY aggregate is computed FROM the HOURLY partials — counts sum,
+    and the hourly money sums stay DECIMAL until the final cast so the
+    cascade is lossless — never from raw events. The oracle aggregates the
+    raw table directly; hash-equality proves partial reuse is exact, which
+    is what lets a 100 TB pipeline maintain day/week/month levels by
+    re-reading only the much smaller next-finer level. Decomposable-agg
+    counterpart of the streaming windowed entries."""
+    e = t(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                        "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(30,8)"))
+                   .alias("sum_dec")))
+    return (hourly.groupBy(F.date_trunc("day", "hour").cast("date")
+                           .alias("day"),
+                           "event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_dec").cast("double").alias("sum_value")))

@@ -168,3 +168,21 @@ def test_semdedup_prune_drops_higher_id_near_dup(spark):
     out = semdedup_prune(df, id_col="vec_id", vec_col="embedding",
                          cent_mod=3, tau=0.9).collect()
     assert [(r["vec_id"], r["n_dups"]) for r in out] == [(1, 1)]
+
+
+def test_rollup_cascade_equals_flat_daily(spark, sf_dir):
+    """Cascading daily-from-hourly rollup must exactly equal the flat
+    daily aggregation (decomposable aggregates + decimal partials)."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    cascade = {(r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+               for r in QUERIES["rollup_cascade_daily"](
+                   spark, sf_dir).collect()}
+    e = t(spark, sf_dir, "events")
+    flat = {(r["day"], r["event_type"]): (r["n"], r["s"])
+            for r in e.groupBy(
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(30,8)"))
+                 .cast("double").alias("s")).collect()}
+    assert cascade == flat
