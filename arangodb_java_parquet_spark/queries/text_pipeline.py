@@ -518,3 +518,45 @@ def dedup_simhash_hamming2(spark, sf_dir):
                         & (F.col("doc_id") < F.col("doc_b")))
             .select(F.col("doc_id").alias("doc_a"), "doc_b")
             .distinct())
+
+
+@query("dedup_fuzzy_levenshtein", _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       levenshtein(left(da.text, 80), left(db.text, 80)) AS edit_dist
+FROM cand
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+WHERE levenshtein(left(da.text, 80), left(db.text, 80)) <= 40
+""")
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance verify stage of the dedup funnel: LSH candidate pairs
+    (never all pairs — the quadratic stays bounded to band buckets) are
+    re-checked with exact Levenshtein over an 80-char prefix and kept
+    under a distance cap. Levenshtein is O(len^2) per pair — exactly the
+    kind of expensive verifier the LSH funnel exists to shield; prefixing
+    bounds the cost per pair. Both engines evaluate their native
+    levenshtein (identical unit-cost DP definition)."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    da = d.select(F.col("doc_id").alias("doc_a"),
+                  F.expr("left(text, 80)").alias("__ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"),
+                  F.expr("left(text, 80)").alias("__tb"))
+    return (pairs.join(da, "doc_a").join(db, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.levenshtein("__ta", "__tb").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 40)
+            .select("doc_a", "doc_b", "edit_dist"))

@@ -270,3 +270,30 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], *,
               else with_key.repartitionByRange("__zkey"))
     (ranged.sortWithinPartitions("__zkey").drop("__zkey")
      .write.mode(mode).parquet(path))
+
+
+def compact_files(spark: SparkSession, src: str, dst: str, *,
+                  target_records_per_file: int,
+                  sort_cols: list[str] | None = None) -> int:
+    """Small-files compaction — the lake-maintenance pass that undoes
+    streaming/append fragmentation: read the (many-file) parquet dataset
+    at ``src`` and rewrite it to ``dst`` as ceil(n / target) right-sized
+    files, optionally re-sorted so footer stats stay selective. Thousands
+    of KB-sized files turn a 100 TB scan into a listing+open storm; the
+    periodic compact is as much a part of the write path as the write.
+
+    Returns the number of output files requested. (Distinct dst: Spark
+    cannot overwrite a path it is reading; production would swap the
+    directory pointer atomically afterwards.)
+    """
+    df = spark.read.parquet(src)
+    n = df.count()
+    n_files = max(1, -(-n // target_records_per_file))
+    if sort_cols:
+        cols = [df[c] for c in sort_cols]
+        out = (df.repartitionByRange(n_files, *cols)
+               .sortWithinPartitions(*sort_cols))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

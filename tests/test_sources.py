@@ -284,3 +284,23 @@ def test_write_zordered_skips_on_both_dims(spark, sf_dir, tmp_path):
         touched = sum(1 for lo, hi in stats[col] if lo <= 0 <= hi)
         assert touched <= len(files) // 2, (col, stats[col])
     assert spark.read.parquet(out).count() == o.count()
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    import glob as globmod
+
+    from arangodb_java_parquet_spark.sources.readers import compact_files
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice")
+    frag = str(tmp_path / "fragmented")
+    o.repartition(64).write.parquet(frag)  # simulate append fragmentation
+    assert len(globmod.glob(f"{frag}/part-*.parquet")) == 64
+    dst = str(tmp_path / "compacted")
+    n_files = compact_files(spark, frag, dst,
+                            target_records_per_file=10000,
+                            sort_cols=["o_orderkey"])
+    got = globmod.glob(f"{dst}/part-*.parquet")
+    assert len(got) == n_files < 10
+    # content identical
+    assert (spark.read.parquet(dst).orderBy("o_orderkey").collect()
+            == o.orderBy("o_orderkey").collect())
