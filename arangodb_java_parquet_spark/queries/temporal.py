@@ -342,3 +342,50 @@ def join_skew_salted(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  dsum("l_extendedprice").alias("sum_price"),
                  F.countDistinct("p_brand").alias("n_brands")))
+
+
+_SESSION_NATIVE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("window_session_native", _SESSION_NATIVE_SQL)
+def window_session_native(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation (merging event-time
+    sessions with a 30-min inactivity gap inside the agg operator itself)
+    value-checked against the classic gaps-and-islands SQL — proving the
+    built-in operator computes exactly the lag+cumulative-flag
+    sessionization (session end = last event + gap, per Spark's
+    definition). One shuffle on the grouping key; this is the batch twin
+    of the streaming session window and the native counterpart of
+    operators/temporal.py:sessionize."""
+    e = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (e.groupBy(sw, "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("sum_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events", "sum_value"))
