@@ -309,3 +309,22 @@ def zorder_cluster_key(spark, sf_dir):
         (F.col("o_orderkey") % 1024).alias("dim_y"),
         zorder_key([F.col("o_custkey") % 1024,
                     F.col("o_orderkey") % 1024], 10).alias("zkey"))
+
+
+@query("agg_count_distinct_twolevel", """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_count_distinct_twolevel(spark, sf_dir):
+    """COUNT(DISTINCT) via explicit two-level aggregation: first collapse
+    to the distinct (group, value) pairs (map-side combinable — the big
+    win: duplicate values vanish before the shuffle), then count per
+    group. Equals the planner's expand-based distinct (the oracle) while
+    never holding a per-group hash set; the standard manual rewrite when
+    a single hot group's distinct set would blow an executor at scale."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority", "o_custkey").agg(F.lit(1))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
