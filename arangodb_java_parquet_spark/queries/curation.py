@@ -440,3 +440,61 @@ def pii_redaction(spark, sf_dir):
                     cols["n_emails"].alias("n_emails"),
                     cols["n_phones"].alias("n_phones"),
                     cols["redacted"].alias("redacted"))
+
+
+_NGRAM_COV = 20
+_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string(tk[i:i+{_NGRAM_COV - 1}], ' ')) AS gh
+  FROM (SELECT doc_id, tk,
+               UNNEST(range(1, greatest(len(tk)-{_NGRAM_COV - 1}, 1)+1)) AS i
+        FROM toks)
+),
+dup AS (
+  SELECT gh FROM (
+    SELECT gh, COUNT(*) AS nd
+    FROM (SELECT DISTINCT gh, doc_id FROM grams)
+    GROUP BY gh) WHERE nd >= 2
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(d.gh) AS n_dup_grams,
+       round(COUNT(d.gh)::DOUBLE / COUNT(*), 9) AS dup_coverage
+FROM grams g LEFT JOIN dup d ON g.gh = d.gh
+GROUP BY g.doc_id
+"""
+
+
+@query("dedup_ngram_coverage", _COVERAGE_SQL)
+def dedup_ngram_coverage(spark, sf_dir):
+    """Duplicate-text coverage per document (Lee et al. 2022,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better'): the fraction of a doc's word 20-grams that occur in at
+    least one OTHER document — the fixed-length-gram approximation of
+    exact substring dedup, used to decide trim-vs-drop. Scale shape: the
+    gram→doc pairs collapse via DISTINCT before the per-gram count (two-
+    level aggregation, map-side combinable; only md5 hashes shuffle,
+    never text), and the dup-gram set joins back hash-to-hash."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size("tk") - (_NGRAM_COV - 1),
+                                  F.lit(1))),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice("tk", i, _NGRAM_COV))))).alias("gh"))
+    dup = (grams.select("gh", "doc_id").distinct()
+           .groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+           .filter(F.col("nd") >= 2).select("gh"))
+    flagged = grams.join(dup.withColumn("__dup", F.lit(1)), "gh", "left")
+    return (flagged.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("__dup").alias("n_dup_grams"),
+                 F.round(F.count("__dup").cast("double")
+                         / F.count(F.lit(1)), 9).alias("dup_coverage")))

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "sim_pq_encode",
     "sim_topk_pq_adc",
+    "dedup_ngram_coverage",
 ]
 
 
