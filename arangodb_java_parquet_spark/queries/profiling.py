@@ -196,3 +196,74 @@ def rfm_segmentation(spark, sf_dir):
            .when(F.col("r_quartile") == 4, "at_risk")
            .otherwise("regular"))
     return scored.withColumn("segment", seg)
+
+
+@query("agg_hll_mergeable_sketches")
+def agg_hll_mergeable_sketches(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): per-day user sketches are built ONCE, then unioned into
+    per-event-type totals — the architecture that makes distinct counts
+    cheap at 100 TB: daily sketches are tiny, re-aggregations (weekly,
+    monthly, all-time, any type subset) union sketches instead of
+    re-scanning raw events. Estimates are sketch-seed-specific, so this
+    entry is rows-only; tests/test_curation.py bounds the estimate
+    against the exact distinct count (HLL lgK=12 keeps relative error
+    ~1.6%)."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                       "event_type")
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users"),
+                 F.count(F.lit(1)).alias("n_days")))
+
+
+@query("scalar_json_typed", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+            THEN 1 ELSE 0 END AS has_k
+FROM events
+""")
+def scalar_json_typed(spark, sf_dir):
+    """Schema-declared JSON parsing with from_json (vs the path-extract
+    variant in scalar_json_funcs): the JSON column is parsed ONCE into a
+    typed struct — at scale the single parse replaces N path extractions
+    and gives real types/nullability to Catalyst."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return e.select("event_id",
+                    parsed.getField("k").alias("k_typed"),
+                    F.when(parsed.getField("k").isNotNull(), 1)
+                    .otherwise(0).alias("has_k"))
+
+
+@query("emb_zscore_grouped_pandas")
+def emb_zscore_grouped_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas (the remaining pandas-API surface next to
+    the scalar UDF, grouped-agg UDAF and mapInPandas entries): per-label
+    z-scores of the first embedding coordinate, computed with an Arrow-
+    batched pandas function over each label group. Rows-only: numpy's
+    pairwise summation order differs from any SQL engine's, so values are
+    tolerance-tested against the JVM formulation in tests instead of
+    hash-matched. Rows are sorted by vec_id inside the group so the
+    python-side result is at least partitioning-independent."""
+    import pandas as pd
+
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label",
+                    F.col("embedding").getItem(0).cast("double")
+                    .alias("x"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mu = pdf["x"].mean()
+        sd = pdf["x"].std(ddof=0)
+        pdf["z"] = (pdf["x"] - mu) / (sd if sd > 0 else 1.0)
+        return pdf[["vec_id", "label", "z"]]
+
+    return base.groupBy("label").applyInPandas(
+        zscore, "vec_id long, label int, z double")

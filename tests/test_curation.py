@@ -186,3 +186,39 @@ def test_rollup_cascade_equals_flat_daily(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(30,8)"))
                  .cast("double").alias("s")).collect()}
     assert cascade == flat
+
+
+def test_hll_merged_estimate_near_exact(spark, sf_dir):
+    """Unioned daily HLL sketches must estimate per-type distinct users
+    within a few percent of the exact count."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    est = {r["event_type"]: r["approx_users"]
+           for r in QUERIES["agg_hll_mergeable_sketches"](
+               spark, sf_dir).collect()}
+    e = t(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+
+
+def test_grouped_pandas_zscore_matches_jvm(spark, sf_dir):
+    """applyInPandas z-scores agree with the JVM window formulation within
+    float tolerance on every row."""
+    from pyspark.sql import Window as W
+
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    got = {r["vec_id"]: r["z"]
+           for r in QUERIES["emb_zscore_grouped_pandas"](
+               spark, sf_dir).collect()}
+    e = t(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label")
+    x = F.col("embedding").getItem(0).cast("double")
+    jvm = {r["vec_id"]: r["z"] for r in
+           e.select("vec_id",
+                    ((x - F.mean(x).over(w)) / F.stddev_pop(x).over(w))
+                    .alias("z")).collect()}
+    assert set(got) == set(jvm)
+    assert all(abs(got[k] - jvm[k]) < 1e-9 for k in jvm)
