@@ -296,3 +296,46 @@ def stream_dedup_exact(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+_STREAM_ETL_SQL = """
+SELECT doc_id, lang, source,
+       n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS normalized
+FROM documents
+WHERE n_chars >= 100 AND lang = 'en'
+"""
+
+
+@query("stream_etl_clean", _STREAM_ETL_SQL)
+def stream_etl_clean(spark, sf_dir):
+    """Streaming ETL transform: readStream over the documents table ->
+    stateless filter + tokenize-count + number normalization -> memory
+    sink. Stateless streaming transforms are batch-equivalent under an
+    availableNow drive (one micro-batch, no state, no watermark), so this
+    entry carries a FULL value oracle — the streaming counterpart of the
+    batch clean-corpus pipeline, and the shape of a continuous ingest
+    scrubber (the filter and projection are pushed into the file-stream
+    source exactly as in batch)."""
+    import uuid as _uuid
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    out = (stream
+           .filter((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
+           .select("doc_id", "lang", "source", "n_chars",
+                   F.size(F.split("text", " ")).alias("n_tokens"),
+                   F.regexp_replace("text", "[0-9]+", "<NUM>")
+                   .alias("normalized")))
+    name = f"etl_out_{_uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
