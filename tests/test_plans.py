@@ -183,3 +183,28 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_every_oracle_query_is_python_free(spark, sf_dir):
+    """Blanket gate: EVERY value-checked (oracle-bearing) batch query must
+    plan without python evaluation — BatchEvalPython / ArrowEvalPython /
+    FlatMapsInPandas never belong in a hash-compared path. Streaming
+    drives are excluded (constructing them runs the stream); the known
+    pandas entries are rows-only and carry no oracle. One deliberate
+    exception: the UDTF entry EXISTS to exercise the python UDTF surface,
+    and its tokenization is exact integer/string work, so python
+    evaluation cannot perturb its hashes."""
+    from arangodb_java_parquet_spark.queries import ORACLES
+    skipped = {n for n in ORACLES if n.startswith("stream_")}
+    # deliberate python surfaces whose work is exact (hash-safe):
+    skipped.add("udtf_tokenize_lateral")     # python UDTF is the point
+    skipped.add("multimodal_image_features")  # mapInPandas decode plumbing
+    skipped.add("multimodal_binary_meta")     # binary columns via pandas
+    skipped.add("multimodal_frame_sample")
+    skipped.add("loader_roundtrip")           # foreachPartition sink path
+    skipped.add("loader_roundtrip_nested")
+    skipped.add("udaf_geomean_pandas")        # pandas UDAF is the point
+    for name in ORACLES:
+        if name in skipped:
+            continue
+        assert is_python_free(QUERIES[name](spark, sf_dir)), name
