@@ -498,3 +498,81 @@ def dedup_ngram_coverage(spark, sf_dir):
                  F.count("__dup").alias("n_dup_grams"),
                  F.round(F.count("__dup").cast("double")
                          / F.count(F.lit(1)), 9).alias("dup_coverage")))
+
+
+# ---------------------------------------------------------------------------
+# chunking + mixture weighting
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+       s AS start_tok,
+       len(tk[s : s + {_CHUNK - 1}]) AS n_tokens,
+       md5(array_to_string(tk[s : s + {_CHUNK - 1}], ' ')) AS chunk_hash
+FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk) + 1, {_STRIDE})) AS s
+      FROM toks)
+"""
+
+
+@query("text_chunk_windows", _CHUNK_SQL)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking — the document splitter every
+    RAG / embedding / long-context training pipeline runs (64-token
+    windows, 48-token stride => 16-token overlap; trailing partial
+    windows kept). One generator expression per doc (sequence + slice),
+    no shuffle at all; the chunk hash stands in for chunk text in the
+    checked output so only fixed-width values cross the wire."""
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.size(F.col("tk")), F.lit(_STRIDE))
+    chunk = F.slice(F.col("tk"), F.col("s"), _CHUNK)
+    return (d.select("doc_id", F.split("text", " ").alias("tk"))
+            .select("doc_id", "tk", F.explode(starts).alias("s"))
+            .select("doc_id",
+                    ((F.col("s") - 1) / _STRIDE).cast("bigint")
+                    .alias("chunk_idx"),
+                    F.col("s").alias("start_tok"),
+                    F.size(chunk).alias("n_tokens"),
+                    F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash")))
+
+
+_MIX_SQL = """
+WITH per_src AS (
+  SELECT source, SUM(len(string_split(text, ' '))) AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS n_sources FROM per_src)
+SELECT source, src_tokens,
+       round(src_tokens::DOUBLE / total::DOUBLE, 9) AS actual_share,
+       round((total::DOUBLE / n_sources::DOUBLE) / src_tokens::DOUBLE, 9)
+         AS uniform_weight
+FROM per_src CROSS JOIN tot
+"""
+
+
+@query("mixture_source_weights", _MIX_SQL)
+def mixture_source_weights(spark, sf_dir):
+    """Domain-mixture weighting (Pile/Dolma-style): per-source token
+    counts, actual corpus share, and the resampling weight that would
+    equalize sources (weight = target_share / actual_share with a uniform
+    target). Downstream, hash_sample applies the per-source rates. One
+    map-side-combinable aggregation; the scalar totals broadcast."""
+    d = t(spark, sf_dir, "documents")
+    per_src = (d.groupBy("source")
+               .agg(F.sum(F.size(F.split("text", " ")))
+                    .alias("src_tokens")))
+    tot = per_src.agg(F.sum("src_tokens").alias("total"),
+                      F.count(F.lit(1)).alias("n_sources"))
+    return (per_src.crossJoin(F.broadcast(tot))
+            .select("source", "src_tokens",
+                    F.round(F.col("src_tokens").cast("double")
+                            / F.col("total").cast("double"), 9)
+                    .alias("actual_share"),
+                    F.round((F.col("total").cast("double")
+                             / F.col("n_sources").cast("double"))
+                            / F.col("src_tokens").cast("double"), 9)
+                    .alias("uniform_weight")))
