@@ -69,4 +69,9 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
     s = (small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0).cast("long"),
                                        F.lit(n_salts - 1).cast("long")))))
-    return b.join(s, [key, "__salt"]).drop("__salt")
+    # plan-local shuffle_hash hint: salting only makes sense on the
+    # SHUFFLE join path (a broadcast join has no reducer skew to spread,
+    # and at demo scale Catalyst would happily broadcast the build side,
+    # silently exercising nothing). A hint scopes to this join only — no
+    # session-config leak into other queries.
+    return b.join(s.hint("shuffle_hash"), [key, "__salt"]).drop("__salt")

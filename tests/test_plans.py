@@ -208,3 +208,11 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
         if name in skipped:
             continue
         assert is_python_free(QUERIES[name](spark, sf_dir)), name
+
+
+def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
+    """salted_join must plan a shuffled join on (key, salt) — if the build
+    side were broadcast the salt would spread nothing."""
+    p = plan(spark, sf_dir, "join_skew_salted")
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p.split("HashAggregate")[0]
