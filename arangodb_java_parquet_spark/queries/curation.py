@@ -15,11 +15,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.curation import (
-    PII_EMAIL, PII_PHONE, cap_per_group, connected_components_bipartite,
-    decontaminate, hash_sample, pack_sequences, redact_pii,
-    unigram_logprob)
+    PII_EMAIL, PII_PHONE, cap_per_group, connected_components,
+    connected_components_bipartite, decontaminate, hash_sample,
+    pack_sequences, redact_pii, unigram_logprob)
 from arangodb_java_parquet_spark.operators.dedup import (
-    char_shingles, lsh_bands, minhash_signatures)
+    char_shingles, lsh_bands, lsh_candidate_pairs,
+    minhash_signatures, word_ngrams)
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
@@ -576,3 +577,97 @@ def mixture_source_weights(spark, sf_dir):
                              / F.col("n_sources").cast("double"))
                             / F.col("src_tokens").cast("double"), 9)
                     .alias("uniform_weight")))
+
+
+# ---------------------------------------------------------------------------
+# the full dedup funnel, end to end
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = _MINHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string((string_split(text, ' '))[i : i + 2], ' '))
+           AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, greatest(len(string_split(text, ' ')) - 2,
+                                        1) + 1)) AS i
+        FROM documents)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS nc
+        FROM cand
+        JOIN grams ga ON ga.doc_id = cand.doc_a
+        JOIN grams gb ON gb.doc_id = cand.doc_b
+                     AND gb.gh = ga.gh
+        GROUP BY cand.doc_a, cand.doc_b) c
+  JOIN counts ca ON ca.doc_id = c.doc_a
+  JOIN counts cb ON cb.doc_id = c.doc_b
+  WHERE c.nc / (ca.n + cb.n - c.nc) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+dropped AS (
+  SELECT src AS doc_id FROM reach
+  GROUP BY src HAVING src != MIN(dst)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@query("dedup_funnel_survivors", _FUNNEL_SQL)
+def dedup_funnel_survivors(spark, sf_dir):
+    """The COMPLETE production dedup funnel in one composed plan:
+    MinHash/LSH candidate discovery (bounded, no all-pairs) -> exact
+    word-3-gram Jaccard verification ONLY on candidates (tau=0.5;
+    measured corpus is cleanly bimodal: true dups >= 0.93, band-collision
+    noise <= 0.3) -> connected components over VERIFIED pairs -> keep the
+    min-id representative per cluster. Output: the surviving corpus.
+    Each stage is also an individually-checked inventory entry; this
+    entry proves the composition. Every shuffle in the funnel moves
+    (md5, id) pairs only."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    grams = (word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
+             .select("doc_id", F.md5("shingle").alias("gh")).distinct())
+    counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gh")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gh")
+    inter = (cand.join(ga, "doc_a").join(gb, ["doc_b", "gh"])
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("nc")))
+    verified = (inter
+                .join(F.broadcast(counts.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n").alias("na"))), "doc_a")
+                .join(F.broadcast(counts.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n").alias("nb"))), "doc_b")
+                .filter(F.col("nc")
+                        / (F.col("na") + F.col("nb") - F.col("nc")) >= 0.5)
+                .select("doc_a", "doc_b"))
+    comp = connected_components(verified)
+    dropped = (comp.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("doc_id")))
+    return d.join(dropped, "doc_id", "left_anti").select("doc_id")

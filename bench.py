@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "sim_pq_encode",
     "sim_topk_pq_adc",
     "dedup_ngram_coverage",
+    "dedup_funnel_survivors",
 ]
 
 
