@@ -281,3 +281,48 @@ def redact_pii(col) -> dict[str, "F.Column"]:
                                            F.lit(0)))
     red = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
     return {"redacted": red, "n_emails": n_emails, "n_phones": n_phones}
+
+
+def pagerank_fixed(edges: DataFrame, src: str, dst: str, *,
+                   iterations: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank, engine-portably deterministic: per-edge
+    contributions are rounded to 7 digits and summed as EXACT decimals
+    (unordered SUM cannot drift), and each new rank is re-rounded — so a
+    SQL oracle unrolling the same ``iterations`` steps matches
+    bit-for-bit. Fixed iteration count (not convergence-tested) keeps the
+    whole computation a single declarative plan per step; each step is
+    one join + one map-side-combinable aggregation on the dst key, the
+    textbook distributed PageRank shape.
+
+    ``edges`` should include both directions for an undirected graph.
+    Output: (node, rank) for every node with at least one outgoing edge.
+    """
+    # materialize the graph ONCE (lazy checkpoint): edges/nodes/outdeg are
+    # referenced every iteration, and without the lineage cut each of the
+    # ~3 x iterations references would re-derive the (possibly expensive)
+    # upstream edge pipeline; the per-iteration checkpoint keeps the plan
+    # depth constant instead of growing with the iteration count
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (edges.select(F.col(src).alias("node")).distinct()
+             .localCheckpoint(eager=False))
+    outdeg = (edges.groupBy(F.col(src).alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg"))
+              .localCheckpoint(eager=False))
+    pr = nodes.withColumn("rank", F.lit(1.0))
+    base = F.lit(1.0 - damping)
+    for _ in range(iterations):
+        contrib = (edges
+                   .join(pr.withColumnRenamed("node", src), src)
+                   .join(outdeg.withColumnRenamed("node", src), src)
+                   .select(F.col(dst).alias("node"),
+                           F.round(F.col("rank") / F.col("outdeg"), 7)
+                           .cast("decimal(20,7)").alias("c")))
+        summed = contrib.groupBy("node").agg(
+            F.sum("c").cast("double").alias("s"))
+        pr = (nodes.join(summed, "node", "left")
+              .select("node",
+                      F.round(base + damping
+                              * F.coalesce(F.col("s"), F.lit(0.0)), 7)
+                      .alias("rank"))
+              .localCheckpoint(eager=False))
+    return pr

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.operators.curation import (
     PII_EMAIL, PII_PHONE, cap_per_group, connected_components,
     connected_components_bipartite, decontaminate, hash_sample,
-    pack_sequences, redact_pii, unigram_logprob)
+    pack_sequences, pagerank_fixed, redact_pii, unigram_logprob)
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_bands, lsh_candidate_pairs,
     minhash_signatures, word_ngrams)
@@ -671,3 +671,33 @@ def dedup_funnel_survivors(spark, sf_dir):
     dropped = (comp.filter(F.col("node") != F.col("component"))
                .select(F.col("node").alias("doc_id")))
     return d.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+_PAGERANK_TAIL = ', cand AS (\n  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n  FROM bands a JOIN bands b\n    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash\n   AND a.doc_id < b.doc_id\n),\nedges AS (\n  SELECT doc_a AS src, doc_b AS dst FROM cand\n  UNION ALL SELECT doc_b, doc_a FROM cand\n),\nnodes AS (SELECT DISTINCT src AS node FROM edges),\noutdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),\npr0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),\npr1 AS (\n  SELECT n.node,\n         round(0.15 + 0.85 * COALESCE(s.s, 0.0), 7) AS rank\n  FROM nodes n LEFT JOIN (\n    SELECT e.dst AS node,\n           CAST(SUM(CAST(round(p.rank / o.outdeg, 7) AS DECIMAL(20,7)))\n                AS DOUBLE) AS s\n    FROM edges e\n    JOIN pr0 p ON p.node = e.src\n    JOIN outdeg o ON o.node = e.src\n    GROUP BY e.dst) s ON s.node = n.node\n),\npr2 AS (\n  SELECT n.node,\n         round(0.15 + 0.85 * COALESCE(s.s, 0.0), 7) AS rank\n  FROM nodes n LEFT JOIN (\n    SELECT e.dst AS node,\n           CAST(SUM(CAST(round(p.rank / o.outdeg, 7) AS DECIMAL(20,7)))\n                AS DOUBLE) AS s\n    FROM edges e\n    JOIN pr1 p ON p.node = e.src\n    JOIN outdeg o ON o.node = e.src\n    GROUP BY e.dst) s ON s.node = n.node\n),\npr3 AS (\n  SELECT n.node,\n         round(0.15 + 0.85 * COALESCE(s.s, 0.0), 7) AS rank\n  FROM nodes n LEFT JOIN (\n    SELECT e.dst AS node,\n           CAST(SUM(CAST(round(p.rank / o.outdeg, 7) AS DECIMAL(20,7)))\n                AS DOUBLE) AS s\n    FROM edges e\n    JOIN pr2 p ON p.node = e.src\n    JOIN outdeg o ON o.node = e.src\n    GROUP BY e.dst) s ON s.node = n.node\n),\npr4 AS (\n  SELECT n.node,\n         round(0.15 + 0.85 * COALESCE(s.s, 0.0), 7) AS rank\n  FROM nodes n LEFT JOIN (\n    SELECT e.dst AS node,\n           CAST(SUM(CAST(round(p.rank / o.outdeg, 7) AS DECIMAL(20,7)))\n                AS DOUBLE) AS s\n    FROM edges e\n    JOIN pr3 p ON p.node = e.src\n    JOIN outdeg o ON o.node = e.src\n    GROUP BY e.dst) s ON s.node = n.node\n),\npr5 AS (\n  SELECT n.node,\n         round(0.15 + 0.85 * COALESCE(s.s, 0.0), 7) AS rank\n  FROM nodes n LEFT JOIN (\n    SELECT e.dst AS node,\n           CAST(SUM(CAST(round(p.rank / o.outdeg, 7) AS DECIMAL(20,7)))\n                AS DOUBLE) AS s\n    FROM edges e\n    JOIN pr4 p ON p.node = e.src\n    JOIN outdeg o ON o.node = e.src\n    GROUP BY e.dst) s ON s.node = n.node\n)\nSELECT node AS doc_id, rank FROM pr5\n'
+_PAGERANK_SQL = (_MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+)""" + _PAGERANK_TAIL)
+
+
+@query("graph_pagerank_simdocs", _PAGERANK_SQL)
+def graph_pagerank_simdocs(spark, sf_dir):
+    """PageRank (5 fixed iterations, d=0.85) over the document-similarity
+    graph (symmetric LSH candidate pairs) — graph analytics beyond
+    connected components, fully value-checked: per-edge contributions
+    round-7 then EXACT-decimal summed, so the unrolled-CTE oracle matches
+    bit-for-bit (operators/curation.py:pagerank_fixed). Per iteration:
+    one join + one combinable aggregation on the dst key — the textbook
+    distributed PageRank step, O(edges) per round at any scale."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    pr = pagerank_fixed(edges, "src", "dst", iterations=5, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"), "rank")

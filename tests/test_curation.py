@@ -222,3 +222,26 @@ def test_grouped_pandas_zscore_matches_jvm(spark, sf_dir):
                     .alias("z")).collect()}
     assert set(got) == set(jvm)
     assert all(abs(got[k] - jvm[k]) < 1e-9 for k in jvm)
+
+
+def test_pagerank_fixed_star_graph_exact(spark):
+    """Hand-computed 2-iteration PageRank on a symmetric star graph (hub
+    + 3 leaves) — checks the exact rounding/decimal-sum semantics the
+    oracle relies on, plus layout independence."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        pagerank_fixed)
+    pairs = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed(edges, "src", "dst",
+                                   iterations=2).collect()}
+    # iter1: leaf = .15+.85*round(1/3,7) = .4333333; hub = .15+.85*3 = 2.7
+    # iter2: leaf = .15+.85*round(2.7/3,7) = .915
+    #        hub  = .15+.85*(3*.4333333) = .15+.85*1.2999999 = 1.2549999
+    assert got[0] == 1.2549999
+    assert all(got[i] == 0.915 for i in (1, 2, 3))
+    again = {r["node"]: r["rank"]
+             for r in pagerank_fixed(edges.repartition(5), "src", "dst",
+                                     iterations=2).collect()}
+    assert again == got
