@@ -339,3 +339,34 @@ def stream_etl_clean(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+_B3 = _BYTE.format(p1=7, p2=8)
+_B4 = _BYTE.format(p1=9, p2=10)
+_B5 = _BYTE.format(p1=11, p2=12)
+
+_MM_AUDIO_ORACLE = f"""
+WITH hashed AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE ({_B3}) % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
+            ELSE 'mp3' END AS codec,
+       CAST(CASE ({_B4}) % 3 WHEN 0 THEN 16000 WHEN 1 THEN 24000
+            ELSE 44100 END AS INT) AS sample_rate,
+       octet_length(encode(text)) AS duration_ms,
+       CAST(({_B5}) % 128 AS INT) AS loudness
+FROM hashed
+"""
+
+
+@query("multimodal_audio_features", _MM_AUDIO_ORACLE)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio leg of the multimodal pipeline (image and frame-sample legs
+    are separate entries): binary payload -> decode(stub) -> typed audio
+    metadata via Arrow-batched mapInPandas. The md5-derived stub keeps
+    the python operator fully value-checked; the real contract under test
+    is the binary transfer, batch shape and schema."""
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        extract_audio_features)
+    d = t(spark, sf_dir, "documents")
+    return extract_audio_features(attach_binary_payload(d))
