@@ -191,3 +191,42 @@ def rollup_cascade_daily(spark, sf_dir):
                            "event_type")
             .agg(F.sum("n_events").alias("n_events"),
                  F.sum("sum_dec").cast("double").alias("sum_value")))
+
+
+_WAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+contrib AS (
+  SELECT UNNEST(range(day, day + INTERVAL 7 DAY, INTERVAL 1 DAY))::DATE
+           AS target_day,
+         user_id
+  FROM daily
+)
+SELECT target_day, COUNT(DISTINCT user_id) AS wau
+FROM contrib
+GROUP BY target_day
+"""
+
+
+@query("rolling_wau_distinct", _WAU_SQL)
+def rolling_wau_distinct(spark, sf_dir):
+    """Rolling 7-day distinct active users (WAU) — the rolling-DISTINCT
+    aggregate SQL window frames cannot express (COUNT(DISTINCT) OVER a
+    moving frame is unsupported everywhere): each active (user, day) pair
+    is EXPLODED onto the 7 window end-days it contributes to, then a
+    plain distinct count per target day finishes it. The explode fans out
+    only the deduplicated (user, day) pairs — 7x a small set, not 7x the
+    raw events — and both stages are shuffle-combinable; this is the
+    pattern that scales to billions of events where a naive per-day
+    re-scan of a week of raw data would not."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                      "user_id").distinct())
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        .alias("target_day"),
+        "user_id")
+    return (contrib.groupBy("target_day")
+            .agg(F.countDistinct("user_id").alias("wau")))
