@@ -267,3 +267,78 @@ def emb_zscore_grouped_pandas(spark, sf_dir):
 
     return base.groupBy("label").applyInPandas(
         zscore, "vec_id long, label int, z double")
+
+
+_DQ_SQL = """
+SELECT 'orders_pk_duplicates' AS check_name,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orphans',
+       COUNT(*) FROM lineitem
+       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'customer_key_nulls',
+       COUNT(*) FROM customer WHERE c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       COUNT(*) FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_negative_price',
+       COUNT(*) FROM lineitem WHERE l_extendedprice < 0
+UNION ALL
+SELECT 'orders_date_out_of_range',
+       COUNT(*) FROM orders
+       WHERE o_orderdate <  DATE '1992-01-01'
+          OR o_orderdate >= DATE '1999-01-01'
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+"""
+
+
+@query("dq_constraint_report", _DQ_SQL)
+def dq_constraint_report(spark, sf_dir):
+    """Deequ-style declarative data-quality report: primary-key
+    uniqueness, foreign-key orphans (anti-join — never a NOT IN shuffle
+    of the big side), null checks, domain/range rules — one row per
+    constraint with its violation count. Each check is an independent
+    aggregate, so Spark runs them as parallel jobs over shared scans; at
+    100 TB this is the nightly gate that catches a bad upstream delivery
+    before it poisons downstream aggregates."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+
+    def one(name, df_agg):
+        return df_agg.select(F.lit(name).alias("check_name"),
+                             F.col("n").cast("long").alias("n_violations"))
+
+    checks = [
+        one("orders_pk_duplicates",
+            o.agg((F.count(F.lit(1))
+                   - F.countDistinct("o_orderkey")).alias("n"))),
+        one("lineitem_fk_orphans",
+            li.join(o.select("o_orderkey"),
+                    li["l_orderkey"] == o["o_orderkey"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("customer_key_nulls",
+            c.filter(F.col("c_custkey").isNull())
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_nonpositive_qty",
+            li.filter(F.col("l_quantity") <= 0)
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_negative_price",
+            li.filter(F.col("l_extendedprice") < 0)
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("orders_date_out_of_range",
+            o.filter((F.col("o_orderdate") < "1992-01-01")
+                     | (F.col("o_orderdate") >= "1999-01-01"))
+            .agg(F.count(F.lit(1)).alias("n"))),
+        one("lineitem_discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+            .agg(F.count(F.lit(1)).alias("n"))),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out
