@@ -391,3 +391,40 @@ def sim_topk_pq_adc(spark, sf_dir):
     cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
     return pq_adc_topk(e.filter(F.col("vec_id") < 5), enc, cb,
                        id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query("sim_pq_encode_arrow")
+def sim_pq_encode_arrow(spark, sf_dir):
+    """Production PQ encode path: the identical per-subspace argmin as
+    sim_pq_encode, vectorized in numpy over Arrow batches (mapInPandas)
+    instead of interpreted Catalyst HOFs — ~10x faster, same codes
+    (equality pinned by tests/test_similarity.py::
+    test_pq_encode_arrow_matches_jvm). Rows-only by design: the plan
+    contains python by construction, so it carries no hash oracle — the
+    JVM twin is the hash-checked entry.
+    operators/similarity.py:_pq_encode_arrow."""
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding", impl="arrow")
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"))
+
+
+@query("sim_topk_pq_adc_arrow")
+def sim_topk_pq_adc_arrow(spark, sf_dir):
+    """Production ADC top-5: corpus encoded via the Arrow PQ path, probe
+    unchanged (the JVM LUT+element_at probe is already the right shape at
+    scale — per-query LUTs broadcast, corpus carries only (id, code)).
+    Rows-only by design (python encode stage); result equality with the
+    oracle-checked sim_topk_pq_adc is pinned by tests/test_similarity.py::
+    test_pq_adc_arrow_matches_jvm."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode)
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
+                    emit="pos", impl="arrow").select("vec_id", "pq_pos")
+    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    return pq_adc_topk(e.filter(F.col("vec_id") < 5), enc, cb,
+                       id_col="vec_id", vec_col="embedding", k=5)

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "pii_redaction",
     "sim_pq_encode",
     "sim_topk_pq_adc",
+    "sim_pq_encode_arrow",
+    "sim_topk_pq_adc_arrow",
     "dedup_ngram_coverage",
     "dedup_funnel_survivors",
 ]

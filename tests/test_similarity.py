@@ -144,3 +144,40 @@ def test_pq_adc_approximates_exact_l2_ranking(spark, sf_dir):
     # scrambles — the meaningful bar is "way above chance" (chance =
     # k/corpus ~= 0.01 here), not the 0.5+ PQ reaches on clustered data
     assert recall >= 0.05, f"PQ-ADC recall at chance level: {recall:.2f}"
+
+
+def test_pq_encode_arrow_matches_jvm(spark, sf_dir):
+    """The vectorized (mapInPandas + numpy) PQ encode path must emit
+    code-for-code identical output to the JVM Catalyst-expression oracle
+    path, for BOTH emit forms — this pin is what lets the fast path serve
+    production while the JVM twin carries the hash oracle."""
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    for emit, col in (("cid", "pq_code"), ("pos", "pq_pos")):
+        jvm = {r.vec_id: list(r[col]) for r in
+               pq_encode(e, id_col="vec_id", vec_col="embedding",
+                         emit=emit).collect()}
+        arrow = {r.vec_id: list(r[col]) for r in
+                 pq_encode(e, id_col="vec_id", vec_col="embedding",
+                           emit=emit, impl="arrow").collect()}
+        assert jvm == arrow, f"emit={emit}: arrow/JVM code mismatch"
+
+
+def test_pq_adc_arrow_matches_jvm(spark, sf_dir):
+    """ADC top-k over Arrow-encoded codes equals ADC over JVM-encoded
+    codes row-for-row (identical codes -> identical decimal LUT sums ->
+    identical deterministic ranking)."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode)
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    out = []
+    for impl in ("jvm", "arrow"):
+        enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
+                        emit="pos", impl=impl).select("vec_id", "pq_pos")
+        rows = pq_adc_topk(q, enc, cb, id_col="vec_id",
+                           vec_col="embedding", k=5).collect()
+        out.append(sorted((r.qid, r.vid, r.rn, float(r.adc_dist))
+                          for r in rows))
+    assert out[0] == out[1]
