@@ -212,19 +212,32 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
             .withColumn("offset_in_seq", F.col("start_offset") % budget))
 
 
-def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                    min_count: int = 2) -> DataFrame:
     """Corpus-LM quality score (CCNet-style): fit a unigram language model
     on the corpus itself (token -> count / total), then score every
     document by the mean log-probability of its tokens. Low scores flag
     gibberish / boilerplate; training pipelines threshold or bucket on it.
 
-    Scale: the vocabulary aggregation is map-side combinable and its result
-    is tiny relative to the corpus (Heaps' law), so the score join
-    broadcasts the vocab — the corpus tokens are scanned twice but never
-    shuffled by token. Determinism: ln() output is rounded to 9 digits
-    per token type, then summed exactly in decimal (the engines' libm may
-    differ in the last ulp; per-value rounding confines that to a
-    vanishing boundary set, and the decimal sum removes order sensitivity).
+    Scale: the broadcast side is the FLOORED vocab — only tokens with
+    count >= ``min_count`` carry a fitted log-prob; everything rarer
+    (URLs, typos, code identifiers — the long tail that at 100 TB makes
+    the raw distinct-token vocab billions of entries) falls through a
+    LEFT join to a single floor constant ln(1/total), which is what CCNet
+    effectively does for OOV. The floored vocab has <= total/min_count
+    entries by pigeonhole and in practice (Zipf) orders of magnitude
+    fewer — at corpus scale set min_count so the head fits the broadcast
+    threshold (e.g. min_count=100 at 1e13 tokens); scores of kept tokens
+    are unchanged by the floor. At the default min_count=2 the floor is
+    VALUE-NEUTRAL (a singleton's fitted logp is exactly ln(1/total)), so
+    the bounded-broadcast plan produces bit-identical scores to the exact
+    model. The vocabulary aggregation itself is map-side combinable;
+    corpus tokens are scanned twice but never shuffled by token.
+
+    Determinism: ln() output is rounded to 9 digits per token type, then
+    summed exactly in decimal (the engines' libm may differ in the last
+    ulp; per-value rounding confines that to a vanishing boundary set,
+    and the decimal sum removes order sensitivity).
 
     Output: (id, n_tokens, avg_logprob).
     """
@@ -232,13 +245,21 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = (vocab.crossJoin(F.broadcast(total))
+    lp = (vocab.filter(F.col("cnt") >= min_count)
+          .crossJoin(F.broadcast(total))
           .select("tok",
                   F.round(F.log(F.col("cnt").cast("double")
                                 / F.col("total").cast("double")), 9)
                   .alias("logp")))
-    return (toks.join(F.broadcast(lp), "tok")
-            .groupBy(id_col)
+    floor = total.select(
+        F.round(F.log(F.lit(1.0) / F.col("total").cast("double")), 9)
+        .alias("floor_logp"))
+    scored = (toks.join(F.broadcast(lp), "tok", "left")
+              .crossJoin(F.broadcast(floor))
+              .select(F.col(id_col),
+                      F.coalesce(F.col("logp"), F.col("floor_logp"))
+                      .alias("logp")))
+    return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.sum(F.col("logp").cast("decimal(20,9)"))
                          .cast("double") / F.count(F.lit(1)), 9)
@@ -246,18 +267,41 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def cap_per_group(df: DataFrame, id_col: str, group_col: str,
-                  n: int) -> DataFrame:
+                  n: int, n_salts: int = 32) -> DataFrame:
     """Per-domain/source document cap (RefinedWeb-style): keep at most
     ``n`` documents per group, chosen by a deterministic md5 hash order so
     the kept subset is engine- and layout-independent (a plain LIMIT or
-    ``sample`` would not be). One window shuffle on the group key; AQE
-    skew-split handles a pathological mega-domain.
+    ``sample`` would not be).
+
+    Two-phase for skew safety: a single ``row_number() OVER (PARTITION BY
+    group)`` puts an entire mega-group (one web host = tens of millions of
+    docs at 100 TB) on ONE task — window exchanges get no AQE skew
+    splitting, so that task straggles or OOMs. Phase 1 pre-caps per
+    (group, salt) — the salt is the first 8 hex digits of the SAME md5
+    order key, so a mega-group spreads over ``n_salts`` tasks and each
+    keeps its local top-``n``. Phase 2 runs the exact window over the
+    survivors, now bounded at ``n_salts * n`` rows per group. The result
+    is IDENTICAL to the single-phase form: every row in a group's true
+    top-``n`` ranks <= n inside its salt bucket too, so phase 1 can never
+    drop it. Cost: same full-data shuffle as before (keyed by
+    (group, salt) instead of group) plus a second shuffle of <=
+    n_salts*n rows per group.
     """
     order_key = F.md5(F.concat(F.lit("cap:"),
                                F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(order_key, F.col(id_col))
-    return (df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n))
+    okc = F.col("__cap_ok")
+    salt = F.pmod(F.conv(F.substring(okc, 1, 8), 16, 10).cast("long"),
+                  F.lit(n_salts))
+    pre_w = Window.partitionBy(group_col, "__cap_salt").orderBy(
+        okc, F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(okc, F.col(id_col))
+    return (df.withColumn("__cap_ok", order_key)
+            .withColumn("__cap_salt", salt)
+            .withColumn("__cap_prern", F.row_number().over(pre_w))
+            .filter(F.col("__cap_prern") <= n)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("__cap_ok", "__cap_salt", "__cap_prern"))
 
 
 # PII patterns kept RE2-compatible (no backrefs/lookaround) so the same

@@ -352,12 +352,14 @@ vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
 tot AS (SELECT SUM(cnt) AS total FROM vocab),
 lp AS (
   SELECT tok, round(ln(cnt::DOUBLE / total::DOUBLE), 9) AS logp
-  FROM vocab CROSS JOIN tot
-)
+  FROM vocab CROSS JOIN tot WHERE cnt >= 2
+),
+fl AS (SELECT round(ln(1.0 / total::DOUBLE), 9) AS floor_logp FROM tot)
 SELECT doc_id, COUNT(*) AS n_tokens,
-       round(CAST(SUM(CAST(logp AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 9)
+       round(CAST(SUM(CAST(COALESCE(logp, floor_logp) AS DECIMAL(20,9)))
+                  AS DOUBLE) / COUNT(*), 9)
          AS avg_logprob
-FROM toks JOIN lp USING (tok)
+FROM toks LEFT JOIN lp USING (tok) CROSS JOIN fl
 GROUP BY doc_id
 """
 
@@ -365,9 +367,11 @@ GROUP BY doc_id
 @query("quality_unigram_logprob", _LOGPROB_SQL)
 def quality_unigram_logprob(spark, sf_dir):
     """CCNet-style LM quality score: fit a unigram model on the corpus
-    (token -> count/total), score each doc by mean token log-prob. The
-    vocab is tiny (Heaps' law) and broadcast; corpus tokens never shuffle
-    by token. See operators/curation.py:unigram_logprob for determinism
+    (token -> count/total), score each doc by mean token log-prob.
+    Singleton tokens (cnt < 2) fall through to a floor ln(1/total), so
+    the broadcast side is the bounded head vocab, never the raw
+    distinct-token tail; corpus tokens never shuffle by token. See
+    operators/curation.py:unigram_logprob for the bound and determinism
     notes (per-value round-9 then exact decimal sum)."""
     return unigram_logprob(t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -391,8 +395,8 @@ SELECT doc_id, source, rn FROM ranked WHERE rn <= 40
 def per_source_cap(spark, sf_dir):
     """RefinedWeb-style per-domain cap: keep at most 40 docs per source,
     picked by deterministic md5 order (layout-independent, unlike LIMIT or
-    sample). One window shuffle on the group key; AQE skew-split covers a
-    mega-domain. See operators/curation.py:cap_per_group."""
+    sample). Two-phase salted window so a mega-domain never lands on a
+    single task. See operators/curation.py:cap_per_group."""
     d = t(spark, sf_dir, "documents")
     return cap_per_group(d, "doc_id", "source", 40) \
         .select("doc_id", "source", "rn")

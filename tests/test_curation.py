@@ -115,7 +115,9 @@ def test_unigram_logprob_small_corpus(spark):
     import math
     # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, total=5
     df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["id", "txt"])
-    got = {r["id"]: r for r in unigram_logprob(df, "txt", "id").collect()}
+    # min_count=1: exact unigram model, no flooring
+    got = {r["id"]: r for r in
+           unigram_logprob(df, "txt", "id", min_count=1).collect()}
     lp = {t: round(math.log(c / 5), 9) for t, c in
           {"a": 2, "b": 2, "c": 1}.items()}
     assert got[1]["n_tokens"] == 3
@@ -123,6 +125,18 @@ def test_unigram_logprob_small_corpus(spark):
         round((2 * lp["a"] + lp["b"]) / 3, 9), abs=1e-9)
     assert got[2]["avg_logprob"] == pytest.approx(
         round((lp["b"] + lp["c"]) / 2, 9), abs=1e-9)
+    # default min_count=2 is VALUE-NEUTRAL: a singleton's fitted logp is
+    # exactly the floor ln(1/total), so scores match the exact model while
+    # the broadcast vocab drops the long tail
+    floored = {r["id"]: r["avg_logprob"] for r in
+               unigram_logprob(df, "txt", "id").collect()}
+    assert floored == {i: got[i]["avg_logprob"] for i in (1, 2)}
+    # min_count=3 actually floors the cnt=2 head tokens too
+    fl = round(math.log(1 / 5), 9)
+    hard = {r["id"]: r["avg_logprob"] for r in
+            unigram_logprob(df, "txt", "id", min_count=3).collect()}
+    assert hard[1] == pytest.approx(fl, abs=1e-9)
+    assert hard[2] == pytest.approx(fl, abs=1e-9)
 
 
 def test_cap_per_group_deterministic_and_bounded(spark):
@@ -138,6 +152,29 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     b = sorted(r["id"] for r in
                cap_per_group(df.repartition(13), "id", "grp", 5).collect())
     assert a == b
+
+
+def test_cap_per_group_mega_group_is_salted(spark):
+    """One pathological mega-group must NOT be sorted by a single window
+    task: the pre-cap window partitions by (group, salt) — visible in the
+    plan as a windowspecdefinition over both columns — and the exact
+    window only ever sees <= n_salts * n survivors per group. Result must
+    equal the unsalted (n_salts=1) formulation exactly."""
+    from arangodb_java_parquet_spark.operators.curation import cap_per_group
+    rows = [(i, "mega" if i < 5000 else "tail%d" % (i % 7))
+            for i in range(5500)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = cap_per_group(df, "id", "grp", 5, n_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__cap_salt" in plan  # pre-cap window keyed by (group, salt)
+    got = sorted(r["id"] for r in out.collect())
+    ref = sorted(r["id"] for r in
+                 cap_per_group(df, "id", "grp", 5, n_salts=1).collect())
+    assert got == ref
+    assert len(got) == 5 + 7 * 5
+    # survivors reaching the exact window are bounded per group
+    counts = (out.groupBy("grp").count().collect())
+    assert all(r["count"] <= 5 for r in counts)
 
 
 def test_redact_pii_counts_and_text(spark):
