@@ -28,20 +28,30 @@ NUM_HASHES = 8
 BAND_ROWS = 4
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition to full parallelism before a CPU-heavy
-    per-row explosion (shingling).
+    per-row explosion (shingling) — but ONLY when the source is actually
+    under-parallel.
 
     Document corpora often arrive as few/small files -> few input splits ->
     one task does all the work while the cluster idles. The repartition
     moves only the compact pre-explosion rows (never the shingles), so its
-    shuffle cost is negligible next to the fan-out it parallelizes, and the
-    rebalance also evens out file-size skew, which real corpora always
-    have. Unconditional: probing the current partition count via ``.rdd``
-    would force a logical-plan-to-RDD conversion per call, and AQE makes
-    the pre-execution count unreliable anyway."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target)
+    shuffle cost is negligible next to the fan-out it parallelizes.
+
+    Guard: a large parquet scan already yields >= one split per file, so
+    when the plan's file count reaches the target the repartition would
+    ADD a shuffle only to REDUCE parallelism — skipped. ``inputFiles()``
+    reads the scan's (already-planned) file index, no RDD conversion and
+    no job. Non-file sources (in-memory test frames, streams' static
+    sides) report no files and keep the old always-spread behavior, which
+    is what their small inputs want."""
+    tgt = target or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= tgt:
+            return df
+    except Exception:
+        pass
+    return df.repartition(tgt)
 
 
 def char_shingles(df: DataFrame, text_col: str, id_col: str,
@@ -164,13 +174,20 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 
 def jaccard_pairs(shingles_a: DataFrame, id_col: str,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0, *,
+                  bounded: bool = False) -> DataFrame:
     """Exact pairwise Jaccard similarity over distinct shingles.
 
     Self-join on shingle then count — O(sum of postings²) so callers must
     pre-filter the candidate universe (LSH or an id range); this is the
     verify stage of the dedup funnel, not the discovery stage.
     Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard).
+
+    ``bounded=True`` asserts the caller pre-filtered the universe to a
+    broadcastable size and forces broadcast joins for the per-doc shingle
+    counts. The default lets the planner decide: a per-doc count table on
+    an UNBOUNDED corpus is corpus-sized, and an unconditional hint there
+    would build a giant broadcast relation on every executor.
     """
     counts = shingles_a.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles_a.alias("a")
@@ -184,7 +201,9 @@ def jaccard_pairs(shingles_a: DataFrame, id_col: str,
                        F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("doc_b"),
                        F.col("n_sh").alias("n_b"))
-    out = (inter.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+    if bounded:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
+    out = (inter.join(ca, "doc_a").join(cb, "doc_b")
            .withColumn("jaccard",
                        F.col("n_common")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))

@@ -75,39 +75,80 @@ def srp_bucket(vec: Column, n_bits: int = 4) -> Column:
 def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
                     id_col: str, vec_col: str, k: int,
                     n_centroids: int = 16, n_probe: int = 4,
-                    seed: int = 42) -> DataFrame:
+                    n_iter: int = 3, seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means-lite centroids
     partition the corpus into cells; each query probes only its ``n_probe``
     nearest cells.
 
-    Centroid construction is one sampled KMeans iteration computed on the
-    driver from a bounded sample — the first 2000 vectors BY ID via a
-    distributed top-k (TakeOrderedAndProject), which is deterministic
-    under any partitioning / file layout (a bare LIMIT would return
-    whichever partitions scan first; a Bernoulli sample's per-partition
-    seeding also shifts with layout). At 100 TB the sample stays bounded
-    while cell assignment/probing remain fully distributed (a broadcast of
-    n_centroids × dim floats and one shuffle-free filter-join).
+    Centroid fitting is DISTRIBUTED Lloyd over a bounded seed sample: the
+    first 2000 vectors BY ID via a distributed top-k
+    (TakeOrderedAndProject), which is deterministic under any
+    partitioning / file layout (a bare LIMIT would return whichever
+    partitions scan first; a Bernoulli sample's per-partition seeding
+    also shifts with layout). Each of the ``n_iter`` fixed iterations assigns
+    cells via the broadcast-argmin expression (assign_cells — the same
+    operator the corpus-scale assignment uses) and recomputes centroids
+    with groupBy(cell, dim) decimal-exact means; only the n_centroids ×
+    dim SCALAR averages ever reach the driver (seed-vector ids are the
+    one other collect — 2000 longs). No vector collect anywhere, so the
+    fit itself is cluster-shaped: widen the sample and the same plan
+    runs. At 100 TB cell assignment/probing remain fully distributed (a
+    broadcast of n_centroids × dim floats and one shuffle-free
+    filter-join).
 
     Recall/speed trade: n_probe/n_centroids of the corpus is scanned per
     query instead of all of it.
     """
     import numpy as np
 
-    sample = (corpus.select(id_col, vec_col)
-              .orderBy(id_col).limit(2000).collect())
-    X = np.array([list(r[1]) for r in sample], dtype="float64")
+    # the global limit collapses to ONE partition — hash-repartition the
+    # cached sample so each Lloyd job actually runs parallel tasks (8 is
+    # plenty for a 2000-row bounded sample; widen with the sample if ever
+    # raised)
+    sample = (corpus.select(F.col(id_col).alias("sid"),
+                            F.col(vec_col).alias("svec"))
+              .orderBy("sid").limit(2000).repartition(8, "sid").cache())
+    ids = [r["sid"] for r in sample.select("sid").collect()]
     rng = np.random.RandomState(seed)
-    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)),
-                        replace=False)]
-    for _ in range(5):  # fixed Lloyd iterations, deterministic
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            m = X[assign == c]
-            if len(m):
-                cent[c] = m.mean(axis=0)
-    centroids = [[float(v) for v in c] for c in cent]
+    chosen = {ids[i] for i in rng.choice(
+        len(ids), size=min(n_centroids, len(ids)), replace=False)}
+    # seed centroids: n_centroids vectors — bounded by the centroid count,
+    # i.e. exactly the data every later stage broadcasts anyway
+    centroids = [[float(v) for v in r["svec"]] for r in
+                 sample.filter(F.col("sid").isin(list(chosen)))
+                 .orderBy("sid").collect()]
+    dim = len(centroids[0])
+
+    from arangodb_java_parquet_spark.operators._ivf_kernel import (
+        make_cell_udf as _cell_udf)
+
+    for _ in range(n_iter):  # fixed Lloyd iterations — ONE distributed job each
+        # assignment as a vectorized Arrow kernel (the fit is a rows-only,
+        # recall-tested stage, so python is allowed here — the CORPUS
+        # assignment/probe below stays pure JVM), then decimal-exact
+        # per-(cell, dim) means via posexplode + ONE narrow groupBy —
+        # deliberately NOT dim separate wide aggregates, whose generated
+        # code is dim x n_aggs wide and dominates first-iteration cost.
+        # The driver only ever sees n_centroids x dim SCALAR means; no
+        # vector collect beyond the seed rows, so widening the sample
+        # runs the identical plan cluster-wide.
+        rows = (sample
+                .select(_cell_udf(centroids)(F.col("svec")).alias("cell"),
+                        F.posexplode("svec").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg((F.sum(F.col("val").cast("decimal(30,12)"))
+                      .cast("double") / F.count(F.lit(1))).alias("m"))
+                .collect())
+        # rebuild by explicit (cell, pos) lookup: an EMPTY cell keeps its
+        # previous centroid (a positional rebuild would silently shift
+        # every later centroid's index)
+        means: dict = {}
+        for r in rows:
+            means.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+        centroids = [
+            [means[c][p] for p in range(dim)] if c in means else centroids[c]
+            for c in range(len(centroids))]
+    sample.unpersist()
 
     cent_arr = F.array(*[
         F.array(*[F.lit(v) for v in c]) for c in centroids])

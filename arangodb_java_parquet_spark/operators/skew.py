@@ -42,8 +42,7 @@ def salted_agg(df: DataFrame, key: str, salt_src: str, aggs: dict,
 
 
 def salted_join(big: DataFrame, small: DataFrame, key: str, *,
-                n_salts: int = 8,
-                salt_src: str | None = None) -> DataFrame:
+                n_salts: int = 8, salt_src: str) -> DataFrame:
     """Skew-mitigating inner equi-join: the big side gets a deterministic
     salt in [0, n_salts) from a row-unique column's md5, the small side is
     replicated once per salt value (explode of a literal sequence), and
@@ -58,10 +57,22 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, *,
     the sort-merge case when statistics catch it — this operator is the
     explicit, planner-independent fallback.
 
+    ``salt_src`` must be a ROW-UNIQUE (or at least high-cardinality,
+    key-independent) column: a salt derived from the join key itself is a
+    pure function of the key, so every row of a hot key lands in the SAME
+    salt bucket — zero mitigation while still paying the n_salts-x
+    replication. It is therefore required and checked.
+
     md5 salt (not F.hash) keeps runs portable/reproducible per the
     determinism rules.
     """
-    src = salt_src if salt_src is not None else key
+    if salt_src == key:
+        raise ValueError(
+            f"salt_src must not be the join key {key!r}: a key-derived "
+            "salt sends every row of a hot key to the same bucket "
+            "(no skew mitigation, full replication cost). Pass a "
+            "row-unique column.")
+    src = salt_src
     salt = (F.conv(F.substring(
         F.md5(F.concat(F.lit("salt:"), F.col(src).cast("string"))),
         1, 8), 16, 10).cast("long") % n_salts).alias("__salt")

@@ -131,7 +131,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (doc_id < 100) — the verify stage of the dedup funnel."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
-    return jaccard_pairs(grams, "doc_id", threshold=0.05)
+    return jaccard_pairs(grams, "doc_id", threshold=0.05, bounded=True)
 
 
 _SIMHASH_BITS = 16

@@ -102,6 +102,18 @@ class ParquetLoader:
                        max_parallel_batches: int | None = None) -> int:
         """Encode ``df`` rows as JSON documents and bulk-insert them.
 
+        Returns the number of documents SENT to the sink, counted by an
+        accumulator on the write action itself (no second scan of the
+        input). Contract caveat: under task retries or speculative
+        execution, a re-run partition both re-inserts its documents and
+        re-adds to the accumulator, so the return can EXCEED ``df``'s row
+        count — it is "documents delivered" (at-least-once, matching the
+        sink's contents), not "distinct rows of df". Callers needing an
+        exact row count should count ``df`` separately or reconcile
+        against a distinct-key count in the sink; key-based sinks
+        (overwrite mode) dedup on insert, so their stored count stays
+        exact either way.
+
         Validation lives here (not just in ``load``) because this is the
         public API the streaming ``foreachBatch`` path calls directly —
         batch_size < 1 must raise like the reference

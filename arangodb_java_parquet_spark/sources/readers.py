@@ -246,8 +246,18 @@ def zorder_key(cols: list[Column], n_bits: int = 10) -> Column:
     Pure integer bit arithmetic (shift/and/or), portable to any engine,
     whole-stage-codegen friendly. Callers bucket unbounded domains first
     (e.g. ``col % 1024`` or a quantile bucket) to fit ``n_bits``.
+
+    The interleaved key must fit a signed long: Java shift counts wrap
+    mod 64, so ``n_bits * len(cols) > 63`` would silently fold high bits
+    onto low ones (corrupted, non-monotone keys) — rejected explicitly.
     """
     n_dims = len(cols)
+    if n_bits * n_dims > 63:
+        raise ValueError(
+            f"zorder_key: n_bits * n_dims = {n_bits * n_dims} exceeds the "
+            "63 usable bits of a signed long (Java shiftleft wraps shift "
+            "counts mod 64, silently corrupting the key). Lower n_bits or "
+            "interleave fewer columns.")
     out = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         cc = c.cast("long")

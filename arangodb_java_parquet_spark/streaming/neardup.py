@@ -42,11 +42,22 @@ def check_and_register(spark: SparkSession, batch_df: DataFrame, *,
     epoch, overwrite-by-partition) — elided here to keep the mechanism
     clear.
     """
+    from pyspark.errors import AnalysisException
+
     bands = _batch_bands(batch_df, text_col, id_col).cache()
     try:
         store = spark.read.parquet(store_path)
         have_store = True
-    except Exception:
+    except AnalysisException as e:
+        # ONLY first-batch bootstrap (store not created yet) may proceed
+        # without the store. Any other failure — corrupt store, transient
+        # FS error, schema mismatch — must propagate so foreachBatch
+        # retries: silently treating it as "no store" would skip
+        # cross-corpus dup detection AND then append the batch, losing
+        # those dup pairs permanently with no signal.
+        if "PATH_NOT_FOUND" not in str(e) and \
+                "Path does not exist" not in str(e):
+            raise
         have_store = False
     pairs = None
     if have_store:

@@ -67,6 +67,21 @@ BENCH_QUERIES = [
     "sim_topk_pq_adc_arrow",
     "dedup_ngram_coverage",
     "dedup_funnel_survivors",
+    # heavy registered operators the r2 verdict flagged as bench-absent —
+    # iterative (pagerank), explode-heavy (WAU, chunking), stateful-merge
+    # (SCD2), sketch-merge (HLL), salted-shuffle, python-plumbing (audio)
+    "graph_pagerank_simdocs",
+    "dedup_fuzzy_levenshtein",
+    "rolling_wau_distinct",
+    "dq_constraint_report",
+    "agg_hll_mergeable_sketches",
+    "scd2_merge_customers",
+    "join_skew_salted",
+    "rollup_cascade_daily",
+    "multimodal_audio_features",
+    "text_chunk_windows",
+    "mixture_source_weights",
+    "sim_topk_ivf",
 ]
 
 

@@ -282,3 +282,28 @@ def test_pagerank_fixed_star_graph_exact(spark):
              for r in pagerank_fixed(edges.repartition(5), "src", "dst",
                                      iterations=2).collect()}
     assert again == got
+
+
+def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
+    """agg_approx_distinct is rows-only by design (HLL++ sketch values are
+    engine-specific) — this pins its ACCURACY instead: per-group
+    approx_count_distinct within a few relative-standard-deviations of the
+    exact distinct, and approx_percentile(0.5) between the exact 40th and
+    60th percentiles."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    got = {r["o_orderpriority"]: r for r in
+           QUERIES["agg_approx_distinct"](spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: r for r in
+             (o.groupBy("o_orderpriority")
+              .agg(F.countDistinct("o_custkey").alias("n"),
+                   F.expr("percentile(o_totalprice, array(0.4, 0.5, 0.6))")
+                   .alias("p"))).collect()}
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        # default rsd is 0.05; 3*rsd is a >99% confidence band for HLL++
+        rel = abs(got[k]["approx_customers"] - e["n"]) / e["n"]
+        assert rel < 0.15, (k, got[k]["approx_customers"], e["n"], rel)
+        p40, _, p60 = e["p"]
+        assert p40 <= got[k]["approx_median_price"] <= p60, (
+            k, got[k]["approx_median_price"], e["p"])

@@ -191,3 +191,86 @@ def test_spark_encode_random_rows_parse(spark):
     for d in docs:
         parsed = json.loads(d)
         assert list(parsed.keys()) == ["s", "i", "d", "b"]
+
+
+def test_map_nonstring_keys_serialized_like_values():
+    """Reference map dispatch serializes KEYS through the same recursive
+    serializer as values (GenericRecordJsonEncoder.java:90-108: serialize(
+    entry.getKey()) with no string-coercion) — so a long-keyed map emits
+    unquoted numeric keys and a double-keyed map emits "NaN"-quoted keys,
+    faithfully reproducing the reference's non-standard JSON."""
+    from arangodb_java_parquet_spark.functions.docjson import _encode_value
+    long_map = T.MapType(T.LongType(), T.StringType())
+    assert _encode_value([(7, "a"), (None, "b")], long_map) == \
+        '{7: "a", null: "b"}'
+    dbl_map = T.MapType(T.DoubleType(), T.LongType())
+    assert _encode_value([(float("nan"), 1), (2.5, None)], dbl_map) == \
+        '{"NaN": 1, 2.5: null}'
+    # struct-keyed map: keys recurse like any value
+    skey = T.MapType(
+        T.StructType([T.StructField("k", T.LongType())]), T.LongType())
+    assert _encode_value([({"k": 3}, 9)], skey) == '{{"k": 3}: 9}'
+
+
+def test_deeply_nested_bytes_and_nan():
+    """bytes wrapper ({"bytes": "<ISO-8859-1>"}) and NaN/Infinity quoting
+    must survive arbitrary nesting depth (the reference dispatches per
+    element recursively: GenericRecordJsonEncoder.java:72-108,113-118,
+    174-176), including inside map VALUES and map KEYS."""
+    from arangodb_java_parquet_spark.functions.docjson import _encode_value
+    dt = T.ArrayType(T.MapType(
+        T.StringType(),
+        T.StructType([
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("scores", T.ArrayType(T.DoubleType()))])))
+    v = [[("a", {"payload": b"\x00\xff", "scores": [float("-inf"), 1.0]})],
+         [("b", None)]]
+    assert _encode_value(v, dt) == (
+        '[{"a": {"payload": {"bytes": "\\u0000\u00ff"}, '
+        '"scores": ["-Infinity", 1.0]}}, {"b": null}]')
+    # binary as a map KEY gets the same wrapper treatment
+    bkey = T.MapType(T.BinaryType(), T.LongType())
+    assert _encode_value([(b"\x01", 5)], bkey) == \
+        '{{"bytes": "\\u0001"}: 5}'
+
+
+@given(st.recursive(
+    st.one_of(st.none(), st.integers(min_value=-2**31, max_value=2**31),
+              st.text(max_size=8), st.binary(max_size=6),
+              st.floats(allow_nan=True, allow_infinity=True, width=32)),
+    lambda leaf: st.lists(leaf, max_size=3), max_leaves=8))
+@settings(max_examples=120, deadline=None)
+def test_recursive_array_nesting_never_crashes(v):
+    """Any depth of array nesting over any scalar leaf must encode without
+    raising, and encode null-for-None at every level."""
+    from arangodb_java_parquet_spark.functions.docjson import _encode_value
+
+    def dtype_for(x):
+        if isinstance(x, list):
+            inner = dtype_for(x[0]) if x else T.LongType()
+            return T.ArrayType(inner)
+        if isinstance(x, bool) or x is None:
+            return T.LongType()
+        if isinstance(x, int):
+            return T.LongType()
+        if isinstance(x, float):
+            return T.FloatType()
+        if isinstance(x, bytes):
+            return T.BinaryType()
+        return T.StringType()
+
+    def conform(x, dt):
+        """Only keep elements matching the sampled element dtype."""
+        if x is None:
+            return None
+        if isinstance(dt, T.ArrayType):
+            if not isinstance(x, list):
+                return None
+            return [conform(e, dt.elementType) for e in x]
+        ok = {T.LongType: int, T.FloatType: float,
+              T.BinaryType: bytes, T.StringType: str}[type(dt)]
+        return x if isinstance(x, ok) and not isinstance(x, bool) else None
+
+    dt = dtype_for(v)
+    out = _encode_value(conform(v, dt), dt)
+    assert isinstance(out, str) and out

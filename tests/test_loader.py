@@ -155,3 +155,106 @@ def test_fidelity_timestamp_epoch_fallthrough(spark, sf_dir):
     for doc in docs:
         v = doc["o_orderdate"]
         assert isinstance(v, int) and v > 10**14  # epoch micros magnitude
+
+
+# ---------------------------------------------------------------------------
+# ArangoCollectionSink without a server: a fake `arango` module pins the
+# pickle contract and the import_bulk batching that a live run would use
+# (mirrors the reference's insertDocuments call shape,
+# ParquetArangoLoader.java:147,256).
+# ---------------------------------------------------------------------------
+
+class _FakeBulkCollection:
+    def __init__(self, store):
+        self.store = store
+
+    def import_bulk(self, docs):
+        self.store.append(list(docs))
+
+    def count(self):
+        return sum(len(b) for b in self.store)
+
+
+class _FakeDb:
+    def __init__(self, state):
+        self.state = state
+
+    def has_collection(self, name):
+        return name in self.state
+
+    def create_collection(self, name):
+        self.state.setdefault(name, [])
+
+    def delete_collection(self, name, ignore_missing=False):
+        if name not in self.state and not ignore_missing:
+            raise KeyError(name)
+        self.state.pop(name, None)
+
+    def collection(self, name):
+        return _FakeBulkCollection(self.state[name])
+
+
+def _install_fake_arango(monkeypatch, state):
+    import sys
+    import types
+    mod = types.ModuleType("arango")
+
+    class ArangoClient:
+        def __init__(self, hosts):
+            self.hosts = hosts
+
+        def db(self, database, username, password):
+            return _FakeDb(state)
+
+    mod.ArangoClient = ArangoClient
+    monkeypatch.setitem(sys.modules, "arango", mod)
+
+
+def test_arango_sink_pickles_without_connection(monkeypatch):
+    import pickle
+
+    from arangodb_java_parquet_spark.sources.collections import (
+        ArangoCollectionSink)
+    state = {}
+    _install_fake_arango(monkeypatch, state)
+    sink = ArangoCollectionSink("docs", url="http://example:8529")
+    sink.create()
+    assert sink._db is not None  # connected
+    clone = pickle.loads(pickle.dumps(sink))
+    # the pickle must DROP the live connection (executors reconnect)
+    assert clone._db is None
+    assert (clone.name, clone.url) == ("docs", "http://example:8529")
+    # and the clone reconnects lazily on first use
+    assert clone.exists()
+
+
+def test_arango_sink_import_bulk_batches(monkeypatch):
+    import json
+
+    from arangodb_java_parquet_spark.sources.collections import (
+        ArangoCollectionSink)
+    state = {}
+    _install_fake_arango(monkeypatch, state)
+    sink = ArangoCollectionSink("docs")
+    sink.create()
+    docs = [json.dumps({"_key": str(i), "v": i}) for i in range(5)]
+    n = sink.insert_many(docs[:3]) + sink.insert_many(docs[3:])
+    assert n == 5
+    # one import_bulk call per insert_many, parsed to dicts
+    assert [len(b) for b in state["docs"]] == [3, 2]
+    assert state["docs"][0][0] == {"_key": "0", "v": 0}
+    assert sink.count() == 5
+    sink.drop()
+    assert not sink.exists()
+    sink.drop()  # ignore_missing path
+
+
+def test_arango_sink_missing_dep_error(monkeypatch):
+    import sys
+
+    from arangodb_java_parquet_spark.sources.collections import (
+        ArangoCollectionSink)
+    monkeypatch.setitem(sys.modules, "arango", None)
+    sink = ArangoCollectionSink("docs")
+    with pytest.raises(RuntimeError, match="python-arango"):
+        sink.exists()
