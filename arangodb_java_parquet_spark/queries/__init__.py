@@ -21,6 +21,7 @@ from arangodb_java_parquet_spark.queries import relational2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import relational3  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import text_pipeline  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import curation  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import text_pipeline2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import similarity  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import temporal  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import event_analytics  # noqa: F401,E402

@@ -1,0 +1,363 @@
+"""Second wave of LLM-data-pipeline text operators: Gopher-style
+repetition signals, CCNet-style normalization fingerprints, corpus-wide
+paragraph-exact dedup with document reassembly, vocabulary/OOV coverage,
+and a measured precision/recall harness for the LSH candidate stage.
+
+Scale notes (100 TB): every operator here shuffles only compact derived
+rows (token counts, paragraph hashes, fingerprints), never documents
+next to exploded rows; the single global structure any of them build is
+the top-K vocabulary (bounded by construction, K rows) which is the only
+broadcast. Repetition/OOV are two-level aggregations with map-side
+partials; paragraph dedup's first-occurrence window partitions by
+paragraph HASH (unbounded distinct values -> no mega-partition: a hash
+key's group is the duplicate set of ONE paragraph).
+"""
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+_REP_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tok AS (SELECT doc_id, UNNEST(tk) AS tok FROM tk),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+           AS n_rep,
+         MAX(c) AS max_c,
+         CAST(SUM(LENGTH(tok) * c) AS BIGINT) AS n_chars_tok
+  FROM tc GROUP BY 1),
+top AS (
+  SELECT tc.doc_id, MAX(tc.tok) AS top_tok
+  FROM tc JOIN stats s ON tc.doc_id = s.doc_id AND tc.c = s.max_c
+  GROUP BY 1),
+bg AS (SELECT doc_id,
+              UNNEST(list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i+1])) AS bg
+       FROM tk),
+bgc AS (SELECT doc_id, bg, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+bstats AS (SELECT doc_id, MAX(cb) AS max_bc,
+                  CAST(SUM(cb) AS BIGINT) AS n_bigrams
+           FROM bgc GROUP BY 1)
+SELECT s.doc_id, s.n_tokens, s.n_distinct,
+       round(1 - s.n_distinct::DOUBLE / s.n_tokens, 9) AS dup_token_frac,
+       round(s.n_rep::DOUBLE / s.n_tokens, 9) AS rep_token_frac,
+       tp.top_tok,
+       round(LENGTH(tp.top_tok) * s.max_c::DOUBLE / s.n_chars_tok, 9)
+         AS top_token_char_frac,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(b.max_bc::DOUBLE / b.n_bigrams, 9) AS top_bigram_frac
+FROM stats s
+JOIN top tp ON tp.doc_id = s.doc_id
+LEFT JOIN bstats b ON b.doc_id = s.doc_id
+"""
+
+
+@query("quality_repetition_signals", _REP_SQL)
+def quality_repetition_signals(spark, sf_dir):
+    """Gopher-style per-document repetition features (Rae et al. 2021 §A1.1
+    "repetition signals"): duplicate-token fraction, fraction of tokens in
+    repeated types, most-frequent-token character share, and top-bigram
+    share. These are the filters that catch boilerplate / template / SEO
+    spam pages that plain length+stopword heuristics miss.
+
+    Shape at scale: two-level aggregation over (doc, token) counts — the
+    shuffle moves one row per DISTINCT token per doc (already partially
+    aggregated map-side), never the raw token stream. The "most frequent
+    token" is resolved with an extra (doc_id) agg instead of a sort: max_c
+    from the count table, then max(tok) among ties — no window over the
+    token stream. Bigrams come from ONE indexed transform over the token
+    array (no self-join on positions)."""
+    d = t(spark, sf_dir, "documents")
+    tkd = d.select("doc_id", F.split("text", " ").alias("tk"))
+    tok = tkd.select("doc_id", F.explode("tk").alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))),
+                   F.lit(0)).alias("n_rep"),
+        F.max("c").alias("max_c"),
+        F.sum(F.length("tok") * F.col("c")).alias("n_chars_tok"))
+    top = (tc.join(stats.select("doc_id", "max_c"), "doc_id")
+           .filter(F.col("c") == F.col("max_c"))
+           .groupBy("doc_id").agg(F.max("tok").alias("top_tok")))
+    bg = tkd.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(tk, 1, size(tk) - 1),"
+            " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))")).alias("bg"))
+    bgc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cb"))
+    bstats = bgc.groupBy("doc_id").agg(
+        F.max("cb").alias("max_bc"), F.sum("cb").alias("n_bigrams"))
+    return (stats.join(top, "doc_id").join(bstats, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens", "n_distinct",
+                F.round(1 - F.col("n_distinct").cast("double")
+                        / F.col("n_tokens"), 9).alias("dup_token_frac"),
+                F.round(F.col("n_rep").cast("double")
+                        / F.col("n_tokens"), 9).alias("rep_token_frac"),
+                "top_tok",
+                F.round(F.length("top_tok") * F.col("max_c").cast("double")
+                        / F.col("n_chars_tok"), 9)
+                .alias("top_token_char_frac"),
+                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+                F.round(F.col("max_bc").cast("double")
+                        / F.col("n_bigrams"), 9).alias("top_bigram_frac")))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style normalization fingerprint dedup
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+  FROM documents)
+SELECT doc_id, fingerprint,
+       CASE WHEN ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                    ORDER BY doc_id) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM n
+"""
+
+
+@query("text_normalize_fingerprint", _NORM_SQL)
+def text_normalize_fingerprint(spark, sf_dir):
+    """CCNet-style normalized-text dedup key (Wenzek et al. 2020 §3.1:
+    lowercase + strip non-alphanumerics + collapse whitespace before
+    hashing) — catches near-identical pages that differ only in
+    punctuation/casing, which exact-hash dedup misses. ``keep`` marks the
+    lowest-doc_id canonical copy per fingerprint.
+
+    Scale: the window partitions by the 128-bit fingerprint — each
+    partition is one duplicate cluster (tiny); the shuffle moves (md5,
+    doc_id) pairs only. Normalization itself is three codegen'd string
+    expressions, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    n = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+    rn = F.row_number().over(
+        W.partitionBy("fingerprint").orderBy("doc_id"))
+    return n.select(
+        "doc_id", "fingerprint",
+        F.when(rn == 1, F.lit(1)).otherwise(F.lit(0)).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-exact dedup with document reassembly (C4-style)
+# ---------------------------------------------------------------------------
+
+_PARA = 10  # tokens per "paragraph" (synthetic docs have no newlines)
+
+_PARA_SQL = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ch AS (
+  SELECT doc_id, CAST((s - 1) / {_PARA} AS BIGINT) AS idx,
+         array_to_string(tk[s : s + {_PARA - 1}], ' ') AS para
+  FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk) + 1, {_PARA})) AS s
+        FROM tk)),
+kept AS (
+  SELECT doc_id, idx, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
+  FROM ch)
+SELECT doc_id, COUNT(*) AS n_paras_kept,
+       md5(string_agg(para, ' ' ORDER BY idx)) AS doc_hash
+FROM kept WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+@query("dedup_paragraphs_reassemble", _PARA_SQL)
+def dedup_paragraphs_reassemble(spark, sf_dir):
+    """C4-style corpus-wide exact paragraph dedup (Raffel et al. 2020
+    §2.1: "we discarded all but one of any three-sentence span occurring
+    more than once") over fixed 10-token paragraphs, keeping the FIRST
+    occurrence by (doc_id, position) and reassembling each surviving
+    document (checked via its md5). Documents whose every paragraph was
+    seen earlier vanish entirely — same as C4.
+
+    Scale: first-occurrence is a window PARTITIONED BY PARAGRAPH HASH —
+    each partition is the duplicate set of one paragraph, so there is no
+    skewed mega-group by construction; reassembly groups by doc_id with a
+    sorted collect bounded by document length. Paragraph text rides along
+    only until the winner is chosen, after which only winners are
+    regrouped."""
+    d = t(spark, sf_dir, "documents")
+    tkd = d.select("doc_id", F.split("text", " ").alias("tk"))
+    ch = (tkd.select(
+            "doc_id", "tk",
+            F.explode(F.sequence(F.lit(1), F.size("tk"),
+                                 F.lit(_PARA))).alias("s"))
+          .select("doc_id",
+                  ((F.col("s") - 1) / _PARA).cast("long").alias("idx"),
+                  F.concat_ws(" ", F.slice(F.col("tk"), F.col("s"),
+                                           _PARA)).alias("para")))
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("para")).orderBy("doc_id", "idx"))
+    kept = ch.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_paras_kept"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("idx", "para"))),
+                         lambda s: s["para"]), " ")).alias("doc_hash")))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_OOV_SQL = f"""
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+             FROM documents),
+vocab AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+  ORDER BY c DESC, tok LIMIT {_VOCAB_K})
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 9) AS oov_frac
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
+@query("vocab_coverage_oov", _OOV_SQL)
+def vocab_coverage_oov(spark, sf_dir):
+    """Tokenizer-prep vocabulary coverage: build the corpus top-K
+    vocabulary (count-desc, token-asc tiebreak — deterministic at the cut)
+    and score every document's out-of-vocabulary token rate. The OOV rate
+    is the standard proxy for how much a fixed vocab / tokenizer will
+    fragment a corpus.
+
+    Scale: the vocab is top-K via TakeOrdered over the (token, count)
+    aggregate — never a global sort of the token stream — and is BOUNDED
+    (K rows) so its broadcast is safe at any corpus size; the scoring pass
+    is a broadcast-hash left join on the exploded stream with map-side
+    partial counts."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "tok").limit(_VOCAB_K)
+             .select("tok", F.lit(1).alias("__v")))
+    oov = F.when(F.col("__v").isNull(), 1).otherwise(0)
+    return (tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(oov).alias("n_oov"),
+                 F.round(F.sum(oov).cast("double")
+                         / F.count(F.lit(1)), 9).alias("oov_frac")))
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-stage precision/recall vs exact Jaccard (bounded harness)
+# ---------------------------------------------------------------------------
+
+_PR_UNIVERSE = 200  # doc_id bound: keeps the exact all-pairs truth tractable
+_PR_TAU = 0.5       # "true near-dup" = char-5-gram Jaccard >= tau
+
+_PR_SQL = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                                     i -> text[i:i+4])) AS shingle
+        FROM documents WHERE doc_id < {_PR_UNIVERSE})),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_common::DOUBLE / (ca.n_sh + cb.n_sh - i.n_common) >= {_PR_TAU}),
+sigs AS (
+  SELECT doc_id,
+         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
+         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
+         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
+         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
+  FROM shingles GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+joined AS (
+  SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth,
+         CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM truth t
+  FULL OUTER JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT CAST(SUM(is_truth) AS BIGINT) AS n_truth,
+       CAST(SUM(is_cand) AS BIGINT) AS n_cand,
+       CAST(SUM(is_truth * is_cand) AS BIGINT) AS n_tp,
+       round(SUM(is_truth * is_cand)::DOUBLE / NULLIF(SUM(is_cand), 0), 9)
+         AS precision,
+       round(SUM(is_truth * is_cand)::DOUBLE / NULLIF(SUM(is_truth), 0), 9)
+         AS recall
+FROM joined
+"""
+
+
+@query("dedup_lsh_precision_recall", _PR_SQL)
+def dedup_lsh_precision_recall(spark, sf_dir):
+    """Measured quality of the MinHash-LSH candidate stage against exact
+    char-5-gram Jaccard ground truth on a bounded universe (doc_id < 200)
+    — "measure, don't guess" for the banding parameters (2 bands x 4
+    rows): one row of corpus-level precision/recall at tau=0.5. This is
+    the harness you re-run whenever bands/rows/shingle-k change.
+
+    Scale: ground truth is exact all-pairs and therefore INTENTIONALLY
+    bounded (the point is calibrating LSH parameters on a sample, then
+    trusting LSH corpus-wide); the candidate side reuses the production
+    signature/banding operators unchanged."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, jaccard_pairs, lsh_candidate_pairs,
+        minhash_signatures)
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _PR_UNIVERSE))
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=True)
+    truth = (jaccard_pairs(sh.select("doc_id", "shingle"), "doc_id",
+                           threshold=_PR_TAU, bounded=True)
+             .select("doc_a", "doc_b"))
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    cand = lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
+    joined = (truth.withColumn("is_truth", F.lit(1))
+              .join(cand.withColumn("is_cand", F.lit(1)),
+                    ["doc_a", "doc_b"], "full_outer")
+              .select(F.coalesce("is_truth", F.lit(0)).alias("is_truth"),
+                      F.coalesce("is_cand", F.lit(0)).alias("is_cand")))
+    tp = F.sum(F.col("is_truth") * F.col("is_cand"))
+    return joined.agg(
+        F.sum("is_truth").alias("n_truth"),
+        F.sum("is_cand").alias("n_cand"),
+        tp.alias("n_tp"),
+        F.round(tp.cast("double")
+                / F.nullif(F.sum("is_cand"), F.lit(0)), 9).alias("precision"),
+        F.round(tp.cast("double")
+                / F.nullif(F.sum("is_truth"), F.lit(0)), 9).alias("recall"))
