@@ -341,23 +341,27 @@ def pagerank_fixed(edges: DataFrame, src: str, dst: str, *,
     ``edges`` should include both directions for an undirected graph.
     Output: (node, rank) for every node with at least one outgoing edge.
     """
-    # materialize the graph ONCE (lazy checkpoint): edges/nodes/outdeg are
-    # referenced every iteration, and without the lineage cut each of the
-    # ~3 x iterations references would re-derive the (possibly expensive)
-    # upstream edge pipeline; the per-iteration checkpoint keeps the plan
-    # depth constant instead of growing with the iteration count
+    # materialize the graph ONCE (lazy checkpoint): the edge table and the
+    # node list are referenced every iteration, and without the lineage
+    # cut each of the ~2 x iterations references would re-derive the
+    # (possibly expensive) upstream edge pipeline; the per-iteration
+    # checkpoint keeps the plan depth constant instead of growing with the
+    # iteration count. The out-degree is joined into the edge table ONCE
+    # up front — re-joining it inside every iteration (the naive
+    # formulation) costs one extra shuffle per round for a value that
+    # never changes.
     edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col(src).alias("node")).distinct()
              .localCheckpoint(eager=False))
     outdeg = (edges.groupBy(F.col(src).alias("node"))
-              .agg(F.count(F.lit(1)).alias("outdeg"))
-              .localCheckpoint(eager=False))
+              .agg(F.count(F.lit(1)).alias("outdeg")))
+    edges_deg = (edges.join(outdeg.withColumnRenamed("node", src), src)
+                 .localCheckpoint(eager=False))
     pr = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):
-        contrib = (edges
+        contrib = (edges_deg
                    .join(pr.withColumnRenamed("node", src), src)
-                   .join(outdeg.withColumnRenamed("node", src), src)
                    .select(F.col(dst).alias("node"),
                            F.round(F.col("rank") / F.col("outdeg"), 7)
                            .cast("decimal(20,7)").alias("c")))
