@@ -208,3 +208,37 @@ def jaccard_pairs(shingles_a: DataFrame, id_col: str,
                        F.col("n_common")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(shingles_a: DataFrame, id_col: str,
+                      threshold: float = 0.0, *,
+                      bounded: bool = False) -> DataFrame:
+    """Asymmetric set containment C(A,B) = |A∩B| / |A| over distinct
+    shingles — the template/boilerplate detector: a short page embedded
+    verbatim in a longer one scores near 1.0 on containment while its
+    Jaccard stays low.
+
+    Same universe contract as :func:`jaccard_pairs` (callers pre-filter via
+    LSH or an id range; ``bounded=True`` broadcasts the per-doc counts).
+    Output: (doc_a, doc_b, n_common, n_a, n_b, cont_a, cont_b) filtered to
+    GREATEST(cont_a, cont_b) >= threshold. Both directions come from one
+    intersection count, integer-divided — engine-exact, no rounding needed.
+    """
+    counts = shingles_a.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles_a.alias("a")
+    b = shingles_a.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    ca = counts.select(F.col(id_col).alias("doc_a"),
+                       F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"),
+                       F.col("n_sh").alias("n_b"))
+    if bounded:
+        ca, cb = F.broadcast(ca), F.broadcast(cb)
+    out = (inter.join(ca, "doc_a").join(cb, "doc_b")
+           .withColumn("cont_a", F.col("n_common") / F.col("n_a"))
+           .withColumn("cont_b", F.col("n_common") / F.col("n_b")))
+    return out.filter(F.greatest("cont_a", "cont_b") >= threshold)

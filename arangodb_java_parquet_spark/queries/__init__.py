@@ -31,3 +31,5 @@ from arangodb_java_parquet_spark.queries import subqueries  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import profiling  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import scalar_extra  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import ir_analytics  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import lifecycle  # noqa: F401,E402

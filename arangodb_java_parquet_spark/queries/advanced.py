@@ -278,9 +278,8 @@ def stream_dedup_exact(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)"))
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    stream = event_time_ltz(stream)
     dedup = (stream.withWatermark("ts", "1 day")
              .dropDuplicates(["user_id", "event_type"])
              .select("user_id", "event_type"))

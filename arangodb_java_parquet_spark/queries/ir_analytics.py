@@ -1,0 +1,177 @@
+"""IR / corpus-statistics queries: BM25 ranking, inverted index, token
+entropy, per-source KL divergence, and containment-based template
+detection — the retrieval-and-diagnostics leg of the LLM data pipeline
+(beyond-reference mandate; the reference loader has no analytics surface).
+
+Determinism: every float reduction is a round-9-then-exact-decimal sum
+(queries/common.py rules); scalar corpus stats (N, avgdl, n_c) are exact
+integer-derived doubles, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.dedup import (
+    containment_pairs, word_ngrams)
+from arangodb_java_parquet_spark.operators.ir import (
+    bm25_scores, inverted_index, source_kl_divergence, token_entropy)
+from arangodb_java_parquet_spark.queries.common import query, t
+
+_BM25_TERMS = ("spark", "query", "table")
+_BM25_TERMS_SQL = ", ".join(f"'{x}'" for x in _BM25_TERMS)
+
+
+@query("ir_bm25_score", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 SUM(len(string_split(text, ' '))) AS total_len
+          FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ({_BM25_TERMS_SQL})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+idf AS (
+  SELECT tok,
+         LN(1.0 + (CAST(stats.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           AS idf
+  FROM dft CROSS JOIN stats
+)
+SELECT tf.doc_id, dl.dl,
+       CAST(SUM(CAST(ROUND(
+         idf.idf * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                             / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+         9) AS DECIMAL(30,9))) AS DOUBLE) AS score
+FROM tf
+JOIN idf USING (tok)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY 1, 2
+""")
+def ir_bm25_score(spark, sf_dir):
+    """BM25 scores for a fixed 3-term query over the document corpus
+    (operators/ir.py:bm25_scores). Query-term filter prunes the explode
+    before any shuffle; the df/idf side is |query| rows, broadcast; the
+    per-doc contribution sum is combinable. k1=1.2, b=0.75."""
+    d = t(spark, sf_dir, "documents")
+    return bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
+
+
+@query("ir_inverted_index", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+per_doc AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (SELECT tok, COUNT(*) AS df, SUM(tf) AS cf
+          FROM per_doc GROUP BY 1),
+capped AS (
+  SELECT tok, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+  FROM per_doc
+),
+postings AS (
+  SELECT tok, list_sort(list(doc_id)) AS postings
+  FROM capped WHERE rn <= 10 GROUP BY tok
+)
+SELECT stats.tok, stats.df, CAST(stats.cf AS BIGINT) AS cf, postings.postings
+FROM stats JOIN postings USING (tok)
+""")
+def ir_inverted_index(spark, sf_dir):
+    """Inverted index with capped sorted posting lists
+    (operators/ir.py:inverted_index): df/cf are combinable aggregations;
+    the posting list is capped to 10 ids BEFORE collect_list (two-phase
+    row_number over distinct (tok, doc) pairs), so hot tokens like 'the'
+    never materialize a corpus-sized array."""
+    d = t(spark, sf_dir, "documents")
+    return inverted_index(d, "text", "doc_id", posting_cap=10)
+
+
+@query("text_token_entropy", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM tf GROUP BY 1)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(SUM(CAST(ROUND(
+         (-(tf / CAST(n_tokens AS DOUBLE)))
+           * LN(tf / CAST(n_tokens AS DOUBLE)),
+         9) AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+FROM tf JOIN n USING (doc_id)
+GROUP BY 1, 2, 3
+""")
+def text_token_entropy(spark, sf_dir):
+    """Per-document unigram token entropy (operators/ir.py:token_entropy)
+    — a repetitiveness quality signal: template/boilerplate pages score
+    low. Pure per-document map-reduce, no corpus-wide state."""
+    d = t(spark, sf_dir, "documents")
+    return token_entropy(d, "text", "doc_id")
+
+
+@query("mixture_kl_divergence", """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+src_tf AS (SELECT source, tok, COUNT(*) AS tf_s FROM toks GROUP BY 1, 2),
+src_n AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS n_s
+          FROM src_tf GROUP BY 1),
+corpus AS (SELECT tok, CAST(SUM(tf_s) AS BIGINT) AS tf_c
+           FROM src_tf GROUP BY 1),
+nc AS (SELECT CAST(SUM(tf_c) AS BIGINT) AS n_c FROM corpus)
+SELECT source, MAX(n_s) AS n_tokens,
+       CAST(SUM(CAST(ROUND(
+         (tf_s / CAST(n_s AS DOUBLE))
+           * LN((tf_s / CAST(n_s AS DOUBLE))
+                / (tf_c / CAST(n_c AS DOUBLE))),
+         9) AS DECIMAL(30,9))) AS DOUBLE) AS kl
+FROM src_tf
+JOIN src_n USING (source)
+JOIN corpus USING (tok)
+CROSS JOIN nc
+GROUP BY source
+""")
+def mixture_kl_divergence(spark, sf_dir):
+    """Per-source KL divergence against the corpus unigram distribution
+    (operators/ir.py:source_kl_divergence) — the mixture-drift diagnostic
+    for multi-source corpora. Corpus distribution is vocabulary-sized and
+    broadcast."""
+    d = t(spark, sf_dir, "documents")
+    return source_kl_divergence(d, "text", "doc_id", "source")
+
+
+@query("dedup_containment", """
+WITH grams AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                                     i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))
+               AS shingle
+        FROM documents WHERE doc_id < 100)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       ca.n_sh AS n_a, cb.n_sh AS n_b,
+       i.n_common / ca.n_sh AS cont_a,
+       i.n_common / cb.n_sh AS cont_b
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE GREATEST(i.n_common / ca.n_sh, i.n_common / cb.n_sh) >= 0.08
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment over word-3-grams on the bounded verify
+    universe (operators/dedup.py:containment_pairs) — catches short
+    documents embedded in longer ones that Jaccard misses."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
+    return containment_pairs(grams, "doc_id", threshold=0.08, bounded=True)

@@ -1,0 +1,257 @@
+"""Data-lifecycle and graph-diagnostic queries: gaps-and-islands interval
+merging, rolling exact medians, snapshot CDC diff, weighted reservoir
+sampling, and triangle counting over the similarity graph.
+
+All beyond-reference mandate (the reference loader has no analytics
+surface). Determinism follows queries/common.py rules: md5-derived
+uniforms, round-9 float sort keys with unique tiebreaks, exact timestamp
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.dedup import (
+    char_shingles, lsh_candidate_pairs, minhash_signatures)
+from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
+
+
+# ---------------------------------------------------------------------------
+# gaps and islands: merge overlapping activity intervals
+# ---------------------------------------------------------------------------
+
+@query("intervals_merge_islands", """
+WITH iv AS (
+  SELECT o_custkey AS custkey,
+         o_orderdate AS s,
+         o_orderdate + INTERVAL 30 DAY AS e,
+         o_orderkey
+  FROM orders
+),
+m AS (
+  SELECT *,
+         MAX(e) OVER (PARTITION BY custkey ORDER BY s, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+fl AS (
+  SELECT *,
+         CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+           AS new_isl
+  FROM m
+),
+isl AS (
+  SELECT *,
+         SUM(new_isl) OVER (PARTITION BY custkey ORDER BY s, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM fl
+)
+SELECT custkey, CAST(island_id AS BIGINT) AS island_id,
+       MIN(s) AS island_start, MAX(e) AS island_end,
+       COUNT(*) AS n_orders
+FROM isl
+GROUP BY 1, 2
+""")
+def intervals_merge_islands(spark, sf_dir):
+    """Gaps-and-islands: merge each customer's overlapping 30-day activity
+    intervals into maximal islands — the classic sessionize-by-overlap
+    rewrite (running MAX(end) over the per-key order, flag starts past it,
+    prefix-sum the flags into island ids). Windows partition by customer,
+    so state per task is one customer's orders — scales to any number of
+    customers; no self-join, no interval explosion."""
+    o = t(spark, sf_dir, "orders")
+    iv = o.select(F.col("o_custkey").alias("custkey"),
+                  F.col("o_orderdate").alias("s"),
+                  (F.col("o_orderdate")
+                   + F.expr("INTERVAL 30 DAY")).alias("e"),
+                  "o_orderkey")
+    w_prev = (Window.partitionBy("custkey").orderBy("s", "o_orderkey")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("custkey").orderBy("s", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    flagged = (iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+               .withColumn("new_isl",
+                           F.when(F.col("prev_max_e").isNull()
+                                  | (F.col("s") > F.col("prev_max_e")), 1)
+                           .otherwise(0)))
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_isl").over(w_run))
+    return (islands.groupBy("custkey", "island_id")
+            .agg(F.min("s").alias("island_start"),
+                 F.max("e").alias("island_end"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------------
+# rolling exact median (aggregate-as-window-function)
+# ---------------------------------------------------------------------------
+
+@query("window_rolling_median", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROUND(median(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 9) AS rolling_median
+FROM orders
+""")
+def window_rolling_median(spark, sf_dir):
+    """Exact rolling median of order value over each customer's trailing 5
+    orders — an arbitrary AGGREGATE used as a window function over a ROWS
+    frame (percentile(0.5) in Spark, median in DuckDB; both interpolate at
+    even counts). Per-customer partitions keep frame state tiny; round-9
+    absorbs the interpolation's last-ulp division."""
+    o = t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-4, Window.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 9)
+        .alias("rolling_median"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot CDC diff
+# ---------------------------------------------------------------------------
+
+_CDC_NEW_SQL = """
+  SELECT c_custkey, c_acctbal + (CASE WHEN c_custkey % 10 = 7
+                                      THEN 100.0 ELSE 0.0 END) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 <> 3
+  UNION ALL
+  SELECT c_custkey + 10000000, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 5
+"""
+
+
+@query("snapshot_cdc_diff", f"""
+WITH old_snap AS (SELECT c_custkey, c_acctbal FROM customer),
+new_snap AS ({_CDC_NEW_SQL})
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'deleted'
+            ELSE 'changed' END AS change_type,
+       o.c_acctbal AS old_bal, n.c_acctbal AS new_bal
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_acctbal <> n.c_acctbal
+""")
+def snapshot_cdc_diff(spark, sf_dir):
+    """Snapshot-diff change data capture: full outer join of two table
+    snapshots on the key, classifying added / deleted / changed rows (the
+    new snapshot is derived deterministically from the old: key%10=3
+    deleted, key%10=7 acctbal+100, key%10=5 cloned under a shifted key).
+    One equi-join shuffle on the key — the standard incremental-ingest
+    reconciliation; at 100 TB both sides are key-partitioned parquet so
+    the join co-locates."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    new_snap = (c.filter(F.col("c_custkey") % 10 != 3)
+                .withColumn("c_acctbal",
+                            F.col("c_acctbal")
+                            + F.when(F.col("c_custkey") % 10 == 7, 100.0)
+                            .otherwise(0.0))
+                .unionAll(c.filter(F.col("c_custkey") % 10 == 5)
+                          .withColumn("c_custkey",
+                                      F.col("c_custkey") + 10000000)))
+    o = c.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"),
+                    "full_outer")
+    change = (F.when(F.col("o.c_custkey").isNull(), "added")
+              .when(F.col("n.c_custkey").isNull(), "deleted")
+              .otherwise("changed"))
+    return (joined
+            .filter(F.col("o.c_custkey").isNull()
+                    | F.col("n.c_custkey").isNull()
+                    | (F.col("o.c_acctbal") != F.col("n.c_acctbal")))
+            .select(F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey"))
+                    .alias("c_custkey"),
+                    change.alias("change_type"),
+                    F.col("o.c_acctbal").alias("old_bal"),
+                    F.col("n.c_acctbal").alias("new_bal")))
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis A-ES, deterministic)
+# ---------------------------------------------------------------------------
+
+@query("sample_weighted_topk", """
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROUND(LN((CAST(CAST('0x' || substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+               / GREATEST(n_chars, 1), 9) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, lang, source, n_chars, es_key, rnk
+FROM ranked WHERE rnk <= 20
+""")
+def sample_weighted_topk(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    per-language top-20 by key ln(u)/w with u an md5-derived uniform and
+    w = n_chars — longer documents are proportionally likelier, and the
+    sample is bit-reproducible on any engine or partitioning (unlike RNG
+    sampling). One window per stratum; at scale the same key feeds a
+    per-partition top-k (TakeOrdered) instead of a full sort."""
+    d = t(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("double") + 0.5) / float(1 << 32))
+    es_key = F.round(F.log(u) / F.greatest("n_chars", F.lit(1)), 9)
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (d.select("doc_id", "lang", "source", "n_chars",
+                     es_key.alias("es_key"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the similarity graph
+# ---------------------------------------------------------------------------
+
+@query("graph_triangle_count", _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+  FROM e ab
+  JOIN e bc ON bc.doc_a = ab.doc_b
+  JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+""")
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the LSH document-similarity graph — the local
+    clustering diagnostic for dedup clusters (near-dup cliques are
+    triangle-dense; bridges are not). Canonical a<b<c orientation makes
+    each triangle counted exactly once via two partitioned equi-joins on
+    edge endpoints — the standard distributed triangle enumeration; no
+    per-node adjacency ever materializes."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    e = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id") \
+        .select("doc_a", "doc_b")
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
+           .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))
+                 & (F.col("ac.doc_b") == F.col("bc.doc_b"))))
+    return (e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))

@@ -53,6 +53,18 @@ def stream_load_to_collection(spark: SparkSession, path: str,
     return writer.start()
 
 
+def event_time_ltz(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) — the only type
+    watermarks accept. Handles both testdata generations: legacy
+    TIMESTAMP(NANOS) read as long (nanosAsLong) converts via integer-exact
+    micros; TIMESTAMP_NTZ reads cast losslessly under a pinned-UTC session.
+    """
+    if dict(events.dtypes).get(ts_col) == "bigint":
+        events = events.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    return events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def windowed_event_counts(events: DataFrame, *,
                           window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:

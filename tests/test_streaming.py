@@ -61,8 +61,8 @@ def test_dedup_stream_drops_replayed_file(spark, sf_dir, tmp_path):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{src}/a.parquet").schema
-    stream = (spark.readStream.schema(schema).parquet(src)
-              .withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    stream = event_time_ltz(spark.readStream.schema(schema).parquet(src))
     q = (dedup_stream(stream).writeStream.outputMode("append")
          .format("memory").queryName("dedup_out")
          .option("checkpointLocation", str(tmp_path / "ck"))
@@ -109,9 +109,11 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream_side(etype, alias_prefix):
-        s = (spark.readStream.schema(schema)
-             .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from arangodb_java_parquet_spark.streaming.ingest import (
+            event_time_ltz)
+        s = (event_time_ltz(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
              .filter(F.col("event_type") == etype)
              .withWatermark("ts", "1 hour"))
         return s.select(F.col("user_id").alias(f"{alias_prefix}_user"),
