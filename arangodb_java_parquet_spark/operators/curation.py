@@ -266,6 +266,84 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
                  .alias("avg_logprob")))
 
 
+def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
+                           min_count: int = 2,
+                           alpha: float = 0.4) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff
+    (Brants et al. 2007): score every document by the mean log-probability
+    of its adjacent token pairs, backing off to the unigram model (scaled
+    by ``alpha``) when the bigram is rarer than ``min_count``.
+
+      P(w2|w1) = cnt2(w1,w2) / cnt1(w1)        if cnt2 >= min_count
+               = alpha * cnt1(w2) / total      else (fitted unigram)
+               = alpha * 1 / total             else (OOV floor)
+
+    A sharper gibberish detector than the unigram score: shuffled or
+    templated text keeps plausible unigrams but implausible transitions.
+
+    Scale story mirrors :func:`unigram_logprob`: both model tables are
+    frequency-floored BEFORE broadcast, so the broadcast side is the
+    distribution head (<= total/min_count entries by pigeonhole, far fewer
+    under Zipf), never the raw vocabulary; the count aggregations are
+    map-side combinable, and corpus tokens are never shuffled by token.
+    The backoff threshold is not a compromise — stupid backoff is DEFINED
+    by trusting only frequent bigrams.
+
+    Determinism: per-type ln() rounded to 9 digits, exact decimal sums.
+    Output: (id, n_bigrams, avg_logprob) for docs with >= 2 tokens.
+    """
+    arr = F.split(F.col(text_col), " ")
+    bigram_expr = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+        f" i -> concat(split({text_col}, ' ')[i], ' ',"
+        f" split({text_col}, ' ')[i + 1]))")
+    bigrams = (df.filter(F.size(arr) >= 2)
+               .select(F.col(id_col), F.explode(bigram_expr).alias("bg")))
+    toks = df.select(F.explode(arr).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
+    total = uni.agg(F.sum("cnt1").alias("total"))
+    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    fitted = (bi.filter(F.col("cnt2") >= min_count)
+              .withColumn("w1", w1)
+              .join(uni.select(F.col("tok").alias("w1"),
+                               F.col("cnt1").alias("cnt1_w1")), "w1")
+              .select("bg",
+                      F.round(F.log(F.col("cnt2").cast("double")
+                                    / F.col("cnt1_w1").cast("double")), 9)
+                      .alias("logp2")))
+    back = (uni.filter(F.col("cnt1") >= min_count)
+            .crossJoin(F.broadcast(total))
+            .select(F.col("tok").alias("w2"),
+                    F.round(F.log(F.lit(alpha)
+                                  * (F.col("cnt1").cast("double")
+                                     / F.col("total").cast("double"))), 9)
+                    .alias("logp_bo")))
+    floor = total.select(
+        F.round(F.log(F.lit(alpha)
+                      * (F.lit(1.0) / F.col("total").cast("double"))), 9)
+        .alias("floor_logp"))
+    scored = (bigrams
+              .join(F.broadcast(fitted), "bg", "left")
+              .withColumn("w2", F.element_at(F.split(F.col("bg"), " "), 2))
+              .join(F.broadcast(back), "w2", "left")
+              .crossJoin(F.broadcast(floor))
+              .select(F.col(id_col),
+                      F.coalesce("logp2", "logp_bo", "floor_logp")
+                      .alias("lp")))
+    # no final round: the decimal sum is exact, its double cast is
+    # correctly-rounded, and dividing identical doubles by an integer is
+    # IEEE-identical in every engine — whereas round(x, 9) on a double is
+    # implementation-defined at half-way points (Spark goes through the
+    # shortest-decimal BigDecimal, DuckDB scales and rints).
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.sum(F.col("lp").cast("decimal(20,9)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("avg_logprob")))
+
+
 def cap_per_group(df: DataFrame, id_col: str, group_col: str,
                   n: int, n_salts: int = 32) -> DataFrame:
     """Per-domain/source document cap (RefinedWeb-style): keep at most

@@ -230,3 +230,94 @@ def rolling_wau_distinct(spark, sf_dir):
         "user_id")
     return (contrib.groupBy("target_day")
             .agg(F.countDistinct("user_id").alias("wau")))
+
+
+# ---------------------------------------------------------------------------
+# sequence mining: Markov transitions and co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+@query("markov_event_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM trans GROUP BY 1)
+SELECT from_type, to_type, n, n_from,
+       n / CAST(n_from AS DOUBLE) AS prob
+FROM trans JOIN tot USING (from_type)
+""")
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    sequence (LEAD window per user, then two combinable counts) — the
+    sequence-mining primitive behind next-action prediction and anomalous-
+    flow detection. Per-user windows keep frame state one user wide; the
+    transition matrix is |event_type|^2, report-sized at any corpus
+    scale."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lead("event_type").over(w).alias("next_type"))
+    trans = (seq.filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (trans.join(tot, "from_type")
+            .select("from_type", "to_type", "n", "n_from",
+                    (F.col("n") / F.col("n_from").cast("double"))
+                    .alias("prob")))
+
+
+@query("event_pmi_pairs", """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+cnt AS (SELECT event_type, COUNT(*) AS c FROM ue GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS c_ab
+  FROM ue a JOIN ue b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+       ROUND(LN((c_ab * CAST(n_users AS DOUBLE))
+                / (ca.c * CAST(cb.c AS DOUBLE))), 9) AS pmi
+FROM pairs
+JOIN cnt ca ON ca.event_type = type_a
+JOIN cnt cb ON cb.event_type = type_b
+CROSS JOIN n
+""")
+def event_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information between event types co-occurring in
+    the same user's history: PMI = ln(P(a,b) / (P(a)P(b))) over distinct
+    (user, type) incidence. The incidence self-join is keyed on user_id
+    (bounded by each user's distinct types, typically < 10) — never an
+    event-level cross join; marginals are |event_type|-sized and
+    broadcast."""
+    e = t(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
+    cnt = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    ca = cnt.select(F.col("event_type").alias("type_a"),
+                    F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("event_type").alias("type_b"),
+                    F.col("c").alias("c_b"))
+    pmi = F.round(F.log((F.col("c_ab") * F.col("n_users").cast("double"))
+                        / (F.col("c_a") * F.col("c_b").cast("double"))), 9)
+    return (pairs.join(F.broadcast(ca), "type_a")
+            .join(F.broadcast(cb), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("type_a", "type_b", "c_ab", "c_a", "c_b",
+                    pmi.alias("pmi")))

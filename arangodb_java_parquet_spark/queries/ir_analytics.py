@@ -175,3 +175,50 @@ def dedup_containment(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
     return containment_pairs(grams, "doc_id", threshold=0.08, bounded=True)
+
+
+@query("quality_bigram_logprob", """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bigrams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS bg
+  FROM arrs WHERE len(a) >= 2
+),
+uni AS (SELECT tok, COUNT(*) AS cnt1
+        FROM (SELECT UNNEST(a) AS tok FROM arrs) GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS total FROM uni),
+bi AS (SELECT bg, COUNT(*) AS cnt2 FROM bigrams GROUP BY bg),
+fitted AS (
+  SELECT bg, ROUND(LN(cnt2::DOUBLE / u.cnt1::DOUBLE), 9) AS logp2
+  FROM bi JOIN uni u ON u.tok = string_split(bg, ' ')[1]
+  WHERE cnt2 >= 2
+),
+back AS (
+  SELECT tok AS w2,
+         ROUND(LN(0.4 * (cnt1::DOUBLE / total::DOUBLE)), 9) AS logp_bo
+  FROM uni CROSS JOIN tot WHERE cnt1 >= 2
+),
+fl AS (SELECT ROUND(LN(0.4 * (1.0 / total::DOUBLE)), 9) AS floor_logp
+       FROM tot)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(COALESCE(logp2, logp_bo, floor_logp)
+                     AS DECIMAL(20,9))) AS DOUBLE)
+         / COUNT(*) AS avg_logprob
+FROM bigrams
+LEFT JOIN fitted USING (bg)
+LEFT JOIN back ON back.w2 = string_split(bg, ' ')[2]
+CROSS JOIN fl
+GROUP BY doc_id
+""")
+def quality_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score with stupid backoff
+    (operators/curation.py:bigram_logprob_backoff) — catches shuffled or
+    templated text whose unigrams look fine but whose transitions don't.
+    Both model tables are frequency-floored before broadcast (the backoff
+    threshold IS the stupid-backoff definition), so the broadcast side is
+    the distribution head, never the raw bigram vocabulary."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        bigram_logprob_backoff)
+    d = t(spark, sf_dir, "documents")
+    return bigram_logprob_backoff(d, "text", "doc_id")

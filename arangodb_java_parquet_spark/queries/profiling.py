@@ -342,3 +342,80 @@ def dq_constraint_report(spark, sf_dir):
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics and winsorized statistics
+# ---------------------------------------------------------------------------
+
+@query("skew_key_report", """
+WITH k AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k),
+ranked AS (
+  SELECT o_custkey, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, o_custkey) AS rnk
+  FROM k
+)
+SELECT r.o_custkey, r.n, r.rnk, s.total, s.n_keys,
+       r.n / CAST(s.total AS DOUBLE) AS share,
+       (r.n * CAST(s.n_keys AS DOUBLE)) / s.total AS skew_ratio
+FROM ranked r CROSS JOIN s
+WHERE r.rnk <= 20
+""")
+def skew_key_report(spark, sf_dir):
+    """Join/aggregation-key skew diagnostic: top-20 heaviest keys with
+    their share of all rows and their ratio to the mean key weight — the
+    report that tells you whether a shuffle needs salting BEFORE you run
+    it at full scale. Per-key counts are combinable; the global ranking
+    window runs over the key-count table (keys, not rows) and only to
+    report depth 20 — at 100 TB swap the window for an orderBy(n).limit
+    TakeOrdered if the key table itself is huge."""
+    o = t(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys"))
+    w = Window.orderBy(F.desc("n"), "o_custkey")
+    return (k.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 20)
+            .crossJoin(F.broadcast(s))
+            .select("o_custkey", "n", "rnk", "total", "n_keys",
+                    (F.col("n") / F.col("total").cast("double"))
+                    .alias("share"),
+                    ((F.col("n") * F.col("n_keys").cast("double"))
+                     / F.col("total")).alias("skew_ratio")))
+
+
+@query("winsorize_stats", """
+WITH q AS (
+  SELECT ROUND(quantile_cont(o_totalprice, 0.01), 9) AS lo,
+         ROUND(quantile_cont(o_totalprice, 0.99), 9) AS hi
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+                     AS DECIMAL(30,8))) AS DOUBLE) AS sum_clipped,
+       SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                THEN 1 ELSE 0 END) AS n_clipped
+FROM orders CROSS JOIN q
+GROUP BY 1
+""")
+def winsorize_stats(spark, sf_dir):
+    """Winsorized aggregation: clip order values at the exact global
+    1st/99th percentiles, then aggregate per priority — outlier-robust
+    metrics without dropping rows. The percentile pair is one scalar
+    aggregate broadcast to the clip pass (two scans, zero shuffles of the
+    fact table beyond the final combinable agg); round-9 pins the
+    interpolated cutpoints across engines."""
+    o = t(spark, sf_dir, "orders")
+    q = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.01)"), 9).alias("lo"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 9).alias("hi"))
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
+                      F.col("hi"))
+    out_of_range = ((F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi"))).cast("long")
+    return (o.crossJoin(F.broadcast(q))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(clipped.cast("decimal(30,8)")).cast("double")
+                 .alias("sum_clipped"),
+                 F.sum(out_of_range).alias("n_clipped")))

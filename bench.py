@@ -82,6 +82,22 @@ BENCH_QUERIES = [
     "text_chunk_windows",
     "mixture_source_weights",
     "sim_topk_ivf",
+    # round-3 additions: IR / lifecycle / graph operators with real work
+    # at sf0.1 (token explodes, window chains, triple self-join)
+    "ir_bm25_score",
+    "ir_inverted_index",
+    "text_token_entropy",
+    "mixture_kl_divergence",
+    "intervals_merge_islands",
+    "window_rolling_median",
+    "snapshot_cdc_diff",
+    "sample_weighted_topk",
+    "graph_triangle_count",
+    "dedup_containment",
+    "quality_bigram_logprob",
+    "markov_event_transitions",
+    "event_pmi_pairs",
+    "winsorize_stats",
 ]
 
 
