@@ -89,15 +89,31 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str,
 
 def minhash_signatures(shingles: DataFrame, id_col: str,
                        num_hashes: int = NUM_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: h_j = MIN(md5('<j>:' || shingle)).
+    """Per-doc MinHash signature:
+    h_j = MIN(substring(md5('<j div 4>:' || shingle), 8*(j%4)+1, 8)).
 
-    md5 keyed by hash index j simulates an independent hash family while
-    staying engine-portable; MIN over hex strings is the min-hash.
-    Output: (id, h0..h{n-1}).
+    One keyed md5 yields 128 bits = FOUR independent 32-bit hex words, so
+    8 hashes cost 2 md5 invocations per shingle instead of 8 — md5 is the
+    dominant CPU cost of the whole dedup funnel at corpus scale (measured
+    ~4x less hash work at sf0.1), and the 8-char minima also shrink
+    aggregation state and band-concat width 4x vs full digests. The md5s
+    are materialized in a projection BEFORE the aggregation so each is
+    computed once, not once per min-agg. MIN over fixed-width hex strings
+    is the min-hash; 32-bit words keep collision probability ~n²/2³³ per
+    doc (negligible at realistic shingle counts, and identical in every
+    engine). Output: (id, h0..h{n-1}).
     """
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4 "
+                         "(4 hash words per md5 digest)")
+    n_md5 = num_hashes // 4
+    hashed = shingles.select(
+        F.col(id_col),
+        *[F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))).alias(f"m{p}")
+          for p in range(n_md5)])
+    aggs = [F.min(F.substring(F.col(f"m{j // 4}"), 8 * (j % 4) + 1, 8))
             .alias(f"h{j}") for j in range(num_hashes)]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str,
@@ -242,3 +258,71 @@ def containment_pairs(shingles_a: DataFrame, id_col: str,
            .withColumn("cont_a", F.col("n_common") / F.col("n_a"))
            .withColumn("cont_b", F.col("n_common") / F.col("n_b")))
     return out.filter(F.greatest("cont_a", "cont_b") >= threshold)
+
+
+# -- portable Bloom filter as relational operators --------------------------
+
+BLOOM_WORD_BITS = 62  # max shift 61: DuckDB raises on 1<<63 overflow
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 3968,
+                k: int = 4) -> DataFrame:
+    """Build a Bloom filter AS A DATAFRAME — (word_idx, word) bitmap rows
+    via md5-derived bit positions and a bit_or aggregation.
+
+    Unlike Spark's internal bloom_filter_agg (not exposed to SQL/DataFrame
+    users), this sketch is built from portable expressions, so the whole
+    build+probe pipeline is value-checkable cross-engine, and the bitmap
+    lives in ``m_bits/62`` rows that broadcast to any probe site. The
+    build is one combinable aggregation over keys × k positions; at scale
+    that's a map-side bit_or into at most 64 rows per partition.
+
+    Position j for key x = first 32 bits of md5('<j>:' || x) mod m_bits;
+    words hold 62 usable bits (shift counts stay <= 61 — DuckDB errors on
+    1<<63 and Java would silently wrap).
+    """
+    pos_rows = keys.select(
+        F.explode(F.array(*[
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"),
+                                               F.col(key_col))), 1, 8),
+                    16, 10).cast("long") % m_bits)
+            for j in range(k)])).alias("p"))
+    return (pos_rows
+            .select(F.expr(f"CAST(p div {BLOOM_WORD_BITS} AS INT)")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(1L, CAST(p % {BLOOM_WORD_BITS}"
+                           " AS INT))").alias("bit"))
+            .groupBy("word_idx").agg(F.bit_or("bit").alias("word")))
+
+
+def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
+                m_bits: int = 3968, k: int = 4) -> DataFrame:
+    """Probe a bloom_build bitmap: adds boolean ``maybe_dup`` — true iff
+    ALL k bit positions of the key are set (no false negatives; false
+    positives at the standard (1-e^{-kn/m})^k rate).
+
+    Each row probes k positions against the BROADCAST word table (a left
+    join on word_idx; an unset word means bit absent); bool_and folds the
+    k hits back to one row per input row keyed by a row id."""
+    probe = df.withColumn(
+        "_probe_p",
+        F.explode(F.array(*[
+            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"),
+                                               F.col(key_col))), 1, 8),
+                    16, 10).cast("long") % m_bits)
+            for j in range(k)])))
+    probe = (probe
+             .withColumn("_widx",
+                         F.expr(f"CAST(_probe_p div {BLOOM_WORD_BITS}"
+                                " AS INT)"))
+             .withColumn("_bit",
+                         F.expr(f"shiftleft(1L, CAST(_probe_p %"
+                                f" {BLOOM_WORD_BITS} AS INT))"))
+             .join(F.broadcast(bloom),
+                   F.col("_widx") == F.col("word_idx"), "left")
+             .withColumn("_hit",
+                         F.coalesce(F.col("word").bitwiseAND(F.col("_bit"))
+                                    != 0, F.lit(False))))
+    keep = [c for c in df.columns]
+    return (probe.groupBy(*keep)
+            .agg(F.bool_and("_hit").alias("maybe_dup")))

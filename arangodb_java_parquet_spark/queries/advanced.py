@@ -222,6 +222,51 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.table(name)
 
 
+_HOPPING_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts)
+         - u.k * INTERVAL '30 minutes' AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events, (SELECT UNNEST(range(0, 2)) AS k) u
+GROUP BY 1, 2
+"""
+
+
+@query("stream_hopping_counts", _HOPPING_SQL)
+def stream_hopping_counts(spark, sf_dir):
+    """Drive the HOPPING (sliding) window aggregation as a real streaming
+    query: readStream -> F.window(size=1h, slide=30m) -> complete-mode
+    memory sink. Each event lands in exactly 2 overlapping windows; under
+    an availableNow drive the complete-mode output must equal the batch
+    hopping aggregation (window_hopping_agg), so this carries the same
+    full value oracle — counts + exact-decimal sums."""
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = event_time_ltz(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = (stream.groupBy(
+        F.window("ts", "1 hour", "30 minutes").start.alias("win_start"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+             .alias("sum_value")))
+    name = f"hop_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
 @query("sim_topk_ivf")
 def sim_topk_ivf(spark, sf_dir):
     """IVF approximate nearest-neighbor top-5 (rows-only: centroid training

@@ -321,3 +321,39 @@ def event_pmi_pairs(spark, sf_dir):
             .crossJoin(F.broadcast(n_users))
             .select("type_a", "type_b", "c_ab", "c_a", "c_b",
                     pmi.alias("pmi")))
+
+
+@query("time_to_convert_stats", """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_click, first_purchase,
+       epoch_us(CAST(first_purchase AS TIMESTAMP))
+         - epoch_us(CAST(first_click AS TIMESTAMP)) AS delta_us
+FROM firsts
+WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+  AND first_purchase >= first_click
+""")
+def time_to_convert_stats(spark, sf_dir):
+    """Time-to-convert per user: first click -> first purchase, as an
+    EXACT integer microsecond delta (unix_micros, no float time math).
+    One conditional-MIN aggregation keyed by user — combinable, one
+    shuffle; the funnel-latency input for p50/p90 conversion SLAs."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase"))
+    delta = (F.unix_micros(F.col("first_purchase").cast("timestamp"))
+             - F.unix_micros(F.col("first_click").cast("timestamp")))
+    return (firsts
+            .filter(F.col("first_click").isNotNull()
+                    & F.col("first_purchase").isNotNull()
+                    & (F.col("first_purchase") >= F.col("first_click")))
+            .select("user_id", "first_click", "first_purchase",
+                    delta.alias("delta_us")))

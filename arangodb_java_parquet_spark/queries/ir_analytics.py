@@ -222,3 +222,136 @@ def quality_bigram_logprob(spark, sf_dir):
         bigram_logprob_backoff)
     d = t(spark, sf_dir, "documents")
     return bigram_logprob_backoff(d, "text", "doc_id")
+
+
+@query("dedup_minhash_jaccard_estimate", """
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                                     i -> text[i:i+4])) AS shingle
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id, md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         MIN(substring(m0, 1, 8))  AS h0, MIN(substring(m0, 9, 8))  AS h1,
+         MIN(substring(m0, 17, 8)) AS h2, MIN(substring(m0, 25, 8)) AS h3,
+         MIN(substring(m1, 1, 8))  AS h4, MIN(substring(m1, 9, 8))  AS h5,
+         MIN(substring(m1, 17, 8)) AS h6, MIN(substring(m1, 25, 8)) AS h7
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+      + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0
+         AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+""")
+def dedup_minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-based Jaccard ESTIMATE from MinHash signature agreement
+    (fraction of equal components) for every LSH candidate pair — the
+    cheap scorer between candidate generation and exact verification in
+    the dedup funnel. Because the signatures are deterministic md5
+    minima, the estimate itself is fully value-checkable cross-engine —
+    sketch parity, not just row parity. Joins move (id, 8 hashes) rows;
+    the pair table is LSH-bounded."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    sa = sigs.select([F.col("doc_id").alias("doc_a")]
+                     + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    sb = sigs.select([F.col("doc_id").alias("doc_b")]
+                     + [F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    agree = sum((F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+                for j in range(8))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    (agree / F.lit(8.0)).alias("est_jaccard")))
+
+
+_BLOOM_POS_SQL = ", ".join(
+    f"CAST(CAST('0x' || substring(md5('{j}:' || fp), 1, 8) AS BIGINT)"
+    f" AS BIGINT) % 3968" for j in range(4))
+
+
+@query("dedup_bloom_prefilter", f"""
+WITH fps AS (
+  SELECT doc_id, source, lower(replace(text, ' ', '')) AS fp
+  FROM documents
+),
+build_pos AS (
+  SELECT UNNEST([{_BLOOM_POS_SQL}]) AS p
+  FROM fps WHERE doc_id % 20 = 0
+),
+bloom AS (
+  SELECT CAST(p // 62 AS INT) AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS word
+  FROM build_pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, source, UNNEST([{_BLOOM_POS_SQL}]) AS p
+  FROM fps
+),
+hits AS (
+  SELECT probe.doc_id, probe.source,
+         COALESCE((bloom.word & (1::BIGINT << CAST(probe.p % 62 AS INT)))
+                  <> 0, FALSE) AS hit
+  FROM probe LEFT JOIN bloom ON bloom.word_idx = CAST(probe.p // 62 AS INT)
+),
+flags AS (
+  SELECT doc_id, source, bool_and(hit) AS maybe_dup
+  FROM hits GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS n_flagged
+FROM flags GROUP BY source
+""")
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter dedup pre-screen, built as PORTABLE relational
+    operators (operators/dedup.py:bloom_build/bloom_probe — Spark's
+    bloom_filter_agg is optimizer-internal, not user-facing): md5-derived
+    bit positions, a bit_or bitmap aggregation into 64 broadcastable
+    (word_idx, word) rows, and an all-bits-set probe. At 100 TB this turns
+    "anti-join everything against a reference corpus" into a broadcast
+    map-side screen that passes only probable matches to the exact verify
+    join — no false negatives by construction, bounded false positives
+    (tests/test_curation.py pins both). Because every bit is md5-derived,
+    even the sketch itself is fully value-checked cross-engine."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        bloom_build, bloom_probe)
+    d = t(spark, sf_dir, "documents")
+    fps = d.select("doc_id", "source",
+                   F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                   .alias("fp"))
+    bloom = bloom_build(fps.filter(F.col("doc_id") % 20 == 0), "fp")
+    flagged = bloom_probe(fps, "fp", bloom)
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("maybe_dup"), 1).otherwise(0))
+                 .alias("n_flagged")))

@@ -419,3 +419,35 @@ def winsorize_stats(spark, sf_dir):
                  F.sum(clipped.cast("decimal(30,8)")).cast("double")
                  .alias("sum_clipped"),
                  F.sum(out_of_range).alias("n_clipped")))
+
+
+@query("histogram_equidepth", """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+         AS sum_price
+FROM r GROUP BY bucket
+""")
+def histogram_equidepth(spark, sf_dir):
+    """Equi-depth (quantile-bucket) histogram via NTILE — the complement
+    of the fixed-width histogram: every bucket holds the same row count,
+    exposing the distribution's shape where mass concentrates. NTILE
+    needs a total order (single-partition window) — fine for a report; at
+    100 TB cut on approx_percentile boundaries instead and keep the
+    bucketing a map-side CASE (the fixed-width histogram entry shows that
+    shape)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    r = o.select("o_orderkey", "o_totalprice",
+                 F.ntile(10).over(w).alias("bucket"))
+    return (r.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .cast("double").alias("sum_price")))

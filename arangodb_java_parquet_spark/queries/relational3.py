@@ -7,6 +7,7 @@ lineitem.l_suppkey).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.queries.common import (
@@ -328,3 +329,88 @@ def agg_count_distinct_twolevel(spark, sf_dir):
     return (o.groupBy("o_orderpriority", "o_custkey").agg(F.lit(1))
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation and approximate quantiles
+# ---------------------------------------------------------------------------
+
+@query("agg_string_concat_ordered", """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rnk)
+         AS top_keys_csv
+FROM ranked WHERE rnk <= 5
+GROUP BY o_orderpriority
+""")
+def agg_string_concat_ordered(spark, sf_dir):
+    """ORDER-sensitive string aggregation (SQL string_agg ... ORDER BY):
+    Spark has no ordered string_agg, so the parity form is
+    collect_list(struct(sort_key, value)) -> array_sort -> transform ->
+    array_join — deterministic because the struct sort key (rank) is
+    unique. Input is pre-capped to 5 rows per group by a window, so the
+    collected array is bounded at any scale."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    ranked = (o.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= 5))
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("rnk"), F.col("o_orderkey").cast("string")
+                 .alias("k"))))
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.array_join(F.transform(arr, lambda s: s["k"]), ",")
+                 .alias("top_keys_csv")))
+
+
+@query("agg_approx_quantile")
+def agg_approx_quantile(spark, sf_dir):
+    """approx_percentile (t-digest-style mergeable sketch) per priority —
+    rows-only by design: the sketch's interpolation is engine-specific.
+    tests/test_curation.py asserts every estimate lands within 2% relative
+    error of the exact percentile, mirroring the HLL tolerance gate. At
+    100 TB this replaces exact percentiles (full sort or two scans) with
+    one combinable pass."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.expr("approx_percentile(o_totalprice,"
+                        " array(0.5D, 0.9D, 0.99D), 10000)")
+                 .alias("approx_pcts"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("agg_max_by_min_by", """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, o_totalprice * 100000 + o_orderkey % 100000)
+         AS top_order,
+       arg_min(o_orderkey, o_totalprice * 100000 + o_orderkey % 100000)
+         AS bottom_order,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_max_by_min_by(spark, sf_dir):
+    """max_by / min_by (SQL arg_max/arg_min) — select the key of the
+    extreme row per group in ONE combinable aggregation instead of the
+    window-rank-filter plan (no shuffle of ranked rows, no per-group
+    sort). Ties on o_totalprice are broken deterministically by folding
+    the orderkey's low digits into the ordering value, because both
+    engines pick an ARBITRARY row on exact ties."""
+    o = t(spark, sf_dir, "orders")
+    ordv = (F.col("o_totalprice") * 100000
+            + F.col("o_orderkey") % 100000)
+    return (o.groupBy("o_orderpriority")
+            .agg(F.expr("max_by(o_orderkey,"
+                        " o_totalprice * 100000 + o_orderkey % 100000)")
+                 .alias("top_order"),
+                 F.expr("min_by(o_orderkey,"
+                        " o_totalprice * 100000 + o_orderkey % 100000)")
+                 .alias("bottom_order"),
+                 F.max("o_totalprice").alias("max_price"),
+                 F.min("o_totalprice").alias("min_price")))

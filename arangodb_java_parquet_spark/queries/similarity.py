@@ -428,3 +428,37 @@ def sim_topk_pq_adc_arrow(spark, sf_dir):
     cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
     return pq_adc_topk(e.filter(F.col("vec_id") < 5), enc, cb,
                        id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query("emb_gram_matrix", """
+SELECT a.i, b.j,
+       CAST(SUM(CAST(embedding[a.i]::DOUBLE * embedding[b.j]::DOUBLE
+                     AS DECIMAL(30,8))) AS DOUBLE) AS g
+FROM embeddings,
+     (SELECT UNNEST(range(1, 65)) AS i) a,
+     (SELECT UNNEST(range(1, 65)) AS j) b
+WHERE b.j >= a.i
+GROUP BY 1, 2
+""")
+def emb_gram_matrix(spark, sf_dir):
+    """Gram matrix G = Σ v·vᵀ over the embedding corpus (upper triangle,
+    1-based indices) — the distributed half of PCA: G is d×d (64×64 here)
+    regardless of corpus size, computed in ONE pass with a combinable
+    exact-decimal aggregation; the eigendecomposition then runs on the
+    driver in microseconds (tests/test_similarity.py power-iterates this
+    exact G and checks the principal component against numpy's eigh).
+    The i<=j pair fan-out is a chained posexplode over each row's own
+    array — d²/2 rows per vector, no self-join, no shuffle before the
+    final d²/2-key aggregation."""
+    e = t(spark, sf_dir, "embeddings")
+    e1 = e.select("embedding",
+                  F.posexplode("embedding").alias("i0", "vi"))
+    e2 = e1.select(
+        F.col("i0"), F.col("vi"),
+        F.posexplode(F.expr("slice(embedding, i0 + 1, 64)"))
+        .alias("p0", "vj"))
+    prod = F.col("vi").cast("double") * F.col("vj").cast("double")
+    return (e2.groupBy((F.col("i0") + 1).alias("i"),
+                       (F.col("i0") + F.col("p0") + 1).alias("j"))
+            .agg(F.sum(prod.cast("decimal(30,8)")).cast("double")
+                 .alias("g")))

@@ -60,13 +60,17 @@ WITH shingles AS (
                                      i -> text[i:i+4])) AS shingle
         FROM documents)
 ),
+hashed AS (
+  SELECT doc_id, md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1
+  FROM shingles
+),
 sigs AS (
   SELECT doc_id,
-         MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-         MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-         MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-         MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
-  FROM shingles GROUP BY doc_id
+         MIN(substring(m0, 1, 8))  AS h0, MIN(substring(m0, 9, 8))  AS h1,
+         MIN(substring(m0, 17, 8)) AS h2, MIN(substring(m0, 25, 8)) AS h3,
+         MIN(substring(m1, 1, 8))  AS h4, MIN(substring(m1, 9, 8))  AS h5,
+         MIN(substring(m1, 17, 8)) AS h6, MIN(substring(m1, 25, 8)) AS h7
+  FROM hashed GROUP BY doc_id
 )
 """
 

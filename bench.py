@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "markov_event_transitions",
     "event_pmi_pairs",
     "winsorize_stats",
+    "emb_gram_matrix",
+    "histogram_equidepth",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_bloom_prefilter",
 ]
 
 

@@ -307,3 +307,44 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
         p40, _, p60 = e["p"]
         assert p40 <= got[k]["approx_median_price"] <= p60, (
             k, got[k]["approx_median_price"], e["p"])
+
+
+def test_approx_quantile_within_tolerance(spark, sf_dir):
+    """agg_approx_quantile is rows-only by design (t-digest interpolation
+    is engine-specific) — pin its accuracy: every approx percentile within
+    2% relative error of the exact percentile for its group."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    got = {r["o_orderpriority"]: r["approx_pcts"] for r in
+           QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    exact = {r["o_orderpriority"]: r["pcts"] for r in
+             (o.groupBy("o_orderpriority")
+              .agg(F.expr("percentile(o_totalprice,"
+                          " array(0.5D, 0.9D, 0.99D))").alias("pcts"))
+              .collect())}
+    assert set(got) == set(exact) and got
+    for prio, approx in got.items():
+        for a, e in zip(approx, exact[prio]):
+            assert abs(a - e) <= 0.02 * abs(e), (prio, a, e)
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom pre-screen may over-flag (false positives) but must NEVER
+    under-flag: every document whose normalized fingerprint matches a
+    reference-set document must come through flagged."""
+    from arangodb_java_parquet_spark.operators.dedup import (bloom_build,
+                                                             bloom_probe)
+    from arangodb_java_parquet_spark.queries.common import t
+    d = t(spark, sf_dir, "documents")
+    fp = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    fps = d.select("doc_id", fp.alias("fp"))
+    ref = fps.filter(F.col("doc_id") % 20 == 0)
+    bench_fps = {r[0] for r in ref.select("fp").collect()}
+    flagged = bloom_probe(fps, "fp", bloom_build(ref, "fp")).collect()
+    true_dups = [r for r in flagged if r["fp"] in bench_fps]
+    assert true_dups, "reference set should overlap itself"
+    assert all(r["maybe_dup"] for r in true_dups)
+    # and the filter actually filters: false-positive rate bounded
+    others = [r for r in flagged if r["fp"] not in bench_fps]
+    fp_rate = sum(bool(r["maybe_dup"]) for r in others) / max(len(others), 1)
+    assert fp_rate < 0.2, fp_rate

@@ -217,3 +217,35 @@ def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
     p = plan(spark, sf_dir, "join_skew_salted")
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p.split("HashAggregate")[0]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed co-located join — THE 100 TB join strategy for repeated
+    large-table equi-joins: both sides pre-bucketed on the join key means
+    SortMergeJoin reads bucket-aligned splits and the plan contains NO
+    Exchange at all (compare: an unbucketed join shuffles both sides every
+    run)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    for df, name, key in ((o, "t_orders_b", "o_custkey"),
+                          (c, "t_customer_b", "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.mode("overwrite")
+         .option("path", str(tmp_path / name))
+         .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("t_orders_b")
+             .join(spark.table("t_customer_b"),
+                   F.col("o_custkey") == F.col("c_custkey"))
+             .select("o_orderkey", "c_mktsegment"))
+        p = formatted_plan(j)
+        assert "SortMergeJoin" in p
+        # both sides read bucket-aligned: the whole plan is shuffle-free
+        assert "Exchange" not in p, p
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("t_orders_b", "t_customer_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -181,3 +181,29 @@ def test_pq_adc_arrow_matches_jvm(spark, sf_dir):
         out.append(sorted((r.qid, r.vid, r.rn, float(r.adc_dist))
                           for r in rows))
     assert out[0] == out[1]
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    """Distributed Gram matrix -> driver-side power iteration == numpy
+    eigh on the raw vectors: validates the two-stage PCA split (the d×d
+    reduction is the only distributed work; the eigensolve is O(d³) on
+    the driver)."""
+    import numpy as np
+
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    rows = QUERIES["emb_gram_matrix"](spark, sf_dir).collect()
+    d = 64
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["g"]
+        G[r["j"] - 1, r["i"] - 1] = r["g"]
+    # power iteration on the collected (tiny) Gram matrix
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(200):
+        v = G @ v
+        v /= np.linalg.norm(v)
+    X = np.array([row["embedding"] for row in
+                  t(spark, sf_dir, "embeddings").collect()], dtype=float)
+    ref = np.linalg.eigh(X.T @ X)[1][:, -1]
+    cos = abs(float(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref)))
+    assert cos > 0.999, cos
