@@ -451,3 +451,60 @@ def histogram_equidepth(spark, sf_dir):
                  F.max("o_totalprice").alias("hi"),
                  F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
                  .cast("double").alias("sum_price")))
+
+
+@query("pareto_revenue_share", """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           AS cust_rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cust_rev DESC, o_custkey) AS rnk,
+         CAST(SUM(CAST(cust_rev AS DECIMAL(30,8))) OVER (
+           PARTITION BY segment ORDER BY cust_rev DESC, o_custkey
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+         CAST(SUM(CAST(cust_rev AS DECIMAL(30,8))) OVER (
+           PARTITION BY segment) AS DOUBLE) AS seg_rev,
+         COUNT(*) OVER (PARTITION BY segment) AS n_cust
+  FROM rev
+)
+SELECT segment, rnk, n_cust, cum_rev, seg_rev,
+       cum_rev / seg_rev AS cum_share
+FROM ranked
+WHERE rnk <= 10
+""")
+def pareto_revenue_share(spark, sf_dir):
+    """Pareto concentration: per segment, the cumulative revenue share of
+    the top customers (does 20% of the base drive 80% of revenue?).
+    Exact-decimal running and total sums inside the window keep the
+    cumulative shares bit-stable; windows partition by segment. Report
+    depth 10 bounds the output."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                .cast("double").alias("cust_rev")))
+    w_ord = Window.partitionBy("segment").orderBy(
+        F.desc("cust_rev"), "o_custkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("segment")
+    ranked = (rev
+              .withColumn("rnk", F.row_number().over(w_ord))
+              .withColumn("cum_rev",
+                          F.sum(F.col("cust_rev").cast("decimal(30,8)"))
+                          .over(w_cum).cast("double"))
+              .withColumn("seg_rev",
+                          F.sum(F.col("cust_rev").cast("decimal(30,8)"))
+                          .over(w_all).cast("double"))
+              .withColumn("n_cust", F.count(F.lit(1)).over(w_all)))
+    return (ranked.filter(F.col("rnk") <= 10)
+            .select("segment", "rnk", "n_cust", "cum_rev", "seg_rev",
+                    (F.col("cum_rev") / F.col("seg_rev"))
+                    .alias("cum_share")))

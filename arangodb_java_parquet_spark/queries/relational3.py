@@ -414,3 +414,52 @@ def agg_max_by_min_by(spark, sf_dir):
                  .alias("bottom_order"),
                  F.max("o_totalprice").alias("max_price"),
                  F.min("o_totalprice").alias("min_price")))
+
+
+@query("frequent_item_pairs", """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       da.n_orders AS n_a, db.n_orders AS n_b,
+       p.n_both / CAST(da.n_orders AS DOUBLE) AS conf_a_to_b,
+       p.n_both / CAST(db.n_orders AS DOUBLE) AS conf_b_to_a
+FROM pairs p
+JOIN deg da ON da.l_partkey = p.part_a
+JOIN deg db ON db.l_partkey = p.part_b
+WHERE p.n_both >= 3
+""")
+def frequent_item_pairs(spark, sf_dir):
+    """Frequent co-purchased part pairs with directional confidence
+    (market-basket / association-rule mining, the Apriori 2-itemset
+    stage). The self-join is keyed on l_orderkey, so its fan-out is
+    bounded by basket size squared — tiny per key — never a global cross
+    join; part marginals join back vocabulary-sized. At 100 TB the same
+    shape holds: shuffle is (order, part) pairs, and a min-support
+    pre-filter on part degree can prune the tail before the pair join."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    deg = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= 3))
+    da = deg.select(F.col("l_partkey").alias("part_a"),
+                    F.col("n_orders").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"),
+                    F.col("n_orders").alias("n_b"))
+    return (pairs.join(da, "part_a").join(db, "part_b")
+            .select("part_a", "part_b", "n_both", "n_a", "n_b",
+                    (F.col("n_both") / F.col("n_a").cast("double"))
+                    .alias("conf_a_to_b"),
+                    (F.col("n_both") / F.col("n_b").cast("double"))
+                    .alias("conf_b_to_a")))

@@ -462,3 +462,39 @@ def emb_gram_matrix(spark, sf_dir):
                        (F.col("i0") + F.col("p0") + 1).alias("j"))
             .agg(F.sum(prod.cast("decimal(30,8)")).cast("double")
                  .alias("g")))
+
+
+@query("decontaminate_semantic", f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT e.vec_id, {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 5
+)
+SELECT vec_id, MAX(cos_sim) AS max_cos,
+       MAX(cos_sim) >= 0.6 AS contaminated
+FROM pairs
+GROUP BY vec_id
+""")
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram benchmark decontamination: flag any corpus vector whose cosine
+    to ANY benchmark vector reaches the threshold (paraphrased test-set
+    leakage that token overlap misses). The benchmark set is broadcast;
+    the corpus is scanned once with a per-vector max — no corpus shuffle,
+    no top-k structure needed because only the maximum matters. Round-9
+    cosines keep the max and the flag engine-stable."""
+    from arangodb_java_parquet_spark.operators.similarity import cosine
+    e = t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    corpus = e.filter(F.col("vec_id") >= 5)
+    pairs = (corpus.crossJoin(F.broadcast(q))
+             .select("vec_id",
+                     F.round(cosine(F.col("qvec"), F.col("embedding")), 9)
+                     .alias("cos_sim")))
+    return (pairs.groupBy("vec_id")
+            .agg(F.max("cos_sim").alias("max_cos"),
+                 (F.max("cos_sim") >= 0.6).alias("contaminated")))

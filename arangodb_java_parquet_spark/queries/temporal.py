@@ -389,3 +389,55 @@ def window_session_native(spark, sf_dir):
                     F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+_HOUR_US = 3_600_000_000
+_TOL_US = 6 * _HOUR_US          # match window: +/- 6 hours
+_BIN_US = 2 * _TOL_US           # bin width = window span -> <= 2 bins/row
+
+
+@query("join_range_binned", f"""
+SELECT p.event_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events p
+JOIN events c
+  ON c.event_type = 'click'
+ AND epoch_us(CAST(c.ts AS TIMESTAMP))
+       >= epoch_us(CAST(p.ts AS TIMESTAMP)) - {_TOL_US}
+ AND epoch_us(CAST(c.ts AS TIMESTAMP))
+       <= epoch_us(CAST(p.ts AS TIMESTAMP)) + {_TOL_US}
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def join_range_binned(spark, sf_dir):
+    """PURE range join (no equi key: every click within ±6 h of each
+    purchase, across ALL users) executed scalably via BINNING — the
+    technique OSS Spark lacks a native strategy for: the naive
+    formulation is a BroadcastNestedLoopJoin (quadratic at scale). Each
+    purchase maps to its 12-hour epoch bin; each click explodes into the
+    <= 2 bins its ±6 h match-window can reach; the join becomes an EQUI
+    join on bin followed by the exact range filter. Work drops from
+    |p|×|c| to per-bin products (bin width = window span bounds the
+    fan-out at 2). Integer `div` binning — double-division truncation
+    can mis-bin when the quotient sits within an ulp of an integer. The
+    oracle states the naive range predicate directly."""
+    e = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = (e.filter(F.col("event_type") == "purchase")
+          .select("event_id", ts_us.alias("p_us"))
+          .select("event_id", "p_us",
+                  F.expr(f"p_us div {_BIN_US}").alias("bin")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(ts_us.alias("c_us"), "value"))
+    bins = F.array_distinct(F.array(
+        F.expr(f"(c_us - {_TOL_US}) div {_BIN_US}"),
+        F.expr(f"(c_us + {_TOL_US}) div {_BIN_US}")))
+    cd = clicks.select("c_us", "value", F.explode(bins).alias("bin"))
+    joined = (ev.join(cd, "bin")
+              .filter((F.col("c_us") >= F.col("p_us") - _TOL_US)
+                      & (F.col("c_us") <= F.col("p_us") + _TOL_US)))
+    return (joined.groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_clicks"),
+                 F.sum(F.col("value").cast("decimal(30,8)"))
+                 .cast("double").alias("sum_value")))
