@@ -10,6 +10,7 @@ integer-derived doubles, identical in both engines.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.dedup import (
@@ -355,3 +356,75 @@ def dedup_bloom_prefilter(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.when(F.col("maybe_dup"), 1).otherwise(0))
                  .alias("n_flagged")))
+
+
+@query("text_chi2_keyness", """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+srcn AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_src FROM st GROUP BY 1),
+tokn AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS n_tok FROM st GROUP BY 1),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM st),
+cells AS (
+  SELECT st.source, st.tok, st.a,
+         n_src - st.a AS b,
+         n_tok - st.a AS c,
+         n - n_src - n_tok + st.a AS d,
+         n
+  FROM st JOIN srcn USING (source) JOIN tokn USING (tok) CROSS JOIN tot
+),
+scored AS (
+  SELECT source, tok, a,
+         ROUND((CAST(n AS DOUBLE)
+                * (a * CAST(d AS DOUBLE) - b * CAST(c AS DOUBLE))
+                * (a * CAST(d AS DOUBLE) - b * CAST(c AS DOUBLE)))
+               / ((a + b) * CAST(a + c AS DOUBLE)
+                  * (b + d) * CAST(c + d AS DOUBLE)), 9) AS chi2
+  FROM cells
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY chi2 DESC, tok) AS rnk
+  FROM scored
+)
+SELECT source, tok, a AS n_occurrences, chi2, rnk
+FROM ranked WHERE rnk <= 5
+""")
+def text_chi2_keyness(spark, sf_dir):
+    """Distinctive-vocabulary mining: per source, the top-5 tokens by
+    chi-square keyness against the rest of the corpus (the 2×2
+    contingency chi², the standard corpus-linguistics / feature-selection
+    statistic). All four cell counts derive from THREE combinable
+    aggregations (source×token, source, token) joined back — the marginal
+    tables are vocabulary/source-sized and broadcast; integer counts make
+    the statistic exact up to one round-9 division."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a"))
+    srcn = st.groupBy("source").agg(F.sum("a").alias("n_src"))
+    tokn = st.groupBy("tok").agg(F.sum("a").alias("n_tok"))
+    tot = st.agg(F.sum("a").alias("n"))
+    cells = (st.join(F.broadcast(srcn), "source")
+             .join(F.broadcast(tokn), "tok")
+             .crossJoin(F.broadcast(tot))
+             .select("source", "tok", "a",
+                     (F.col("n_src") - F.col("a")).alias("b"),
+                     (F.col("n_tok") - F.col("a")).alias("c"),
+                     (F.col("n") - F.col("n_src") - F.col("n_tok")
+                      + F.col("a")).alias("d"),
+                     "n"))
+    delta = (F.col("a") * F.col("d").cast("double")
+             - F.col("b") * F.col("c").cast("double"))
+    chi2 = F.round(
+        (F.col("n").cast("double") * delta * delta)
+        / ((F.col("a") + F.col("b"))
+           * (F.col("a") + F.col("c")).cast("double")
+           * (F.col("b") + F.col("d"))
+           * (F.col("c") + F.col("d")).cast("double")), 9)
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), "tok")
+    return (cells.select("source", "tok", F.col("a").alias("n_occurrences"),
+                         chi2.alias("chi2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5))

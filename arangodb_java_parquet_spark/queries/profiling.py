@@ -508,3 +508,27 @@ def pareto_revenue_share(spark, sf_dir):
             .select("segment", "rnk", "n_cust", "cum_rev", "seg_rev",
                     (F.col("cum_rev") / F.col("seg_rev"))
                     .alias("cum_share")))
+
+
+@query("histogram_2d", """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS price_bin,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year_bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+         AS sum_price
+FROM orders
+GROUP BY 1, 2
+""")
+def histogram_2d(spark, sf_dir):
+    """2-D histogram (price band × order year) — the heatmap aggregation:
+    one combinable groupBy over two map-side bucketings (integer floor
+    division and a date-part), output bounded by bins² regardless of
+    corpus size."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+        .alias("price_bin"),
+        F.year("o_orderdate").alias("year_bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+             .cast("double").alias("sum_price")))

@@ -463,3 +463,54 @@ def frequent_item_pairs(spark, sf_dir):
                     .alias("conf_a_to_b"),
                     (F.col("n_both") / F.col("n_b").cast("double"))
                     .alias("conf_b_to_a")))
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS part, CAST(FLOOR(p_partkey / 10.0) AS BIGINT)
+           AS parent, 1 AS depth
+  FROM part
+  UNION ALL
+  SELECT anc.part, CAST(FLOOR(anc.parent / 10.0) AS BIGINT), depth + 1
+  FROM anc WHERE anc.parent > 0
+)
+SELECT part, MAX(depth) AS depth_to_root, MIN(parent) AS root
+FROM anc
+GROUP BY part
+"""
+
+
+@query("sql_recursive_cte", _RECURSIVE_SQL)
+def sql_recursive_cte(spark, sf_dir):
+    """RECURSIVE CTE (Spark 4 WITH RECURSIVE) — the SAME ANSI SQL text
+    runs verbatim on Spark and DuckDB (sql_portable_agg's strongest
+    parity form, now for iteration): walk each part up a synthesized
+    decimal-digit hierarchy (parent = part div 10) to the root, reporting
+    depth. Spark executes the recursion as an iterative union-loop plan;
+    per round the work is one combinable step over the frontier — the
+    declarative sibling of the hand-rolled pointer-doubling in
+    operators/curation.py (which remains the right tool when rounds must
+    be O(log n) instead of O(depth))."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+@query("scalar_variant_json", """
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k_val,
+       json_extract(props, '$.missing')::BIGINT AS missing_val
+FROM events
+""")
+def scalar_variant_json(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): parse_json once into a
+    variant, then typed-path extraction with variant_get — the
+    shredded-JSON path that replaces per-field string re-parsing (the
+    oracle expresses the same extraction with DuckDB's JSON type).
+    Missing paths yield NULL, not errors, in both engines."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')")
+        .alias("k_val"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'long')")
+        .alias("missing_val"))

@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "histogram_equidepth",
     "dedup_minhash_jaccard_estimate",
     "dedup_bloom_prefilter",
+    "frequent_item_pairs",
+    "pareto_revenue_share",
+    "join_range_binned",
+    "decontaminate_semantic",
+    "text_chi2_keyness",
+    "sql_recursive_cte",
 ]
 
 
