@@ -414,3 +414,51 @@ def multimodal_audio_features(spark, sf_dir):
         extract_audio_features)
     d = t(spark, sf_dir, "documents")
     return extract_audio_features(attach_binary_payload(d))
+
+
+_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@query("stream_static_enrich", _ENRICH_SQL)
+def stream_static_enrich(spark, sf_dir):
+    """STREAM-STATIC join driven as a real streaming query: readStream
+    over events ⋈ broadcast static customer dim -> segment×type
+    aggregation -> complete-mode memory sink. The static side is re-read
+    per micro-batch (dimension updates flow in automatically) and joins
+    broadcast, so the stream never shuffles for the join. availableNow
+    over a static source = one micro-batch, so the complete-mode output
+    equals the batch enrichment (events_enriched_by_segment) and this
+    entry carries its FULL value oracle."""
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = event_time_ltz(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    agg = (stream.join(F.broadcast(cust),
+                       F.col("user_id") == F.col("c_custkey"))
+           .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                .alias("sum_value")))
+    name = f"enrich_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -145,3 +145,26 @@ def window_ntile_first_last(spark, sf_dir):
         F.ntile(4).over(w_price).alias("quartile"),
         F.first("o_orderkey").over(w_full).alias("first_order"),
         F.last("o_orderkey").over(w_full).alias("last_order"))
+
+
+@query("window_distinct_in_frame", """
+SELECT event_id, user_id,
+       len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))) AS n_distinct_types
+FROM events
+""")
+def window_distinct_in_frame(spark, sf_dir):
+    """DISTINCT aggregation inside a window frame — not natively
+    supported by either engine's COUNT(DISTINCT) OVER: expressed as
+    size(collect_set) over the ROWS frame (Spark) == len(list_distinct
+    (list)) over the same frame (DuckDB). Per-user frames of <= 5 rows
+    bound the set state; the behavioral-variety signal behind bot/fraud
+    heuristics."""
+    e = t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, W.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .alias("n_distinct_types"))
