@@ -502,3 +502,72 @@ def pq_adc_topk(queries: DataFrame, encoded: DataFrame, cb: DataFrame, *,
                   W.partitionBy("qid").orderBy("adc_dist", "vid")))
               .filter(F.col("rn") <= k))
     return ranked
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
+               vec_col: str, k: int, n_probe: int = 4,
+               cell_mod: int = 31, pq_cent_mod: int = 37,
+               n_sub: int = 8, sub_dim: int = 8) -> DataFrame:
+    """IVF-PQ composite index (the FAISS IVFADC architecture, Jégou et
+    al. 2011): coarse inverted-file cells route each query to its
+    ``n_probe`` nearest partitions, and asymmetric PQ distances score
+    only the codes inside those cells — the standard billion-vector ANN
+    design where neither the full corpus nor full vectors are ever
+    touched per query.
+
+    Composition of the two verified stages: assign_cells (broadcast
+    coarse-centroid argmin; rule centroids = every ``cell_mod``-th
+    vector) and pq_encode/LUT-ADC (broadcast codebook). Per query the
+    work is n_probe/n_cells of the corpus × n_sub O(1) lookups; the
+    cell-routed join is an equi-join on cell (probe pairs × encoded
+    cells), NOT a cross join — at scale the encoded corpus would be
+    WRITTEN partitioned by cell so probes prune at the scan.
+
+    Output: (qid, vid, adc_dist, rn<=k). Registered rows-only (composite
+    fitted-index semantics); recall vs brute force is pinned in
+    tests/test_similarity.py.
+    """
+    cents = (corpus.filter(F.col(id_col) % cell_mod == 0)
+             .select(F.col(id_col).alias("cid"),
+                     F.col(vec_col).alias("cvec")))
+    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col), F.col("cell"))
+    enc = (pq_encode(corpus, id_col=id_col, vec_col=vec_col,
+                     n_sub=n_sub, sub_dim=sub_dim, cent_mod=pq_cent_mod,
+                     emit="pos")
+           .select(F.col(id_col).alias("vid"), "pq_pos")
+           .join(cells.withColumnRenamed(id_col, "vid"), "vid"))
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
+                     cent_mod=pq_cent_mod)
+
+    # probe list: top-n_probe cells per query by coarse d2
+    cents_arr, scored = centroid_scores(cents, "qvec")
+    q_base = queries.select(F.col(id_col).alias("qid"),
+                            F.col(vec_col).alias("qvec"))
+    probes = (q_base.crossJoin(F.broadcast(cents_arr))
+              .select("qid", "qvec",
+                      F.explode(F.slice(F.array_sort(scored), 1, n_probe))
+                      .alias("pr"))
+              .select("qid", "qvec", F.col("pr.cid").alias("cell")))
+
+    # per-query subspace LUTs (same construction as pq_adc_topk)
+    def lut_expr(s: int):
+        return F.transform(
+            F.col("__cb"),
+            lambda c: _sub_d2(F.col("qvec"), c["cvec"], s, sub_dim)
+            .cast("decimal(20,9)"))
+
+    q_lut = (probes.crossJoin(F.broadcast(cb))
+             .select("qid", "cell",
+                     *[lut_expr(s).alias(f"__lut{s}")
+                       for s in range(n_sub)]))
+    pairs = (enc.join(F.broadcast(q_lut), "cell")
+             .filter(F.col("qid") != F.col("vid")))
+    terms = [F.element_at(F.col(f"__lut{s}"),
+                          F.col("pq_pos").getItem(s) + 1)
+             for s in range(n_sub)]
+    adc = sum(terms[1:], terms[0]).cast("double")
+    return (pairs.select("qid", "vid", adc.alias("adc_dist"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("qid").orderBy("adc_dist", "vid")))
+            .filter(F.col("rn") <= k))

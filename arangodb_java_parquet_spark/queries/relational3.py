@@ -514,3 +514,66 @@ def scalar_variant_json(spark, sf_dir):
         .alias("k_val"),
         F.expr("variant_get(parse_json(props), '$.missing', 'long')")
         .alias("missing_val"))
+
+
+_CORR_VARS = [("quantity", "l_quantity"), ("extendedprice", "l_extendedprice"),
+              ("discount", "l_discount"), ("tax", "l_tax")]
+_CORR_MOMENTS_SQL = ", ".join(
+    [f"CAST(SUM(CAST({c} AS DECIMAL(30,8))) AS DOUBLE) AS s_{n}"
+     for n, c in _CORR_VARS]
+    + [f"CAST(SUM(CAST({c} * {c} AS DECIMAL(30,8))) AS DOUBLE) AS ss_{n}"
+       for n, c in _CORR_VARS]
+    + [f"CAST(SUM(CAST({ca} * {cb} AS DECIMAL(30,8))) AS DOUBLE)"
+       f" AS c_{na}_{nb}"
+       for i, (na, ca) in enumerate(_CORR_VARS)
+       for nb, cb in _CORR_VARS[i + 1:]])
+_CORR_PAIR_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{na}' AS var_a, '{nb}' AS var_b,\n"
+    f"       ROUND((n * c_{na}_{nb} - s_{na} * s_{nb})\n"
+    f"         / (sqrt(n * ss_{na} - s_{na} * s_{na})\n"
+    f"            * sqrt(n * ss_{nb} - s_{nb} * s_{nb})), 9) AS corr\n"
+    f"FROM m"
+    for i, (na, _) in enumerate(_CORR_VARS)
+    for nb, _ in _CORR_VARS[i + 1:])
+
+
+@query("agg_corr_matrix",
+       f"WITH m AS (SELECT COUNT(*) AS n, {_CORR_MOMENTS_SQL}"
+       f" FROM lineitem)\n{_CORR_PAIR_SQL}")
+def agg_corr_matrix(spark, sf_dir):
+    """Full pairwise correlation matrix over four lineitem measures in
+    ONE pass: a single combinable aggregation collects all exact-decimal
+    first/second/cross moments (4+4+6 sums), then the 6 correlations
+    derive from the one-row moment table — the standard profile-stage
+    shape, corpus scanned once regardless of pair count. Round-9 on the
+    cancellation-sensitive derived ratio (repo determinism rule)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def ms(e):
+        return F.sum(e.cast("decimal(30,8)")).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for n, c in _CORR_VARS:
+        aggs.append(ms(F.col(c)).alias(f"s_{n}"))
+    for n, c in _CORR_VARS:
+        aggs.append(ms(F.col(c) * F.col(c)).alias(f"ss_{n}"))
+    for i, (na, ca) in enumerate(_CORR_VARS):
+        for nb, cb in _CORR_VARS[i + 1:]:
+            aggs.append(ms(F.col(ca) * F.col(cb)).alias(f"c_{na}_{nb}"))
+    m = li.agg(*aggs)
+
+    def corr(na, nb):
+        n = F.col("n")
+        sa, sb = F.col(f"s_{na}"), F.col(f"s_{nb}")
+        ssa, ssb = F.col(f"ss_{na}"), F.col(f"ss_{nb}")
+        c = F.col(f"c_{na}_{nb}")
+        return F.round((n * c - sa * sb)
+                       / (F.sqrt(n * ssa - sa * sa)
+                          * F.sqrt(n * ssb - sb * sb)), 9)
+
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(na).alias("var_a"), F.lit(nb).alias("var_b"),
+                 corr(na, nb).alias("corr"))
+        for i, (na, _) in enumerate(_CORR_VARS)
+        for nb, _ in _CORR_VARS[i + 1:]])).alias("p")
+    return m.select(pairs).select("p.var_a", "p.var_b", "p.corr")

@@ -498,3 +498,15 @@ def decontaminate_semantic(spark, sf_dir):
     return (pairs.groupBy("vec_id")
             .agg(F.max("cos_sim").alias("max_cos"),
                  (F.max("cos_sim") >= 0.6).alias("contaminated")))
+
+
+@query("sim_topk_ivfpq")
+def sim_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ composite ANN top-5 (operators/similarity.py:ivfpq_topk) —
+    coarse cells route the query, asymmetric PQ distances score only the
+    probed cells' codes. Rows-only (composite index semantics); recall
+    vs brute force pinned in tests/test_similarity.py."""
+    from arangodb_java_parquet_spark.operators.similarity import ivfpq_topk
+    e = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e.filter(F.col("vec_id") < 10), e,
+                      id_col="vec_id", vec_col="embedding", k=5)

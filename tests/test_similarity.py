@@ -207,3 +207,31 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     ref = np.linalg.eigh(X.T @ X)[1][:, -1]
     cos = abs(float(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref)))
     assert cos > 0.999, cos
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """IVF-PQ is doubly approximate (cell routing + quantized distances
+    from RULE codebooks — the same unfitted codewords whose ADC-only
+    recall floor is 0.05 in test_pq_adc above): assert recall stays above
+    that chance floor and that results are well-formed (5 per query, no
+    self)."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        ivfpq_topk, topk_cosine_bruteforce)
+    from arangodb_java_parquet_spark.queries.common import t
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(q, e, id_col="vec_id", vec_col="embedding",
+                     k=5).collect()
+    exact = topk_cosine_bruteforce(
+        q, e, id_col="vec_id", vec_col="embedding", k=5).collect()
+    by_q = {}
+    for r in got:
+        assert r["qid"] != r["vid"]
+        by_q.setdefault(r["qid"], set()).add(r["vid"])
+    assert all(len(v) == 5 for v in by_q.values()) and len(by_q) == 10
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], set()).add(r["vid"])
+    hits = sum(len(by_q[q0] & exact_by_q[q0]) for q0 in exact_by_q)
+    recall = hits / sum(len(v) for v in exact_by_q.values())
+    assert recall >= 0.08, recall
