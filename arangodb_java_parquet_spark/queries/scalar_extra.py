@@ -215,3 +215,47 @@ def udaf_geomean_pandas(spark, sf_dir):
     return (o.groupBy("o_orderpriority")
             .agg(F.round(geomean("o_totalprice"), 6)
                  .alias("geomean_price")))
+
+
+@query("array_hof_functions", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(list_filter(ws, x -> len(x) > 4)) AS n_long_words,
+       CASE WHEN len(list_filter(ws, x -> len(x) = 1)) > 0
+            THEN 1 ELSE 0 END AS has_single_char,
+       CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+         AS total_chars,
+       flatten([ws[1:2], ws[3:4]]) AS first4_flat,
+       range(1, least(len(ws), 5) + 1) AS seq_to_5,
+       list_transform(range(1, least(len(ws), 5) + 1),
+                      i -> ws[i] || '-' || ws[least(len(ws), 5) + 1 - i])
+         AS zipped_mirror
+FROM w
+""")
+def array_hof_functions(spark, sf_dir):
+    """Higher-order array functions — filter / exists / aggregate(fold) /
+    flatten / sequence / zip_with — the expression-level surface that
+    keeps per-row array logic JVM-side instead of in UDFs. Single-param
+    lambdas only (a two-param Spark HOF lambda silently binds (element,
+    index) — CLAUDE.md gotcha); the DuckDB oracle mirrors zip_with via an
+    index transform."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    w5 = F.slice(ws, 1, F.least(F.size(ws), F.lit(5)))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda x: F.length(x) > 4)).cast("long")
+        .alias("n_long_words"),
+        F.when(F.exists(ws, lambda x: F.length(x) == 1), 1).otherwise(0)
+        .cast("int").alias("has_single_char"),
+        F.aggregate(ws, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x))
+        .alias("total_chars"),
+        F.flatten(F.array(F.slice(ws, 1, 2), F.slice(ws, 3, 2)))
+        .alias("first4_flat"),
+        F.sequence(F.lit(1).cast("long"),
+                   F.least(F.size(ws), F.lit(5)).cast("long"))
+        .alias("seq_to_5"),
+        F.zip_with(w5, F.reverse(w5),
+                   lambda x, y: F.concat(x, F.lit("-"), y))
+        .alias("zipped_mirror"))

@@ -249,3 +249,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("t_orders_b", "t_customer_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_observe_metrics_on_write(spark, sf_dir):
+    """df.observe() — zero-cost pipeline telemetry collected ON the write
+    action itself (no second scan): row counts and exact-decimal sums
+    arrive via the observation callback, the production pattern for
+    ingest accounting (cf. sources/loader.py's accumulator counting)."""
+    from pyspark.sql import Observation
+    obs = Observation("ingest_metrics")
+    df = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .observe(obs,
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                   .cast("double").alias("sum_price")))
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    exact = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double")
+        .alias("s")).collect()[0]
+    assert got["n_rows"] == exact["n"]
+    assert got["sum_price"] == exact["s"]
