@@ -67,6 +67,30 @@ def read_json(spark: SparkSession, path: str, *, schema=None,
     return reader.json(path)
 
 
+def read_xml(spark: SparkSession, path: str, *, row_tag: str = "row",
+             schema=None, infer: bool = False, **options) -> DataFrame:
+    """Native XML source (integrated into Spark 4 from spark-xml): one
+    row per ``row_tag`` element. Same explicit-schema discipline as
+    CSV/JSON — inference double-scans the input."""
+    if schema is None and not infer:
+        raise ValueError(
+            "read_xml requires an explicit schema (or infer=True); "
+            "inference double-scans the input")
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, *, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """Native XML sink (Spark 4)."""
+    (df.write.format("xml").option("rowTag", row_tag)
+     .option("rootTag", root_tag).mode(mode).save(path))
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, *,
               partition_column: str | None = None,
               lower_bound=None, upper_bound=None,

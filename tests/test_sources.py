@@ -304,3 +304,19 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     # content identical
     assert (spark.read.parquet(dst).orderBy("o_orderkey").collect()
             == o.orderBy("o_orderkey").collect())
+
+
+def test_xml_roundtrip(spark, nation, tmp_path_factory):
+    """Native XML source/sink (Spark 4 integrated spark-xml)."""
+    from arangodb_java_parquet_spark.sources.readers import (read_xml,
+                                                             write_xml)
+    out = str(tmp_path_factory.mktemp("xml") / "nation_xml")
+    write_xml(nation, out, row_tag="nation", root_tag="nations")
+    got = read_xml(spark, out, row_tag="nation", schema=nation.schema)
+    assert rows_of(got) == rows_of(nation)
+
+
+def test_xml_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        from arangodb_java_parquet_spark.sources.readers import read_xml
+        read_xml(spark, "/nonexistent")
