@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.multimodal import (
     attach_binary_payload, extract_image_features, frame_sample_stub)
-from arangodb_java_parquet_spark.queries.common import query, sql_dsum, t
+from arangodb_java_parquet_spark.queries.common import (ORACLES, query,
+                                                        sql_dsum, t)
 from arangodb_java_parquet_spark.streaming.ingest import windowed_event_counts
 
 
@@ -462,3 +463,46 @@ def stream_static_enrich(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@query("stream_session_windows", None)
+def stream_session_windows(spark, sf_dir):
+    """Native SESSION windows under Structured Streaming: readStream ->
+    watermark -> F.session_window(ts, 30 min) per user -> complete-mode
+    memory sink. Under an availableNow drive (one micro-batch, nothing
+    late) the emitted sessions equal the batch gaps-and-islands
+    formulation, so this entry carries the batch twin's FULL value
+    oracle (window_session_native's SQL, wired in below)."""
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = event_time_ltz(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = (stream.withWatermark("ts", "1 day")
+           .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+                .alias("sum_value"))
+           .select("user_id",
+                   F.col("session_window.start").alias("session_start"),
+                   F.col("session_window.end").alias("session_end"),
+                   "n_events", "sum_value"))
+    name = f"sess_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+# wire the batch twin's full oracle onto the streaming drive
+from arangodb_java_parquet_spark.queries.temporal import (  # noqa: E402
+    _SESSION_NATIVE_SQL)
+ORACLES["stream_session_windows"] = _SESSION_NATIVE_SQL

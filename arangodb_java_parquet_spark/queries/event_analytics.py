@@ -357,3 +357,34 @@ def time_to_convert_stats(spark, sf_dir):
                     & (F.col("first_purchase") >= F.col("first_click")))
             .select("user_id", "first_click", "first_purchase",
                     delta.alias("delta_us")))
+
+
+@query("daily_revenue_growth", f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value')} AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT day, revenue,
+       LAG(revenue) OVER (ORDER BY day) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY day))
+             / LAG(revenue) OVER (ORDER BY day), 9) AS dod_growth
+FROM daily
+""")
+def daily_revenue_growth(spark, sf_dir):
+    """Period-over-period growth: exact-decimal daily revenue, then LAG
+    and a round-9 relative delta — the canonical KPI window. The window
+    is over the DAY-level aggregate (365 rows/year regardless of event
+    volume), so the unpartitioned ordering is report-sized by
+    construction."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.filter(F.col("event_type") == "purchase")
+             .groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                      .alias("day"))
+             .agg(dsum("value").alias("revenue")))
+    w = W.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day", "revenue", prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 9).alias("dod_growth"))

@@ -428,3 +428,53 @@ def text_chi2_keyness(spark, sf_dir):
                          chi2.alias("chi2"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5))
+
+
+@query("quality_perplexity_buckets", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok, round(ln(cnt::DOUBLE / total::DOUBLE), 9) AS logp
+  FROM vocab CROSS JOIN tot WHERE cnt >= 2
+),
+fl AS (SELECT round(ln(1.0 / total::DOUBLE), 9) AS floor_logp FROM tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(CAST(COALESCE(logp, floor_logp) AS DECIMAL(20,9)))
+                    AS DOUBLE) / COUNT(*), 9) AS avg_logprob
+  FROM toks LEFT JOIN lp USING (tok) CROSS JOIN fl
+  GROUP BY doc_id
+),
+bucketed AS (
+  SELECT *, NTILE(5) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+  FROM scored
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(avg_logprob) AS lo, MAX(avg_logprob) AS hi,
+       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+FROM bucketed
+GROUP BY bucket
+""")
+def quality_perplexity_buckets(spark, sf_dir):
+    """Perplexity-quintile curation report: score every document with the
+    corpus unigram LM (operators/curation.py:unigram_logprob), cut the
+    corpus into 5 equal quality buckets, and report each bucket's score
+    range and token mass — the table behind 'train on the top-N quality
+    buckets' decisions (CCNet's quality tiers). Composition of two
+    verified stages; the NTILE runs over doc-level scores (report-sized
+    input per partition at this output depth — cut on approx-percentile
+    boundaries instead when doc count explodes)."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        unigram_logprob)
+    d = t(spark, sf_dir, "documents")
+    scored = unigram_logprob(d, "text", "doc_id")
+    w = Window.orderBy(F.desc("avg_logprob"), "doc_id")
+    b = scored.withColumn("bucket", F.ntile(5).over(w))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("avg_logprob").alias("lo"),
+                 F.max("avg_logprob").alias("hi"),
+                 F.sum("n_tokens").alias("total_tokens")))

@@ -510,3 +510,34 @@ def sim_topk_ivfpq(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return ivfpq_topk(e.filter(F.col("vec_id") < 10), e,
                       id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query("emb_quantile_normalize", """
+WITH comp AS (
+  SELECT vec_id, a.i, embedding[a.i] AS v
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) a
+),
+ranked AS (
+  SELECT vec_id, i,
+         ROUND(PERCENT_RANK() OVER (PARTITION BY i ORDER BY v), 9) AS pr
+  FROM comp
+)
+SELECT vec_id, i, pr FROM ranked WHERE vec_id < 20
+""")
+def emb_quantile_normalize(spark, sf_dir):
+    """Per-dimension quantile (rank) normalization of the embedding
+    corpus — the distribution-free feature scaling that neutralizes
+    per-dimension scale/outliers before distance computations. One
+    posexplode + a window partitioned by DIMENSION (64 partitions, each a
+    corpus-length rank): exact at test scale; at 100 TB swap
+    percent_rank for approx-quantile bucket boundaries so no dimension
+    needs a total order. Ties share a rank in both engines, so round-9
+    values are engine-stable; output bounded to the first 20 vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select("vec_id",
+                    F.posexplode("embedding").alias("i0", "v"))
+    w = Window.partitionBy("i0").orderBy("v")
+    ranked = comp.select(
+        "vec_id", (F.col("i0") + 1).alias("i"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"))
+    return ranked.filter(F.col("vec_id") < 20)
