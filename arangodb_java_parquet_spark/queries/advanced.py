@@ -506,3 +506,60 @@ def stream_session_windows(spark, sf_dir):
 from arangodb_java_parquet_spark.queries.temporal import (  # noqa: E402
     _SESSION_NATIVE_SQL)
 ORACLES["stream_session_windows"] = _SESSION_NATIVE_SQL
+
+
+@query("stream_stream_interval_join", """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+""")
+def stream_stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM inner interval join driven to completion — the
+    hardest Structured Streaming join shape (both sides watermarked so
+    state evicts; the interval bound is what makes eviction possible) —
+    and VALUE-CHECKED against the batch join SQL: an availableNow drive
+    is one micro-batch with nothing late, so the append-mode output must
+    equal the batch result row-for-row."""
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(etype, pref):
+        s = (event_time_ltz(
+                spark.readStream.schema(raw_schema)
+                .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+             .filter(F.col("event_type") == etype)
+             .withWatermark("ts", "1 hour"))
+        return s.select(F.col("user_id").alias(f"{pref}_user"),
+                        F.col("ts").alias(f"{pref}_ts"),
+                        F.col("event_id").alias(f"{pref}_id"))
+
+    joined = (side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")))
+        .select(F.col("c_user").alias("user_id"),
+                F.col("c_id").alias("click_id"),
+                F.col("p_id").alias("purchase_id"),
+                F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+                F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts")))
+    name = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ajps_ck_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

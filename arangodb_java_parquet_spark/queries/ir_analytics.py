@@ -478,3 +478,30 @@ def quality_perplexity_buckets(spark, sf_dir):
                  F.min("avg_logprob").alias("lo"),
                  F.max("avg_logprob").alias("hi"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+@query("vocab_growth_curve", """
+SELECT thr.n_docs,
+       COUNT(DISTINCT tok) AS vocab_size,
+       COUNT(*) AS total_tokens
+FROM (SELECT UNNEST([100, 200, 300, 400, 500]) AS n_docs) thr
+JOIN (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents) t
+  ON t.doc_id < thr.n_docs
+GROUP BY thr.n_docs
+""")
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary and token
+    mass at increasing corpus prefixes — the sub-linearity diagnostic
+    behind vocab-size and dedup-threshold decisions. Five threshold rows
+    broadcast against the token stream (each token contributes to every
+    prefix containing it); the distinct count is the only shuffle. At
+    100 TB swap COUNT(DISTINCT) for mergeable HLL sketches per prefix
+    (agg_hll_mergeable_sketches shows that form)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    thr = spark.range(1, 6).select((F.col("id") * 100).alias("n_docs"))
+    return (toks.join(F.broadcast(thr), F.col("doc_id") < F.col("n_docs"))
+            .groupBy("n_docs")
+            .agg(F.countDistinct("tok").alias("vocab_size"),
+                 F.count(F.lit(1)).alias("total_tokens")))
