@@ -577,3 +577,76 @@ def agg_corr_matrix(spark, sf_dir):
         for i, (na, _) in enumerate(_CORR_VARS)
         for nb, _ in _CORR_VARS[i + 1:]])).alias("p")
     return m.select(pairs).select("p.var_a", "p.var_b", "p.corr")
+
+
+@query("agg_linear_regression", """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8)))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+              AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM m
+""")
+def agg_linear_regression(spark, sf_dir):
+    """Per-group OLS regression (price ~ quantity): slope / intercept /
+    R² derived from EXACT decimal moments in one combinable pass — the
+    deterministic replacement for the engines' native regr_slope /
+    regr_r2, whose float accumulation is partitioning-order-dependent
+    and would never hash-match cross-engine. Same moment table as
+    agg_corr_matrix; round-9 on the cancellation-sensitive ratios."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def ms(e):
+        return F.sum(e.cast("decimal(30,8)")).cast("double")
+
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"), ms(q).alias("sx"),
+              ms(q * q).alias("sxx"), ms(p).alias("sy"),
+              ms(p * p).alias("syy"), ms(q * p).alias("sxy")))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag", "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+        .alias("r2"))
+
+
+@query("agg_bitmap_distinct", """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+FROM orders
+GROUP BY o_orderpriority
+""")
+def agg_bitmap_distinct(spark, sf_dir):
+    """Spark 4 bitmap aggregates as an EXACT distinct-count engine:
+    bitmap_construct_agg over bitmap_bit_position builds a per-group
+    roaring-style bitmap and bitmap_count reads its cardinality — the
+    mergeable exact alternative to two-level COUNT DISTINCT (bitmaps
+    union across partitions/days like HLL sketches but without error).
+    The bitmap bytes are engine-private; the COUNT they encode is not —
+    so the entry is fully value-checked against plain COUNT(DISTINCT).
+    Keys are offset +1: bitmap_bit_position(v) maps v=0 to position -1,
+    which the bitmap silently drops (found by the oracle's off-by-one)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.expr("bitmap_count(bitmap_construct_agg("
+                        "bitmap_bit_position(o_custkey + 1)))")
+                 .alias("n_distinct")))

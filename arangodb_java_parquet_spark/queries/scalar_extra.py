@@ -259,3 +259,85 @@ def array_hof_functions(spark, sf_dir):
         F.zip_with(w5, F.reverse(w5),
                    lambda x, y: F.concat(x, F.lit("-"), y))
         .alias("zipped_mirror"))
+
+
+@query("scalar_try_functions", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 10) END AS safe_div,
+       TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+FROM orders
+""")
+def scalar_try_functions(spark, sf_dir):
+    """Error-safe expression surface (Spark try_divide / try_cast vs ANSI
+    mode's exceptions): malformed input degrades to NULL instead of
+    failing the job — the posture a 100 TB pipeline needs, where one bad
+    row must not kill a stage. The oracle states the same semantics with
+    CASE + TRY_CAST."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"),
+                     F.col("o_orderkey") % 10).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)")
+        .alias("good_cast"))
+
+
+@query("agg_grouping_id", """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_prio,
+       GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def agg_grouping_id(spark, sf_dir):
+    """GROUPING() indicator columns on a ROLLUP — how consumers tell a
+    real NULL from a subtotal row (the reason GROUPING exists). Spark's
+    grouping() maps 1:1 to the SQL standard form DuckDB runs."""
+    o = t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+                 F.grouping("o_orderstatus").cast("long").alias("g_status"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("map_hof_functions", """
+WITH m AS (
+  SELECT p_partkey,
+         map(['brand', 'type'], [p_brand, p_type]) AS attrs
+  FROM part
+)
+SELECT p_partkey,
+       upper((attrs['brand'])[1]) AS brand_upper,
+       CAST(len(list_filter(map_entries(attrs),
+                            e -> len(e.value) > 10)) AS INT)
+         AS n_long_vals,
+       list_sort(list_transform(map_entries(attrs),
+                                e -> e.key || '=' || e.value))
+         AS entries_sorted
+FROM m
+""")
+def map_hof_functions(spark, sf_dir):
+    """Map higher-order functions: transform_values, map_filter (the
+    (k, v) two-param lambda is the CORRECT map signature — the
+    element/index trap is an ARRAY-lambda hazard), and a sorted
+    entries-as-strings projection so the output stays repr-portable
+    (raw map/struct values render differently across engine clients).
+    DuckDB mirrors via list ops over map_entries."""
+    p = t(spark, sf_dir, "part")
+    attrs = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")))
+    upper_vals = F.transform_values(attrs, lambda k, v: F.upper(v))
+    long_vals = F.map_filter(attrs, lambda k, v: F.length(v) > 10)
+    entries = F.array_sort(F.transform(
+        F.map_entries(attrs),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"])))
+    return p.select(
+        "p_partkey",
+        F.element_at(upper_vals, "brand").alias("brand_upper"),
+        F.size(long_vals).cast("int").alias("n_long_vals"),
+        entries.alias("entries_sorted"))
