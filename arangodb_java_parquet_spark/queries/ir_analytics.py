@@ -505,3 +505,38 @@ def vocab_growth_curve(spark, sf_dir):
             .groupBy("n_docs")
             .agg(F.countDistinct("tok").alias("vocab_size"),
                  F.count(F.lit(1)).alias("total_tokens")))
+
+
+@query("dedup_cross_source_matrix", """
+WITH fps AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                             ' ')) AS fp,
+         source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_fingerprints
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""")
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — corpus governance: which source
+    PAIRS share bag-of-words-identical documents (vocabulary-set
+    fingerprint: order-insensitive, so shuffled mirrors still match),
+    the report that drives
+    source-priority dedup policies (keep the canonical source, drop
+    mirrors). The self-join is keyed on fingerprint, so fan-out is
+    bounded by each fingerprint's distinct-source set (<= |sources|);
+    shuffle moves (md5, source) pairs only."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+        " "))
+    fps = d.select(fp.alias("fp"), "source").distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_fingerprints")))

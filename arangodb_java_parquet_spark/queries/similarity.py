@@ -541,3 +541,62 @@ def emb_quantile_normalize(spark, sf_dir):
         "vec_id", (F.col("i0") + 1).alias("i"),
         F.round(F.percent_rank().over(w), 9).alias("pr"))
     return ranked.filter(F.col("vec_id") < 20)
+
+
+@query("emb_label_separability", """
+WITH comp AS (
+  SELECT label, a.i, embedding[a.i]::DOUBLE AS v
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) a
+),
+per_label AS (
+  SELECT label, i, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,8))) AS DOUBLE) AS ss
+  FROM comp GROUP BY 1, 2
+),
+g_all AS (
+  SELECT i, CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS gs,
+         COUNT(*) AS gn
+  FROM comp GROUP BY 1
+)
+SELECT p.label, COUNT(*) AS n_dims,
+       CAST(SUM(CAST(ROUND(p.ss / p.n - (p.s / p.n) * (p.s / p.n), 9)
+                     AS DECIMAL(30,9))) AS DOUBLE) AS within_var,
+       CAST(SUM(CAST(ROUND((p.s / p.n - g.gs / g.gn)
+                           * (p.s / p.n - g.gs / g.gn), 9)
+                     AS DECIMAL(30,9))) AS DOUBLE) AS between_var
+FROM per_label p JOIN g_all g ON g.i = p.i
+GROUP BY p.label
+""")
+def emb_label_separability(spark, sf_dir):
+    """Class-separability diagnostic over the labeled embedding corpus
+    (Fisher-style): per label, total within-class variance and squared
+    distance of the class centroid from the global centroid, summed over
+    dimensions — the cheap answer to 'are these labels separable in this
+    embedding space?'. Two combinable (label, dim) / (dim) moment
+    aggregations + one broadcast-sized join; per-term round-9 then exact
+    sums keep the diagnostic engine-stable."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("i0", "vf")) \
+        .select("label", (F.col("i0") + 1).alias("i"),
+                F.col("vf").cast("double").alias("v"))
+
+    def ms(expr):
+        return F.sum(expr.cast("decimal(30,8)")).cast("double")
+
+    per_label = comp.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"), ms(F.col("v")).alias("s"),
+        ms(F.col("v") * F.col("v")).alias("ss"))
+    glob = comp.groupBy("i").agg(ms(F.col("v")).alias("gs"),
+                                 F.count(F.lit(1)).alias("gn"))
+    mean = F.col("s") / F.col("n")
+    gmean = F.col("gs") / F.col("gn")
+    within = F.round(F.col("ss") / F.col("n") - mean * mean, 9)
+    between = F.round((mean - gmean) * (mean - gmean), 9)
+    return (per_label.join(F.broadcast(glob), "i")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_dims"),
+                 F.sum(within.cast("decimal(30,9)")).cast("double")
+                 .alias("within_var"),
+                 F.sum(between.cast("decimal(30,9)")).cast("double")
+                 .alias("between_var")))

@@ -108,6 +108,13 @@ BENCH_QUERIES = [
     "decontaminate_semantic",
     "text_chi2_keyness",
     "sql_recursive_cte",
+    "quality_perplexity_buckets",
+    "emb_quantile_normalize",
+    "vocab_growth_curve",
+    "agg_linear_regression",
+    "agg_bitmap_distinct",
+    "dedup_cross_source_matrix",
+    "emb_label_separability",
 ]
 
 
