@@ -255,3 +255,46 @@ def graph_triangle_count(spark, sf_dir):
                  & (F.col("ac.doc_b") == F.col("bc.doc_b"))))
     return (e.agg(F.count(F.lit(1)).alias("n_edges"))
             .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+
+
+# ---------------------------------------------------------------------------
+# concurrent-interval sweep (open orders over time)
+# ---------------------------------------------------------------------------
+
+@query("concurrent_orders_sweep", """
+WITH deltas AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+  UNION ALL
+  SELECT CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS day, -1 FROM orders
+),
+daily AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY day
+)
+SELECT day, net,
+       CAST(SUM(net) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS open_orders
+FROM daily
+""")
+def concurrent_orders_sweep(spark, sf_dir):
+    """Concurrent-interval counting via the EVENT-SWEEP rewrite: each
+    order contributes +1 at its start and -1 at its (30-day) end; a
+    combinable per-day delta aggregation then ONE running sum over the
+    day-level table yields the number of simultaneously-open orders for
+    every day. The naive form joins every day against every overlapping
+    interval (quadratic); the sweep is O(rows) + a window over DAYS (a
+    few thousand rows at any corpus scale) — capacity planning's
+    canonical query."""
+    o = t(spark, sf_dir, "orders")
+    start = o.select(F.to_date("o_orderdate").alias("day"),
+                     F.lit(1).alias("delta"))
+    end = o.select(
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .alias("day"),
+        F.lit(-1).alias("delta"))
+    daily = (start.unionAll(end)
+             .groupBy("day").agg(F.sum("delta").alias("net")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select("day", "net",
+                        F.sum("net").over(w).alias("open_orders"))

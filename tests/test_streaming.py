@@ -287,3 +287,40 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
                  spark.read.parquet(str(tmp_path / "store"))
                  .select("doc_id").distinct().collect()}
     assert store_ids == {1, 2, 3, 4}
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir,
+                                                     tmp_path):
+    """Operational resilience: a file-stream query stopped and RESTARTED
+    from the same checkpoint must process exactly the files that arrived
+    while it was down — no reprocessing (the checkpoint's file log is the
+    source of truth), no loss."""
+    import os
+    import shutil
+
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{src}/a.parquet").schema
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    n_one = spark.read.parquet(f"{src}/a.parquet").count()
+
+    def drive():
+        stream = event_time_ltz(
+            spark.readStream.schema(schema).parquet(src))
+        q = (stream.select("event_id", "user_id")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drive() == n_one
+    # new file lands while the query is down; restart from the checkpoint
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+    # the checkpointed file log must deliver ONLY b.parquet on restart:
+    # cumulative output is exactly 2x one file, not 3x (no reprocessing)
+    assert drive() == 2 * n_one
