@@ -298,3 +298,47 @@ def concurrent_orders_sweep(spark, sf_dir):
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return daily.select("day", "net",
                         F.sum("net").over(w).alias("open_orders"))
+
+
+@query("order_interarrival_stats", """
+WITH gaps AS (
+  SELECT o_custkey,
+         (epoch_us(CAST(o_orderdate AS TIMESTAMP))
+           - epoch_us(CAST(LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS TIMESTAMP)))
+           // 86400000000 AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       ROUND(median(gap_days), 9) AS median_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""")
+def order_interarrival_stats(spark, sf_dir):
+    """Inter-arrival-time statistics per customer: LAG over the per-key
+    order gives exact integer DAY gaps (order dates are day-granular;
+    micros-magnitude medians hit quantile-interpolation float artifacts
+    past round-9 — day-scale interpolation is exact at .0/.5), then
+    min/max/exact-median per customer — the purchase-cadence feature
+    behind churn models and anomaly baselines. One window + one
+    combinable agg, both keyed by customer."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("o_orderdate").over(w).cast("timestamp"))
+    gaps = (o.select("o_custkey", us.alias("us"), prev_us.alias("prev_us"))
+            .select("o_custkey",
+                    F.expr("(us - prev_us) div 86400000000")
+                    .alias("gap_days")))
+    return (gaps.filter(F.col("gap_days").isNotNull())
+            .groupBy("o_custkey")
+            .agg(F.count("gap_days").alias("n_gaps"),
+                 F.min("gap_days").alias("min_gap_days"),
+                 F.max("gap_days").alias("max_gap_days"),
+                 F.round(F.expr("percentile(gap_days, 0.5)"), 9)
+                 .alias("median_gap_days")))

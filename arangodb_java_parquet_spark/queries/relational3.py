@@ -650,3 +650,39 @@ def agg_bitmap_distinct(spark, sf_dir):
             .agg(F.expr("bitmap_count(bitmap_construct_agg("
                         "bitmap_bit_position(o_custkey + 1)))")
                  .alias("n_distinct")))
+
+
+@query("rollup_share_of_parent", """
+WITH leaf AS (
+  SELECT o_orderpriority, o_orderstatus,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, o_orderstatus, n, rev,
+       ROUND(rev / CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (
+         PARTITION BY o_orderpriority) AS DOUBLE), 9) AS share_of_priority,
+       ROUND(rev / CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER ()
+         AS DOUBLE), 9) AS share_of_total
+FROM leaf
+""")
+def rollup_share_of_parent(spark, sf_dir):
+    """Share-of-parent report math: leaf aggregates divided by their
+    parent-level and grand totals, computed as exact-decimal window sums
+    OVER THE LEAF TABLE (|priorities|×|statuses| rows) — never a second
+    scan of the fact table and never a join back; the standard
+    percent-of-parent drill-down measure."""
+    o = t(spark, sf_dir, "orders")
+    leaf = (o.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .cast("double").alias("rev")))
+    w_p = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    dec = F.col("rev").cast("decimal(30,8)")
+    return leaf.select(
+        "o_orderpriority", "o_orderstatus", "n", "rev",
+        F.round(F.col("rev") / F.sum(dec).over(w_p).cast("double"), 9)
+        .alias("share_of_priority"),
+        F.round(F.col("rev") / F.sum(dec).over(w_all).cast("double"), 9)
+        .alias("share_of_total"))
