@@ -563,3 +563,30 @@ def stream_stream_interval_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@query("multimodal_image_dedup", f"""
+WITH feats AS ({_MM_ORACLE})
+SELECT substring(phash, 1, 2) AS phash_band,
+       COUNT(*) AS n_images,
+       MIN(doc_id) AS keep_id,
+       list_sort(list(doc_id))[1:5] AS member_sample
+FROM feats
+GROUP BY 1
+HAVING COUNT(*) > 1
+""")
+def multimodal_image_dedup(spark, sf_dir):
+    """Perceptual-hash IMAGE dedup over the multimodal pipeline: decode
+    (Arrow-batched stub) -> phash -> band on the hash prefix -> groups
+    with >1 member are near-dup candidates, min-id survivor — the image
+    leg of the dedup funnel (real perceptual hashes band the same way;
+    the md5-stub keeps it fully value-checkable). Groups shuffle
+    (phash_band, id) only; the member list is capped via a sorted slice."""
+    d = t(spark, sf_dir, "documents")
+    feats = extract_image_features(attach_binary_payload(d))
+    return (feats.groupBy(F.substring("phash", 1, 2).alias("phash_band"))
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                 .alias("member_sample"))
+            .filter(F.col("n_images") > 1))

@@ -532,3 +532,50 @@ def histogram_2d(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
              .cast("double").alias("sum_price")))
+
+
+@query("boxplot_stats", """
+WITH q AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         ROUND(quantile_cont(o_totalprice, 0.25), 9) AS q1,
+         ROUND(quantile_cont(o_totalprice, 0.5), 9) AS med,
+         ROUND(quantile_cont(o_totalprice, 0.75), 9) AS q3,
+         quantile_cont(o_totalprice, 0.75)
+           + 1.5 * (quantile_cont(o_totalprice, 0.75)
+                    - quantile_cont(o_totalprice, 0.25)) AS fence
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT q.o_orderpriority, q.n, q.q1, q.med, q.q3,
+       SUM(CASE WHEN o.o_totalprice > q.fence THEN 1 ELSE 0 END)
+         AS n_high_outliers
+FROM q JOIN orders o USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4, 5
+""")
+def boxplot_stats(spark, sf_dir):
+    """Box-plot profile per group: exact quartiles + the count of
+    high-fence (Q3 + 1.5·IQR) outliers — the distribution summary every
+    data-quality dashboard draws. Spark computes the quartiles once per
+    group via a percentile-array aggregate and rejoins them broadcast for
+    the fence count (two passes over the group, zero extra shuffles of
+    note); round-9 pins the interpolated cutpoints."""
+    o = t(spark, sf_dir, "orders")
+    q = (o.groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.expr("percentile(o_totalprice, 0.25)"), 9)
+              .alias("q1"),
+              F.round(F.expr("percentile(o_totalprice, 0.5)"), 9)
+              .alias("med"),
+              F.round(F.expr("percentile(o_totalprice, 0.75)"), 9)
+              .alias("q3")))
+    fence = F.expr("percentile(o_totalprice, 0.75)"
+                   " + 1.5 * (percentile(o_totalprice, 0.75)"
+                   " - percentile(o_totalprice, 0.25))")
+    outl = (o.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("_n_all"),
+                 fence.alias("_fence")))
+    joined = o.join(F.broadcast(outl), "o_orderpriority")
+    n_out = (joined.groupBy("o_orderpriority")
+             .agg(F.sum(F.when(F.col("o_totalprice") > F.col("_fence"), 1)
+                        .otherwise(0)).alias("n_high_outliers")))
+    return q.join(n_out, "o_orderpriority")
