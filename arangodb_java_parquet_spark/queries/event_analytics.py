@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.queries.common import dsum, query, sql_dsum, t
+from arangodb_java_parquet_spark.queries.common import (davg, dsum, query,
+                                                        sql_davg, sql_dsum, t)
 
 
 @query("timeseries_gap_fill", f"""
@@ -388,3 +389,89 @@ def daily_revenue_growth(spark, sf_dir):
     return daily.select(
         "day", "revenue", prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 9).alias("dod_growth"))
+
+
+@query("anomaly_seasonal_baseline", f"""
+WITH base AS (
+  SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         COUNT(*) AS n_events,
+         ROUND({sql_davg('value')}, 9) AS baseline
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT b.dow, b.hour, b.n_events, b.baseline,
+       SUM(CASE WHEN e.value > 3.0 * b.baseline THEN 1 ELSE 0 END)
+         AS n_anomalies
+FROM base b
+JOIN events e
+  ON e.event_type = 'purchase'
+ AND CAST(EXTRACT(dow FROM e.ts) AS INT) = b.dow
+ AND CAST(EXTRACT(hour FROM e.ts) AS INT) = b.hour
+GROUP BY 1, 2, 3, 4
+""")
+def anomaly_seasonal_baseline(spark, sf_dir):
+    """Seasonal anomaly detection: a (day-of-week × hour) baseline grid
+    (exact-decimal means, 168 cells max) joined back BROADCAST onto the
+    event stream to flag values above 3× their seasonal norm — the
+    calendar-aware upgrade of global z-scoring (a Monday-9am spike is
+    normal; the same volume at 3am is not). Two passes over events, one
+    combinable agg each; the baseline never shuffles the facts."""
+    e = (t(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase"))
+    dow = F.dayofweek(F.col("ts")) - 1  # Spark 1=Sunday -> 0-based like DuckDB
+    hour = F.hour(F.col("ts"))
+    base = (e.groupBy(dow.cast("int").alias("dow"),
+                      hour.cast("int").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(davg("value"), 9).alias("baseline")))
+    ev = e.select(dow.cast("int").alias("dow"),
+                  hour.cast("int").alias("hour"), "value")
+    return (ev.join(F.broadcast(base), ["dow", "hour"])
+            .groupBy("dow", "hour", "n_events", "baseline")
+            .agg(F.sum(F.when(F.col("value") > 3.0 * F.col("baseline"), 1)
+                       .otherwise(0)).alias("n_anomalies")))
+
+
+_ETYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query("user_behavior_vector", """
+WITH counts AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       [c0, c1, c2, c3, c4] AS behavior_vec,
+       CAST(c0 + c1 + c2 + c3 + c4 AS BIGINT) AS n_events,
+       ROUND(sqrt(CAST(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 AS DOUBLE)), 9)
+         AS l2_norm
+FROM counts
+""")
+def user_behavior_vector(spark, sf_dir):
+    """Behavioral feature engineering: each user's event history reduced
+    to a fixed-order count vector (one conditional-sum aggregation — the
+    map-side-combinable way to build feature vectors, vs a pivot+join) +
+    its L2 norm, ready for the similarity/clustering operators upstream.
+    Integer vectors are engine-exact; only the norm needs round-9."""
+    e = t(spark, sf_dir, "events")
+    cs = [F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+          .alias(f"c{i}") for i, et in enumerate(_ETYPES)]
+    counts = e.groupBy("user_id").agg(*cs)
+    cols = [F.col(f"c{i}") for i in range(len(_ETYPES))]
+    sq = cols[0] * cols[0]
+    for c in cols[1:]:
+        sq = sq + c * c
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return counts.select(
+        "user_id",
+        F.array(*cols).alias("behavior_vec"),
+        total.cast("bigint").alias("n_events"),
+        F.round(F.sqrt(sq.cast("double")), 9).alias("l2_norm"))
