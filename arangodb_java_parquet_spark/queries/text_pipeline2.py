@@ -364,3 +364,90 @@ def dedup_lsh_precision_recall(spark, sf_dir):
                 / F.nullif(F.sum("is_cand"), F.lit(0)), 9).alias("precision"),
         F.round(tp.cast("double")
                 / F.nullif(F.sum("is_truth"), F.lit(0)), 9).alias("recall"))
+
+
+# ---------------------------------------------------------------------------
+# ensemble dedup: vote across detector families
+# ---------------------------------------------------------------------------
+
+from arangodb_java_parquet_spark.queries.text_pipeline import (  # noqa: E402
+    _MINHASH_SIG_SQL, _SIMHASH_SQL)
+
+_ENSEMBLE_SQL = _MINHASH_SIG_SQL + f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+minhash_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ssigs AS ({_SIMHASH_SQL}),
+simhash_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssigs a JOIN ssigs b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+),
+fps AS (SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fp
+        FROM documents),
+exact_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+votes AS (
+  SELECT doc_a, doc_b, 'minhash' AS detector FROM minhash_pairs
+  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM simhash_pairs
+  UNION ALL SELECT doc_a, doc_b, 'exact' FROM exact_pairs
+)
+SELECT doc_a, doc_b, COUNT(*) AS n_votes,
+       array_to_string(list_sort(list(detector)), ',') AS detectors
+FROM votes
+GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_ensemble_votes", _ENSEMBLE_SQL)
+def dedup_ensemble_votes(spark, sf_dir):
+    """ENSEMBLE dedup: the three detector families (exact fingerprint,
+    MinHash-LSH, SimHash) vote per candidate pair — high-vote pairs go
+    straight to removal, single-vote pairs to the exact verify stage; the
+    standard production posture because each family has a blind spot
+    (exact misses edits, MinHash misses short docs, SimHash misses
+    reorderings). Each detector is the already-verified operator; the
+    vote table is one union + combinable count, shuffling (pair, label)
+    rows only."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures,
+        simhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    mh = lsh_candidate_pairs(
+        minhash_signatures(
+            char_shingles(d, "text", "doc_id", k=5, distinct=False),
+            "doc_id"), "doc_id") \
+        .select("doc_a", "doc_b", F.lit("minhash").alias("detector"))
+    ss = simhash_signatures(d, "text", "doc_id", n_bits=16)
+    a = ss.alias("a")
+    b = ss.withColumnRenamed("doc_id", "doc_id_b").alias("b")
+    sh = (a.join(b, (F.col("a.simhash") == F.col("b.simhash"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id_b")))
+          .select(F.col("a.doc_id").alias("doc_a"),
+                  F.col("doc_id_b").alias("doc_b"),
+                  F.lit("simhash").alias("detector")))
+    fp = F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+    fps = d.select("doc_id", fp.alias("fp"))
+    fa = fps.alias("fa")
+    fb = fps.withColumnRenamed("doc_id", "doc_id_b").alias("fb")
+    ex = (fa.join(fb, (F.col("fa.fp") == F.col("fb.fp"))
+                  & (F.col("fa.doc_id") < F.col("doc_id_b")))
+          .select(F.col("fa.doc_id").alias("doc_a"),
+                  F.col("doc_id_b").alias("doc_b"),
+                  F.lit("exact").alias("detector")))
+    votes = mh.unionAll(sh).unionAll(ex)
+    return (votes.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_votes"),
+                 F.array_join(F.array_sort(F.collect_list("detector")), ",")
+                 .alias("detectors")))

@@ -115,6 +115,12 @@ BENCH_QUERIES = [
     "agg_bitmap_distinct",
     "dedup_cross_source_matrix",
     "emb_label_separability",
+    "concurrent_orders_sweep",
+    "anomaly_seasonal_baseline",
+    "user_behavior_vector",
+    "dedup_ensemble_votes",
+    "multimodal_image_dedup",
+    "boxplot_stats",
 ]
 
 
