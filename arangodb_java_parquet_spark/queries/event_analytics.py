@@ -475,3 +475,41 @@ def user_behavior_vector(spark, sf_dir):
         F.array(*cols).alias("behavior_vec"),
         total.cast("bigint").alias("n_events"),
         F.round(F.sqrt(sq.cast("double")), 9).alias("l2_norm"))
+
+
+@query("revenue_max_drawdown", f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value')} AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+),
+peaks AS (
+  SELECT day, revenue,
+         CAST(MAX(CAST(revenue AS DECIMAL(30,8))) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS running_peak
+  FROM daily
+)
+SELECT day, revenue, running_peak,
+       ROUND((running_peak - revenue) / running_peak, 9) AS drawdown
+FROM peaks
+""")
+def revenue_max_drawdown(spark, sf_dir):
+    """Running-peak drawdown of the daily revenue series — the
+    degradation monitor (how far below the best-ever day are we?): one
+    exact-decimal daily aggregate, a cumulative MAX window over the
+    DAY-level table, and a round-9 relative gap. Report-sized window
+    input by construction."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.filter(F.col("event_type") == "purchase")
+             .groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                      .alias("day"))
+             .agg(dsum("value").alias("revenue")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    peak = F.max(F.col("revenue").cast("decimal(30,8)")).over(w) \
+        .cast("double")
+    return (daily.withColumn("running_peak", peak)
+            .select("day", "revenue", "running_peak",
+                    F.round((F.col("running_peak") - F.col("revenue"))
+                            / F.col("running_peak"), 9).alias("drawdown")))

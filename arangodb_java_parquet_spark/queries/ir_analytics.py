@@ -540,3 +540,65 @@ def dedup_cross_source_matrix(spark, sf_dir):
             .groupBy(F.col("a.source").alias("source_a"),
                      F.col("b.source").alias("source_b"))
             .agg(F.count(F.lit(1)).alias("n_shared_fingerprints")))
+
+
+@query("quality_composite_gate", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM tf GROUP BY 1),
+ent AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(SUM(CAST(ROUND((-(tf / CAST(n_tokens AS DOUBLE)))
+                             * LN(tf / CAST(n_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+  FROM tf JOIN n USING (doc_id) GROUP BY 1, 2, 3
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (SELECT tok, round(ln(cnt::DOUBLE / total::DOUBLE), 9) AS logp
+       FROM vocab CROSS JOIN tot WHERE cnt >= 2),
+fl AS (SELECT round(ln(1.0 / total::DOUBLE), 9) AS floor_logp FROM tot),
+lm AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(COALESCE(logp, floor_logp) AS DECIMAL(20,9)))
+                    AS DOUBLE) / COUNT(*), 9) AS avg_logprob
+  FROM toks LEFT JOIN lp USING (tok) CROSS JOIN fl
+  GROUP BY doc_id
+)
+SELECT e.doc_id, e.n_tokens, e.entropy, lm.avg_logprob,
+       CASE WHEN e.n_tokens BETWEEN 15 AND 2000
+             AND e.entropy >= 2.0
+             AND e.n_distinct / CAST(e.n_tokens AS DOUBLE) >= 0.2
+             AND lm.avg_logprob >= -7.0
+            THEN 1 ELSE 0 END AS keep
+FROM ent e JOIN lm USING (doc_id)
+""")
+def quality_composite_gate(spark, sf_dir):
+    """The end-to-end QUALITY GATE: length + token entropy + distinct
+    ratio + corpus-LM score combined into one keep/drop decision — the
+    composition every training pipeline actually ships (each signal
+    catches what the others miss: entropy catches repetition, the LM
+    catches gibberish, length catches fragments). All component operators
+    are individually verified; the gate is their join, thresholds stated
+    once. Two token passes, all aggregations combinable, LM vocab
+    broadcast (frequency-floored as always)."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        unigram_logprob)
+    from arangodb_java_parquet_spark.operators.ir import token_entropy
+    d = t(spark, sf_dir, "documents")
+    ent = token_entropy(d, "text", "doc_id")
+    lm = unigram_logprob(d, "text", "doc_id").select(
+        "doc_id", "avg_logprob")
+    joined = ent.join(lm, "doc_id")
+    keep = (F.col("n_tokens").between(15, 2000)
+            & (F.col("entropy") >= 2.0)
+            & ((F.col("n_distinct") / F.col("n_tokens").cast("double"))
+               >= 0.2)
+            & (F.col("avg_logprob") >= -7.0))
+    return joined.select(
+        "doc_id", "n_tokens", "entropy", "avg_logprob",
+        F.when(keep, 1).otherwise(0).alias("keep"))
