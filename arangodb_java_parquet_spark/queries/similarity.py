@@ -600,3 +600,69 @@ def emb_label_separability(spark, sf_dir):
                  .alias("within_var"),
                  F.sum(between.cast("decimal(30,9)")).cast("double")
                  .alias("between_var")))
+
+
+@query("sim_recall_at_k", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b
+      WHERE vec_id < 20),
+exact_pairs AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE q.qid != e.vec_id
+),
+exact_topk AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vid) AS rn
+    FROM exact_pairs) WHERE rn <= 5
+),
+lsh_pairs AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.bucket WHERE q.qid != e.vec_id
+),
+lsh_topk AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vid) AS rn
+    FROM lsh_pairs) WHERE rn <= 5
+)
+SELECT x.qid,
+       COUNT(l.vid) AS n_hits,
+       COUNT(l.vid) / 5.0 AS recall_at_5
+FROM exact_topk x
+LEFT JOIN lsh_topk l ON l.qid = x.qid AND l.vid = x.vid
+GROUP BY x.qid
+""")
+def sim_recall_at_k(spark, sf_dir):
+    """SELF-EVALUATING ANN: per-query recall@5 of the LSH index against
+    exact brute force, computed inside the engine as one query — both
+    systems are deterministic here, so even the EVALUATION HARNESS is
+    value-checked cross-engine (pytest tolerance checks become exact
+    assertions). The join of the two top-k sets is per-query-bounded; in
+    production this runs over a sampled query set to monitor index decay
+    after re-ingestion."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = topk_cosine_bruteforce(q, e, id_col="vec_id",
+                                   vec_col="embedding", k=5) \
+        .select("qid", "vid")
+    lsh = topk_cosine_lsh(q, e, id_col="vec_id", vec_col="embedding",
+                          k=5, n_bits=4).select(
+        F.col("qid").alias("l_qid"), F.col("vid").alias("l_vid"))
+    joined = exact.join(
+        lsh, (F.col("qid") == F.col("l_qid"))
+        & (F.col("vid") == F.col("l_vid")), "left")
+    return (joined.groupBy("qid")
+            .agg(F.count("l_vid").alias("n_hits"),
+                 (F.count("l_vid") / F.lit(5.0)).alias("recall_at_5")))
