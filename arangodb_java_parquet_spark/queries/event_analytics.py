@@ -513,3 +513,32 @@ def revenue_max_drawdown(spark, sf_dir):
             .select("day", "revenue", "running_peak",
                     F.round((F.col("running_peak") - F.col("revenue"))
                             / F.col("running_peak"), 9).alias("drawdown")))
+
+
+@query("error_rate_sla_hourly", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS error_rate,
+       CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE) > 0.25
+            THEN 1 ELSE 0 END AS sla_breach
+FROM events
+GROUP BY 1
+""")
+def error_rate_sla_hourly(spark, sf_dir):
+    """Operational SLA monitor: hourly error share with a breach flag —
+    one combinable conditional-count aggregation over the event-time
+    bucket; the alerting query every ingest pipeline runs beside its
+    business load. The same expression runs under readStream for a live
+    monitor (stream_windowed_counts shows the drive)."""
+    e = t(spark, sf_dir, "events")
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    rate = F.round(errs / F.count(F.lit(1)).cast("double"), 9)
+    return (e.groupBy(F.window("ts", "1 hour").start.alias("hour_start"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 errs.alias("n_errors"),
+                 rate.alias("error_rate"),
+                 F.when(errs / F.count(F.lit(1)).cast("double") > 0.25, 1)
+                 .otherwise(0).alias("sla_breach")))

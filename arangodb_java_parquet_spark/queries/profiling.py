@@ -579,3 +579,49 @@ def boxplot_stats(spark, sf_dir):
              .agg(F.sum(F.when(F.col("o_totalprice") > F.col("_fence"), 1)
                         .otherwise(0)).alias("n_high_outliers")))
     return q.join(n_out, "o_orderpriority")
+
+
+@query("categorical_chi2_independence", """
+WITH obs AS (
+  SELECT p_brand, p_type, COUNT(*) AS o
+  FROM part GROUP BY 1, 2
+),
+marg AS (
+  SELECT b.p_brand, c.p_type, b.nb, c.nc, tot.n
+  FROM (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS nb
+        FROM obs GROUP BY 1) b
+  CROSS JOIN (SELECT p_type, CAST(SUM(o) AS BIGINT) AS nc
+              FROM obs GROUP BY 1) c
+  CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs) tot
+)
+SELECT COUNT(*) AS n_cells,
+       CAST(SUM(CAST(ROUND(
+         (COALESCE(obs.o, 0) - (marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n)
+         * (COALESCE(obs.o, 0) - (marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n)
+         / ((marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n), 9)
+         AS DECIMAL(30,9))) AS DOUBLE) AS chi2
+FROM marg
+LEFT JOIN obs ON obs.p_brand = marg.p_brand
+             AND obs.p_type = marg.p_type
+""")
+def categorical_chi2_independence(spark, sf_dir):
+    """Chi-square independence test between two categorical columns
+    (brand × type) over the FULL contingency grid including empty
+    cells (the marginals cross join supplies them; observed defaults to
+    0) — the categorical-association profile for schema understanding.
+    Three combinable aggregations; the grid is |brands|×|types|,
+    report-sized; per-cell round-9 then exact sum."""
+    p = t(spark, sf_dir, "part")
+    obs = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("o"))
+    nb = obs.groupBy("p_brand").agg(F.sum("o").alias("nb"))
+    nc = obs.groupBy("p_type").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    marg = nb.crossJoin(nc).crossJoin(F.broadcast(tot))
+    grid = marg.join(obs, ["p_brand", "p_type"], "left")
+    exp = (F.col("nb") * F.col("nc").cast("double")) / F.col("n")
+    dev = F.coalesce(F.col("o"), F.lit(0)) - exp
+    cell = F.round(dev * dev / exp, 9)
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(cell.cast("decimal(30,9)")).cast("double").alias("chi2"))
