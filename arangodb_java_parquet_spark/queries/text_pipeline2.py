@@ -451,3 +451,93 @@ def dedup_ensemble_votes(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_votes"),
                  F.array_join(F.array_sort(F.collect_list("detector")), ",")
                  .alias("detectors")))
+
+
+@query("lang_id_confusion_matrix", """
+WITH scored AS (
+  SELECT lang,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5 AS de_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4 AS fr_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es_score
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN en_score >= GREATEST(de_score, fr_score, es_score) THEN 'en'
+              WHEN de_score >= GREATEST(fr_score, es_score) THEN 'de'
+              WHEN fr_score >= es_score THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM scored
+)
+SELECT lang AS label, lang_pred, COUNT(*) AS n
+FROM pred
+GROUP BY 1, 2
+""")
+def lang_id_confusion_matrix(spark, sf_dir):
+    """Classifier-evaluation-in-the-engine: the confusion matrix of the
+    stopword language-ID heuristic against the labeled lang column — one
+    combinable (label, prediction) count after the same pure-expression
+    scoring text_lang_id verifies per-document. The |langs|² output is
+    the standard model-quality artifact a curation pipeline logs per
+    snapshot."""
+    d = t(spark, sf_dir, "documents")
+
+    def occ(token, width):
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(token),
+                                      F.lit("")))) / width)
+
+    scored = d.select(
+        "lang",
+        occ(" the ", 5).alias("en_f"), occ(" und ", 5).alias("de_f"),
+        occ(" et ", 4).alias("fr_f"), occ(" el ", 4).alias("es_f"))
+    pred = (F.when(F.col("en_f") >= F.greatest("de_f", "fr_f", "es_f"),
+                   "en")
+            .when(F.col("de_f") >= F.greatest("fr_f", "es_f"), "de")
+            .when(F.col("fr_f") >= F.col("es_f"), "fr")
+            .otherwise("es"))
+    return (scored.select(F.col("lang").alias("label"),
+                          pred.alias("lang_pred"))
+            .groupBy("label", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("boilerplate_ngram_catalog", """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(string_split(text,' '))-4, 1)+1),
+                               i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))
+           AS gram
+  FROM documents
+),
+stats AS (
+  SELECT gram, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY gram
+),
+nd AS (SELECT COUNT(*) AS total_docs FROM documents)
+SELECT gram, n_occurrences, n_docs,
+       ROUND(n_docs / CAST(total_docs AS DOUBLE), 9) AS doc_share
+FROM stats CROSS JOIN nd
+WHERE n_docs >= 3
+""")
+def boilerplate_ngram_catalog(spark, sf_dir):
+    """Corpus-level BOILERPLATE catalog: word-5-grams appearing in a
+    large share of documents (headers, footers, disclaimers at web
+    scale) — the removal list that line-level dedup consumes. Two
+    combinable aggregations over the gram explode; the threshold bounds
+    the output to the repeated templates regardless of corpus size."""
+    d = t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+        " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    stats = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"))
+    total = d.count()
+    return (stats.filter(F.col("n_docs") >= 3)
+            .select("gram", "n_occurrences", "n_docs",
+                    F.round(F.col("n_docs") / F.lit(float(total)), 9)
+                    .alias("doc_share")))
