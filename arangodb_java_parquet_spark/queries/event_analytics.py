@@ -542,3 +542,48 @@ def error_rate_sla_hourly(spark, sf_dir):
                  rate.alias("error_rate"),
                  F.when(errs / F.count(F.lit(1)).cast("double") > 0.25, 1)
                  .otherwise(0).alias("sla_breach")))
+
+
+@query("user_survival_curve", """
+WITH lifetime AS (
+  SELECT user_id,
+         (epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+          - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) // 86400000000
+           AS lifetime_days
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS n_users FROM lifetime)
+SELECT t.day AS day_t,
+       SUM(CASE WHEN lifetime_days >= t.day THEN 1 ELSE 0 END)
+         AS n_surviving,
+       ROUND(SUM(CASE WHEN lifetime_days >= t.day THEN 1 ELSE 0 END)
+             / CAST(n.n_users AS DOUBLE), 9) AS survival_frac
+FROM lifetime
+CROSS JOIN (SELECT UNNEST([1, 3, 7, 14, 21, 28]) AS day) t
+CROSS JOIN n
+GROUP BY t.day, n.n_users
+""")
+def user_survival_curve(spark, sf_dir):
+    """Survival curve (Kaplan-Meier-lite, no censoring at test scale):
+    the fraction of users still active t days after their first event,
+    evaluated at fixed horizons — retention's cousin, framed as lifetime
+    >= t. One per-user min/max aggregation, then a 6-row horizon table
+    broadcast across the user lifetimes; exact integer day arithmetic."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (e.groupBy("user_id")
+            .agg(F.min(us).alias("first_us"), F.max(us).alias("last_us"))
+            .select("user_id",
+                    F.expr("(last_us - first_us) div 86400000000")
+                    .alias("lifetime_days")))
+    n_users = life.count()
+    horizons = spark.createDataFrame(
+        [(d,) for d in (1, 3, 7, 14, 21, 28)], "day_t LONG")
+    return (life.crossJoin(F.broadcast(horizons))
+            .groupBy("day_t")
+            .agg(F.sum(F.when(F.col("lifetime_days") >= F.col("day_t"), 1)
+                       .otherwise(0)).alias("n_surviving"),
+                 F.round(
+                     F.sum(F.when(F.col("lifetime_days") >= F.col("day_t"),
+                                  1).otherwise(0))
+                     / F.lit(float(n_users)), 9).alias("survival_frac")))

@@ -602,3 +602,36 @@ def quality_composite_gate(spark, sf_dir):
     return joined.select(
         "doc_id", "n_tokens", "entropy", "avg_logprob",
         F.when(keep, 1).otherwise(0).alias("keep"))
+
+
+@query("token_budget_plan", """
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per_source)
+SELECT source, n_tokens,
+       ROUND(n_tokens / CAST(total AS DOUBLE), 9) AS natural_share,
+       CAST(CEIL(1000000.0 * (n_tokens / CAST(total AS DOUBLE))
+                 / n_tokens) AS BIGINT) AS epochs_for_1m_budget
+FROM per_source CROSS JOIN tot
+""")
+def token_budget_plan(spark, sf_dir):
+    """Training token-budget planner: per source, available tokens, its
+    natural share of the corpus, and how many EPOCHS of that source a
+    1M-token mixture at natural weights would consume — the arithmetic
+    behind 'do we have enough unique data or will we repeat?' (epoch
+    counts > 1 flag the sources that data-constrained scaling laws worry
+    about). One combinable count + a broadcast total."""
+    d = t(spark, sf_dir, "documents")
+    per_source = (d.groupBy("source")
+                  .agg(F.sum(F.size(F.split("text", " ")))
+                       .alias("n_tokens")))
+    tot = per_source.agg(F.sum("n_tokens").alias("total"))
+    share = F.col("n_tokens") / F.col("total").cast("double")
+    return (per_source.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    F.round(share, 9).alias("natural_share"),
+                    F.ceil(F.lit(1000000.0) * share / F.col("n_tokens"))
+                    .cast("bigint").alias("epochs_for_1m_budget")))
