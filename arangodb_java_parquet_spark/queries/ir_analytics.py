@@ -635,3 +635,123 @@ def token_budget_plan(spark, sf_dir):
                     F.round(share, 9).alias("natural_share"),
                     F.ceil(F.lit(1000000.0) * share / F.col("n_tokens"))
                     .cast("bigint").alias("epochs_for_1m_budget")))
+
+
+@query("source_quality_scorecard", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM tf GROUP BY 1),
+ent AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(SUM(CAST(ROUND((-(tf / CAST(n_tokens AS DOUBLE)))
+                             * LN(tf / CAST(n_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+  FROM tf JOIN n USING (doc_id) GROUP BY 1, 2, 3
+),
+gate AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens BETWEEN 15 AND 2000
+               AND entropy >= 2.0
+               AND n_distinct / CAST(n_tokens AS DOUBLE) >= 0.2
+              THEN 1 ELSE 0 END AS keep,
+         n_tokens
+  FROM ent
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(g.keep) AS BIGINT) AS n_kept,
+       ROUND(SUM(g.keep) / CAST(COUNT(*) AS DOUBLE), 9) AS keep_rate,
+       CAST(SUM(CASE WHEN g.keep = 1 THEN g.n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM documents d JOIN gate g USING (doc_id)
+GROUP BY d.source
+""")
+def source_quality_scorecard(spark, sf_dir):
+    """Per-SOURCE quality scorecard: run the (length + entropy +
+    distinct-ratio) gate per document, then aggregate keep-rate and
+    surviving token mass by source — the procurement dashboard that
+    decides which feeds are worth ingesting at all. Composition of the
+    verified entropy gate with one extra combinable rollup."""
+    from arangodb_java_parquet_spark.operators.ir import token_entropy
+    d = t(spark, sf_dir, "documents")
+    ent = token_entropy(d, "text", "doc_id")
+    keep = (F.col("n_tokens").between(15, 2000)
+            & (F.col("entropy") >= 2.0)
+            & ((F.col("n_distinct") / F.col("n_tokens").cast("double"))
+               >= 0.2))
+    gate = ent.select("doc_id",
+                      F.when(keep, 1).otherwise(0).alias("keep"),
+                      "n_tokens")
+    return (d.select("doc_id", "source").join(gate, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("keep").alias("n_kept"),
+                 F.round(F.sum("keep") / F.count(F.lit(1)).cast("double"),
+                         9).alias("keep_rate"),
+                 F.sum(F.when(F.col("keep") == 1, F.col("n_tokens"))
+                       .otherwise(0)).alias("kept_tokens")))
+
+
+@query("token_zipf_slope", """
+WITH vocab AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+  FROM vocab
+),
+pts AS (
+  SELECT ROUND(LN(CAST(rnk AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(freq AS DOUBLE)), 9) AS y
+  FROM ranked WHERE rnk <= 1000
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,9))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope
+FROM m
+""")
+def token_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit: OLS slope of ln(frequency) ~ ln(rank) over the
+    top-1000 token types — natural corpora slope near -1; synthetic,
+    templated, or over-deduplicated corpora deviate, making this a
+    one-number distribution-health check. Vocabulary ranking window runs
+    over the type table; the regression is the exact-decimal moment form
+    (agg_linear_regression) on round-9 log points."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), "tok")
+    pts = (vocab.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= 1000)
+           .select(F.round(F.log(F.col("rnk").cast("double")), 9)
+                   .alias("x"),
+                   F.round(F.log(F.col("freq").cast("double")), 9)
+                   .alias("y")))
+
+    def ms(e):
+        return F.sum(e.cast("decimal(30,9)")).cast("double")
+
+    m = pts.agg(F.count(F.lit(1)).alias("n"), ms(F.col("x")).alias("sx"),
+                ms(F.col("y")).alias("sy"),
+                ms(F.col("x") * F.col("x")).alias("sxx"),
+                ms(F.col("x") * F.col("y")).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    return m.select(
+        n.alias("n_points"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+        .alias("zipf_slope"))
