@@ -590,3 +590,45 @@ def multimodal_image_dedup(spark, sf_dir):
                  F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
                  .alias("member_sample"))
             .filter(F.col("n_images") > 1))
+
+
+@query("stream_error_monitor", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS error_rate
+FROM events
+GROUP BY 1
+""")
+def stream_error_monitor(spark, sf_dir):
+    """The hourly error-rate SLA monitor as a LIVE streaming query
+    (readStream -> windowed conditional counts -> complete-mode sink) —
+    the ops dashboard runs exactly this incrementally; under availableNow
+    the complete-mode output equals the batch monitor
+    (error_rate_sla_hourly), so the drive carries a full value oracle."""
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = event_time_ltz(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    errs = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    agg = (stream.groupBy(F.window("ts", "1 hour").start
+                          .alias("hour_start"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                errs.alias("n_errors"),
+                F.round(errs / F.count(F.lit(1)).cast("double"), 9)
+                .alias("error_rate")))
+    name = f"errmon_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
