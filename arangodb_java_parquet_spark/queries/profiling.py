@@ -625,3 +625,44 @@ def categorical_chi2_independence(spark, sf_dir):
     return grid.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum(cell.cast("decimal(30,9)")).cast("double").alias("chi2"))
+
+
+@query("dq_unit_price_consistency", """
+WITH up AS (
+  SELECT l_partkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem WHERE l_quantity > 0
+),
+stats AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         ROUND(MIN(unit_price), 9) AS min_up,
+         ROUND(MAX(unit_price), 9) AS max_up
+  FROM up GROUP BY l_partkey
+)
+SELECT l_partkey, n, min_up, max_up,
+       ROUND(max_up / min_up, 9) AS spread_ratio,
+       CASE WHEN max_up / min_up > 1.5 THEN 1 ELSE 0 END AS inconsistent
+FROM stats
+WHERE n >= 3
+""")
+def dq_unit_price_consistency(spark, sf_dir):
+    """Data-quality consistency rule on a DERIVED metric: per part, the
+    spread of unit price (extendedprice/quantity) across line items —
+    ratios above 1.5x flag pricing errors or unit mismatches upstream.
+    The division is IEEE-identical cross-engine; min/max are order-free;
+    only the report needs round-9. One combinable aggregation keyed by
+    part."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = li.select("l_partkey",
+                   (F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_price"))
+    stats = (up.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.min("unit_price"), 9).alias("min_up"),
+                  F.round(F.max("unit_price"), 9).alias("max_up")))
+    return (stats.filter(F.col("n") >= 3)
+            .select("l_partkey", "n", "min_up", "max_up",
+                    F.round(F.col("max_up") / F.col("min_up"), 9)
+                    .alias("spread_ratio"),
+                    F.when(F.col("max_up") / F.col("min_up") > 1.5, 1)
+                    .otherwise(0).alias("inconsistent")))

@@ -541,3 +541,32 @@ def boilerplate_ngram_catalog(spark, sf_dir):
             .select("gram", "n_occurrences", "n_docs",
                     F.round(F.col("n_docs") / F.lit(float(total)), 9)
                     .alias("doc_share")))
+
+
+@query("dedup_prefix_fingerprint", """
+WITH pf AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS prefix_fp
+  FROM documents
+)
+SELECT prefix_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
+       list_sort(list(doc_id))[1:5] AS member_sample
+FROM pf
+GROUP BY prefix_fp
+HAVING COUNT(*) > 1
+""")
+def dedup_prefix_fingerprint(spark, sf_dir):
+    """PREFIX-fingerprint dedup: hash only the first 8 tokens — catches
+    same-lead near-duplicates (syndicated articles with appended
+    boilerplate, retries with trailing noise) that whole-document
+    fingerprints miss and full MinHash over-pays for. One combinable
+    group on an 8-token hash; member lists capped by a sorted slice."""
+    d = t(spark, sf_dir, "documents")
+    pf = F.md5(F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 8), " "))
+    return (d.groupBy(pf.alias("prefix_fp"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                 .alias("member_sample"))
+            .filter(F.col("n_docs") > 1))
