@@ -570,3 +570,47 @@ def dedup_prefix_fingerprint(spark, sf_dir):
                  F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
                  .alias("member_sample"))
             .filter(F.col("n_docs") > 1))
+
+
+@query("text_novelty_rate", """
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(string_split(text,' '))-4, 1)+1),
+                               i -> array_to_string((string_split(text,' '))[i:i+4], ' ')))
+           AS gram
+  FROM documents
+),
+gcount AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel,
+       ROUND(SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS novelty_rate
+FROM grams g JOIN gcount c USING (gram)
+GROUP BY g.doc_id
+""")
+def text_novelty_rate(spark, sf_dir):
+    """Per-document NOVELTY rate: the share of a document's word-5-grams
+    that appear in NO other document — the inverse of the boilerplate
+    catalog and the positive quality signal dedup pipelines optimize for
+    (a corpus should retain high-novelty documents first). Two combinable
+    aggregations over the gram explode; the gram-frequency table joins
+    back keyed on gram — shuffles move (gram-hash, count) pairs. At
+    100 TB, hash the grams to fixed-width md5 first so the join key is
+    compact."""
+    d = t(spark, sf_dir, "documents")
+    grams_expr = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+        " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
+    g = d.select("doc_id", F.explode(grams_expr).alias("gram"))
+    gcount = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (g.join(gcount, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 novel.alias("n_novel"),
+                 F.round(novel / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("novelty_rate")))

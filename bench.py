@@ -121,6 +121,12 @@ BENCH_QUERIES = [
     "dedup_ensemble_votes",
     "multimodal_image_dedup",
     "boxplot_stats",
+    "quality_composite_gate",
+    "sim_recall_at_k",
+    "text_novelty_rate",
+    "boilerplate_ngram_catalog",
+    "source_quality_scorecard",
+    "token_zipf_slope",
 ]
 
 
