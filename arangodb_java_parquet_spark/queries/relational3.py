@@ -686,3 +686,42 @@ def rollup_share_of_parent(spark, sf_dir):
         .alias("share_of_priority"),
         F.round(F.col("rev") / F.sum(dec).over(w_all).cast("double"), 9)
         .alias("share_of_total"))
+
+
+@query("monthly_mix_shift", """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         l_returnflag,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+shares AS (
+  SELECT month, l_returnflag, n,
+         ROUND(n / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE), 9)
+           AS share
+  FROM monthly
+)
+SELECT month, l_returnflag, n, share,
+       ROUND(share - LAG(share) OVER (PARTITION BY l_returnflag
+                                      ORDER BY month), 9) AS share_delta
+FROM shares
+""")
+def monthly_mix_shift(spark, sf_dir):
+    """Categorical MIX-SHIFT monitor: each flag's share of monthly volume
+    and its month-over-month delta — the drift detector for composition
+    changes that totals hide (counts can be flat while the mix rotates).
+    Windows run over the month×flag aggregate (report-sized); integer
+    counts make the shares engine-exact before one round-9."""
+    li = t(spark, sf_dir, "lineitem")
+    monthly = (li.groupBy(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate")))
+        .alias("month"), "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n")))
+    w_m = Window.partitionBy("month")
+    shares = monthly.withColumn(
+        "share",
+        F.round(F.col("n") / F.sum("n").over(w_m).cast("double"), 9))
+    w_lag = Window.partitionBy("l_returnflag").orderBy("month")
+    return shares.withColumn(
+        "share_delta",
+        F.round(F.col("share") - F.lag("share").over(w_lag), 9))

@@ -614,3 +614,63 @@ def text_novelty_rate(spark, sf_dir):
                  novel.alias("n_novel"),
                  F.round(novel / F.count(F.lit(1)).cast("double"), 9)
                  .alias("novelty_rate")))
+
+
+_LSH_TUNING_SQL = _MINHASH_SIG_SQL + """
+, b1 AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0||'|'||h1||'|'||h2||'|'||h3||'|'||h4||'|'||h5||'|'||h6||'|'||h7)
+           AS band_hash
+  FROM sigs
+),
+b2 AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+b4 AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+p1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM b1 a JOIN b1 b ON a.band_idx = b.band_idx
+        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+p2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM b2 a JOIN b2 b ON a.band_idx = b.band_idx
+        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+p4 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM b4 a JOIN b4 b ON a.band_idx = b.band_idx
+        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT '1x8' AS config, (SELECT COUNT(*) FROM p1) AS n_candidate_pairs
+UNION ALL
+SELECT '2x4', (SELECT COUNT(*) FROM p2)
+UNION ALL
+SELECT '4x2', (SELECT COUNT(*) FROM p4)
+"""
+
+
+@query("dedup_lsh_tuning_curve", _LSH_TUNING_SQL)
+def dedup_lsh_tuning_curve(spark, sf_dir):
+    """LSH banding TUNING CURVE: candidate-pair volume at three
+    bands×rows settings (1×8, 2×4, 4×2) from the SAME signatures — the
+    empirical face of the s-curve trade (more bands = collision
+    probability s^rows per band = higher recall AND higher candidate
+    cost). This is the query an operator runs before choosing the
+    production setting; the repo's default 2×4 sits between the
+    extremes. One signature pass, three cheap band joins."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    rows = None
+    for label, band_rows in (("1x8", 8), ("2x4", 4), ("4x2", 2)):
+        pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8,
+                                    band_rows=band_rows)
+        one = pairs.agg(F.count(F.lit(1)).alias("n_candidate_pairs")) \
+            .select(F.lit(label).alias("config"), "n_candidate_pairs")
+        rows = one if rows is None else rows.unionAll(one)
+    return rows
