@@ -587,3 +587,75 @@ def user_survival_curve(spark, sf_dir):
                      F.sum(F.when(F.col("lifetime_days") >= F.col("day_t"),
                                   1).otherwise(0))
                      / F.lit(float(n_users)), 9).alias("survival_frac")))
+
+
+@query("ab_test_conversion_lift", """
+WITH assigned AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted,
+         SUM(converted) / CAST(COUNT(*) AS DOUBLE) AS p
+  FROM assigned GROUP BY variant
+),
+wide AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         MAX(CASE WHEN variant = 0 THEN p END) AS p0,
+         MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1,
+         MAX(CASE WHEN variant = 1 THEN p END) AS p1
+  FROM arms
+)
+SELECT n0, c0, ROUND(p0, 9) AS p_control,
+       n1, c1, ROUND(p1, 9) AS p_treatment,
+       ROUND(p1 - p0, 9) AS abs_lift,
+       ROUND((p1 - p0)
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 9) AS z_stat
+FROM wide
+""")
+def ab_test_conversion_lift(spark, sf_dir):
+    """Experimentation analytics: two-proportion conversion lift with the
+    pooled z-statistic, computed entirely from exact integer counts (the
+    deterministic assignment here is user parity and "conversion" is a
+    high-value purchase — every user has SOME purchase in this synthetic
+    month, which would degenerate the pooled variance to zero; production
+    swaps in the experiment table). One per-user conditional-max, one 2-row arm
+    aggregate, then pure scalar arithmetic — the A/B readout every
+    product pipeline ships; round-9 only on the final derived ratios."""
+    e = t(spark, sf_dir, "events")
+    assigned = (e.groupBy("user_id")
+                .agg(F.max(F.when((F.col("event_type") == "purchase")
+                             & (F.col("value") > 150.0), 1)
+                           .otherwise(0)).alias("converted"))
+                .withColumn("variant", F.col("user_id") % 2))
+    arms = (assigned.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("converted").alias("n_converted"),
+                 (F.sum("converted") / F.count(F.lit(1)).cast("double"))
+                 .alias("p")))
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted")))
+        .alias("c0"),
+        F.max(F.when(F.col("variant") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted")))
+        .alias("c1"),
+        F.max(F.when(F.col("variant") == 1, F.col("p"))).alias("p1"))
+    pooled = (F.col("c0") + F.col("c1")) \
+        / (F.col("n0") + F.col("n1")).cast("double")
+    z = (F.col("p1") - F.col("p0")) / F.sqrt(
+        pooled * (1.0 - pooled)
+        * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "c0", F.round("p0", 9).alias("p_control"),
+        "n1", "c1", F.round("p1", 9).alias("p_treatment"),
+        F.round(F.col("p1") - F.col("p0"), 9).alias("abs_lift"),
+        F.round(z, 9).alias("z_stat"))
