@@ -342,3 +342,43 @@ def order_interarrival_stats(spark, sf_dir):
                  F.max("gap_days").alias("max_gap_days"),
                  F.round(F.expr("percentile(gap_days, 0.5)"), 9)
                  .alias("median_gap_days")))
+
+
+@query("graph_degree_distribution", _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e)
+  GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+""")
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the LSH similarity graph — the first
+    diagnostic before any graph algorithm runs at scale: a heavy tail
+    here predicts skewed joins in triangle counting / PageRank and tells
+    you which vertices need salting or degree caps. Two combinable
+    aggregations over the (already bounded) edge list; output is
+    histogram-sized."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    e = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    nodes = (e.select(F.col("doc_a").alias("node"))
+             .unionAll(e.select(F.col("doc_b").alias("node"))))
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -441,3 +441,27 @@ def join_range_binned(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_clicks"),
                  F.sum(F.col("value").cast("decimal(30,8)"))
                  .cast("double").alias("sum_value")))
+
+
+@query("scd2_point_in_time", f"""
+WITH history AS ({_SCD2_SQL})
+SELECT c_custkey, acctbal, mktsegment, valid_from, valid_to
+FROM history
+WHERE valid_from <= DATE '1995-03-15'
+  AND (valid_to IS NULL OR valid_to > DATE '1995-03-15')
+  AND c_custkey % 7 = 0
+""")
+def scd2_point_in_time(spark, sf_dir):
+    """POINT-IN-TIME lookup against the SCD2 history — the query the
+    dimension exists for: 'what did these customers look like on
+    1995-03-15?' is one validity-interval predicate over the merged
+    history (valid_from <= t < valid_to, open rows unbounded). Composes
+    the verified scd2 merge; at scale the history is partitioned by
+    valid_from range so the as-of predicate prunes partitions."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    hist = QUERIES["scd2_merge_customers"](spark, sf_dir)
+    asof = F.lit("1995-03-15").cast("date")
+    return (hist.filter((F.col("valid_from") <= asof)
+                        & (F.col("valid_to").isNull()
+                           | (F.col("valid_to") > asof))
+                        & (F.col("c_custkey") % 7 == 0)))
