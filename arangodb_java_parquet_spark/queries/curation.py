@@ -705,3 +705,30 @@ def graph_pagerank_simdocs(spark, sf_dir):
                                    F.col("doc_a").alias("dst"))))
     pr = pagerank_fixed(edges, "src", "dst", iterations=5, damping=0.85)
     return pr.select(F.col("node").alias("doc_id"), "rank")
+
+
+@query("dedup_cluster_size_histogram",
+       _CLUSTER_SQL.replace(
+           "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
+           """, comp AS (
+  SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (SELECT component, COUNT(*) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs_in_size
+FROM sizes GROUP BY cluster_size"""))
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Cluster-SIZE histogram over the connected components — the dedup
+    yield forecast: (size-1)·count docs per bucket are removable, and a
+    giant component signals an over-loose LSH setting before any
+    deletion runs. Two combinable rollups over the component labels the
+    verified CC operator emits."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    comp = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 (F.col("cluster_size") * F.count(F.lit(1)))
+                 .cast("bigint").alias("n_docs_in_size")))
