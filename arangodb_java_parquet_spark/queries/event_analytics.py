@@ -659,3 +659,64 @@ def ab_test_conversion_lift(spark, sf_dir):
         "n1", "c1", F.round("p1", 9).alias("p_treatment"),
         F.round(F.col("p1") - F.col("p0"), 9).alias("abs_lift"),
         F.round(z, 9).alias("z_stat"))
+
+
+@query("cart_abandonment_daily", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, is_purchase, is_click,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts) AS DATE) AS day,
+         MAX(is_click) AS had_click,
+         MAX(is_purchase) AS had_purchase
+  FROM sess GROUP BY user_id, sid
+)
+SELECT day,
+       COUNT(*) AS n_sessions,
+       SUM(CASE WHEN had_click = 1 AND had_purchase = 0
+                THEN 1 ELSE 0 END) AS n_abandoned,
+       ROUND(SUM(CASE WHEN had_click = 1 AND had_purchase = 0
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS abandonment_rate
+FROM per_session
+GROUP BY day
+""")
+def cart_abandonment_daily(spark, sf_dir):
+    """Cart-abandonment rate per day: sessionize (30-min gap), classify
+    each session by clicked-but-never-purchased, roll up daily — the
+    funnel-health KPI built by composing the verified sessionizer with
+    two combinable aggregations. All windows partition by user; the
+    session table is the only shuffle beyond them."""
+    from arangodb_java_parquet_spark.operators.temporal import sessionize
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                          "event_type")
+    s = sessionize(e, key="user_id", time="ts", gap=F.lit(1800.0),
+                   tiebreak=["event_id"])
+    per_session = (s.groupBy("user_id", "session_seq")
+                   .agg(F.to_date(F.min("ts")).alias("day"),
+                        F.max(F.when(F.col("event_type") == "click", 1)
+                              .otherwise(0)).alias("had_click"),
+                        F.max(F.when(F.col("event_type") == "purchase", 1)
+                              .otherwise(0)).alias("had_purchase")))
+    abandoned = F.sum(F.when((F.col("had_click") == 1)
+                             & (F.col("had_purchase") == 0), 1)
+                      .otherwise(0))
+    return (per_session.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 abandoned.alias("n_abandoned"),
+                 F.round(abandoned / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("abandonment_rate")))

@@ -725,3 +725,51 @@ def monthly_mix_shift(spark, sf_dir):
     return shares.withColumn(
         "share_delta",
         F.round(F.col("share") - F.lag("share").over(w_lag), 9))
+
+
+@query("monthly_seasonal_index", """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+tr3 AS (
+  SELECT month, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER (
+           ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS rev3,
+         COUNT(*) OVER (ORDER BY month
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
+  FROM monthly
+)
+SELECT month, rev,
+       rev3 / n3 AS trailing_avg,
+       rev / (rev3 / n3) AS seasonal_index
+FROM tr3
+""")
+def monthly_seasonal_index(spark, sf_dir):
+    """Seasonal index: each month's revenue relative to its trailing
+    3-month average (index > 1 = above recent trend) — the
+    deseasonalization primitive behind demand planning. Exact-decimal
+    window sums over the month-level aggregate; report-sized window
+    input."""
+    o = t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+        .alias("month"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+             .cast("double").alias("rev")))
+    w3 = Window.orderBy("month").rowsBetween(-2, Window.currentRow)
+    trailing = (monthly
+                .withColumn("rev3",
+                            F.sum(F.col("rev").cast("decimal(30,8)"))
+                            .over(w3).cast("double"))
+                .withColumn("n3", F.count(F.lit(1)).over(w3)))
+    avg3 = F.col("rev3") / F.col("n3")
+    # no rounds: at ~1e7 magnitude round(x, 9) exceeds double precision
+    # and the engines' nearest-representable results diverge; plain
+    # division of bit-identical inputs is itself bit-identical
+    return trailing.select(
+        "month", "rev",
+        avg3.alias("trailing_avg"),
+        (F.col("rev") / avg3).alias("seasonal_index"))
