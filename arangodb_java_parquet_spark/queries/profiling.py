@@ -666,3 +666,56 @@ def dq_unit_price_consistency(spark, sf_dir):
                     .alias("spread_ratio"),
                     F.when(F.col("max_up") / F.col("min_up") > 1.5, 1)
                     .otherwise(0).alias("inconsistent")))
+
+
+@query("dq_referential_orphans", """
+SELECT 'orders->customer' AS fk_edge,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM orders) AS n_rows
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'events->customer',
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.user_id)),
+       (SELECT COUNT(*) FROM events)
+""")
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity sweep across the WHOLE star schema in one
+    result: orphan counts for every fact→dimension edge via LEFT ANTI
+    joins (the scalable NOT EXISTS — dimension keys broadcast, facts
+    never shuffle). The cross-table complement of dq_constraint_report's
+    single-edge check; a non-zero row fails the ingest gate."""
+    def orphans(fact, fact_key, dim, dim_key, label):
+        f = t(spark, sf_dir, fact)
+        d = t(spark, sf_dir, dim).select(dim_key)
+        n_orphans = (f.join(F.broadcast(d),
+                            F.col(fact_key) == F.col(dim_key), "left_anti")
+                     .count())
+        return spark.createDataFrame(
+            [(label, n_orphans, f.count())],
+            "fk_edge STRING, n_orphans BIGINT, n_rows BIGINT")
+
+    out = orphans("orders", "o_custkey", "customer", "c_custkey",
+                  "orders->customer")
+    for args in (("lineitem", "l_orderkey", "orders", "o_orderkey",
+                  "lineitem->orders"),
+                 ("lineitem", "l_partkey", "part", "p_partkey",
+                  "lineitem->part"),
+                 ("events", "user_id", "customer", "c_custkey",
+                  "events->customer")):
+        out = out.unionAll(orphans(*args))
+    return out
