@@ -674,3 +674,41 @@ def dedup_lsh_tuning_curve(spark, sf_dir):
             .select(F.lit(label).alias("config"), "n_candidate_pairs")
         rows = one if rows is None else rows.unionAll(one)
     return rows
+
+
+@query("dedup_minhash_merge_proof", _MINHASH_SIG_SQL + """
+SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs
+""")
+def dedup_minhash_merge_proof(spark, sf_dir):
+    """MERGEABILITY proof for MinHash: signatures computed on two
+    disjoint HALVES of each document's shingle stream (split by shingle
+    position parity) and merged with element-wise MIN are byte-identical
+    to single-pass signatures — the property that lets sketches build
+    incrementally per ingest batch and re-merge at read (the MinHash
+    analog of rollup_cascade_daily's decimal partials and the HLL merge
+    entry). The oracle is simply the single-pass signature SQL."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    shingle_list = F.expr(
+        "transform(sequence(1, greatest(length(text)-4, 1)),"
+        " i -> struct(i AS pos, substring(text, i, 5) AS shingle))")
+    sh = d.select("doc_id", F.explode(shingle_list).alias("s")) \
+        .select("doc_id", F.col("s.pos").alias("pos"),
+                F.col("s.shingle").alias("shingle"))
+    half_a = minhash_signatures(
+        sh.filter(F.col("pos") % 2 == 0).select("doc_id", "shingle"),
+        "doc_id")
+    half_b = minhash_signatures(
+        sh.filter(F.col("pos") % 2 == 1).select("doc_id", "shingle"),
+        "doc_id")
+    hb = half_b.select([F.col("doc_id").alias("doc_id_b")]
+                       + [F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    merged = half_a.join(
+        hb, F.col("doc_id") == F.col("doc_id_b"), "full_outer")
+    return merged.select(
+        F.coalesce("doc_id", "doc_id_b").alias("doc_id"),
+        # least() skips NULLs, so a doc whose shingles all landed in one
+        # half still gets its signature from that half alone
+        *[F.least(F.col(f"h{j}"), F.col(f"b{j}")).alias(f"h{j}")
+          for j in range(8)])

@@ -168,3 +168,37 @@ def window_distinct_in_frame(spark, sf_dir):
         "event_id", "user_id",
         F.size(F.collect_set("event_type").over(w))
         .alias("n_distinct_types"))
+
+
+@query("window_time_range_frame", """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def window_time_range_frame(spark, sf_dir):
+    """Event-time RANGE frame (vs ROWS): everything a user did in the
+    TRAILING HOUR of each event, however many rows that is — the frame
+    semantics sliding-window features need (a ROWS frame would cap the
+    lookback by count, not time). Ordered by exact epoch micros so both
+    engines share a numeric RANGE key; exact-decimal sum inside the
+    frame."""
+    e = (t(spark, sf_dir, "events")
+         .select("user_id", "event_id", "ts", "value",
+                 F.unix_micros(F.col("ts").cast("timestamp"))
+                 .alias("ts_us")))
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, W.currentRow))
+    return e.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,8)")).over(w).cast("double")
+        .alias("sum_last_hour"))
