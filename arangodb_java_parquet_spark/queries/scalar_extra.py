@@ -341,3 +341,37 @@ def map_hof_functions(spark, sf_dir):
         F.element_at(upper_vals, "brand").alias("brand_upper"),
         F.size(long_vals).cast("int").alias("n_long_vals"),
         entries.alias("entries_sorted"))
+
+
+@query("scalar_conditional_funcs", """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT')
+         AS seg_defaulted,
+       CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NOT NULL
+            THEN 'has_seg' ELSE 'no_seg' END AS nvl2_equiv,
+       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+       LEAST(c_acctbal, 5000.0) AS bal_cap5k,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_band
+FROM customer
+""")
+def scalar_conditional_funcs(spark, sf_dir):
+    """Conditional-expression surface: NULLIF / COALESCE chains, the
+    NVL2 pattern, GREATEST/LEAST clamps, and multi-arm CASE banding —
+    the null-discipline toolkit (DuckDB mirrors NVL2 with CASE; both
+    engines propagate NULL identically through these)."""
+    c = t(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("DEFAULT")).alias("seg_defaulted"),
+        F.when(seg_null.isNotNull(), "has_seg").otherwise("no_seg")
+        .alias("nvl2_equiv"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high").alias("bal_band"))

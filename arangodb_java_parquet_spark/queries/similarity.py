@@ -666,3 +666,45 @@ def sim_recall_at_k(spark, sf_dir):
     return (joined.groupBy("qid")
             .agg(F.count("l_vid").alias("n_hits"),
                  (F.count("l_vid") / F.lit(5.0)).alias("recall_at_5")))
+
+
+@query("emb_cosine_calibration", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT CAST(FLOOR(cos_sim * 10) AS INT) AS cos_decile,
+       COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY 1
+""")
+def emb_cosine_calibration(spark, sf_dir):
+    """Threshold CALIBRATION histogram: the distribution of pairwise
+    cosines inside LSH buckets, bucketed by decile — how an operator
+    picks tau for near-dup pruning (the histogram's valley separates
+    same-item pairs from same-bucket noise) BEFORE running any deletion.
+    The pair universe is LSH-bounded; the decile floor is an integer map
+    on the round-9 cosine, so buckets are engine-exact."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        cosine, srp_bucket)
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding",
+                 srp_bucket(F.col("embedding"), 4).alias("bucket"))
+    a2 = b.select(F.col("vec_id").alias("vid_b"),
+                  F.col("embedding").alias("emb_b"),
+                  F.col("bucket").alias("bucket_b"))
+    pairs = (b.join(a2, (F.col("bucket") == F.col("bucket_b"))
+                    & (F.col("vec_id") < F.col("vid_b")))
+             .select(F.round(cosine(F.col("embedding"), F.col("emb_b")), 9)
+                     .alias("cos_sim")))
+    return (pairs.groupBy(F.floor(F.col("cos_sim") * 10).cast("int")
+                          .alias("cos_decile"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
