@@ -712,3 +712,35 @@ def dedup_minhash_merge_proof(spark, sf_dir):
         # half still gets its signature from that half alone
         *[F.least(F.col(f"h{j}"), F.col(f"b{j}")).alias(f"h{j}")
           for j in range(8)])
+
+
+@query("text_hapax_ratio", """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+             / CAST(SUM(tf) AS DOUBLE), 9) AS hapax_ratio
+FROM tf
+GROUP BY doc_id
+""")
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena ratio per document (share of tokens used exactly
+    once) — the lexical-richness complement to entropy: templated text
+    repeats (low hapax), natural prose keeps introducing words (high).
+    Two combinable aggregations keyed by doc; pure per-document
+    map-reduce."""
+    d = t(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    hapax = F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+    return (tf.groupBy("doc_id")
+            .agg(F.sum("tf").alias("n_tokens"),
+                 hapax.alias("n_hapax"),
+                 F.round(hapax / F.sum("tf").cast("double"), 9)
+                 .alias("hapax_ratio")))
