@@ -632,3 +632,31 @@ def stream_error_monitor(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+@query("multimodal_audio_codec_profile", f"""
+WITH feats AS ({_MM_AUDIO_ORACLE})
+SELECT codec, sample_rate,
+       COUNT(*) AS n_clips,
+       CAST(SUM(CAST(duration_ms AS BIGINT)) AS BIGINT) AS total_ms,
+       CAST(MIN(loudness) AS INT) AS min_loudness,
+       CAST(MAX(loudness) AS INT) AS max_loudness
+FROM feats
+GROUP BY 1, 2
+""")
+def multimodal_audio_codec_profile(spark, sf_dir):
+    """Audio-corpus PROFILE over the decoded metadata: clip counts and
+    total duration per (codec, sample_rate) cell plus loudness ranges —
+    the ingest scorecard that decides transcode targets before training.
+    One combinable rollup over the Arrow decode leg (md5-stub, so even
+    this python-fed profile is fully value-checked)."""
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        attach_binary_payload, extract_audio_features)
+    d = t(spark, sf_dir, "documents")
+    feats = extract_audio_features(attach_binary_payload(d))
+    return (feats.groupBy("codec", "sample_rate")
+            .agg(F.count(F.lit(1)).alias("n_clips"),
+                 F.sum(F.col("duration_ms").cast("bigint"))
+                 .alias("total_ms"),
+                 F.min("loudness").alias("min_loudness"),
+                 F.max("loudness").alias("max_loudness")))

@@ -203,6 +203,7 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     skipped.add("multimodal_binary_meta")     # binary columns via pandas
     skipped.add("multimodal_frame_sample")
     skipped.add("multimodal_image_dedup")     # banding over the decode leg
+    skipped.add("multimodal_audio_codec_profile")  # rollup over decode leg
     skipped.add("loader_roundtrip")           # foreachPartition sink path
     skipped.add("loader_roundtrip_nested")
     skipped.add("udaf_geomean_pandas")        # pandas UDAF is the point
