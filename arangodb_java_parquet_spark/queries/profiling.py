@@ -719,3 +719,37 @@ def dq_referential_orphans(spark, sf_dir):
                   "events->customer")):
         out = out.unionAll(orphans(*args))
     return out
+
+
+@query("brand_concentration_hhi", """
+WITH counts AS (
+  SELECT p_type, p_brand, COUNT(*) AS n
+  FROM part GROUP BY 1, 2
+),
+tot AS (
+  SELECT p_type, CAST(SUM(n) AS BIGINT) AS type_n FROM counts GROUP BY 1
+)
+SELECT c.p_type, tot.type_n,
+       COUNT(*) AS n_brands,
+       CAST(SUM(CAST(ROUND((c.n / CAST(tot.type_n AS DOUBLE))
+                           * (c.n / CAST(tot.type_n AS DOUBLE)), 9)
+                     AS DECIMAL(20,9))) AS DOUBLE) AS hhi
+FROM counts c JOIN tot USING (p_type)
+GROUP BY c.p_type, tot.type_n
+""")
+def brand_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration index per part type (sum of
+    squared brand shares; 1/n_brands = even market, 1.0 = monopoly) —
+    the same statistic that flags SOURCE concentration risk in a
+    training-corpus mixture. Integer shares squared, per-term round-9
+    then exact decimal sum; all aggregations combinable."""
+    p = t(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("p_type").agg(F.sum("n").alias("type_n"))
+    share = F.col("n") / F.col("type_n").cast("double")
+    return (counts.join(F.broadcast(tot), "p_type")
+            .groupBy("p_type", "type_n")
+            .agg(F.count(F.lit(1)).alias("n_brands"),
+                 F.sum(F.round(share * share, 9).cast("decimal(20,9)"))
+                 .cast("double").alias("hhi")))
