@@ -732,3 +732,46 @@ def dedup_cluster_size_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  (F.col("cluster_size") * F.count(F.lit(1)))
                  .cast("bigint").alias("n_docs_in_size")))
+
+
+@query("dedup_roi_report",
+       _FUNNEL_SQL.replace(
+           """SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
+           """, survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+       (SELECT COUNT(*) FROM survivors) AS surviving_docs,
+       (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        FROM documents) AS total_tokens,
+       (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        FROM documents JOIN survivors USING (doc_id)) AS surviving_tokens,
+       ROUND(1.0 - (SELECT CAST(SUM(len(string_split(text, ' ')))
+                                AS BIGINT)
+                    FROM documents JOIN survivors USING (doc_id))
+             / CAST((SELECT SUM(len(string_split(text, ' ')))
+                     FROM documents) AS DOUBLE), 9)
+         AS token_savings_frac"""))
+def dedup_roi_report(spark, sf_dir):
+    """Dedup ROI in one row: documents and TOKENS before/after the full
+    funnel (LSH -> verify -> components -> survivors) — the number that
+    justifies the pipeline's cost (token savings = compute savings at
+    training time). Composes the verified funnel; all additions are
+    combinable counts/sums."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    d = t(spark, sf_dir, "documents")
+    surv = QUERIES["dedup_funnel_survivors"](spark, sf_dir)
+    tokens = F.sum(F.size(F.split("text", " ")))
+    totals = d.agg(F.count(F.lit(1)).alias("total_docs"),
+                   tokens.alias("total_tokens"))
+    kept = (d.join(surv, "doc_id")
+            .agg(F.count(F.lit(1)).alias("surviving_docs"),
+                 tokens.alias("surviving_tokens")))
+    return (totals.crossJoin(kept)
+            .select("total_docs", "surviving_docs",
+                    "total_tokens", "surviving_tokens",
+                    F.round(1.0 - F.col("surviving_tokens")
+                            / F.col("total_tokens").cast("double"), 9)
+                    .alias("token_savings_frac")))
