@@ -773,3 +773,26 @@ def monthly_seasonal_index(spark, sf_dir):
         "month", "rev",
         avg3.alias("trailing_avg"),
         (F.col("rev") / avg3).alias("seasonal_index"))
+
+
+@query("basket_size_histogram", """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS basket_size
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size, COUNT(*) AS n_orders,
+       CAST(basket_size * COUNT(*) AS BIGINT) AS n_lines
+FROM sizes GROUP BY basket_size
+""")
+def basket_size_histogram(spark, sf_dir):
+    """Basket-size distribution (lines per order) — the fan-out profile
+    that sizes every order-keyed join and the market-basket self-join's
+    quadratic term; two combinable aggregations, histogram-sized
+    output."""
+    li = t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("basket_size"))
+    return (sizes.groupBy("basket_size")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.col("basket_size") * F.count(F.lit(1))).cast("bigint")
+                 .alias("n_lines")))

@@ -744,3 +744,57 @@ def text_hapax_ratio(spark, sf_dir):
                  hapax.alias("n_hapax"),
                  F.round(hapax / F.sum("tf").cast("double"), 9)
                  .alias("hapax_ratio")))
+
+
+@query("lang_purity_by_source", """
+WITH scored AS (
+  SELECT source, lang,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5 AS de_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4 AS fr_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es_score
+  FROM documents
+),
+pred AS (
+  SELECT source, lang,
+         CASE WHEN en_score >= GREATEST(de_score, fr_score, es_score) THEN 'en'
+              WHEN de_score >= GREATEST(fr_score, es_score) THEN 'de'
+              WHEN fr_score >= es_score THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree,
+       ROUND(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS purity
+FROM pred GROUP BY source
+""")
+def lang_purity_by_source(spark, sf_dir):
+    """Language PURITY per source: agreement rate between the lang label
+    and the stopword classifier, by feed — low purity flags mislabeled
+    or code-mixed sources before they poison a monolingual training mix.
+    The per-source rollup of the verified confusion matrix."""
+    d = t(spark, sf_dir, "documents")
+
+    def occ(token, width):
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(token),
+                                      F.lit("")))) / width)
+
+    scored = d.select(
+        "source", "lang",
+        occ(" the ", 5).alias("en_f"), occ(" und ", 5).alias("de_f"),
+        occ(" et ", 4).alias("fr_f"), occ(" el ", 4).alias("es_f"))
+    pred = (F.when(F.col("en_f") >= F.greatest("de_f", "fr_f", "es_f"),
+                   "en")
+            .when(F.col("de_f") >= F.greatest("fr_f", "es_f"), "de")
+            .when(F.col("fr_f") >= F.col("es_f"), "fr")
+            .otherwise("es"))
+    agree = F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1)
+                  .otherwise(0))
+    return (scored.withColumn("lang_pred", pred)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 agree.alias("n_agree"),
+                 F.round(agree / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("purity")))
