@@ -753,3 +753,41 @@ def brand_concentration_hhi(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_brands"),
                  F.sum(F.round(share * share, 9).cast("decimal(20,9)"))
                  .cast("double").alias("hhi")))
+
+
+@query("customer_revenue_deciles", """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           AS cust_rev
+  FROM orders GROUP BY 1
+),
+banded AS (
+  SELECT o_custkey, cust_rev,
+         NTILE(10) OVER (ORDER BY cust_rev DESC, o_custkey) AS decile
+  FROM rev
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(cust_rev AS DECIMAL(30,8))) AS DOUBLE) AS decile_rev,
+       ROUND(MIN(cust_rev), 9) AS min_rev,
+       ROUND(MAX(cust_rev), 9) AS max_rev
+FROM banded GROUP BY decile
+""")
+def customer_revenue_deciles(spark, sf_dir):
+    """Decile analysis: customers ranked into revenue tenths with each
+    band's total and boundaries — the classic value-segmentation report
+    (the top decile's share IS the Pareto number). NTILE over the
+    per-customer aggregate (customer-count-sized, not order-sized);
+    exact-decimal totals."""
+    o = t(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                .cast("double").alias("cust_rev")))
+    w = Window.orderBy(F.desc("cust_rev"), "o_custkey")
+    banded = rev.withColumn("decile", F.ntile(10).over(w))
+    return (banded.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("cust_rev").cast("decimal(30,8)"))
+                 .cast("double").alias("decile_rev"),
+                 F.round(F.min("cust_rev"), 9).alias("min_rev"),
+                 F.round(F.max("cust_rev"), 9).alias("max_rev")))

@@ -798,3 +798,21 @@ def lang_purity_by_source(spark, sf_dir):
                  agree.alias("n_agree"),
                  F.round(agree / F.count(F.lit(1)).cast("double"), 9)
                  .alias("purity")))
+
+
+@query("token_length_histogram", """
+SELECT len(tok) AS token_len, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_types
+FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY 1
+""")
+def token_length_histogram(spark, sf_dir):
+    """Token-length histogram with type counts per length — the
+    tokenizer sanity profile (a spike at extreme lengths means
+    unsplittable garbage; types-vs-tokens per length shows where the
+    vocabulary lives). One combinable aggregation over the explode."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    return (toks.groupBy(F.length("tok").alias("token_len"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("tok").alias("n_types")))
