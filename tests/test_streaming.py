@@ -324,3 +324,60 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir,
     # the checkpointed file log must deliver ONLY b.parquet on restart:
     # cumulative output is exactly 2x one file, not 3x (no reprocessing)
     assert drive() == 2 * n_one
+
+
+def test_watermark_drops_late_rows_in_append(spark, tmp_path):
+    """Watermark semantics proof: in append mode a window only EMITS once
+    the watermark passes it, and data arriving after that is DROPPED. Two
+    availableNow drives over a shared checkpoint: batch 1 sets the
+    watermark far past window W; batch 2 delivers a late row inside W.
+    The emitted count for W must come from batch 1 alone."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ck")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(name, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+        }), str(src / name))
+
+    # batch 1: two rows in window W=[00:00,01:00) + one far-future row
+    # that pushes the watermark (10 min delay) way past W's end
+    write("a.parquet", [(1, base), (2, base + dt.timedelta(minutes=30)),
+                        (3, base + dt.timedelta(days=2))])
+
+    def drive():
+        s = (spark.readStream
+             .schema("event_id LONG, ts TIMESTAMP_NTZ").parquet(str(src))
+             .withColumn("ts", F.col("ts").cast("timestamp")))
+        q = (s.withWatermark("ts", "10 minutes")
+             # append-mode aggs must group by the WINDOW column itself --
+             # grouping by .start severs the watermark association
+             .groupBy(F.window("ts", "1 hour"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("window.start").alias("win_start"), "n")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["win_start"]: r["n"]
+                for r in spark.read.parquet(out).collect()}
+
+    got1 = drive()
+    w_start = [k for k in got1 if k.year == 2024 and k.day == 1
+               and k.hour == 0]
+    assert w_start and got1[w_start[0]] == 2  # W emitted with both rows
+    # batch 2: a LATE row inside W (watermark is now ~2 days ahead)
+    write("b.parquet", [(4, base + dt.timedelta(minutes=45))])
+    got2 = drive()
+    # W's count is unchanged: the late row was dropped, not re-emitted
+    assert got2[w_start[0]] == 2
