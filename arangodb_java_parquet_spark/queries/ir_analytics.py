@@ -755,3 +755,112 @@ def token_zipf_slope(spark, sf_dir):
         n.alias("n_points"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
         .alias("zipf_slope"))
+
+
+@query("quality_signal_correlation", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM tf GROUP BY 1),
+feats AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(CAST(ROUND((-(tf / CAST(n_tokens AS DOUBLE)))
+                             * LN(tf / CAST(n_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS entropy
+  FROM tf JOIN n USING (doc_id) GROUP BY 1, 2
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(n_tokens AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(n_tokens * CAST(n_tokens AS DOUBLE)
+                       AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(entropy, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sy,
+         CAST(SUM(CAST(ROUND(entropy * entropy, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(n_tokens * entropy, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS sxy
+  FROM feats
+)
+SELECT n AS n_docs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS corr_len_entropy
+FROM m
+""")
+def quality_signal_correlation(spark, sf_dir):
+    """Are the quality signals REDUNDANT? Exact-moment correlation
+    between document length and token entropy — high correlation means
+    one of the two gate thresholds is dead weight; the feature-selection
+    sanity check run before shipping a multi-signal filter. Composes the
+    verified entropy feature with the exact-decimal moment correlation."""
+    from arangodb_java_parquet_spark.operators.ir import token_entropy
+    d = t(spark, sf_dir, "documents")
+    feats = token_entropy(d, "text", "doc_id")
+
+    def ms(e):
+        return F.sum(e.cast("decimal(30,8)")).cast("double")
+
+    x = F.col("n_tokens")
+    y = F.col("entropy")
+    def msr(e):
+        # float operands: round-9 BEFORE the decimal cast -- a bare
+        # decimal(,8) cast of a full-precision double rounds at a
+        # half-ulp boundary differently per engine (one row is enough
+        # to shift the moment by 1e-8)
+        return F.sum(F.round(e, 9).cast("decimal(30,9)")).cast("double")
+
+    m = feats.agg(F.count(F.lit(1)).alias("n"), ms(x).alias("sx"),
+                  ms(x * x.cast("double")).alias("sxx"),
+                  msr(y).alias("sy"), msr(y * y).alias("syy"),
+                  msr(x * y).alias("sxy"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.alias("n_docs"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx)
+                   * F.sqrt(n * syy - sy * sy)), 9)
+        .alias("corr_len_entropy"))
+
+
+@query("dedup_rate_by_source", """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                             ' ')) AS fp
+  FROM documents
+),
+ranked AS (
+  SELECT source, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM fps
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_duplicates,
+       ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
+FROM ranked GROUP BY source
+""")
+def dedup_rate_by_source(spark, sf_dir):
+    """Duplicate RATE per source under first-occurrence-wins (bag-of-
+    words fingerprint): which feeds contribute mostly copies of content
+    already seen elsewhere — the per-source companion of the
+    cross-source matrix, and the number that prices a feed. The window
+    partitions by fingerprint (each group = one content item), so no
+    mega-partitions."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = (d.select("doc_id", "source", fp.alias("fp"))
+              .withColumn("rn", F.row_number().over(w)))
+    dups = F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+    return (ranked.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 dups.alias("n_duplicates"),
+                 F.round(dups / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("dup_rate")))
