@@ -720,3 +720,52 @@ def cart_abandonment_daily(spark, sf_dir):
                  abandoned.alias("n_abandoned"),
                  F.round(abandoned / F.count(F.lit(1)).cast("double"), 9)
                  .alias("abandonment_rate")))
+
+
+@query("power_users_captured_share", """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS user_value
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rnk,
+         COUNT(*) OVER () AS n_users
+  FROM per_user
+)
+SELECT SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
+                THEN 1 ELSE 0 END) AS n_power_users,
+       CAST(SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
+                     THEN n_events ELSE 0 END) AS BIGINT)
+         AS power_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       ROUND(SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
+                      THEN n_events ELSE 0 END)
+             / CAST(SUM(n_events) AS DOUBLE), 9) AS power_share
+FROM ranked
+""")
+def power_users_captured_share(spark, sf_dir):
+    """Power-user concentration: what share of all activity does the top
+    10% of users (by event count) generate — the engagement analog of
+    the Pareto revenue share, and the number that decides whether
+    per-user rate limits or per-user sampling caps matter at all.
+    Ranking runs over the user-level aggregate; integer event counts
+    make the share exact up to one round-9."""
+    e = t(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(30,8)"))
+                     .cast("double").alias("user_value")))
+    w = W.orderBy(F.desc("n_events"), "user_id")
+    w_all = W.partitionBy()
+    ranked = (per_user
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("n_users", F.count(F.lit(1)).over(w_all)))
+    is_power = F.col("rnk") <= F.ceil(F.col("n_users") * 0.1).cast("long")
+    power_events = F.sum(F.when(is_power, F.col("n_events")).otherwise(0))
+    return ranked.agg(
+        F.sum(F.when(is_power, 1).otherwise(0)).alias("n_power_users"),
+        power_events.cast("bigint").alias("power_events"),
+        F.sum("n_events").alias("total_events"),
+        F.round(power_events / F.sum("n_events").cast("double"), 9)
+        .alias("power_share"))
