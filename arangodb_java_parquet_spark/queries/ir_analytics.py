@@ -864,3 +864,47 @@ def dedup_rate_by_source(spark, sf_dir):
                  dups.alias("n_duplicates"),
                  F.round(dups / F.count(F.lit(1)).cast("double"), 9)
                  .alias("dup_rate")))
+
+
+@query("mixture_rebalance_rates", """
+WITH per_source AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               COUNT(*) AS n_sources
+        FROM per_source)
+SELECT source, n_tokens,
+       ROUND(n_tokens / CAST(total AS DOUBLE), 9) AS natural_share,
+       ROUND(LEAST(1.0, (1.0 / n_sources)
+                        / (n_tokens / CAST(total AS DOUBLE))), 9)
+         AS sample_rate,
+       CASE WHEN (1.0 / n_sources) / (n_tokens / CAST(total AS DOUBLE))
+                 > 1.0
+            THEN 1 ELSE 0 END AS needs_upsampling
+FROM per_source CROSS JOIN tot
+""")
+def mixture_rebalance_rates(spark, sf_dir):
+    """Mixture REBALANCING plan: the per-source sampling rate that moves
+    the corpus from its natural token shares to a uniform target mix —
+    rates cap at 1.0 (can't downsample your way into more data) and the
+    flag marks sources that would need repetition/up-sampling instead.
+    The executable companion of mixture_source_weights: feed these rates
+    into hash_sample's per-stratum thresholds. Pure arithmetic over the
+    per-source aggregate + broadcast totals."""
+    d = t(spark, sf_dir, "documents")
+    per_source = (d.groupBy("source")
+                  .agg(F.sum(F.size(F.split("text", " ")))
+                       .alias("n_tokens")))
+    tot = per_source.agg(F.sum("n_tokens").alias("total"),
+                         F.count(F.lit(1)).alias("n_sources"))
+    share = F.col("n_tokens") / F.col("total").cast("double")
+    target = F.lit(1.0) / F.col("n_sources")
+    return (per_source.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    F.round(share, 9).alias("natural_share"),
+                    F.round(F.least(F.lit(1.0), target / share), 9)
+                    .alias("sample_rate"),
+                    F.when(target / share > 1.0, 1).otherwise(0)
+                    .alias("needs_upsampling")))
