@@ -796,3 +796,34 @@ def basket_size_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  (F.col("basket_size") * F.count(F.lit(1))).cast("bigint")
                  .alias("n_lines")))
+
+
+@query("supplier_nation_coverage", """
+SELECT s.s_suppkey, s.s_name,
+       COUNT(DISTINCT c.c_nationkey) AS n_cust_nations,
+       COUNT(DISTINCT o.o_custkey) AS n_customers,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY s.s_suppkey, s.s_name
+""")
+def supplier_nation_coverage(spark, sf_dir):
+    """Supplier REACH: how many distinct customer nations and customers
+    each supplier ultimately serves — a three-hop star traversal
+    (lineitem -> orders -> customer) with multi-distinct aggregation.
+    Supplier and customer dims broadcast; lineitem⋈orders is the one
+    real shuffle; Spark plans the two COUNT DISTINCTs with an expand,
+    still combinable per distinct key."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.countDistinct("c_nationkey").alias("n_cust_nations"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_lines")))

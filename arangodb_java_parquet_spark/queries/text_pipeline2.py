@@ -816,3 +816,29 @@ def token_length_histogram(spark, sf_dir):
     return (toks.groupBy(F.length("tok").alias("token_len"))
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.countDistinct("tok").alias("n_types")))
+
+
+@query("doc_length_by_lang_profile", """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 9) AS median_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""")
+def doc_length_by_lang_profile(spark, sf_dir):
+    """Length profile per language — the normalization input for
+    language-fair quality thresholds (a 15-token floor means different
+    things in different languages' length distributions). One combinable
+    aggregation plus an exact median per group."""
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.round(F.expr("percentile(n_chars, 0.5)"), 9)
+                 .alias("median_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.sum(F.col("n_chars").cast("bigint"))
+                 .alias("total_chars")))
