@@ -769,3 +769,32 @@ def power_users_captured_share(spark, sf_dir):
         F.sum("n_events").alias("total_events"),
         F.round(power_events / F.sum("n_events").cast("double"), 9)
         .alias("power_share"))
+
+
+@query("dau_over_active_users", """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS mau FROM events)
+SELECT day, dau, tot.mau,
+       ROUND(dau / CAST(tot.mau AS DOUBLE), 9) AS stickiness
+FROM daily CROSS JOIN tot
+""")
+def dau_over_active_users(spark, sf_dir):
+    """DAU / monthly-active stickiness per day — the engagement ratio
+    every growth dashboard leads with (this corpus spans one month, so
+    the denominator is the full active base). Distinct counts are
+    two-level-combinable; the scalar MAU broadcasts. At 100 TB swap both
+    for mergeable HLL sketches (agg_hll_mergeable_sketches shows the
+    form)."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.countDistinct("user_id").alias("dau")))
+    tot = e.agg(F.countDistinct("user_id").alias("mau"))
+    return (daily.crossJoin(F.broadcast(tot))
+            .select("day", "dau", "mau",
+                    F.round(F.col("dau") / F.col("mau").cast("double"), 9)
+                    .alias("stickiness")))

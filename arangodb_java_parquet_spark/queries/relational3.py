@@ -827,3 +827,34 @@ def supplier_nation_coverage(spark, sf_dir):
             .agg(F.countDistinct("c_nationkey").alias("n_cust_nations"),
                  F.countDistinct("o_custkey").alias("n_customers"),
                  F.count(F.lit(1)).alias("n_lines")))
+
+
+@query("exact_mode_per_group", """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY n DESC, l_quantity) AS rn
+  FROM counts
+)
+SELECT l_returnflag, l_quantity AS mode_quantity, n AS mode_count
+FROM ranked WHERE rn = 1
+""")
+def exact_mode_per_group(spark, sf_dir):
+    """Deterministic MODE per group: both engines' native mode() picks an
+    ARBITRARY value on ties, so the portable form is count-then-rank with
+    an explicit (count DESC, value) order — ties break to the smallest
+    value, reproducibly. Two combinable steps; the window runs over the
+    (group, value) count table, not the rows."""
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), "l_quantity")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_returnflag",
+                    F.col("l_quantity").alias("mode_quantity"),
+                    F.col("n").alias("mode_count")))
