@@ -798,3 +798,45 @@ def dau_over_active_users(spark, sf_dir):
             .select("day", "dau", "mau",
                     F.round(F.col("dau") / F.col("mau").cast("double"), 9)
                     .alias("stickiness")))
+
+
+@query("user_burstiness_fano", """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT user_id, COUNT(*) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS sx,
+         CAST(SUM(n * n) AS BIGINT) AS sxx
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days, sx AS total_events,
+       ROUND(((sxx - sx * CAST(sx AS DOUBLE) / n_days)
+              / (n_days - 1))
+             / (sx / CAST(n_days AS DOUBLE)), 9) AS fano_factor
+FROM m
+WHERE n_days >= 2
+""")
+def user_burstiness_fano(spark, sf_dir):
+    """Burstiness per user: the Fano factor (variance/mean) of daily
+    event counts — ~1 for Poisson-like organic activity, >> 1 for bursty
+    bots and batch jobs; the behavioral-forensics statistic that count
+    thresholds miss. Integer daily counts make every moment EXACT
+    (no decimal casts needed); only the final ratio rounds."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy("user_id",
+                       F.to_date(F.date_trunc("day", F.col("ts")))
+                       .alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    m = (daily.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_days"),
+              F.sum("n").alias("sx"),
+              F.sum(F.col("n") * F.col("n")).alias("sxx")))
+    n_days, sx, sxx = F.col("n_days"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx.cast("double") / n_days) / (n_days - 1)
+    mean = sx / n_days.cast("double")
+    return (m.filter(n_days >= 2)
+            .select("user_id", "n_days", sx.alias("total_events"),
+                    F.round(var / mean, 9).alias("fano_factor")))
