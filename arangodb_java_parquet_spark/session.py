@@ -42,6 +42,9 @@ def get_spark(app_name: str = "arangodb_java_parquet_spark",
         # Arrow for any pandas-UDF path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean for one-line-JSON consumers (bench driver tails
+        # the last few KB of output; progress bars would eat that buffer).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
     spark = builder.getOrCreate()
