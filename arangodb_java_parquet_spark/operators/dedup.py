@@ -92,7 +92,7 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
     """Per-doc MinHash signature:
     h_j = MIN(substring(md5('<j div 4>:' || shingle), 8*(j%4)+1, 8)).
 
-    One keyed md5 yields 128 bits = FOUR independent 32-bit hex words, so
+    One keyed md5 yields 128 bits = four 32-bit hex words, so
     8 hashes cost 2 md5 invocations per shingle instead of 8 — md5 is the
     dominant CPU cost of the whole dedup funnel at corpus scale (measured
     ~4x less hash work at sf0.1), and the 8-char minima also shrink
@@ -102,6 +102,17 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
     is the min-hash; 32-bit words keep collision probability ~n²/2³³ per
     doc (negligible at realistic shingle counts, and identical in every
     engine). Output: (id, h0..h{n-1}).
+
+    Accuracy caveat: the 4 words sliced from ONE digest are functions of
+    the same 128-bit value, not 4 independent hash functions — the
+    classic MinHash variance bound J(1-J)/k assumes independence, so the
+    effective k here is somewhat below num_hashes. For candidate
+    BUCKETING (this funnel's use: bands feed an exact verify stage) the
+    correlation is harmless; for a standalone Jaccard estimator with
+    tight error bars, use one keyed md5 per hash instead. The identical
+    substring layout on the oracle side is generated by ONE shared
+    helper (queries/text_pipeline.py:minhash_sig_cte_sql), never
+    hand-copied.
     """
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4 "
@@ -303,8 +314,19 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
 
     Each row probes k positions against the BROADCAST word table (a left
     join on word_idx; an unset word means bit absent); bool_and folds the
-    k hits back to one row per input row keyed by a row id."""
+    k hits back to one row per input row keyed by a per-row unique id —
+    duplicate input rows therefore stay duplicated in the output (the
+    id is assigned BEFORE the explode, so all k probe rows of one input
+    row carry the same id within the producing task)."""
+    reserved = {"_probe_rid", "_probe_p", "_widx", "_bit", "_hit",
+                "word_idx", "word"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe: input columns collide with reserved internal "
+            f"names {sorted(clash)}; rename them before probing")
     probe = df.withColumn(
+        "_probe_rid", F.monotonically_increasing_id()).withColumn(
         "_probe_p",
         F.explode(F.array(*[
             (F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"),
@@ -324,5 +346,6 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
                          F.coalesce(F.col("word").bitwiseAND(F.col("_bit"))
                                     != 0, F.lit(False))))
     keep = [c for c in df.columns]
-    return (probe.groupBy(*keep)
-            .agg(F.bool_and("_hit").alias("maybe_dup")))
+    return (probe.groupBy("_probe_rid", *keep)
+            .agg(F.bool_and("_hit").alias("maybe_dup"))
+            .drop("_probe_rid"))

@@ -24,6 +24,19 @@ from arangodb_java_parquet_spark.operators.dedup import (
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
+
+def _must_replace(base: str, old: str, new: str, count: int = -1) -> str:
+    """str.replace that FAILS LOUDLY at import time when the target text
+    is absent — derived oracle SQL (recursive-CTE prefix, extended CC /
+    funnel tails, PII regex placeholders) would otherwise silently no-op
+    on base-SQL drift and register a wrong-shaped oracle that only
+    surfaces as a confusing harness failure much later."""
+    if old not in base:
+        raise AssertionError(
+            f"oracle-SQL drift: substring not found for replacement: "
+            f"{old[:80]!r}")
+    return base.replace(old, new, count)
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
@@ -69,7 +82,7 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
 # duplicate-cluster resolution (connected components over LSH pairs)
 # ---------------------------------------------------------------------------
 
-_CLUSTER_SQL = _MINHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
+_CLUSTER_SQL = _must_replace(_MINHASH_SIG_SQL, "WITH ", "WITH RECURSIVE ", 1) + """
 , bands AS (
   SELECT doc_id, 0 AS band_idx,
          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
@@ -587,7 +600,7 @@ def mixture_source_weights(spark, sf_dir):
 # the full dedup funnel, end to end
 # ---------------------------------------------------------------------------
 
-_FUNNEL_SQL = _MINHASH_SIG_SQL.replace("WITH ", "WITH RECURSIVE ", 1) + """
+_FUNNEL_SQL = _must_replace(_MINHASH_SIG_SQL, "WITH ", "WITH RECURSIVE ", 1) + """
 , bands AS (
   SELECT doc_id, 0 AS band_idx,
          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
@@ -708,7 +721,8 @@ def graph_pagerank_simdocs(spark, sf_dir):
 
 
 @query("dedup_cluster_size_histogram",
-       _CLUSTER_SQL.replace(
+       _must_replace(
+           _CLUSTER_SQL,
            "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
            """, comp AS (
   SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
@@ -735,7 +749,8 @@ def dedup_cluster_size_histogram(spark, sf_dir):
 
 
 @query("dedup_roi_report",
-       _FUNNEL_SQL.replace(
+       _must_replace(
+           _FUNNEL_SQL,
            """SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
            """, survivors AS (

@@ -18,6 +18,7 @@ from arangodb_java_parquet_spark.operators.dedup import (
 from arangodb_java_parquet_spark.operators.ir import (
     bm25_scores, inverted_index, source_kl_divergence, token_entropy)
 from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
 _BM25_TERMS = ("spark", "query", "table")
 _BM25_TERMS_SQL = ", ".join(f"'{x}'" for x in _BM25_TERMS)
@@ -225,27 +226,8 @@ def quality_bigram_logprob(spark, sf_dir):
     return bigram_logprob_backoff(d, "text", "doc_id")
 
 
-@query("dedup_minhash_jaccard_estimate", """
-WITH shingles AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (SELECT doc_id,
-               UNNEST(list_transform(range(1, greatest(length(text)-4, 1)+1),
-                                     i -> text[i:i+4])) AS shingle
-        FROM documents)
-),
-hashed AS (
-  SELECT doc_id, md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1
-  FROM shingles
-),
-sigs AS (
-  SELECT doc_id,
-         MIN(substring(m0, 1, 8))  AS h0, MIN(substring(m0, 9, 8))  AS h1,
-         MIN(substring(m0, 17, 8)) AS h2, MIN(substring(m0, 25, 8)) AS h3,
-         MIN(substring(m1, 1, 8))  AS h4, MIN(substring(m1, 9, 8))  AS h5,
-         MIN(substring(m1, 17, 8)) AS h6, MIN(substring(m1, 25, 8)) AS h7
-  FROM hashed GROUP BY doc_id
-),
-bands AS (
+@query("dedup_minhash_jaccard_estimate", _MINHASH_SIG_SQL + """
+, bands AS (
   SELECT doc_id, 0 AS band_idx,
          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
   UNION ALL SELECT doc_id, 1,

@@ -541,9 +541,9 @@ WITH q AS (
          ROUND(quantile_cont(o_totalprice, 0.25), 9) AS q1,
          ROUND(quantile_cont(o_totalprice, 0.5), 9) AS med,
          ROUND(quantile_cont(o_totalprice, 0.75), 9) AS q3,
-         quantile_cont(o_totalprice, 0.75)
+         ROUND(quantile_cont(o_totalprice, 0.75)
            + 1.5 * (quantile_cont(o_totalprice, 0.75)
-                    - quantile_cont(o_totalprice, 0.25)) AS fence
+                    - quantile_cont(o_totalprice, 0.25)), 9) AS fence
   FROM orders GROUP BY o_orderpriority
 )
 SELECT q.o_orderpriority, q.n, q.q1, q.med, q.q3,
@@ -558,7 +558,9 @@ def boxplot_stats(spark, sf_dir):
     data-quality dashboard draws. Spark computes the quartiles once per
     group via a percentile-array aggregate and rejoins them broadcast for
     the fence count (two passes over the group, zero extra shuffles of
-    note); round-9 pins the interpolated cutpoints."""
+    note); round-9 pins the interpolated cutpoints AND the fence itself
+    (an unrounded fence could flip the count for a row within an ulp of
+    a divergently-interpolated quantile — same rule as winsorize)."""
     o = t(spark, sf_dir, "orders")
     q = (o.groupBy("o_orderpriority")
          .agg(F.count(F.lit(1)).alias("n"),
@@ -568,9 +570,10 @@ def boxplot_stats(spark, sf_dir):
               .alias("med"),
               F.round(F.expr("percentile(o_totalprice, 0.75)"), 9)
               .alias("q3")))
-    fence = F.expr("percentile(o_totalprice, 0.75)"
-                   " + 1.5 * (percentile(o_totalprice, 0.75)"
-                   " - percentile(o_totalprice, 0.25))")
+    fence = F.round(
+        F.expr("percentile(o_totalprice, 0.75)"
+               " + 1.5 * (percentile(o_totalprice, 0.75)"
+               " - percentile(o_totalprice, 0.25))"), 9)
     outl = (o.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("_n_all"),
                  fence.alias("_fence")))

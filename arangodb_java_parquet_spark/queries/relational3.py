@@ -386,10 +386,12 @@ def agg_approx_quantile(spark, sf_dir):
 
 @query("agg_max_by_min_by", """
 SELECT o_orderpriority,
-       arg_max(o_orderkey, o_totalprice * 100000 + o_orderkey % 100000)
-         AS top_order,
-       arg_min(o_orderkey, o_totalprice * 100000 + o_orderkey % 100000)
-         AS bottom_order,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey % 10000000) AS top_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey % 10000000) AS bottom_order,
        MAX(o_totalprice) AS max_price,
        MIN(o_totalprice) AS min_price
 FROM orders
@@ -399,19 +401,20 @@ def agg_max_by_min_by(spark, sf_dir):
     """max_by / min_by (SQL arg_max/arg_min) — select the key of the
     extreme row per group in ONE combinable aggregation instead of the
     window-rank-filter plan (no shuffle of ranked rows, no per-group
-    sort). Ties on o_totalprice are broken deterministically by folding
-    the orderkey's low digits into the ordering value, because both
-    engines pick an ARBITRARY row on exact ties."""
+    sort). Ties on o_totalprice are broken deterministically via the
+    orderkey, because both engines pick an ARBITRARY row on exact ties.
+    The ordering value is exact-integer: round(price*100) snaps the
+    2-decimal price to integer cents (no float half-ulp ambiguity), and
+    the cents term is scaled by a modulus STRICTLY larger than the
+    orderkey tiebreak term, so the price always dominates — the named
+    row is the true extremum, and no two distinct (price, key%1e7)
+    pairs can collide on the composite."""
+    _ordv = ("CAST(round(o_totalprice * 100) AS BIGINT) * 10000000"
+             " + o_orderkey % 10000000")
     o = t(spark, sf_dir, "orders")
-    ordv = (F.col("o_totalprice") * 100000
-            + F.col("o_orderkey") % 100000)
     return (o.groupBy("o_orderpriority")
-            .agg(F.expr("max_by(o_orderkey,"
-                        " o_totalprice * 100000 + o_orderkey % 100000)")
-                 .alias("top_order"),
-                 F.expr("min_by(o_orderkey,"
-                        " o_totalprice * 100000 + o_orderkey % 100000)")
-                 .alias("bottom_order"),
+            .agg(F.expr(f"max_by(o_orderkey, {_ordv})").alias("top_order"),
+                 F.expr(f"min_by(o_orderkey, {_ordv})").alias("bottom_order"),
                  F.max("o_totalprice").alias("max_price"),
                  F.min("o_totalprice").alias("min_price")))
 

@@ -52,27 +52,45 @@ def dedup_fingerprint(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_copies")))
 
 
-_MINHASH_SIG_SQL = """
-WITH shingles AS (
+def minhash_sig_cte_sql(num_hashes: int = 8) -> str:
+    """The ``hashed``/``sigs`` CTE pair deriving the MinHash signature
+    table from a preceding ``shingles(doc_id, shingle)`` CTE — the ONE
+    source of truth for the md5-word substring layout. Every oracle that
+    needs signatures composes this fragment instead of hand-copying the
+    slicing (a silently-drifted copy would only surface as a confusing
+    hash mismatch in a full harness run). Mirrors
+    operators/dedup.py:minhash_signatures exactly: hash word j =
+    MIN(substring(md5('<j div 4>:' || shingle), 8*(j%4)+1, 8)); see that
+    docstring for the intra-digest word-correlation caveat."""
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
+    n_md5 = num_hashes // 4
+    m_cols = ", ".join(f"md5('{p}:' || shingle) AS m{p}"
+                       for p in range(n_md5))
+    sig_cols = ",\n         ".join(
+        f"MIN(substring(m{j // 4}, {8 * (j % 4) + 1}, 8)) AS h{j}"
+        for j in range(num_hashes))
+    return (f"""hashed AS (
+  SELECT doc_id, {m_cols}
+  FROM shingles
+),
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM hashed GROUP BY doc_id
+)""")
+
+
+MINHASH_SHINGLES_CTE = """WITH shingles AS (
   SELECT DISTINCT doc_id, shingle
   FROM (SELECT doc_id,
                UNNEST(list_transform(range(1, greatest(length(text)-4, 1)+1),
                                      i -> text[i:i+4])) AS shingle
         FROM documents)
 ),
-hashed AS (
-  SELECT doc_id, md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1
-  FROM shingles
-),
-sigs AS (
-  SELECT doc_id,
-         MIN(substring(m0, 1, 8))  AS h0, MIN(substring(m0, 9, 8))  AS h1,
-         MIN(substring(m0, 17, 8)) AS h2, MIN(substring(m0, 25, 8)) AS h3,
-         MIN(substring(m1, 1, 8))  AS h4, MIN(substring(m1, 9, 8))  AS h5,
-         MIN(substring(m1, 17, 8)) AS h6, MIN(substring(m1, 25, 8)) AS h7
-  FROM hashed GROUP BY doc_id
-)
 """
+
+_MINHASH_SIG_SQL = MINHASH_SHINGLES_CTE + minhash_sig_cte_sql() + "\n"
 
 @query("dedup_minhash_lsh", _MINHASH_SIG_SQL + """
 , bands AS (

@@ -17,6 +17,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.text_pipeline import (
+    minhash_sig_cte_sql)
 
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals
@@ -289,16 +291,7 @@ truth AS (
   JOIN counts ca ON ca.doc_id = i.doc_a
   JOIN counts cb ON cb.doc_id = i.doc_b
   WHERE i.n_common::DOUBLE / (ca.n_sh + cb.n_sh - i.n_common) >= {_PR_TAU}),
-hashed AS (
-  SELECT doc_id, md5('0:' || shingle) AS m0, md5('1:' || shingle) AS m1
-  FROM shingles),
-sigs AS (
-  SELECT doc_id,
-         MIN(substring(m0, 1, 8))  AS h0, MIN(substring(m0, 9, 8))  AS h1,
-         MIN(substring(m0, 17, 8)) AS h2, MIN(substring(m0, 25, 8)) AS h3,
-         MIN(substring(m1, 1, 8))  AS h4, MIN(substring(m1, 9, 8))  AS h5,
-         MIN(substring(m1, 17, 8)) AS h6, MIN(substring(m1, 25, 8)) AS h7
-  FROM hashed GROUP BY doc_id),
+{minhash_sig_cte_sql()},
 bands AS (
   SELECT doc_id, 0 AS band_idx,
          md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs

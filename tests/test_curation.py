@@ -348,3 +348,28 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     others = [r for r in flagged if r["fp"] not in bench_fps]
     fp_rate = sum(bool(r["maybe_dup"]) for r in others) / max(len(others), 1)
     assert fp_rate < 0.2, fp_rate
+
+
+def test_bloom_probe_preserves_duplicate_rows_and_guards_columns(spark):
+    """bloom_probe must emit exactly one output row per INPUT row (fold-back
+    keyed by a per-row id, not groupBy(all columns) which collapses
+    duplicates), and must reject inputs whose columns collide with its
+    reserved internal names."""
+    import pytest
+
+    from arangodb_java_parquet_spark.operators.dedup import (bloom_build,
+                                                             bloom_probe)
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), ("c",), ("c",)], ["k"])
+    ref = spark.createDataFrame([("a",), ("x",)], ["k"])
+    out = bloom_probe(df, "k", bloom_build(ref, "k")).collect()
+    assert len(out) == 6  # duplicates preserved
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["maybe_dup"])
+    assert by_key["a"] == [True, True]  # member: always flagged, both copies
+    assert len(by_key["c"]) == 3
+
+    clash = spark.createDataFrame([("a", 1)], ["k", "word_idx"])
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_probe(clash, "k", bloom_build(ref, "k"))
