@@ -212,8 +212,30 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
             .withColumn("offset_in_seq", F.col("start_offset") % budget))
 
 
+def capped_vocab(counts: DataFrame, key_col: str, cnt_col: str,
+                 min_count: int, max_vocab: int | None) -> DataFrame:
+    """Bound a (key, count) model table BY CONSTRUCTION before broadcast:
+    frequency floor (count >= min_count), then an optional deterministic
+    top-K cap ordered by (count DESC, key ASC — unique tiebreak).
+
+    Why both knobs: min_count's total/min_count pigeonhole bound is only
+    a real bound if min_count is scale-aware (at the default min_count=2
+    it is HALF the corpus token count — not broadcastable at 100 TB).
+    max_vocab is the hard guarantee: the broadcast side is <= max_vocab
+    rows whatever the corpus distribution, and under Zipf the dropped
+    tail carries negligible probability mass. The top-K is a
+    TakeOrdered, no full sort. Keys outside the cap fall to the model's
+    OOV floor — standard head-vocabulary LM behavior."""
+    kept = counts.filter(F.col(cnt_col) >= min_count)
+    if max_vocab is not None:
+        kept = (kept.orderBy(F.desc(cnt_col), F.asc(key_col))
+                .limit(max_vocab))
+    return kept
+
+
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
-                    min_count: int = 2) -> DataFrame:
+                    min_count: int = 2,
+                    max_vocab: int | None = None) -> DataFrame:
     """Corpus-LM quality score (CCNet-style): fit a unigram language model
     on the corpus itself (token -> count / total), then score every
     document by the mean log-probability of its tokens. Low scores flag
@@ -231,8 +253,14 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
     are unchanged by the floor. At the default min_count=2 the floor is
     VALUE-NEUTRAL (a singleton's fitted logp is exactly ln(1/total)), so
     the bounded-broadcast plan produces bit-identical scores to the exact
-    model. The vocabulary aggregation itself is map-side combinable;
-    corpus tokens are scanned twice but never shuffled by token.
+    model — but note that total/2 is NOT a broadcastable bound, so at
+    real scale also set ``max_vocab``: a hard top-K cap on the model
+    (deterministic count-desc/token-asc TakeOrdered, see
+    :func:`capped_vocab`) that bounds the broadcast to K rows whatever
+    the distribution; capped-out tokens score at the OOV floor, standard
+    head-vocabulary LM behavior. The vocabulary aggregation itself is
+    map-side combinable; corpus tokens are scanned twice but never
+    shuffled by token.
 
     Determinism: ln() output is rounded to 9 digits per token type, then
     summed exactly in decimal (the engines' libm may differ in the last
@@ -245,7 +273,7 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = (vocab.filter(F.col("cnt") >= min_count)
+    lp = (capped_vocab(vocab, "tok", "cnt", min_count, max_vocab)
           .crossJoin(F.broadcast(total))
           .select("tok",
                   F.round(F.log(F.col("cnt").cast("double")
@@ -268,7 +296,8 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
 
 def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
                            min_count: int = 2,
-                           alpha: float = 0.4) -> DataFrame:
+                           alpha: float = 0.4,
+                           max_vocab: int | None = None) -> DataFrame:
     """Bigram language-model quality score with stupid backoff
     (Brants et al. 2007): score every document by the mean log-probability
     of its adjacent token pairs, backing off to the unigram model (scaled
@@ -284,7 +313,10 @@ def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
     Scale story mirrors :func:`unigram_logprob`: both model tables are
     frequency-floored BEFORE broadcast, so the broadcast side is the
     distribution head (<= total/min_count entries by pigeonhole, far fewer
-    under Zipf), never the raw vocabulary; the count aggregations are
+    under Zipf), never the raw vocabulary — and ``max_vocab`` adds the
+    hard by-construction bound (deterministic top-K per model table via
+    :func:`capped_vocab`; capped-out bigrams back off to the unigram,
+    capped-out unigrams to the floor). The count aggregations are
     map-side combinable, and corpus tokens are never shuffled by token.
     The backoff threshold is not a compromise — stupid backoff is DEFINED
     by trusting only frequent bigrams.
@@ -305,7 +337,7 @@ def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
     bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
 
     w1 = F.element_at(F.split(F.col("bg"), " "), 1)
-    fitted = (bi.filter(F.col("cnt2") >= min_count)
+    fitted = (capped_vocab(bi, "bg", "cnt2", min_count, max_vocab)
               .withColumn("w1", w1)
               .join(uni.select(F.col("tok").alias("w1"),
                                F.col("cnt1").alias("cnt1_w1")), "w1")
@@ -313,7 +345,7 @@ def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
                       F.round(F.log(F.col("cnt2").cast("double")
                                     / F.col("cnt1_w1").cast("double")), 9)
                       .alias("logp2")))
-    back = (uni.filter(F.col("cnt1") >= min_count)
+    back = (capped_vocab(uni, "tok", "cnt1", min_count, max_vocab)
             .crossJoin(F.broadcast(total))
             .select(F.col("tok").alias("w2"),
                     F.round(F.log(F.lit(alpha)

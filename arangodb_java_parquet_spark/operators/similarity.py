@@ -571,3 +571,68 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
             .withColumn("rn", F.row_number().over(
                 W.partitionBy("qid").orderBy("adc_dist", "vid")))
             .filter(F.col("rn") <= k))
+
+
+def gram_matrix_arrow(emb: DataFrame, *, vec_col: str = "embedding",
+                      dim: int = 64, scale: int = 8) -> DataFrame:
+    """Distributed Gram matrix G = Σ v·vᵀ (upper triangle, 1-based i<=j),
+    Arrow production path.
+
+    The JVM formulation (queries/similarity.py:emb_gram_matrix) explodes
+    d²/2 rows PER VECTOR through the aggregator — fine at d=64, a
+    scale-killer at production dims (768-4096 → 0.3M-8M rows/vector).
+    Here each partition computes ONE d×d partial via numpy outer
+    products and emits exactly d(d+1)/2 rows regardless of row count, so
+    the shuffle volume is (#partitions × d²/2) — independent of corpus
+    size. This is the right 100 TB shape: at d=4096 a partition ships
+    ~8M rows once, not per vector.
+
+    Determinism (mirrors the JVM decimal path bit-for-bit): each
+    per-element product is rounded to ``scale`` decimals and accumulated
+    as an exact scaled int64 — the numpy analog of
+    SUM(CAST(prod AS DECIMAL(30,8))) — then the final bigint sum divides
+    by 10^scale (both the decimal→double cast and this division return
+    the nearest double to the same exact rational). The only theoretical
+    divergence is a product landing exactly half-way at the (scale+1)-th
+    decimal (np.round half-even vs Java HALF_UP) — unobservable on
+    float-derived products; tests/test_similarity.py::
+    test_gram_matrix_arrow_matches_jvm pins equality empirically, same
+    pattern as the PQ arrow twin.
+
+    int64 headroom: |v_i| ≤ O(1) ⇒ scaled products ≤ ~10^scale; the
+    per-partition partial stays far below 2^63 up to ~10^10 rows per
+    partition at scale=8.
+    """
+    import numpy as np
+
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(emb.sparkSession)
+
+    mul = float(10 ** scale)
+
+    def partial_gram(batches):
+        import pandas as pd
+        acc = np.zeros((dim, dim), dtype="int64")
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.array([np.asarray(v, dtype="float64")
+                          for v in pdf[vec_col]])
+            # row-chunks bound the (chunk × d × d) product tensor to a few
+            # MB at any batch size
+            for lo in range(0, len(X), 256):
+                Xc = X[lo:lo + 256]
+                P = Xc[:, :, None] * Xc[:, None, :]
+                acc += np.round(P * mul).astype("int64").sum(axis=0)
+        if seen:
+            iu = np.triu_indices(dim)
+            yield pd.DataFrame({"i": (iu[0] + 1).astype("int64"),
+                                "j": (iu[1] + 1).astype("int64"),
+                                "sg": acc[iu]})
+
+    part = emb.select(vec_col).mapInPandas(
+        partial_gram, schema="i bigint, j bigint, sg bigint")
+    return (part.groupBy("i", "j")
+            .agg((F.sum("sg") / F.lit(mul)).alias("g")))

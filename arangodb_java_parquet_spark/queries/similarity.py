@@ -464,6 +464,21 @@ def emb_gram_matrix(spark, sf_dir):
                  .alias("g")))
 
 
+@query("emb_gram_matrix_arrow")
+def emb_gram_matrix_arrow(spark, sf_dir):
+    """Arrow production path for the Gram matrix: one numpy X·Xᵀ partial
+    per partition (d²/2 shuffle rows per PARTITION, not per vector — the
+    JVM explode formulation above is d²/2 rows per vector, impractical at
+    production dims 768-4096), then one exact scaled-int64 sum over d²/2
+    keys. Rows-only by design (python plumbing stage); value equality
+    with the oracle-checked emb_gram_matrix is pinned by
+    tests/test_similarity.py::test_gram_matrix_arrow_matches_jvm."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        gram_matrix_arrow)
+    e = t(spark, sf_dir, "embeddings")
+    return gram_matrix_arrow(e, vec_col="embedding", dim=64)
+
+
 @query("decontaminate_semantic", f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qvec
            FROM embeddings WHERE vec_id < 5),

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "event_pmi_pairs",
     "winsorize_stats",
     "emb_gram_matrix",
+    "emb_gram_matrix_arrow",
     "histogram_equidepth",
     "dedup_minhash_jaccard_estimate",
     "dedup_bloom_prefilter",

@@ -373,3 +373,46 @@ def test_bloom_probe_preserves_duplicate_rows_and_guards_columns(spark):
     clash = spark.createDataFrame([("a", 1)], ["k", "word_idx"])
     with pytest.raises(ValueError, match="reserved"):
         bloom_probe(clash, "k", bloom_build(ref, "k"))
+
+
+def test_lm_model_broadcast_bounded_by_max_vocab(spark):
+    """max_vocab must bound the LM model tables BY CONSTRUCTION on a
+    heavy-tail (Zipf-ish) vocabulary — the broadcast-side row count is
+    <= max_vocab whatever the distribution — with the cap deterministic
+    (count desc, token asc) and capped-out tokens scoring at the floor."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        capped_vocab, unigram_logprob)
+
+    # Zipf-ish corpus: token t_k appears ~N/k times; many singletons.
+    rows = []
+    doc = 0
+    for k in range(1, 40):
+        for _ in range(max(200 // k, 1)):
+            rows.append((doc, f"t{k:02d} t{k:02d} t01"))
+            doc += 1
+    for s in range(300):  # long singleton tail
+        rows.append((doc, f"rare{s:04d}"))
+        doc += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    toks = df.selectExpr("explode(split(text, ' ')) AS tok")
+    counts = toks.groupBy("tok").count().withColumnRenamed("count", "cnt")
+    for cap in (5, 17):
+        model = capped_vocab(counts, "tok", "cnt", min_count=1,
+                             max_vocab=cap)
+        got = model.collect()
+        assert len(got) <= cap
+        # deterministic: exactly the count-desc, token-asc head
+        ordered = sorted(((r["cnt"], r["tok"]) for r in counts.collect()),
+                         key=lambda x: (-x[0], x[1]))[:cap]
+        assert sorted((r["cnt"], r["tok"]) for r in got) == sorted(ordered)
+
+    # behavior: a doc made only of capped-out tokens scores the OOV floor
+    scored = {r["doc_id"]: r["avg_logprob"] for r in
+              unigram_logprob(df, "text", "doc_id", min_count=1,
+                              max_vocab=3).collect()}
+    import math
+    total = toks.count()
+    floor = round(math.log(1.0 / total), 9)
+    rare_doc = doc - 1  # last singleton doc
+    assert abs(scored[rare_doc] - floor) < 1e-9

@@ -235,3 +235,19 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(by_q[q0] & exact_by_q[q0]) for q0 in exact_by_q)
     recall = hits / sum(len(v) for v in exact_by_q.values())
     assert recall >= 0.08, recall
+
+
+def test_gram_matrix_arrow_matches_jvm(spark, sf_dir):
+    """The Arrow Gram path (per-partition numpy partials, scaled-int64
+    exact accumulation) must produce bit-identical g values to the
+    oracle-checked JVM decimal explode path — the pin that lets the
+    O(partitions·d²) production path serve scale while the JVM twin
+    carries the hash oracle."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    jvm = {(r.i, r.j): r.g for r in
+           QUERIES["emb_gram_matrix"](spark, sf_dir).collect()}
+    arrow = {(r.i, r.j): r.g for r in
+             QUERIES["emb_gram_matrix_arrow"](spark, sf_dir).collect()}
+    assert set(jvm) == set(arrow)
+    diffs = [(k, jvm[k], arrow[k]) for k in jvm if jvm[k] != arrow[k]]
+    assert not diffs, diffs[:5]
