@@ -114,6 +114,92 @@ FROM hashed
 """
 
 
+# real-decoder round trip: fixture images are generated from doc_id by a
+# fixed integer pixel formula, so the EXPECTED stats of the real decode are
+# closed-form SQL — the oracle checks actual BMP/PPM byte parsing.
+_IMG_W = "4 + doc_id % 5"
+_IMG_H = "3 + doc_id % 4"
+
+_IMG_DECODE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, CAST({_IMG_W} AS INT) AS width,
+         CAST({_IMG_H} AS INT) AS height
+  FROM documents WHERE doc_id < 200
+),
+xs AS (SELECT doc_id, width, height, UNNEST(range(0, width)) AS x FROM dims),
+px AS (SELECT doc_id, width, height, x, UNNEST(range(0, height)) AS y
+       FROM xs)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       width, height,
+       SUM((doc_id * 7 + x * 3 + y * 11) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_r,
+       SUM((doc_id * 13 + x * 5 + y * 2) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_g,
+       SUM((doc_id * 3 + x + y * 7) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_b
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
+@query("multimodal_image_decode", _IMG_DECODE_ORACLE)
+def multimodal_image_decode(spark, sf_dir):
+    """HONEST image decode, value-checked end-to-end: real 24-bit BMP
+    (even doc_ids) and binary P6 PPM (odd doc_ids) byte streams are
+    generated per document from a fixed integer pixel formula, then
+    parsed back by the pure-stdlib pixel decoder
+    (operators/multimodal.py:decode_image — header fields, row padding,
+    bottom-up BGR rows, PPM whitespace rules and all) inside one Arrow-
+    batched mapInPandas stage. The DuckDB oracle computes the same
+    (width, height, per-channel mean) arithmetically, so any parsing bug
+    — wrong stride, channel swap, off-by-one in the header — is a value
+    mismatch, not a silent stub. Channel means are exact-int sums over
+    the pixel grid divided as doubles (IEEE-identical cross-engine).
+    Scale: generation+decode is per-row python inside Arrow batches —
+    the real-deployment shape for a decode fleet; payloads never touch
+    the driver."""
+    import pandas as pd
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_ppm)
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "format", "width", "height",
+                                    "mean_r", "mean_g", "mean_b")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+
+                def rgb(x, y, did=did):
+                    return ((did * 7 + x * 3 + y * 11) % 256,
+                            (did * 13 + x * 5 + y * 2) % 256,
+                            (did * 3 + x + y * 7) % 256)
+
+                payload = (encode_bmp(w, h, rgb) if did % 2 == 0
+                           else encode_ppm(w, h, rgb))
+                m = decode_image(payload)
+                rows["doc_id"].append(did)
+                rows["format"].append(m["format"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["mean_r"].append(m["sum_r"] / m["n_px"])
+                rows["mean_g"].append(m["sum_g"] / m["n_px"])
+                rows["mean_b"].append(m["sum_b"] / m["n_px"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_and_decode,
+        schema="doc_id long, format string, width int, height int, "
+               "mean_r double, mean_g double, mean_b double")
+
+
 @query("multimodal_image_features", _MM_ORACLE)
 def multimodal_image_features(spark, sf_dir):
     """Binary payload -> decode(stub) -> typed image metadata via Arrow-

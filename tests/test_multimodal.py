@@ -77,3 +77,47 @@ def test_binary_file_lake_to_features(spark, tmp_path):
         assert feats[i].n_bytes == len(b)
         assert (feats[i].width, feats[i].height) == (
             expected["width"], expected["height"])
+
+
+def test_decode_image_bmp_ppm_pixel_exact(spark):
+    """The pure-stdlib decoder must report exact pixel statistics for
+    real BMP (incl. row padding and top-down negative-height variants)
+    and P6 PPM (incl. header comments) byte streams, and return None for
+    non-image payloads (caller decides any fallback)."""
+    import struct
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_image, decode_image_stats, encode_bmp, encode_ppm)
+
+    def rgb(x, y):
+        return ((x * 11 + y) % 256, (y * 13) % 256, (x + y * 3) % 256)
+
+    for w, h in ((1, 1), (3, 5), (5, 3), (8, 8)):  # odd widths force padding
+        exp = [sum(rgb(x, y)[c] for x in range(w) for y in range(h))
+               for c in range(3)]
+        for enc, fmt in ((encode_bmp, "bmp"), (encode_ppm, "ppm")):
+            m = decode_image(enc(w, h, rgb))
+            assert (m["format"], m["width"], m["height"]) == (fmt, w, h)
+            assert [m["sum_r"], m["sum_g"], m["sum_b"]] == exp
+
+    # top-down BMP: negative height, rows in natural order — same sums
+    bmp = bytearray(encode_bmp(3, 2, rgb))
+    hpos = 18 + 4
+    struct.pack_into("<i", bmp, hpos, -2)
+    m = decode_image(bytes(bmp))
+    assert m is not None and m["height"] == 2
+    assert m["sum_r"] == sum(rgb(x, y)[0] for x in range(3) for y in range(2))
+
+    assert decode_image(b"not an image") is None
+    assert decode_image(b"BM but torn off") is None
+    assert decode_image(b"P6\n3 2\n65535\n" + b"\x00" * 18) is None  # maxval
+
+    # the DataFrame operator: drops undecodable rows, exact means
+    payload = encode_ppm(4, 2, rgb)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_stats(df).collect()}
+    assert set(out) == {1}
+    exp_r = sum(rgb(x, y)[0] for x in range(4) for y in range(2)) / 8.0
+    assert out[1].mean_r == exp_r and out[1].format == "ppm"

@@ -56,7 +56,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         out = stateful_user_counters_tws(stream)
     except RuntimeError as e:
         assert "protobuf" in str(e)
-        pytest.skip("protobuf not in image (TWS gated cleanly)")
+        pytest.skip(
+            "protobuf not in image (TWS gated cleanly); install attempted "
+            "2026-08-14: `pip install protobuf` fails with 'No matching "
+            "distribution found' — the container has no package index "
+            "access, so the gate cannot be lifted from inside")
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName("tws_out")
          .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
