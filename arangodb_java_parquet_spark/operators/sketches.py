@@ -1,0 +1,180 @@
+"""Portable cardinality / frequency sketches as RELATIONAL operators.
+
+Spark ships HLL++ (``approx_count_distinct``) and a count-min-like
+frequency estimator, but their sketch internals are engine-private: results
+are approximate AND unverifiable cross-engine, so the registry could only
+ever carry them as rows-only entries. The sketches here take the same
+design stance as the portable Bloom filter (operators/dedup.py:bloom_build):
+every register is derived from md5 bits through integer-exact expressions,
+so the ENTIRE sketch — registers, merge, estimate — is value-checkable
+against a DuckDB oracle while keeping the genuine sketch properties
+(bounded size, mergeability, one-pass map-side-combinable construction).
+
+Scale story (100 TB): both sketches aggregate to a constant-size state per
+group (m registers / depth×width counters) with map-side partial MAX/SUM —
+corpus rows are scanned once and never shuffled; only register rows move.
+Merging shards/streams is the same MAX/SUM aggregation over register rows
+(pinned by tests/test_sketches.py merge proofs).
+
+HLL layout (m=64, 60-bit hash): h = first 15 md5 hex digits (fits BIGINT);
+bucket = top 6 bits (h div 2^54); w = low 54 bits; rank rho = 55 - bitlen(w)
+(w=0 -> 55, handled by ltrim-of-binary giving length 0). Estimate =
+alpha_64 * m^2 / sum(2^-register), with the standard linear-counting
+correction below 2.5m; the 2^-r sum is computed EXACTLY as an integer
+sum(2^(55-r)) / 2^55 (max shift 54, inside the 62-bit portable discipline).
+
+CMS layout (depth 4 x width 256): row r's column for token t = first 8 md5
+hex digits of '<r>:'||t, mod width. Point estimate = min over rows of the
+(r, c) counter — never underestimates; overestimate bounded by the classic
+e*N/width with probability 1-e^-depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 64           # buckets (2^6)
+HLL_WINDOW = 54      # rank-window bits; 6 + 54 = 60 bits = 15 hex digits
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _hll_h(value_col: str) -> str:
+    return (f"CAST(conv(substring(md5(CAST({value_col} AS STRING)),1,15),"
+            f"16,10) AS BIGINT)")
+
+
+def hll_registers(df: DataFrame, value_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """(group..., bucket, r): max-rank register table, m rows max per
+    group. One combinable MAX aggregation; merging two register tables is
+    the same groupBy-MAX over their union."""
+    h = _hll_h(value_col)
+    two54 = 1 << HLL_WINDOW
+    return (df.select(*group_cols,
+                      F.expr(f"{h} div {two54}").alias("bucket"),
+                      F.expr(f"CAST({HLL_WINDOW} + 1 AS INT) - "
+                             f"length(ltrim('0', bin({h} % {two54})))")
+                      .alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("r")))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate from a register table: exact integer
+    sum(2^(55-r)) per group, then the HLL formula with linear-counting
+    small-range correction — every step IEEE-identical cross-engine."""
+    m = HLL_M
+    shift_base = HLL_WINDOW + 1
+    empty = (F.lit(m) - F.count(F.lit(1))).alias("v_zero")
+    s = F.sum(F.expr(f"shiftleft(1L, {shift_base} - r)")).alias("s_seen")
+    agg = (regs.groupBy(*group_cols).agg(s, empty)
+           # empty buckets hold register 0 and contribute 2^-0 = 1 each to
+           # the harmonic sum — in scaled-integer form, v_zero * 2^55
+           # (missing them inflates estimates ~2x at n ≈ 2m; caught by
+           # tests/test_sketches.py::test_hll_estimate_within_error_band)
+           .withColumn("s", F.expr(
+               f"s_seen + v_zero * shiftleft(1L, {shift_base})")))
+    # alpha_m * m^2 * 2^55 / S, left-to-right double arithmetic
+    raw = F.expr(
+        f"0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0) * {m * m}.0e0 * "
+        f"CAST(shiftleft(1L, {shift_base}) AS DOUBLE) / CAST(s AS DOUBLE)")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.round(F.expr(f"{m}.0e0 * ln({m}.0e0 / CAST(v_zero AS DOUBLE))"), 9)
+    ).otherwise(F.round(raw, 9))
+    return agg.select(*group_cols, corrected.alias("est_distinct"))
+
+
+def hll_sql(value_expr: str, group_cols: str, src: str) -> str:
+    """DuckDB oracle for hll_registers ∘ hll_estimate — generated from the
+    same constants so the layouts can never drift apart."""
+    m, win = HLL_M, HLL_WINDOW
+    two54 = 1 << win
+    h = f"CAST('0x' || substring(md5(CAST({value_expr} AS VARCHAR)),1,15) AS BIGINT)"
+    return f"""
+WITH rho AS (
+  SELECT {group_cols}, {h} // {two54} AS bucket,
+         {win + 1} - length(ltrim(bin({h} % {two54}), '0')) AS rho
+  FROM {src}
+),
+regs AS (
+  SELECT {group_cols}, bucket, MAX(rho) AS r
+  FROM rho GROUP BY {group_cols}, bucket
+),
+agg AS (
+  SELECT {group_cols},
+         SUM(1::BIGINT << ({win + 1} - r))
+           + ({m} - COUNT(*)) * (1::BIGINT << {win + 1}) AS s,
+         {m} - COUNT(*) AS v_zero
+  FROM regs GROUP BY {group_cols}
+)
+SELECT {group_cols},
+       CASE WHEN 0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0) * {m * m}.0e0
+                 * CAST(1::BIGINT << {win + 1} AS DOUBLE) / CAST(s AS DOUBLE)
+                 <= {2.5 * m}e0
+             AND v_zero > 0
+            THEN ROUND({m}.0e0 * ln({m}.0e0 / CAST(v_zero AS DOUBLE)), 9)
+            ELSE ROUND(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0) * {m * m}.0e0
+                 * CAST(1::BIGINT << {win + 1} AS DOUBLE)
+                 / CAST(s AS DOUBLE), 9)
+       END AS est_distinct
+FROM agg
+"""
+
+
+def hll_registers_sql(value_expr: str, group_cols: str, src: str) -> str:
+    m, win = HLL_M, HLL_WINDOW
+    two54 = 1 << win
+    h = f"CAST('0x' || substring(md5(CAST({value_expr} AS VARCHAR)),1,15) AS BIGINT)"
+    return f"""
+WITH rho AS (
+  SELECT {group_cols}, {h} // {two54} AS bucket,
+         {win + 1} - length(ltrim(bin({h} % {two54}), '0')) AS rho
+  FROM {src}
+)
+SELECT {group_cols}, bucket, MAX(rho) AS r
+FROM rho GROUP BY {group_cols}, bucket
+"""
+
+
+# -- count-min sketch -------------------------------------------------------
+
+def _cms_col(token_col: str, row: int) -> str:
+    return (f"CAST(conv(substring(md5('{row}:' || {token_col}),1,8),16,10) "
+            f"AS BIGINT) % {CMS_WIDTH}")
+
+
+def cms_build(tokens: DataFrame, token_col: str) -> DataFrame:
+    """(r, c, cnt): depth×width counter table over a token stream. One
+    explode (depth rows per token) + one combinable SUM; at scale the
+    sketch is depth×width rows total whatever the corpus, and daily /
+    per-shard sketches merge by summing counters."""
+    cols = F.array(*[F.expr(_cms_col(token_col, r))
+                     for r in range(CMS_DEPTH)])
+    return (tokens.select(F.posexplode(cols).alias("r", "c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_probe(queries: DataFrame, token_col: str,
+              cms: DataFrame) -> DataFrame:
+    """Point-frequency estimates: min over depth rows of the probed
+    counter. The sketch table broadcasts (depth×width rows); estimates
+    never underestimate the true count."""
+    probes = queries.select(
+        token_col,
+        F.posexplode(F.array(*[F.expr(_cms_col(token_col, r))
+                               for r in range(CMS_DEPTH)]))
+        .alias("r", "c"))
+    return (probes.join(F.broadcast(cms), ["r", "c"], "left")
+            .groupBy(token_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))
+
+
+def cms_pos_sql(token_expr: str, row: int) -> str:
+    """DuckDB column index for CMS row ``row`` — same md5 layout."""
+    return (f"CAST('0x' || substring(md5('{row}:' || {token_expr}),1,8) "
+            f"AS BIGINT) % {CMS_WIDTH}")

@@ -1,0 +1,103 @@
+"""Portable-sketch query inventory: value-checked HyperLogLog and
+count-min-sketch entries (operators/sketches.py). Unlike Spark's built-in
+``approx_count_distinct`` / HLL++ (engine-private sketch internals, forever
+rows-only), these sketches are md5-derived through integer-exact
+expressions, so registers AND estimates hash-match a DuckDB oracle — the
+sketch itself is under test, not just its row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.sketches import (
+    CMS_DEPTH, cms_build, cms_pos_sql, cms_probe, hll_estimate,
+    hll_registers, hll_registers_sql, hll_sql)
+from arangodb_java_parquet_spark.queries.common import query, t
+
+
+@query("agg_hll_portable_registers",
+       hll_registers_sql("o_custkey", "o_orderpriority", "orders"))
+def agg_hll_portable_registers(spark, sf_dir):
+    """The HLL register table itself (max-rank per (group, bucket)) for
+    distinct-customer-per-priority — VALUE-CHECKED sketch state, which the
+    engine-private HLL++ can never be. Constant m rows per group, one
+    map-side-combinable MAX; shard/stream merge is the same MAX over
+    unioned registers (merge proof in tests/test_sketches.py)."""
+    o = t(spark, sf_dir, "orders")
+    return hll_registers(o, "o_custkey", ["o_orderpriority"])
+
+
+@query("agg_hll_portable_estimate",
+       hll_sql("o_custkey", "o_orderpriority", "orders"))
+def agg_hll_portable_estimate(spark, sf_dir):
+    """Portable-HLL cardinality estimate per group, hash-checked to the
+    last bit cross-engine: the 2^-rank sum is an EXACT integer
+    sum(2^(55-r))/2^55 (62-bit shift discipline), the alpha_m formula is
+    written in identical left-to-right double arithmetic in both engines,
+    and the linear-counting small-range branch round-9s its ln(). The
+    companion test pins the estimate within the theoretical ~1.04/sqrt(m)
+    relative-error band of the exact distinct count."""
+    o = t(spark, sf_dir, "orders")
+    return hll_estimate(hll_registers(o, "o_custkey", ["o_orderpriority"]),
+                        ["o_orderpriority"])
+
+
+_CMS_TOPK = 25
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+truth AS (
+  SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, true_cnt FROM truth
+  ORDER BY true_cnt DESC, tok ASC LIMIT {_CMS_TOPK}
+),
+cells AS (
+  SELECT r, c, COUNT(*) AS cnt
+  FROM (SELECT UNNEST([{", ".join(cms_pos_sql("tok", r)
+                                  for r in range(CMS_DEPTH))}]) AS c,
+               UNNEST([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r
+        FROM toks)
+  GROUP BY r, c
+),
+est AS (
+  SELECT top.tok,
+         MIN(COALESCE(cells.cnt, 0)) AS cms_est
+  FROM top
+  CROSS JOIN UNNEST([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS t(r)
+  LEFT JOIN cells
+    ON cells.r = t.r
+   AND cells.c = CASE t.r
+       {" ".join(f"WHEN {r} THEN {cms_pos_sql('top.tok', r)}"
+                 for r in range(CMS_DEPTH))} END
+  GROUP BY top.tok
+)
+SELECT top.tok, top.true_cnt, est.cms_est,
+       est.cms_est >= top.true_cnt AS never_underestimates
+FROM top JOIN est ON est.tok = top.tok
+"""
+
+
+@query("cms_token_frequencies", _CMS_SQL)
+def cms_token_frequencies(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the corpus's top tokens,
+    next to the exact counts — the one-pass heavy-hitter screen a 100 TB
+    token pipeline runs instead of a full groupBy(token) (the sketch is
+    depth×width rows, mergeable across shards by counter SUM; the exact
+    join here exists to value-check the estimates and demonstrate the
+    never-underestimates guarantee as a column)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = (truth.orderBy(F.desc("true_cnt"), F.asc("tok"))
+           .limit(_CMS_TOPK))
+    sketch = cms_build(toks, "tok")
+    est = cms_probe(top.select("tok"), "tok", sketch)
+    return (top.join(est, "tok")
+            .select("tok", "true_cnt", "cms_est",
+                    (F.col("cms_est") >= F.col("true_cnt"))
+                    .alias("never_underestimates")))

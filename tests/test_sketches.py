@@ -1,0 +1,63 @@
+"""Portable-sketch properties: mergeability (the point of a sketch) and
+estimate quality. The register/estimate VALUES are oracle-checked by the
+harness; these tests pin the algebraic properties no single-run hash can."""
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.sketches import (
+    HLL_M, cms_build, cms_probe, hll_estimate, hll_registers)
+from arangodb_java_parquet_spark.queries.common import t
+
+
+def test_hll_merge_equals_single_pass(spark, sf_dir):
+    """Registers built on two disjoint halves and merged with MAX must be
+    byte-identical to single-pass registers — the property that lets
+    per-shard / per-day sketches roll up without rescanning."""
+    o = t(spark, sf_dir, "orders")
+    single = hll_registers(o, "o_custkey", ["o_orderpriority"])
+    a = hll_registers(o.filter(F.col("o_orderkey") % 2 == 0),
+                      "o_custkey", ["o_orderpriority"])
+    b = hll_registers(o.filter(F.col("o_orderkey") % 2 == 1),
+                      "o_custkey", ["o_orderpriority"])
+    merged = (a.unionAll(b).groupBy("o_orderpriority", "bucket")
+              .agg(F.max("r").alias("r")))
+    key = lambda r: (r["o_orderpriority"], r["bucket"], r["r"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, single.collect()))
+
+
+def test_hll_estimate_within_error_band(spark, sf_dir):
+    """Estimate vs exact distinct per group: within 3x the theoretical
+    1.04/sqrt(m) relative standard error."""
+    o = t(spark, sf_dir, "orders")
+    est = {r["o_orderpriority"]: r["est_distinct"] for r in
+           hll_estimate(hll_registers(o, "o_custkey", ["o_orderpriority"]),
+                        ["o_orderpriority"]).collect()}
+    exact = {r["o_orderpriority"]: r["n"] for r in
+             o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    band = 3 * 1.04 / (HLL_M ** 0.5)
+    for g, n in exact.items():
+        rel = abs(est[g] - n) / n
+        assert rel <= band, (g, est[g], n, rel)
+
+
+def test_cms_merge_and_never_underestimates(spark, sf_dir):
+    """Counter tables from disjoint halves summed == single-pass sketch;
+    point estimates are >= the true count for EVERY distinct token."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    single = cms_build(toks, "tok")
+    a = cms_build(toks.filter(F.col("doc_id") % 2 == 0), "tok")
+    b = cms_build(toks.filter(F.col("doc_id") % 2 == 1), "tok")
+    merged = (a.unionAll(b).groupBy("r", "c")
+              .agg(F.sum("cnt").alias("cnt")))
+    key = lambda r: (r["r"], r["c"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, single.collect()))
+
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_probe(truth.select("tok"), "tok", single)
+    bad = (truth.join(est, "tok")
+           .filter(F.col("cms_est") < F.col("true_cnt")).count())
+    assert bad == 0
