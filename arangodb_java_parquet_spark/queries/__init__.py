@@ -34,6 +34,7 @@ from arangodb_java_parquet_spark.queries import advanced  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import ir_analytics  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import lifecycle  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import sketches  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import textmatch  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver panel: the verification driver checks exactly the FIRST 50 entries

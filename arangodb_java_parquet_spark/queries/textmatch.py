@@ -1,0 +1,216 @@
+"""Token-level exact-overlap spans and n-gram language identification —
+the two text-forensics operators a curation pipeline runs after candidate
+generation: "HOW MUCH do these near-dup candidates actually share?" and
+"is this document's language label trustworthy?".
+
+Scale notes (100 TB): the substring-span operator runs only on LSH
+CANDIDATE pairs (never all-pairs) and joins compact (doc, pos, md5) gram
+rows — the diagonal run-length trick turns longest-common-substring, a
+classically quadratic DP, into one equi-join + one window + two
+aggregations. Language-ID broadcasts a bounded profile table (n_langs ×
+top-K trigrams); the corpus explodes each document once and aggregates
+map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.dedup import (
+    char_shingles, lsh_candidate_pairs, minhash_signatures)
+from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
+
+# ---------------------------------------------------------------------------
+# longest shared token run per candidate pair (Lee et al. 2022-style exact
+# substring dedup, bounded to the LSH candidate set)
+# ---------------------------------------------------------------------------
+
+_SPAN_SQL = _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) - 2 + 1)) AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= 3)
+),
+hits AS (
+  SELECT p.doc_a, p.doc_b, ga.pos AS i, gb.pos AS j
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
+),
+runs AS (
+  SELECT doc_a, doc_b, j - i AS d, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, j - i
+                                ORDER BY i) AS grp
+  FROM hits
+),
+spans AS (
+  SELECT doc_a, doc_b, COUNT(*) AS run_grams
+  FROM runs GROUP BY doc_a, doc_b, d, grp
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(run_grams) AS BIGINT) AS longest_run_grams,
+       CAST(MAX(run_grams) + 2 AS BIGINT) AS longest_shared_tokens
+FROM spans GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_substring_span", _SPAN_SQL)
+def dedup_substring_span(spark, sf_dir):
+    """Longest EXACT shared token run per LSH candidate pair — the
+    substring-level evidence behind 'deduplicate repeated spans, not just
+    whole documents' (Lee et al. 2022). Classic LCS is an O(n·m) DP per
+    pair; relationally it collapses to: join the pairs' positional token
+    3-grams on gram hash, group hits by DIAGONAL (j - i, constant along
+    any shared contiguous run), and measure maximal consecutive-i runs
+    with the i - row_number() trick. A run of L 3-grams = L+2 shared
+    tokens. Candidates come from the standard MinHash/LSH stage, so the
+    join is bounded by the candidate set; gram rows are (id, pos, md5) —
+    documents themselves never shuffle."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+
+    toks = F.split("text", " ")
+    gram_arr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
+    grams = (d.filter(F.size(toks) >= 3)
+             .select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh"))
+
+    hits = (cand
+            .join(grams.select(F.col("doc_id").alias("doc_a"),
+                               F.col("pos").alias("i"), "gh"), "doc_a")
+            .join(grams.select(F.col("doc_id").alias("doc_b"),
+                               F.col("pos").alias("j"), "gh"),
+                  ["doc_b", "gh"]))
+    runs = hits.select(
+        "doc_a", "doc_b",
+        (F.col("j") - F.col("i")).alias("d"), "i",
+        (F.col("i") - F.row_number().over(
+            W.partitionBy("doc_a", "doc_b", F.col("j") - F.col("i"))
+            .orderBy("i"))).alias("grp"))
+    spans = (runs.groupBy("doc_a", "doc_b", "d", "grp")
+             .agg(F.count(F.lit(1)).alias("run_grams")))
+    return (spans.groupBy("doc_a", "doc_b")
+            .agg(F.max("run_grams").alias("longest_run_grams"),
+                 (F.max("run_grams") + F.lit(2)).cast("bigint")
+                 .alias("longest_shared_tokens"))
+            .withColumn("longest_run_grams",
+                        F.col("longest_run_grams").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# char-trigram language identification + confusion matrix
+# ---------------------------------------------------------------------------
+
+_LANGID_TOPK = 25
+
+_LANGID_SQL = f"""
+WITH train AS (
+  SELECT lang, text FROM documents WHERE doc_id % 10 < 8
+),
+tri_train AS (
+  SELECT lang, text[i:i+2] AS gram
+  FROM (SELECT lang, text, UNNEST(range(1, length(text) - 2 + 1)) AS i
+        FROM train WHERE length(text) >= 3)
+),
+prof AS (
+  SELECT lang, gram FROM (
+    SELECT lang, gram, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, gram ASC) AS rn
+    FROM tri_train GROUP BY lang, gram
+  ) WHERE rn <= {_LANGID_TOPK}
+),
+held AS (
+  SELECT doc_id, lang AS actual_lang, text
+  FROM documents WHERE doc_id % 10 >= 8 AND length(text) >= 3
+),
+tri_doc AS (
+  SELECT DISTINCT doc_id, text[i:i+2] AS gram
+  FROM (SELECT doc_id, text, UNNEST(range(1, length(text) - 2 + 1)) AS i
+        FROM held)
+),
+scores AS (
+  SELECT d.doc_id, p.lang, COUNT(*) AS n_hits
+  FROM tri_doc d JOIN prof p ON p.gram = d.gram
+  GROUP BY d.doc_id, p.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted_lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, lang ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT h.actual_lang,
+       COALESCE(p.predicted_lang, '??') AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM held h LEFT JOIN pred p ON p.doc_id = h.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("langid_trigram_confusion", _LANGID_SQL)
+def langid_trigram_confusion(spark, sf_dir):
+    """N-gram language-ID, the classic textcat/CLD heuristic as pure
+    relational algebra: fit top-K character-trigram profiles per language
+    on a deterministic train split, predict each held-out document's
+    language by profile-overlap argmax (ties broken lang-asc), and emit
+    the actual × predicted confusion matrix — the audit table that tells
+    a curation pipeline whether its `lang` column can be trusted. On this
+    synthetic corpus the text is language-independent word salad, so the
+    matrix is near-uniform BY CONSTRUCTION — the operator mechanics
+    (bounded broadcast profiles, one doc-gram explode, two combinable
+    aggregations, deterministic argmax) are what is under test; on real
+    multilingual data the same plan yields the standard >0.99-diagonal
+    matrix. Scale: profiles are n_langs × K rows broadcast; documents
+    explode once and never shuffle whole."""
+    d = t(spark, sf_dir, "documents")
+    tri = F.expr("transform(sequence(1, length(text) - 2),"
+                 " i -> substring(text, i, 3))")
+
+    train = d.filter((F.col("doc_id") % 10 < 8) & (F.length("text") >= 3))
+    tri_train = train.select("lang", F.explode(tri).alias("gram"))
+    prof = (tri_train.groupBy("lang", "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))))
+            .filter(F.col("rn") <= _LANGID_TOPK)
+            .select("lang", "gram"))
+
+    held = d.filter((F.col("doc_id") % 10 >= 8) & (F.length("text") >= 3)) \
+        .select("doc_id", F.col("lang").alias("actual_lang"), "text")
+    tri_doc = (held.select("doc_id", F.explode(tri).alias("gram"))
+               .distinct())
+    scores = (tri_doc.join(F.broadcast(prof), "gram")
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).alias("n_hits")))
+    pred = (scores.withColumn("rn", F.row_number().over(
+                W.partitionBy("doc_id")
+                .orderBy(F.desc("n_hits"), F.asc("lang"))))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("predicted_lang")))
+    return (held.join(pred, "doc_id", "left")
+            .groupBy("actual_lang",
+                     F.coalesce("predicted_lang", F.lit("??"))
+                     .alias("predicted_lang"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -128,6 +128,13 @@ BENCH_QUERIES = [
     "boilerplate_ngram_catalog",
     "source_quality_scorecard",
     "token_zipf_slope",
+    # round-4 additions: portable sketches, substring-span dedup evidence,
+    # language-ID confusion, real image decode, arrow gram twin
+    "agg_hll_portable_estimate",
+    "cms_token_frequencies",
+    "dedup_substring_span",
+    "langid_trigram_confusion",
+    "multimodal_image_decode",
 ]
 
 

@@ -416,3 +416,45 @@ def test_lm_model_broadcast_bounded_by_max_vocab(spark):
     floor = round(math.log(1.0 / total), 9)
     rare_doc = doc - 1  # last singleton doc
     assert abs(scored[rare_doc] - floor) < 1e-9
+
+
+def test_substring_span_diagonal_runs(spark):
+    """The diagonal run-length formulation must recover the exact longest
+    shared token run on planted overlaps (incl. an offset repeat and a
+    no-overlap pair)."""
+    from pyspark.sql import Window as W
+
+    # reimplement the span core over explicit pairs (no LSH) to test the
+    # diagonal trick in isolation
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x y c d e f z q"),       # shares "c d e f" (4 tokens)
+         (3, "p q r s t u v w"),       # shares nothing with 1
+         (4, "a b c d e f g h")],      # identical to 1 (8 tokens)
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["doc_a", "doc_b"])
+    gram_arr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
+    grams = (docs.select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh"))
+    hits = (pairs
+            .join(grams.select(F.col("doc_id").alias("doc_a"),
+                               F.col("pos").alias("i"), "gh"), "doc_a")
+            .join(grams.select(F.col("doc_id").alias("doc_b"),
+                               F.col("pos").alias("j"), "gh"),
+                  ["doc_b", "gh"]))
+    runs = hits.select(
+        "doc_a", "doc_b", (F.col("j") - F.col("i")).alias("d"), "i",
+        (F.col("i") - F.row_number().over(
+            W.partitionBy("doc_a", "doc_b", F.col("j") - F.col("i"))
+            .orderBy("i"))).alias("grp"))
+    spans = (runs.groupBy("doc_a", "doc_b", "d", "grp")
+             .agg(F.count(F.lit(1)).alias("run_grams")))
+    out = {(r.doc_a, r.doc_b): r.longest for r in
+           spans.groupBy("doc_a", "doc_b")
+           .agg((F.max("run_grams") + 2).alias("longest")).collect()}
+    assert out[(1, 2)] == 4       # "c d e f"
+    assert out[(1, 4)] == 8       # full doc
+    assert (1, 3) not in out      # no shared 3-gram at all
