@@ -178,3 +178,90 @@ def cms_pos_sql(token_expr: str, row: int) -> str:
     """DuckDB column index for CMS row ``row`` — same md5 layout."""
     return (f"CAST('0x' || substring(md5('{row}:' || {token_expr}),1,8) "
             f"AS BIGINT) % {CMS_WIDTH}")
+
+
+# -- mergeable histogram / quantile sketch ----------------------------------
+
+QSK_BINS = 128
+
+
+def quantile_sketch_hist(df: DataFrame, cents_expr: str,
+                         lo: int, hi: int) -> DataFrame:
+    """(bin, cnt): fixed-width histogram sketch over an exact-integer
+    (cents) value with CLOSED bounds [lo, hi] — the bin index is pure
+    integer arithmetic ((c - lo) * B div (hi - lo + 1)), so identical in
+    every engine and under any partitioning. With bounds fixed a priori
+    (as a production sketch would), per-shard histograms merge by counter
+    SUM (tests pin it); one map-side-combinable aggregation, B rows out
+    whatever the corpus."""
+    b = QSK_BINS
+    width = hi - lo + 1
+    return (df.select(F.expr(
+                f"({cents_expr} - {lo}) * {b} div {width}").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_sketch_estimate(hist: DataFrame, lo: int, hi: int,
+                             quantiles: list[float]) -> DataFrame:
+    """Interpolated quantile estimates from the histogram sketch: walk the
+    cumulative counts to the bin containing rank ceil(q*n), then linearly
+    interpolate inside the bin. Every input to the double arithmetic is an
+    exact integer (ranks, cumulative counts, bin index, bounds), and the
+    expression is written left-to-right identically in the oracle, so the
+    estimates hash-match cross-engine; round-9 caps libm-free drift."""
+    from pyspark.sql import Window as W
+    b = QSK_BINS
+    width = hi - lo + 1
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin")
+                                 .rowsBetween(W.unboundedPreceding, 0)))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qs = total.select(
+        "n", F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q"))
+    tgt = qs.select("q", "n",
+                    F.expr("CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)")
+                    .alias("target"))
+    hit = (tgt.join(F.broadcast(cum),
+                    (F.col("cum") >= F.col("target")) &
+                    (F.col("cum") - F.col("cnt") < F.col("target")))
+           .select("q", "target", "bin", "cnt", "cum"))
+    est = F.expr(
+        f"round(({lo}.0e0 + CAST(bin AS DOUBLE) * {width}.0e0 / {b}.0e0"
+        f" + (CAST(target AS DOUBLE) - (CAST(cum AS DOUBLE)"
+        f" - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)"
+        f" * ({width}.0e0 / {b}.0e0)) / 100.0e0, 9)")
+    return hit.select("q", est.alias("est_value"))
+
+
+def quantile_sketch_sql(cents_expr: str, src: str, lo: int, hi: int,
+                        quantiles: list[float]) -> str:
+    """DuckDB oracle for hist ∘ estimate, generated from the same
+    constants/arithmetic so the two engines cannot drift."""
+    b = QSK_BINS
+    width = hi - lo + 1
+    qlist = ", ".join(str(q) for q in quantiles)
+    return f"""
+WITH hist AS (
+  SELECT ({cents_expr} - {lo}) * {b} // {width} AS bin, COUNT(*) AS cnt
+  FROM {src} GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tgt AS (
+  SELECT q, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS target
+  FROM (SELECT SUM(cnt) AS n FROM hist)
+  CROSS JOIN UNNEST([{qlist}]) AS t(q)
+)
+SELECT tgt.q,
+       round(({lo}.0e0 + CAST(cum.bin AS DOUBLE) * {width}.0e0 / {b}.0e0
+         + (CAST(tgt.target AS DOUBLE) - (CAST(cum.cum AS DOUBLE)
+         - CAST(cum.cnt AS DOUBLE))) / CAST(cum.cnt AS DOUBLE)
+         * ({width}.0e0 / {b}.0e0)) / 100.0e0, 9) AS est_value
+FROM tgt JOIN cum
+  ON cum.cum >= tgt.target AND cum.cum - cum.cnt < tgt.target
+"""

@@ -101,3 +101,65 @@ def cms_token_frequencies(spark, sf_dir):
             .select("tok", "true_cnt", "cms_est",
                     (F.col("cms_est") >= F.col("true_cnt"))
                     .alias("never_underestimates")))
+
+
+_QSK_QUANTILES = [0.25, 0.5, 0.9, 0.99]
+_QSK_B = 128
+
+_QSK_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+         MAX(cents) - MIN(cents) + 1 AS width
+  FROM c
+),
+hist AS (
+  SELECT (c.cents - b.lo) * {_QSK_B} // b.width AS bin, COUNT(*) AS cnt
+  FROM c CROSS JOIN bounds b GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tgt AS (
+  SELECT q, CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS target
+  FROM (SELECT SUM(cnt) AS n FROM hist)
+  CROSS JOIN UNNEST([{", ".join(str(q) for q in _QSK_QUANTILES)}]) AS t(q)
+)
+SELECT CAST(tgt.q AS DOUBLE) AS q,
+       round((CAST(b.lo AS DOUBLE)
+         + CAST(cum.bin AS DOUBLE) * CAST(b.width AS DOUBLE) / {_QSK_B}.0e0
+         + (CAST(tgt.target AS DOUBLE) - (CAST(cum.cum AS DOUBLE)
+         - CAST(cum.cnt AS DOUBLE))) / CAST(cum.cnt AS DOUBLE)
+         * (CAST(b.width AS DOUBLE) / {_QSK_B}.0e0)) / 100.0e0, 9)
+         AS est_value
+FROM tgt
+JOIN cum ON cum.cum >= tgt.target AND cum.cum - cum.cnt < tgt.target
+CROSS JOIN bounds b
+"""
+
+
+@query("agg_quantile_sketch_portable", _QSK_SQL)
+def agg_quantile_sketch_portable(spark, sf_dir):
+    """Mergeable fixed-width histogram quantile sketch, value-checked to
+    the last bit — the portable alternative to approx_percentile (whose
+    GK/KLL internals are engine-private and forever rows-only). Binning
+    is pure integer arithmetic over exact cents with bounds from one
+    cheap min/max pass (a production deployment pins bounds a priori, so
+    per-shard histograms merge by counter SUM —
+    tests/test_sketches.py::test_quantile_sketch_merge); the estimate
+    interpolates inside the rank-containing bin with left-to-right
+    double arithmetic identical to the oracle. B rows of state whatever
+    the corpus size."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        quantile_sketch_estimate, quantile_sketch_hist)
+    o = t(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    lo, hi = o.selectExpr(f"MIN({cents})", f"MAX({cents})").first()
+    hist = quantile_sketch_hist(o, cents, lo, hi)
+    return quantile_sketch_estimate(hist, lo, hi, _QSK_QUANTILES)

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     # round-4 additions: portable sketches, substring-span dedup evidence,
     # language-ID confusion, real image decode, arrow gram twin
     "agg_hll_portable_estimate",
+    "agg_quantile_sketch_portable",
     "cms_token_frequencies",
     "dedup_substring_span",
     "langid_trigram_confusion",

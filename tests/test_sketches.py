@@ -61,3 +61,35 @@ def test_cms_merge_and_never_underestimates(spark, sf_dir):
     bad = (truth.join(est, "tok")
            .filter(F.col("cms_est") < F.col("true_cnt")).count())
     assert bad == 0
+
+
+def test_quantile_sketch_merge_and_accuracy(spark, sf_dir):
+    """With bounds fixed, per-shard histograms summed == single-pass
+    histogram, and the interpolated estimates land within one bin width
+    of the exact percentiles."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        QSK_BINS, quantile_sketch_estimate, quantile_sketch_hist)
+    o = t(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    lo, hi = o.selectExpr(f"MIN({cents})", f"MAX({cents})").first()
+
+    single = quantile_sketch_hist(o, cents, lo, hi)
+    a = quantile_sketch_hist(o.filter(F.col("o_orderkey") % 2 == 0),
+                             cents, lo, hi)
+    b = quantile_sketch_hist(o.filter(F.col("o_orderkey") % 2 == 1),
+                             cents, lo, hi)
+    merged = (a.unionAll(b).groupBy("bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    key = lambda r: (r["bin"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, merged.collect())) == \
+        sorted(map(key, single.collect()))
+
+    qs = [0.25, 0.5, 0.9]
+    est = {r["q"]: r["est_value"] for r in
+           quantile_sketch_estimate(single, lo, hi, qs).collect()}
+    exact = o.selectExpr(
+        *[f"percentile(o_totalprice, {q}) AS p{i}"
+          for i, q in enumerate(qs)]).first()
+    bin_width = (hi - lo + 1) / QSK_BINS / 100.0
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[i]) <= bin_width, (q, est[q], exact[i])
