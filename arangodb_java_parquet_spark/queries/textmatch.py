@@ -214,3 +214,124 @@ def langid_trigram_confusion(spark, sf_dir):
                      F.coalesce("predicted_lang", F.lit("??"))
                      .alias("predicted_lang"))
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pair-merge fitting (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 3
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Generate the chained-CTE DuckDB oracle for k greedy merge steps —
+    one block per step (adjacent-pair count -> argmax -> greedy
+    left-to-right application via run parity), all derived from the same
+    template so Spark and oracle cannot drift."""
+    parts = ["""WITH s0 AS (
+  SELECT doc_id, i, tok FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS tok,
+           UNNEST(range(0, len(string_split(text, ' ')))) AS i
+    FROM documents)
+)"""]
+    for s in range(1, k + 1):
+        parts.append(f""",
+p{s} AS (
+  SELECT doc_id, i, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM s{s - 1}
+),
+b{s} AS (
+  SELECT tok AS a, nxt AS b, COUNT(*) AS c
+  FROM p{s} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+m{s} AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY i) % 2
+             AS odd
+    FROM (SELECT p.doc_id, p.i,
+                 p.i - ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                                          ORDER BY p.i) AS grp
+          FROM p{s} p, b{s} b
+          WHERE p.tok = b.a AND p.nxt = b.b)
+  ) WHERE odd = 1
+),
+s{s} AS (
+  SELECT p.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.i) - 1 AS i,
+         CASE WHEN mm.i IS NOT NULL THEN p.tok || '_' || p.nxt
+              ELSE p.tok END AS tok
+  FROM p{s} p
+  LEFT JOIN m{s} mm ON mm.doc_id = p.doc_id AND mm.i = p.i
+  LEFT JOIN m{s} mp ON mp.doc_id = p.doc_id AND mp.i = p.i - 1
+  WHERE mp.i IS NULL
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, a || ' ' || b AS pair, c AS n_occurrences "
+        f"FROM b{s}" for s in range(1, k + 1))
+    return "".join(parts) + "\n" + finals
+
+
+@query("bpe_pair_merge_fit", _bpe_oracle_sql(_BPE_STEPS))
+def bpe_pair_merge_fit(spark, sf_dir):
+    """BPE tokenizer training's inner loop, fitted IN the engine: K
+    greedy rounds of (count adjacent symbol pairs -> take the most
+    frequent -> merge its occurrences left-to-right), here over word
+    symbols (mechanics identical to char-level BPE; '_' is the joiner).
+    The classically sequential greedy application — a position merges
+    only if its left neighbor didn't — is exact relationally: candidate
+    positions form consecutive runs per document, and greedy
+    left-to-right = keeping the ODD ranks within each run (the
+    i - row_number() run trick again). Each round is one window + one
+    argmax + one bounded driver collect (a single 3-field row — the
+    learned merge, exactly what a tokenizer trainer persists);
+    localCheckpoint keeps plan depth constant like the PageRank loop.
+    Returns the learned merge table (step, pair, n_occurrences); the
+    DuckDB oracle replays the identical K rounds as chained CTEs."""
+    from pyspark.sql import Row
+
+    d = t(spark, sf_dir, "documents")
+    state = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    learned = []
+    for step in range(1, _BPE_STEPS + 1):
+        state = state.localCheckpoint(eager=True)
+        pairs = state.withColumn(
+            "nxt", F.lead("tok").over(
+                W.partitionBy("doc_id").orderBy("i")))
+        best = (pairs.filter(F.col("nxt").isNotNull())
+                .groupBy("tok", "nxt")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("tok"), F.asc("nxt"))
+                .first())
+        a, b, c = best["tok"], best["nxt"], best["c"]
+        learned.append(Row(step=step, pair=f"{a} {b}", n_occurrences=c))
+        cand = pairs.filter((F.col("tok") == a) & (F.col("nxt") == b)) \
+            .select("doc_id", "i")
+        runs = cand.withColumn(
+            "grp", F.col("i") - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("i")))
+        merge = (runs.withColumn(
+                    "rn", F.row_number().over(
+                        W.partitionBy("doc_id", "grp").orderBy("i")))
+                 .filter(F.col("rn") % 2 == 1)
+                 .select("doc_id", "i", F.lit(True).alias("m")))
+        state = (pairs
+                 .join(merge, ["doc_id", "i"], "left")
+                 .join(merge.select("doc_id",
+                                    (F.col("i") + 1).alias("i"),
+                                    F.col("m").alias("prev_m")),
+                       ["doc_id", "i"], "left")
+                 .filter(F.col("prev_m").isNull())
+                 .select("doc_id", F.col("i").alias("i_old"),
+                         F.when(F.col("m"),
+                                F.concat_ws("_", "tok", "nxt"))
+                         .otherwise(F.col("tok")).alias("tok"))
+                 .withColumn("i", F.row_number().over(
+                     W.partitionBy("doc_id").orderBy("i_old")) - 1)
+                 .select("doc_id", "i", "tok"))
+    return spark.createDataFrame(
+        learned, "step int, pair string, n_occurrences bigint")

@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "dedup_substring_span",
     "langid_trigram_confusion",
     "multimodal_image_decode",
+    "bpe_pair_merge_fit",
 ]
 
 

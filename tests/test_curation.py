@@ -458,3 +458,30 @@ def test_substring_span_diagonal_runs(spark):
     assert out[(1, 2)] == 4       # "c d e f"
     assert out[(1, 4)] == 8       # full doc
     assert (1, 3) not in out      # no shared 3-gram at all
+
+
+def test_bpe_greedy_run_parity(spark):
+    """Greedy left-to-right BPE application on overlapping candidates:
+    'a a a a' with merge (a,a) must yield exactly 2 merges (positions 0
+    and 2), and 'a a a' exactly 1 (position 0) — the odd-rank-within-run
+    rule, not 'merge every candidate'."""
+    from pyspark.sql import Window as W
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "a a a"), (3, "b a a b a a")],
+        ["doc_id", "text"])
+    state = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    pairs = state.withColumn(
+        "nxt", F.lead("tok").over(W.partitionBy("doc_id").orderBy("i")))
+    cand = pairs.filter((F.col("tok") == "a") & (F.col("nxt") == "a")) \
+        .select("doc_id", "i")
+    runs = cand.withColumn(
+        "grp", F.col("i") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("i")))
+    merge = (runs.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("doc_id", "grp").orderBy("i")))
+             .filter(F.col("rn") % 2 == 1))
+    got = sorted((r.doc_id, r.i) for r in merge.collect())
+    assert got == [(1, 0), (1, 2), (2, 0), (3, 1), (3, 4)]
