@@ -723,3 +723,53 @@ def emb_cosine_calibration(spark, sf_dir):
     return (pairs.groupBy(F.floor(F.col("cos_sim") * 10).cast("int")
                           .alias("cos_decile"))
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+_MKNN_N = 300   # universe bound: the exact all-pairs graph is the oracle
+_MKNN_K = 5     # harness; production uses the ANN candidates instead
+
+
+@query("emb_mutual_knn_graph", f"""
+WITH u AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_MKNN_N}),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM u a JOIN u b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vid ASC) AS rn
+  FROM pairs
+),
+knn AS (SELECT qid, vid, cos_sim, rn FROM topk WHERE rn <= {_MKNN_K})
+SELECT ab.qid AS vec_a, ab.vid AS vec_b, ab.cos_sim,
+       ab.rn AS rank_ab, ba.rn AS rank_ba
+FROM knn ab JOIN knn ba ON ba.qid = ab.vid AND ba.vid = ab.qid
+WHERE ab.qid < ab.vid
+""")
+def emb_mutual_knn_graph(spark, sf_dir):
+    """MUTUAL k-nearest-neighbor graph over embeddings: an edge (a, b)
+    exists only when b is in a's top-k AND a is in b's top-k — the
+    standard denoised neighborhood graph for clustering / manifold
+    methods (one-sided kNN edges to hubs are exactly what mutual-kNN
+    prunes). Built as the deterministic top-k table self-joined on the
+    reversed pair; at 100 TB the same self-join runs over ANN candidates
+    (sim_topk_ivf / PQ-ADC) instead of the exact table — the mutual
+    filter is candidate-source-agnostic. Bounded universe here so the
+    oracle's exact all-pairs truth stays tractable."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        topk_cosine_bruteforce)
+    e = t(spark, sf_dir, "embeddings")
+    u = e.filter(F.col("vec_id") < _MKNN_N)
+    knn = topk_cosine_bruteforce(u, u, id_col="vec_id",
+                                 vec_col="embedding", k=_MKNN_K)
+    rev = knn.select(F.col("qid").alias("vid"), F.col("vid").alias("qid"),
+                     F.col("rn").alias("rank_ba"))
+    return (knn.join(rev, ["qid", "vid"])
+            .filter(F.col("qid") < F.col("vid"))
+            .select(F.col("qid").alias("vec_a"),
+                    F.col("vid").alias("vec_b"),
+                    "cos_sim",
+                    F.col("rn").alias("rank_ab"), "rank_ba"))
