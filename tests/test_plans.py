@@ -199,6 +199,8 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     # deliberate python surfaces whose work is exact (hash-safe):
     skipped.add("udtf_tokenize_lateral")     # python UDTF is the point
     skipped.add("multimodal_image_features")  # mapInPandas decode plumbing
+    skipped.add("multimodal_image_decode")    # REAL BMP/PPM byte parsing is
+    # the point; its pixel stats are exact-int sums (hash-safe)
     skipped.add("multimodal_audio_features")  # same, audio leg
     skipped.add("multimodal_binary_meta")     # binary columns via pandas
     skipped.add("multimodal_frame_sample")
