@@ -124,18 +124,52 @@ FROM agg
 """
 
 
-def hll_registers_sql(value_expr: str, group_cols: str, src: str) -> str:
-    m, win = HLL_M, HLL_WINDOW
+def hll_rho_select_sql(value_expr: str, group_cols: str, src: str) -> str:
+    """The (group..., bucket, rho) SELECT body — the ONE source of truth
+    for the oracle-side hash/bucket/rank layout (composed by every
+    HLL oracle rather than hand-copied)."""
+    win = HLL_WINDOW
     two54 = 1 << win
-    h = f"CAST('0x' || substring(md5(CAST({value_expr} AS VARCHAR)),1,15) AS BIGINT)"
+    h = (f"CAST('0x' || substring(md5(CAST({value_expr} AS VARCHAR)),1,15)"
+         f" AS BIGINT)")
+    return (f"SELECT {group_cols}, {h} // {two54} AS bucket,\n"
+            f"         {win + 1} - length(ltrim(bin({h} % {two54}), '0'))"
+            f" AS rho\n  FROM {src}")
+
+
+def hll_registers_sql(value_expr: str, group_cols: str, src: str) -> str:
     return f"""
 WITH rho AS (
-  SELECT {group_cols}, {h} // {two54} AS bucket,
-         {win + 1} - length(ltrim(bin({h} % {two54}), '0')) AS rho
-  FROM {src}
+  {hll_rho_select_sql(value_expr, group_cols, src)}
 )
 SELECT {group_cols}, bucket, MAX(rho) AS r
 FROM rho GROUP BY {group_cols}, bucket
+"""
+
+
+def hll_estimate_from_regs_sql(group_cols: str, regs: str) -> str:
+    """Estimate SELECT over an existing (group..., bucket, r) register
+    relation — same arithmetic as hll_sql's tail, factored so derived
+    sketches (merged unions, set algebra) reuse it."""
+    m, win = HLL_M, HLL_WINDOW
+    return f"""
+  SELECT {group_cols},
+       CASE WHEN 0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0) * {m * m}.0e0
+                 * CAST(1::BIGINT << {win + 1} AS DOUBLE) / CAST(s AS DOUBLE)
+                 <= {2.5 * m}e0
+             AND v_zero > 0
+            THEN ROUND({m}.0e0 * ln({m}.0e0 / CAST(v_zero AS DOUBLE)), 9)
+            ELSE ROUND(0.7213e0 / (1.0e0 + 1.079e0 / {m}.0e0) * {m * m}.0e0
+                 * CAST(1::BIGINT << {win + 1} AS DOUBLE)
+                 / CAST(s AS DOUBLE), 9)
+       END AS est_distinct
+  FROM (
+    SELECT {group_cols},
+           SUM(1::BIGINT << ({win + 1} - r))
+             + ({m} - COUNT(*)) * (1::BIGINT << {win + 1}) AS s,
+           {m} - COUNT(*) AS v_zero
+    FROM {regs} GROUP BY {group_cols}
+  )
 """
 
 

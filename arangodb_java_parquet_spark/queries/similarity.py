@@ -773,3 +773,65 @@ def emb_mutual_knn_graph(spark, sf_dir):
                     F.col("vid").alias("vec_b"),
                     "cos_sim",
                     F.col("rn").alias("rank_ab"), "rank_ba"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (deterministic sign matrix)
+# ---------------------------------------------------------------------------
+
+_JL_K = 8       # output dims
+_JL_D = 64      # input dims
+
+
+def _jl_signs() -> list:
+    """±1 sign matrix derived from md5 of the (row, col) index — the same
+    Python constants feed BOTH engines' generated expressions, so the
+    'random' matrix is reproducible everywhere without any engine RNG."""
+    import hashlib
+    return [[1 if hashlib.md5(f"{j}:{i}".encode()).digest()[0] < 128 else -1
+             for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def _jl_expr(signs_row, elem_fmt: str) -> str:
+    """One output dim as a FLAT left-associative ±x_1 ± x_2 ... sum —
+    identical parse (and therefore identical IEEE result) in Spark and
+    DuckDB, and whole-stage-codegen-friendly (no interpreted HOF)."""
+    terms = []
+    for i, s in enumerate(signs_row):
+        e = elem_fmt.format(i=i + 1)
+        terms.append(("+ " if s > 0 else "- ") + e)
+    body = " ".join(terms)
+    if body.startswith("+ "):
+        body = body[2:]
+    else:
+        body = "-" + body[2:]
+    return f"round({body}, 9)"
+
+
+_JL_SIGNS = _jl_signs()
+
+_JL_SQL = ("SELECT vec_id, "
+           + ", ".join(
+               _jl_expr(_JL_SIGNS[j], "embedding[{i}]::DOUBLE")
+               + f" AS y{j}" for j in range(_JL_K))
+           + " FROM embeddings")
+
+
+@query("emb_random_projection", _JL_SQL)
+def emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 with a
+    deterministic ±1 sign matrix (md5-seeded, embedded as literals in
+    both engines — no RNG anywhere): y_j = Σ_i s_ji · x_i, the
+    Achlioptas-style database-friendly projection that preserves pairwise
+    distances within (1±ε) whp (pytest pins the observed distortion).
+    Each output dim is a FLAT left-associative sum — pure whole-stage-
+    codegen arithmetic, one corpus scan, zero shuffles, and byte-exact
+    cross-engine. The 100 TB use: shrink embeddings 8x before ANN
+    indexing / dedup banding; the projection matrix is compile-time
+    constant so executors carry no state."""
+    e = t(spark, sf_dir, "embeddings")
+    cols = [F.expr(_jl_expr(
+                _JL_SIGNS[j],
+                "CAST(element_at(embedding, {i}) AS DOUBLE)"))
+            .alias(f"y{j}") for j in range(_JL_K)]
+    return e.select("vec_id", *cols)

@@ -251,3 +251,29 @@ def test_gram_matrix_arrow_matches_jvm(spark, sf_dir):
     assert set(jvm) == set(arrow)
     diffs = [(k, jvm[k], arrow[k]) for k in jvm if jvm[k] != arrow[k]]
     assert not diffs, diffs[:5]
+
+
+def test_jl_projection_distance_distortion(spark, sf_dir):
+    """The deterministic JL projection must roughly preserve pairwise
+    squared distances after the standard 1/k scaling: for a sample of
+    pairs, E[||y_a - y_b||²/k] = ||x_a - x_b||², and with k=8 the
+    distortion is loose but bounded — median ratio within [0.4, 1.8]."""
+    import math
+
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    X = {r.vec_id: [float(v) for v in r.embedding] for r in e.collect()}
+    Y = {r.vec_id: [r[f"y{j}"] for j in range(8)] for r in
+         QUERIES["emb_random_projection"](spark, sf_dir)
+         .filter(F.col("vec_id") < 40).collect()}
+    ratios = []
+    ids = sorted(X)
+    for a, b in zip(ids[:-1], ids[1:]):
+        dx = sum((p - q) ** 2 for p, q in zip(X[a], X[b]))
+        dy = sum((p - q) ** 2 for p, q in zip(Y[a], Y[b])) / 8.0
+        if dx > 0:
+            ratios.append(dy / dx)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.4 <= med <= 1.8, med
+    assert math.isfinite(med)
