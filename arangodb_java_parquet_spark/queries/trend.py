@@ -1,0 +1,280 @@
+"""Time-series / trend analytics over the orders and events tables:
+change-point detection, robust trend estimation, rolling co-movement, and
+strictly-contiguous event patterns — the monitoring layer a data pipeline
+runs over its own daily rollups.
+
+Determinism: every series value is an exact decimal daily sum first; the
+statistics on top are left-to-right double arithmetic with round-9 on
+cancellation-sensitive outputs, per the repo's cross-engine rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import (
+    dsum, query, sql_dsum, t)
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on daily revenue
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE) AS total,
+         COUNT(*) AS n
+  FROM daily
+),
+cusum AS (
+  SELECT day, rev,
+         SUM(CAST(ROUND(rev - total / n, 6) AS DECIMAL(30,6)))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM daily CROSS JOIN stats
+),
+peak AS (
+  SELECT day, s, abs(s) AS mag,
+         ROW_NUMBER() OVER (ORDER BY abs(s) DESC, day ASC) AS rn
+  FROM cusum
+)
+SELECT p.day AS change_day, p.s AS cusum_at_peak, p.mag AS magnitude,
+       ROUND((SELECT CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE)
+              FROM daily WHERE day <= p.day)
+             / (SELECT COUNT(*) FROM daily WHERE day <= p.day), 9)
+         AS mean_before,
+       ROUND((SELECT CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE)
+              FROM daily WHERE day > p.day)
+             / (SELECT COUNT(*) FROM daily WHERE day > p.day), 9)
+         AS mean_after
+FROM peak p WHERE p.rn = 1
+"""
+
+
+@query("cusum_change_point", _CUSUM_SQL)
+def cusum_change_point(spark, sf_dir):
+    """CUSUM change-point detection on the daily-revenue series: the
+    cumulative sum of mean-deviations peaks (in absolute value) at the
+    most likely level-shift day — the standard one-pass screen before
+    alerting or segmented modeling, here with pre/post means for
+    context. Relational shape: one daily decimal rollup, one broadcast
+    scalar mean, one running-sum window, one deterministic argmax (day
+    tiebreak). The days table is report-sized, so the window's single
+    partition is fine at any corpus scale — the heavy lifting (daily
+    rollup) is map-side combinable."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    stats = daily.agg(
+        F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"))
+    # deviations round to 6 digits, not 9: daily revenue is ~1e6-1e7, and
+    # round(x, 9) above ~1e7 magnitude exceeds double's 16 significant
+    # digits (engines' nearest-representable diverge — the
+    # monthly_seasonal_index lesson); 7+6 digits is safely representable.
+    # The decimal running sum is then exact, no outer round needed.
+    dev = F.round(F.col("rev") - F.col("total") / F.col("n"), 6)
+    cusum = (daily.crossJoin(F.broadcast(stats))
+             .withColumn("s", F.sum(dev.cast("decimal(30,6)")).over(
+                 W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))))
+    peak = (cusum.withColumn(
+                "rn", F.row_number().over(
+                    W.orderBy(F.desc(F.abs(F.col("s"))), F.asc("day"))))
+            .filter(F.col("rn") == 1)
+            .select(F.col("day").alias("change_day"),
+                    F.col("s").alias("cusum_at_peak"),
+                    F.abs(F.col("s")).alias("magnitude")))
+    before = (daily.join(F.broadcast(peak.select("change_day")),
+                         daily.day <= F.col("change_day"))
+              .agg(F.round(
+                  F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+                  / F.count(F.lit(1)), 9).alias("mean_before")))
+    after = (daily.join(F.broadcast(peak.select("change_day")),
+                        daily.day > F.col("change_day"))
+             .agg(F.round(
+                 F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+                 / F.count(F.lit(1)), 9).alias("mean_after")))
+    return peak.crossJoin(before).crossJoin(after)
+
+
+# ---------------------------------------------------------------------------
+# strictly-contiguous event pattern (MATCH_RECOGNIZE-style)
+# ---------------------------------------------------------------------------
+
+_PATTERN_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE user_id < 200
+),
+seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2
+  FROM ev
+)
+SELECT user_id, COUNT(*) AS n_strict_funnels
+FROM seq
+WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+GROUP BY user_id
+"""
+
+
+@query("event_pattern_contiguous", _PATTERN_SQL)
+def event_pattern_contiguous(spark, sf_dir):
+    """MATCH_RECOGNIZE-style STRICT pattern: view->click->purchase with
+    no intervening event (lead(1)/lead(2) over the per-user timeline) —
+    stricter than funnel_conversion's first-touch ordering and the
+    building block for contiguity patterns generally (one more lead per
+    pattern element). One window over (user, ts, event_id-tiebreak),
+    one combinable count; at scale the partition key is the user —
+    bounded per-user history, no mega-partitions."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"))
+    return (seq.filter((F.col("event_type") == "view")
+                       & (F.col("e1") == "click")
+                       & (F.col("e2") == "purchase"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_strict_funnels")))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS BIGINT)
+           AS dnum,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+  GROUP BY 1
+),
+slopes AS (
+  SELECT ROUND((b.rev - a.rev) / CAST(b.dnum - a.dnum AS DOUBLE), 9)
+           AS slope
+  FROM daily a JOIN daily b ON b.dnum > a.dnum
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 9) AS theil_sen_slope,
+       ROUND(MIN(slope), 9) AS min_slope,
+       ROUND(MAX(slope), 9) AS max_slope
+FROM slopes
+"""
+
+
+@query("theil_sen_trend", _THEIL_SQL)
+def theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes — up to ~29% outlier days cannot move it, unlike the
+    OLS slope (agg_linear_regression). The pairwise self-join is over
+    the DAILY table bounded to one year (n(n-1)/2 pairs of ≤365 days —
+    the full multi-year span would be millions of pairs), never raw
+    orders — the classic pattern of 'reduce first, then the O(n²)
+    statistic is cheap'. Slopes round-9 before the median; exact decimal
+    daily sums underneath."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01"))
+    daily = (o.groupBy(
+                F.expr("CAST(unix_millis(CAST(CAST(o_orderdate AS DATE)"
+                       " AS TIMESTAMP)) div 86400000 AS BIGINT)")
+                .alias("dnum"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    a = daily.select(F.col("dnum").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("dnum").alias("db"), F.col("rev").alias("rb"))
+    slopes = (a.join(b, F.col("db") > F.col("da"))
+              .select(F.round(
+                  (F.col("rb") - F.col("ra"))
+                  / (F.col("db") - F.col("da")).cast("double"), 9)
+                  .alias("slope")))
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 9)
+        .alias("theil_sen_slope"),
+        F.round(F.min("slope"), 9).alias("min_slope"),
+        F.round(F.max("slope"), 9).alias("max_slope"))
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+
+_ROLLCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(n_orders AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(rev * rev, 6) AS DECIMAL(38,6))) OVER w
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(n_orders * n_orders, 6) AS DECIMAL(38,6)))
+              OVER w AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(rev * n_orders, 6) AS DECIMAL(38,6))) OVER w
+              AS DOUBLE) AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS roll_corr_7d
+FROM win
+WHERE n = 7 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@query("rolling_corr_revenue_orders", _ROLLCORR_SQL)
+def rolling_corr_revenue_orders(spark, sf_dir):
+    """Trailing-7-day Pearson correlation between daily revenue and
+    daily order count — the co-movement monitor for 'is revenue just
+    volume?'. Moment sums (Σx, Σy, Σx², Σy², Σxy) accumulate as exact
+    decimals inside ROWS frames (the products round-6 BEFORE the decimal
+    cast per the half-ulp rule), then one left-to-right correlation
+    formula round-9ed — the cancellation-sensitive path the repo's
+    determinism rules exist for. Daily table is report-sized; the single
+    unpartitioned window is fine because the heavy rollup underneath is
+    map-side combinable."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev"),
+                  F.count(F.lit(1)).cast("double").alias("n_orders")))
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("rev").cast("decimal(30,8)")).over(w).cast("double")
+        .alias("sx"),
+        F.sum(F.col("n_orders").cast("decimal(30,8)")).over(w)
+        .cast("double").alias("sy"),
+        F.sum(F.round(F.col("rev") * F.col("rev"), 6)
+              .cast("decimal(38,6)")).over(w).cast("double").alias("sxx"),
+        F.sum(F.round(F.col("n_orders") * F.col("n_orders"), 6)
+              .cast("decimal(38,6)")).over(w).cast("double").alias("syy"),
+        F.sum(F.round(F.col("rev") * F.col("n_orders"), 6)
+              .cast("decimal(38,6)")).over(w).cast("double").alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (win.filter((F.col("n") == 7) & (vx > 0) & (vy > 0))
+            .select("day", "n",
+                    F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 9)
+                    .alias("roll_corr_7d")))

@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "langid_trigram_confusion",
     "multimodal_image_decode",
     "bpe_pair_merge_fit",
+    "emb_random_projection",
+    "emb_mutual_knn_graph",
+    "agg_hll_set_algebra",
+    "cusum_change_point",
+    "theil_sen_trend",
+    "rolling_corr_revenue_orders",
 ]
 
 
