@@ -1,0 +1,188 @@
+"""Second curation wave: quality-aware cluster resolution, deterministic
+training-order interleaving, and confidence-bounded source auditing —
+the decisions a pipeline makes AFTER dedup/quality signals exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.curation import (
+    _CLUSTER_SQL, _must_replace)
+
+# ---------------------------------------------------------------------------
+# keep the BEST document per duplicate cluster (not the min id)
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_SQL = _must_replace(
+    _CLUSTER_SQL,
+    "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+),
+ranked AS (
+  SELECT c.component, c.node, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT r.component, r.node AS keep_doc, r.n_chars AS kept_chars,
+       s.cluster_size
+FROM ranked r JOIN sizes s ON s.component = r.component
+WHERE r.rn = 1""")
+
+
+@query("dedup_keep_best_quality", _KEEP_BEST_SQL)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-aware cluster resolution: within each near-duplicate
+    cluster keep the HIGHEST-QUALITY document (longest here; swap in any
+    score column) instead of the arbitrary min-id — the policy real
+    curation uses, since near-dup clusters often mix a clean original
+    with truncated/boilerplated copies. One window over the component
+    labels the verified CC operator emits, joined to the per-doc score;
+    deterministic (score desc, id asc) tiebreak."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    comp = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    ranked = (comp.join(d, comp.node == d.doc_id)
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("component")
+                  .orderBy(F.desc("n_chars"), F.asc("node")))))
+    return (ranked.filter(F.col("rn") == 1)
+            .join(sizes, "component")
+            .select("component", F.col("node").alias("keep_doc"),
+                    F.col("n_chars").alias("kept_chars"), "cluster_size"))
+
+
+# ---------------------------------------------------------------------------
+# stride-scheduled curriculum interleave
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_N = 200
+
+_INTERLEAVE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         1 + CAST(substring(source, 4) AS INT) % 3 AS weight,
+         md5(CAST(doc_id AS VARCHAR)) AS shuf
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, weight,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY shuf, doc_id) AS k
+  FROM w
+),
+keyed AS (
+  SELECT doc_id, source, weight,
+         CAST(k AS DOUBLE) / CAST(weight AS DOUBLE) AS stride_key
+  FROM ranked
+),
+ordered AS (
+  SELECT doc_id, source, weight, stride_key,
+         ROW_NUMBER() OVER (ORDER BY stride_key, source, doc_id)
+           AS position
+  FROM keyed
+)
+SELECT position, doc_id, source, weight, ROUND(stride_key, 9) AS stride_key
+FROM ordered WHERE position <= {_INTERLEAVE_N}
+"""
+
+
+@query("curriculum_interleave", _INTERLEAVE_SQL)
+def curriculum_interleave(spark, sf_dir):
+    """Deterministic weighted INTERLEAVING of sources into one training
+    order — stride scheduling (weighted fair queuing): source s's k-th
+    document gets key k/w_s, and the global sort by key emits sources
+    proportionally to their weights at every prefix, which is exactly
+    what curriculum/mixture training wants (no long single-source runs,
+    no RNG). Per-source order is an md5 shuffle; every tie has a
+    deterministic (source, doc_id) break. At 100 TB this is two
+    window ranks and a sort on compact (id, key) rows — and the
+    positions stream out incrementally via the sort, no driver
+    materialization."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source",
+        (1 + F.substring("source", 4, 10).cast("int") % 3).alias("weight"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuf"))
+    ranked = w.withColumn(
+        "k", F.row_number().over(
+            W.partitionBy("source").orderBy("shuf", "doc_id")))
+    keyed = ranked.select(
+        "doc_id", "source", "weight",
+        (F.col("k").cast("double") / F.col("weight").cast("double"))
+        .alias("stride_key"))
+    ordered = keyed.withColumn(
+        "position", F.row_number().over(
+            W.orderBy("stride_key", "source", "doc_id")))
+    return (ordered.filter(F.col("position") <= _INTERLEAVE_N)
+            .select("position", "doc_id", "source", "weight",
+                    F.round("stride_key", 9).alias("stride_key")))
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence bounds on per-source keep rates
+# ---------------------------------------------------------------------------
+
+_WILSON_SQL = """
+WITH flags AS (
+  SELECT source,
+         CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 1 ELSE 0 END AS keep
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(keep) AS DOUBLE) AS k
+  FROM flags GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_keep,
+       ROUND(k / n, 9) AS keep_rate,
+       ROUND((k / n + 1.9208e0 / n
+              - 1.96e0 * sqrt((k / n) * (1.0e0 - k / n) / n
+                              + 0.9604e0 / (n * n)))
+             / (1.0e0 + 3.8416e0 / n), 9) AS wilson_low,
+       ROUND((k / n + 1.9208e0 / n
+              + 1.96e0 * sqrt((k / n) * (1.0e0 - k / n) / n
+                              + 0.9604e0 / (n * n)))
+             / (1.0e0 + 3.8416e0 / n), 9) AS wilson_high
+FROM agg
+"""
+
+
+@query("source_keep_rate_wilson", _WILSON_SQL)
+def source_keep_rate_wilson(spark, sf_dir):
+    """Per-source keep-rate with WILSON 95% confidence bounds — the
+    statistically honest version of a source scorecard: a source with
+    3/4 docs kept is not 'better' than one with 700/1000, and the Wilson
+    interval (unlike the naive normal one) stays inside [0,1] and
+    behaves at small n. Constants (z=1.96, z²=3.8416, z²/2=1.9208,
+    z²/4=0.9604) are double literals in identical left-to-right
+    arithmetic on both engines; one combinable aggregation."""
+    d = t(spark, sf_dir, "documents")
+    agg = (d.select("source",
+                    F.when(F.col("n_chars").between(200, 2000), 1)
+                    .otherwise(0).alias("keep"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum("keep").cast("double").alias("k")))
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    half = F.expr("1.96e0") * F.sqrt(
+        p * (F.expr("1.0e0") - p) / n + F.expr("0.9604e0") / (n * n))
+    denom = F.expr("1.0e0") + F.expr("3.8416e0") / n
+    center = p + F.expr("1.9208e0") / n
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_keep"),
+        F.round(p, 9).alias("keep_rate"),
+        F.round((center - half) / denom, 9).alias("wilson_low"),
+        F.round((center + half) / denom, 9).alias("wilson_high"))
