@@ -335,3 +335,100 @@ def bpe_pair_merge_fit(spark, sf_dir):
                  .select("doc_id", "i", "tok"))
     return spark.createDataFrame(
         learned, "step int, pair string, n_occurrences bigint")
+
+
+# ---------------------------------------------------------------------------
+# intra-document repeated-span REMOVAL (the transformation, not just the
+# signal)
+# ---------------------------------------------------------------------------
+
+_INTRA_SQL = """
+WITH toks AS (
+  SELECT doc_id, i, tok FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+    FROM documents WHERE len(string_split(text, ' ')) >= 3)
+),
+grams AS (
+  SELECT doc_id, i,
+         md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) - 2 + 1)) AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= 3)
+),
+firsts AS (SELECT doc_id, gh, MIN(i) AS first_i FROM grams GROUP BY 1, 2),
+dup_starts AS (
+  SELECT g.doc_id, g.i FROM grams g
+  JOIN firsts f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.i > f.first_i
+),
+covered AS (
+  SELECT DISTINCT doc_id, i + off AS p
+  FROM dup_starts CROSS JOIN UNNEST([0, 1, 2]) AS t(off)
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM toks t
+  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.i
+  WHERE c.p IS NULL
+),
+before AS (SELECT doc_id, COUNT(*) AS n_before FROM toks GROUP BY doc_id)
+SELECT b.doc_id, b.n_before,
+       b.n_before - COUNT(k.i) AS n_removed,
+       COALESCE(substring(array_to_string(array_agg(k.tok ORDER BY k.i)
+                                          FILTER (WHERE k.i IS NOT NULL),
+                                          ' '),
+                          1, 150), '') AS cleaned_prefix
+FROM before b LEFT JOIN kept k ON k.doc_id = b.doc_id
+GROUP BY b.doc_id, b.n_before
+"""
+
+
+@query("dedup_intradoc_spans", _INTRA_SQL)
+def dedup_intradoc_spans(spark, sf_dir):
+    """Intra-document repeated-span REMOVAL — the transformation behind
+    'dedupe repeated spans, not just docs' applied within each document
+    (boilerplate/template churn): any token covered by a 3-gram whose
+    identical gram occurred EARLIER in the same document is dropped, and
+    the survivors re-assemble in order. Pure set logic (first-occurrence
+    table, duplicate-start join, coverage explode, anti-join) + one
+    ordered re-aggregation per doc — everything keyed by doc_id, so at
+    100 TB no cross-document shuffle exists at all. Output keeps counts
+    plus a 150-char cleaned prefix (value-checked) rather than shipping
+    whole texts through the compare."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3)
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split("text", " ")).alias("p0", "tok"))
+            .select("doc_id", (F.col("p0") + 1).alias("i"), "tok"))
+    gram_arr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
+    grams = (d.select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("i"), "gh"))
+    firsts = grams.groupBy("doc_id", "gh").agg(F.min("i").alias("first_i"))
+    dup_starts = (grams.join(firsts, ["doc_id", "gh"])
+                  .filter(F.col("i") > F.col("first_i"))
+                  .select("doc_id", "i"))
+    covered = (dup_starts
+               .select("doc_id",
+                       F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                       .alias("off"), "i")
+               .select("doc_id", (F.col("i") + F.col("off")).alias("p"))
+               .distinct())
+    kept = toks.join(covered,
+                     (toks.doc_id == covered.doc_id)
+                     & (toks.i == covered.p), "left_anti")
+    before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_before"))
+    agg = (kept.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.substring(
+                    F.array_join(
+                        F.expr("transform(array_sort(collect_list("
+                               "struct(i, tok))), s -> s.tok)"), " "),
+                    1, 150).alias("cleaned_prefix")))
+    return (before.join(agg, "doc_id", "left")
+            .select("doc_id", "n_before",
+                    (F.col("n_before") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed"),
+                    F.coalesce("cleaned_prefix", F.lit(""))
+                    .alias("cleaned_prefix")))

@@ -485,3 +485,147 @@ def test_bpe_greedy_run_parity(spark):
              .filter(F.col("rn") % 2 == 1))
     got = sorted((r.doc_id, r.i) for r in merge.collect())
     assert got == [(1, 0), (1, 2), (2, 0), (3, 1), (3, 4)]
+
+
+def test_bpe_relational_step_matches_python_reference(spark):
+    """One full relational BPE round (pair count -> argmax -> greedy
+    apply) must match a straightforward sequential python implementation
+    on 30 seeded-random token sequences from a tiny alphabet (maximal
+    overlap pressure)."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(7)
+    docs = [(i, " ".join(rng.choice("ab") for _ in range(rng.randint(3, 14))))
+            for i in range(30)]
+
+    # python reference
+    def pair_counts(seqs):
+        c = {}
+        for s in seqs:
+            for x, y in zip(s, s[1:]):
+                c[(x, y)] = c.get((x, y), 0) + 1
+        return c
+
+    def apply_merge(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + "_" + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    seqs = {i: s.split(" ") for i, s in docs}
+    cnts = pair_counts(seqs.values())
+    best = min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    expected = {i: apply_merge(s, *best) for i, s in seqs.items()}
+
+    # relational step (the query's loop body)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    state = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+    pairs = state.withColumn(
+        "nxt", F.lead("tok").over(W.partitionBy("doc_id").orderBy("i")))
+    got_best = (pairs.filter(F.col("nxt").isNotNull())
+                .groupBy("tok", "nxt")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.asc("tok"), F.asc("nxt"))
+                .first())
+    assert (got_best["tok"], got_best["nxt"]) == best
+    a, b = best
+    cand = pairs.filter((F.col("tok") == a) & (F.col("nxt") == b)) \
+        .select("doc_id", "i")
+    runs = cand.withColumn(
+        "grp", F.col("i") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("i")))
+    merge = (runs.withColumn(
+                "rn", F.row_number().over(
+                    W.partitionBy("doc_id", "grp").orderBy("i")))
+             .filter(F.col("rn") % 2 == 1)
+             .select("doc_id", "i", F.lit(True).alias("m")))
+    new_state = (pairs
+                 .join(merge, ["doc_id", "i"], "left")
+                 .join(merge.select("doc_id", (F.col("i") + 1).alias("i"),
+                                    F.col("m").alias("prev_m")),
+                       ["doc_id", "i"], "left")
+                 .filter(F.col("prev_m").isNull())
+                 .select("doc_id", "i",
+                         F.when(F.col("m"), F.concat_ws("_", "tok", "nxt"))
+                         .otherwise(F.col("tok")).alias("tok")))
+    got = {}
+    for r in new_state.orderBy("doc_id", "i").collect():
+        got.setdefault(r.doc_id, []).append(r.tok)
+    assert got == expected
+
+
+def test_substring_span_matches_dp_reference(spark):
+    """The diagonal run-length LCS must equal the classic O(n*m) dynamic
+    program on seeded-random token pairs (reporting only runs >= 3
+    tokens, the gram width)."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(11)
+    docs, pairs_list = [], []
+    for p in range(15):
+        a = [rng.choice("abcd") for _ in range(rng.randint(3, 12))]
+        b = [rng.choice("abcd") for _ in range(rng.randint(3, 12))]
+        if rng.random() < 0.5:  # plant a shared span
+            span = [rng.choice("abcd") for _ in range(rng.randint(3, 6))]
+            ai = rng.randint(0, len(a))
+            bi = rng.randint(0, len(b))
+            a = a[:ai] + span + a[ai:]
+            b = b[:bi] + span + b[bi:]
+        docs.append((2 * p, " ".join(a)))
+        docs.append((2 * p + 1, " ".join(b)))
+        pairs_list.append((2 * p, 2 * p + 1))
+
+    def lcs_run(A, B):
+        best = 0
+        prev = [0] * (len(B) + 1)
+        for i in range(1, len(A) + 1):
+            cur = [0] * (len(B) + 1)
+            for j in range(1, len(B) + 1):
+                if A[i - 1] == B[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    seqs = {i: s.split(" ") for i, s in docs}
+    expected = {}
+    for da, db in pairs_list:
+        r = lcs_run(seqs[da], seqs[db])
+        if r >= 3:
+            expected[(da, db)] = r
+
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    pdf = spark.createDataFrame(pairs_list, ["doc_a", "doc_b"])
+    gram_arr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
+    grams = (ddf.filter(F.size(F.split("text", " ")) >= 3)
+             .select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh"))
+    hits = (pdf
+            .join(grams.select(F.col("doc_id").alias("doc_a"),
+                               F.col("pos").alias("i"), "gh"), "doc_a")
+            .join(grams.select(F.col("doc_id").alias("doc_b"),
+                               F.col("pos").alias("j"), "gh"),
+                  ["doc_b", "gh"]))
+    runs = hits.select(
+        "doc_a", "doc_b", (F.col("j") - F.col("i")).alias("d"), "i",
+        (F.col("i") - F.row_number().over(
+            W.partitionBy("doc_a", "doc_b", F.col("j") - F.col("i"))
+            .orderBy("i"))).alias("grp"))
+    spans = (runs.groupBy("doc_a", "doc_b", "d", "grp")
+             .agg(F.count(F.lit(1)).alias("run_grams")))
+    got = {(r.doc_a, r.doc_b): r.longest + 2 for r in
+           spans.groupBy("doc_a", "doc_b")
+           .agg(F.max("run_grams").alias("longest")).collect()}
+    assert got == expected
