@@ -751,3 +751,58 @@ def multimodal_audio_codec_profile(spark, sf_dir):
                  .alias("total_ms"),
                  F.min("loudness").alias("min_loudness"),
                  F.max("loudness").alias("max_loudness")))
+
+
+@query("stream_sink_collection_roundtrip", """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id < 30
+GROUP BY user_id
+""")
+def stream_sink_collection_roundtrip(spark, sf_dir):
+    """The async loader's TRUE Spark analog, value-checked end to end:
+    readStream over the events directory -> foreachBatch into the
+    document-collection sink (each micro-batch reuses the exact batch
+    loader: JSON encode + partition-parallel batched insert) -> read the
+    collection back through the Python DataSource -> aggregate. The
+    oracle is plain SQL on the source table, so the whole
+    stream-ingest/encode/sink/readback loop is hash-checked — the
+    checkpointed exactly-once progress the reference's async path never
+    had (SURVEY.md §7 hard part 3). availableNow drains bounded input,
+    keeping the drive deterministic."""
+    import pyspark.sql.types as T
+
+    from arangodb_java_parquet_spark.sources import LocalCollection
+    from arangodb_java_parquet_spark.sources.readers import read_collection
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stream_load_to_collection)
+
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="ajps_ssink_")
+    # the helper streams a DIRECTORY; give it one containing only the
+    # events file (symlink — no data copy) so the glob can't slurp the
+    # other tables' parquet under a mismatched schema
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    os.symlink(os.path.realpath(f"{sf_dir}/events.parquet"),
+               os.path.join(stream_dir, "events.parquet"))
+    col = LocalCollection(root, "events_stream")
+    q = stream_load_to_collection(
+        spark, stream_dir, col, schema=raw.schema,
+        checkpoint_dir=f"{root}/ckpt", batch_size=5000,
+        trigger_once=True)
+    q.awaitTermination()
+    back_schema = T.StructType([f for f in raw.schema
+                                if f.name in ("event_id", "user_id",
+                                              "value")])
+    back = read_collection(spark, col, schema=back_schema)
+    return (back.filter(F.col("user_id") < 30)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(30,8)"))
+                 .cast("double").alias("sum_value")))

@@ -209,10 +209,19 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     skipped.add("loader_roundtrip")           # foreachPartition sink path
     skipped.add("loader_roundtrip_nested")
     skipped.add("udaf_geomean_pandas")        # pandas UDAF is the point
+    from arangodb_java_parquet_spark.plans.inspect import formatted_plan
+    # join_cross is a deliberate tiny cross join (region × 5 segments)
+    cartesian_ok = {"join_cross"}
     for name in ORACLES:
         if name in skipped:
             continue
-        assert is_python_free(QUERIES[name](spark, sf_dir)), name
+        df = QUERIES[name](spark, sf_dir)
+        assert is_python_free(df), name
+        # and the scale gate: a CartesianProduct (non-broadcast all-pairs
+        # join) must never appear in a value-checked plan — 1-row scalar
+        # crossJoins plan as BroadcastNestedLoopJoin, which is fine.
+        if name not in cartesian_ok:
+            assert "CartesianProduct" not in formatted_plan(df), name
 
 
 def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
