@@ -261,3 +261,56 @@ def agg_hll_set_algebra(spark, sf_dir):
         F.sum(F.col("fa") * F.col("fb")).cast("bigint")
         .alias("exact_intersection"))
     return wide.crossJoin(exact)
+
+
+def _rolling_hll_sql() -> str:
+    from arangodb_java_parquet_spark.operators.sketches import (
+        hll_estimate_from_regs_sql, hll_rho_select_sql)
+    return f"""
+WITH src AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+),
+rho AS (
+  {hll_rho_select_sql("user_id", "day", "src")}
+),
+regs AS (
+  SELECT day, bucket, MAX(rho) AS r FROM rho GROUP BY day, bucket
+),
+contrib AS (
+  SELECT day + CAST(off AS INT) AS target_day, bucket, r
+  FROM regs CROSS JOIN UNNEST(range(0, 7)) AS t(off)
+),
+merged AS (
+  SELECT target_day, bucket, MAX(r) AS r
+  FROM contrib GROUP BY target_day, bucket
+),
+est AS ({hll_estimate_from_regs_sql("target_day", "merged")})
+SELECT target_day, est_distinct AS wau_est FROM est
+"""
+
+
+@query("rolling_hll_distinct_users", _rolling_hll_sql())
+def rolling_hll_distinct_users(spark, sf_dir):
+    """Rolling 7-day distinct users from SKETCHES — the production form
+    of rolling_wau_distinct at 100 TB: per-day HLL registers (64 rows per
+    day, built map-side once) explode onto the 7 window end-days they
+    contribute to and MAX-merge per target day, so the rolling-distinct
+    never re-touches raw events or even the deduplicated (user, day)
+    pairs — just 7×64 register rows per day. Estimates are bit-exact
+    cross-engine (portable HLL layout); accuracy vs the exact WAU is the
+    standard ~1.04/√64 band. Swap the window length by changing one
+    explode bound; month/quarter rollups reuse the same per-day
+    registers."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        hll_estimate, hll_registers)
+    e = t(spark, sf_dir, "events")
+    src = e.select(F.date_trunc("day", "ts").cast("date").alias("day"),
+                   "user_id")
+    regs = hll_registers(src, "user_id", ["day"])
+    contrib = regs.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        .alias("target_day"), "bucket", "r")
+    merged = (contrib.groupBy("target_day", "bucket")
+              .agg(F.max("r").alias("r")))
+    return (hll_estimate(merged, ["target_day"])
+            .withColumnRenamed("est_distinct", "wau_est"))

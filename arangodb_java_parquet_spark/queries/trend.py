@@ -278,3 +278,91 @@ def rolling_corr_revenue_orders(spark, sf_dir):
             .select("day", "n",
                     F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 9)
                     .alias("roll_corr_7d")))
+
+
+# ---------------------------------------------------------------------------
+# weighted percentile (frequency-weighted exact interpolation)
+# ---------------------------------------------------------------------------
+
+_WPCT_SQL = """
+WITH expanded AS (
+  SELECT l_returnflag, l_extendedprice
+  FROM (SELECT l_returnflag, l_extendedprice,
+               UNNEST(range(0, CAST(l_quantity AS INT))) AS rep
+        FROM lineitem)
+)
+SELECT l_returnflag,
+       CAST(SUM(1) AS BIGINT) AS total_weight,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS w_median,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 9) AS w_p90
+FROM expanded GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_percentile", _WPCT_SQL)
+def agg_weighted_percentile(spark, sf_dir):
+    """Frequency-WEIGHTED percentiles (each row counts l_quantity times)
+    via Spark's three-argument percentile(col, p, frequency) — the
+    engine-native form of 'unit-level median from line-level rows'. The
+    oracle expands rows by weight and takes the plain continuous
+    quantile, which is the definition; Spark never materializes the
+    expansion (the aggregate walks (value, weight) pairs), which is the
+    100 TB point — a quantity-weighted median without a quantity-fold
+    blowup."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("int")).cast("bigint")
+                 .alias("total_weight"),
+                 F.round(F.expr(
+                     "percentile(l_extendedprice, 0.5D,"
+                     " CAST(l_quantity AS INT))"), 9).alias("w_median"),
+                 F.round(F.expr(
+                     "percentile(l_extendedprice, 0.9D,"
+                     " CAST(l_quantity AS INT))"), 9).alias("w_p90")))
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 300
+),
+tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS attributed_type
+  FROM ev
+)
+SELECT COALESCE(attributed_type, 'none') AS attributed_type,
+       COUNT(*) AS n_purchases
+FROM tagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@query("attribution_last_touch", _ATTR_SQL)
+def attribution_last_touch(spark, sf_dir):
+    """LAST-TOUCH attribution: each purchase credits the user's most
+    recent PRIOR non-purchase event (marketing-analytics staple). One
+    window per user timeline — last_value(... IGNORE NULLS) over an
+    UNBOUNDED-to-1-PRECEDING frame carries the latest qualifying touch
+    forward without any self-join or per-purchase correlated lookup; the
+    (ts, event_id) tiebreak keeps simultaneous events deterministic.
+    Purchases with no prior touch attribute to 'none'."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(w)
+    tagged = e.select("user_id", "event_type",
+                      touch.alias("attributed_type"))
+    return (tagged.filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("attributed_type", F.lit("none"))
+                     .alias("attributed_type"))
+            .agg(F.count(F.lit(1)).alias("n_purchases")))
