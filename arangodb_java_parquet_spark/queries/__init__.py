@@ -56,9 +56,12 @@ DRIVER_PANEL = [
     "q6_forecast_revenue", "q9_product_profit", "q18_large_orders",
     "q21_waiting_supplier", "filter_project_pushdown", "topk_orders",
     "agg_rollup", "agg_grouping_sets", "agg_moment_stats",
-    "agg_exact_percentiles", "join_semi", "join_full_outer", "join_null_safe",
-    "set_ops_all_variants", "scalar_string_funcs", "scalar_json_funcs",
-    "array_functions",
+    "agg_exact_percentiles", "join_semi", "join_full_outer",
+    "scalar_string_funcs", "scalar_json_funcs", "array_functions",
+    # round-4 flagships: value-checked portable sketch + honest image
+    # decode (join_null_safe / set_ops_all_variants rotated out — both
+    # remain locally harness-checked every round)
+    "agg_hll_portable_estimate", "multimodal_image_decode",
     # dedup family (exact, MinHash+LSH, SimHash, n-gram, bloom, fuzzy,
     # connected components, end-to-end funnel)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_signatures",
