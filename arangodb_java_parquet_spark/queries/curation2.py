@@ -104,10 +104,14 @@ def curriculum_interleave(spark, sf_dir):
     proportionally to their weights at every prefix, which is exactly
     what curriculum/mixture training wants (no long single-source runs,
     no RNG). Per-source order is an md5 shuffle; every tie has a
-    deterministic (source, doc_id) break. At 100 TB this is two
-    window ranks and a sort on compact (id, key) rows — and the
-    positions stream out incrementally via the sort, no driver
-    materialization."""
+    deterministic (source, doc_id) break. Scale shape: the per-source
+    rank window partitions by source (bounded per-source history), and
+    the emitted prefix comes from a distributed TakeOrdered over the
+    compact (key, id) rows — NOT a global row_number window, which would
+    funnel the whole corpus through one partition; only the N-row prefix
+    is ever single-partition (to stamp positions). Emitting the FULL
+    interleaved order at 100 TB would instead range-sort to partitioned
+    output files whose lexicographic order is the schedule."""
     d = t(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", "source",
@@ -120,10 +124,11 @@ def curriculum_interleave(spark, sf_dir):
         "doc_id", "source", "weight",
         (F.col("k").cast("double") / F.col("weight").cast("double"))
         .alias("stride_key"))
-    ordered = keyed.withColumn(
-        "position", F.row_number().over(
-            W.orderBy("stride_key", "source", "doc_id")))
-    return (ordered.filter(F.col("position") <= _INTERLEAVE_N)
+    prefix = keyed.orderBy("stride_key", "source", "doc_id") \
+        .limit(_INTERLEAVE_N)
+    return (prefix.withColumn(
+                "position", F.row_number().over(
+                    W.orderBy("stride_key", "source", "doc_id")))
             .select("position", "doc_id", "source", "weight",
                     F.round("stride_key", 9).alias("stride_key")))
 
