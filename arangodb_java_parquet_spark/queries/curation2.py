@@ -191,3 +191,61 @@ def source_keep_rate_wilson(spark, sf_dir):
         F.round(p, 9).alias("keep_rate"),
         F.round((center - half) / denom, 9).alias("wilson_low"),
         F.round((center + half) / denom, 9).alias("wilson_high"))
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity-preserving PII pseudonymization
+# ---------------------------------------------------------------------------
+
+def _pseudo_sql() -> str:
+    from arangodb_java_parquet_spark.operators.curation import PII_EMAIL
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         left(text, 40) || ' contact user' ||
+         CAST(doc_id % 50 AS VARCHAR) || '@example.com now' AS txt
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, txt,
+         regexp_extract_all(txt, '{PII_EMAIL}') AS emails
+  FROM aug
+)
+SELECT doc_id,
+       len(emails) AS n_emails,
+       list_reduce(
+         list_prepend(txt, emails),
+         (acc, e) -> replace(acc, e,
+                             'user_' || substring(md5(lower(e)), 1, 10)))
+         AS pseudonymized
+FROM extracted
+"""
+
+
+@query("pii_pseudonymize", _pseudo_sql())
+def pii_pseudonymize(spark, sf_dir):
+    """PII PSEUDONYMIZATION (vs pii_redaction's blanket scrub): every
+    email is replaced by a STABLE md5-derived handle, so the same address
+    maps to the same token across all documents — joins, dedup and
+    user-level analyses survive anonymization (emails here are
+    deliberately shared across docs via doc_id % 50 to exercise that;
+    the handle-stability property is pinned in tests/test_curation.py).
+    The per-match computed replacement that regexp_replace cannot express
+    folds as a JVM higher-order aggregate over the extracted matches —
+    no python, no explode, one scan."""
+    from arangodb_java_parquet_spark.operators.curation import PII_EMAIL
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.expr("left(text, 40)"), F.lit(" contact user"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("@example.com now"))
+    pat = PII_EMAIL.replace("\\", "\\\\")
+    return (d.select("doc_id", aug.alias("txt"))
+            .withColumn("emails",
+                        F.expr(f"regexp_extract_all(txt, '{pat}', 0)"))
+            .select("doc_id",
+                    F.size("emails").alias("n_emails"),
+                    F.expr(
+                        "aggregate(emails, txt, (acc, e) -> replace(acc, e,"
+                        " concat('user_', substring(md5(lower(e)), 1, 10))))"
+                    ).alias("pseudonymized")))

@@ -835,3 +835,69 @@ def emb_random_projection(spark, sf_dir):
                 "CAST(element_at(embedding, {i}) AS DOUBLE)"))
             .alias(f"y{j}") for j in range(_JL_K)]
     return e.select("vec_id", *cols)
+
+
+@query("emb_drift_by_label", """
+WITH halves AS (
+  SELECT label, vec_id % 2 AS half, embedding FROM embeddings
+),
+dims AS (
+  SELECT label, half, i AS dim, embedding[i]::DOUBLE AS v
+  FROM (SELECT label, half, embedding,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM halves)
+),
+means AS (
+  SELECT label, half, dim,
+         CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM dims GROUP BY label, half, dim
+),
+paired AS (
+  SELECT a.label, a.dim, a.m AS ma, b.m AS mb
+  FROM means a JOIN means b
+    ON b.label = a.label AND b.dim = a.dim AND a.half = 0 AND b.half = 1
+)
+SELECT label,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 9)
+                                AS DECIMAL(20,9))) AS DOUBLE)), 9)
+         AS l2_drift,
+       ROUND(CAST(SUM(CAST(ROUND(ma * mb, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(ROUND(ma * ma, 9) AS DECIMAL(20,9)))
+                          AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(ROUND(mb * mb, 9) AS DECIMAL(20,9)))
+                            AS DOUBLE))), 9) AS centroid_cos
+FROM paired GROUP BY label
+""")
+def emb_drift_by_label(spark, sf_dir):
+    """Embedding DRIFT monitor: per label, the L2 distance and cosine
+    between the centroid of two corpus halves (vec_id parity stands in
+    for two snapshots / model versions) — the alarm a pipeline raises
+    before mixing embeddings from a silently-updated encoder into an
+    existing index. Centroids form via posexplode + exact decimal
+    per-dim sums (combinable; d rows per label per half shuffle, never
+    vectors); the d-term drift sums are round-9-then-decimal per the
+    half-ulp rule."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = (e.select("label", (F.col("vec_id") % 2).alias("half"),
+                     F.posexplode("embedding").alias("p0", "v"))
+            .select("label", "half", (F.col("p0") + 1).alias("dim"),
+                    F.col("v").cast("double").alias("v")))
+    means = (dims.groupBy("label", "half", "dim")
+             .agg((F.sum(F.round("v", 9).cast("decimal(20,9)"))
+                   .cast("double") / F.count(F.lit(1))).alias("m")))
+    a = means.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("m").alias("ma"))
+    b = means.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("m").alias("mb"))
+    paired = a.join(b, ["label", "dim"])
+    dsum9 = lambda c: F.sum(F.round(c, 9).cast("decimal(20,9)")) \
+        .cast("double")  # noqa: E731
+    return (paired.groupBy("label")
+            .agg(F.round(F.sqrt(dsum9((F.col("ma") - F.col("mb"))
+                                      * (F.col("ma") - F.col("mb")))), 9)
+                 .alias("l2_drift"),
+                 F.round(dsum9(F.col("ma") * F.col("mb"))
+                         / (F.sqrt(dsum9(F.col("ma") * F.col("ma")))
+                            * F.sqrt(dsum9(F.col("mb") * F.col("mb")))), 9)
+                 .alias("centroid_cos")))

@@ -366,3 +366,92 @@ def attribution_last_touch(spark, sf_dir):
             .groupBy(F.coalesce("attributed_type", F.lit("none"))
                      .alias("attributed_type"))
             .agg(F.count(F.lit(1)).alias("n_purchases")))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (the distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BOOT_B = 64
+# cumulative Poisson(1) thresholds P(X <= k), full-precision reprs shared
+# by both engines' CASE ladders
+_POIS_CUM = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CUM.append(repr(_acc))
+
+
+def _pois_case(u_expr: str) -> str:
+    """u in [0,1) -> Poisson(1) variate via the inverse-CDF ladder."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {thr}e0 THEN {k}"
+        for k, thr in enumerate(_POIS_CUM))
+    return f"CASE {whens} ELSE 6 END"
+
+
+def _bootstrap_sql() -> str:
+    u = ("(CAST('0x' || substring(md5(CAST(b AS VARCHAR) || ':' || "
+         "CAST(day AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0e0)")
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+),
+weighted AS (
+  SELECT b.b, {_pois_case(u)} AS w, daily.rev
+  FROM daily CROSS JOIN (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+),
+means AS (
+  SELECT b,
+         ROUND(CAST(SUM(CAST(ROUND(w * rev, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE), 6) AS m
+  FROM weighted GROUP BY b HAVING SUM(w) > 0
+)
+SELECT COUNT(*) AS n_resamples,
+       ROUND(quantile_cont(m, 0.025), 6) AS ci_low,
+       ROUND(quantile_cont(m, 0.5), 6) AS ci_mid,
+       ROUND(quantile_cont(m, 0.975), 6) AS ci_high
+FROM means
+"""
+
+
+@query("bootstrap_poisson_ci", _bootstrap_sql())
+def bootstrap_poisson_ci(spark, sf_dir):
+    """POISSON bootstrap — the bootstrap that actually distributes: each
+    (row, resample) pair draws an independent Poisson(1) weight (the
+    large-n limit of multinomial resampling), so no resample ever needs
+    a global shuffle or a row-count handshake; here B=64 resample means
+    of daily revenue and their 95% percentile interval. Every 'random'
+    weight is an md5-derived exact uniform (32 bits / 2^32 — exactly
+    representable, division exact) through a shared inverse-CDF ladder,
+    so the whole stochastic procedure is bit-reproducible and
+    value-checked cross-engine. One fan-out of B per DAILY row (report-
+    sized), combinable sums; means round-6 (1e6 magnitude + 6 fractional
+    digits stays inside double's 16 significant digits)."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    u = ("(CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', "
+         "CAST(day AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+         " / 4294967296.0e0)")
+    bs = daily.select(
+        "day", "rev",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
+    weighted = bs.select("b", "rev", F.expr(_pois_case(u)).alias("w"))
+    means = (weighted.groupBy("b")
+             .agg(F.round(
+                     F.sum(F.round(F.col("w") * F.col("rev"), 6)
+                           .cast("decimal(38,6)")).cast("double")
+                     / F.sum("w").cast("double"), 6).alias("m"),
+                  F.sum("w").alias("tw"))
+             .filter(F.col("tw") > 0))
+    return means.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.expr("percentile(m, 0.025D)"), 6).alias("ci_low"),
+        F.round(F.expr("percentile(m, 0.5D)"), 6).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975D)"), 6).alias("ci_high"))

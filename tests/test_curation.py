@@ -629,3 +629,20 @@ def test_substring_span_matches_dp_reference(spark):
            spans.groupBy("doc_a", "doc_b")
            .agg(F.max("run_grams").alias("longest")).collect()}
     assert got == expected
+
+
+def test_pseudonymize_handles_stable(spark, sf_dir):
+    """Same email -> same handle everywhere (referential integrity), and
+    distinct emails -> distinct handles."""
+    import re
+
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    rows = QUERIES["pii_pseudonymize"](spark, sf_dir).collect()
+    by_email_key = {}
+    for r in rows:
+        m = re.findall(r"user_[0-9a-f]{10}", r.pseudonymized)
+        assert r.n_emails == 1 and len(m) == 1, r
+        by_email_key.setdefault(r.doc_id % 50, set()).add(m[0])
+    assert all(len(v) == 1 for v in by_email_key.values())
+    handles = {next(iter(v)) for v in by_email_key.values()}
+    assert len(handles) == len(by_email_key)
