@@ -143,6 +143,12 @@ BENCH_QUERIES = [
     "cusum_change_point",
     "theil_sen_trend",
     "rolling_corr_revenue_orders",
+    "dedup_intradoc_spans",
+    "rolling_hll_distinct_users",
+    "bootstrap_poisson_ci",
+    "pii_pseudonymize",
+    "dedup_keep_best_quality",
+    "emb_drift_by_label",
 ]
 
 
