@@ -455,3 +455,111 @@ def bootstrap_poisson_ci(spark, sf_dir):
         F.round(F.expr("percentile(m, 0.025D)"), 6).alias("ci_low"),
         F.round(F.expr("percentile(m, 0.5D)"), 6).alias("ci_mid"),
         F.round(F.expr("percentile(m, 0.975D)"), 6).alias("ci_high"))
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto-optimal set)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+)
+"""
+
+
+@query("skyline_pareto_parts", _SKYLINE_SQL)
+def skyline_pareto_parts(spark, sf_dir):
+    """SKYLINE / Pareto front (min price, max size) — the
+    multi-criteria-optimality operator (cf. 'Integration of Skyline
+    Queries into Spark SQL', EDBT 2023, PAPERS.md). The naive definition
+    is an O(n²) dominance anti-join; the 2-D case collapses to a SWEEP:
+    collapse to per-price-level max size, run ONE running-max window
+    over the strictly-cheaper levels, and keep rows that top their own
+    level AND exceed every cheaper level's best. The oracle deliberately
+    uses the naive NOT EXISTS formulation, so the sweep's dominance/tie
+    semantics (equal (price, size) pairs co-survive; same-price larger
+    size dominates) are cross-checked against the definition itself, not
+    a mirrored implementation. Scale: one combinable groupBy + a window
+    over price LEVELS (already reduced), then a broadcast-join back."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    lvl = (p.groupBy("p_retailprice")
+           .agg(F.max("p_size").alias("lvl_max")))
+    lvl = lvl.withColumn(
+        "best_cheaper", F.max("lvl_max").over(
+            W.orderBy("p_retailprice")
+            .rowsBetween(W.unboundedPreceding, -1)))
+    return (p.join(F.broadcast(lvl), "p_retailprice")
+            .filter((F.col("p_size") == F.col("lvl_max"))
+                    & (F.col("best_cheaper").isNull()
+                       | (F.col("p_size") > F.col("best_cheaper"))))
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
+# ---------------------------------------------------------------------------
+# user trajectory similarity (edit distance over event-type sequences)
+# ---------------------------------------------------------------------------
+
+_TRAJ_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         left(string_agg(left(event_type, 1), '' ORDER BY ts, event_id),
+              20) AS seq
+  FROM events
+  GROUP BY user_id
+),
+blocked AS (
+  SELECT user_id, seq, length(seq) AS ln, left(seq, 2) AS blk
+  FROM seqs WHERE length(seq) >= 5
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         levenshtein(a.seq, b.seq) AS edit_dist
+  FROM blocked a
+  JOIN blocked b ON b.ln = a.ln AND b.blk = a.blk
+                AND a.user_id < b.user_id
+)
+SELECT user_a, user_b, edit_dist FROM pairs
+ORDER BY edit_dist ASC, user_a ASC, user_b ASC
+LIMIT 50
+"""
+
+
+@query("user_trajectory_similarity", _TRAJ_SQL)
+def user_trajectory_similarity(spark, sf_dir):
+    """Trajectory similarity over event-type sequences (cf. REPOSE's
+    reference-point blocking for distributed trajectory search,
+    PAPERS.md): each user's first 20 event-type initials form a
+    trajectory string; candidate pairs come from a BLOCKING join on
+    (length, 2-char prefix) — the relational stand-in for reference-point
+    tries, collapsing the all-pairs space to within-block pairs — then
+    exact Levenshtein ranks the block survivors and TakeOrdered emits the
+    closest 50. Every stage is combinable or blocked; no all-pairs join
+    exists. Deterministic: ordered string_agg with (ts, event_id)
+    tiebreak, (dist, ids) ranking."""
+    e = t(spark, sf_dir, "events")
+    seq = F.substring(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(ts, event_id,"
+                   " substring(event_type, 1, 1) AS c))), s -> s.c)"),
+            ""), 1, 20)
+    seqs = e.groupBy("user_id").agg(seq.alias("seq"))
+    blocked = (seqs.filter(F.length("seq") >= 5)
+               .select("user_id", "seq",
+                       F.length("seq").alias("ln"),
+                       F.substring("seq", 1, 2).alias("blk")))
+    a = blocked.select(F.col("user_id").alias("user_a"),
+                       F.col("seq").alias("seq_a"), "ln", "blk")
+    b = blocked.select(F.col("user_id").alias("user_b"),
+                       F.col("seq").alias("seq_b"), "ln", "blk")
+    return (a.join(b, ["ln", "blk"])
+            .filter(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "user_b",
+                    F.levenshtein("seq_a", "seq_b").alias("edit_dist"))
+            .orderBy(F.asc("edit_dist"), F.asc("user_a"), F.asc("user_b"))
+            .limit(50))
