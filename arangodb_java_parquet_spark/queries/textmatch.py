@@ -432,3 +432,132 @@ def dedup_intradoc_spans(spark, sf_dir):
                     .alias("n_removed"),
                     F.coalesce("cleaned_prefix", F.lit(""))
                     .alias("cleaned_prefix")))
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes, fitted AND evaluated in the engine
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+WITH train AS (
+  SELECT lang, text FROM documents WHERE doc_id % 10 < 8
+),
+toks AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM train
+),
+class_tot AS (
+  SELECT lang, COUNT(*) AS n_toks FROM toks GROUP BY lang
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+priors AS (
+  SELECT lang,
+         ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+           AS log_prior
+  FROM (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY lang)
+  CROSS JOIN (SELECT COUNT(*) AS total FROM train)
+),
+ll AS (
+  SELECT tc.lang, tc.tok,
+         ROUND(ln((CAST(tc.c AS DOUBLE) + 1.0e0)
+                  / (CAST(ct.n_toks AS DOUBLE) + CAST(v.v AS DOUBLE))), 9)
+           AS logp
+  FROM (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok) tc
+  JOIN class_tot ct ON ct.lang = tc.lang
+  CROSS JOIN vocab v
+),
+floors AS (
+  SELECT ct.lang,
+         ROUND(ln(1.0e0 / (CAST(ct.n_toks AS DOUBLE)
+                           + CAST(v.v AS DOUBLE))), 9) AS floor_logp
+  FROM class_tot ct CROSS JOIN vocab v
+),
+held AS (
+  SELECT doc_id, lang AS actual_lang,
+         UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id % 10 >= 8
+),
+scored AS (
+  SELECT h.doc_id, MAX(h.actual_lang) AS actual_lang, f.lang,
+         CAST(SUM(CAST(COALESCE(ll.logp, f.floor_logp) AS DECIMAL(20,9)))
+              AS DOUBLE) AS ll_sum
+  FROM held h
+  JOIN floors f ON TRUE
+  LEFT JOIN ll ON ll.lang = f.lang AND ll.tok = h.tok
+  GROUP BY h.doc_id, f.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang, lang AS predicted_lang FROM (
+    SELECT s.doc_id, s.actual_lang, s.lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id
+             ORDER BY ROUND(s.ll_sum + p.log_prior, 9) DESC, s.lang ASC)
+             AS rn
+    FROM scored s JOIN priors p ON p.lang = s.lang
+  ) WHERE rn = 1
+)
+SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@query("nb_classifier_confusion", _NB_SQL)
+def nb_classifier_confusion(spark, sf_dir):
+    """Multinomial NAIVE BAYES fitted AND evaluated inside the engine:
+    Laplace-smoothed token log-likelihoods + class log-priors on a
+    deterministic train split, per-document log-score argmax on the
+    held-out split, confusion matrix out — 'ML as aggregation', the
+    scikit-free way a data engine baselines a text classifier. Every
+    probability is a round-9 ln() of exact counts; per-doc scores are
+    exact decimal sums of those per-type constants; unseen (token,
+    class) pairs hit the smoothing floor via LEFT-join + COALESCE (and
+    carry the class's floor constant, not a global one). Scale: the
+    model is |vocab|×|classes| rows (bounded by the same max_vocab story
+    as the LM scores — broadcast side), the held corpus explodes once,
+    and the class fan-out is |classes|. On this label-free word-salad
+    corpus the matrix is near-chance BY CONSTRUCTION; the machinery is
+    what's value-checked."""
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 < 8)
+    toks = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    class_tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_toks"))
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+              .crossJoin(F.broadcast(
+                  train.agg(F.count(F.lit(1)).alias("total"))))
+              .select("lang", F.round(F.log(
+                  F.col("n_docs").cast("double")
+                  / F.col("total").cast("double")), 9).alias("log_prior")))
+    tc = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ll = (tc.join(class_tot, "lang").crossJoin(F.broadcast(vocab))
+          .select("lang", "tok", F.round(F.log(
+              (F.col("c").cast("double") + F.lit(1.0))
+              / (F.col("n_toks").cast("double")
+                 + F.col("v").cast("double"))), 9).alias("logp")))
+    floors = (class_tot.crossJoin(F.broadcast(vocab))
+              .select("lang", F.round(F.log(
+                  F.lit(1.0) / (F.col("n_toks").cast("double")
+                                + F.col("v").cast("double"))), 9)
+                  .alias("floor_logp")))
+    held = (d.filter(F.col("doc_id") % 10 >= 8)
+            .select("doc_id", F.col("lang").alias("actual_lang"),
+                    F.explode(F.split("text", " ")).alias("tok")))
+    scored = (held
+              .crossJoin(F.broadcast(floors))
+              .join(F.broadcast(ll.withColumnRenamed("lang", "l2")),
+                    (F.col("l2") == F.col("lang"))
+                    & (ll["tok"] == held["tok"]), "left")
+              .groupBy("doc_id", "lang")
+              .agg(F.max("actual_lang").alias("actual_lang"),
+                   F.sum(F.coalesce("logp", "floor_logp")
+                         .cast("decimal(20,9)")).cast("double")
+                   .alias("ll_sum")))
+    pred = (scored.join(F.broadcast(priors), "lang")
+            .withColumn("rn", F.row_number().over(
+                W.partitionBy("doc_id")
+                .orderBy(F.desc(F.round(F.col("ll_sum")
+                                        + F.col("log_prior"), 9)),
+                         F.asc("lang"))))
+            .filter(F.col("rn") == 1)
+            .select("actual_lang", F.col("lang").alias("predicted_lang")))
+    return (pred.groupBy("actual_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
