@@ -901,3 +901,101 @@ def emb_drift_by_label(spark, sf_dir):
                          / (F.sqrt(dsum9(F.col("ma") * F.col("ma")))
                             * F.sqrt(dsum9(F.col("mb") * F.col("mb")))), 9)
                  .alias("centroid_cos")))
+
+
+# ---------------------------------------------------------------------------
+# k-means with fixed Lloyd rounds, fully value-checked (2-D, K=4)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 2
+
+
+def _kmeans_sql() -> str:
+    parts = [f"""WITH pts AS (
+  SELECT vec_id, ROUND(embedding[1]::DOUBLE, 9) AS x,
+         ROUND(embedding[2]::DOUBLE, 9) AS y
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(rn AS INT) AS cid, x AS cx, y AS cy FROM (
+    SELECT x, y, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rn
+    FROM pts
+  ) WHERE rn <= {_KM_K}
+)"""]
+    for r in range(1, _KM_ROUNDS + 1):
+        parts.append(f""",
+a{r} AS (
+  SELECT vec_id, x, y, cid FROM (
+    SELECT p.vec_id, p.x, p.y, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY ROUND((p.x - c.cx) * (p.x - c.cx)
+                            + (p.y - c.cy) * (p.y - c.cy), 9) ASC,
+                      c.cid ASC) AS rn
+    FROM pts p CROSS JOIN c{r - 1} c
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT cid,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*), 9) AS cx,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*), 9) AS cy
+  FROM a{r} GROUP BY cid
+)""")
+    parts.append(f"""
+SELECT c.cid, c.cx, c.cy, COUNT(a.vec_id) AS n_points
+FROM c{_KM_ROUNDS} c
+LEFT JOIN a{_KM_ROUNDS} a ON a.cid = c.cid
+GROUP BY c.cid, c.cx, c.cy""")
+    return "".join(parts)
+
+
+@query("kmeans_fixed_rounds", _kmeans_sql())
+def kmeans_fixed_rounds(spark, sf_dir):
+    """K-means with FIXED Lloyd rounds, fully VALUE-CHECKED — unlike the
+    fitted IVF entries (rows-only by necessity), this clustering is
+    bit-reproducible cross-engine: deterministic md5-ranked seeding,
+    argmin assignment via a (round-9 distance, cid) window tiebreak, and
+    exact-decimal centroid means. Entirely declarative — no driver
+    collect in the loop at all: each round is a broadcast-NLJ of the
+    K-row centroid table against the points plus one combinable mean
+    (the same per-round shape the distributed IVF fit uses, here over
+    2-D features so the oracle stays tractable). K and the round count
+    are compile-time constants generating both engines' chained stages
+    from one template."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 9).alias("x"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9).alias("y"))
+    cents = (pts.withColumn(
+                "rn", F.row_number().over(
+                    Window.orderBy(F.md5(F.col("vec_id").cast("string")),
+                                   "vec_id")))
+             .filter(F.col("rn") <= _KM_K)
+             .select(F.col("rn").cast("int").alias("cid"),
+                     F.col("x").alias("cx"), F.col("y").alias("cy")))
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        dist = F.round((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                       + (F.col("y") - F.col("cy"))
+                       * (F.col("y") - F.col("cy")), 9)
+        assign = (pts.crossJoin(F.broadcast(cents))
+                  .withColumn("rn", F.row_number().over(
+                      Window.partitionBy("vec_id")
+                      .orderBy(dist.asc(), F.col("cid").asc())))
+                  .filter(F.col("rn") == 1)
+                  .select("vec_id", "x", "y", "cid"))
+        cents = (assign.groupBy("cid")
+                 .agg(F.round(F.sum(F.col("x").cast("decimal(20,9)"))
+                              .cast("double") / F.count(F.lit(1)), 9)
+                      .alias("cx"),
+                      F.round(F.sum(F.col("y").cast("decimal(20,9)"))
+                              .cast("double") / F.count(F.lit(1)), 9)
+                      .alias("cy")))
+    return (cents.join(assign, "cid", "left")
+            .groupBy("cid", "cx", "cy")
+            .agg(F.count("vec_id").alias("n_points")))
