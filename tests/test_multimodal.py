@@ -121,3 +121,39 @@ def test_decode_image_bmp_ppm_pixel_exact(spark):
     assert set(out) == {1}
     exp_r = sum(rgb(x, y)[0] for x in range(4) for y in range(2)) / 8.0
     assert out[1].mean_r == exp_r and out[1].format == "ppm"
+
+
+def test_decode_image_never_crashes_on_fuzz():
+    """Property: decode_image returns a well-formed dict or None for ANY
+    byte string — truncations, corrupt headers, and mutations of valid
+    images included — never an exception (an undecodable blob in a 100 TB
+    lake must not kill the executor)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_ppm)
+
+    valid = encode_bmp(4, 3, lambda x, y: (x, y, x + y))
+    valid_ppm = encode_ppm(4, 3, lambda x, y: (x, y, x + y))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        st.binary(max_size=60).map(lambda b: b"BM" + b),
+        st.binary(max_size=60).map(lambda b: b"P6" + b),
+        st.integers(0, len(valid) - 1).flatmap(
+            lambda i: st.integers(0, 255).map(
+                lambda v: valid[:i] + bytes([v]) + valid[i + 1:])),
+        st.integers(1, len(valid_ppm)).map(lambda n: valid_ppm[:-n]),
+    ))
+    def check(payload):
+        m = decode_image(payload)
+        if m is not None:
+            assert m["format"] in ("bmp", "ppm")
+            assert m["width"] > 0 and m["height"] > 0
+            assert m["n_px"] == m["width"] * m["height"]
+            for c in ("sum_r", "sum_g", "sum_b"):
+                assert 0 <= m[c] <= 255 * m["n_px"]
+
+    check()
