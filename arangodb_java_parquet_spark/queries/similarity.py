@@ -999,3 +999,123 @@ def kmeans_fixed_rounds(spark, sf_dir):
     return (cents.join(assign, "cid", "left")
             .groupBy("cid", "cx", "cy")
             .agg(F.count("vec_id").alias("n_points")))
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization (k=2, closed-form solves), value-checked
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = "0.1e0"
+
+
+def _als_sums(src: str, key: str, other: str, f1: str, f2: str,
+              r: str) -> str:
+    """Normal-equation sums for one ALS half-step: per `key`, the 2x2
+    Gram of the fixed factors and the rating-weighted vector — products
+    round-9 before the exact decimal sum (the repo's moment rule)."""
+    return f"""
+  SELECT {key},
+         CAST(SUM(CAST(ROUND({f1} * {f1}, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS ga,
+         CAST(SUM(CAST(ROUND({f1} * {f2}, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS gb,
+         CAST(SUM(CAST(ROUND({f2} * {f2}, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS gc,
+         CAST(SUM(CAST(ROUND({r} * {f1}, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS v1,
+         CAST(SUM(CAST(ROUND({r} * {f2}, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS v2
+  FROM {src} GROUP BY {key}"""
+
+
+def _als_solve(tbl: str, key: str) -> str:
+    lam = _ALS_LAMBDA
+    det = f"((ga + {lam}) * (gc + {lam}) - gb * gb)"
+    return f"""
+  SELECT {key},
+         ROUND(((gc + {lam}) * v1 - gb * v2) / {det}, 9) AS f1,
+         ROUND((0.0e0 - gb * v1 + (ga + {lam}) * v2) / {det}, 9) AS f2
+  FROM {tbl}"""
+
+
+def _als_sql() -> str:
+    return f"""
+WITH ratings AS (
+  SELECT o.o_custkey % 100 AS c, l.l_partkey % 100 AS i,
+         CAST(COUNT(*) AS DOUBLE) AS r
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+y0 AS (
+  SELECT DISTINCT i, 1.0e0 AS y1,
+         (CAST('0x' || substring(md5(CAST(i AS VARCHAR)), 1, 2) AS INT)
+          % 100) / 100.0e0 AS y2
+  FROM ratings
+),
+usums AS ({_als_sums("ratings rt JOIN y0 ON y0.i = rt.i", "rt.c",
+                     "i", "y0.y1", "y0.y2", "rt.r")}),
+x1 AS ({_als_solve("usums", "c")}),
+isums AS ({_als_sums("ratings rt JOIN x1 ON x1.c = rt.c", "rt.i",
+                     "c", "x1.f1", "x1.f2", "rt.r")}),
+y1t AS ({_als_solve("isums", "i")})
+SELECT i AS item, f1 AS y1, f2 AS y2 FROM y1t
+"""
+
+
+@query("als_factorization", _als_sql())
+def als_factorization(spark, sf_dir):
+    """ALS matrix factorization (the recommender-training inner loop) as
+    pure relational algebra, VALUE-CHECKED: rank-2 factors over the
+    customer×part purchase-count matrix, one user half-step + one item
+    half-step, each a normal-equation aggregation (per-entity 2×2 Gram +
+    rating-weighted vector, products round-9 into exact decimal sums)
+    followed by the CLOSED-FORM regularized 2×2 solve — no linear-algebra
+    library, no driver collect, both engines generated from the same
+    sum/solve templates. det ≥ λ(ga+gc+λ) > 0 by Cauchy-Schwarz, so the
+    division is always safe. Scale: each half-step is one shuffle join
+    (ratings × fixed-side factors) + one combinable aggregation — the
+    textbook distributed-ALS shape; k>2 swaps the closed form for a
+    per-row small solve (pandas-UDF) without changing the data flow.
+    tests/test_similarity.py pins that the fitted factors reduce train
+    RMSE vs the deterministic init."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    ratings = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy((F.col("o_custkey") % 100).alias("c"),
+                        (F.col("l_partkey") % 100).alias("i"))
+               .agg(F.count(F.lit(1)).cast("double").alias("r")))
+    y = ratings.select("i").distinct().select(
+        "i", F.lit(1.0).alias("y1"),
+        (F.expr("CAST(conv(substring(md5(CAST(i AS STRING)), 1, 2),"
+                " 16, 10) AS INT) % 100") / F.lit(100.0)).alias("y2"))
+
+    def sums(joined, key, f1, f2):
+        d9 = lambda col: F.sum(F.round(col, 9).cast("decimal(20,9)")) \
+            .cast("double")  # noqa: E731
+        return joined.groupBy(key).agg(
+            d9(F.col(f1) * F.col(f1)).alias("ga"),
+            d9(F.col(f1) * F.col(f2)).alias("gb"),
+            d9(F.col(f2) * F.col(f2)).alias("gc"),
+            d9(F.col("r") * F.col(f1)).alias("v1"),
+            d9(F.col("r") * F.col(f2)).alias("v2"))
+
+    lam = F.lit(0.1)
+
+    def solve(s):
+        det = (F.col("ga") + lam) * (F.col("gc") + lam) \
+            - F.col("gb") * F.col("gb")
+        return s.select(
+            s.columns[0],
+            F.round(((F.col("gc") + lam) * F.col("v1")
+                     - F.col("gb") * F.col("v2")) / det, 9).alias("f1"),
+            F.round((F.lit(0.0) - F.col("gb") * F.col("v1")
+                     + (F.col("ga") + lam) * F.col("v2")) / det, 9)
+            .alias("f2"))
+
+    x = solve(sums(ratings.join(y, "i"), "c", "y1", "y2"))
+    ynew = solve(sums(
+        ratings.join(x.withColumnRenamed("f1", "xf1")
+                     .withColumnRenamed("f2", "xf2"), "c"),
+        "i", "xf1", "xf2"))
+    return ynew.select(F.col("i").alias("item"),
+                       F.col("f1").alias("y1"), F.col("f2").alias("y2"))

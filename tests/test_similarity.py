@@ -277,3 +277,51 @@ def test_jl_projection_distance_distortion(spark, sf_dir):
     med = ratios[len(ratios) // 2]
     assert 0.4 <= med <= 1.8, med
     assert math.isfinite(med)
+
+
+def test_als_reduces_train_rmse(spark, sf_dir):
+    """One ALS round must fit the observed ratings better than the
+    deterministic init: RMSE(x·y_fitted) < RMSE(init predictions)."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES, t
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    ratings = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy((F.col("o_custkey") % 100).alias("c"),
+                        (F.col("l_partkey") % 100).alias("i"))
+               .agg(F.count(F.lit(1)).cast("double").alias("r")))
+    R = {(r.c, r.i): r.r for r in ratings.collect()}
+    yfit = {r.item: (r.y1, r.y2) for r in
+            QUERIES["als_factorization"](spark, sf_dir).collect()}
+    import hashlib
+    y0 = {i: (1.0, (int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+                    % 100) / 100.0) for i in {i for _, i in R}}
+
+    # users' solves against init y0 (python replica of the first half-step)
+    lam = 0.1
+
+    def solve_users(y):
+        xs = {}
+        bycust = {}
+        for (c, i), r in R.items():
+            bycust.setdefault(c, []).append((i, r))
+        for c, items in bycust.items():
+            ga = sum(round(y[i][0] * y[i][0], 9) for i, _ in items)
+            gb = sum(round(y[i][0] * y[i][1], 9) for i, _ in items)
+            gc = sum(round(y[i][1] * y[i][1], 9) for i, _ in items)
+            v1 = sum(round(r * y[i][0], 9) for i, r in items)
+            v2 = sum(round(r * y[i][1], 9) for i, r in items)
+            det = (ga + lam) * (gc + lam) - gb * gb
+            xs[c] = (((gc + lam) * v1 - gb * v2) / det,
+                     (-gb * v1 + (ga + lam) * v2) / det)
+        return xs
+
+    def rmse(x, y):
+        se = n = 0
+        for (c, i), r in R.items():
+            pred = x[c][0] * y[i][0] + x[c][1] * y[i][1]
+            se += (r - pred) ** 2
+            n += 1
+        return (se / n) ** 0.5
+
+    x1 = solve_users(y0)
+    assert rmse(x1, yfit) < rmse(x1, y0)
