@@ -237,7 +237,7 @@ def array_hof_functions(spark, sf_dir):
     flatten / sequence / zip_with — the expression-level surface that
     keeps per-row array logic JVM-side instead of in UDFs. Single-param
     lambdas only (a two-param Spark HOF lambda silently binds (element,
-    index) — CLAUDE.md gotcha); the DuckDB oracle mirrors zip_with via an
+    index) — a documented repo-convention gotcha); the DuckDB oracle mirrors zip_with via an
     index transform."""
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")

@@ -149,6 +149,10 @@ BENCH_QUERIES = [
     "pii_pseudonymize",
     "dedup_keep_best_quality",
     "emb_drift_by_label",
+    "als_factorization",
+    "nb_classifier_confusion",
+    "kmeans_fixed_rounds",
+    "user_trajectory_similarity",
 ]
 
 
