@@ -561,3 +561,98 @@ def nb_classifier_confusion(spark, sf_dir):
             .select("actual_lang", F.col("lang").alias("predicted_lang")))
     return (pred.groupBy("actual_lang", "predicted_lang")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# decision stump (best single split by weighted Gini)
+# ---------------------------------------------------------------------------
+
+_STUMP_CLASSES = ["de", "en", "es", "fr", "zh"]
+
+
+def _stump_sql() -> str:
+    cls_counts = ", ".join(
+        f"CAST(SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS n_{c}" for c in _STUMP_CLASSES)
+    cums = ", ".join(
+        f"SUM(n_{c}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        f" AND CURRENT ROW) AS l_{c}" for c in _STUMP_CLASSES)
+    tots = ", ".join(f"SUM(n_{c}) AS t_{c}" for c in _STUMP_CLASSES)
+    ln = " + ".join(f"l_{c}" for c in _STUMP_CLASSES)
+    tn = " + ".join(f"t_{c}" for c in _STUMP_CLASSES)
+    gl = " - ".join(["1.0e0"] + [
+        f"(l_{c} / nl) * (l_{c} / nl)" for c in _STUMP_CLASSES])
+    gr = " - ".join(["1.0e0"] + [
+        f"((t_{c} - l_{c}) / nr) * ((t_{c} - l_{c}) / nr)"
+        for c in _STUMP_CLASSES])
+    return f"""
+WITH per_v AS (
+  SELECT n_chars AS v, {cls_counts}
+  FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT v, {cums} FROM per_v
+),
+tot AS (SELECT {tots}, {tn} AS n FROM per_v),
+scored AS (
+  SELECT cum.*, tot.*,
+         ({ln}) AS nl, (tot.n - ({ln})) AS nr
+  FROM cum CROSS JOIN tot
+),
+gini AS (
+  SELECT v AS threshold, CAST(nl AS BIGINT) AS left_n,
+         CAST(nr AS BIGINT) AS right_n,
+         ROUND((nl * ROUND({gl}, 9) + nr * ROUND({gr}, 9)) / n, 9)
+           AS weighted_gini
+  FROM scored WHERE nl > 0 AND nr > 0
+)
+SELECT threshold, left_n, right_n, weighted_gini FROM gini
+ORDER BY weighted_gini ASC, threshold ASC
+LIMIT 1
+"""
+
+
+@query("decision_stump_fit", _stump_sql())
+def decision_stump_fit(spark, sf_dir):
+    """Decision-STUMP fitting (the boosted-trees inner loop) as one
+    cumulative window pass: collapse to per-feature-value class counts,
+    running-sum them once, and every candidate split's weighted Gini
+    falls out of the cumulative row — O(n log n) total instead of
+    O(n_splits × n) re-scans, which is exactly how distributed tree
+    learners (XGBoost/LightGBM histograms) evaluate splits. Deterministic
+    argmin with a threshold tiebreak; per-side Gini round-9 before the
+    weighted blend. The per-value collapse is map-side combinable; the
+    window runs over feature VALUES (already reduced), not rows."""
+    d = t(spark, sf_dir, "documents")
+    per_v = d.groupBy(F.col("n_chars").alias("v")).agg(
+        *[F.sum(F.when(F.col("lang") == c, 1).otherwise(0))
+          .cast("double").alias(f"n_{c}") for c in _STUMP_CLASSES])
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v", *[F.sum(f"n_{c}").over(wcum).alias(f"l_{c}")
+               for c in _STUMP_CLASSES])
+    tot = per_v.agg(
+        *[F.sum(f"n_{c}").alias(f"t_{c}") for c in _STUMP_CLASSES])
+    scored = cum.crossJoin(F.broadcast(tot))
+    nl = sum((F.col(f"l_{c}") for c in _STUMP_CLASSES[1:]),
+             F.col(f"l_{_STUMP_CLASSES[0]}"))
+    tn = sum((F.col(f"t_{c}") for c in _STUMP_CLASSES[1:]),
+             F.col(f"t_{_STUMP_CLASSES[0]}"))
+    nr = tn - nl
+    gl = F.lit(1.0)
+    gr = F.lit(1.0)
+    for c in _STUMP_CLASSES:
+        gl = gl - (F.col(f"l_{c}") / nl) * (F.col(f"l_{c}") / nl)
+        gr = gr - ((F.col(f"t_{c}") - F.col(f"l_{c}")) / nr) \
+            * ((F.col(f"t_{c}") - F.col(f"l_{c}")) / nr)
+    gini = (scored
+            .withColumn("nl", nl).withColumn("nr", nr)
+            .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+            .select(F.col("v").alias("threshold"),
+                    F.col("nl").cast("bigint").alias("left_n"),
+                    F.col("nr").cast("bigint").alias("right_n"),
+                    F.round((F.col("nl") * F.round(gl, 9)
+                             + F.col("nr") * F.round(gr, 9)) / tn, 9)
+                    .alias("weighted_gini")))
+    return (gini.orderBy(F.asc("weighted_gini"), F.asc("threshold"))
+            .limit(1))
