@@ -656,3 +656,141 @@ def decision_stump_fit(spark, sf_dir):
                     .alias("weighted_gini")))
     return (gini.orderBy(F.asc("weighted_gini"), F.asc("threshold"))
             .limit(1))
+
+
+# ---------------------------------------------------------------------------
+# logistic regression via IRLS (2 rounds, closed-form 2x2 solve)
+# ---------------------------------------------------------------------------
+
+_IRLS_ROUNDS = 2
+_IRLS_LAM = "0.001e0"
+
+
+def _irls_stage_sql(r: int) -> str:
+    """One IRLS round: eta/mu/working-response per row, weighted normal
+    equations, closed-form regularized 2x2 solve. w{r-1} is a 1-row
+    (w0, w1) relation."""
+    lam = _IRLS_LAM
+    det = f"((sa + {lam}) * (sxx + {lam}) - sx * sx)"
+    return f""",
+m{r} AS (
+  SELECT p.y, p.x,
+         ROUND(w.w0 + w.w1 * p.x, 9) AS eta
+  FROM pts p CROSS JOIN w{r - 1} w
+),
+i{r} AS (
+  SELECT y, x, eta,
+         ROUND(1.0e0 / (1.0e0 + exp(0.0e0 - eta)), 9) AS mu
+  FROM m{r}
+),
+s{r} AS (
+  SELECT y, x, eta, mu,
+         greatest(ROUND(mu * (1.0e0 - mu), 9), 0.000001e0) AS s
+  FROM i{r}
+),
+z{r} AS (
+  SELECT y, x, s, ROUND(eta + (y - mu) / s, 9) AS z FROM s{r}
+),
+n{r} AS (
+  SELECT CAST(SUM(CAST(ROUND(s, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(ROUND(s * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(s * x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(s * z, 9) AS DECIMAL(20,9))) AS DOUBLE) AS b0,
+         CAST(SUM(CAST(ROUND(s * z * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS b1
+  FROM z{r}
+),
+w{r} AS (
+  SELECT ROUND(((sxx + {lam}) * b0 - sx * b1) / {det}, 9) AS w0,
+         ROUND((0.0e0 - sx * b0 + (sa + {lam}) * b1) / {det}, 9) AS w1
+  FROM n{r}
+)"""
+
+
+def _irls_sql() -> str:
+    parts = ["""
+WITH pts AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END AS y,
+         n_chars / 1000.0e0 AS x
+  FROM documents
+),
+w0 AS (SELECT 0.0e0 AS w0, 0.0e0 AS w1)"""]
+    for r in range(1, _IRLS_ROUNDS + 1):
+        parts.append(_irls_stage_sql(r))
+    R = _IRLS_ROUNDS
+    parts.append(f""",
+final AS (
+  SELECT p.y,
+         ROUND(1.0e0 / (1.0e0 + exp(0.0e0 -
+               ROUND(w.w0 + w.w1 * p.x, 9))), 9) AS mu
+  FROM pts p CROSS JOIN w{R} w
+)
+SELECT w.w0, w.w1,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CASE WHEN (f.mu >= 0.5e0) = (f.y = 1.0e0)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS accuracy
+FROM final f CROSS JOIN w{R} w
+GROUP BY w.w0, w.w1""")
+    return "".join(parts)
+
+
+@query("logistic_irls_fit", _irls_sql())
+def logistic_irls_fit(spark, sf_dir):
+    """LOGISTIC REGRESSION fitted by IRLS in the engine — with Naive
+    Bayes, k-means, ALS, BPE and the decision stump, this completes the
+    classical-ML-as-relational-algebra suite. Each round: per-row
+    eta/sigmoid/working-response (round-9 per the transcendental rule,
+    variance floored at 1e-6), weighted normal-equation sums (round-9
+    products into exact decimals), closed-form ridge 2x2 solve — zero
+    driver collects, both engines' chained stages generated from one
+    template. Output: fitted (w0, w1) and training accuracy. Scale: a
+    round is one combinable aggregation over the corpus plus a 1-row
+    broadcast — IRLS at 100 TB is exactly this plan per iteration."""
+    d = t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x"))
+    lam = F.lit(0.001)
+    w = spark.createDataFrame([(0.0, 0.0)], "w0 double, w1 double")
+    d9 = lambda col: F.sum(F.round(col, 9).cast("decimal(20,9)")) \
+        .cast("double")  # noqa: E731
+    for _ in range(_IRLS_ROUNDS):
+        m = pts.crossJoin(F.broadcast(w)).withColumn(
+            "eta", F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))
+        m = m.withColumn(
+            "mu", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))),
+                          9))
+        m = m.withColumn(
+            "s", F.greatest(F.round(F.col("mu") * (F.lit(1.0)
+                                                   - F.col("mu")), 9),
+                            F.lit(1e-6)))
+        m = m.withColumn(
+            "z", F.round(F.col("eta")
+                         + (F.col("y") - F.col("mu")) / F.col("s"), 9))
+        n = m.agg(d9(F.col("s")).alias("sa"),
+                  d9(F.col("s") * F.col("x")).alias("sx"),
+                  d9(F.col("s") * F.col("x") * F.col("x")).alias("sxx"),
+                  d9(F.col("s") * F.col("z")).alias("b0"),
+                  d9(F.col("s") * F.col("z") * F.col("x")).alias("b1"))
+        det = (F.col("sa") + lam) * (F.col("sxx") + lam) \
+            - F.col("sx") * F.col("sx")
+        w = n.select(
+            F.round(((F.col("sxx") + lam) * F.col("b0")
+                     - F.col("sx") * F.col("b1")) / det, 9).alias("w0"),
+            F.round((F.lit(0.0) - F.col("sx") * F.col("b0")
+                     + (F.col("sa") + lam) * F.col("b1")) / det, 9)
+            .alias("w1"))
+    final = pts.crossJoin(F.broadcast(w)).select(
+        "y", "w0", "w1",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))), 9)
+        .alias("mu"))
+    return (final.groupBy("w0", "w1")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum(
+                     F.when((F.col("mu") >= 0.5) == (F.col("y") == 1.0),
+                            1).otherwise(0)).cast("double")
+                     / F.count(F.lit(1)), 9).alias("accuracy"))
+            .select("w0", "w1", "n", "accuracy"))
