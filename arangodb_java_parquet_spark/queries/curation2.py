@@ -249,3 +249,85 @@ def pii_pseudonymize(spark, sf_dir):
                         "aggregate(emails, txt, (acc, e) -> replace(acc, e,"
                         " concat('user_', substring(md5(lower(e)), 1, 10))))"
                     ).alias("pseudonymized")))
+
+
+# ---------------------------------------------------------------------------
+# dataset datasheet (the one-row artifact published with a corpus)
+# ---------------------------------------------------------------------------
+
+_DATASHEET_SQL = """
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         length(text) AS n_chars
+  FROM documents
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 9)
+           AS chars_per_token
+  FROM toks
+),
+langs AS (
+  SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         ROUND(0.0e0 - CAST(SUM(CAST(ROUND(
+             (c / tot) * ln(c / tot), 9) AS DECIMAL(20,9))) AS DOUBLE), 9)
+           AS lang_entropy
+  FROM (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c,
+               CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS tot
+        FROM documents GROUP BY lang)
+),
+dups AS (
+  SELECT ROUND(1.0e0 - CAST(COUNT(DISTINCT md5(lower(replace(text, ' ',
+                                                             '')))) AS
+                            DOUBLE) / COUNT(*), 9) AS exact_dup_rate
+  FROM documents
+),
+sources AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(MAX(c) AS BIGINT) AS largest_source_docs
+  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+)
+SELECT base.*, langs.*, dups.*, sources.*
+FROM base CROSS JOIN langs CROSS JOIN dups CROSS JOIN sources
+"""
+
+
+@query("dataset_datasheet", _DATASHEET_SQL)
+def dataset_datasheet(spark, sf_dir):
+    """The DATASHEET row a corpus ships with (Gebru et al.'s datasheets,
+    distilled to the quantitative core): volume (docs/tokens/chars),
+    tokenizer fertility (chars per token), language count and
+    distribution entropy, exact-duplicate rate, and source
+    concentration — every number from the same checked primitives the
+    pipeline uses (decimal-exact sums, round-9 entropies, md5
+    fingerprints). One pass over documents plus three combinable
+    rollups; the row is the artifact you diff between snapshots."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.length("text").alias("n_chars"))
+    base = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_toks"), 9)
+        .alias("chars_per_token"))
+    lc = (d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("c"))
+          .withColumn("tot", F.sum("c").over(W.partitionBy())))
+    langs = lc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(F.lit(0.0) - F.sum(
+            F.round((F.col("c") / F.col("tot"))
+                    * F.log(F.col("c") / F.col("tot")), 9)
+            .cast("decimal(20,9)")).cast("double"), 9)
+        .alias("lang_entropy"))
+    fp = F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+    dups = d.agg(
+        F.round(F.lit(1.0) - F.countDistinct(fp).cast("double")
+                / F.count(F.lit(1)), 9).alias("exact_dup_rate"))
+    srcs = (d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+                 F.max("c").cast("bigint").alias("largest_source_docs")))
+    return (base.crossJoin(langs).crossJoin(dups).crossJoin(srcs))
