@@ -1119,3 +1119,64 @@ def als_factorization(spark, sf_dir):
         "i", "xf1", "xf2"))
     return ynew.select(F.col("i").alias("item"),
                        F.col("f1").alias("y1"), F.col("f2").alias("y2"))
+
+
+@query("ivf_cell_balance", f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % 37 = 0
+),
+assign AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY {_D2.format(a='embedding', b='cvec')},
+                                     cid) AS crn
+  FROM embeddings CROSS JOIN cents
+),
+occ AS (
+  SELECT cid AS cell, COUNT(*) AS n_vecs
+  FROM assign WHERE crn = 1 GROUP BY cid
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(n_vecs) AS BIGINT) AS n_vecs_total,
+         CAST(MAX(n_vecs) AS BIGINT) AS max_cell,
+         ROUND(CAST(MAX(n_vecs) AS DOUBLE)
+               / (CAST(SUM(n_vecs) AS DOUBLE) / COUNT(*)), 9)
+           AS imbalance_factor
+  FROM occ
+),
+empty AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_empty
+  FROM cents c LEFT JOIN occ o ON o.cell = c.cid
+  WHERE o.cell IS NULL
+)
+SELECT tot.*, empty.n_empty FROM tot CROSS JOIN empty
+""")
+def ivf_cell_balance(spark, sf_dir):
+    """IVF index-HEALTH report: cell occupancy stats (count, max,
+    imbalance = max/mean, empty cells) for the rule-based centroid set —
+    the number an ANN operator checks before trusting n_probe math,
+    since one mega-cell turns 'probe 2 of 54 cells' into 'scan half the
+    corpus'. Same value-checked argmin assignment as
+    sim_topk_ivf_rulebased (array_min over (d2, cid) structs — zero
+    shuffle), then two report-sized rollups. The skewed-bucket analog of
+    emb_bucket_histogram/skew_key_report for the IVF family."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        assign_cells)
+    e = t(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") % 37 == 0)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    cells = assign_cells(e, cents, id_col="vec_id", vec_col="embedding")
+    occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_vecs").cast("bigint").alias("n_vecs_total"),
+        F.max("n_vecs").cast("bigint").alias("max_cell"),
+        F.round(F.max("n_vecs").cast("double")
+                / (F.sum("n_vecs").cast("double") / F.count(F.lit(1))), 9)
+        .alias("imbalance_factor"))
+    empty = (cents.join(occ, cents.cid == occ.cell, "left_anti")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_empty")))
+    return tot.crossJoin(empty)
