@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "nb_classifier_confusion",
     "kmeans_fixed_rounds",
     "user_trajectory_similarity",
+    "logistic_irls_fit",
+    "decision_stump_fit",
+    "dataset_datasheet",
 ]
 
 
