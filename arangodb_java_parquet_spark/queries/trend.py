@@ -563,3 +563,215 @@ def user_trajectory_similarity(spark, sf_dir):
                     F.levenshtein("seq_a", "seq_b").alias("edit_dist"))
             .orderBy(F.asc("edit_dist"), F.asc("user_a"), F.asc("user_b"))
             .limit(50))
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (fixed semi-synchronous rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL)
+    parts = [_MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+v{r} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{r - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member
+FROM l{_LPA_ROUNDS} GROUP BY label""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark, sf_dir):
+    """Label-propagation COMMUNITIES over the LSH similarity graph —
+    the O(E)-per-round community detector (Raghavan et al. 2007),
+    complementing connected components (CC merges everything reachable;
+    LPA splits dense regions apart). Semi-synchronous fixed rounds with
+    fully deterministic updates: each node adopts its neighbors'
+    modal label with a (count desc, label asc) tiebreak — the classic
+    random-tie LPA made reproducible. Each round is one edges×labels
+    join + two combinable aggregations; plan depth fixed by the round
+    count. Output: community sizes."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn(
+                      "rn", F.row_number().over(
+                          W.partitionBy("node")
+                          .orderBy(F.desc("c"), F.asc("label"))))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label"))
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.min("node").cast("bigint").alias("min_member")))
+
+
+# ---------------------------------------------------------------------------
+# population stability index (the tabular drift metric)
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+_PSI_SQL = f"""
+WITH c AS (
+  SELECT o_orderkey % 2 AS half,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) - MIN(cents) + 1 AS width FROM c
+),
+binned AS (
+  SELECT half, (cents - lo) * {_PSI_BINS} // width AS bin
+  FROM c CROSS JOIN bounds
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+           AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+           AS nb
+  FROM binned GROUP BY bin
+),
+tots AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM counts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(CAST(SUM(CAST(ROUND(
+         (na / ta - nb / tb) * ln((na / ta) / (nb / tb)), 9)
+         AS DECIMAL(20,9))) AS DOUBLE), 9) AS psi
+FROM counts CROSS JOIN tots
+"""
+
+
+@query("psi_distribution_stability", _PSI_SQL)
+def psi_distribution_stability(spark, sf_dir):
+    """Population Stability Index between two corpus halves over binned
+    order value — THE tabular drift score model-risk teams gate on
+    (<0.1 stable, >0.25 shifted). Laplace +1 per (bin, side) keeps the
+    log finite on empty bins; per-bin terms round-9 into an exact
+    decimal sum; integer binning over exact cents (shared with the
+    quantile sketch's discipline). Two combinable aggregations over a
+    B-row histogram — the 100 TB cost is one scan."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select((F.col("o_orderkey") % 2).alias("half"),
+                 F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents"))
+    bounds = c.agg(F.min("cents").alias("lo"),
+                   (F.max("cents") - F.min("cents") + 1).alias("width"))
+    binned = (c.crossJoin(F.broadcast(bounds))
+              .select("half", F.expr(
+                  f"(cents - lo) * {_PSI_BINS} div width").alias("bin")))
+    counts = binned.groupBy("bin").agg(
+        (F.sum(F.when(F.col("half") == 0, 1).otherwise(0)) + 1)
+        .cast("double").alias("na"),
+        (F.sum(F.when(F.col("half") == 1, 1).otherwise(0)) + 1)
+        .cast("double").alias("nb"))
+    tots = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    term = F.round((F.col("na") / F.col("ta") - F.col("nb") / F.col("tb"))
+                   * F.log((F.col("na") / F.col("ta"))
+                           / (F.col("nb") / F.col("tb"))), 9)
+    return (counts.crossJoin(F.broadcast(tots))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+                 F.round(F.sum(term.cast("decimal(20,9)")).cast("double"),
+                         9).alias("psi")))
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern support (ordered type pairs, PrefixSpan L2)
+# ---------------------------------------------------------------------------
+
+_SEQ_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events GROUP BY user_id, event_type
+),
+supp AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_users
+  FROM firsts a JOIN firsts b
+    ON b.user_id = a.user_id
+   AND (a.first_ts < b.first_ts
+        OR (a.first_ts = b.first_ts AND a.event_type < b.event_type))
+   AND a.event_type <> b.event_type
+  GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
+SELECT s.type_a, s.type_b, s.n_users,
+       ROUND(CAST(s.n_users AS DOUBLE) / tot.n, 9) AS support
+FROM supp s CROSS JOIN tot
+"""
+
+
+@query("seq_pattern_support", _SEQ_SQL)
+def seq_pattern_support(spark, sf_dir):
+    """Sequential-pattern L2 support (PrefixSpan's first level): for
+    every ordered event-type pair <a -> b>, the number of users whose
+    FIRST a precedes their FIRST b — sequence mining's 'a leads to b'
+    table, distinct from markov_event_transitions (adjacent steps) and
+    event_pmi_pairs (unordered co-occurrence). First-occurrence collapse
+    makes the per-user join |types|², not |events|²; simultaneous firsts
+    break ties by type order deterministically."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"))
+    a = firsts.select("user_id", F.col("event_type").alias("type_a"),
+                      F.col("first_ts").alias("ta"))
+    b = firsts.select("user_id", F.col("event_type").alias("type_b"),
+                      F.col("first_ts").alias("tb"))
+    supp = (a.join(b, "user_id")
+            .filter((F.col("type_a") != F.col("type_b"))
+                    & ((F.col("ta") < F.col("tb"))
+                       | ((F.col("ta") == F.col("tb"))
+                          & (F.col("type_a") < F.col("type_b")))))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+    tot = e.agg(F.countDistinct("user_id").alias("n"))
+    return (supp.crossJoin(F.broadcast(tot))
+            .select("type_a", "type_b", "n_users",
+                    F.round(F.col("n_users").cast("double") / F.col("n"),
+                            9).alias("support")))
