@@ -806,3 +806,50 @@ def stream_sink_collection_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("value").cast("decimal(30,8)"))
                  .cast("double").alias("sum_value")))
+
+
+def _stream_cms_sql() -> str:
+    from arangodb_java_parquet_spark.operators.sketches import (
+        CMS_DEPTH, cms_pos_sql)
+    cs = ", ".join(cms_pos_sql("event_type", r) for r in range(CMS_DEPTH))
+    rs = ", ".join(str(r) for r in range(CMS_DEPTH))
+    return f"""
+SELECT r, c, COUNT(*) AS cnt
+FROM (SELECT UNNEST([{cs}]) AS c, UNNEST([{rs}]) AS r
+      FROM events)
+GROUP BY r, c
+"""
+
+
+@query("stream_cms_maintenance", _stream_cms_sql())
+def stream_cms_maintenance(spark, sf_dir):
+    """Count-min sketch MAINTAINED BY A STREAM: the event stream updates
+    the depth×width counter table incrementally (update-mode groupBy —
+    Spark's streaming state IS the sketch), and because CMS counters are
+    exact sums, the drained stream's counters are bit-identical to the
+    batch-built sketch, which is what the DuckDB oracle checks. This is
+    the live form of the sketch family's merge property: micro-batches
+    are shards, the state-store merge is the counter SUM. State is
+    depth×width rows forever — the streaming aggregation whose state
+    CANNOT grow, needing no watermark at all."""
+    from arangodb_java_parquet_spark.operators.sketches import cms_build
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    sketch = cms_build(stream.select(F.col("event_type").alias("tok")),
+                       "tok").withColumnRenamed("cnt", "cnt")
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (sketch.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
