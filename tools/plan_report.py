@@ -1,0 +1,90 @@
+"""Plan-quality report: for every bench query, count the physical-plan
+signals that decide 100 TB behavior — exchanges (shuffles), broadcast
+joins, sort-merge joins, parquet pushdown, whole-stage codegen spans,
+python evaluation stages, cartesian products — and write PLAN_REPORT.md.
+
+Usage: python tools/plan_report.py [sf_dir]
+
+This is the audit the per-operator docstrings make claims about, run
+mechanically: a new Exchange sneaking into a hot path shows up as a diff
+in the committed report.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arangodb_java_parquet_spark.queries import QUERIES  # noqa: E402
+from arangodb_java_parquet_spark.session import get_spark  # noqa: E402
+
+SIGNALS = {
+    "exchanges": r"\bExchange\b",
+    "reused_exchanges": r"ReusedExchange",
+    "broadcast_joins": r"BroadcastHashJoin",
+    "sortmerge_joins": r"SortMergeJoin",
+    "bnl_joins": r"BroadcastNestedLoopJoin",
+    "cartesian": r"CartesianProduct",
+    "take_ordered": r"TakeOrderedAndProject",
+    "python_stages": r"EvalPython|InPandas",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import bench
+    spark = get_spark(app_name="plan-report")
+
+    rows = []
+    for name in bench.BENCH_QUERIES:
+        fn = QUERIES[name]
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            rows.append((name, {"error": str(e)[:60]}, False))
+            continue
+        counts = {k: len(re.findall(p, plan)) for k, p in SIGNALS.items()}
+        pushed = "PushedFilters: [" in plan and \
+            not re.search(r"PushedFilters: \[\],", plan)
+        rows.append((name, counts, pushed))
+
+    out = ["# PLAN REPORT (bench queries, sf0.01 plans)",
+           "",
+           "Mechanical audit of the physical-plan signals that decide",
+           "100 TB behavior. `ex` = Exchanges (shuffles), `bc` = broadcast",
+           "hash joins, `smj` = sort-merge joins, `bnl` = broadcast",
+           "nested-loop (1-row/scalar cross joins), `cart` = cartesian",
+           "products (must stay 0 outside join_cross), `topk` =",
+           "TakeOrdered, `py` = python stages (0 in every oracle-checked",
+           "hot path; nonzero only for the disclosed python-by-design",
+           "surfaces), `pushed` = non-empty parquet filter pushdown.",
+           "",
+           "| query | ex | bc | smj | bnl | cart | topk | py | pushed |",
+           "|---|---|---|---|---|---|---|---|---|"]
+    for name, c, pushed in rows:
+        if "error" in c:
+            out.append(f"| {name} | construction error: {c['error']} |" +
+                       " |" * 7)
+            continue
+        out.append(
+            f"| {name} | {c['exchanges']} | {c['broadcast_joins']} | "
+            f"{c['sortmerge_joins']} | {c['bnl_joins']} | {c['cartesian']} |"
+            f" {c['take_ordered']} | {c['python_stages']} | "
+            f"{'y' if pushed else '-'} |")
+    totals = {k: sum(c.get(k, 0) for _, c, _ in rows) for k in SIGNALS}
+    out += ["",
+            f"Totals over {len(rows)} queries: "
+            + ", ".join(f"{k}={v}" for k, v in totals.items()) + "."]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_REPORT.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
