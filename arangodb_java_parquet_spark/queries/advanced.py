@@ -853,3 +853,42 @@ def stream_cms_maintenance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def _stream_hll_sql() -> str:
+    from arangodb_java_parquet_spark.operators.sketches import (
+        hll_registers_sql)
+    return hll_registers_sql("user_id", "event_type", "events")
+
+
+@query("stream_hll_maintenance", _stream_hll_sql())
+def stream_hll_maintenance(spark, sf_dir):
+    """HLL registers MAINTAINED BY A STREAM: per-event_type
+    distinct-user registers kept as streaming state (update-mode
+    groupBy-MAX — the state store holds exactly m registers per group,
+    bounded forever, no watermark needed). MAX is order-insensitive, so
+    the drained stream's registers are bit-identical to the batch-built
+    sketch — the oracle checks the registers themselves, making this the
+    streaming half of the HLL merge proof. Estimating distinct users at
+    any moment is hll_estimate over this ever-current table."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        hll_registers)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    regs = hll_registers(stream, "user_id", ["event_type"])
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (regs.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)

@@ -314,3 +314,79 @@ def rolling_hll_distinct_users(spark, sf_dir):
               .agg(F.max("r").alias("r")))
     return (hll_estimate(merged, ["target_day"])
             .withColumnRenamed("est_distinct", "wau_est"))
+
+
+_CMS_JOIN_SQL = f"""
+WITH ta AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+  WHERE doc_id % 2 = 1
+),
+ca AS (
+  SELECT r, c, COUNT(*) AS cnt
+  FROM (SELECT UNNEST([{", ".join(cms_pos_sql("tok", r)
+                                  for r in range(CMS_DEPTH))}]) AS c,
+               UNNEST([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r
+        FROM ta)
+  GROUP BY r, c
+),
+cb AS (
+  SELECT r, c, COUNT(*) AS cnt
+  FROM (SELECT UNNEST([{", ".join(cms_pos_sql("tok", r)
+                                  for r in range(CMS_DEPTH))}]) AS c,
+               UNNEST([{", ".join(str(r) for r in range(CMS_DEPTH))}]) AS r
+        FROM tb)
+  GROUP BY r, c
+),
+inner_p AS (
+  SELECT ca.r, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+  FROM ca JOIN cb ON cb.r = ca.r AND cb.c = ca.c
+  GROUP BY ca.r
+),
+exact AS (
+  SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS true_join_size
+  FROM (SELECT tok, COUNT(*) AS c FROM ta GROUP BY tok) a
+  JOIN (SELECT tok, COUNT(*) AS c FROM tb GROUP BY tok) b
+    ON b.tok = a.tok
+)
+SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size,
+       MAX(exact.true_join_size) AS true_join_size,
+       MIN(ip) >= MAX(exact.true_join_size) AS never_underestimates
+FROM inner_p CROSS JOIN exact
+"""
+
+
+@query("cms_join_size_estimate", _CMS_JOIN_SQL)
+def cms_join_size_estimate(spark, sf_dir):
+    """JOIN-SIZE estimation from sketches — the classic count-min inner
+    product: |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), estimated as the
+    min over sketch rows of Σ_c cmsA[r,c]·cmsB[r,c], never below the
+    truth (shown as a checked column, exact answer alongside). This is
+    what a 100 TB optimizer consults before choosing a join strategy:
+    two depth×width tables and a 1024-row join replace touching either
+    input again. All exact integer arithmetic — the whole estimator is
+    hash-checked."""
+    from arangodb_java_parquet_spark.operators.sketches import cms_build
+    d = t(spark, sf_dir, "documents")
+    ta = (d.filter(F.col("doc_id") % 2 == 0)
+          .select(F.explode(F.split("text", " ")).alias("tok")))
+    tb = (d.filter(F.col("doc_id") % 2 == 1)
+          .select(F.explode(F.split("text", " ")).alias("tok")))
+    ca, cb = cms_build(ta, "tok"), cms_build(tb, "tok")
+    ip = (ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["r", "c"])
+          .groupBy("r")
+          .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("bigint")
+               .alias("ip")))
+    exact = (ta.groupBy("tok").agg(F.count(F.lit(1)).alias("c_a"))
+             .join(tb.groupBy("tok").agg(F.count(F.lit(1)).alias("c_b")),
+                   "tok")
+             .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint")
+                  .alias("true_join_size")))
+    return (ip.crossJoin(F.broadcast(exact))
+            .agg(F.min("ip").cast("bigint").alias("est_join_size"),
+                 F.max("true_join_size").alias("true_join_size"),
+                 (F.min("ip") >= F.max("true_join_size"))
+                 .alias("never_underestimates")))
