@@ -156,6 +156,10 @@ BENCH_QUERIES = [
     "logistic_irls_fit",
     "decision_stump_fit",
     "dataset_datasheet",
+    "graph_label_propagation",
+    "psi_distribution_stability",
+    "cms_join_size_estimate",
+    "seq_pattern_support",
 ]
 
 
