@@ -775,3 +775,140 @@ def seq_pattern_support(spark, sf_dir):
             .select("type_a", "type_b", "n_users",
                     F.round(F.col("n_users").cast("double") / F.col("n"),
                             9).alias("support")))
+
+
+# ---------------------------------------------------------------------------
+# graph statistics: 2-hop reach and degree assortativity
+# ---------------------------------------------------------------------------
+
+def _graph_base_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL)
+    return _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+)"""
+
+
+@query("graph_two_hop_reach", _graph_base_sql() + """
+, hop2 AS (
+  SELECT e1.src AS node, e2.dst AS reached
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  WHERE e2.dst <> e1.src
+  UNION
+  SELECT src AS node, dst AS reached FROM edges
+)
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_within_2_hops
+FROM hop2 GROUP BY node
+""")
+def graph_two_hop_reach(spark, sf_dir):
+    """2-hop neighborhood size per node of the LSH similarity graph —
+    the local-influence measure between degree (1 hop) and full
+    reachability (CC): how many documents a correction to this one
+    would plausibly touch. One edges self-join + a distinct union;
+    at scale the join is bounded by Σ deg² (the same quantity the
+    triangle count already pays), never all-pairs."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    e2 = edges.select(F.col("src").alias("mid"),
+                      F.col("dst").alias("reached"))
+    hop2 = (edges.join(e2, edges.dst == e2.mid)
+            .filter(F.col("reached") != F.col("src"))
+            .select("src", "reached")
+            .union(edges.select("src", F.col("dst").alias("reached")))
+            .distinct())
+    return (hop2.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_within_2_hops")))
+
+
+@query("graph_assortativity", _graph_base_sql() + """
+, deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+dpairs AS (
+  SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+  FROM edges e
+  JOIN deg da ON da.node = e.src
+  JOIN deg db ON db.node = e.dst
+),
+moms AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM dpairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS assortativity
+FROM moms
+WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+""")
+def graph_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the similarity graph: the Pearson
+    correlation of endpoint degrees over directed edges (Newman 2002) —
+    positive means hubs link hubs (one template family referencing
+    itself), negative means hubs link leaves (a boilerplate page copied
+    into many one-off documents) — which changes the right dedup policy.
+    Exact decimal moment sums over the edges×degrees join (products
+    round-6 pre-cast); the cancellation-sensitive correlation round-9s
+    at the end per the repo discipline."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dp = (edges
+          .join(deg.select(F.col("src").alias("_s"),
+                           F.col("d").cast("double").alias("x")),
+                F.col("src") == F.col("_s"))
+          .join(deg.select(F.col("src").alias("_t"),
+                           F.col("d").cast("double").alias("y")),
+                F.col("dst") == F.col("_t"))
+          .select("x", "y"))
+    moms = dp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,8)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (moms.filter((vx > 0) & (vy > 0))
+            .select(F.col("n").cast("bigint").alias("n_directed_edges"),
+                    F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 9)
+                    .alias("assortativity")))
