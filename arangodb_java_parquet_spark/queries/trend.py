@@ -912,3 +912,63 @@ def graph_assortativity(spark, sf_dir):
             .select(F.col("n").cast("bigint").alias("n_directed_edges"),
                     F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 9)
                     .alias("assortativity")))
+
+
+# ---------------------------------------------------------------------------
+# session bounce rate per day
+# ---------------------------------------------------------------------------
+
+_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, session_seq,
+         CAST(date_trunc('day', MIN(ts)) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS bounce_rate
+FROM per_sess GROUP BY day
+"""
+
+
+@query("session_bounce_rate", _BOUNCE_SQL)
+def session_bounce_rate(spark, sf_dir):
+    """Session BOUNCE RATE per day (single-event sessions / all
+    sessions) — the engagement-quality headline built on the verified
+    sessionization operator: gap-based sessions, per-session event
+    counts keyed by the session's start day, one rollup. Everything
+    partitions by user (bounded history) then by day (report-sized)."""
+    from arangodb_java_parquet_spark.operators.temporal import sessionize
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sess = sessionize(e, key="user_id", time="ts", gap=F.lit(1800.0),
+                      tiebreak=["event_id"])
+    per_sess = (sess.groupBy("user_id", "session_seq")
+                .agg(F.date_trunc("day", F.min("ts")).cast("date")
+                     .alias("day"),
+                     F.count(F.lit(1)).alias("n_events")))
+    return (per_sess.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_bounces"),
+                 F.round(F.sum(F.when(F.col("n_events") == 1, 1)
+                               .otherwise(0)).cast("double")
+                         / F.count(F.lit(1)), 9).alias("bounce_rate")))
