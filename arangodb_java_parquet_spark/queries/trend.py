@@ -972,3 +972,115 @@ def session_bounce_rate(spark, sf_dir):
                  F.round(F.sum(F.when(F.col("n_events") == 1, 1)
                                .otherwise(0)).cast("double")
                          / F.count(F.lit(1)), 9).alias("bounce_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit and Gini concentration
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS tot
+  FROM digits GROUP BY d
+)
+SELECT d AS first_digit,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(n / tot, 9) AS observed_freq,
+       ROUND(ln(1.0e0 + 1.0e0 / d) / ln(10.0e0), 9) AS benford_freq,
+       ROUND((n / tot - ln(1.0e0 + 1.0e0 / d) / ln(10.0e0))
+             * (n / tot - ln(1.0e0 + 1.0e0 / d) / ln(10.0e0))
+             / (ln(1.0e0 + 1.0e0 / d) / ln(10.0e0)), 9) AS chi2_term
+FROM obs
+"""
+
+
+@query("benford_first_digit", _BENFORD_SQL)
+def benford_first_digit(spark, sf_dir):
+    """BENFORD first-digit audit on order values — the fraud/synthetic-
+    data forensic: natural multiplicative amounts follow
+    P(d) = log10(1 + 1/d); a flat or spiked digit histogram flags
+    fabricated numbers (here it also characterizes the synthetic
+    generator honestly). First digit extracted from exact integer cents
+    (no float formatting ambiguity); expected frequencies and chi²
+    terms in identical ln-ratio arithmetic round-9 both sides. One
+    combinable aggregation."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(F.expr(
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("int")
+    obs = (o.select(d.alias("d"))
+           .groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("n"))
+           .withColumn("tot", F.sum("n").over(W.partitionBy())))
+    bf = F.expr("ln(1.0e0 + 1.0e0 / d) / ln(10.0e0)")
+    dev = F.col("n") / F.col("tot") - bf
+    return obs.select(
+        F.col("d").alias("first_digit"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.round(F.col("n") / F.col("tot"), 9).alias("observed_freq"),
+        F.round(bf, 9).alias("benford_freq"),
+        F.round(dev * dev / bf, 9).alias("chi2_term"))
+
+
+_GINI_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev ASC, o_custkey ASC) AS i,
+         COUNT(*) OVER () AS n
+  FROM cust
+),
+sums AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(ROUND(i * rev, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS s_iw,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE) AS s_w
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(2.0e0 * s_iw / (n * s_w)
+             - (CAST(n AS DOUBLE) + 1.0e0) / n, 9) AS gini
+FROM sums
+"""
+
+
+@query("gini_revenue_concentration", _GINI_SQL)
+def gini_revenue_concentration(spark, sf_dir):
+    """GINI COEFFICIENT of customer revenue — the single-number
+    concentration complement to pareto_revenue_share's curve, via the
+    rank formula G = 2·Σ(i·x_(i))/(n·Σx) - (n+1)/n over ascending-sorted
+    revenues (unique customer-id tiebreak). Per-customer revenues are
+    exact decimal sums; the rank-weighted sum rounds products to 6
+    before its decimal accumulation (revenue magnitudes make round-9
+    unsafe); one sort-backed window over the already-reduced customer
+    table."""
+    o = t(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .cast("double").alias("rev")))
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(W.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    sums = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(F.col("i") * F.col("rev"), 6).cast("decimal(38,6)"))
+        .cast("double").alias("s_iw"),
+        F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+        .alias("s_w"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.lit(2.0) * F.col("s_iw")
+                / (F.col("n") * F.col("s_w"))
+                - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n"), 9)
+        .alias("gini"))
