@@ -708,7 +708,10 @@ w{r} AS (
 )"""
 
 
-def _irls_sql() -> str:
+def _irls_prefix_sql() -> str:
+    """Shared IRLS chain through the per-row `final(y, mu)` CTE — composed
+    by both the fit entry and the calibration report so the model SQL has
+    one source of truth."""
     parts = ["""
 WITH pts AS (
   SELECT CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END AS y,
@@ -725,15 +728,20 @@ final AS (
          ROUND(1.0e0 / (1.0e0 + exp(0.0e0 -
                ROUND(w.w0 + w.w1 * p.x, 9))), 9) AS mu
   FROM pts p CROSS JOIN w{R} w
-)
+)""")
+    return "".join(parts)
+
+
+def _irls_sql() -> str:
+    R = _IRLS_ROUNDS
+    return _irls_prefix_sql() + f"""
 SELECT w.w0, w.w1,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CAST(SUM(CASE WHEN (f.mu >= 0.5e0) = (f.y = 1.0e0)
                            THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 9) AS accuracy
 FROM final f CROSS JOIN w{R} w
-GROUP BY w.w0, w.w1""")
-    return "".join(parts)
+GROUP BY w.w0, w.w1"""
 
 
 @query("logistic_irls_fit", _irls_sql())
@@ -794,3 +802,86 @@ def logistic_irls_fit(spark, sf_dir):
                             1).otherwise(0)).cast("double")
                      / F.count(F.lit(1)), 9).alias("accuracy"))
             .select("w0", "w1", "n", "accuracy"))
+
+
+def _calibration_sql() -> str:
+    return _irls_prefix_sql() + """
+, binned AS (
+  SELECT least(CAST(floor(mu * 10.0e0) AS INT), 9) AS bin, y, mu
+  FROM final
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(mu AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 9)
+         AS mean_pred,
+       ROUND(CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*), 9)
+         AS emp_rate,
+       ROUND(abs(CAST(SUM(CAST(mu AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*)), 9) AS abs_gap
+FROM binned GROUP BY bin
+"""
+
+
+@query("calibration_report", _calibration_sql())
+def calibration_report(spark, sf_dir):
+    """CALIBRATION report for the in-engine logistic model: fixed-width
+    probability bins (the standard ECE binning — deterministic, no
+    quantile ties), per-bin mean predicted probability vs empirical
+    positive rate and their absolute gap. The oracle composes the SAME
+    generated IRLS chain as logistic_irls_fit (one source of truth for
+    the model SQL), so fit and diagnosis are checked against identical
+    weights. Weighted-averaging abs_gap by n gives ECE."""
+    d = t(spark, sf_dir, "documents")
+    pts = d.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x"))
+    lam = F.lit(0.001)
+    w = spark.createDataFrame([(0.0, 0.0)], "w0 double, w1 double")
+    d9 = lambda col: F.sum(F.round(col, 9).cast("decimal(20,9)")) \
+        .cast("double")  # noqa: E731
+    for _ in range(_IRLS_ROUNDS):
+        m = pts.crossJoin(F.broadcast(w)).withColumn(
+            "eta", F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))
+        m = m.withColumn(
+            "mu", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))),
+                          9))
+        m = m.withColumn(
+            "s", F.greatest(F.round(F.col("mu") * (F.lit(1.0)
+                                                   - F.col("mu")), 9),
+                            F.lit(1e-6)))
+        m = m.withColumn(
+            "z", F.round(F.col("eta")
+                         + (F.col("y") - F.col("mu")) / F.col("s"), 9))
+        n = m.agg(d9(F.col("s")).alias("sa"),
+                  d9(F.col("s") * F.col("x")).alias("sx"),
+                  d9(F.col("s") * F.col("x") * F.col("x")).alias("sxx"),
+                  d9(F.col("s") * F.col("z")).alias("b0"),
+                  d9(F.col("s") * F.col("z") * F.col("x")).alias("b1"))
+        det = (F.col("sa") + lam) * (F.col("sxx") + lam) \
+            - F.col("sx") * F.col("sx")
+        w = n.select(
+            F.round(((F.col("sxx") + lam) * F.col("b0")
+                     - F.col("sx") * F.col("b1")) / det, 9).alias("w0"),
+            F.round((F.lit(0.0) - F.col("sx") * F.col("b0")
+                     + (F.col("sa") + lam) * F.col("b1")) / det, 9)
+            .alias("w1"))
+    final = pts.crossJoin(F.broadcast(w)).select(
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))), 9)
+        .alias("mu"))
+    binned = final.select(
+        F.least(F.floor(F.col("mu") * 10.0).cast("int"), F.lit(9))
+        .alias("bin"), "y", "mu")
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum(F.col("mu").cast("decimal(20,9)"))
+                         .cast("double") / F.count(F.lit(1)), 9)
+                 .alias("mean_pred"),
+                 F.round(F.sum(F.col("y").cast("decimal(20,9)"))
+                         .cast("double") / F.count(F.lit(1)), 9)
+                 .alias("emp_rate"))
+            .withColumn("abs_gap",
+                        F.round(F.abs(F.col("mean_pred")
+                                      - F.col("emp_rate")), 9)))
