@@ -1084,3 +1084,117 @@ def gini_revenue_concentration(spark, sf_dir):
                 / (F.col("n") * F.col("s_w"))
                 - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n"), 9)
         .alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# linear (equal-credit) attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_LIN_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 300
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT DISTINCT p.p_id, e.event_type
+  FROM purchases p
+  JOIN ev e ON e.user_id = p.user_id
+           AND (e.ts < p.p_ts OR (e.ts = p.p_ts AND e.event_id < p.p_id))
+           AND e.event_type <> 'purchase'
+),
+k AS (
+  SELECT p_id, COUNT(*) AS n_types FROM touches GROUP BY p_id
+)
+SELECT t.event_type AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+       ROUND(CAST(SUM(CAST(ROUND(1.0e0 / k.n_types, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE), 9) AS linear_credit
+FROM touches t JOIN k ON k.p_id = t.p_id
+GROUP BY t.event_type
+"""
+
+
+@query("attribution_linear", _ATTR_LIN_SQL)
+def attribution_linear(spark, sf_dir):
+    """LINEAR attribution: each purchase splits one unit of credit
+    equally across the DISTINCT touch types that preceded it — the
+    order-free counterpart to attribution_last_touch (last-touch
+    over-credits the final click; linear shows the full mix). Credits
+    are round-9 fractions summed exactly in decimal; the prior-touch
+    join is per-user (bounded history) with the (ts, event_id) tiebreak
+    for simultaneous events."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id")))
+    touches = (purchases.join(
+                   e.select("user_id", "ts", "event_id", "event_type"),
+                   "user_id")
+               .filter((F.col("event_type") != "purchase")
+                       & ((F.col("ts") < F.col("p_ts"))
+                          | ((F.col("ts") == F.col("p_ts"))
+                             & (F.col("event_id") < F.col("p_id")))))
+               .select("p_id", "event_type").distinct())
+    k = touches.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_types"))
+    return (touches.join(k, "p_id")
+            .groupBy(F.col("event_type").alias("touch_type"))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_purchases_touched"),
+                 F.round(F.sum(
+                     F.round(F.lit(1.0) / F.col("n_types"), 9)
+                     .cast("decimal(20,9)")).cast("double"), 9)
+                 .alias("linear_credit")))
+
+
+# ---------------------------------------------------------------------------
+# L3 sequential patterns (a -> b -> c by first occurrences)
+# ---------------------------------------------------------------------------
+
+_SEQ3_SQL = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS t
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       c.event_type AS type_c,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts a
+JOIN firsts b ON b.user_id = a.user_id
+             AND (a.t < b.t OR (a.t = b.t AND a.event_type < b.event_type))
+JOIN firsts c ON c.user_id = a.user_id
+             AND (b.t < c.t OR (b.t = c.t AND b.event_type < c.event_type))
+WHERE a.event_type <> b.event_type AND b.event_type <> c.event_type
+  AND a.event_type <> c.event_type
+GROUP BY 1, 2, 3
+"""
+
+
+@query("seq_pattern_support_l3", _SEQ3_SQL)
+def seq_pattern_support_l3(spark, sf_dir):
+    """Sequential-pattern L3 support: ordered triples <a -> b -> c> of
+    FIRST occurrences per user (PrefixSpan's next level after
+    seq_pattern_support). First-occurrence collapse keeps the per-user
+    join |types|³, never |events|³; simultaneous firsts break ties by
+    type order so the chain is a strict total order."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t"))
+    a = firsts.select("user_id", F.col("event_type").alias("type_a"),
+                      F.col("t").alias("ta"))
+    b = firsts.select("user_id", F.col("event_type").alias("type_b"),
+                      F.col("t").alias("tb"))
+    c = firsts.select("user_id", F.col("event_type").alias("type_c"),
+                      F.col("t").alias("tc"))
+    lt = lambda t1, t2, y1, y2: ((F.col(t1) < F.col(t2))  # noqa: E731
+                                 | ((F.col(t1) == F.col(t2))
+                                    & (F.col(y1) < F.col(y2))))
+    return (a.join(b, "user_id").filter(lt("ta", "tb", "type_a", "type_b"))
+            .join(c, "user_id").filter(lt("tb", "tc", "type_b", "type_c"))
+            .filter((F.col("type_a") != F.col("type_b"))
+                    & (F.col("type_b") != F.col("type_c"))
+                    & (F.col("type_a") != F.col("type_c")))
+            .groupBy("type_a", "type_b", "type_c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
