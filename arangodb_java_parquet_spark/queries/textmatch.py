@@ -885,3 +885,86 @@ def calibration_report(spark, sf_dir):
             .withColumn("abs_gap",
                         F.round(F.abs(F.col("mean_pred")
                                       - F.col("emp_rate")), 9)))
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence PMI (collocation mining over the top vocabulary)
+# ---------------------------------------------------------------------------
+
+_PMI_TOPK = 60
+_PMI_MIN_CO = 5
+
+_TOK_PMI_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS df,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= {_PMI_TOPK}
+),
+inc AS (
+  SELECT t.doc_id, t.tok FROM toks t JOIN top ON top.tok = t.tok
+),
+n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS d FROM inc GROUP BY tok),
+co AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM inc a JOIN inc b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT co.tok_a, co.tok_b,
+       CAST(co.c AS BIGINT) AS n_docs_both,
+       ROUND(ln((co.c / n.n) / ((da.d / n.n) * (db.d / n.n))), 9) AS pmi
+FROM co
+JOIN df da ON da.tok = co.tok_a
+JOIN df db ON db.tok = co.tok_b
+CROSS JOIN n_docs n
+WHERE co.c >= {_PMI_MIN_CO}
+"""
+
+
+@query("token_pmi_collocations", _TOK_PMI_SQL)
+def token_pmi_collocations(spark, sf_dir):
+    """Token-token PMI collocations at document granularity over the
+    top-K vocabulary — the corpus-linguistics signal behind phrase
+    mining and compound detection (complementing text_chi2_keyness's
+    token-vs-source association and event_pmi_pairs' event semantics).
+    The incidence self-join is bounded to the top-K token set (≤ K rows
+    per doc, never the raw vocabulary), df/n tables broadcast, PMI in
+    round-9 ln arithmetic; a min-co-occurrence floor keeps the sparse
+    tail out."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .distinct())
+    top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+           .withColumn("rn", F.row_number().over(
+               W.orderBy(F.desc("df"), F.asc("tok"))))
+           .filter(F.col("rn") <= _PMI_TOPK)
+           .select("tok"))
+    inc = toks.join(F.broadcast(top), "tok")
+    n_docs = toks.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    df = inc.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    a = inc.select("doc_id", F.col("tok").alias("tok_a"))
+    b = inc.select("doc_id", F.col("tok").alias("tok_b"))
+    co = (a.join(b, "doc_id")
+          .filter(F.col("tok_a") < F.col("tok_b"))
+          .groupBy("tok_a", "tok_b")
+          .agg(F.count(F.lit(1)).cast("double").alias("c"))
+          .filter(F.col("c") >= _PMI_MIN_CO))
+    return (co
+            .join(F.broadcast(df.select(F.col("tok").alias("tok_a"),
+                                        F.col("d").alias("da"))), "tok_a")
+            .join(F.broadcast(df.select(F.col("tok").alias("tok_b"),
+                                        F.col("d").alias("db"))), "tok_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select("tok_a", "tok_b",
+                    F.col("c").cast("bigint").alias("n_docs_both"),
+                    F.round(F.log((F.col("c") / F.col("n"))
+                                  / ((F.col("da") / F.col("n"))
+                                     * (F.col("db") / F.col("n")))), 9)
+                    .alias("pmi")))
