@@ -1198,3 +1198,55 @@ def seq_pattern_support_l3(spark, sf_dir):
                     & (F.col("type_a") != F.col("type_c")))
             .groupBy("type_a", "type_b", "type_c")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+# ---------------------------------------------------------------------------
+# consecutive-order priority transitions (order-level Markov)
+# ---------------------------------------------------------------------------
+
+_OPM_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority,
+         lead(o_orderpriority) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+           AS next_priority
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority AS from_priority, next_priority AS to_priority,
+         COUNT(*) AS n
+  FROM seq WHERE next_priority IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_priority, SUM(n) AS t FROM c GROUP BY from_priority
+)
+SELECT c.from_priority, c.to_priority, CAST(c.n AS BIGINT) AS n_transitions,
+       ROUND(CAST(c.n AS DOUBLE) / tot.t, 9) AS p
+FROM c JOIN tot ON tot.from_priority = c.from_priority
+"""
+
+
+@query("order_priority_markov", _OPM_SQL)
+def order_priority_markov(spark, sf_dir):
+    """Order-level Markov chain: transition matrix of CONSECUTIVE order
+    priorities per customer ((date, orderkey)-ordered lead) — the
+    business-process counterpart of markov_event_transitions (does an
+    urgent order beget urgent reorders?). One per-customer window +
+    two combinable rollups; probabilities are exact-count ratios
+    round-9."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderpriority",
+        F.lead("o_orderpriority").over(w).alias("next_priority"))
+    c = (seq.filter(F.col("next_priority").isNotNull())
+         .groupBy(F.col("o_orderpriority").alias("from_priority"),
+                  F.col("next_priority").alias("to_priority"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("from_priority").agg(F.sum("n").alias("t"))
+    return (c.join(tot, "from_priority")
+            .select("from_priority", "to_priority",
+                    F.col("n").cast("bigint").alias("n_transitions"),
+                    F.round(F.col("n").cast("double") / F.col("t"), 9)
+                    .alias("p")))
