@@ -686,7 +686,8 @@ def multimodal_image_dedup(spark, sf_dir):
 @query("stream_error_monitor", """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS error_rate
 FROM events

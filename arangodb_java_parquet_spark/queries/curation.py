@@ -306,9 +306,9 @@ WITH sized AS (
 ),
 packed AS (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM sized
 )
 SELECT doc_id, lang AS shard, n_tokens, start_offset,
@@ -560,7 +560,8 @@ def text_chunk_windows(spark, sf_dir):
 
 _MIX_SQL = """
 WITH per_src AS (
-  SELECT source, SUM(len(string_split(text, ' '))) AS src_tokens
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS src_tokens
   FROM documents GROUP BY source
 ),
 tot AS (SELECT SUM(src_tokens) AS total, COUNT(*) AS n_sources FROM per_src)

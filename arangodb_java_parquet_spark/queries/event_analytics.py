@@ -401,8 +401,8 @@ WITH base AS (
   GROUP BY 1, 2
 )
 SELECT b.dow, b.hour, b.n_events, b.baseline,
-       SUM(CASE WHEN e.value > 3.0 * b.baseline THEN 1 ELSE 0 END)
-         AS n_anomalies
+       CAST(SUM(CASE WHEN e.value > 3.0 * b.baseline THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
 FROM base b
 JOIN events e
   ON e.event_type = 'purchase'
@@ -518,7 +518,8 @@ def revenue_max_drawdown(spark, sf_dir):
 @query("error_rate_sla_hourly", """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS error_rate,
        CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -554,8 +555,8 @@ WITH lifetime AS (
 ),
 n AS (SELECT COUNT(*) AS n_users FROM lifetime)
 SELECT t.day AS day_t,
-       SUM(CASE WHEN lifetime_days >= t.day THEN 1 ELSE 0 END)
-         AS n_surviving,
+       CAST(SUM(CASE WHEN lifetime_days >= t.day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_surviving,
        ROUND(SUM(CASE WHEN lifetime_days >= t.day THEN 1 ELSE 0 END)
              / CAST(n.n_users AS DOUBLE), 9) AS survival_frac
 FROM lifetime
@@ -687,8 +688,8 @@ per_session AS (
 )
 SELECT day,
        COUNT(*) AS n_sessions,
-       SUM(CASE WHEN had_click = 1 AND had_purchase = 0
-                THEN 1 ELSE 0 END) AS n_abandoned,
+       CAST(SUM(CASE WHEN had_click = 1 AND had_purchase = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
        ROUND(SUM(CASE WHEN had_click = 1 AND had_purchase = 0
                       THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS abandonment_rate
@@ -733,8 +734,8 @@ ranked AS (
          COUNT(*) OVER () AS n_users
   FROM per_user
 )
-SELECT SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
-                THEN 1 ELSE 0 END) AS n_power_users,
+SELECT CAST(SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_power_users,
        CAST(SUM(CASE WHEN rnk <= CAST(CEIL(n_users * 0.1) AS BIGINT)
                      THEN n_events ELSE 0 END) AS BIGINT)
          AS power_events,

@@ -312,7 +312,7 @@ flags AS (
   FROM hits GROUP BY 1, 2
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS n_flagged
+       CAST(SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
 FROM flags GROUP BY source
 """)
 def dedup_bloom_prefilter(spark, sf_dir):
@@ -822,7 +822,7 @@ ranked AS (
   FROM fps
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_duplicates,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
        ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
 FROM ranked GROUP BY source

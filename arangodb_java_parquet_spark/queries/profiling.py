@@ -393,8 +393,8 @@ WITH q AS (
 SELECT o_orderpriority, COUNT(*) AS n,
        CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
                      AS DECIMAL(30,8))) AS DOUBLE) AS sum_clipped,
-       SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
-                THEN 1 ELSE 0 END) AS n_clipped
+       CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
 FROM orders CROSS JOIN q
 GROUP BY 1
 """)
@@ -547,8 +547,8 @@ WITH q AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT q.o_orderpriority, q.n, q.q1, q.med, q.q3,
-       SUM(CASE WHEN o.o_totalprice > q.fence THEN 1 ELSE 0 END)
-         AS n_high_outliers
+       CAST(SUM(CASE WHEN o.o_totalprice > q.fence THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high_outliers
 FROM q JOIN orders o USING (o_orderpriority)
 GROUP BY 1, 2, 3, 4, 5
 """)

@@ -578,7 +578,8 @@ gcount AS (
 )
 SELECT g.doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
        ROUND(SUM(CASE WHEN c.n_docs = 1 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS novelty_rate
 FROM grams g JOIN gcount c USING (gram)
@@ -716,7 +717,7 @@ WITH tf AS (
 )
 SELECT doc_id,
        CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
        ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
              / CAST(SUM(tf) AS DOUBLE), 9) AS hapax_ratio
 FROM tf
@@ -757,7 +758,8 @@ pred AS (
   FROM scored
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree,
+       CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
        ROUND(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 9) AS purity
 FROM pred GROUP BY source

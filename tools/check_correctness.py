@@ -32,6 +32,10 @@ def norm_cell(v):
         return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    # Type-sensitive on purpose: the driver's value hash distinguishes
+    # int64 from int128/decimal. DuckDB results are fetched via Arrow
+    # (below) so a HUGEINT column surfaces as Decimal and repr-differs
+    # from Spark's int — local green then predicts driver green.
     return repr(v)
 
 
@@ -78,7 +82,14 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = rel.columns
-            duck_rows = rel.fetchall()
+            # Arrow fetch (not fetchall): preserves engine-level types so
+            # e.g. an uncast integer SUM (DuckDB HUGEINT) materializes as
+            # Decimal, failing locally the way the driver's hash fails.
+            atbl = rel.arrow()
+            acols = [atbl.column(i).to_pylist() for i in range(atbl.num_columns)]
+            duck_rows = list(zip(*acols)) if acols else []
+            if atbl.num_columns and not duck_rows:
+                duck_rows = []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
