@@ -23,7 +23,15 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-to-right double dot product of two array<float> columns."""
+    """Left-to-right double dot product of two array<float> columns.
+
+    Deliberately the HOF (zip_with + aggregate) form, NOT a flat
+    per-index codegen sum: a 64-dim flat expression generates a method
+    past the JVM's JIT-compilable size, and the resulting
+    interpreted-bytecode evaluation measured ~2.5x SLOWER than this
+    tight interpreted HOF loop (A/B over 90k pairs at sf0.1:
+    flat 3.4 s vs HOF 1.2 s). The scale rule that matters is evaluating
+    ONE dot per pair — see topk_cosine_bruteforce."""
     prods = F.zip_with(a, b, lambda x, y:
                        x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
@@ -38,20 +46,41 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def topk_cosine_bruteforce(queries: DataFrame, corpus: DataFrame, *,
-                           id_col: str, vec_col: str, k: int) -> DataFrame:
+                           id_col: str, vec_col: str, k: int,
+                           corpus_partitions: int | None = None) -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus.
 
     Output: (qid, vid, cos_sim) with cos_sim rounded to 9 decimals and
     deterministic (rounded value, vid) ranking.
-    """
-    q = queries.select(F.col(id_col).alias("qid"),
-                       F.col(vec_col).alias("qvec"))
+
+    Norms are computed ONCE PER SIDE below the pair join (a projection
+    under a join is never collapsed into the pair projection), so the
+    O(|Q|x|C|) projection evaluates a single dot product — not the
+    3-HOF cosine re-expanded per pair (the round-4 scale-killer:
+    19.8 s for 300x300 pairs). cos = dot/(norm_q*norm_c) is the same
+    expression tree, so values are bit-identical either way.
+
+    ``corpus_partitions``: pair scoring parallelism follows the CORPUS
+    side's partitioning (the query side is broadcast). A corpus read
+    from a single small file runs the whole O(|Q|x|C|) projection in
+    ONE task; setting this repartitions the corpus first (a shuffle of
+    just (id, vec)). Leave None at scale — a real corpus already has
+    many partitions and an extra full-corpus shuffle is the bigger cost
+    (and at harness scale the exchange overhead measured larger than the
+    single-task saving)."""
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("qnrm", norm(F.col("qvec"))))
     c = corpus.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).alias("cvec"))
+    if corpus_partitions:
+        c = c.repartition(corpus_partitions)
+    c = c.withColumn("cnrm", norm(F.col("cvec")))
     pairs = (c.crossJoin(F.broadcast(q))
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
-                     F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+                     F.round(dot(F.col("qvec"), F.col("cvec"))
+                             / (F.col("qnrm") * F.col("cnrm")), 9)
                      .alias("cos_sim")))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(w))
@@ -166,18 +195,21 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
         return F.slice(F.transform(F.array_sort(idx), lambda s: s["i"]),
                        1, n)
 
-    q = queries.select(F.col(id_col).alias("qid"),
-                       F.col(vec_col).alias("qvec"),
-                       F.explode(nearest_cells(F.col(vec_col), n_probe))
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"),
+                        F.explode(nearest_cells(F.col(vec_col), n_probe))
+                        .alias("cell"))
+         .withColumn("qnrm", norm(F.col("qvec"))))
+    c = (corpus.select(F.col(id_col).alias("vid"),
+                       F.col(vec_col).alias("cvec"),
+                       nearest_cells(F.col(vec_col), 1).getItem(0)
                        .alias("cell"))
-    c = corpus.select(F.col(id_col).alias("vid"),
-                      F.col(vec_col).alias("cvec"),
-                      nearest_cells(F.col(vec_col), 1).getItem(0)
-                      .alias("cell"))
+         .withColumn("cnrm", norm(F.col("cvec"))))
     pairs = (c.join(F.broadcast(q), "cell")
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
-                     F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+                     F.round(dot(F.col("qvec"), F.col("cvec"))
+                             / (F.col("qnrm") * F.col("cnrm")), 9)
                      .alias("cos_sim")))
     # a (qid, vid) pair can appear once per probed cell — dedup before rank
     return (pairs.groupBy("qid", "vid")
@@ -190,20 +222,28 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
 
 def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
                     id_col: str, vec_col: str, k: int,
-                    n_bits: int = 4) -> DataFrame:
+                    n_bits: int = 4,
+                    corpus_partitions: int | None = None) -> DataFrame:
     """Approximate top-k: equi-join on the SRP bucket, then exact cosine
     within the bucket. Replaces the O(|Q|·|C|) cross product with
-    O(|Q|·|C| / 2^n_bits) expected comparisons and a shuffle on bucket id."""
-    q = queries.select(F.col(id_col).alias("qid"),
-                       F.col(vec_col).alias("qvec"),
-                       srp_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    O(|Q|·|C| / 2^n_bits) expected comparisons and a shuffle on bucket id.
+    Norms per side below the join, single dot per pair, optional corpus
+    repartition for single-file corpora (see topk_cosine_bruteforce)."""
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"),
+                        srp_bucket(F.col(vec_col), n_bits).alias("bucket"))
+         .withColumn("qnrm", norm(F.col("qvec"))))
     c = corpus.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).alias("cvec"),
                       srp_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    if corpus_partitions:
+        c = c.repartition(corpus_partitions)
+    c = c.withColumn("cnrm", norm(F.col("cvec")))
     pairs = (c.join(F.broadcast(q), "bucket")
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
-                     F.round(cosine(F.col("qvec"), F.col("cvec")), 9)
+                     F.round(dot(F.col("qvec"), F.col("cvec"))
+                             / (F.col("qnrm") * F.col("cnrm")), 9)
                      .alias("cos_sim")))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(w))

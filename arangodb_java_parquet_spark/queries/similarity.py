@@ -22,7 +22,6 @@ from arangodb_java_parquet_spark.queries.common import query, t
 _DOT = ("list_sum(list_transform(range(1, len({a})+1),"
         " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
 
-
 def _sql_cos(a: str, b: str) -> str:
     d = _DOT.format(a=a, b=b)
     na = f"sqrt({_DOT.format(a=a, b=a)})"
@@ -105,13 +104,17 @@ def emb_near_dup_pairs(spark, sf_dir):
     replaces the all-pairs cross product; exact cosine filters within the
     bucket — the embedding leg of the dedup funnel at corpus scale."""
     e = t(spark, sf_dir, "embeddings")
-    from arangodb_java_parquet_spark.operators.similarity import cosine
-    b = e.select("vec_id", "embedding",
-                 srp_bucket(F.col("embedding"), 4).alias("bucket"))
+    # norms below the self-join (see topk_cosine_bruteforce): the in-bucket
+    # pair projection is ONE dot, not the 3-HOF cosine re-expanded per pair
+    b = (e.select("vec_id", "embedding",
+                  srp_bucket(F.col("embedding"), 4).alias("bucket"))
+         .withColumn("nrm", norm(F.col("embedding"))))
     a = b.alias("a")
     c = (b.withColumnRenamed("vec_id", "vec_id_b")
-         .withColumnRenamed("embedding", "embedding_b").alias("c"))
-    cos = F.round(cosine(F.col("a.embedding"), F.col("c.embedding_b")), 9)
+         .withColumnRenamed("embedding", "embedding_b")
+         .withColumnRenamed("nrm", "nrm_b").alias("c"))
+    cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
+                  / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                    & (F.col("a.vec_id") < F.col("c.vec_id_b")))
             .select(F.col("a.vec_id").alias("vec_a"),
@@ -250,11 +253,15 @@ def sim_topk_ivf_rulebased(spark, sf_dir):
                       F.explode(
                           F.slice(F.transform(F.array_sort(scored),
                                               lambda s: s["cid"]), 1, 2))
-                      .alias("cell")))
-    pairs = (cells.join(F.broadcast(probes), "cell")
+                      .alias("cell"))
+              .withColumn("qnrm", norm(F.col("qvec"))))
+    # corpus-side norm below the probe join: one dot per (probe, member)
+    pairs = (cells.withColumn("cnrm", norm(F.col("embedding")))
+             .join(F.broadcast(probes), "cell")
              .filter(F.col("qid") != F.col("vec_id"))
              .select("qid", F.col("vec_id").alias("vid"),
-                     F.round(cosine(F.col("qvec"), F.col("embedding")), 9)
+                     F.round(dot(F.col("qvec"), F.col("embedding"))
+                             / (F.col("qnrm") * F.col("cnrm")), 9)
                      .alias("cos_sim")))
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(wr))
@@ -500,15 +507,17 @@ def decontaminate_semantic(spark, sf_dir):
     the corpus is scanned once with a per-vector max — no corpus shuffle,
     no top-k structure needed because only the maximum matters. Round-9
     cosines keep the max and the flag engine-stable."""
-    from arangodb_java_parquet_spark.operators.similarity import cosine
     e = t(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
-                 F.col("embedding").alias("qvec")))
-    corpus = e.filter(F.col("vec_id") >= 5)
+                 F.col("embedding").alias("qvec"))
+         .withColumn("qnrm", norm(F.col("qvec"))))
+    corpus = (e.filter(F.col("vec_id") >= 5)
+              .withColumn("cnrm", norm(F.col("embedding"))))
     pairs = (corpus.crossJoin(F.broadcast(q))
              .select("vec_id",
-                     F.round(cosine(F.col("qvec"), F.col("embedding")), 9)
+                     F.round(dot(F.col("qvec"), F.col("embedding"))
+                             / (F.col("qnrm") * F.col("cnrm")), 9)
                      .alias("cos_sim")))
     return (pairs.groupBy("vec_id")
             .agg(F.max("cos_sim").alias("max_cos"),
@@ -708,17 +717,19 @@ def emb_cosine_calibration(spark, sf_dir):
     same-item pairs from same-bucket noise) BEFORE running any deletion.
     The pair universe is LSH-bounded; the decile floor is an integer map
     on the round-9 cosine, so buckets are engine-exact."""
-    from arangodb_java_parquet_spark.operators.similarity import (
-        cosine, srp_bucket)
     e = t(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", "embedding",
-                 srp_bucket(F.col("embedding"), 4).alias("bucket"))
+    # norms below the self-join: one dot per in-bucket pair
+    b = (e.select("vec_id", "embedding",
+                  srp_bucket(F.col("embedding"), 4).alias("bucket"))
+         .withColumn("nrm", norm(F.col("embedding"))))
     a2 = b.select(F.col("vec_id").alias("vid_b"),
                   F.col("embedding").alias("emb_b"),
-                  F.col("bucket").alias("bucket_b"))
+                  F.col("bucket").alias("bucket_b"),
+                  F.col("nrm").alias("nrm_b"))
     pairs = (b.join(a2, (F.col("bucket") == F.col("bucket_b"))
                     & (F.col("vec_id") < F.col("vid_b")))
-             .select(F.round(cosine(F.col("embedding"), F.col("emb_b")), 9)
+             .select(F.round(dot(F.col("embedding"), F.col("emb_b"))
+                             / (F.col("nrm") * F.col("nrm_b")), 9)
                      .alias("cos_sim")))
     return (pairs.groupBy(F.floor(F.col("cos_sim") * 10).cast("int")
                           .alias("cos_decile"))
@@ -765,14 +776,23 @@ def emb_mutual_knn_graph(spark, sf_dir):
     u = e.filter(F.col("vec_id") < _MKNN_N)
     knn = topk_cosine_bruteforce(u, u, id_col="vec_id",
                                  vec_col="embedding", k=_MKNN_K)
-    rev = knn.select(F.col("qid").alias("vid"), F.col("vid").alias("qid"),
-                     F.col("rn").alias("rank_ba"))
-    return (knn.join(rev, ["qid", "vid"])
-            .filter(F.col("qid") < F.col("vid"))
-            .select(F.col("qid").alias("vec_a"),
-                    F.col("vid").alias("vec_b"),
-                    "cos_sim",
-                    F.col("rn").alias("rank_ab"), "rank_ba"))
+    # mutuality WITHOUT a self-join: group by the unordered pair key —
+    # an edge is mutual iff both directions appear (count = 2). One
+    # shuffle over the n*k knn table and the pair-scoring lineage is
+    # evaluated ONCE (the reversed-pair self-join evaluated it per side;
+    # no ReusedExchange through the round-robin repartition). cos_sim is
+    # direction-symmetric bit-exactly (per-element products and the
+    # norm product both commute in IEEE), so max() just picks the value.
+    return (knn.groupBy(F.least("qid", "vid").alias("vec_a"),
+                        F.greatest("qid", "vid").alias("vec_b"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.max("cos_sim").alias("cos_sim"),
+                 F.max(F.when(F.col("qid") < F.col("vid"), F.col("rn")))
+                 .alias("rank_ab"),
+                 F.max(F.when(F.col("qid") > F.col("vid"), F.col("rn")))
+                 .alias("rank_ba"))
+            .filter(F.col("__n") == 2)
+            .select("vec_a", "vec_b", "cos_sim", "rank_ab", "rank_ba"))
 
 
 # ---------------------------------------------------------------------------
