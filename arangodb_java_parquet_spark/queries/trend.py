@@ -631,10 +631,17 @@ def graph_label_propagation(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    # the edge table feeds the seed labels AND every round's vote join;
+    # lambda-HOF minhash subtrees don't canonicalize (no ReusedExchange),
+    # so without a checkpoint the whole shingle->minhash->LSH lineage is
+    # re-derived per use (r4 plan audit: 31 exchanges, 0 reused).
+    # localCheckpoint caps the plan at the materialized edge list —
+    # the same pattern as bpe_pair_merge_fit / curation.py CC.
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(_LPA_ROUNDS):
