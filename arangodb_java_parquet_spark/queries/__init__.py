@@ -51,35 +51,40 @@ from arangodb_java_parquet_spark.queries import curation2  # noqa: F401,E402
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
 DRIVER_PANEL = [
-    # relational / TPC-H spine
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q9_product_profit", "q18_large_orders",
-    "q21_waiting_supplier", "filter_project_pushdown", "topk_orders",
-    "agg_rollup", "agg_grouping_sets", "agg_moment_stats",
-    "agg_exact_percentiles", "join_semi", "join_full_outer",
-    "scalar_string_funcs", "scalar_json_funcs", "array_functions",
-    # round-4 flagships: value-checked portable sketch + honest image
-    # decode (join_null_safe / set_ops_all_variants rotated out — both
-    # remain locally harness-checked every round)
+    # relational / TPC-H spine (q5/q9/q21, rollup/grouping-sets,
+    # semi/full-outer joins, scalar suites, topk and pushdown probes
+    # rotated out this round after driver-green records r1-r4 — all stay
+    # locally harness-checked every round)
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q6_forecast_revenue", "q18_large_orders",
+    "agg_moment_stats", "agg_exact_percentiles",
     "agg_hll_portable_estimate", "multimodal_image_decode",
-    # dedup family (exact, MinHash+LSH, SimHash, n-gram, bloom, fuzzy,
-    # connected components, end-to-end funnel)
+    # dedup family (exact, MinHash+LSH, SimHash, n-gram containment,
+    # bloom, connected components, end-to-end funnel)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_signatures",
-    "dedup_ngram_jaccard", "dedup_containment", "dedup_bloom_prefilter",
-    "dedup_fuzzy_levenshtein", "dedup_cluster_components",
-    "dedup_funnel_survivors", "semdedup_prune",
-    # similarity / ANN
+    "dedup_containment", "dedup_bloom_prefilter",
+    "dedup_cluster_components", "dedup_funnel_survivors", "semdedup_prune",
+    # similarity / ANN (+ the round-5 optimized mutual-kNN graph)
     "sim_topk_bruteforce", "sim_topk_lsh_bucketed", "sim_topk_pq_adc",
-    "sim_recall_at_k",
+    "sim_recall_at_k", "emb_mutual_knn_graph",
     # curation / quality / decontamination
     "decontaminate_benchmark_overlap", "decontaminate_semantic",
     "per_source_cap", "quality_filter_rules", "quality_unigram_logprob",
     "pii_redaction", "pack_token_sequences", "train_test_split_hash",
     # IR / text
-    "ir_bm25_score", "text_fingerprint",
-    # streaming, lifecycle, temporal joins, embeddings, windows
-    "stream_error_monitor", "scd2_merge_customers", "join_range_binned",
+    "ir_bm25_score", "token_pmi_collocations",
+    # streaming (batch-equivalence drives with full value oracles)
+    "stream_error_monitor", "stream_cms_maintenance",
+    "stream_session_windows",
+    # lifecycle, temporal joins, embeddings, windows
+    "scd2_merge_customers", "snapshot_cdc_diff", "join_range_binned",
     "join_asof_backward", "emb_gram_matrix", "window_session_native",
+    "window_rolling_median", "intervals_merge_islands",
+    # round-5 first-time flagships: relational ML, graph, trend, sampling,
+    # profiling — none of these 10+ entries has ever had a driver row
+    "kmeans_fixed_rounds", "logistic_irls_fit", "als_factorization",
+    "sample_weighted_topk", "graph_label_propagation",
+    "theil_sen_trend", "cusum_change_point", "histogram_equidepth",
 ]
 
 
