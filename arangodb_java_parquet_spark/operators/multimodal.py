@@ -2,14 +2,17 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The IMAGE leg has an honest pure-stdlib pixel decoder (``decode_image``:
-24-bit BMP + binary P6 PPM, exact channel statistics — value-checked
-end-to-end by the ``multimodal_image_decode`` query and
-tests/test_multimodal.py). Formats that genuinely need an imaging library
-(JPEG/PNG/WebP) and the audio/video legs remain STUBBED
-(``decode_image_stub`` / ``decode_audio_stub``: deterministic md5-derived
-pseudo-metadata — this container ships no imaging/audio libs); everything
-Spark-side is real and tested either way: schema contracts, binary handling
-through Arrow batches, partition-parallel UDF plumbing.
+24-bit BMP + binary P6 PPM, exact channel statistics) and the AUDIO leg an
+honest pure-stdlib waveform decoder (``decode_wav``: RIFF/WAVE 16-bit PCM,
+exact amplitude statistics) — both value-checked end-to-end by the
+``multimodal_image_decode`` / ``multimodal_audio_features`` queries and
+tests/test_multimodal.py. Formats that genuinely need a media library
+(JPEG/PNG/WebP, FLAC/Opus/MP3) and the video leg remain STUBBED
+(``decode_image_stub`` / ``decode_audio_stub`` / ``frame_sample_stub``:
+deterministic md5-derived pseudo-metadata — this container ships no
+imaging/audio libs); everything Spark-side is real and tested either way:
+schema contracts, binary handling through Arrow batches, partition-parallel
+UDF plumbing.
 
 Scale: mapInPandas streams Arrow batches — executor memory is O(batch), not
 O(partition); binary payloads never pass through the driver; feature
@@ -262,6 +265,126 @@ def decode_image(payload: bytes) -> dict | None:
                 "sum_r": sum(data[0::3]), "sum_g": sum(data[1::3]),
                 "sum_b": sum(data[2::3]), "n_px": w * h}
     return None
+
+
+# ---------------------------------------------------------------------------
+# honest audio leg: pure-stdlib RIFF/WAVE PCM codec (no audio libs needed)
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: list, n_channels: int = 1) -> bytes:
+    """Build a real RIFF/WAVE file with 16-bit little-endian PCM samples
+    (interleaved when n_channels > 1). Fixture generator for the decode
+    round-trip tests/queries — the same role encode_bmp/encode_ppm play
+    for the image leg."""
+    import struct as _s
+    data = b"".join(_s.pack("<h", int(s)) for s in samples)
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = _s.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                  block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data)
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL audio decoder, pure stdlib: RIFF/WAVE container with 16-bit
+    PCM (format tag 1). Walks the chunk list (tolerating extra chunks
+    like LIST/INFO and the spec's odd-size padding byte), reads ``fmt ``
+    then ``data``, and returns exact integer sample statistics —
+    sum of absolute amplitudes, peak amplitude, sum of squares, sample
+    count — leaving mean/RMS derivation to the caller (same determinism
+    split as decode_image). None for payloads that are not 16-bit PCM
+    WAV; callers decide whether to fall back to
+    :func:`decode_audio_stub` for synthetic corpora.
+
+    This replaces the md5 stub as the honest audio leg: given real WAV
+    bytes it reports real waveform statistics. Compressed codecs
+    (FLAC/Opus/MP3) still need an audio library — that boundary is
+    explicit here rather than hidden behind a fake.
+    """
+    import struct as _s
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    if len(payload) < 12:
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        try:
+            size, = _s.unpack_from("<I", payload, i + 4)
+        except _s.error:
+            return None
+        chunk = payload[i + 8:i + 8 + size]
+        if len(chunk) < size:
+            return None
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, n_channels, sample_rate, _br, _ba, bits = \
+        _s.unpack_from("<HHIIHH", fmt, 0)
+    if audio_format != 1 or bits != 16 or n_channels < 1 or sample_rate < 1:
+        return None
+    n_vals = len(data) // 2
+    frames = n_vals // n_channels
+    sum_abs = peak = sum_sq = 0
+    for (v,) in _s.iter_unpack("<h", data[:n_vals * 2]):
+        a = -v if v < 0 else v
+        sum_abs += a
+        sum_sq += v * v
+        if a > peak:
+            peak = a
+    return {"codec": "pcm_s16le", "sample_rate": sample_rate,
+            "n_channels": n_channels, "n_frames": frames,
+            "duration_ms": frames * 1000 // sample_rate,
+            "sum_abs": sum_abs, "peak": peak, "sum_sq": sum_sq,
+            "n_samples": n_vals}
+
+
+AUDIO_DECODE_SCHEMA = ("doc_id long, codec string, sample_rate int, "
+                       "n_frames long, duration_ms long, mean_abs double, "
+                       "peak int, rms double")
+
+
+def decode_audio_stats(df: DataFrame, *, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Real-decoder audio leg: binary column in, (codec, rate, duration,
+    amplitude stats) out, via Arrow-batched mapInPandas. mean_abs and rms
+    come from exact integer sums divided/rooted as doubles — both
+    engines' nearest-double of the same rational, so the whole decode
+    round-trip is value-checkable. Unsupported payloads are dropped."""
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(df.sparkSession)
+
+    import math
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "codec", "sample_rate",
+                                    "n_frames", "duration_ms", "mean_abs",
+                                    "peak", "rms")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = decode_wav(bytes(p))
+                if m is None:
+                    continue
+                rows["doc_id"].append(i)
+                rows["codec"].append(m["codec"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["mean_abs"].append(m["sum_abs"] / m["n_samples"])
+                rows["peak"].append(m["peak"])
+                rows["rms"].append(math.sqrt(m["sum_sq"] / m["n_samples"]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode_batches, schema=AUDIO_DECODE_SCHEMA)
 
 
 IMAGE_DECODE_SCHEMA = ("doc_id long, format string, width int, height int, "

@@ -481,31 +481,91 @@ _B3 = _BYTE.format(p1=7, p2=8)
 _B4 = _BYTE.format(p1=9, p2=10)
 _B5 = _BYTE.format(p1=11, p2=12)
 
+# real-decoder round trip: fixture WAVs are generated from doc_id by a
+# fixed integer sample formula, so the EXPECTED stats of the real decode
+# are closed-form SQL — the oracle checks actual RIFF/PCM byte parsing
+# (same design as multimodal_image_decode).
+_WAV_RATE = "8000 + (doc_id % 3) * 4000"
+_WAV_N = "50 + doc_id % 37"
+
 _MM_AUDIO_ORACLE = f"""
-WITH hashed AS (SELECT doc_id, text, md5(text) AS h FROM documents)
-SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       CASE ({_B3}) % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
-            ELSE 'mp3' END AS codec,
-       CAST(CASE ({_B4}) % 3 WHEN 0 THEN 16000 WHEN 1 THEN 24000
-            ELSE 44100 END AS INT) AS sample_rate,
-       octet_length(encode(text)) AS duration_ms,
-       CAST(({_B5}) % 128 AS INT) AS loudness
-FROM hashed
+WITH params AS (
+  SELECT doc_id, CAST({_WAV_RATE} AS INT) AS sample_rate,
+         CAST({_WAV_N} AS BIGINT) AS n
+  FROM documents WHERE doc_id < 200
+),
+idx AS (
+  SELECT doc_id, sample_rate, n, UNNEST(range(0, n)) AS i FROM params
+),
+samp AS (
+  SELECT doc_id, sample_rate, n,
+         ((doc_id * 31 + i * 17) % 4001) - 2000 AS s
+  FROM idx
+)
+SELECT doc_id, 'pcm_s16le' AS codec, sample_rate,
+       n AS n_frames,
+       CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       SUM(ABS(s)) / CAST(COUNT(*) AS DOUBLE) AS mean_abs,
+       CAST(MAX(ABS(s)) AS INT) AS peak,
+       sqrt(SUM(s * s) / CAST(COUNT(*) AS DOUBLE)) AS rms
+FROM samp GROUP BY doc_id, sample_rate, n
 """
 
 
 @query("multimodal_audio_features", _MM_AUDIO_ORACLE)
 def multimodal_audio_features(spark, sf_dir):
-    """Audio leg of the multimodal pipeline (image and frame-sample legs
-    are separate entries): binary payload -> decode(stub) -> typed audio
-    metadata via Arrow-batched mapInPandas. The md5-derived stub keeps
-    the python operator fully value-checked; the real contract under test
-    is the binary transfer, batch shape and schema."""
+    """HONEST audio decode, value-checked end-to-end (graduated from the
+    r4 md5 stub): real RIFF/WAVE 16-bit PCM byte streams are generated
+    per document from a fixed integer sample formula, then parsed back
+    by the pure-stdlib decoder (operators/multimodal.py:decode_wav —
+    chunk walk, fmt/data parsing, word-alignment padding and all) inside
+    one Arrow-batched mapInPandas stage. The DuckDB oracle computes the
+    same (rate, frames, duration, mean|amplitude|, peak, RMS)
+    arithmetically, so any parsing bug — wrong endianness, header
+    offset, sign handling — is a value mismatch, not a silent stub.
+    mean_abs/RMS are exact-int sums divided/rooted as doubles
+    (IEEE-identical cross-engine). Compressed codecs (FLAC/Opus/MP3)
+    remain an explicit library boundary. Scale: generation+decode is
+    per-row python inside Arrow batches; payloads never touch the
+    driver."""
+    import math
+
+    import pandas as pd
+
     from arangodb_java_parquet_spark.operators.multimodal import (
-        extract_audio_features)
-    d = t(spark, sf_dir, "documents")
-    return extract_audio_features(attach_binary_payload(d))
+        decode_wav, encode_wav)
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "codec", "sample_rate",
+                                    "n_frames", "duration_ms", "mean_abs",
+                                    "peak", "rms")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 3) * 4000
+                n = 50 + did % 37
+                samples = [((did * 31 + i * 17) % 4001) - 2000
+                           for i in range(n)]
+                m = decode_wav(encode_wav(rate, samples))
+                rows["doc_id"].append(did)
+                rows["codec"].append(m["codec"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["mean_abs"].append(m["sum_abs"] / m["n_samples"])
+                rows["peak"].append(m["peak"])
+                rows["rms"].append(math.sqrt(m["sum_sq"] / m["n_samples"]))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_and_decode,
+        schema="doc_id long, codec string, sample_rate int, n_frames long, "
+               "duration_ms long, mean_abs double, peak int, rms double")
 
 
 _ENRICH_SQL = """
@@ -730,28 +790,25 @@ def stream_error_monitor(spark, sf_dir):
 WITH feats AS ({_MM_AUDIO_ORACLE})
 SELECT codec, sample_rate,
        COUNT(*) AS n_clips,
-       CAST(SUM(CAST(duration_ms AS BIGINT)) AS BIGINT) AS total_ms,
-       CAST(MIN(loudness) AS INT) AS min_loudness,
-       CAST(MAX(loudness) AS INT) AS max_loudness
+       CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+       CAST(MIN(peak) AS INT) AS min_peak,
+       CAST(MAX(peak) AS INT) AS max_peak
 FROM feats
 GROUP BY 1, 2
 """)
 def multimodal_audio_codec_profile(spark, sf_dir):
     """Audio-corpus PROFILE over the decoded metadata: clip counts and
-    total duration per (codec, sample_rate) cell plus loudness ranges —
-    the ingest scorecard that decides transcode targets before training.
-    One combinable rollup over the Arrow decode leg (md5-stub, so even
-    this python-fed profile is fully value-checked)."""
-    from arangodb_java_parquet_spark.operators.multimodal import (
-        attach_binary_payload, extract_audio_features)
-    d = t(spark, sf_dir, "documents")
-    feats = extract_audio_features(attach_binary_payload(d))
+    total duration per (codec, sample_rate) cell plus peak-amplitude
+    ranges — the ingest scorecard that decides transcode targets before
+    training. One combinable rollup over the REAL WAV decode leg
+    (multimodal_audio_features), so even this python-fed profile is
+    fully value-checked against actual parsed bytes."""
+    feats = multimodal_audio_features(spark, sf_dir)
     return (feats.groupBy("codec", "sample_rate")
             .agg(F.count(F.lit(1)).alias("n_clips"),
-                 F.sum(F.col("duration_ms").cast("bigint"))
-                 .alias("total_ms"),
-                 F.min("loudness").alias("min_loudness"),
-                 F.max("loudness").alias("max_loudness")))
+                 F.sum("duration_ms").alias("total_ms"),
+                 F.min("peak").alias("min_peak"),
+                 F.max("peak").alias("max_peak")))
 
 
 @query("stream_sink_collection_roundtrip", """

@@ -157,3 +157,87 @@ def test_decode_image_never_crashes_on_fuzz():
                 assert 0 <= m[c] <= 255 * m["n_px"]
 
     check()
+
+
+def test_decode_wav_sample_exact(spark):
+    """The pure-stdlib WAV decoder must report exact sample statistics
+    for real RIFF/PCM16 byte streams (incl. stereo interleave, extra
+    chunks and odd-size chunk padding) and return None for non-WAV or
+    non-PCM16 payloads."""
+    import struct
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_audio_stats, decode_wav, encode_wav)
+
+    samples = [0, 1, -1, 32767, -32768, 100, -250, 7]
+    m = decode_wav(encode_wav(16000, samples))
+    assert (m["codec"], m["sample_rate"]) == ("pcm_s16le", 16000)
+    assert m["n_frames"] == len(samples) == m["n_samples"]
+    assert m["sum_abs"] == sum(abs(s) for s in samples)
+    assert m["peak"] == 32768
+    assert m["sum_sq"] == sum(s * s for s in samples)
+    assert m["duration_ms"] == len(samples) * 1000 // 16000
+
+    # stereo: frames = samples // channels, duration follows frames
+    st = decode_wav(encode_wav(8000, samples, n_channels=2))
+    assert st["n_channels"] == 2 and st["n_frames"] == 4
+    assert st["duration_ms"] == 4 * 1000 // 8000
+    assert st["sum_abs"] == m["sum_abs"]  # same sample values
+
+    # an extra odd-sized chunk BEFORE fmt/data must be skipped with its
+    # word-alignment padding byte
+    wav = encode_wav(22050, samples)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    chunked = wav[:12] + extra + wav[12:]
+    chunked = chunked[:4] + struct.pack(
+        "<I", len(chunked) - 8) + chunked[8:]
+    m2 = decode_wav(chunked)
+    assert m2 is not None and m2["sum_abs"] == m["sum_abs"]
+    assert m2["sample_rate"] == 22050
+
+    assert decode_wav(b"not audio") is None
+    assert decode_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    # 8-bit PCM rejected (explicit library boundary, not a wrong parse)
+    bad = bytearray(encode_wav(8000, samples))
+    struct.pack_into("<H", bad, 12 + 8 + 14, 8)
+    assert decode_wav(bytes(bad)) is None
+
+    # the DataFrame operator: drops undecodable rows, exact mean/rms
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(16000, samples))), (2, bytearray(b"x"))],
+        "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_audio_stats(df).collect()}
+    assert set(out) == {1}
+    assert out[1].mean_abs == sum(abs(s) for s in samples) / len(samples)
+    assert out[1].peak == 32768 and out[1].codec == "pcm_s16le"
+
+
+def test_decode_wav_never_crashes_on_fuzz():
+    """Property: decode_wav returns a well-formed dict or None for ANY
+    byte string — truncations, corrupt headers, and mutations of valid
+    WAVs included — never an exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    valid = encode_wav(16000, [((i * 37) % 4001) - 2000 for i in range(40)])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        st.binary(max_size=80).map(lambda b: b"RIFF" + b),
+        st.binary(max_size=80).map(lambda b: b"RIFF\xff\xff\xff\xffWAVE" + b),
+        st.integers(0, len(valid) - 1).flatmap(
+            lambda i: st.integers(0, 255).map(
+                lambda v: valid[:i] + bytes([v]) + valid[i + 1:])),
+        st.integers(1, len(valid)).map(lambda n: valid[:-n]),
+    ))
+    def check(payload):
+        m = decode_wav(payload)
+        if m is not None:
+            assert m["n_frames"] >= 0 and m["peak"] >= 0
+            assert m["sum_abs"] >= 0 and m["sum_sq"] >= 0
+
+    check()
