@@ -10,7 +10,6 @@ harnesses bank value-checked rows before paying streaming fixed costs.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import functions as F
@@ -18,6 +17,7 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.operators.multimodal import (
     attach_binary_payload, extract_image_features, frame_sample_stub)
 from arangodb_java_parquet_spark.queries.common import (ORACLES, query,
+                                                        scratch_dir,
                                                         sql_dsum, t)
 from arangodb_java_parquet_spark.streaming.ingest import windowed_event_counts
 
@@ -35,7 +35,7 @@ def loader_roundtrip(spark, sf_dir):
                                                      ParquetLoader)
     from arangodb_java_parquet_spark.sources.readers import read_collection
     src = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    col = LocalCollection(tempfile.mkdtemp(prefix="ajps_rt_"), "nation_rt")
+    col = LocalCollection(scratch_dir("ajps_rt_"), "nation_rt")
     ParquetLoader(spark).load(f"{sf_dir}/nation.parquet", col,
                               overwrite=True, batch_size=7)
     return (read_collection(spark, col, schema=src.schema)
@@ -73,7 +73,7 @@ def loader_roundtrip_nested(spark, sf_dir):
         F.struct("c_name", "c_acctbal").alias("profile"),
         F.array("c_nationkey").alias("tags"),
         F.create_map(F.lit("segment"), F.col("c_mktsegment")).alias("attrs"))
-    col = LocalCollection(tempfile.mkdtemp(prefix="ajps_rtn_"), "cust_nested")
+    col = LocalCollection(scratch_dir("ajps_rtn_"), "cust_nested")
     ParquetLoader(spark).load_dataframe(nested, col, overwrite=True,
                                         batch_size=500, mode="reference")
     schema = T.StructType([
@@ -244,7 +244,7 @@ def stream_stateful_user_totals(spark, sf_dir):
             "ts", F.expr("timestamp_micros(ts div 1000)"))
     out = stateful_user_counters(stream)
     name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ajps_ck_")
+    ckpt = scratch_dir("ajps_ck_")
     # state-store count == shuffle partitions at query start; 40 users do
     # not need 32 state stores' worth of per-task setup. A real deployment
     # sizes this to key cardinality / executor count instead.
@@ -408,7 +408,6 @@ def stream_dedup_exact(spark, sf_dir):
     (WHICH physical row survives per key is arrival-order dependent, the
     key set is not). availableNow over a static source is one micro-batch,
     so the emitted key set equals batch SELECT DISTINCT."""
-    import tempfile as _tf
     import uuid as _uuid
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -421,7 +420,7 @@ def stream_dedup_exact(spark, sf_dir):
              .dropDuplicates(["user_id", "event_type"])
              .select("user_id", "event_type"))
     name = f"dedup_out_{_uuid.uuid4().hex[:8]}"
-    ckpt = _tf.mkdtemp(prefix="ajps_ck_")
+    ckpt = scratch_dir("ajps_ck_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -703,7 +702,7 @@ def stream_stream_interval_join(spark, sf_dir):
                 F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
                 F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts")))
     name = f"ssj_out_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ajps_ck_")
+    ckpt = scratch_dir("ajps_ck_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -841,7 +840,7 @@ def stream_sink_collection_roundtrip(spark, sf_dir):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    root = tempfile.mkdtemp(prefix="ajps_ssink_")
+    root = scratch_dir("ajps_ssink_")
     # the helper streams a DIRECTORY; give it one containing only the
     # events file (symlink — no data copy) so the glob can't slurp the
     # other tables' parquet under a mismatched schema

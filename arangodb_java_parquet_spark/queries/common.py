@@ -24,6 +24,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def scratch_dir(prefix: str) -> str:
+    """A mkdtemp registered for atexit cleanup. Query callables that
+    materialize sink/checkpoint state (loader round-trips, streaming
+    drives) need a directory that OUTLIVES lazy evaluation of the
+    DataFrame they return — the driver/harness may collect it long after
+    the callable exits — but must not leak a copy of the dataset into
+    /tmp on every harness/bench invocation (round-4 ADVICE). atexit
+    bounds the lifetime to the process."""
+    import atexit
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query implementation and (optionally) its DuckDB oracle."""
     def deco(fn):

@@ -744,18 +744,17 @@ FROM final f CROSS JOIN w{R} w
 GROUP BY w.w0, w.w1"""
 
 
-@query("logistic_irls_fit", _irls_sql())
-def logistic_irls_fit(spark, sf_dir):
-    """LOGISTIC REGRESSION fitted by IRLS in the engine — with Naive
-    Bayes, k-means, ALS, BPE and the decision stump, this completes the
-    classical-ML-as-relational-algebra suite. Each round: per-row
-    eta/sigmoid/working-response (round-9 per the transcendental rule,
-    variance floored at 1e-6), weighted normal-equation sums (round-9
-    products into exact decimals), closed-form ridge 2x2 solve — zero
-    driver collects, both engines' chained stages generated from one
-    template. Output: fitted (w0, w1) and training accuracy. Scale: a
-    round is one combinable aggregation over the corpus plus a 1-row
-    broadcast — IRLS at 100 TB is exactly this plan per iteration."""
+def _irls_fit(spark, sf_dir):
+    """Spark twin of _irls_prefix_sql, the SINGLE source of truth for the
+    in-engine logistic model (r4 ADVICE: the fit and the calibration
+    report previously each carried a verbatim copy of this loop while
+    their oracles shared one generated template — an edit to one copy
+    would silently desync them). Returns ``(pts, w)``: the (y, x)
+    training points and the 1-row fitted (w0, w1) after _IRLS_ROUNDS.
+    Each round: per-row eta/sigmoid/working-response (round-9 per the
+    transcendental rule, variance floored at 1e-6), weighted
+    normal-equation sums (round-9 products into exact decimals),
+    closed-form ridge 2x2 solve — zero driver collects."""
     d = t(spark, sf_dir, "documents")
     pts = d.select(
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
@@ -790,11 +789,27 @@ def logistic_irls_fit(spark, sf_dir):
             F.round((F.lit(0.0) - F.col("sx") * F.col("b0")
                      + (F.col("sa") + lam) * F.col("b1")) / det, 9)
             .alias("w1"))
+    return pts, w
+
+
+def _irls_mu_expr():
+    """Per-row fitted probability — mirrors the oracle's `final` CTE."""
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
+        -F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))), 9)
+
+
+@query("logistic_irls_fit", _irls_sql())
+def logistic_irls_fit(spark, sf_dir):
+    """LOGISTIC REGRESSION fitted by IRLS in the engine — with Naive
+    Bayes, k-means, ALS, BPE and the decision stump, this completes the
+    classical-ML-as-relational-algebra suite (model math in _irls_fit,
+    shared with calibration_report exactly like the oracle template).
+    Output: fitted (w0, w1) and training accuracy. Scale: a round is one
+    combinable aggregation over the corpus plus a 1-row broadcast — IRLS
+    at 100 TB is exactly this plan per iteration."""
+    pts, w = _irls_fit(spark, sf_dir)
     final = pts.crossJoin(F.broadcast(w)).select(
-        "y", "w0", "w1",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
-            -F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))), 9)
-        .alias("mu"))
+        "y", "w0", "w1", _irls_mu_expr().alias("mu"))
     return (final.groupBy("w0", "w1")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.round(F.sum(
@@ -832,45 +847,9 @@ def calibration_report(spark, sf_dir):
     generated IRLS chain as logistic_irls_fit (one source of truth for
     the model SQL), so fit and diagnosis are checked against identical
     weights. Weighted-averaging abs_gap by n gives ECE."""
-    d = t(spark, sf_dir, "documents")
-    pts = d.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        (F.col("n_chars") / F.lit(1000.0)).alias("x"))
-    lam = F.lit(0.001)
-    w = spark.createDataFrame([(0.0, 0.0)], "w0 double, w1 double")
-    d9 = lambda col: F.sum(F.round(col, 9).cast("decimal(20,9)")) \
-        .cast("double")  # noqa: E731
-    for _ in range(_IRLS_ROUNDS):
-        m = pts.crossJoin(F.broadcast(w)).withColumn(
-            "eta", F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))
-        m = m.withColumn(
-            "mu", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("eta"))),
-                          9))
-        m = m.withColumn(
-            "s", F.greatest(F.round(F.col("mu") * (F.lit(1.0)
-                                                   - F.col("mu")), 9),
-                            F.lit(1e-6)))
-        m = m.withColumn(
-            "z", F.round(F.col("eta")
-                         + (F.col("y") - F.col("mu")) / F.col("s"), 9))
-        n = m.agg(d9(F.col("s")).alias("sa"),
-                  d9(F.col("s") * F.col("x")).alias("sx"),
-                  d9(F.col("s") * F.col("x") * F.col("x")).alias("sxx"),
-                  d9(F.col("s") * F.col("z")).alias("b0"),
-                  d9(F.col("s") * F.col("z") * F.col("x")).alias("b1"))
-        det = (F.col("sa") + lam) * (F.col("sxx") + lam) \
-            - F.col("sx") * F.col("sx")
-        w = n.select(
-            F.round(((F.col("sxx") + lam) * F.col("b0")
-                     - F.col("sx") * F.col("b1")) / det, 9).alias("w0"),
-            F.round((F.lit(0.0) - F.col("sx") * F.col("b0")
-                     + (F.col("sa") + lam) * F.col("b1")) / det, 9)
-            .alias("w1"))
+    pts, w = _irls_fit(spark, sf_dir)
     final = pts.crossJoin(F.broadcast(w)).select(
-        "y",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(
-            -F.round(F.col("w0") + F.col("w1") * F.col("x"), 9))), 9)
-        .alias("mu"))
+        "y", _irls_mu_expr().alias("mu"))
     binned = final.select(
         F.least(F.floor(F.col("mu") * 10.0).cast("int"), F.lit(9))
         .alias("bin"), "y", "mu")

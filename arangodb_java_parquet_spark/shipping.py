@@ -36,3 +36,8 @@ def ensure_package_shipped(spark: SparkSession) -> None:
                     zf.write(full, rel)
     sc.addPyFile(zip_path)
     sc._ajps_pkg_shipped = True
+    # Spark copies the file into its own fileserver dir on addPyFile; the
+    # /tmp original would otherwise leak one zip per session (atexit, not
+    # immediate unlink: addPyFile distribution may be lazy on some masters)
+    import atexit
+    atexit.register(lambda p=zip_path: os.path.exists(p) and os.remove(p))
