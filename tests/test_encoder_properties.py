@@ -274,3 +274,69 @@ def test_recursive_array_nesting_never_crashes(v):
     dt = dtype_for(v)
     out = _encode_value(conform(v, dt), dt)
     assert isinstance(out, str) and out
+
+
+def test_converters_top_level_only_reference_parity(spark):
+    """Reference parity (GenericRecordJsonEncoder.java:28-32 via
+    ParquetArangoLoader.java:74-76): the converter registry is consulted
+    for TOP-LEVEL fields only — a timestamp inside a struct or array is
+    serialized raw even with a 'timestamp' converter registered. The
+    nested=True generalization converts it; top-level behavior is
+    identical in both modes."""
+    import datetime
+    import json
+
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.functions.docjson import (
+        apply_type_converters, encode_documents)
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45)
+    df = spark.createDataFrame(
+        [(1, ts, (ts, "x"), [ts], {"k": ts}), (2, None, None, None, None)],
+        "id long, top timestamp, "
+        "st struct<inner:timestamp, tag:string>, "
+        "arr array<timestamp>, mp map<string,timestamp>")
+    conv = {"timestamp": lambda c: F.unix_timestamp(c)}
+
+    flat = apply_type_converters(df, conv)  # default: top-level-only
+    assert dict(flat.dtypes)["top"] == "bigint"
+    assert dict(flat.dtypes)["st"] == "struct<inner:timestamp,tag:string>"
+    assert dict(flat.dtypes)["arr"] == "array<timestamp>"
+
+    deep = apply_type_converters(df, conv, nested=True)
+    dts = dict(deep.dtypes)
+    assert dts["top"] == "bigint"
+    assert dts["st"] == "struct<inner:bigint,tag:string>"
+    assert dts["arr"] == "array<bigint>"
+    assert dts["mp"] == "map<string,bigint>"
+
+    r1, r2 = deep.orderBy("id").collect()
+    epoch = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert r1.top == r1.st.inner == r1.arr[0] == r1.mp["k"] == epoch
+    assert r1.st.tag == "x"
+    # null containers survive the rebuild as nulls, not structs-of-null
+    assert r2.st is None and r2.arr is None and r2.mp is None
+
+    # both modes agree on top-level conversion inside the encoder API
+    doc_flat = json.loads(encode_documents(
+        df.select("id", "top").filter("id = 1"), converters=conv)
+        .collect()[0][0])
+    doc_deep = json.loads(encode_documents(
+        df.select("id", "top").filter("id = 1"), converters=conv,
+        nested_converters=True).collect()[0][0])
+    assert doc_flat == doc_deep == {"id": 1, "top": epoch}
+
+
+def test_converters_exact_complex_match_beats_recursion(spark):
+    """An exact simpleString match on a complex type takes precedence
+    over recursing into it (lets a user convert a whole struct/array)."""
+    from pyspark.sql import functions as F
+
+    from arangodb_java_parquet_spark.functions.docjson import (
+        apply_type_converters)
+
+    df = spark.createDataFrame([([1, 2, 3],)], "xs array<bigint>")
+    conv = {"array<bigint>": lambda c: F.size(c)}
+    out = apply_type_converters(df, conv, nested=True)
+    assert out.collect()[0].xs == 3
