@@ -133,6 +133,11 @@ class ArangoCollectionSink(Collection):
     ``collection.insertDocuments(List<String>)``
     (ParquetArangoLoader.java:147,256) with ``import_bulk``.
 
+    Conscious divergence — wire format: the reference serializes over
+    VelocyPack (``ArangoJack``, pom.xml:65-69); python-arango speaks
+    JSON/HTTP. Same documents, same server state — transport fidelity
+    only, no analog provided.
+
     The client is created lazily per process so the object pickles cleanly
     into executor tasks; each Spark task holds its own connection, which is
     the distributed generalization of the reference's single async client
@@ -189,6 +194,12 @@ def batched(it: Iterable, size: int) -> Iterator[list]:
     """Group an iterator into fixed-size lists (last one partial) — the Spark
     analog of the reference's ChunkedParquetReaderIterator
     (ChunkedParquetReaderIterator.java:10-45), used inside foreachPartition.
+
+    Conscious divergence — error semantics: the reference's iterator
+    swallows ``IOException`` in ``next()`` and yields ``null``
+    (ChunkedParquetReaderIterator.java:27-33), silently truncating the
+    load. Here a read error fails the Spark task loudly (and retries per
+    Spark's policy) — at 100 TB a silent partial load is the worse bug.
     """
     batch: list = []
     for x in it:
