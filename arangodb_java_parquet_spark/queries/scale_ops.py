@@ -1,0 +1,303 @@
+"""Training-data plumbing at cluster scale: deterministic global shuffle
+into shards, padding-waste analysis for length-bucketed batching,
+incremental (new-batch vs corpus) dedup, neighbor-Jaccard link prediction
+over the similarity graph, and robust (median/IQR) feature scaling.
+
+Each operator is the Spark-first shape of something a 100 TB pipeline runs
+daily; every entry carries a full DuckDB value oracle per the repo's
+determinism rules (md5-only hashing, decimal-exact sums, round-9 on
+derived ratios, unique window tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle -> shard files
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+
+
+@query("data_shuffle_shards", f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+),
+sharded AS (
+  SELECT doc_id, source, k,
+         CAST(instr('0123456789abcdef', substring(k, 1, 1)) - 1
+              AS BIGINT) % {_SHUF_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM sharded
+""")
+def data_shuffle_shards(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE into training shards — the step that
+    breaks source/time locality before sequence packing. Shard = first
+    hex digit of md5(doc_id) mod n_shards (uniform, seedless,
+    reproducible across engines and reruns); position within a shard =
+    rank of the md5 key. Scale: this is the embarrassingly-parallel
+    formulation — ONE hash-partition shuffle on `shard` and a per-shard
+    sort, never a global ORDER BY across the corpus (the naive
+    row_number-over-everything plan collapses 100 TB onto one task).
+    The md5 key makes within-shard order pseudorandom, so shard files
+    are ready to stream as training batches."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"))
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 1), 16, 10).cast("bigint")
+         % _SHUF_SHARDS))
+    w = W.partitionBy("shard").orderBy("k", "doc_id")
+    return sharded.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"))
+
+
+# ---------------------------------------------------------------------------
+# padding waste per length bucket (batch-scheduling analysis)
+# ---------------------------------------------------------------------------
+
+_BUCKET_W = 64
+
+
+@query("pack_length_buckets", f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(((n_tokens + {_BUCKET_W} - 1) // {_BUCKET_W}) * {_BUCKET_W}
+              AS BIGINT) AS bucket_len
+  FROM sized
+)
+SELECT bucket_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(bucket_len * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+             / (bucket_len * COUNT(*)), 9) AS fill_ratio
+FROM bucketed GROUP BY bucket_len
+""")
+def pack_length_buckets(spark, sf_dir):
+    """PADDING-WASTE profile for length-bucketed batching: round each
+    document's token count up to the next {_BUCKET_W}-token bucket and
+    report, per bucket, how many tokens are real vs padding and the
+    fill ratio — the table that decides bucket boundaries (or switches
+    the pipeline to sequence packing) before an expensive training run.
+    One map-side-combinable aggregation over a token-count projection;
+    no shuffle beyond the bucket rollup. Complements
+    pack_token_sequences (which eliminates the waste this measures)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucketed = d.select(
+        n_tok.alias("n_tokens"),
+        (F.ceil(n_tok / _BUCKET_W) * _BUCKET_W).cast("bigint")
+        .alias("bucket_len"))
+    return (bucketed.groupBy("bucket_len")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+                 (F.first("bucket_len") * F.count(F.lit(1))
+                  - F.sum("n_tokens")).cast("bigint").alias("pad_tokens"),
+                 F.round(F.sum("n_tokens").cast("double")
+                         / (F.first("bucket_len") * F.count(F.lit(1))), 9)
+                 .alias("fill_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = 400  # doc_id >= split = "newly crawled batch"
+
+
+@query("dedup_incremental_batch", f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+),
+corpus AS (SELECT f FROM fp WHERE doc_id < {_INC_SPLIT}),
+batch AS (SELECT doc_id, source, f FROM fp WHERE doc_id >= {_INC_SPLIT})
+SELECT b.source,
+       COUNT(*) AS n_new_docs,
+       CAST(SUM(CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_of_corpus,
+       ROUND(SUM(CASE WHEN c.f IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS dup_rate
+FROM batch b LEFT JOIN (SELECT DISTINCT f FROM corpus) c ON c.f = b.f
+GROUP BY b.source
+""")
+def dedup_incremental_batch(spark, sf_dir):
+    """INCREMENTAL dedup — the production shape: a newly crawled batch is
+    checked against the EXISTING corpus's fingerprint index instead of
+    re-deduplicating the world. Normalized-text md5 fingerprints
+    (whitespace-collapsed, trimmed, lowercased — the dedup_exact
+    discipline), distinct corpus index, left join from the batch, and a
+    per-source dup-rate report. Scale: the corpus side is (fingerprint)
+    only — at 100 TB that index is a fraction of corpus bytes, stays
+    partitioned on the join key, and each daily batch joins against it
+    without touching document text."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source",
+        F.md5(F.lower(F.trim(
+            F.regexp_replace("text", r"\s+", " ")))).alias("f"))
+    corpus = (fp.filter(F.col("doc_id") < _INC_SPLIT)
+              .select("f").distinct())
+    batch = fp.filter(F.col("doc_id") >= _INC_SPLIT)
+    j = batch.join(corpus.withColumnRenamed("f", "cf"),
+                   batch.f == F.col("cf"), "left")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_new_docs"),
+                 F.sum(F.when(F.col("cf").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_of_corpus"),
+                 F.round(
+                     F.sum(F.when(F.col("cf").isNotNull(), 1).otherwise(0))
+                     / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("dup_rate")))
+
+
+# ---------------------------------------------------------------------------
+# neighbor-Jaccard link prediction over the LSH similarity graph
+# ---------------------------------------------------------------------------
+
+
+def _lp_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL)
+    return _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+two_hop AS (
+  SELECT e1.src AS a, e2.dst AS c, COUNT(*) AS common
+  FROM edges e1 JOIN edges e2
+    ON e2.src = e1.dst AND e1.src < e2.dst
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT t.a, t.c, t.common
+  FROM two_hop t LEFT JOIN cand x ON x.doc_a = t.a AND x.doc_b = t.c
+  WHERE x.doc_a IS NULL
+)
+SELECT n.a AS doc_a, n.c AS doc_b,
+       CAST(n.common AS BIGINT) AS common_neighbors,
+       ROUND(n.common / CAST(da.d + dc.d - n.common AS DOUBLE), 9)
+         AS jaccard_score
+FROM nonadj n
+JOIN deg da ON da.node = n.a
+JOIN deg dc ON dc.node = n.c
+WHERE n.common >= 1
+"""
+
+
+@query("graph_link_prediction_jaccard", _lp_sql())
+def graph_link_prediction_jaccard(spark, sf_dir):
+    """LINK PREDICTION on the LSH similarity graph: for node pairs NOT
+    directly connected, score = Jaccard of their neighborhoods
+    (common / (deg_a + deg_b - common)) — the classic structural
+    predictor of missing near-duplicate relations (docs similar to the
+    same neighbors that LSH banding happened to miss). Relational shape:
+    the two-hop self-join on the edge list yields common-neighbor
+    counts, an anti-join removes existing edges, degree table joins
+    supply the denominator — each stage a bounded equi-join, never
+    all-pairs. Scale: candidate edges come from LSH (E ~ corpus size,
+    not n^2); the two-hop join is the standard triangle-style
+    edge-partition workload."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+            .localCheckpoint(eager=False))  # feeds edges + the anti-join
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = edges.select(F.col("src").alias("m"), F.col("dst").alias("c"))
+    two_hop = (e1.join(e2, "m")
+               .filter(F.col("a") < F.col("c"))
+               .groupBy("a", "c")
+               .agg(F.count(F.lit(1)).alias("common")))
+    nonadj = two_hop.join(
+        cand, (cand.doc_a == two_hop.a) & (cand.doc_b == two_hop.c),
+        "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (nonadj.filter(F.col("common") >= 1)
+            .join(da, "a").join(dc, "c")
+            .select(F.col("a").alias("doc_a"), F.col("c").alias("doc_b"),
+                    F.col("common").cast("bigint")
+                    .alias("common_neighbors"),
+                    F.round(F.col("common")
+                            / (F.col("da") + F.col("dc")
+                               - F.col("common")).cast("double"), 9)
+                    .alias("jaccard_score")))
+
+
+# ---------------------------------------------------------------------------
+# robust (median / IQR) feature scaling
+# ---------------------------------------------------------------------------
+
+
+@query("robust_scale_features", """
+WITH stats AS (
+  SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 9) AS med,
+         ROUND(quantile_cont(o_totalprice, 0.75)
+               - quantile_cont(o_totalprice, 0.25), 9) AS iqr
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       s.med, s.iqr,
+       ROUND((o.o_totalprice - s.med) / s.iqr, 9) AS scaled
+FROM orders o JOIN stats s USING (o_orderpriority)
+WHERE o.o_orderkey < 2000
+""")
+def robust_scale_features(spark, sf_dir):
+    """ROBUST SCALING — (x - median) / IQR per group — the outlier-proof
+    alternative to z-scoring for feature columns with heavy tails
+    (standardize-then-clip pipelines; emb_zscore's tabular sibling).
+    Group stats are one exact-percentile aggregation (bounded groups,
+    broadcast back); the scaled projection is map-side. Round-9 fences
+    on the interpolated percentiles and the derived ratio per the
+    cross-engine rules."""
+    o = t(spark, sf_dir, "orders")
+    stats = (o.groupBy("o_orderpriority")
+             .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
+                  .alias("med"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.75))
+                          - F.percentile("o_totalprice", F.lit(0.25)), 9)
+                  .alias("iqr")))
+    return (o.filter(F.col("o_orderkey") < 2000)
+            .join(F.broadcast(stats), "o_orderpriority")
+            .select("o_orderkey", "o_orderpriority", "med", "iqr",
+                    F.round((F.col("o_totalprice") - F.col("med"))
+                            / F.col("iqr"), 9).alias("scaled")))
