@@ -439,11 +439,16 @@ _ETYPES = ("click", "error", "purchase", "signup", "view")
 @query("user_behavior_vector", """
 WITH counts AS (
   SELECT user_id,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
-         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
-         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
-         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c4
   FROM events GROUP BY user_id
 )
 SELECT user_id,

@@ -160,6 +160,35 @@ BENCH_QUERIES = [
     "psi_distribution_stability",
     "cms_join_size_estimate",
     "seq_pattern_support",
+    # round-5 expansion (VERDICT r4 item 8): every oracle-checked entry
+    # >= 1 s at sf0.01 in the harness timing column, so regressions can't
+    # hide in unbenched entries...
+    "dedup_cluster_size_histogram", "ab_test_conversion_lift",
+    "dedup_roi_report", "dq_referential_orphans", "q8_market_share",
+    "emb_cosine_calibration", "graph_two_hop_reach",
+    "multimodal_frame_sample", "agg_corr_matrix", "calibration_report",
+    "dedup_lsh_precision_recall", "pivot_wide", "q9_product_profit",
+    "stream_stream_interval_join", "graph_assortativity",
+    "multimodal_audio_codec_profile", "multimodal_image_features",
+    "sim_topk_ivfpq", "order_priority_markov", "q16_supplier_counting",
+    "q21_waiting_supplier", "dedup_minhash_merge_proof",
+    "q10_returned_items", "stream_cms_maintenance",
+    "dedup_lsh_tuning_curve", "dedup_simhash_hamming1",
+    "quality_repetition_signals", "graph_degree_distribution",
+    "monthly_seasonal_index", "stream_session_windows", "ivf_cell_balance",
+    "loader_roundtrip", "stream_sink_collection_roundtrip",
+    "stream_stateful_user_totals",
+    # ...plus breadth: the round-5 scale operators, the remaining TPC-H
+    # shapes, streaming remainder, and the python UDF/UDTF surfaces
+    "data_shuffle_shards", "pack_length_buckets", "dedup_incremental_batch",
+    "graph_link_prediction_jaccard", "robust_scale_features",
+    "q4_order_priority", "q11_important_parts", "q12_priority_shipping",
+    "q13_order_count_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "stream_dedup_exact", "stream_hll_maintenance", "stream_windowed_counts",
+    "udtf_tokenize_lateral", "udaf_geomean_pandas",
+    "cohort_retention", "timeseries_gap_fill",
 ]
 
 

@@ -27,6 +27,15 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
 
+def has_int128(ty) -> bool:
+    """True if the DuckDB type contains int128 anywhere — top-level or
+    nested inside LIST/STRUCT/MAP (a LIST(HUGEINT) element materializes
+    as Decimal through Arrow just like a top-level HUGEINT column;
+    round-5 lesson: user_behavior_vector's [c0..c4] count vector)."""
+    s = str(ty)
+    return any(b in s for b in BAD_TYPES)
+
+
 def sweep(sf_dir: str):
     """Return {name: [(col, type), ...]} for oracles with int128 outputs."""
     con = duckdb.connect()
@@ -39,7 +48,7 @@ def sweep(sf_dir: str):
         try:
             rel = con.sql(sql)
             hits = [(c, str(ty)) for c, ty in zip(rel.columns, rel.types)
-                    if str(ty) in BAD_TYPES]
+                    if has_int128(ty)]
         except Exception as e:  # noqa: BLE001 - report, don't die
             errs[name] = str(e)[:200]
             continue
