@@ -396,6 +396,95 @@ def multimodal_frame_sample(spark, sf_dir):
     return frame_sample_stub(payloads, every_n=3)
 
 
+# real-decoder video round trip: fixture AVIs are generated from
+# (doc_id, frame_idx) by a fixed integer pixel formula, so the EXPECTED
+# stats of the real decode are closed-form SQL (same design as the image
+# and audio legs). Frames sampled every 2nd.
+_VID_W = "4 + doc_id % 3"
+_VID_H = "2 + doc_id % 3"
+_VID_NF = "3 + doc_id % 5"
+
+_VID_DECODE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, CAST({_VID_W} AS INT) AS width,
+         CAST({_VID_H} AS INT) AS height, {_VID_NF} AS nf
+  FROM documents WHERE doc_id < 120
+),
+fr AS (SELECT doc_id, width, height,
+              UNNEST(range(0, nf, 2)) AS fi FROM dims),
+xs AS (SELECT doc_id, width, height, fi,
+              UNNEST(range(0, width)) AS x FROM fr),
+px AS (SELECT doc_id, width, height, fi, x,
+              UNNEST(range(0, height)) AS y FROM xs)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx, width, height,
+       SUM((doc_id * 5 + fi * 7 + x * 3 + y * 11) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_r,
+       SUM((doc_id * 11 + fi * 3 + x * 5 + y * 2) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_g,
+       SUM((doc_id * 2 + fi + x + y * 7) % 256)
+         / CAST(width * height AS DOUBLE) AS mean_b
+FROM px
+GROUP BY doc_id, fi, width, height
+"""
+
+
+@query("multimodal_video_decode", _VID_DECODE_ORACLE)
+def multimodal_video_decode(spark, sf_dir):
+    """HONEST video decode, value-checked end-to-end — the video leg
+    graduates from stub exactly like image (r3) and audio (r5): real
+    RIFF/AVI byte streams with uncompressed 24-bit DIB frames are
+    generated per document from a fixed integer pixel formula, parsed
+    back by the pure-stdlib container walker
+    (operators/multimodal.py:decode_avi_frames — hdrl/avih dims, movi
+    chunk walk, bottom-up BGR rows, word-alignment padding), and every
+    2nd frame is sampled with exact per-frame channel means. The DuckDB
+    oracle computes the same grid arithmetically, so a wrong frame
+    offset, stride, or channel swap is a value mismatch. Compressed
+    codecs (MJPEG/H.264) remain an explicit library boundary. Scale:
+    generation+decode+frame-explode all happen inside Arrow batches;
+    payloads never touch the driver."""
+    import pandas as pd
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_avi_frames, encode_avi)
+    from arangodb_java_parquet_spark.shipping import ensure_package_shipped
+    ensure_package_shipped(spark)
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width",
+                                    "height", "mean_r", "mean_g", "mean_b")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 2 + did % 3
+                nf = 3 + did % 5
+
+                def rgb(fi):
+                    return lambda x, y, fi=fi, did=did: (
+                        (did * 5 + fi * 7 + x * 3 + y * 11) % 256,
+                        (did * 11 + fi * 3 + x * 5 + y * 2) % 256,
+                        (did * 2 + fi + x + y * 7) % 256)
+
+                payload = encode_avi(w, h, [rgb(fi) for fi in range(nf)])
+                for m in decode_avi_frames(payload, every_n=2):
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(m["frame_idx"])
+                    rows["width"].append(m["width"])
+                    rows["height"].append(m["height"])
+                    rows["mean_r"].append(m["sum_r"] / m["n_px"])
+                    rows["mean_g"].append(m["sum_g"] / m["n_px"])
+                    rows["mean_b"].append(m["sum_b"] / m["n_px"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        gen_and_decode,
+        schema="doc_id long, frame_idx int, width int, height int, "
+               "mean_r double, mean_g double, mean_b double")
+
+
 @query("stream_dedup_exact", """
 SELECT DISTINCT user_id, event_type FROM events
 """)

@@ -241,3 +241,72 @@ def test_decode_wav_never_crashes_on_fuzz():
             assert m["sum_abs"] >= 0 and m["sum_sq"] >= 0
 
     check()
+
+
+def test_decode_avi_frame_exact(spark):
+    """The pure-stdlib AVI walker must report exact per-frame pixel
+    statistics for real RIFF/AVI uncompressed-DIB byte streams (incl.
+    frame sampling and odd-width row padding) and return None for
+    non-AVI payloads."""
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_avi_frames, decode_video_frames, encode_avi)
+
+    def mk(fi):
+        return lambda x, y, fi=fi: ((fi * 7 + x * 3 + y) % 256,
+                                    (fi + x) % 256, (y * 5 + fi * 2) % 256)
+
+    w, h, nf = 5, 3, 7  # odd width forces DIB row padding
+    avi = encode_avi(w, h, [mk(i) for i in range(nf)])
+    ms = decode_avi_frames(avi, every_n=2)
+    assert [m["frame_idx"] for m in ms] == [0, 2, 4, 6]
+    for m in ms:
+        fi = m["frame_idx"]
+        exp = [sum(mk(fi)(x, y)[c] for x in range(w) for y in range(h))
+               for c in range(3)]
+        assert [m["sum_r"], m["sum_g"], m["sum_b"]] == exp
+        assert (m["width"], m["height"]) == (w, h)
+
+    assert decode_avi_frames(b"not a video") is None
+    assert decode_avi_frames(b"RIFF\x08\x00\x00\x00WAVEfmt ") is None
+    assert decode_avi_frames(avi[:-20]) is None  # truncated last frame
+
+    # the DataFrame operator: one row per sampled frame, exact means
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary")
+    out = decode_video_frames(df, every_n=3).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 3, 6]
+    r0 = [r for r in out if r.frame_idx == 0][0]
+    assert r0.mean_r == sum(mk(0)(x, y)[0] for x in range(w)
+                            for y in range(h)) / (w * h)
+
+
+def test_decode_avi_never_crashes_on_fuzz():
+    """Property: decode_avi_frames returns a list of well-formed dicts or
+    None for ANY byte string — never an exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_avi_frames, encode_avi)
+
+    valid = encode_avi(4, 3, [lambda x, y: (x, y, x + y)] * 3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        st.binary(max_size=100).map(lambda b: b"RIFF" + b),
+        st.binary(max_size=100).map(lambda b: b"RIFF\xff\xff\xff\xffAVI " + b),
+        st.integers(0, len(valid) - 1).flatmap(
+            lambda i: st.integers(0, 255).map(
+                lambda v: valid[:i] + bytes([v]) + valid[i + 1:])),
+        st.integers(1, len(valid)).map(lambda n: valid[:-n]),
+    ))
+    def check(payload):
+        ms = decode_avi_frames(payload)
+        if ms is not None:
+            for m in ms:
+                assert m["n_px"] == m["width"] * m["height"] > 0
+                assert m["sum_r"] >= 0
+
+    check()
