@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "stream_dedup_exact", "stream_hll_maintenance", "stream_windowed_counts",
     "udtf_tokenize_lateral", "udaf_geomean_pandas",
     "cohort_retention", "timeseries_gap_fill",
+    "multimodal_video_decode",
 ]
 
 

@@ -201,7 +201,8 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     skipped.add("multimodal_image_features")  # mapInPandas decode plumbing
     skipped.add("multimodal_image_decode")    # REAL BMP/PPM byte parsing is
     # the point; its pixel stats are exact-int sums (hash-safe)
-    skipped.add("multimodal_audio_features")  # same, audio leg
+    skipped.add("multimodal_audio_features")  # same, audio leg (real WAV)
+    skipped.add("multimodal_video_decode")    # same, video leg (real AVI)
     skipped.add("multimodal_binary_meta")     # binary columns via pandas
     skipped.add("multimodal_frame_sample")
     skipped.add("multimodal_image_dedup")     # banding over the decode leg
