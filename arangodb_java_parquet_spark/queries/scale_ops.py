@@ -301,3 +301,187 @@ def robust_scale_features(spark, sf_dir):
             .select("o_orderkey", "o_orderpriority", "med", "iqr",
                     F.round((F.col("o_totalprice") - F.col("med"))
                             / F.col("iqr"), 9).alias("scaled")))
+
+
+# ---------------------------------------------------------------------------
+# EWMA forecast over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3  # decay: weight (1-alpha)^(age in days)
+
+
+@query("forecast_ewma_daily", f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {{dsum}} AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT day, rev,
+         ROW_NUMBER() OVER (ORDER BY day) AS t,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+weighted AS (
+  SELECT n,
+         CAST(ROUND(pow({1 - _EWMA_ALPHA}, n - t) * rev, 6)
+              AS DECIMAL(30,6)) AS wy,
+         CAST(ROUND(pow({1 - _EWMA_ALPHA}, n - t), 9)
+              AS DECIMAL(20,9)) AS w
+  FROM idx
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(SUM(wy) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma_forecast
+FROM weighted
+""".format(dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)"))
+def forecast_ewma_daily(spark, sf_dir):
+    """EWMA one-step FORECAST of daily revenue (pandas ``ewm
+    adjust=True`` semantics): geometric weights (1-a)^age over the daily
+    decimal-exact rollup, normalized by the weight sum — the baseline
+    every anomaly monitor compares against. Determinism: pow() is
+    transcendental, so each weight and each weighted term is round-9/6
+    fenced into an exact decimal BEFORE summation (order-free), and the
+    final division of two exact sums is IEEE-identical. Scale: the daily
+    rollup is map-side combinable; the weighting runs over a
+    report-sized series (one window for t)."""
+    o = t(spark, sf_dir, "orders")
+    from arangodb_java_parquet_spark.queries.common import dsum
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    wspec = W.orderBy("day")
+    idx = daily.select(
+        "rev",
+        F.row_number().over(wspec).alias("t"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n"))
+    decay = F.lit(1 - _EWMA_ALPHA)
+    weighted = idx.select(
+        "n",
+        F.round(F.pow(decay, F.col("n") - F.col("t")) * F.col("rev"), 6)
+        .cast("decimal(30,6)").alias("wy"),
+        F.round(F.pow(decay, F.col("n") - F.col("t")), 9)
+        .cast("decimal(20,9)").alias("w"))
+    return weighted.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        (F.sum("wy").cast("double") / F.sum("w").cast("double"))
+        .alias("ewma_forecast"))
+
+
+# ---------------------------------------------------------------------------
+# zone-map (min/max block stats) pruning effectiveness report
+# ---------------------------------------------------------------------------
+
+_ZM_BLOCK = 500
+_ZM_LO, _ZM_HI = 100000.0, 150000.0
+
+
+@query("zonemap_pruning_report", f"""
+WITH nat AS (
+  SELECT 'natural' AS layout, o_totalprice,
+         (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // {_ZM_BLOCK} AS blk
+  FROM orders
+),
+clustered AS (
+  SELECT 'clustered' AS layout, o_totalprice,
+         (ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1)
+           // {_ZM_BLOCK} AS blk
+  FROM orders
+),
+blocks AS (
+  SELECT layout, blk, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+  FROM (SELECT * FROM nat UNION ALL SELECT * FROM clustered)
+  GROUP BY layout, blk
+)
+SELECT layout,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN hi < {_ZM_LO} OR lo > {_ZM_HI}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+       ROUND(SUM(CASE WHEN hi < {_ZM_LO} OR lo > {_ZM_HI}
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS skip_ratio
+FROM blocks GROUP BY layout
+""")
+def zonemap_pruning_report(spark, sf_dir):
+    """ZONE-MAP effectiveness report — the data-layout decision quantified:
+    split the table into fixed-size blocks under (a) its natural key
+    order and (b) clustered order on the filter column, compute each
+    block's min/max (exactly the stats parquet row groups carry), and
+    report what fraction of blocks a range predicate could SKIP under
+    each layout. The clustered layout's skip_ratio is the measured
+    benefit of sort-before-write at ingest — at 100 TB this table is
+    the difference between scanning 2% and 98% of row groups. Window
+    ranks use unique tiebreaks; block stats are exact."""
+    o = t(spark, sf_dir, "orders")
+
+    def blocks(layout, order_cols):
+        w = W.orderBy(*order_cols)
+        return (o.select(
+            F.lit(layout).alias("layout"), "o_totalprice",
+            ((F.row_number().over(w) - 1) / _ZM_BLOCK).cast("long")
+            .alias("blk")))
+
+    b = blocks("natural", ["o_orderkey"]).unionAll(
+        blocks("clustered", ["o_totalprice", "o_orderkey"]))
+    stats = (b.groupBy("layout", "blk")
+             .agg(F.min("o_totalprice").alias("lo"),
+                  F.max("o_totalprice").alias("hi")))
+    skippable = F.when((F.col("hi") < _ZM_LO) | (F.col("lo") > _ZM_HI), 1) \
+        .otherwise(0)
+    return (stats.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum(skippable).cast("bigint").alias("n_skippable"),
+                 F.round(F.sum(skippable) / F.count(F.lit(1))
+                         .cast("double"), 9).alias("skip_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (greedy sequential bin packing)
+# ---------------------------------------------------------------------------
+
+_COMPACT_FILES = 200     # simulated input files
+_COMPACT_TARGET = 120    # target rows per compacted output
+
+
+@query("compaction_bin_plan", f"""
+WITH files AS (
+  SELECT o_orderkey % {_COMPACT_FILES} AS file_id,
+         COUNT(*) AS n_rows
+  FROM orders GROUP BY 1
+),
+planned AS (
+  SELECT file_id, n_rows,
+         CAST((SUM(n_rows) OVER (ORDER BY file_id
+                                 ROWS UNBOUNDED PRECEDING) - n_rows)
+              // {_COMPACT_TARGET} AS BIGINT) AS bin
+  FROM files
+)
+SELECT bin,
+       COUNT(*) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       ROUND(CAST(SUM(n_rows) AS DOUBLE) / {_COMPACT_TARGET}, 9)
+         AS fill_vs_target
+FROM planned GROUP BY bin
+""")
+def compaction_bin_plan(spark, sf_dir):
+    """SMALL-FILE COMPACTION plan: given per-file row counts (simulated by
+    an orderkey hash), assign files to compacted output bins by the
+    greedy running-sum rule (bin = floor(prefix_sum_before / target)) —
+    the same contiguous-packing relational trick as token packing,
+    applied to the table-maintenance problem every large lake runs
+    nightly. One window over the (small) file-stats table; the actual
+    rewrite would then repartitionByRange on bin. Output: per-bin file
+    count, rows, and fill ratio vs target."""
+    o = t(spark, sf_dir, "orders")
+    files = (o.groupBy((F.col("o_orderkey") % _COMPACT_FILES)
+                       .alias("file_id"))
+             .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = W.orderBy("file_id").rowsBetween(W.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "bin", ((F.sum("n_rows").over(w) - F.col("n_rows"))
+                / _COMPACT_TARGET).cast("long"))
+    return (planned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("n_rows").cast("bigint").alias("total_rows"),
+                 F.round(F.sum("n_rows").cast("double")
+                         / _COMPACT_TARGET, 9).alias("fill_vs_target")))

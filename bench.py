@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "udtf_tokenize_lateral", "udaf_geomean_pandas",
     "cohort_retention", "timeseries_gap_fill",
     "multimodal_video_decode",
+    "forecast_ewma_daily", "zonemap_pruning_report", "compaction_bin_plan",
 ]
 
 
