@@ -1,0 +1,158 @@
+"""Empirical scaling probe: run flagship operators at 1x / 4x / 10x the
+sf0.1 data volume and measure how wall time actually grows, writing
+SCALE_PROBE.md.
+
+"Designed for 100 TB" claims in docstrings are plan-shape arguments; this
+tool adds MEASURED evidence on this box: a replica-expanded copy of each
+input table (ids offset per replica so keys stay unique and dedup/join
+semantics stay honest) is written once per factor under /tmp, and each
+probed query runs best-of-2 with the noop sink at every factor. The
+report records the per-query scaling exponent
+log(t_10x / t_1x) / log(10) — ~1.0 = linear, <1 = fixed costs still
+dominate at this size, >>1 = superlinear (a scale problem).
+
+Usage: python tools/scale_probe.py [--factors 1,4,10] [--base SF_DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries import QUERIES
+from arangodb_java_parquet_spark.session import get_spark
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# per-table (id columns to offset per replica) — keeps keys globally
+# unique so groupBy/dedup/join cardinalities scale honestly. Dimension
+# tables (region/nation) are NOT replicated: scaling data volume does not
+# multiply the world's regions.
+ID_OFFSETS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+NO_REPLICATE = {"region", "nation"}
+
+PROBES = [
+    # the headline relational + LLM-pipeline operators whose 100 TB
+    # stories the docstrings argue; each is oracle-checked at base sf
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "sim_topk_lsh_bucketed",
+    "sessionize_events",
+    "pack_token_sequences",
+    "text_quality_stats",
+    "quality_filter_rules",
+    "data_shuffle_shards",
+    "train_test_split_hash",
+]
+
+
+def build_scaled(spark, base: str, factor: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(f"{base}/{t}.parquet")
+        if t in NO_REPLICATE or factor == 1:
+            src.write.mode("overwrite").parquet(dst)
+            continue
+        offs = ID_OFFSETS[t]
+        maxs = src.agg(*[F.max(c).alias(c) for c in offs]).collect()[0]
+        reps = spark.range(factor).withColumnRenamed("id", "__rep")
+        wide = src.crossJoin(F.broadcast(reps))
+        for c in offs:
+            wide = wide.withColumn(
+                c, F.col(c) + F.col("__rep") * (int(maxs[c]) + 1))
+        wide.drop("__rep").write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,4,10")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the scaled parquet dirs")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    spark = get_spark(app_name="scale-probe")
+    root = "/tmp/ajps_scale_probe"
+
+    dirs = {}
+    for f in factors:
+        d = os.path.join(root, f"x{f}")
+        print(f"building x{f} ...", flush=True)
+        build_scaled(spark, args.base, f, d)
+        dirs[f] = d
+
+    # warm codegen/JIT on the smallest factor
+    for name in PROBES:
+        QUERIES[name](spark, dirs[factors[0]]).write.format("noop") \
+            .mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        results[name] = {}
+        for f in factors:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, dirs[f]).write.format("noop") \
+                    .mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            results[name][f] = best
+            print(f"  {name} x{f}: {best:.2f}s", flush=True)
+
+    f_lo, f_hi = factors[0], factors[-1]
+    lines = [
+        "# SCALE_PROBE — measured scaling of flagship operators",
+        "",
+        f"Base: `{args.base}` replicated with per-replica id offsets "
+        f"(dims not replicated). Wall seconds, best-of-2, noop sink, "
+        f"local[32]. Exponent = log(t_x{f_hi}/t_x{f_lo}) / "
+        f"log({f_hi}/{f_lo}): ~1.0 linear; <1 fixed-cost-dominated at "
+        "this size; >>1 would flag a scale problem.",
+        "",
+        "| query | " + " | ".join(f"x{f}" for f in factors)
+        + " | exponent |",
+        "|---|" + "---|" * (len(factors) + 1),
+    ]
+    for name in PROBES:
+        r = results[name]
+        expo = (math.log(r[f_hi] / r[f_lo]) / math.log(f_hi / f_lo)
+                if r[f_lo] > 0 else float("nan"))
+        lines.append(
+            f"| {name} | "
+            + " | ".join(f"{r[f]:.2f}" for f in factors)
+            + f" | {expo:.2f} |")
+    out = "\n".join(lines) + "\n"
+    with open("SCALE_PROBE.md", "w") as fh:
+        fh.write(out)
+    print("\n" + out)
+    if not args.keep:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
