@@ -485,3 +485,110 @@ def compaction_bin_plan(spark, sf_dir):
                  F.sum("n_rows").cast("bigint").alias("total_rows"),
                  F.round(F.sum("n_rows").cast("double")
                          / _COMPACT_TARGET, 9).alias("fill_vs_target")))
+
+
+# ---------------------------------------------------------------------------
+# curation bias audit: does dedup remove disproportionately low-quality docs?
+# ---------------------------------------------------------------------------
+
+_QB_MIN_CHARS = 200
+
+
+def _bias_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL)
+    return _MINHASH_SIG_SQL + f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+flags AS (
+  SELECT d.doc_id,
+         d.n_chars >= {_QB_MIN_CHARS} AS passes_quality,
+         d.doc_id IN (SELECT doc_b FROM cand) AS is_dropped
+  FROM documents d
+),
+cells AS (
+  SELECT passes_quality, NOT is_dropped AS is_survivor, COUNT(*) AS n
+  FROM flags GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+         CAST(SUM(CASE WHEN passes_quality THEN n ELSE 0 END) AS DOUBLE)
+           AS n_q,
+         CAST(SUM(CASE WHEN is_survivor THEN n ELSE 0 END) AS DOUBLE)
+           AS n_s
+  FROM cells
+)
+SELECT c.passes_quality, c.is_survivor,
+       CAST(c.n AS BIGINT) AS n,
+       ROUND((CASE WHEN c.passes_quality THEN t.n_q
+                   ELSE t.total - t.n_q END)
+             * (CASE WHEN c.is_survivor THEN t.n_s
+                     ELSE t.total - t.n_s END) / t.total, 9) AS expected,
+       ROUND(pow(c.n - (CASE WHEN c.passes_quality THEN t.n_q
+                             ELSE t.total - t.n_q END)
+                       * (CASE WHEN c.is_survivor THEN t.n_s
+                               ELSE t.total - t.n_s END) / t.total, 2)
+             / ((CASE WHEN c.passes_quality THEN t.n_q
+                      ELSE t.total - t.n_q END)
+                * (CASE WHEN c.is_survivor THEN t.n_s
+                        ELSE t.total - t.n_s END) / t.total), 9)
+         AS chi2_term
+FROM cells c CROSS JOIN tot t
+"""
+
+
+@query("curation_bias_audit", _bias_sql())
+def curation_bias_audit(spark, sf_dir):
+    """CURATION BIAS audit: the 2x2 contingency of (passes the quality
+    gate) x (survives MinHash/LSH near-dup pruning — a doc is dropped
+    when it has a smaller-id candidate partner, the funnel's keep rule),
+    with per-cell expected counts under independence and chi-square
+    terms — the table that answers "is my dedup stage quietly skewing
+    the quality mix?" before anyone trains on the output. Sum of
+    chi2_term = the chi-square statistic (1 dof). Relational shape: the
+    standard LSH candidate stage, one anti-membership flag, one 4-cell
+    rollup, scalar marginals broadcast back. Round-9 on the derived
+    expected/chi2 ratios per the cross-engine rules."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    dropped = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    flags = (d.select(
+        "doc_id", (F.col("n_chars") >= _QB_MIN_CHARS)
+        .alias("passes_quality"))
+        .join(dropped.withColumn("__drop", F.lit(True)), "doc_id", "left")
+        .select("passes_quality",
+                F.coalesce(F.col("__drop"), F.lit(False)).alias("__d")))
+    cells = (flags.groupBy("passes_quality",
+                           (~F.col("__d")).alias("is_survivor"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.when(F.col("passes_quality"), F.col("n")).otherwise(0))
+        .cast("double").alias("n_q"),
+        F.sum(F.when(F.col("is_survivor"), F.col("n")).otherwise(0))
+        .cast("double").alias("n_s"))
+    j = cells.crossJoin(F.broadcast(tot))
+    row_m = F.when(F.col("passes_quality"), F.col("n_q")) \
+        .otherwise(F.col("total") - F.col("n_q"))
+    col_m = F.when(F.col("is_survivor"), F.col("n_s")) \
+        .otherwise(F.col("total") - F.col("n_s"))
+    expected = row_m * col_m / F.col("total")
+    return j.select(
+        "passes_quality", "is_survivor",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(expected, 9).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, F.lit(2)) / expected, 9)
+        .alias("chi2_term"))
