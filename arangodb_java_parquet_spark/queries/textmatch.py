@@ -223,7 +223,7 @@ def langid_trigram_confusion(spark, sf_dir):
 _BPE_STEPS = 3
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_chain_sql(k: int) -> str:
     """Generate the chained-CTE DuckDB oracle for k greedy merge steps —
     one block per step (adjacent-pair count -> argmax -> greedy
     left-to-right application via run parity), all derived from the same
@@ -269,13 +269,35 @@ s{s} AS (
   LEFT JOIN m{s} mp ON mp.doc_id = p.doc_id AND mp.i = p.i - 1
   WHERE mp.i IS NULL
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle_finals(k: int) -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT {s} AS step, a || ' ' || b AS pair, c AS n_occurrences "
         f"FROM b{s}" for s in range(1, k + 1))
-    return "".join(parts) + "\n" + finals
+    return _bpe_chain_sql(k) + "\n" + finals
 
 
-@query("bpe_pair_merge_fit", _bpe_oracle_sql(_BPE_STEPS))
+def _bpe_apply_sql(k: int) -> str:
+    """Same chained merge template, aggregated as the per-source
+    tokenizer COMPRESSION report over the final merged state s{k}."""
+    return _bpe_chain_sql(k) + f""",
+before AS (SELECT doc_id, COUNT(*) AS nb FROM s0 GROUP BY doc_id),
+after AS (SELECT doc_id, COUNT(*) AS na FROM s{k} GROUP BY doc_id)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(b.nb) AS BIGINT) AS tokens_before,
+       CAST(SUM(a.na) AS BIGINT) AS tokens_after,
+       ROUND(SUM(a.na) / CAST(SUM(b.nb) AS DOUBLE), 9)
+         AS compression_ratio
+FROM documents d
+JOIN before b ON b.doc_id = d.doc_id
+JOIN after a ON a.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query("bpe_pair_merge_fit", _bpe_oracle_finals(_BPE_STEPS))
 def bpe_pair_merge_fit(spark, sf_dir):
     """BPE tokenizer training's inner loop, fitted IN the engine: K
     greedy rounds of (count adjacent symbol pairs -> take the most
@@ -291,6 +313,15 @@ def bpe_pair_merge_fit(spark, sf_dir):
     localCheckpoint keeps plan depth constant like the PageRank loop.
     Returns the learned merge table (step, pair, n_occurrences); the
     DuckDB oracle replays the identical K rounds as chained CTEs."""
+    state, learned = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        learned, "step int, pair string, n_occurrences bigint")
+
+
+def _bpe_fit(spark, sf_dir):
+    """Shared BPE merge loop (single source of truth for the fit AND the
+    apply/compression report, mirroring the generated oracle chain).
+    Returns (final merged state (doc_id, i, tok), learned merge Rows)."""
     from pyspark.sql import Row
 
     d = t(spark, sf_dir, "documents")
@@ -333,8 +364,32 @@ def bpe_pair_merge_fit(spark, sf_dir):
                  .withColumn("i", F.row_number().over(
                      W.partitionBy("doc_id").orderBy("i_old")) - 1)
                  .select("doc_id", "i", "tok"))
-    return spark.createDataFrame(
-        learned, "step int, pair string, n_occurrences bigint")
+    return state, learned
+
+
+@query("bpe_apply_compression", _bpe_apply_sql(_BPE_STEPS))
+def bpe_apply_compression(spark, sf_dir):
+    """Tokenizer APPLY stage: the fitted merges' effect on the corpus —
+    per-source token counts before/after the K merges and the
+    compression ratio (the number a tokenizer team actually tracks when
+    sizing a vocab). The final merged state of the shared fit loop
+    (_bpe_fit) IS the encoded corpus, so apply costs nothing beyond the
+    fit; the oracle replays the identical chained-CTE template with a
+    per-source aggregation final. Completes the BPE story:
+    bpe_pair_merge_fit learns the merges, this reports their yield."""
+    state, _learned = _bpe_fit(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    before = (t(spark, sf_dir, "documents")
+              .select("doc_id",
+                      F.size(F.split("text", " ")).alias("nb")))
+    after = state.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    return (d.join(before, "doc_id").join(after, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nb").cast("bigint").alias("tokens_before"),
+                 F.sum("na").cast("bigint").alias("tokens_after"),
+                 F.round(F.sum("na") / F.sum("nb").cast("double"), 9)
+                 .alias("compression_ratio")))
 
 
 # ---------------------------------------------------------------------------

@@ -191,7 +191,7 @@ BENCH_QUERIES = [
     "cohort_retention", "timeseries_gap_fill",
     "multimodal_video_decode",
     "forecast_ewma_daily", "zonemap_pruning_report", "compaction_bin_plan",
-    "curation_bias_audit",
+    "curation_bias_audit", "bpe_apply_compression",
 ]
 
 
