@@ -64,6 +64,17 @@ PROBES = [
     "quality_filter_rules",
     "data_shuffle_shards",
     "train_test_split_hash",
+    # iterative / graph / explode-heavy shapes — where superlinear risk
+    # actually lives (plan-depth growth, candidate-pair blowup, token
+    # explodes); all bounded designs whose exponents should stay ~linear
+    "graph_pagerank_simdocs",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "dedup_cluster_components",
+    "emb_gram_matrix_arrow",
+    "ir_bm25_score",
+    "tfidf_top_terms",
+    "quality_bigram_logprob",
 ]
 
 
