@@ -258,3 +258,51 @@ def test_arango_sink_missing_dep_error(monkeypatch):
     sink = ArangoCollectionSink("docs")
     with pytest.raises(RuntimeError, match="python-arango"):
         sink.exists()
+
+
+def test_load_empty_dataframe_creates_empty_collection(spark, sf_dir,
+                                                       collection):
+    """Zero-row input: the collection must still be created (DDL runs
+    before the write action) and hold zero documents — the reference's
+    create-if-missing semantics with an empty parquet."""
+    loader = ParquetLoader(spark)
+    empty = spark.read.parquet(nation_path(sf_dir)).filter("n_nationkey < 0")
+    n = loader.load_dataframe(empty, collection, overwrite=True)
+    assert n == 0
+    assert collection.exists()
+    assert collection.count() == 0
+
+
+def test_load_batch_size_one(spark, sf_dir, collection):
+    """batch_size=1 — one insert per document — must still deliver every
+    row exactly once (the smallest legal batch per the reference's
+    validation boundary)."""
+    loader = ParquetLoader(spark)
+    n = loader.load(nation_path(sf_dir), collection, overwrite=True,
+                    batch_size=1)
+    assert n == 25 and collection.count() == 25
+
+
+def test_load_all_null_and_unicode_columns(spark, collection):
+    """Nulls in every type plus astral/control-range unicode must
+    round-trip the sink as valid JSON documents."""
+    df = spark.createDataFrame(
+        [(1, None, None, None, " line sep \U0001F600"),
+         (2, 3.5, "x", bytearray(b"\x00\xff"), None)],
+        "id long, d double, s string, b binary, u string")
+    loader = ParquetLoader(spark)
+    n = loader.load_dataframe(df, collection, overwrite=True, mode="reference")
+    assert n == 2
+    docs = {doc["id"]: doc for doc in collection.read_all()}
+    assert docs[1]["d"] is None and docs[1]["s"] is None
+    assert docs[1]["u"] == " line sep \U0001F600"
+    assert docs[2]["u"] is None and docs[2]["d"] == 3.5
+
+
+def test_batched_edge_sizes():
+    """batched(): size 1 yields singletons; size > input yields one
+    partial batch; empty input yields nothing."""
+    from arangodb_java_parquet_spark.sources.collections import batched
+    assert list(batched(iter([1, 2, 3]), 1)) == [[1], [2], [3]]
+    assert list(batched(iter([1, 2]), 10)) == [[1, 2]]
+    assert list(batched(iter([]), 3)) == []
