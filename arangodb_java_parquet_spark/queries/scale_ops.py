@@ -592,3 +592,89 @@ def curation_bias_audit(spark, sf_dir):
         F.round(expected, 9).alias("expected"),
         F.round(F.pow(F.col("n") - expected, F.lit(2)) / expected, 9)
         .alias("chi2_term"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source vocabulary overlap matrix (mixture-design audit)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 40
+
+
+@query("vocab_overlap_matrix", f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+df AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT DISTINCT d.source, d.doc_id, x.tok
+        FROM documents d,
+             UNNEST(string_split(d.text, ' ')) AS x(tok))
+  GROUP BY source, tok
+),
+top AS (
+  SELECT source, tok FROM (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok ASC) AS rn
+    FROM df
+  ) WHERE rn <= {_VOCAB_K}
+),
+sizes AS (SELECT source, COUNT(*) AS k FROM top GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM top a JOIN top b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       ROUND(i.n_common
+             / CAST(sa.k + sb.k - i.n_common AS DOUBLE), 9)
+         AS vocab_jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+""")
+def vocab_overlap_matrix(spark, sf_dir):
+    """CROSS-SOURCE vocabulary overlap: Jaccard of each source pair's
+    top-{_VOCAB_K} document-frequency vocabularies — the mixture-design
+    audit that tells you which sources are lexically redundant (near-1
+    overlap: down-weight one) vs complementary (near-0: both earn their
+    tokens). Relational shape: per-source doc-frequency top-K (one
+    window over a bounded vocab table), a self-equi-join on token for
+    intersections, set sizes joined back for the union denominator —
+    O(n_sources^2 * K) output, trivially broadcastable. Deterministic
+    top-K via (df DESC, token ASC)."""
+    d = t(spark, sf_dir, "documents")
+    doc_tok = (d.select("source", "doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+               .distinct())
+    df_tab = (doc_tok.groupBy("source", "tok")
+              .agg(F.count(F.lit(1)).alias("c")))
+    top = (df_tab.withColumn(
+               "rn", F.row_number().over(
+                   W.partitionBy("source")
+                   .orderBy(F.desc("c"), F.asc("tok"))))
+           .filter(F.col("rn") <= _VOCAB_K)
+           .select("source", "tok"))
+    sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    a = top.select(F.col("source").alias("src_a"), "tok")
+    b = top.select(F.col("source").alias("src_b"), "tok")
+    inter = (a.join(b, "tok")
+             .filter(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("k").alias("ka"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("k").alias("kb"))
+    return (inter.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_common").cast("bigint").alias("n_common"),
+                    F.round(F.col("n_common")
+                            / (F.col("ka") + F.col("kb")
+                               - F.col("n_common")).cast("double"), 9)
+                    .alias("vocab_jaccard")))

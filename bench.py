@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "multimodal_video_decode",
     "forecast_ewma_daily", "zonemap_pruning_report", "compaction_bin_plan",
     "curation_bias_audit", "bpe_apply_compression",
+    "vocab_overlap_matrix",
 ]
 
 
