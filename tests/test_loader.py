@@ -306,3 +306,17 @@ def test_batched_edge_sizes():
     assert list(batched(iter([1, 2, 3]), 1)) == [[1], [2], [3]]
     assert list(batched(iter([1, 2]), 10)) == [[1, 2]]
     assert list(batched(iter([]), 3)) == []
+
+
+def test_corrupt_parquet_fails_loudly(spark, tmp_path, collection):
+    """Documented divergence from the reference (collections.py:batched
+    note): the reference's chunk iterator swallows IOException to null,
+    silently truncating a load; here a corrupt file must FAIL the job —
+    at scale a silent partial load is the worse bug."""
+    bad = tmp_path / "corrupt.parquet"
+    bad.write_bytes(b"PAR1 this is not really a parquet file \x00\x01")
+    loader = ParquetLoader(spark)
+    with pytest.raises(Exception):
+        loader.load(str(bad), collection, overwrite=True)
+    # and nothing was silently half-delivered
+    assert collection.count() == 0
