@@ -308,9 +308,9 @@ def decode_wav(payload: bytes) -> dict | None:
     explicit here rather than hidden behind a fake.
     """
     import struct as _s
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return None
     if len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, n = 12, len(payload)
     fmt = None
@@ -324,10 +324,12 @@ def decode_wav(payload: bytes) -> dict | None:
         chunk = payload[i + 8:i + 8 + size]
         if len(chunk) < size:
             return None
-        if cid == b"fmt ":
+        if cid == b"fmt " and fmt is None:  # first chunk wins on duplicates
             fmt = chunk
-        elif cid == b"data":
+        elif cid == b"data" and data is None:
             data = chunk
+        if fmt is not None and data is not None:
+            break
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
         return None

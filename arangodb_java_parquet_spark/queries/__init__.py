@@ -52,40 +52,46 @@ from arangodb_java_parquet_spark.queries import scale_ops  # noqa: F401,E402
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
 DRIVER_PANEL = [
-    # relational / TPC-H spine (q5/q9/q21, rollup/grouping-sets,
-    # semi/full-outer joins, scalar suites, topk and pushdown probes
-    # rotated out this round after driver-green records r1-r4 — all stay
-    # locally harness-checked every round)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q6_forecast_revenue", "q18_large_orders",
-    "agg_moment_stats", "agg_exact_percentiles",
-    "agg_hll_portable_estimate", "multimodal_image_decode",
-    # dedup family (exact, MinHash+LSH, SimHash, n-gram containment,
-    # bloom, connected components, end-to-end funnel)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_signatures",
-    "dedup_containment", "dedup_bloom_prefilter",
-    "dedup_cluster_components", "dedup_funnel_survivors", "semdedup_prune",
-    # similarity / ANN (+ the round-5 optimized mutual-kNN graph)
-    "sim_topk_bruteforce", "sim_topk_lsh_bucketed", "sim_topk_pq_adc",
-    "sim_recall_at_k", "emb_mutual_knn_graph",
-    # curation / quality / decontamination
-    "decontaminate_benchmark_overlap", "decontaminate_semantic",
-    "per_source_cap", "quality_filter_rules", "quality_unigram_logprob",
-    "pii_redaction", "pack_token_sequences", "train_test_split_hash",
-    # IR / text
-    "ir_bm25_score", "token_pmi_collocations",
-    # streaming (batch-equivalence drives with full value oracles)
-    "stream_error_monitor", "stream_cms_maintenance",
-    "stream_session_windows",
-    # lifecycle, temporal joins, embeddings, windows
-    "scd2_merge_customers", "snapshot_cdc_diff", "join_range_binned",
-    "join_asof_backward", "emb_gram_matrix", "window_session_native",
-    "window_rolling_median", "intervals_merge_islands",
-    # round-5 first-time flagships: relational ML, graph, trend, sampling,
-    # profiling — none of these 10+ entries has ever had a driver row
-    "kmeans_fixed_rounds", "logistic_irls_fit", "als_factorization",
-    "sample_weighted_topk", "graph_label_propagation",
-    "theil_sen_trend", "cusum_change_point", "histogram_equidepth",
+    # ROUND-6 ROTATION (VERDICT r5 next-round #1): all 50 slots are names
+    # with NO driver CORRECTNESS row in any of rounds 1-5 — converting the
+    # never-sampled long tail (222 entries) to driver-green. The r1-r5
+    # green names (TPC-H spine, dedup/ANN/streaming flagships) stay
+    # locally harness-checked every round via tools/check_correctness.py.
+    #
+    # TPC-H spine never sampled before
+    "q2_min_cost_supplier", "q4_order_priority", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q20_excess_inventory_suppliers",
+    "q22_global_sales_opportunity",
+    # aggregation breadth
+    "agg_corr_matrix", "agg_linear_regression", "agg_bitmap_distinct",
+    "agg_weighted_percentile", "rollup_share_of_parent",
+    # window frames
+    "window_range_frame", "window_distinct_in_frame",
+    "window_time_range_frame",
+    # dedup long tail (fingerprints, multiprobe, spans, tuning, ensemble,
+    # incremental, cross-source, quality-aware resolution)
+    "dedup_fingerprint", "dedup_simhash_hamming2", "dedup_substring_span",
+    "dedup_lsh_tuning_curve", "dedup_ensemble_votes",
+    "dedup_incremental_batch", "dedup_cross_source_matrix",
+    "dedup_keep_best_quality",
+    # text / quality / language-ID / BPE / IR
+    "text_quality_stats", "text_lang_id", "langid_trigram_confusion",
+    "bpe_pair_merge_fit", "quality_composite_gate", "ir_inverted_index",
+    # embeddings / similarity / graph
+    "emb_near_dup_pairs", "emb_random_projection", "sim_topk_ivf_rulebased",
+    "sim_pq_encode", "graph_pagerank_simdocs",
+    # temporal joins / event analytics
+    "join_asof_nearest", "join_range_interval", "sessionize_events",
+    "cohort_retention", "funnel_conversion", "attribution_last_touch",
+    # portable sketches
+    "agg_hll_set_algebra", "rolling_hll_distinct_users",
+    "cms_join_size_estimate",
+    # curation / sampling / privacy
+    "curriculum_interleave", "mixture_kl_divergence", "pii_pseudonymize",
+    "robust_scale_features", "source_keep_rate_wilson",
+    # statistical diagnostics
+    "benford_first_digit", "vocab_overlap_matrix",
+    "psi_distribution_stability",
 ]
 
 

@@ -277,7 +277,7 @@ WITH stats AS (
 )
 SELECT o.o_orderkey, o.o_orderpriority,
        s.med, s.iqr,
-       ROUND((o.o_totalprice - s.med) / s.iqr, 9) AS scaled
+       ROUND((o.o_totalprice - s.med) / NULLIF(s.iqr, 0), 9) AS scaled
 FROM orders o JOIN stats s USING (o_orderpriority)
 WHERE o.o_orderkey < 2000
 """)
@@ -288,7 +288,9 @@ def robust_scale_features(spark, sf_dir):
     Group stats are one exact-percentile aggregation (bounded groups,
     broadcast back); the scaled projection is map-side. Round-9 fences
     on the interpolated percentiles and the derived ratio per the
-    cross-engine rules."""
+    cross-engine rules. Degenerate groups (IQR = 0) yield NULL on both
+    engines via nullif — Spark's non-ANSI /0 is NULL but DuckDB's is
+    inf, so the guard is required for cross-engine parity."""
     o = t(spark, sf_dir, "orders")
     stats = (o.groupBy("o_orderpriority")
              .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
@@ -300,7 +302,8 @@ def robust_scale_features(spark, sf_dir):
             .join(F.broadcast(stats), "o_orderpriority")
             .select("o_orderkey", "o_orderpriority", "med", "iqr",
                     F.round((F.col("o_totalprice") - F.col("med"))
-                            / F.col("iqr"), 9).alias("scaled")))
+                            / F.nullif(F.col("iqr"), F.lit(0.0)), 9)
+                    .alias("scaled")))
 
 
 # ---------------------------------------------------------------------------

@@ -231,8 +231,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf_dir
-    # Full detail line (per-query timings) for humans / archival...
-    print(json.dumps({
+    full_record = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -240,7 +239,21 @@ def main() -> None:
         "sf": sf_val,
         "pass1_total": round(pass_totals[0], 3),
         "pass2_total": round(pass_totals[1], 3),
-    }))
+    }
+    # Archive the COMPLETE per-query map to a committed file: the driver
+    # keeps only a truncated stdout tail, which loses most of the ~200
+    # entries and breaks cross-round bench_compare diffs.
+    round_no = os.environ.get("SPARK_GRAFT_ROUND", "")
+    out_name = (f"BENCH_FULL_r{int(round_no):02d}.json" if round_no.isdigit()
+                else "BENCH_FULL_latest.json")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               out_name), "w") as fh:
+            json.dump(full_record, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout line below still carries it
+    # Full detail line (per-query timings) for humans / archival...
+    print(json.dumps(full_record))
     # ...then a compact summary as the FINAL line: the driver captures only
     # the last few KB of stdout, and the full line (100+ queries) overflows
     # that buffer (BENCH_r03 recorded "parsed": null). The last line must

@@ -16,9 +16,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import statistics
 import sys
+
+
+def _registry_names() -> set[str]:
+    """Known query names, used to filter the tail scrape (the regex would
+    otherwise match non-query numeric fields like "wall"/"rows")."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    try:
+        from arangodb_java_parquet_spark.queries import QUERIES
+        return set(QUERIES)
+    except Exception:
+        return set()
 
 
 def load_queries(path: str) -> dict[str, float]:
@@ -30,8 +43,11 @@ def load_queries(path: str) -> dict[str, float]:
     if "queries" in d:
         return {k: float(v) for k, v in d["queries"].items()}
     if "tail" in d:  # driver record: scrape the per-query map from tail
-        return {m.group(1): float(m.group(2)) for m in
-                re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', d["tail"])}
+        names = _registry_names()
+        scraped = {m.group(1): float(m.group(2)) for m in
+                   re.finditer(r'"([a-z0-9_]+)": ([0-9.]+)', d["tail"])}
+        return ({k: v for k, v in scraped.items() if k in names}
+                if names else scraped)
     raise SystemExit(f"{path}: no 'queries' or 'tail' field")
 
 

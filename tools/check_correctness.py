@@ -88,8 +88,6 @@ def main():
             atbl = rel.arrow()
             acols = [atbl.column(i).to_pylist() for i in range(atbl.num_columns)]
             duck_rows = list(zip(*acols)) if acols else []
-            if atbl.num_columns and not duck_rows:
-                duck_rows = []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
