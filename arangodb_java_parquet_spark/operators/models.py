@@ -17,8 +17,12 @@ Layout::
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
+import tempfile
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,6 +56,46 @@ def load_model(spark: SparkSession, root: str, name: str,
     if missing:
         raise ValueError(f"model {name!r} missing columns {missing}")
     return df.select(*manifest["columns"])
+
+
+def store_root_for(sf_dir: str, *tables: str) -> str:
+    """Default store root for fitted artifacts derived from ``sf_dir``'s
+    parquet tables, keyed by the SOURCE FILES' identity (path + mtime +
+    size). Regenerated testdata therefore lands in a DIFFERENT root and a
+    stale artifact can never be served against new data — the staleness
+    guard a production pipeline gets from partition watermarks."""
+    parts = []
+    for tbl in tables:
+        path = os.path.join(os.path.abspath(sf_dir), f"{tbl}.parquet")
+        try:
+            st = os.stat(path)
+            parts.append(f"{path}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{path}:missing")
+    sig = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "ajps_model_store", sig)
+
+
+def ensure_model(spark: SparkSession, root: str, name: str, kind: str,
+                 fit: Callable[[], DataFrame]) -> DataFrame:
+    """Fit-once / load-later: return the stored artifact if present, else
+    run ``fit()``, persist it, and return the reload. The reload (not the
+    fit lineage) is returned in BOTH cases so callers always get the
+    truncated-plan parquet scan — the whole point of amortizing a fit.
+
+    Concurrent fitters race benignly: each writes to a pid-suffixed temp
+    model and renames into place; the loser discards its copy and loads
+    the winner's (artifact content is deterministic, so either is
+    correct)."""
+    mdir = os.path.join(root, name)
+    if not os.path.isfile(os.path.join(mdir, "manifest.json")):
+        tmp = f".{name}.tmp{os.getpid()}"
+        save_model(fit(), root, tmp, kind)
+        try:
+            os.rename(os.path.join(root, tmp), mdir)
+        except OSError:  # another process won the race
+            shutil.rmtree(os.path.join(root, tmp), ignore_errors=True)
+    return load_model(spark, root, name, expect_kind=kind)
 
 
 def list_models(root: str) -> list[dict]:

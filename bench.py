@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "forecast_ewma_daily", "zonemap_pruning_report", "compaction_bin_plan",
     "curation_bias_audit", "bpe_apply_compression",
     "vocab_overlap_matrix",
+    # round-6: stored-index probes (fit-once into the model store; these
+    # entries measure the recurring probe cost, their twins the fit)
+    "sim_topk_pq_adc_stored", "sim_topk_ivfpq_stored", "sim_topk_ivf_stored",
 ]
 
 
