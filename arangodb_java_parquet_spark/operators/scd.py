@@ -40,7 +40,13 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *, key: str,
 
     c = cur.alias("c")
     u = updates.alias("u")
-    joined = c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+    # lazy-checkpoint the merge join: all three MERGE legs (keep / close /
+    # open) filter the SAME full-outer join, and without materialization
+    # each leg re-runs the join and the whole updates lineage (10-exchange
+    # plans on the customer merge). One materialization, three cheap scans
+    # — what a real MERGE engine does internally.
+    joined = (c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
+              .localCheckpoint(eager=False))
     changed = reduce(lambda a, b: a | b,
                      [~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
                       for a in attrs])

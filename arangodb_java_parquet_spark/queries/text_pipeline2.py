@@ -658,8 +658,13 @@ def dedup_lsh_tuning_curve(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # materialize the signatures ONCE: the minhash lineage contains
+    # lambda-HOF subtrees that don't canonicalize, so without the (lazy)
+    # checkpoint each of the 3 settings' self-joins re-derives it — six
+    # shingle+minhash passes where one suffices (r5 VERDICT #4)
     sigs = minhash_signatures(
-        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id").localCheckpoint(eager=False)
     rows = None
     for label, band_rows in (("1x8", 8), ("2x4", 4), ("4x2", 2)):
         pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8,
