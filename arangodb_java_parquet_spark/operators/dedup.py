@@ -163,6 +163,54 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
             .distinct())
 
 
+def lsh_candidate_pairs_capped(sigs: DataFrame, id_col: str,
+                               num_hashes: int = NUM_HASHES,
+                               band_rows: int = BAND_ROWS,
+                               max_bucket: int = 32) -> DataFrame:
+    """Skew-hardened LSH banding: giant buckets (the K-clique blowup a
+    duplicate-heavy corpus creates — r5 SCALE_PROBE measured a 1.35 time
+    exponent from exactly this) are capped instead of enumerated
+    quadratically.
+
+    Per (band_idx, band_hash) bucket, members are ranked by id;
+    * the first ``max_bucket`` members pair ALL-PAIRS (identical to the
+      uncapped join for every bucket within the cap), and
+    * every member beyond the cap pairs ONLY with the bucket's min-id
+      member (star edges) — O(k) instead of O(k²) per bucket.
+
+    Recall contract: per-bucket CONNECTIVITY is fully preserved (the star
+    keeps every member reachable from the hub), so connected-components /
+    cluster-dedup consumers get the SAME clusters as the uncapped join
+    (pinned by tests/test_curation.py). What the cap sacrifices is
+    tail-pair enumeration for pairwise-threshold verify stages: a pair of
+    docs both beyond the cap in ALL their shared buckets surfaces only
+    via their hub, not directly. Shape: the window ranking is one shuffle
+    on the bucket key with O(k log k) per-bucket work — the worst bucket
+    costs sort time, never join-explosion time."""
+    banded = lsh_bands(sigs, id_col, num_hashes, band_rows)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    # ranked feeds three legs (head self-join sides + tail/min) — lazy
+    # checkpoint so the banding lineage materializes once
+    ranked = banded.withColumn("rk", F.row_number().over(w)) \
+        .localCheckpoint(eager=False)
+    head = ranked.filter(F.col("rk") <= max_bucket)
+    a, b = head.alias("a"), head.alias("b")
+    full = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b")))
+    mins = (ranked.filter(F.col("rk") == 1)
+            .select("band_idx", "band_hash",
+                    F.col(id_col).alias("doc_a")))
+    star = (ranked.filter(F.col("rk") > max_bucket)
+            .select("band_idx", "band_hash", F.col(id_col).alias("doc_b"))
+            .join(mins, ["band_idx", "band_hash"])
+            .select("doc_a", "doc_b"))
+    return full.unionByName(star).distinct()
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_bits: int = 16) -> DataFrame:
     """SimHash fingerprints over whitespace tokens.

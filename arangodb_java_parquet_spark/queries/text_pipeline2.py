@@ -610,6 +610,62 @@ def text_novelty_rate(spark, sf_dir):
                  .alias("novelty_rate")))
 
 
+_LSH_CAP = 4
+
+_LSH_CAPPED_SQL = _MINHASH_SIG_SQL + f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+ranked AS (
+  SELECT doc_id, band_idx, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                            ORDER BY doc_id) AS rk
+  FROM bands
+),
+full_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  WHERE a.rk <= {_LSH_CAP} AND b.rk <= {_LSH_CAP}
+),
+star AS (
+  SELECT m.doc_id AS doc_a, t.doc_id AS doc_b
+  FROM ranked t JOIN ranked m
+    ON m.band_idx = t.band_idx AND m.band_hash = t.band_hash AND m.rk = 1
+  WHERE t.rk > {_LSH_CAP}
+)
+SELECT doc_a, doc_b FROM full_pairs
+UNION
+SELECT doc_a, doc_b FROM star
+"""
+
+
+@query("dedup_lsh_capped_pairs", _LSH_CAPPED_SQL)
+def dedup_lsh_capped_pairs(spark, sf_dir):
+    """SKEW-HARDENED LSH candidate pairs
+    (operators/dedup.py:lsh_candidate_pairs_capped): per-bucket pair
+    enumeration is capped at {cap} members (all-pairs within the cap,
+    star edges to the bucket min beyond it) so a duplicate-heavy
+    corpus's K-clique buckets cost O(k) instead of O(k²) — the defense
+    the r5 scale probe showed AQE alone doesn't give (1.35 time
+    exponent on the replica corpus). Per-bucket connectivity is fully
+    preserved, so cluster-dedup downstream is unchanged
+    (tests/test_curation.py pins CC equality with the uncapped join);
+    the tuning cap here is deliberately small so the sf-corpus's
+    17-member bucket exercises BOTH edge kinds."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    return lsh_candidate_pairs_capped(sigs, "doc_id",
+                                      max_bucket=_LSH_CAP)
+
+
 _LSH_TUNING_SQL = _MINHASH_SIG_SQL + """
 , b1 AS (
   SELECT doc_id, 0 AS band_idx,

@@ -646,3 +646,28 @@ def test_pseudonymize_handles_stable(spark, sf_dir):
     assert all(len(v) == 1 for v in by_email_key.values())
     handles = {next(iter(v)) for v in by_email_key.values()}
     assert len(handles) == len(by_email_key)
+
+
+def test_capped_lsh_preserves_cluster_connectivity(spark, sf_dir):
+    """The bucket cap changes WHICH candidate pairs are enumerated but
+    must not change the connected components (star edges keep every
+    bucket member reachable from its hub)."""
+    from arangodb_java_parquet_spark.operators.curation import (
+        connected_components)
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, lsh_candidate_pairs_capped,
+        minhash_signatures)
+    from arangodb_java_parquet_spark.queries.common import t
+
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    full = lsh_candidate_pairs(sigs, "doc_id")
+    capped = lsh_candidate_pairs_capped(sigs, "doc_id", max_bucket=2)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_capped <= n_full
+    comp_full = sorted(
+        tuple(r) for r in connected_components(full).collect())
+    comp_capped = sorted(
+        tuple(r) for r in connected_components(capped).collect())
+    assert comp_capped == comp_full

@@ -147,7 +147,13 @@ def test_avro_roundtrip_or_clean_gate(spark, nation, tmp_path):
         assert "spark-avro" in str(e)
         with pytest.raises(RuntimeError, match="spark-avro"):
             read_avro(spark, path)
-        pytest.skip("spark-avro module not on classpath (gated cleanly)")
+        pytest.skip(
+            "spark-avro module not on classpath (gated cleanly); "
+            "DEFINITIVE blocker re-verified r6 (2026-08-14): the sandbox "
+            "has no DNS ('[Errno -2] Name or service not known' for maven "
+            "central and the pip index), so the jar cannot be vendored "
+            "from inside; avro-1.12.1.jar (the format lib) IS bundled but "
+            "the spark-avro DataSource module is not")
     back = read_avro(spark, path)
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)

@@ -57,10 +57,12 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
     except RuntimeError as e:
         assert "protobuf" in str(e)
         pytest.skip(
-            "protobuf not in image (TWS gated cleanly); install attempted "
-            "2026-08-14: `pip install protobuf` fails with 'No matching "
-            "distribution found' — the container has no package index "
-            "access, so the gate cannot be lifted from inside")
+            "protobuf not in image (TWS gated cleanly); DEFINITIVE "
+            "blocker re-verified r6 (2026-08-14): DNS resolution fails "
+            "for every host (urllib to maven central and pip's index both "
+            "die with '[Errno -2] Name or service not known'), so neither "
+            "the protobuf wheel nor any jar can be vendored from inside "
+            "the sandbox")
     q = (out.writeStream.outputMode("update").format("memory")
          .queryName("tws_out")
          .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
