@@ -1,0 +1,184 @@
+"""Round-6 breadth: streaming MERGE/upsert with redelivery idempotence,
+privacy risk reporting (k-anonymity / l-diversity), and in-engine PCA by
+unrolled power iteration — each value-checked against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, scratch_dir, t
+
+# ---------------------------------------------------------------------------
+# streaming MERGE upsert (last-write-wins keyed table)
+# ---------------------------------------------------------------------------
+
+
+@query("stream_upsert_merge", """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       event_type AS last_type, value AS last_value
+FROM ranked WHERE rn = 1
+""")
+def stream_upsert_merge(spark, sf_dir):
+    """Streaming MERGE/upsert drive
+    (streaming/ingest.py:stream_upsert_keyed): the event stream feeds a
+    keyed state table where each micro-batch UPDATEs existing keys to
+    their newest row and INSERTs new keys — Delta-style MERGE from
+    primitives, with an atomic directory swap per batch.
+
+    The drive deliberately delivers the SAME file TWICE (two symlinks,
+    maxFilesPerTrigger=1 → two micro-batches): last-write-wins makes
+    redelivery a no-op, so the result still hash-matches the ONE-copy
+    oracle — the at-least-once idempotence property checked end to end,
+    not asserted."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stream_upsert_keyed)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = scratch_dir("ajps_upsert_")
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    for name in ("ev_copy1.parquet", "ev_copy2.parquet"):
+        os.symlink(os.path.realpath(f"{sf_dir}/events.parquet"),
+                   os.path.join(stream_dir, name))
+    state_dir = os.path.join(root, "state")
+    q = stream_upsert_keyed(spark, stream_dir, schema=raw.schema,
+                            state_dir=state_dir,
+                            checkpoint_dir=os.path.join(root, "ckpt"))
+    q.awaitTermination()
+    return (spark.read.parquet(state_dir)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy report
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query("privacy_k_anonymity", f"""
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS k_size,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS INT))
+         AS l_diversity,
+       COUNT(*) < {_KANON_K} AS below_k
+FROM customer
+GROUP BY c_mktsegment, c_nationkey
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """PRIVACY RISK report (Sweeney k-anonymity / Machanavajjhala
+    l-diversity): group the table by its quasi-identifier combination
+    (market segment × nation — the attributes an attacker could link
+    externally) and report each equivalence class's size k and the
+    diversity l of the sensitive attribute (the $1000 account-balance
+    band) within it. Classes with k < {_KANON_K} are re-identification
+    risks; k ok but l = 1 means the sensitive value leaks even without
+    re-identification (homogeneity attack). One combinable aggregation,
+    distinct-count shuffles the bounded (QI, sensitive) key space —
+    the pre-release audit a training-data pipeline runs beside PII
+    redaction (see pii_redaction / pii_pseudonymize)."""
+    c = t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("k_size"),
+                 F.countDistinct(
+                     F.floor(F.col("c_acctbal") / 1000.0).cast("int"))
+                 .alias("l_diversity"))
+            .withColumn("below_k", F.col("k_size") < _KANON_K))
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via unrolled power iteration on the Gram matrix
+# ---------------------------------------------------------------------------
+
+def _pca_sql() -> str:
+    tri = """
+SELECT a.i, b.j,
+       CAST(SUM(CAST(embedding[a.i]::DOUBLE * embedding[b.j]::DOUBLE
+                     AS DECIMAL(30,8))) AS DOUBLE) AS g
+FROM embeddings,
+     (SELECT UNNEST(range(1, 65)) AS i) a,
+     (SELECT UNNEST(range(1, 65)) AS j) b
+WHERE b.j >= a.i
+GROUP BY 1, 2
+"""
+    iters = []
+    prev = "v0"
+    for k in (1, 2, 3):
+        iters.append(f"""
+w{k} AS (
+  SELECT g.i,
+         CAST(SUM(CAST(ROUND(g.g * {prev}.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS w
+  FROM g JOIN {prev} ON {prev}.j = g.j GROUP BY 1
+),
+n{k} AS (SELECT MAX(ABS(w)) AS nrm FROM w{k}),
+v{k} AS (SELECT w{k}.i AS j, ROUND(w{k}.w / n{k}.nrm, 9) AS v
+         FROM w{k} CROSS JOIN n{k})""")
+        prev = f"v{k}"
+    return (f"WITH tri AS ({tri}),\n"
+            "g AS (SELECT i, j, g FROM tri\n"
+            "      UNION ALL SELECT j, i, g FROM tri WHERE i < j),\n"
+            "v0 AS (SELECT UNNEST(range(1, 65)) AS j, 1.0::DOUBLE AS v),"
+            + ",".join(iters)
+            + f"\nSELECT j AS dim, v AS pc1 FROM {prev}")
+
+
+@query("emb_pca_power_iteration", _pca_sql())
+def emb_pca_power_iteration(spark, sf_dir):
+    """PCA TOP COMPONENT entirely in-engine: 3 unrolled power iterations
+    v ← G·v / max|G·v| over the 64×64 Gram matrix (the distributed d×d
+    reduction emb_gram_matrix also computes; eigenvector up to the
+    max-abs scaling, which is EXACT — no large-magnitude rounding — so
+    the whole iteration is bit-reproducible cross-engine: matvec terms
+    round-9 then decimal-summed, normalizer is a plain MAX of exact
+    values, division IEEE-identical, round-9 re-fence per iteration).
+
+    Scale: the corpus-sized work is ONE combinable pass building G;
+    every iteration after that is a 64²-row broadcast join — at
+    production dims (768-4096) G still fits in a broadcast and the same
+    plan holds. The Arrow gram twin (gram_matrix_arrow) supplies G at
+    dims where the explode formulation is impractical."""
+    e = t(spark, sf_dir, "embeddings")
+    e1 = e.select("embedding",
+                  F.posexplode("embedding").alias("i0", "vi"))
+    e2 = e1.select(
+        F.col("i0"), F.col("vi"),
+        F.posexplode(F.expr("slice(embedding, i0 + 1, 64)"))
+        .alias("p0", "vj"))
+    prod = F.col("vi").cast("double") * F.col("vj").cast("double")
+    tri = (e2.groupBy((F.col("i0") + 1).alias("i"),
+                      (F.col("i0") + F.col("p0") + 1).alias("j"))
+           .agg(F.sum(prod.cast("decimal(30,8)")).cast("double")
+                .alias("g")))
+    # the full (mirrored) Gram feeds all three matvec iterations —
+    # materialize once (non-canonicalizing explode lineage)
+    g = (tri.unionByName(
+            tri.filter(F.col("i") < F.col("j"))
+            .select(F.col("j").alias("i"), F.col("i").alias("j"), "g"))
+         .localCheckpoint(eager=False))
+    v = spark.range(1, 65).select(F.col("id").cast("int").alias("j"),
+                                  F.lit(1.0).alias("v"))
+    for _ in range(3):
+        w = (g.join(F.broadcast(v), "j")
+             .groupBy("i")
+             .agg(F.sum(F.round(F.col("g") * F.col("v"), 9)
+                        .cast("decimal(30,9)")).cast("double").alias("w")))
+        nrm = w.agg(F.max(F.abs(F.col("w"))).alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select(F.col("i").alias("j"),
+                     F.round(F.col("w") / F.col("nrm"), 9).alias("v")))
+    return v.select(F.col("j").cast("bigint").alias("dim"),
+                    F.col("v").alias("pc1"))

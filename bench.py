@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     # round-6: stored-index probes (fit-once into the model store; these
     # entries measure the recurring probe cost, their twins the fit)
     "sim_topk_pq_adc_stored", "sim_topk_ivfpq_stored", "sim_topk_ivf_stored",
+    # round-6: skew-capped LSH, streaming MERGE upsert, privacy report,
+    # in-engine PCA
+    "dedup_lsh_capped_pairs", "stream_upsert_merge", "privacy_k_anonymity",
+    "emb_pca_power_iteration",
 ]
 
 
