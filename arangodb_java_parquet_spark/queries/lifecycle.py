@@ -382,3 +382,91 @@ def graph_degree_distribution(spark, sf_dir):
              .unionAll(e.select(F.col("doc_b").alias("node"))))
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# CDC APPLY: replay an ordered change feed onto a base table
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_SQL = """
+WITH changes AS (
+  SELECT o_custkey + CASE WHEN o_orderkey % 11 = 0
+                          THEN 3000000 ELSE 0 END AS key,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_bal
+  FROM orders WHERE o_orderkey < 20000
+),
+latest AS (
+  SELECT key, op, new_bal FROM (
+    SELECT key, op, new_bal,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+),
+kept AS (
+  SELECT c.c_custkey AS custkey,
+         CASE WHEN l.op = 'U' THEN l.new_bal
+              ELSE c.c_acctbal END AS acctbal,
+         c.c_mktsegment AS mktsegment,
+         CASE WHEN l.key IS NULL THEN 'kept'
+              ELSE 'updated' END AS row_origin
+  FROM customer c LEFT JOIN latest l ON l.key = c.c_custkey
+  WHERE l.op IS NULL OR l.op <> 'D'
+),
+ins AS (
+  SELECT l.key AS custkey, l.new_bal AS acctbal,
+         'NEW' AS mktsegment, 'inserted' AS row_origin
+  FROM latest l LEFT JOIN customer c ON c.c_custkey = l.key
+  WHERE c.c_custkey IS NULL AND l.op <> 'D'
+)
+SELECT custkey, acctbal, mktsegment, row_origin FROM kept
+UNION ALL
+SELECT custkey, acctbal, mktsegment, row_origin FROM ins
+"""
+
+
+@query("cdc_apply_changes", _CDC_APPLY_SQL)
+def cdc_apply_changes(spark, sf_dir):
+    """CDC APPLY — the consumer side of change-data-capture (the inverse
+    of snapshot_cdc_diff, and the batch core of every Debezium/lakehouse
+    ingestion): replay an ORDERED change feed (op in {U, D}, sequence
+    number per change, multiple changes per key) onto a base table. Per
+    key the LATEST change wins (one window over the feed); updates
+    rewrite the value, deletes drop the row, changes for unknown keys
+    become inserts, untouched base rows pass through — each output row
+    tagged with its origin. The feed is synthesized deterministically
+    from orders (every order = a balance update for its customer, every
+    97th a delete, every 11th routed to an out-of-base key so the insert
+    path is exercised), so the whole apply is value-checked. Shape: one
+    window on the feed key + one outer join against the base — the
+    feed's shuffle carries (key, seq, value) triples only; at scale the
+    base side stays partitioned by key and AQE handles hot keys."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    changes = (o.filter(F.col("o_orderkey") < 20000)
+               .select((F.col("o_custkey")
+                        + F.when(F.col("o_orderkey") % 11 == 0,
+                                 F.lit(3000000)).otherwise(0)).alias("key"),
+                       F.col("o_orderkey").alias("seq"),
+                       F.when(F.col("o_orderkey") % 97 == 0, "D")
+                       .otherwise("U").alias("op"),
+                       F.col("o_totalprice").alias("new_bal")))
+    latest = (changes.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("key").orderBy(F.desc("seq"))))
+        .filter(F.col("rn") == 1).select("key", "op", "new_bal"))
+    j = c.join(latest, c.c_custkey == latest.key, "left")
+    kept = (j.filter(F.col("op").isNull() | (F.col("op") != "D"))
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.when(F.col("op") == "U", F.col("new_bal"))
+                    .otherwise(F.col("c_acctbal")).alias("acctbal"),
+                    F.col("c_mktsegment").alias("mktsegment"),
+                    F.when(F.col("key").isNull(), "kept")
+                    .otherwise("updated").alias("row_origin")))
+    ins = (latest.join(c, latest.key == c.c_custkey, "left_anti")
+           .filter(F.col("op") != "D")
+           .select(F.col("key").alias("custkey"),
+                   F.col("new_bal").alias("acctbal"),
+                   F.lit("NEW").alias("mktsegment"),
+                   F.lit("inserted").alias("row_origin")))
+    return kept.unionByName(ins)

@@ -494,6 +494,75 @@ def multimodal_binary_meta(spark, sf_dir):
         F.col("source").alias("modality_tag"))
 
 
+@query("multimodal_format_sniff", r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+           WHEN 1 THEN '\xFF\xD8\xFF'::BLOB
+           WHEN 2 THEN 'GIF89a'::BLOB
+           WHEN 3 THEN 'BM'::BLOB
+           ELSE 'RIFF\x00\x00\x00\x00WAVE'::BLOB
+         END || encode(text) AS payload
+  FROM documents
+)
+, h AS (SELECT doc_id, to_hex(payload) AS hx,
+               octet_length(payload) AS n FROM p)
+SELECT doc_id,
+       CASE
+         WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+         WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+         WHEN substring(hx, 1, 12) IN ('474946383961', '474946383761')
+           THEN 'gif'
+         WHEN substring(hx, 1, 8) = '52494646'
+          AND substring(hx, 17, 8) = '57415645' THEN 'wav'
+         WHEN substring(hx, 1, 8) = '52494646' THEN 'riff-other'
+         WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
+         ELSE 'unknown'
+       END AS detected_format,
+       CAST(n AS BIGINT) AS n_bytes
+FROM h
+""")
+def multimodal_format_sniff(spark, sf_dir):
+    """CONTENT-TYPE SNIFFING over opaque binary payloads — the ingest
+    triage every multimodal lake needs before routing to a decoder:
+    classify each blob by its magic bytes (PNG / JPEG / GIF87a+89a /
+    BMP / RIFF-WAVE vs other RIFF) with pure binary-substring
+    expressions — no UDF, fully pushdown-friendly, and value-checked
+    (payloads are synthesized deterministically by prefixing real magic
+    numbers onto the text bytes, so both engines build byte-identical
+    blobs). Misrouted payloads land in 'unknown'/'riff-other' instead
+    of crashing a decoder — the loud-failure boundary
+    operators/multimodal.py's real decoders then enforce."""
+    d = t(spark, sf_dir, "documents")
+    png = bytes.fromhex("89504E470D0A1A0A")
+    hdr = (F.when(F.col("doc_id") % 5 == 0, F.lit(png))
+           .when(F.col("doc_id") % 5 == 1, F.lit(b"\xFF\xD8\xFF"))
+           .when(F.col("doc_id") % 5 == 2, F.lit(b"GIF89a"))
+           .when(F.col("doc_id") % 5 == 3, F.lit(b"BM"))
+           .otherwise(F.lit(b"RIFF\x00\x00\x00\x00WAVE")))
+    payload = F.concat(hdr, F.encode(F.col("text"), "UTF-8"))
+
+    # detection compares the UPPERCASE HEX prefix: DuckDB has no BLOB
+    # substring, and hex() is byte-faithful + identical in both engines
+    def is_(hexlit, start=1):
+        return F.substring(F.col("hx"), start,
+                           len(hexlit)) == F.lit(hexlit)
+
+    return (d.select("doc_id", F.hex(payload).alias("hx"),
+                     F.octet_length(payload).alias("n"))
+            .select(
+                "doc_id",
+                F.when(is_("89504E470D0A1A0A"), "png")
+                .when(is_("FFD8FF"), "jpeg")
+                .when(is_("474946383961") | is_("474946383761"), "gif")
+                .when(is_("52494646") & is_("57415645", start=17), "wav")
+                .when(is_("52494646"), "riff-other")
+                .when(is_("424D"), "bmp")
+                .otherwise("unknown").alias("detected_format"),
+                F.col("n").cast("bigint").alias("n_bytes")))
+
+
 @query("dedup_simhash_hamming2", f"""
 WITH sigs AS ({_simhash_sql(_H2_BITS, as_int=True)}),
 masks AS (

@@ -1257,3 +1257,50 @@ def order_priority_markov(spark, sf_dir):
                     F.col("n").cast("bigint").alias("n_transitions"),
                     F.round(F.col("n").cast("double") / F.col("t"), 9)
                     .alias("p")))
+
+
+@query("graph_kcore_2core", _graph_base_sql() + """
+, d1 AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+e1 AS (SELECT e.src, e.dst FROM edges e
+       JOIN k1 a ON a.node = e.src JOIN k1 b ON b.node = e.dst),
+d2 AS (SELECT src AS node, COUNT(*) AS deg FROM e1 GROUP BY src),
+k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+e2 AS (SELECT e.src, e.dst FROM e1 e
+       JOIN k2 a ON a.node = e.src JOIN k2 b ON b.node = e.dst),
+d3 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src)
+SELECT node AS doc_id, CAST(deg AS BIGINT) AS core_degree
+FROM d3 WHERE deg >= 2
+""")
+def graph_kcore_2core(spark, sf_dir):
+    """K-CORE decomposition (k=2, bounded peeling rounds) of the LSH
+    similarity graph: iteratively drop degree-<2 nodes and re-count —
+    the dense-duplicate-region extractor (a 2-core member sits inside a
+    cycle of near-duplicates; tree-like incidental collisions peel
+    away). Two unrolled pruning rounds + a final degree pass, matching
+    the oracle's unrolled CTEs exactly; each round is one combinable
+    degree count + two semi-join-shaped filters on the shrinking edge
+    set, O(edges) per round — the textbook distributed k-core step. The
+    edge table is materialized once (lazy checkpoint) so the peeling
+    lineage doesn't re-derive the minhash banding per round."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))
+    for _ in range(2):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= 2).select("src")
+        edges = (edges.join(keep, "src")
+                 .join(keep.withColumnRenamed("src", "dst"), "dst")
+                 .select("src", "dst").localCheckpoint(eager=False))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (deg.filter(F.col("deg") >= 2)
+            .select(F.col("src").alias("doc_id"),
+                    F.col("deg").cast("bigint").alias("core_degree")))
