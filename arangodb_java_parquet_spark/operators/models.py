@@ -27,12 +27,23 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def save_model(df: DataFrame, root: str, name: str, kind: str) -> str:
+def save_model(df: DataFrame, root: str, name: str, kind: str,
+               partition_by: tuple = ()) -> str:
     """Persist a fitted-artifact DataFrame. Overwrites any prior version
-    (fit jobs are idempotent re-runs). Returns the model directory."""
+    (fit jobs are idempotent re-runs). Returns the model directory.
+
+    ``partition_by`` lays the artifact out hive-partitioned on those
+    columns — e.g. an IVF codes table partitioned by coarse cell, so a
+    probe that joins/filters on the cell reads ONLY the probed
+    partitions (partition pruning at the scan, the layout every ANN
+    serving system uses)."""
     mdir = os.path.join(root, name)
-    df.write.mode("overwrite").parquet(os.path.join(mdir, "data.parquet"))
-    manifest = {"name": name, "kind": kind, "columns": df.columns}
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(os.path.join(mdir, "data.parquet"))
+    manifest = {"name": name, "kind": kind, "columns": df.columns,
+                "partition_by": list(partition_by)}
     os.makedirs(mdir, exist_ok=True)
     with open(os.path.join(mdir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -77,7 +88,8 @@ def store_root_for(sf_dir: str, *tables: str) -> str:
 
 
 def ensure_model(spark: SparkSession, root: str, name: str, kind: str,
-                 fit: Callable[[], DataFrame]) -> DataFrame:
+                 fit: Callable[[], DataFrame],
+                 partition_by: tuple = ()) -> DataFrame:
     """Fit-once / load-later: return the stored artifact if present, else
     run ``fit()``, persist it, and return the reload. The reload (not the
     fit lineage) is returned in BOTH cases so callers always get the
@@ -90,7 +102,7 @@ def ensure_model(spark: SparkSession, root: str, name: str, kind: str,
     mdir = os.path.join(root, name)
     if not os.path.isfile(os.path.join(mdir, "manifest.json")):
         tmp = f".{name}.tmp{os.getpid()}"
-        save_model(fit(), root, tmp, kind)
+        save_model(fit(), root, tmp, kind, partition_by=partition_by)
         try:
             os.rename(os.path.join(root, tmp), mdir)
         except OSError:  # another process won the race

@@ -81,8 +81,11 @@ def sim_topk_ivfpq_stored(spark, sf_dir):
 
     cents = ensure_model(spark, root, "ivfpq_cents", "ivf_centroids",
                          lambda: fit()[0])
-    enc = ensure_model(spark, root, "ivfpq_codes_cells", "ivfpq_codes",
-                       lambda: fit()[1])
+    # codes laid out hive-partitioned BY CELL — the FAISS-style serving
+    # layout: a probe filtering/joining on cell reads only the probed
+    # partitions (partition pruning visible in the scan's PartitionFilters)
+    enc = ensure_model(spark, root, "ivfpq_codes_by_cell", "ivfpq_codes",
+                       lambda: fit()[1], partition_by=("cell",))
     cb = ensure_model(spark, root, "pq_codebook_37", "pq_codebook",
                       lambda: fit()[2])
     e = t(spark, sf_dir, "embeddings")

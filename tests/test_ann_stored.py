@@ -60,3 +60,13 @@ def test_second_call_loads_not_refits(spark, sf_dir):
     before = os.path.getmtime(manifest)
     QUERIES["sim_topk_pq_adc_stored"](spark, sf_dir).collect()
     assert os.path.getmtime(manifest) == before
+
+
+def test_ivfpq_stored_probe_prunes_cell_partitions(spark, sf_dir):
+    """The codes artifact is written hive-partitioned by cell; the probe
+    joining on cell must carry dynamic partition pruning on that scan
+    (reads only the probed cells — the FAISS-style serving layout)."""
+    df = QUERIES["sim_topk_ivfpq_stored"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ivfpq_codes_by_cell" in plan
+    assert "dynamicpruning" in plan.lower()
