@@ -692,3 +692,151 @@ def vocab_overlap_matrix(spark, sf_dir):
                             / (F.col("ka") + F.col("kb")
                                - F.col("n_common")).cast("double"), 9)
                     .alias("vocab_jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# smoothed target encoding of a categorical feature
+# ---------------------------------------------------------------------------
+
+_TE_M = 10.0  # m-estimate smoothing strength (pseudo-observations)
+
+
+@query("feature_target_encode", f"""
+WITH g AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS gsum,
+         COUNT(*) AS gn
+  FROM orders
+),
+cat AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS csum,
+         COUNT(*) AS cn
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(cn AS BIGINT) AS n,
+       csum / cn AS raw_mean,
+       (csum + {_TE_M} * (gsum / gn)) / (cn + {_TE_M}) AS encoded_mean
+FROM cat CROSS JOIN g
+""")
+def feature_target_encode(spark, sf_dir):
+    """SMOOTHED TARGET ENCODING (m-estimate / empirical-Bayes shrinkage,
+    the Micci-Barreca encoder): each category's numeric representation is
+    its target mean shrunk toward the global mean by {m} pseudo-
+    observations — the standard high-cardinality categorical encoder for
+    tabular ML, computed as two combinable exact-decimal aggregations
+    with the 1-row global broadcast back. All derived values are plain
+    IEEE ratios of exact decimal sums (no rounding needed — the
+    decimal-sum/count rule); at scale the category table is the only
+    shuffle and rare categories are exactly where the shrinkage
+    matters."""
+    o = t(spark, sf_dir, "orders")
+    g = o.agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+              .cast("double").alias("gsum"),
+              F.count(F.lit(1)).alias("gn"))
+    cat = (o.groupBy("o_orderpriority")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                .cast("double").alias("csum"),
+                F.count(F.lit(1)).alias("cn")))
+    return (cat.crossJoin(F.broadcast(g))
+            .select("o_orderpriority",
+                    F.col("cn").cast("bigint").alias("n"),
+                    (F.col("csum") / F.col("cn")).alias("raw_mean"),
+                    ((F.col("csum") + _TE_M * (F.col("gsum") / F.col("gn")))
+                     / (F.col("cn") + _TE_M)).alias("encoded_mean")))
+
+
+# ---------------------------------------------------------------------------
+# per-group OLS residual outlier report (model-apply in-engine)
+# ---------------------------------------------------------------------------
+
+_RESID_MOMENTS = """
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+              AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1
+"""
+
+
+@query("regression_residual_outliers", f"""
+WITH m AS ({_RESID_MOMENTS}),
+fit AS (
+  SELECT l_returnflag, n,
+         ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+         ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n, 9) AS intercept
+  FROM m
+),
+r AS (
+  SELECT l.l_returnflag,
+         l.l_extendedprice
+           - (f.intercept + f.slope * l.l_quantity) AS resid
+  FROM lineitem l JOIN fit f ON f.l_returnflag = l.l_returnflag
+),
+s AS (
+  SELECT l_returnflag,
+         sqrt(CAST(SUM(CAST(ROUND(resid * resid, 2) AS DECIMAL(30,2)))
+                   AS DOUBLE) / COUNT(*)) AS resid_sigma
+  FROM r GROUP BY 1
+)
+SELECT f.l_returnflag, CAST(f.n AS BIGINT) AS n,
+       f.slope, f.intercept, s.resid_sigma,
+       CAST(SUM(CASE WHEN ABS(r.resid) > 2 * s.resid_sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM r
+JOIN s ON s.l_returnflag = r.l_returnflag
+JOIN fit f ON f.l_returnflag = r.l_returnflag
+GROUP BY 1, 2, 3, 4, 5
+""")
+def regression_residual_outliers(spark, sf_dir):
+    """MODEL-APPLY OUTLIER SCREEN: fit per-group OLS
+    (price ~ quantity) from one exact-decimal moment pass, broadcast the
+    round-9 coefficients back over the fact table, and flag rows whose
+    residual exceeds 2σ of the group's residual distribution — the
+    fit-then-apply anomaly pattern (the regression sibling of
+    anomaly_zscore_days). Two fact scans by design: σ needs the full
+    residual pass before any row can be flagged, and re-scanning beats
+    materializing a fact-sized intermediate at scale. Residual values
+    are IEEE-identical cross-engine (rounded coefficients, plain
+    arithmetic); the σ sum uses round-2 pre-decimal operands (residual²
+    reaches ~1e10, where round-9 would exceed double's 16 significant
+    digits)."""
+    li = t(spark, sf_dir, "lineitem")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+              .cast("double").alias("sx"),
+              F.sum((F.col("l_quantity") * F.col("l_quantity"))
+                    .cast("decimal(30,8)")).cast("double").alias("sxx"),
+              F.sum(F.col("l_extendedprice").cast("decimal(30,8)"))
+              .cast("double").alias("sy"),
+              F.sum((F.col("l_quantity") * F.col("l_extendedprice"))
+                    .cast("decimal(30,8)")).cast("double").alias("sxy")))
+    slope_expr = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                  / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    fit = m.select(
+        "l_returnflag", "n",
+        F.round(slope_expr, 9).alias("slope"),
+        F.round((F.col("sy") - slope_expr * F.col("sx")) / F.col("n"), 9)
+        .alias("intercept"))
+    r = (li.join(F.broadcast(fit), "l_returnflag")
+         .select("l_returnflag", "n", "slope", "intercept",
+                 (F.col("l_extendedprice")
+                  - (F.col("intercept")
+                     + F.col("slope") * F.col("l_quantity")))
+                 .alias("resid")))
+    s = (r.groupBy("l_returnflag")
+         .agg(F.sqrt(F.sum(F.round(F.col("resid") * F.col("resid"), 2)
+                           .cast("decimal(30,2)")).cast("double")
+                     / F.count(F.lit(1))).alias("resid_sigma")))
+    return (r.join(F.broadcast(s), "l_returnflag")
+            .groupBy("l_returnflag", F.col("n").cast("bigint").alias("n"),
+                     "slope", "intercept", "resid_sigma")
+            .agg(F.sum(F.when(F.abs(F.col("resid"))
+                              > 2 * F.col("resid_sigma"), 1).otherwise(0))
+                 .cast("bigint").alias("n_outliers")))
