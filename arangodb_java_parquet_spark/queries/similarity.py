@@ -1200,3 +1200,83 @@ def ivf_cell_balance(spark, sf_dir):
     empty = (cents.join(occ, cents.cid == occ.cell, "left_anti")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_empty")))
     return tot.crossJoin(empty)
+
+
+_RBO_P = 0.9
+_RBO_TERMS = " + ".join(
+    f"({_RBO_P ** d:.17g} * x{d + 1} / {d + 1}.0)" for d in range(5))
+
+
+@query("sim_rbo_vs_exact", f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b
+      WHERE vec_id < 20),
+exact_topk AS (
+  SELECT qid, vid, rn FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_cos('q.qvec', 'e.embedding')}
+                                       DESC, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN q WHERE q.qid != e.vec_id) WHERE rn <= 5
+),
+lsh_topk AS (
+  SELECT qid, vid, rn FROM (
+    SELECT q.qid, e.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_sql_cos('q.qvec', 'e.embedding')}
+                                       DESC, e.vec_id) AS rn
+    FROM b e JOIN q ON e.bucket = q.bucket WHERE q.qid != e.vec_id)
+  WHERE rn <= 5
+),
+xs AS (
+  SELECT x.qid,
+         {', '.join(
+             f'SUM(CASE WHEN x.rn <= {d} AND l.rn <= {d} '
+             f'THEN 1 ELSE 0 END) AS x{d}' for d in (1, 2, 3, 4, 5))}
+  FROM exact_topk x
+  JOIN lsh_topk l ON l.qid = x.qid AND l.vid = x.vid
+  GROUP BY x.qid
+)
+SELECT qid, CAST(x5 AS BIGINT) AS n_common_at_5,
+       ROUND({1 - _RBO_P} * ({_RBO_TERMS}), 9) AS rbo_at_5
+FROM xs
+""")
+def sim_rbo_vs_exact(spark, sf_dir):
+    """RANK-BIASED OVERLAP of the LSH index against exact brute force —
+    the rank-AWARE index-quality metric recall@k can't provide (Webber
+    et al. 2010): RBO@5 = (1-p)·Σ p^(d-1)·|A_:d ∩ B_:d|/d with p=0.9
+    weights agreement at the TOP of the list most, so an index that
+    finds the right neighbors in the wrong order scores below one that
+    ranks them correctly. Both rankings, their depth-prefix overlaps,
+    and the weighted sum are computed in-engine and value-checked —
+    the evaluation harness itself is cross-engine deterministic (the
+    companion to sim_recall_at_k). Fixed-depth unroll keeps it one
+    bounded join + one combinable agg per query id."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = topk_cosine_bruteforce(q, e, id_col="vec_id",
+                                   vec_col="embedding", k=5) \
+        .select("qid", "vid", F.col("rn").alias("arn"))
+    lsh = topk_cosine_lsh(q, e, id_col="vec_id", vec_col="embedding",
+                          k=5, n_bits=4) \
+        .select(F.col("qid").alias("l_qid"), F.col("vid").alias("l_vid"),
+                F.col("rn").alias("brn"))
+    j = exact.join(lsh, (F.col("qid") == F.col("l_qid"))
+                   & (F.col("vid") == F.col("l_vid")))
+    xs = j.groupBy("qid").agg(*[
+        F.sum(F.when((F.col("arn") <= d) & (F.col("brn") <= d), 1)
+              .otherwise(0)).alias(f"x{d}") for d in (1, 2, 3, 4, 5)])
+    terms = None
+    for d in range(5):
+        term = (F.lit(_RBO_P ** d) * F.col(f"x{d + 1}") / float(d + 1))
+        terms = term if terms is None else terms + term
+    return xs.select(
+        "qid", F.col("x5").cast("bigint").alias("n_common_at_5"),
+        F.round(F.lit(1 - _RBO_P) * terms, 9).alias("rbo_at_5"))

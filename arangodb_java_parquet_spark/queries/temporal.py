@@ -466,3 +466,44 @@ def scd2_point_in_time(spark, sf_dir):
                         & (F.col("valid_to").isNull()
                            | (F.col("valid_to") > asof))
                         & (F.col("c_custkey") % 7 == 0)))
+
+
+@query("join_events_scd2_interval", f"""
+WITH history AS ({_SCD2_SQL})
+SELECT o.o_orderkey, o.o_custkey,
+       h.acctbal AS acctbal_at_order,
+       h.mktsegment AS segment_at_order,
+       h.valid_to IS NOT NULL AS from_closed_row
+FROM orders o
+JOIN history h
+  ON h.c_custkey = o.o_custkey
+ AND h.valid_from <= CAST(o.o_orderdate AS DATE)
+ AND (h.valid_to IS NULL OR h.valid_to > CAST(o.o_orderdate AS DATE))
+WHERE o.o_orderkey < 8000
+""")
+def join_events_scd2_interval(spark, sf_dir):
+    """TEMPORAL DIMENSION ENRICHMENT — the classic warehouse join the
+    SCD2 history exists for: attach to each fact row (orders) the
+    dimension attributes that were VALID AT THE FACT'S OWN TIME, via the
+    validity-interval predicate (valid_from <= t < valid_to, open rows
+    unbounded). One equi-join on the key with the interval check as a
+    residual condition — Spark plans the key equi-join (shuffle or
+    broadcast), so the range part never degenerates into a
+    nested-loop; at scale the history is a fraction of the fact table
+    and broadcasts. Composes the verified scd2 merge; facts before the
+    effective date resolve to the closed row (flagged), facts after to
+    the re-opened one."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    hist = QUERIES["scd2_merge_customers"](spark, sf_dir)
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") < 8000)
+         .select("o_orderkey", "o_custkey",
+                 F.col("o_orderdate").cast("date").alias("od")))
+    cond = ((hist.c_custkey == o.o_custkey)
+            & (hist.valid_from <= o.od)
+            & (hist.valid_to.isNull() | (hist.valid_to > o.od)))
+    return (o.join(hist, cond)
+            .select("o_orderkey", "o_custkey",
+                    F.col("acctbal").alias("acctbal_at_order"),
+                    F.col("mktsegment").alias("segment_at_order"),
+                    F.col("valid_to").isNotNull().alias("from_closed_row")))
