@@ -846,3 +846,84 @@ def user_burstiness_fano(spark, sf_dir):
     return (m.filter(n_days >= 2)
             .select("user_id", "n_days", sx.alias("total_events"),
                     F.round(var / mean, 9).alias("fano_factor")))
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_sql() -> str:
+    legs = []
+    for lag in _ACF_LAGS:
+        legs.append(f"""
+SELECT {lag} AS lag, n, ROUND((n * sxy - sx * sy)
+       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS acf
+FROM (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 2) AS DECIMAL(30,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+  FROM (SELECT revenue AS x,
+               LAG(revenue, {lag}) OVER (ORDER BY day) AS y
+        FROM daily)
+  WHERE y IS NOT NULL
+)""")
+    daily = f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {sql_dsum('value')} AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)"""
+    return daily + "\nUNION ALL".join(legs)
+
+
+@query("timeseries_acf", _acf_sql())
+def timeseries_acf(spark, sf_dir):
+    """AUTOCORRELATION FUNCTION (lags 1-3) of the daily revenue series —
+    the seasonality/persistence diagnostic behind every forecasting
+    choice (a strong lag-7 says weekly seasonality; near-zero ACF says
+    EWMA beats AR). Per lag: one LAG window pairs the series with its
+    shifted self, then Pearson r from exact-decimal moments (operands
+    round-4/round-2 BEFORE the decimal cast — products reach ~1e8 where
+    round-9 would overflow double's significand). The daily series is
+    tiny after the first exact-decimal rollup, so the windows and the
+    3-leg union are driver-light and the corpus-sized work is one
+    combinable aggregation."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.filter(F.col("event_type") == "purchase")
+             .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(dsum("value").alias("revenue"))
+             .localCheckpoint(eager=False))
+    out = None
+    w = W.orderBy("day")
+    for lag in _ACF_LAGS:
+        p = (daily.select(F.col("revenue").alias("x"),
+                          F.lag("revenue", lag).over(w).alias("y"))
+             .filter(F.col("y").isNotNull()))
+        m = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x"), 4).cast("decimal(30,4)"))
+            .cast("double").alias("sx"),
+            F.sum(F.round(F.col("y"), 4).cast("decimal(30,4)"))
+            .cast("double").alias("sy"),
+            F.sum(F.round(F.col("x") * F.col("x"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("sxx"),
+            F.sum(F.round(F.col("y") * F.col("y"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("syy"),
+            F.sum(F.round(F.col("x") * F.col("y"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("sxy"))
+        leg = m.select(
+            F.lit(lag).alias("lag"), "n",
+            F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt((F.col("n") * F.col("sxx")
+                              - F.col("sx") * F.col("sx"))
+                             * (F.col("n") * F.col("syy")
+                                - F.col("sy") * F.col("sy"))), 9)
+            .alias("acf"))
+        out = leg if out is None else out.unionAll(leg)
+    return out

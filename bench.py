@@ -199,7 +199,10 @@ BENCH_QUERIES = [
     # round-6: skew-capped LSH, streaming MERGE upsert, privacy report,
     # in-engine PCA
     "dedup_lsh_capped_pairs", "stream_upsert_merge", "privacy_k_anonymity",
-    "emb_pca_power_iteration",
+    "emb_pca_power_iteration", "cdc_apply_changes", "multimodal_format_sniff",
+    "graph_kcore_2core", "feature_target_encode",
+    "regression_residual_outliers", "join_events_scd2_interval",
+    "sim_rbo_vs_exact", "timeseries_acf",
 ]
 
 
