@@ -64,4 +64,4 @@ def test_manifest_validation(spark, tmp_path):
         load_model(spark, str(tmp_path), "m1", expect_kind="kind_b")
     manifests = list_models(str(tmp_path))
     assert manifests == [{"name": "m1", "kind": "kind_a",
-                          "columns": ["k", "v"]}]
+                          "columns": ["k", "v"], "partition_by": []}]
