@@ -182,3 +182,114 @@ def emb_pca_power_iteration(spark, sf_dir):
                      F.round(F.col("w") / F.col("nrm"), 9).alias("v")))
     return v.select(F.col("j").cast("bigint").alias("dim"),
                     F.col("v").alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# left-outer stream-stream join, driven to batch equivalence
+# ---------------------------------------------------------------------------
+
+
+@query("stream_stream_left_outer_join", """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+""")
+def stream_stream_left_outer_join(spark, sf_dir):
+    """LEFT-OUTER stream-stream interval join driven to FULL batch
+    equivalence — the shape inner joins can't prove: unmatched left rows
+    are held in state and only released (with NULL right columns) when
+    the GLOBAL watermark passes their join window. The drive is two
+    availableNow runs over a shared checkpoint: run 1 streams the real
+    events (all inner matches emit; unmatched clicks stay in state),
+    then a far-future SENTINEL row per side (user_id -1, +10 days)
+    advances the min-across-sides watermark in run 2, evicting and
+    emitting every held row. Sentinels are filtered AFTER the join, so
+    the sink equals the batch LEFT JOIN row-for-row — watermark
+    semantics value-checked, not asserted. (Same mechanics as
+    tests/test_streaming.py's left-outer drive, here against the real
+    events table with a DuckDB oracle.)"""
+    import glob as _glob
+    import shutil as _shutil
+
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        event_time_ltz, stream_interval_join)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = scratch_dir("ajps_sslo_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    os.symlink(os.path.realpath(f"{sf_dir}/events.parquet"),
+               os.path.join(src, "aa_events.parquet"))
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "ckpt")
+
+    def drive():
+        stream = (spark.readStream.schema(raw.schema).parquet(src))
+        sides = []
+        for etype, pref in (("click", "c"), ("purchase", "p")):
+            s = (event_time_ltz(stream)
+                 .filter(F.col("event_type") == etype)
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("user_id").alias(f"{pref}_user"),
+                         F.col("ts").alias(f"{pref}_ts"),
+                         F.col("event_id").alias(f"{pref}_id")))
+            sides.append(s)
+        # NB: do NOT filter the sentinels here — a c_user >= 0 predicate
+        # gets pushed through the join into the parquet scan, whose
+        # row-group stats then prune the whole sentinel file BEFORE it
+        # can advance the watermark (cost a debugging cycle; the filter
+        # happens on the sink read-back below instead)
+        joined = (stream_interval_join(
+            sides[0], sides[1], left_key="c_user", right_key="p_user",
+            left_time="c_ts", right_time="p_ts",
+            within="30 minutes", how="left_outer")
+            .select(F.col("c_user").alias("user_id"),
+                    F.col("c_id").alias("click_id"),
+                    F.col("p_id").alias("purchase_id"),
+                    F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+                    F.col("p_ts").cast("timestamp_ntz")
+                    .alias("purchase_ts")))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (joined.writeStream.outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    drive()
+    # sentinels: one click + one purchase per round, 10/20 days past the
+    # max event time on user -1. TWO sentinel rounds because eviction in
+    # batch N uses the watermark computed through batch N-1: run 2
+    # (sentinel 1) evicts everything older than max_real - 1h, run 3
+    # (sentinel 2) executes with the sentinel-1 watermark and evicts the
+    # last-90-minutes stragglers run 2 couldn't.
+    top = raw.orderBy(F.desc("ts")).limit(1)
+    ts_t = dict(raw.dtypes)["ts"]
+    for rnd, days in ((1, 10), (2, 20)):
+        bump = (F.col("ts") + days * 86400 * 10**9 if ts_t == "bigint"
+                else F.expr(f"ts + INTERVAL {days} DAYS"))
+        sent = None
+        for i, etype in enumerate(("click", "purchase")):
+            one = top.select(
+                F.lit(-(2 * rnd) - i + 1).alias("event_id"),
+                bump.alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+            sent = one if sent is None else sent.unionByName(one)
+        tmp = os.path.join(root, f"sentinel{rnd}")
+        sent.coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        _shutil.copy(part, os.path.join(src, f"zz_sentinel{rnd}.parquet"))
+        drive()
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
