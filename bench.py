@@ -202,7 +202,7 @@ BENCH_QUERIES = [
     "emb_pca_power_iteration", "cdc_apply_changes", "multimodal_format_sniff",
     "graph_kcore_2core", "feature_target_encode",
     "regression_residual_outliers", "join_events_scd2_interval",
-    "sim_rbo_vs_exact", "timeseries_acf",
+    "sim_rbo_vs_exact", "timeseries_acf", "stream_stream_left_outer_join",
 ]
 
 
