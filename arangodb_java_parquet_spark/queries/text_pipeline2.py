@@ -898,3 +898,65 @@ def doc_length_by_lang_profile(spark, sf_dir):
                  F.max("n_chars").alias("max_chars"),
                  F.sum(F.col("n_chars").cast("bigint"))
                  .alias("total_chars")))
+
+
+_INC_MH_SPLIT = 400
+
+
+def _inc_minhash_sql() -> str:
+    # corpus/band CTEs parameterized over the same minhash prelude
+    return _MINHASH_SIG_SQL + f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+corpus AS (SELECT doc_id, band_idx, band_hash FROM bands
+           WHERE doc_id < {_INC_MH_SPLIT}),
+batch AS (SELECT doc_id, band_idx, band_hash FROM bands
+          WHERE doc_id >= {_INC_MH_SPLIT})
+SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+FROM batch b JOIN corpus c
+  ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+"""
+
+
+@query("dedup_incremental_minhash_stored", _inc_minhash_sql())
+def dedup_incremental_minhash_stored(spark, sf_dir):
+    """INCREMENTAL NEAR-dup at ingest against a PERSISTENT band store —
+    the production MinHash workflow (the near-dup sibling of
+    dedup_incremental_batch's exact fingerprints): the corpus's LSH band
+    table is fit ONCE into the model store (operators/models.py,
+    store keyed by source identity) and each new batch only computes its
+    own signatures and equi-joins the stored index — the nightly crawl
+    never re-shingles the corpus. Value-checked end to end: the oracle
+    recomputes both sides from scratch, so a hash match proves the
+    stored index is byte-faithful to the fresh derivation. At 100 TB
+    the band store is (doc_id, band, md5) — a fraction of corpus
+    bytes — and appending the batch's own bands back (one write) makes
+    tomorrow's index current."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_bands, minhash_signatures)
+    from arangodb_java_parquet_spark.operators.models import (
+        ensure_model, store_root_for)
+    d = t(spark, sf_dir, "documents")
+
+    def fit():
+        corpus = d.filter(F.col("doc_id") < _INC_MH_SPLIT)
+        return lsh_bands(minhash_signatures(
+            char_shingles(corpus, "text", "doc_id", k=5, distinct=False),
+            "doc_id"), "doc_id")
+
+    store = ensure_model(spark, store_root_for(sf_dir, "documents"),
+                         "minhash_band_index", "lsh_bands", fit)
+    batch = d.filter(F.col("doc_id") >= _INC_MH_SPLIT)
+    bb = lsh_bands(minhash_signatures(
+        char_shingles(batch, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    return (bb.select(F.col("doc_id").alias("batch_doc"),
+                      "band_idx", "band_hash")
+            .join(store.select(F.col("doc_id").alias("corpus_doc"),
+                               "band_idx", "band_hash"),
+                  ["band_idx", "band_hash"])
+            .select("batch_doc", "corpus_doc").distinct())
