@@ -381,3 +381,46 @@ def test_watermark_drops_late_rows_in_append(spark, tmp_path):
     got2 = drive()
     # W's count is unchanged: the late row was dropped, not re-emitted
     assert got2[w_start[0]] == 2
+
+
+def test_stream_upsert_keyed_multibatch_evolution(spark, tmp_path):
+    """Two DIFFERENT files through stream_upsert_keyed: batch 2's newer
+    rows must overwrite batch 1's state per key, older redelivered rows
+    must NOT (last-write-wins), and new keys insert."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stream_upsert_keyed)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(name, rows):
+        pq.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "val": pa.array([r[3] for r in rows])}), str(src / name))
+
+    write("b1.parquet", [
+        (1, t0, 10, "a"),
+        (2, t0, 11, "b"),
+    ])
+    write("b2.parquet", [
+        (1, t0 + dt.timedelta(hours=1), 12, "a2"),   # newer: overwrites
+        (2, t0 - dt.timedelta(hours=1), 9, "stale"),  # older: ignored
+        (3, t0, 13, "c"),                             # new key: insert
+    ])
+    schema = "user_id long, ts timestamp, event_id long, val string"
+    q = stream_upsert_keyed(
+        spark, str(src), schema=schema,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = {r.user_id: (r.event_id, r.val)
+           for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert got == {1: (12, "a2"), 2: (11, "b"), 3: (13, "c")}
