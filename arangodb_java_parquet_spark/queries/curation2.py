@@ -335,3 +335,71 @@ def dataset_datasheet(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"),
                  F.max("c").cast("bigint").alias("largest_source_docs")))
     return (base.crossJoin(langs).crossJoin(dups).crossJoin(srcs))
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style one-step domain reweighting
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 2.0
+_DRM_MIN_CHARS = 200
+
+
+@query("mixture_doremi_step", f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CASE WHEN n_chars >= {_DRM_MIN_CHARS} THEN 1 ELSE 0 END)
+           AS n_keep
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn,
+               CAST(SUM(n_keep) AS DOUBLE) AS tk FROM per),
+scored AS (
+  SELECT source, n, n / t.tn AS w0,
+         (CAST(n_keep AS DOUBLE) / n) - (t.tk / t.tn) AS excess,
+         ROUND(exp({_DRM_ETA} * ((CAST(n_keep AS DOUBLE) / n)
+                                 - (t.tk / t.tn))), 9) AS boost
+  FROM per CROSS JOIN tot t
+),
+z AS (SELECT CAST(SUM(CAST(ROUND(w0 * boost, 9) AS DECIMAL(20,9)))
+              AS DOUBLE) AS z FROM scored)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       ROUND(w0, 9) AS natural_share,
+       ROUND(excess, 9) AS excess_keep_rate,
+       ROUND(w0 * boost / z.z, 9) AS reweighted_share
+FROM scored CROSS JOIN z
+""")
+def mixture_doremi_step(spark, sf_dir):
+    """DOREMI-STYLE domain reweighting, one multiplicative-weights step
+    (Xie et al. 2023's update shape): each source's weight is its natural
+    share boosted by exp(eta x excess reward) — here the reward proxy is
+    the source's quality-gate keep-rate vs the corpus baseline (swap in
+    per-domain excess loss when a proxy model exists) — then renormalized.
+    Up-weights domains that over-perform the baseline, the data-mixture
+    counterpart of mixture_rebalance_rates' uniform target. Determinism:
+    exp() outputs are round-9 fenced (engines differ in the last ulp),
+    the normalizer is an exact decimal sum of the fenced products, and
+    every published ratio is round-9. Two combinable aggregations +
+    1-row broadcasts — trivially 100 TB-safe."""
+    d = t(spark, sf_dir, "documents")
+    per = (d.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("n_chars") >= _DRM_MIN_CHARS, 1)
+                      .otherwise(0)).alias("n_keep")))
+    tot = per.agg(F.sum("n").cast("double").alias("tn"),
+                  F.sum("n_keep").cast("double").alias("tk"))
+    excess = (F.col("n_keep").cast("double") / F.col("n")
+              - F.col("tk") / F.col("tn"))
+    scored = (per.crossJoin(F.broadcast(tot))
+              .select("source", "n",
+                      (F.col("n") / F.col("tn")).alias("w0"),
+                      excess.alias("excess"),
+                      F.round(F.exp(_DRM_ETA * excess), 9).alias("boost")))
+    z = scored.agg(F.sum(F.round(F.col("w0") * F.col("boost"), 9)
+                         .cast("decimal(20,9)")).cast("double").alias("z"))
+    return (scored.crossJoin(F.broadcast(z))
+            .select("source", F.col("n").cast("bigint").alias("n_docs"),
+                    F.round(F.col("w0"), 9).alias("natural_share"),
+                    F.round(F.col("excess"), 9).alias("excess_keep_rate"),
+                    F.round(F.col("w0") * F.col("boost") / F.col("z"), 9)
+                    .alias("reweighted_share")))

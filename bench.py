@@ -203,7 +203,7 @@ BENCH_QUERIES = [
     "graph_kcore_2core", "feature_target_encode",
     "regression_residual_outliers", "join_events_scd2_interval",
     "sim_rbo_vs_exact", "timeseries_acf", "stream_stream_left_outer_join",
-    "dedup_incremental_minhash_stored",
+    "dedup_incremental_minhash_stored", "mixture_doremi_step",
 ]
 
 
