@@ -794,3 +794,114 @@ def customer_revenue_deciles(spark, sf_dir):
                  .cast("double").alias("decile_rev"),
                  F.round(F.min("cust_rev"), 9).alias("min_rev"),
                  F.round(F.max("cust_rev"), 9).alias("max_rev")))
+
+
+# ---------------------------------------------------------------------------
+# trimmed mean per group (drop the tails, don't clip them)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_trimmed_mean", """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber) AS pr
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+         / COUNT(*) AS trimmed_mean
+FROM ranked
+WHERE pr >= 0.1 AND pr <= 0.9
+GROUP BY l_returnflag
+""")
+def agg_trimmed_mean(spark, sf_dir):
+    """10% TRIMMED MEAN per group — the robust location estimate that
+    DROPS the tails instead of clipping them (winsorize_stats' sibling;
+    trimming is what rating aggregation and robust benchmarks use).
+    Membership comes from PERCENT_RANK with a fully deterministic
+    (value, orderkey, linenumber) tiebreak so the kept set is identical
+    cross-engine; the mean is an exact decimal sum over the kept rows
+    with the plain IEEE division emitted unrounded (decimal-sum/count
+    rule). One window partitioned by the group key + one combinable
+    aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select("l_returnflag", "l_extendedprice",
+                       F.percent_rank().over(w).alias("pr"))
+    return (ranked.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 (F.sum(F.col("l_extendedprice").cast("decimal(30,8)"))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("trimmed_mean")))
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+
+@query("drift_ks_statistic", """
+WITH tagged AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                   = DATE '1995-03-01' THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+                   = DATE '1995-09-01' THEN 1 ELSE 0 END AS in_b
+  FROM orders
+  WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+        IN (DATE '1995-03-01', DATE '1995-09-01')
+),
+tot AS (SELECT CAST(SUM(in_a) AS DOUBLE) AS na,
+               CAST(SUM(in_b) AS DOUBLE) AS nb FROM tagged),
+cdf AS (
+  SELECT v,
+         SUM(SUM(in_a)) OVER (ORDER BY v) AS ca,
+         SUM(SUM(in_b)) OVER (ORDER BY v) AS cb
+  FROM tagged GROUP BY v
+)
+SELECT CAST(t.na AS BIGINT) AS n_sample_a,
+       CAST(t.nb AS BIGINT) AS n_sample_b,
+       ROUND(MAX(ABS(CAST(c.ca AS DOUBLE) / t.na
+                     - CAST(c.cb AS DOUBLE) / t.nb)), 9) AS ks_stat
+FROM cdf c CROSS JOIN tot t
+GROUP BY t.na, t.nb
+""")
+def drift_ks_statistic(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift statistic: sup |F_A - F_B|
+    between the March and September 1995 order-value distributions —
+    the binning-free companion to psi_distribution_stability (PSI needs
+    bucket choices; KS doesn't). Empirical CDFs from one grouped count
+    + a running-sum window over the pooled distinct values; the sup is
+    a plain MAX over exact-count ratios, so the statistic is
+    deterministic with no rounding anywhere before the final fence.
+    Scale: the window runs over DISTINCT values of the metric (bounded
+    support), not rows; everything upstream is combinable counts."""
+    o = t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    tagged = (o.filter(month.isin("1995-03-01", "1995-09-01"))
+              .select(F.col("o_totalprice").alias("v"),
+                      F.when(month == "1995-03-01", 1).otherwise(0)
+                      .alias("in_a"),
+                      F.when(month == "1995-09-01", 1).otherwise(0)
+                      .alias("in_b")))
+    tot = tagged.agg(F.sum("in_a").cast("double").alias("na"),
+                     F.sum("in_b").cast("double").alias("nb"))
+    cdf = (tagged.groupBy("v")
+           .agg(F.sum("in_a").alias("ga"), F.sum("in_b").alias("gb"))
+           .select("v",
+                   F.sum("ga").over(Window.orderBy("v")).alias("ca"),
+                   F.sum("gb").over(Window.orderBy("v")).alias("cb")))
+    return (cdf.crossJoin(F.broadcast(tot))
+            .groupBy("na", "nb")
+            .agg(F.round(F.max(F.abs(
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb"))), 9)
+                 .alias("ks_stat"))
+            .select(F.col("na").cast("bigint").alias("n_sample_a"),
+                    F.col("nb").cast("bigint").alias("n_sample_b"),
+                    "ks_stat"))

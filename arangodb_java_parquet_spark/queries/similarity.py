@@ -1280,3 +1280,42 @@ def sim_rbo_vs_exact(spark, sf_dir):
     return xs.select(
         "qid", F.col("x5").cast("bigint").alias("n_common_at_5"),
         F.round(F.lit(1 - _RBO_P) * terms, 9).alias("rbo_at_5"))
+
+
+@query("emb_dimension_profile", """
+SELECT u.i AS dim,
+       CAST(SUM(CAST(embedding[u.i]::DOUBLE AS DECIMAL(30,8)))
+            AS DOUBLE) / COUNT(*) AS dim_mean,
+       (CAST(SUM(CAST(embedding[u.i]::DOUBLE * embedding[u.i]::DOUBLE
+                      AS DECIMAL(30,8))) AS DOUBLE)
+        - CAST(SUM(CAST(embedding[u.i]::DOUBLE AS DECIMAL(30,8)))
+               AS DOUBLE)
+          * CAST(SUM(CAST(embedding[u.i]::DOUBLE AS DECIMAL(30,8)))
+                 AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1) AS dim_var,
+       MIN(embedding[u.i]::DOUBLE) AS dim_min,
+       MAX(embedding[u.i]::DOUBLE) AS dim_max
+FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) u
+GROUP BY u.i
+""")
+def emb_dimension_profile(spark, sf_dir):
+    """PER-DIMENSION health profile of the embedding corpus: mean /
+    sample variance / min / max for each of the 64 dimensions — the
+    feature-health table that catches dead dimensions (zero variance),
+    unnormalized scales, and clipped activations before any index is
+    fit (the tabular profile_orders_columns, for vectors). One
+    posexplode + one combinable exact-decimal aggregation over (dim);
+    64 output rows at any corpus size. Variance from exact moments
+    (the cancellation-safe decimal formulation); min/max exact."""
+    e = t(spark, sf_dir, "embeddings")
+    x = (e.select(F.posexplode("embedding").alias("i0", "val"))
+         .select((F.col("i0") + 1).alias("dim"),
+                 F.col("val").cast("double").alias("v")))
+    s = F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+    ss = F.sum((F.col("v") * F.col("v")).cast("decimal(30,8)")) \
+        .cast("double")
+    n = F.count(F.lit(1))
+    return (x.groupBy("dim")
+            .agg((s / n).alias("dim_mean"),
+                 ((ss - s * s / n) / (n - 1)).alias("dim_var"),
+                 F.min("v").alias("dim_min"),
+                 F.max("v").alias("dim_max")))

@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "regression_residual_outliers", "join_events_scd2_interval",
     "sim_rbo_vs_exact", "timeseries_acf", "stream_stream_left_outer_join",
     "dedup_incremental_minhash_stored", "mixture_doremi_step",
+    "agg_trimmed_mean", "drift_ks_statistic", "emb_dimension_profile",
 ]
 
 
