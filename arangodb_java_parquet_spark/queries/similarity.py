@@ -1319,3 +1319,181 @@ def emb_dimension_profile(spark, sf_dir):
                  ((ss - s * s / n) / (n - 1)).alias("dim_var"),
                  F.min("v").alias("dim_min"),
                  F.max("v").alias("dim_max")))
+
+
+_PQ_RERANK_SHORTLIST = 20
+
+
+def _pq_rerank_sql() -> str:
+    # ADC shortlist (same construction as _PQ_ADC_SQL) -> exact rerank
+    head = _PQ_ADC_SQL.rsplit("SELECT qid, vid, adc_dist, rn FROM (", 1)[0]
+    return head.rstrip() + f""",
+shortlist AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY adc_dist, vid) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK_SHORTLIST}
+),
+rerank AS (
+  SELECT s.qid, s.vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM shortlist s
+  JOIN q ON q.qid = s.qid
+  JOIN embeddings e ON e.vec_id = s.vid
+)
+SELECT qid, vid, cos_sim, rn FROM (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vid) AS rn
+  FROM rerank) WHERE rn <= 5
+"""
+
+
+@query("sim_topk_pq_rerank", _pq_rerank_sql())
+def sim_topk_pq_rerank(spark, sf_dir):
+    """TWO-STAGE RETRIEVAL — the production serving architecture every
+    vector system uses (FAISS refine / ColBERT-style candidate rerank):
+    the cheap quantized index (PQ-ADC over codes, no vectors touched)
+    produces a {sl}-candidate shortlist, then ONLY those candidates are
+    re-scored with exact full-precision cosine and cut to top-5. Fixes
+    the quantization-error misordering ADC alone suffers, at the cost
+    of |shortlist| exact distances per query instead of |corpus|. The
+    rerank join fetches vectors for shortlist ids only — at 100 TB
+    that is a k'-row broadcast-side lookup per query, not a corpus
+    scan. Fully value-checked through both stages."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        pq_adc_topk, pq_codebook, pq_encode)
+    e = t(spark, sf_dir, "embeddings")
+    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
+                    emit="pos").select("vec_id", "pq_pos")
+    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    q = e.filter(F.col("vec_id") < 5)
+    shortlist = pq_adc_topk(q, enc, cb, id_col="vec_id",
+                            vec_col="embedding",
+                            k=_PQ_RERANK_SHORTLIST).select("qid", "vid")
+    qv = q.select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qvec"))
+    cv = e.select(F.col("vec_id").alias("vid"),
+                  F.col("embedding").alias("cvec"))
+    rerank = (shortlist.join(F.broadcast(qv), "qid").join(cv, "vid")
+              .select("qid", "vid",
+                      F.round(dot(F.col("qvec"), F.col("cvec"))
+                              / (norm(F.col("qvec"))
+                                 * norm(F.col("cvec"))), 9)
+                      .alias("cos_sim")))
+    return (rerank.withColumn("rn", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
+            .filter(F.col("rn") <= 5)
+            .select("qid", "vid", "cos_sim", "rn"))
+
+
+@query("emb_hard_negatives", f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlab
+           FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT q.qid, e.vec_id AS vid, e.label AS vlab,
+         {{cos}} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label != q.qlab
+)
+SELECT qid, vid, vlab, cos_sim, rn FROM (
+  SELECT qid, vid, vlab, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vid) AS rn
+  FROM pairs) WHERE rn <= 5
+""".format(cos=_sql_cos('q.qvec', 'e.embedding')))
+def emb_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for contrastive training (DPR/SimCSE-style):
+    per anchor, the top-5 most-similar vectors with a DIFFERENT label —
+    the negatives that actually teach a contrastive model (random
+    negatives are trivially separable). Label inequality is pushed
+    below the scoring join so same-class pairs are never scored;
+    deterministic (cosine desc, id) ranking. Brute-force scoring here
+    (value-checkable); production swaps the scored pair source for the
+    bucketed-LSH candidate stream with identical downstream shape."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 20)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec"),
+                 F.col("label").alias("qlab")))
+    pairs = (e.crossJoin(F.broadcast(q))
+             .filter(F.col("label") != F.col("qlab"))
+             .select("qid", F.col("vec_id").alias("vid"),
+                     F.col("label").alias("vlab"),
+                     F.round(dot(F.col("qvec"), F.col("embedding"))
+                             / (norm(F.col("qvec"))
+                                * norm(F.col("embedding"))), 9)
+                     .alias("cos_sim")))
+    return (pairs.withColumn("rn", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
+            .filter(F.col("rn") <= 5)
+            .select("qid", "vid", "vlab", "cos_sim", "rn"))
+
+
+def _rocchio_sql() -> str:
+    # label centroids as exact per-(label, dim) decimal means; assignment
+    # via rounded squared-L2 argmin with label tiebreak
+    return """
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS i),
+cent AS (
+  SELECT label, d.i,
+         CAST(SUM(CAST(embedding[d.i]::DOUBLE AS DECIMAL(30,8)))
+              AS DOUBLE) / COUNT(*) AS m
+  FROM embeddings CROSS JOIN dims d
+  GROUP BY label, d.i
+),
+d2 AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+         round(SUM(CAST(round((e.embedding[c.i]::DOUBLE - c.m)
+                              * (e.embedding[c.i]::DOUBLE - c.m), 9)
+                        AS DECIMAL(30,9)))::DOUBLE, 9) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY e.vec_id, e.label, c.label
+),
+assigned AS (
+  SELECT vec_id, true_label, cand AS pred_label FROM (
+    SELECT vec_id, true_label, cand,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, cand) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT true_label, pred_label, COUNT(*) AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@query("rocchio_nearest_centroid", _rocchio_sql())
+def rocchio_nearest_centroid(spark, sf_dir):
+    """NEAREST-CENTROID (Rocchio) classification in-engine, reported as
+    a confusion matrix vs the true labels — the zero-hyperparameter
+    baseline every embedding-quality audit starts with (and the
+    assignment step k-means/SemDeDup already verify, here with FITTED
+    per-label centroids instead of rule codebooks). Centroids are exact
+    per-(label, dim) decimal means (one combinable pass); assignment
+    joins each vector against the bounded label x dim centroid table
+    and takes the round-9 squared-L2 argmin with a label tiebreak; the
+    confusion rollup is one combinable count. Everything cross-engine
+    deterministic, no collect of vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    x = (e.select("vec_id", "label",
+                  F.posexplode("embedding").alias("i0", "v"))
+         .select("vec_id", F.col("label").alias("true_label"),
+                 (F.col("i0") + 1).alias("i"),
+                 F.col("v").cast("double").alias("v")))
+    cent = (x.groupBy(F.col("true_label").alias("cand"), "i")
+            .agg((F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
+                  / F.count(F.lit(1))).alias("m")))
+    d2 = (x.join(F.broadcast(cent), "i")
+          .groupBy("vec_id", "true_label", "cand")
+          .agg(F.round(F.sum(
+              F.round((F.col("v") - F.col("m"))
+                      * (F.col("v") - F.col("m")), 9)
+              .cast("decimal(30,9)")).cast("double"), 9).alias("dist2")))
+    assigned = (d2.withColumn("rn", F.row_number().over(
+                    Window.partitionBy("vec_id")
+                    .orderBy("dist2", "cand")))
+                .filter(F.col("rn") == 1))
+    return (assigned.groupBy("true_label",
+                             F.col("cand").alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "sim_rbo_vs_exact", "timeseries_acf", "stream_stream_left_outer_join",
     "dedup_incremental_minhash_stored", "mixture_doremi_step",
     "agg_trimmed_mean", "drift_ks_statistic", "emb_dimension_profile",
+    "sim_topk_pq_rerank", "emb_hard_negatives", "rocchio_nearest_centroid",
 ]
 
 
