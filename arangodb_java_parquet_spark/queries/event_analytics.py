@@ -927,3 +927,99 @@ def timeseries_acf(spark, sf_dir):
             .alias("acf"))
         out = leg if out is None else out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit survival with right-censoring
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_US = 2 * 3600 * 1000000  # last-2-hours = still active
+
+
+@query("survival_kaplan_meier", f"""
+WITH b AS (SELECT epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS tmax FROM events),
+life AS (
+  SELECT user_id,
+         (epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+          - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) // 86400000000 AS dur,
+         CASE WHEN epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+                   >= b.tmax - {_KM_CENSOR_US} THEN 1 ELSE 0 END AS cens
+  FROM events CROSS JOIN b GROUP BY user_id, b.tmax
+),
+per_day AS (
+  SELECT dur AS day, SUM(1 - cens) AS d, COUNT(*) AS ended
+  FROM life GROUP BY dur
+),
+risk AS (
+  SELECT day, d, SUM(ended) OVER (ORDER BY day DESC) AS n_at_risk
+  FROM per_day
+),
+km AS (
+  SELECT day, d, n_at_risk,
+         CASE WHEN d = n_at_risk THEN NULL
+              ELSE ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 9)
+         END AS lnterm,
+         CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS iszero
+  FROM risk WHERE d > 0
+),
+acc AS (
+  SELECT day, d, n_at_risk,
+         CAST(SUM(CAST(COALESCE(lnterm, 0) AS DECIMAL(20,9)))
+              OVER (ORDER BY day) AS DOUBLE) AS cum,
+         MAX(iszero) OVER (ORDER BY day) AS z
+  FROM km
+)
+SELECT day AS churn_day, CAST(d AS BIGINT) AS n_churned,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CASE WHEN z = 1 THEN 0.0 ELSE ROUND(exp(cum), 9) END AS km_survival
+FROM acc
+""")
+def survival_kaplan_meier(spark, sf_dir):
+    """KAPLAN-MEIER product-limit survival WITH right-censoring — the
+    statistically correct upgrade of user_survival_curve's naive
+    fractions: users whose last event falls in the final 2 hours of
+    the observation window are CENSORED (still alive, they inform the at-risk set but never count
+    as churn). S(t) = prod over churn days s<=t of (1 - d_s/n_s),
+    computed as exp of an exact-decimal running sum of round-9 log
+    terms (cumulative products aren't order-free; ln-space sums of
+    fenced terms are). At-risk counts come from ONE descending
+    running-sum window over per-day endings — no correlated per-day
+    subqueries. Day axis is bounded (distinct churn days), so the
+    windows run over a tiny table; the corpus-sized work is one
+    per-user min/max pass."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.max(us).alias("tmax"))
+    life = (e.crossJoin(F.broadcast(b))
+            .groupBy("user_id", "tmax")
+            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
+            .select(F.expr("(l - f) div 86400000000").alias("dur"),
+                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
+                    .otherwise(0).alias("cens")))
+    per_day = (life.groupBy(F.col("dur").alias("day"))
+               .agg(F.sum(1 - F.col("cens")).alias("d"),
+                    F.count(F.lit(1)).alias("ended")))
+    risk = per_day.select(
+        "day", "d",
+        F.sum("ended").over(W.orderBy(F.desc("day")))
+        .alias("n_at_risk"))
+    km = (risk.filter(F.col("d") > 0)
+          .select("day", "d", "n_at_risk",
+                  F.when(F.col("d") == F.col("n_at_risk"), None)
+                  .otherwise(F.round(F.log(
+                      1.0 - F.col("d").cast("double")
+                      / F.col("n_at_risk")), 9)).alias("lnterm"),
+                  F.when(F.col("d") == F.col("n_at_risk"), 1)
+                  .otherwise(0).alias("iszero")))
+    w = W.orderBy("day")
+    acc = km.select(
+        "day", "d", "n_at_risk",
+        F.sum(F.coalesce(F.col("lnterm"), F.lit(0.0))
+              .cast("decimal(20,9)")).over(w).cast("double").alias("cum"),
+        F.max("iszero").over(w).alias("z"))
+    return acc.select(
+        F.col("day").alias("churn_day"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.when(F.col("z") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cum"), 9)).alias("km_survival"))

@@ -1304,3 +1304,72 @@ def graph_kcore_2core(spark, sf_dir):
     return (deg.filter(F.col("deg") >= 2)
             .select(F.col("src").alias("doc_id"),
                     F.col("deg").cast("bigint").alias("core_degree")))
+
+
+@query("attribution_position_based", """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 300
+),
+pur AS (SELECT user_id, ts AS pts, event_id AS pid FROM ev
+        WHERE event_type = 'purchase'),
+touch AS (
+  SELECT p.pid, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY e.ts, e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n
+  FROM pur p JOIN ev e
+    ON e.user_id = p.user_id
+   AND (e.ts < p.pts OR (e.ts = p.pts AND e.event_id < p.pid))
+  WHERE e.event_type <> 'purchase'
+),
+credit AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN rn = 1 OR rn = n THEN 0.4
+              ELSE ROUND(0.2 / (n - 2), 9) END AS c
+  FROM touch
+)
+SELECT event_type AS attributed_type,
+       CAST(SUM(CAST(c AS DECIMAL(20,9))) AS DOUBLE) AS total_credit,
+       COUNT(*) AS n_touches
+FROM credit GROUP BY 1
+""")
+def attribution_position_based(spark, sf_dir):
+    """POSITION-BASED (U-shaped 40/20/40) multi-touch attribution — the
+    industry-standard middle ground between attribution_last_touch and
+    attribution_linear: first and last prior touches get 40% of each
+    purchase's credit, the middle touches split the remaining 20%
+    evenly (single touch gets 100%, a pair splits 50/50). Prior-touch
+    enumeration is one per-purchase inequality join bounded by per-user
+    activity; ranking is a per-purchase window; credits are exact
+    rationals round-9 fenced then decimal-summed. The three attribution
+    models together let a pipeline quantify model-choice sensitivity."""
+    e = (t(spark, sf_dir, "events")
+         .filter(F.col("user_id") < 300)
+         .select("user_id", "ts", "event_id", "event_type"))
+    pur = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("ts").alias("pts"),
+                   F.col("event_id").alias("pid")))
+    touch = (pur.join(
+        e.filter(F.col("event_type") != "purchase"),
+        (pur.user_id == e.user_id)
+        & ((e.ts < F.col("pts"))
+           | ((e.ts == F.col("pts")) & (e.event_id < F.col("pid")))))
+        .select("pid", "event_type", "ts", "event_id"))
+    wr = W.partitionBy("pid").orderBy("ts", "event_id")
+    wn = W.partitionBy("pid")
+    ranked = touch.select(
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    credit = ranked.select(
+        "event_type",
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.round(0.2 / (F.col("n") - 2), 9)).alias("c"))
+    return (credit.groupBy(F.col("event_type").alias("attributed_type"))
+            .agg(F.sum(F.col("c").cast("decimal(20,9)")).cast("double")
+                 .alias("total_credit"),
+                 F.count(F.lit(1)).alias("n_touches")))

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "dedup_incremental_minhash_stored", "mixture_doremi_step",
     "agg_trimmed_mean", "drift_ks_statistic", "emb_dimension_profile",
     "sim_topk_pq_rerank", "emb_hard_negatives", "rocchio_nearest_centroid",
+    "survival_kaplan_meier", "attribution_position_based",
 ]
 
 
