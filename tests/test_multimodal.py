@@ -310,3 +310,30 @@ def test_decode_avi_never_crashes_on_fuzz():
                 assert m["sum_r"] >= 0
 
     check()
+
+
+def test_decode_wav_duplicate_chunks_first_wins(spark):
+    """A malformed WAV carrying DUPLICATE fmt/data chunks must decode
+    the FIRST of each (r6 ADVICE fix: previously last-wins) and stop
+    scanning once both are found."""
+    import struct
+
+    from arangodb_java_parquet_spark.operators.multimodal import (
+        decode_wav, encode_wav)
+
+    good = [5, -5, 10]
+    decoy = [30000, 30000]
+    wav = encode_wav(44100, good)
+    # append a second data chunk (the decoy) and a second fmt claiming a
+    # different rate — both must be ignored
+    extra_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = b"".join(struct.pack("<h", s) for s in decoy)
+    extra_data = b"data" + struct.pack("<I", len(payload)) + payload
+    doubled = wav + extra_fmt + extra_data
+    doubled = doubled[:4] + struct.pack(
+        "<I", len(doubled) - 8) + doubled[8:]
+    m = decode_wav(doubled)
+    assert m is not None
+    assert m["sample_rate"] == 44100          # first fmt wins
+    assert m["sum_abs"] == sum(abs(s) for s in good)  # first data wins
