@@ -75,6 +75,13 @@ PROBES = [
     "ir_bm25_score",
     "tfidf_top_terms",
     "quality_bigram_logprob",
+    # round-6 flagships: stored-index probe (the fit runs once per
+    # replica store, so the probed measurement is the serving cost),
+    # skew-capped banding, unrolled power iteration, CDC apply
+    "sim_topk_ivfpq_stored",
+    "dedup_lsh_capped_pairs",
+    "emb_pca_power_iteration",
+    "cdc_apply_changes",
 ]
 
 
