@@ -1023,3 +1023,56 @@ def survival_kaplan_meier(spark, sf_dir):
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
         F.when(F.col("z") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp("cum"), 9)).alias("km_survival"))
+
+
+@query("anomaly_mad_days", """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+med AS (SELECT ROUND(median(CAST(n_events AS DOUBLE)), 9) AS med
+        FROM daily),
+dev AS (
+  SELECT d.day, d.n_events,
+         ABS(CAST(d.n_events AS DOUBLE) - m.med) AS adev, m.med
+  FROM daily d CROSS JOIN med m
+),
+madt AS (SELECT ROUND(median(adev), 9) AS mad FROM dev)
+SELECT d.day, CAST(d.n_events AS BIGINT) AS n_events,
+       d.med AS day_median, t.mad,
+       ROUND(0.6745 * (CAST(d.n_events AS DOUBLE) - d.med)
+             / NULLIF(t.mad, 0), 9) AS robust_z,
+       ABS(0.6745 * (CAST(d.n_events AS DOUBLE) - d.med)
+           / NULLIF(t.mad, 0)) > 3.5 AS is_anomaly
+FROM dev d CROSS JOIN madt t
+""")
+def anomaly_mad_days(spark, sf_dir):
+    """ROBUST daily anomaly flags via the MEDIAN/MAD rule
+    (Iglewicz-Hoskin modified z > 3.5) — the outlier-proof sibling of
+    anomaly_zscore_days: one burst day inflates a mean/stddev enough to
+    hide itself, but not the median/MAD. Exact medians (round-9 fenced
+    interpolation), the 0.6745 consistency constant as a shared
+    literal, NULLIF degeneracy guard for a zero-MAD series (both
+    engines emit NULL, per the cross-engine division rule). Corpus
+    work is one combinable day rollup; medians run over the bounded
+    day axis."""
+    e = t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    med = daily.agg(F.round(F.percentile(
+        F.col("n_events").cast("double"), F.lit(0.5)), 9).alias("med"))
+    dev = (daily.crossJoin(F.broadcast(med))
+           .select("day", "n_events", "med",
+                   F.abs(F.col("n_events").cast("double")
+                         - F.col("med")).alias("adev")))
+    madt = dev.agg(F.round(F.percentile("adev", F.lit(0.5)), 9)
+                   .alias("mad"))
+    rz = (0.6745 * (F.col("n_events").cast("double") - F.col("med"))
+          / F.nullif(F.col("mad"), F.lit(0.0)))
+    return (dev.crossJoin(F.broadcast(madt))
+            .select("day",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("med").alias("day_median"), "mad",
+                    F.round(rz, 9).alias("robust_z"),
+                    (F.abs(rz) > 3.5).alias("is_anomaly")))

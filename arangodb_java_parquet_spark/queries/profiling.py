@@ -905,3 +905,90 @@ def drift_ks_statistic(spark, sf_dir):
             .select(F.col("na").cast("bigint").alias("n_sample_a"),
                     F.col("nb").cast("bigint").alias("n_sample_b"),
                     "ks_stat"))
+
+
+# ---------------------------------------------------------------------------
+# schema-drift / profile-diff between two snapshots
+# ---------------------------------------------------------------------------
+
+
+@query("dq_schema_drift", """
+WITH old_half AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+new_half AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+po AS (
+  SELECT COUNT(*) AS n,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS k_prio,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls_price,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           / COUNT(*) AS mean_price
+  FROM old_half
+),
+pn AS (
+  SELECT COUNT(*) AS n,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS k_prio,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls_price,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           / COUNT(*) AS mean_price
+  FROM new_half
+)
+SELECT po.n AS n_old, pn.n AS n_new,
+       po.k_prio AS k_prio_old, pn.k_prio AS k_prio_new,
+       po.nulls_price AS nulls_old, pn.nulls_price AS nulls_new,
+       ROUND(pn.min_price - po.min_price, 9) AS min_shift,
+       ROUND(pn.max_price - po.max_price, 9) AS max_shift,
+       ROUND(pn.mean_price - po.mean_price, 9) AS mean_shift,
+       (pn.k_prio != po.k_prio
+        OR pn.nulls_price != po.nulls_price
+        OR ABS(pn.mean_price - po.mean_price)
+           > 0.05 * ABS(po.mean_price)) AS drift_flag
+FROM po CROSS JOIN pn
+""")
+def dq_schema_drift(spark, sf_dir):
+    """PROFILE-DIFF between two snapshots (the data-contract check a
+    pipeline runs before promoting a new partition): cardinality, null
+    counts, min/max and exact-decimal means of the key metric column in
+    OLD vs NEW, with shift deltas and a composite drift flag (category
+    cardinality change, null-rate change, or >5% mean shift). Two
+    combinable profile aggregations + a 1-row join; every published
+    delta is a round-9 difference of deterministic values. Snapshots
+    are synthesized as the even/odd orderkey halves so the comparison
+    value-checks."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderpriority").alias("k_prio"),
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("nulls_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+             .cast("double") / F.count(F.lit(1))).alias("mean_price"))
+
+    po = prof(o.filter(F.col("o_orderkey") % 2 == 0)).alias("po")
+    pn = prof(o.filter(F.col("o_orderkey") % 2 == 1)).alias("pn")
+    return (po.crossJoin(pn)
+            .select(F.col("po.n").alias("n_old"),
+                    F.col("pn.n").alias("n_new"),
+                    F.col("po.k_prio").alias("k_prio_old"),
+                    F.col("pn.k_prio").alias("k_prio_new"),
+                    F.col("po.nulls_price").alias("nulls_old"),
+                    F.col("pn.nulls_price").alias("nulls_new"),
+                    F.round(F.col("pn.min_price")
+                            - F.col("po.min_price"), 9).alias("min_shift"),
+                    F.round(F.col("pn.max_price")
+                            - F.col("po.max_price"), 9).alias("max_shift"),
+                    F.round(F.col("pn.mean_price")
+                            - F.col("po.mean_price"), 9)
+                    .alias("mean_shift"),
+                    ((F.col("pn.k_prio") != F.col("po.k_prio"))
+                     | (F.col("pn.nulls_price") != F.col("po.nulls_price"))
+                     | (F.abs(F.col("pn.mean_price")
+                              - F.col("po.mean_price"))
+                        > 0.05 * F.abs(F.col("po.mean_price"))))
+                    .alias("drift_flag")))

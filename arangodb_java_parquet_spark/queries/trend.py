@@ -1373,3 +1373,52 @@ def attribution_position_based(spark, sf_dir):
             .agg(F.sum(F.col("c").cast("decimal(20,9)")).cast("double")
                  .alias("total_credit"),
                  F.count(F.lit(1)).alias("n_touches")))
+
+
+@query("graph_edge_triangle_support", _graph_base_sql() + """
+, supp AS (
+  SELECT p.doc_a, p.doc_b, COUNT(w.dst) AS support
+  FROM pairs p
+  LEFT JOIN edges u ON u.src = p.doc_a
+  LEFT JOIN edges w ON w.src = p.doc_b AND w.dst = u.dst
+                   AND w.dst <> p.doc_a AND w.dst <> p.doc_b
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b, CAST(support AS BIGINT) AS support,
+       support >= 1 AS in_2truss
+FROM supp
+""")
+def graph_edge_triangle_support(spark, sf_dir):
+    """EDGE TRIANGLE SUPPORT — the k-truss building block: for every
+    LSH-similarity edge, the number of triangles through it (= common
+    neighbors of its endpoints). support = 0 marks BRIDGE-LIKE edges
+    (band collisions with no corroborating structure — prime false-
+    positive suspects), support >= k-2 is k-truss membership (dense
+    near-duplicate cores stricter than 2-core). One wedge join bounded
+    by Σ deg² — the same budget triangle counting pays — with common-
+    neighbor counting per undirected edge; no all-pairs anywhere."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id")
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))
+    ua = edges.select(F.col("src").alias("doc_a"),
+                      F.col("dst").alias("na"))
+    ub = edges.select(F.col("src").alias("doc_b"),
+                      F.col("dst").alias("nb"))
+    supp = (cand.join(ua, "doc_a", "left")
+            .join(ub, (F.col("nb") == F.col("na"))
+                  & (ub.doc_b == cand.doc_b)
+                  & (F.col("nb") != cand.doc_a)
+                  & (F.col("nb") != cand.doc_b), "left")
+            .groupBy(cand.doc_a, cand.doc_b)
+            .agg(F.count(F.col("nb")).alias("support")))
+    return supp.select("doc_a", "doc_b",
+                       F.col("support").cast("bigint").alias("support"),
+                       (F.col("support") >= 1).alias("in_2truss"))
