@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "agg_trimmed_mean", "drift_ks_statistic", "emb_dimension_profile",
     "sim_topk_pq_rerank", "emb_hard_negatives", "rocchio_nearest_centroid",
     "survival_kaplan_meier", "attribution_position_based",
+    "dq_schema_drift", "anomaly_mad_days", "graph_edge_triangle_support",
 ]
 
 
