@@ -403,3 +403,52 @@ def mixture_doremi_step(spark, sf_dir):
                     F.round(F.col("excess"), 9).alias("excess_keep_rate"),
                     F.round(F.col("w0") * F.col("boost") / F.col("z"), 9)
                     .alias("reweighted_share")))
+
+
+# ---------------------------------------------------------------------------
+# per-cluster quality spread over the materialized component table
+# ---------------------------------------------------------------------------
+
+_SPREAD_SQL = _must_replace(
+    _CLUSTER_SQL,
+    "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+)
+SELECT c.component,
+       COUNT(*) AS cluster_size,
+       MIN(d.n_chars) AS min_chars,
+       MAX(d.n_chars) AS max_chars,
+       CAST(SUM(CAST(d.n_chars AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+         AS mean_chars,
+       ROUND((MAX(d.n_chars) - MIN(d.n_chars))
+             / CAST(MAX(d.n_chars) AS DOUBLE), 9) AS rel_spread
+FROM comp c JOIN documents d ON d.doc_id = c.node
+GROUP BY c.component
+HAVING COUNT(*) >= 2""")
+
+
+@query("dedup_cluster_quality_spread", _SPREAD_SQL)
+def dedup_cluster_quality_spread(spark, sf_dir):
+    """QUALITY SPREAD inside each near-duplicate cluster: min/max/mean
+    document length and the relative spread — the audit behind
+    dedup_keep_best_quality's policy choice (a high-spread cluster mixes
+    a full original with truncated copies, exactly where best-instead-
+    of-min-id pays; uniformly-sized clusters make the policy moot).
+    Consumes the MATERIALIZED component table (fit-once model store);
+    one join to per-doc length + one combinable rollup."""
+    from arangodb_java_parquet_spark.queries.curation import (
+        components_materialized)
+    comp = components_materialized(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (comp.join(d, comp.node == d.doc_id)
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 (F.sum(F.col("n_chars").cast("decimal(30,8)"))
+                  .cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+                 F.round((F.max("n_chars") - F.min("n_chars"))
+                         / F.max("n_chars").cast("double"), 9)
+                 .alias("rel_spread"))
+            .filter(F.col("cluster_size") >= 2))

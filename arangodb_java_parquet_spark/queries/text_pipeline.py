@@ -651,3 +651,41 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
                     F.levenshtein("__ta", "__tb").alias("edit_dist"))
             .filter(F.col("edit_dist") <= 40)
             .select("doc_a", "doc_b", "edit_dist"))
+
+
+@query("simhash_bit_balance", f"""
+WITH sigs AS ({_SIMHASH_SQL})
+SELECT b.bit,
+       CAST(SUM(CASE WHEN substring(simhash, b.bit + 1, 1) = '1'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+       ROUND(SUM(CASE WHEN substring(simhash, b.bit + 1, 1) = '1'
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 9)
+         AS set_frac,
+       ROUND(ABS(SUM(CASE WHEN substring(simhash, b.bit + 1, 1) = '1'
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+                 - 0.5), 9) AS imbalance
+FROM sigs CROSS JOIN (SELECT UNNEST(range(0, {_SIMHASH_BITS})) AS bit) b
+GROUP BY b.bit
+""")
+def simhash_bit_balance(spark, sf_dir):
+    """SKETCH-HEALTH diagnostic for SimHash: per-bit set fraction across
+    the corpus. A healthy fingerprint has every bit near 0.5 (maximum
+    discriminative entropy); a bit stuck near 0/1 contributes nothing
+    to Hamming distances and halves the effective fingerprint width —
+    the check to run before trusting multiprobe radii (the SimHash
+    analog of ivf_cell_balance). One signature pass + a bounded
+    bit-axis rollup."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        simhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d, "text", "doc_id")
+    bits = sigs.select(F.posexplode(F.expr(
+        f"transform(sequence(1, {_SIMHASH_BITS}),"
+        " i -> substring(simhash, i, 1))")).alias("bit0", "ch"))
+    frac = (F.sum(F.when(F.col("ch") == "1", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"))
+    return (bits.groupBy(F.col("bit0").alias("bit"))
+            .agg(F.sum(F.when(F.col("ch") == "1", 1).otherwise(0))
+                 .cast("bigint").alias("n_set"),
+                 F.round(frac, 9).alias("set_frac"),
+                 F.round(F.abs(frac - 0.5), 9).alias("imbalance")))

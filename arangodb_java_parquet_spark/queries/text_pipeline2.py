@@ -960,3 +960,116 @@ def dedup_incremental_minhash_stored(spark, sf_dir):
                                "band_idx", "band_hash"),
                   ["band_idx", "band_hash"])
             .select("batch_doc", "corpus_doc").distinct())
+
+
+_LANGID_PRED_CTE = """
+scored AS (
+  SELECT lang,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' the ', ''))) / 5 AS en_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' und ', ''))) / 5 AS de_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' et ', ''))) / 4 AS fr_score,
+         (LENGTH(text) - LENGTH(REPLACE(text, ' el ', ''))) / 4 AS es_score
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN en_score >= GREATEST(de_score, fr_score, es_score) THEN 'en'
+              WHEN de_score >= GREATEST(fr_score, es_score) THEN 'de'
+              WHEN fr_score >= es_score THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM scored
+)"""
+
+
+@query("langid_cohens_kappa", f"""
+WITH {_LANGID_PRED_CTE},
+cells AS (
+  SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+),
+tots AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+         CAST(SUM(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+              AS DOUBLE) AS agree
+  FROM cells
+),
+marg AS (
+  SELECT r.lab,
+         CAST(COALESCE(rm.rn, 0) AS DOUBLE) AS row_n,
+         CAST(COALESCE(cm.cn, 0) AS DOUBLE) AS col_n
+  FROM (SELECT lang AS lab FROM cells
+        UNION SELECT lang_pred FROM cells) r
+  LEFT JOIN (SELECT lang AS lab, SUM(n) AS rn FROM cells GROUP BY 1) rm
+    ON rm.lab = r.lab
+  LEFT JOIN (SELECT lang_pred AS lab, SUM(n) AS cn FROM cells
+             GROUP BY 1) cm ON cm.lab = r.lab
+),
+pe AS (
+  SELECT CAST(SUM(CAST(ROUND(row_n * col_n, 1) AS DECIMAL(30,1)))
+              AS DOUBLE) AS chance_num
+  FROM marg
+)
+SELECT CAST(t.total AS BIGINT) AS n_docs,
+       ROUND(t.agree / t.total, 9) AS observed_agreement,
+       ROUND(p.chance_num / (t.total * t.total), 9) AS chance_agreement,
+       ROUND((t.agree / t.total - p.chance_num / (t.total * t.total))
+             / (1.0 - p.chance_num / (t.total * t.total)), 9)
+         AS cohens_kappa
+FROM tots t CROSS JOIN pe p
+""")
+def langid_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA between the language labels and the stopword
+    classifier — chance-corrected agreement, the honest upgrade of
+    lang_purity_by_source's raw rate (a classifier that always says
+    'en' on an 80%-English corpus gets 0.8 agreement but kappa ~0).
+    po and pe from exact confusion-cell counts (marginal products are
+    exact integers, round-1 fenced into a decimal sum); the kappa
+    ratio is round-9. Full-grid marginals include labels either side
+    never predicts (COALESCE 0), so degenerate classifiers score
+    correctly."""
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    d = t(spark, sf_dir, "documents")
+
+    def occ(token, width):
+        return ((F.length("text")
+                 - F.length(F.replace(F.col("text"), F.lit(token),
+                                      F.lit("")))) / width)
+
+    scored = d.select(
+        "lang",
+        occ(" the ", 5).alias("en_f"), occ(" und ", 5).alias("de_f"),
+        occ(" et ", 4).alias("fr_f"), occ(" el ", 4).alias("es_f"))
+    pred_col = (F.when(F.col("en_f") >= F.greatest("de_f", "fr_f", "es_f"),
+                       "en")
+                .when(F.col("de_f") >= F.greatest("fr_f", "es_f"), "de")
+                .when(F.col("fr_f") >= F.col("es_f"), "fr")
+                .otherwise("es"))
+    cells = (scored.select("lang", pred_col.alias("lang_pred"))
+             .groupBy("lang", "lang_pred")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .localCheckpoint(eager=False))
+    tots = cells.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
+              .otherwise(0)).cast("double").alias("agree"))
+    labs = (cells.select(F.col("lang").alias("lab"))
+            .union(cells.select("lang_pred")).distinct())
+    rm = cells.groupBy(F.col("lang").alias("lab")) \
+        .agg(F.sum("n").alias("rn"))
+    cm = cells.groupBy(F.col("lang_pred").alias("lab")) \
+        .agg(F.sum("n").alias("cn"))
+    marg = (labs.join(rm, "lab", "left").join(cm, "lab", "left")
+            .select(F.coalesce(F.col("rn"), F.lit(0)).cast("double")
+                    .alias("row_n"),
+                    F.coalesce(F.col("cn"), F.lit(0)).cast("double")
+                    .alias("col_n")))
+    pe = marg.agg(F.sum(F.round(F.col("row_n") * F.col("col_n"), 1)
+                        .cast("decimal(30,1)")).cast("double")
+                  .alias("chance_num"))
+    po = F.col("agree") / F.col("total")
+    pc = F.col("chance_num") / (F.col("total") * F.col("total"))
+    return (tots.crossJoin(F.broadcast(pe))
+            .select(F.col("total").cast("bigint").alias("n_docs"),
+                    F.round(po, 9).alias("observed_agreement"),
+                    F.round(pc, 9).alias("chance_agreement"),
+                    F.round((po - pc) / (1.0 - pc), 9)
+                    .alias("cohens_kappa")))

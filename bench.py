@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "sim_topk_pq_rerank", "emb_hard_negatives", "rocchio_nearest_centroid",
     "survival_kaplan_meier", "attribution_position_based",
     "dq_schema_drift", "anomaly_mad_days", "graph_edge_triangle_support",
+    "simhash_bit_balance", "langid_cohens_kappa",
+    "dedup_cluster_quality_spread",
 ]
 
 
