@@ -345,7 +345,14 @@ def _vec_column_strs(arr, dtype):
         unit = arr.type.unit
         ints = pc.cast(arr, pa.int64(), safe=False)
         if unit == "ns":
-            ints = pc.divide(ints, pa.scalar(1000, pa.int64()))
+            # FLOOR division to match the row path's `value // 1000`:
+            # pc.divide truncates toward zero, which would round pre-epoch
+            # timestamps with sub-microsecond residue the other way.
+            thousand = pa.scalar(1000, pa.int64())
+            q = pc.divide(ints, thousand)
+            r = pc.subtract(ints, pc.multiply(q, thousand))
+            ints = pc.if_else(pc.less(r, pa.scalar(0, pa.int64())),
+                              pc.subtract(q, pa.scalar(1, pa.int64())), q)
         else:
             ints = pc.multiply(ints, pa.scalar(_TS_TO_MICROS[unit],
                                                pa.int64()))

@@ -84,7 +84,14 @@ def store_root_for(sf_dir: str, *tables: str) -> str:
         except OSError:
             parts.append(f"{path}:missing")
     sig = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "ajps_model_store", sig)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"ajps_model_store_{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    try:  # pre-existing dir: enforce private perms, don't trust them
+        os.chmod(base, 0o700)
+    except OSError:
+        pass
+    return os.path.join(base, sig)
 
 
 def ensure_model(spark: SparkSession, root: str, name: str, kind: str,
@@ -105,8 +112,16 @@ def ensure_model(spark: SparkSession, root: str, name: str, kind: str,
         save_model(fit(), root, tmp, kind, partition_by=partition_by)
         try:
             os.rename(os.path.join(root, tmp), mdir)
-        except OSError:  # another process won the race
-            shutil.rmtree(os.path.join(root, tmp), ignore_errors=True)
+        except OSError:
+            # Either another fitter won the race (winner's manifest exists
+            # -> discard our copy and load theirs) or the rename failed for
+            # a real reason (cross-device root, invalid name) — in which
+            # case silently dropping the fit would surface later as a
+            # confusing missing-manifest load error. Distinguish them.
+            if os.path.isfile(os.path.join(mdir, "manifest.json")):
+                shutil.rmtree(os.path.join(root, tmp), ignore_errors=True)
+            else:
+                raise
     return load_model(spark, root, name, expect_kind=kind)
 
 

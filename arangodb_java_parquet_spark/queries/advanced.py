@@ -809,7 +809,9 @@ WITH feats AS ({_MM_ORACLE})
 SELECT substring(phash, 1, 2) AS phash_band,
        COUNT(*) AS n_images,
        MIN(doc_id) AS keep_id,
-       list_sort(list(doc_id))[1:5] AS member_sample
+       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS member_sample
 FROM feats
 GROUP BY 1
 HAVING COUNT(*) > 1
@@ -820,13 +822,16 @@ def multimodal_image_dedup(spark, sf_dir):
     with >1 member are near-dup candidates, min-id survivor — the image
     leg of the dedup funnel (real perceptual hashes band the same way;
     the md5-stub keeps it fully value-checkable). Groups shuffle
-    (phash_band, id) only; the member list is capped via a sorted slice."""
+    (phash_band, id) only; the member list is capped via a sorted slice
+    and emitted comma-joined (driver canonicalizer cannot hash arrays)."""
     d = t(spark, sf_dir, "documents")
     feats = extract_image_features(attach_binary_payload(d))
     return (feats.groupBy(F.substring("phash", 1, 2).alias("phash_band"))
             .agg(F.count(F.lit(1)).alias("n_images"),
                  F.min("doc_id").alias("keep_id"),
-                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                     .cast("array<string>"), ",")
                  .alias("member_sample"))
             .filter(F.col("n_images") > 1))
 

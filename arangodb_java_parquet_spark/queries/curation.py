@@ -254,9 +254,14 @@ SELECT doc_id, tok, tf, df, score, rnk FROM ranked WHERE rnk <= 3
 """)
 def tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
-    The document-frequency table is tiny (vocabulary-sized) and broadcast;
-    rank ordering uses the 9-digit-rounded score with the token as a unique
-    tiebreak, so ranking is engine-stable."""
+    The document-frequency table is vocabulary-sized — UNBOUNDED at corpus
+    scale (Heaps' law), so it is NOT broadcast-hinted: the tf-df equi-join
+    on tok is left to AQE, which picks broadcast when the measured vocab is
+    small and a shuffle join when it is not (a forced broadcast of a raw
+    distinct-token table is a driver OOM at 100 TB — round-6 scale probe
+    measured exponent 1.39 with the hint, the repo's only super-linear
+    entry). Rank ordering uses the 9-digit-rounded score with the token as
+    a unique tiebreak, so ranking is engine-stable."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -265,7 +270,7 @@ def tfidf_top_terms(spark, sf_dir):
     score = F.round(
         F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
-    return (tf.join(F.broadcast(df), "tok")
+    return (tf.join(df, "tok")
             .select("doc_id", "tok", "tf", "df", score.alias("score"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 3))

@@ -452,7 +452,7 @@ WITH counts AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       [c0, c1, c2, c3, c4] AS behavior_vec,
+       array_to_string([c0, c1, c2, c3, c4], ',') AS behavior_vec,
        CAST(c0 + c1 + c2 + c3 + c4 AS BIGINT) AS n_events,
        ROUND(sqrt(CAST(c0*c0 + c1*c1 + c2*c2 + c3*c3 + c4*c4 AS DOUBLE)), 9)
          AS l2_norm
@@ -463,7 +463,9 @@ def user_behavior_vector(spark, sf_dir):
     to a fixed-order count vector (one conditional-sum aggregation — the
     map-side-combinable way to build feature vectors, vs a pivot+join) +
     its L2 norm, ready for the similarity/clustering operators upstream.
-    Integer vectors are engine-exact; only the norm needs round-9."""
+    Integer vectors are engine-exact; only the norm needs round-9. The
+    vector is emitted comma-joined (the external driver's canonicalizer
+    cannot hash top-level ARRAY columns)."""
     e = t(spark, sf_dir, "events")
     cs = [F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
           .alias(f"c{i}") for i, et in enumerate(_ETYPES)]
@@ -477,7 +479,8 @@ def user_behavior_vector(spark, sf_dir):
         total = total + c
     return counts.select(
         "user_id",
-        F.array(*cols).alias("behavior_vec"),
+        F.array_join(F.array(*cols).cast("array<string>"), ",")
+        .alias("behavior_vec"),
         total.cast("bigint").alias("n_events"),
         F.round(F.sqrt(sq.cast("double")), 9).alias("l2_norm"))
 

@@ -75,7 +75,10 @@ capped AS (
   FROM per_doc
 ),
 postings AS (
-  SELECT tok, list_sort(list(doc_id)) AS postings
+  SELECT tok,
+         array_to_string(list_transform(list_sort(list(doc_id)),
+                                        x -> CAST(x AS VARCHAR)), ',')
+           AS postings
   FROM capped WHERE rn <= 10 GROUP BY tok
 )
 SELECT stats.tok, stats.df, CAST(stats.cf AS BIGINT) AS cf, postings.postings
@@ -86,9 +89,15 @@ def ir_inverted_index(spark, sf_dir):
     (operators/ir.py:inverted_index): df/cf are combinable aggregations;
     the posting list is capped to 10 ids BEFORE collect_list (two-phase
     row_number over distinct (tok, doc) pairs), so hot tokens like 'the'
-    never materialize a corpus-sized array."""
+    never materialize a corpus-sized array. The posting list is emitted
+    comma-joined: the external driver's pandas canonicalizer cannot hash
+    top-level ARRAY columns (registry-wide guard in tests/test_registry.py)."""
     d = t(spark, sf_dir, "documents")
-    return inverted_index(d, "text", "doc_id", posting_cap=10)
+    idx = inverted_index(d, "text", "doc_id", posting_cap=10)
+    return idx.select(
+        "tok", "df", "cf",
+        F.array_join(F.col("postings").cast("array<string>"), ",")
+        .alias("postings"))
 
 
 @query("text_token_entropy", """

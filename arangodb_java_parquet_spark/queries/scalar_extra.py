@@ -91,14 +91,15 @@ WITH m AS (
 SELECT p_partkey,
        (attrs['brand'])[1] AS brand_val,
        (attrs['type'])[1] AS type_val,
-       map_keys(attrs) AS attr_keys,
+       array_to_string(map_keys(attrs), ',') AS attr_keys,
        CAST(len(map_keys(attrs)) AS INT) AS n_attrs
 FROM m
 """)
 def map_functions(spark, sf_dir):
     """Map-type coverage: construct, extract, keys, size (DuckDB's map
     extraction returns a single-element list — unwrapped in the oracle so
-    both sides yield scalars)."""
+    both sides yield scalars). Keys are emitted comma-joined: the external
+    driver's canonicalizer cannot hash top-level ARRAY columns."""
     p = t(spark, sf_dir, "part")
     attrs = F.map_from_arrays(
         F.array(F.lit("brand"), F.lit("type")),
@@ -107,7 +108,7 @@ def map_functions(spark, sf_dir):
         "p_partkey",
         F.element_at(attrs, "brand").alias("brand_val"),
         F.element_at(attrs, "type").alias("type_val"),
-        F.map_keys(attrs).alias("attr_keys"),
+        F.array_join(F.map_keys(attrs), ",").alias("attr_keys"),
         F.size(F.map_keys(attrs)).alias("n_attrs"))
 
 
@@ -225,11 +226,14 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS has_single_char,
        CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
          AS total_chars,
-       flatten([ws[1:2], ws[3:4]]) AS first4_flat,
-       range(1, least(len(ws), 5) + 1) AS seq_to_5,
-       list_transform(range(1, least(len(ws), 5) + 1),
-                      i -> ws[i] || '-' || ws[least(len(ws), 5) + 1 - i])
-         AS zipped_mirror
+       array_to_string(flatten([ws[1:2], ws[3:4]]), ',') AS first4_flat,
+       array_to_string(list_transform(range(1, least(len(ws), 5) + 1),
+                                      i -> CAST(i AS VARCHAR)), ',')
+         AS seq_to_5,
+       array_to_string(
+         list_transform(range(1, least(len(ws), 5) + 1),
+                        i -> ws[i] || '-' || ws[least(len(ws), 5) + 1 - i]),
+         ',') AS zipped_mirror
 FROM w
 """)
 def array_hof_functions(spark, sf_dir):
@@ -251,13 +255,17 @@ def array_hof_functions(spark, sf_dir):
         F.aggregate(ws, F.lit(0).cast("long"),
                     lambda acc, x: acc + F.length(x))
         .alias("total_chars"),
-        F.flatten(F.array(F.slice(ws, 1, 2), F.slice(ws, 3, 2)))
+        F.array_join(
+            F.flatten(F.array(F.slice(ws, 1, 2), F.slice(ws, 3, 2))), ",")
         .alias("first4_flat"),
-        F.sequence(F.lit(1).cast("long"),
-                   F.least(F.size(ws), F.lit(5)).cast("long"))
+        F.array_join(
+            F.sequence(F.lit(1).cast("long"),
+                       F.least(F.size(ws), F.lit(5)).cast("long"))
+            .cast("array<string>"), ",")
         .alias("seq_to_5"),
-        F.zip_with(w5, F.reverse(w5),
-                   lambda x, y: F.concat(x, F.lit("-"), y))
+        F.array_join(
+            F.zip_with(w5, F.reverse(w5),
+                       lambda x, y: F.concat(x, F.lit("-"), y)), ",")
         .alias("zipped_mirror"))
 
 
@@ -315,8 +323,9 @@ SELECT p_partkey,
        CAST(len(list_filter(map_entries(attrs),
                             e -> len(e.value) > 10)) AS INT)
          AS n_long_vals,
-       list_sort(list_transform(map_entries(attrs),
-                                e -> e.key || '=' || e.value))
+       array_to_string(list_sort(list_transform(map_entries(attrs),
+                                                e -> e.key || '=' || e.value)),
+                       ',')
          AS entries_sorted
 FROM m
 """)
@@ -340,7 +349,7 @@ def map_hof_functions(spark, sf_dir):
         "p_partkey",
         F.element_at(upper_vals, "brand").alias("brand_upper"),
         F.size(long_vals).cast("int").alias("n_long_vals"),
-        entries.alias("entries_sorted"))
+        F.array_join(entries, ",").alias("entries_sorted"))
 
 
 @query("scalar_conditional_funcs", """

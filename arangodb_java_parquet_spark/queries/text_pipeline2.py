@@ -543,7 +543,9 @@ WITH pf AS (
   FROM documents
 )
 SELECT prefix_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
-       list_sort(list(doc_id))[1:5] AS member_sample
+       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS member_sample
 FROM pf
 GROUP BY prefix_fp
 HAVING COUNT(*) > 1
@@ -553,14 +555,17 @@ def dedup_prefix_fingerprint(spark, sf_dir):
     same-lead near-duplicates (syndicated articles with appended
     boilerplate, retries with trailing noise) that whole-document
     fingerprints miss and full MinHash over-pays for. One combinable
-    group on an 8-token hash; member lists capped by a sorted slice."""
+    group on an 8-token hash; member lists capped by a sorted slice and
+    emitted comma-joined (driver canonicalizer cannot hash arrays)."""
     d = t(spark, sf_dir, "documents")
     pf = F.md5(F.array_join(
         F.slice(F.split(F.col("text"), " "), 1, 8), " "))
     return (d.groupBy(pf.alias("prefix_fp"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("keep_id"),
-                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                 F.array_join(
+                     F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+                     .cast("array<string>"), ",")
                  .alias("member_sample"))
             .filter(F.col("n_docs") > 1))
 

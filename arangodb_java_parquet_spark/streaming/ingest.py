@@ -98,9 +98,20 @@ def stream_upsert_keyed(spark: SparkSession, path: str, *, schema,
         tmp = state_dir + ".new"
         best.write.mode("overwrite").parquet(tmp)
         old = state_dir + ".old"
+        # a leftover .old from a previously crashed batch would make the
+        # first rename below raise (destination exists) — clear it first
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(state_dir):
             os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
+        try:
+            os.rename(tmp, state_dir)
+        except OSError:
+            # crashed between the two renames on a prior attempt, or the
+            # second rename failed now: restore the previous state table
+            # rather than leaving NO state_dir at all
+            if not os.path.isdir(state_dir) and os.path.isdir(old):
+                os.rename(old, state_dir)
+            raise
         shutil.rmtree(old, ignore_errors=True)
 
     return (spark.readStream.schema(schema)

@@ -340,3 +340,20 @@ def test_converters_exact_complex_match_beats_recursion(spark):
     conv = {"array<bigint>": lambda c: F.size(c)}
     out = apply_type_converters(df, conv, nested=True)
     assert out.collect()[0].xs == 3
+
+
+def test_vectorized_ns_timestamp_floor_division_matches_row_path():
+    """pc.divide truncates toward zero; the vectorized ns->us path must
+    FLOOR like the row path's `pd.Timestamp.value // 1000`, or pre-epoch
+    timestamps with sub-microsecond residue serialize differently on the
+    flat fast path vs the nested/row path (round-6 ADVICE)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from arangodb_java_parquet_spark.functions.docjson import (
+        _vec_column_strs)
+
+    ns_vals = [-1500, -1001, -1000, -999, -1, 0, 1, 999, 1000, 1500]
+    arr = pa.array(ns_vals, pa.timestamp("ns"))
+    out = _vec_column_strs(arr, T.TimestampType()).to_pylist()
+    assert out == [str(v // 1000) for v in ns_vals]

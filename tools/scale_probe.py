@@ -111,8 +111,19 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true",
                     help="keep the scaled parquet dirs")
+    ap.add_argument("--probes", default=None,
+                    help="comma-separated subset of PROBES to run "
+                         "(isolated re-measure; skips the report write)")
     args = ap.parse_args()
     factors = [int(f) for f in args.factors.split(",")]
+    probes = PROBES
+    write_report = True
+    if args.probes:
+        probes = [p.strip() for p in args.probes.split(",")]
+        unknown = [p for p in probes if p not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown probe names: {unknown}")
+        write_report = False
     spark = get_spark(app_name="scale-probe")
     root = "/tmp/ajps_scale_probe"
 
@@ -124,12 +135,12 @@ def main() -> None:
         dirs[f] = d
 
     # warm codegen/JIT on the smallest factor
-    for name in PROBES:
+    for name in probes:
         QUERIES[name](spark, dirs[factors[0]]).write.format("noop") \
             .mode("overwrite").save()
 
     results: dict[str, dict[int, float]] = {}
-    for name in PROBES:
+    for name in probes:
         results[name] = {}
         for f in factors:
             best = None
@@ -156,7 +167,7 @@ def main() -> None:
         + " | exponent |",
         "|---|" + "---|" * (len(factors) + 1),
     ]
-    for name in PROBES:
+    for name in probes:
         r = results[name]
         expo = (math.log(r[f_hi] / r[f_lo]) / math.log(f_hi / f_lo)
                 if r[f_lo] > 0 else float("nan"))
@@ -165,8 +176,9 @@ def main() -> None:
             + " | ".join(f"{r[f]:.2f}" for f in factors)
             + f" | {expo:.2f} |")
     out = "\n".join(lines) + "\n"
-    with open("SCALE_PROBE.md", "w") as fh:
-        fh.write(out)
+    if write_report:
+        with open("SCALE_PROBE.md", "w") as fh:
+            fh.write(out)
     print("\n" + out)
     if not args.keep:
         shutil.rmtree(root, ignore_errors=True)
