@@ -225,6 +225,30 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
             assert "CartesianProduct" not in formatted_plan(df), name
 
 
+def test_rows_only_entries_plan_invariants(spark, sf_dir):
+    """The same registry-wide invariants for the entries WITHOUT an oracle
+    (rows-only by design): no CartesianProduct anywhere, and python
+    evaluation only in the four disclosed Arrow/pandas-by-design surfaces
+    (their JVM twins are the value-checked counterparts). Closes the
+    round-6 gap where the non-bench long tail had no plan audit."""
+    from arangodb_java_parquet_spark.queries import ORACLES
+    from arangodb_java_parquet_spark.plans.inspect import formatted_plan
+    python_by_design = {"sim_pq_encode_arrow", "sim_topk_pq_adc_arrow",
+                        "emb_gram_matrix_arrow", "emb_zscore_grouped_pandas"}
+    for name in QUERIES:
+        if name in ORACLES or name.startswith("stream"):
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        if name in python_by_design:
+            assert not is_python_free(df), (
+                f"{name} is allowlisted as a python surface but plans "
+                "python-free — tighten the allowlist")
+        else:
+            assert is_python_free(df), name
+
+
 def test_salted_join_stays_on_shuffle_path(spark, sf_dir):
     """salted_join must plan a shuffled join on (key, salt) — if the build
     side were broadcast the salt would spread nothing."""

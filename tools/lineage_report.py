@@ -1,4 +1,4 @@
-"""Column-lineage report: for every bench query, which BASE TABLES and
+"""Column-lineage report: for every registry query, which BASE TABLES and
 which of their COLUMNS the physical plan actually reads — extracted from
 the FileScan/ReadSchema entries — written to LINEAGE.md.
 
@@ -47,14 +47,14 @@ def _norm_cols(cols: str) -> list[str]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    import bench
     spark = get_spark(app_name="lineage-report")
 
     per_query: dict[str, dict[str, set]] = {}
     table_heat: dict[str, dict[str, int]] = defaultdict(
         lambda: defaultdict(int))
     errors = []
-    for name in bench.BENCH_QUERIES:
+    # ALL registry entries (registration order), not just the bench subset
+    for name in QUERIES:
         try:
             df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -76,7 +76,7 @@ def main() -> None:
                 table_heat[tbl][c] += 1
 
     lines = [
-        "# LINEAGE (bench queries, sf0.01 plans)",
+        "# LINEAGE (all registry queries, sf0.01 plans)",
         "",
         "Base-table columns each query's physical plan READS (FileScan",
         "projections — i.e. after Catalyst column pruning). Model-store /",
