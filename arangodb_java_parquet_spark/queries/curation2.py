@@ -452,3 +452,236 @@ def dedup_cluster_quality_spread(spark, sf_dir):
                          / F.max("n_chars").cast("double"), 9)
                  .alias("rel_spread"))
             .filter(F.col("cluster_size") >= 2))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weights (round 7)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_SOURCES = ("src0", "src1")  # the "benchmark-like" target domain
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+
+
+@query("quality_dsir_weights", f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST('0x' || substring(md5(UNNEST(string_split(text, ' '))), 1, 8)
+              AS BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM documents
+),
+raw_cnt AS (SELECT bucket, COUNT(*) AS c_raw FROM toks GROUP BY bucket),
+tgt_cnt AS (SELECT bucket, COUNT(*) AS c_tgt FROM toks
+            WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY bucket),
+totals AS (
+  SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+         (SELECT CAST(SUM(c_tgt) AS BIGINT) FROM tgt_cnt) AS n_tgt
+  FROM raw_cnt
+),
+lr AS (
+  SELECT r.bucket,
+         ROUND(LN(((COALESCE(g.c_tgt, 0) + 1)
+                   / CAST(t.n_tgt + {_DSIR_BUCKETS} AS DOUBLE))
+                  / ((r.c_raw + 1)
+                     / CAST(t.n_raw + {_DSIR_BUCKETS} AS DOUBLE))), 9)
+           AS log_ratio
+  FROM raw_cnt r LEFT JOIN tgt_cnt g USING (bucket) CROSS JOIN totals t
+)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(lr.log_ratio AS DECIMAL(30,9))) AS DOUBLE)
+         AS log_importance
+FROM toks JOIN lr USING (bucket)
+GROUP BY toks.doc_id
+""")
+def quality_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance = sum over tokens of
+    ln(p_target(bucket) / p_raw(bucket)) under HASHED unigram LMs — the
+    data-selection scorer that upweights documents resembling a target
+    (benchmark-like) domain. Hashing tokens into {_DSIR_BUCKETS} md5
+    buckets bounds both model tables BY CONSTRUCTION (the lesson the
+    pre-r7 tfidf broadcast missed): the log-ratio table is exactly
+    {_DSIR_BUCKETS} rows, broadcast-joined to the token stream; Laplace
+    (+1) smoothing keeps every ratio finite. Per-token contributions are
+    round-9'd then exact-decimal summed (engine-portable float SUM)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id", "source",
+                     F.explode(F.split("text", " ")).alias("tok"))
+            .select("doc_id", "source",
+                    F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                           .cast("long"), _DSIR_BUCKETS).alias("bucket")))
+    raw_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_cnt = (toks.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
+    n_raw = raw_cnt.agg(F.sum("c_raw")).collect()[0][0]
+    n_tgt = tgt_cnt.agg(F.sum("c_tgt")).collect()[0][0]
+    lr = (raw_cnt.join(tgt_cnt, "bucket", "left")
+          .select("bucket", F.round(F.log(
+              ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+               / F.lit(float(n_tgt + _DSIR_BUCKETS)))
+              / ((F.col("c_raw") + 1)
+                 / F.lit(float(n_raw + _DSIR_BUCKETS)))), 9)
+              .alias("log_ratio")))
+    return (toks.join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("log_ratio").cast("decimal(30,9)"))
+                 .cast("double").alias("log_importance")))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling (round 7)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA_NUM = 3   # alpha = 0.3 as an exact ratio (3/10)
+_TEMP_ALPHA_DEN = 10
+
+
+@query("mixture_temperature_sampling", f"""
+WITH src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM src),
+p AS (
+  SELECT source, n_docs,
+         n_docs / CAST(t.n AS DOUBLE) AS nat_share,
+         ROUND(POW(n_docs / CAST(t.n AS DOUBLE),
+                   CAST({_TEMP_ALPHA_NUM} AS DOUBLE)
+                     / CAST({_TEMP_ALPHA_DEN} AS DOUBLE)), 9) AS p_alpha
+  FROM src CROSS JOIN tot t
+),
+z AS (SELECT CAST(SUM(CAST(p_alpha AS DECIMAL(30,9))) AS DOUBLE) AS z FROM p)
+SELECT p.source, p.n_docs, p.nat_share,
+       p.p_alpha / z.z AS temp_share,
+       (p.p_alpha / z.z) / p.nat_share AS boost
+FROM p CROSS JOIN z
+""")
+def mixture_temperature_sampling(spark, sf_dir):
+    """Temperature-scaled mixture sampling rates (mT5, Xue et al. 2021:
+    q_i ∝ p_i^alpha with alpha=0.3): flattens the source distribution so
+    low-resource domains are upsampled without letting any single giant
+    domain dominate — the standard multi-domain/multilingual mixing rule.
+    Natural shares are exact integer ratios; pow() outputs are round-9'd
+    then exact-decimal summed for the normalizer; the final shares and
+    boosts are plain IEEE divisions of already-identical doubles (the
+    monthly_seasonal_index lesson: no round on derived ratios)."""
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = src.agg(F.sum("n_docs")).collect()[0][0]
+    alpha = F.lit(float(_TEMP_ALPHA_NUM)) / F.lit(float(_TEMP_ALPHA_DEN))
+    p = src.select(
+        "source", "n_docs",
+        (F.col("n_docs") / F.lit(float(n))).alias("nat_share"),
+        F.round(F.pow(F.col("n_docs") / F.lit(float(n)), alpha), 9)
+        .alias("p_alpha"))
+    z = p.agg(F.sum(F.col("p_alpha").cast("decimal(30,9)"))
+              .cast("double").alias("z"))
+    return (p.crossJoin(F.broadcast(z))
+            .select("source", "n_docs", "nat_share",
+                    (F.col("p_alpha") / F.col("z")).alias("temp_share"),
+                    ((F.col("p_alpha") / F.col("z")) / F.col("nat_share"))
+                    .alias("boost")))
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validation scan (round 7)
+# ---------------------------------------------------------------------------
+
+@query("pii_luhn_validate", """
+WITH d AS (
+  SELECT o_orderkey,
+         o_orderkey % 5 AS shard,
+         CAST(o_custkey * 100 + o_orderkey % 100 AS VARCHAR) AS digits
+  FROM orders
+),
+scored AS (
+  SELECT o_orderkey, shard, digits,
+         list_sum(list_transform(range(1, len(digits) + 1),
+           i -> CASE WHEN (len(digits) - i) % 2 = 1
+                     THEN (CASE WHEN CAST(digits[i] AS INT) * 2 > 9
+                                THEN CAST(digits[i] AS INT) * 2 - 9
+                                ELSE CAST(digits[i] AS INT) * 2 END)
+                     ELSE CAST(digits[i] AS INT) END)) AS luhn_sum
+  FROM d
+)
+SELECT shard,
+       COUNT(*) AS n_ids,
+       CAST(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_luhn_valid,
+       ROUND(SUM(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS valid_rate
+FROM scored
+GROUP BY shard
+""")
+def pii_luhn_validate(spark, sf_dir):
+    """Luhn (mod-10) checksum validation scan — the verifier behind
+    credit-card / IMEI / national-id PII detectors: digit strings whose
+    Luhn checksum passes are PROBABLE live identifiers (a regex alone
+    over-flags random digit runs ~10x). Candidate digit strings are
+    synthesized deterministically from order keys (the corpus has no real
+    PANs — the checksum machinery is what's under test); a production
+    scan swaps the candidate source for regexp_extract_all over text.
+    The doubled-digit fold is pure integer expression work per row (no
+    UDF, no shuffle beyond the final rollup)."""
+    o = t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 5).alias("shard"),
+        (F.col("o_custkey") * 100 + F.col("o_orderkey") % 100)
+        .cast("string").alias("digits"))
+    luhn_sum = F.expr("""
+      aggregate(
+        transform(sequence(1, length(digits)),
+          i -> CASE WHEN (length(digits) - i) % 2 = 1
+                    THEN (CASE WHEN CAST(substring(digits, i, 1) AS INT) * 2 > 9
+                               THEN CAST(substring(digits, i, 1) AS INT) * 2 - 9
+                               ELSE CAST(substring(digits, i, 1) AS INT) * 2 END)
+                    ELSE CAST(substring(digits, i, 1) AS INT) END),
+        0, (acc, x) -> acc + x)""")
+    scored = d.withColumn("luhn_sum", luhn_sum)
+    valid = F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0)
+    return (scored.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_ids"),
+                 F.sum(valid).cast("bigint").alias("n_luhn_valid"),
+                 F.round(F.sum(valid) / F.count(F.lit(1)).cast("double"), 9)
+                 .alias("valid_rate")))
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (round 7)
+# ---------------------------------------------------------------------------
+
+@query("text_readability_scores", """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, CAST(n_syllables AS BIGINT) AS n_syllables,
+       n_syllables / CAST(n_words AS DOUBLE) AS syllables_per_word,
+       206.835e0 - 84.6e0 * (n_syllables / CAST(n_words AS DOUBLE))
+         AS flesch_proxy
+FROM s WHERE n_words > 0
+""")
+def text_readability_scores(spark, sf_dir):
+    """Flesch-style readability proxy: syllables approximated by vowel-group
+    counts (the classic heuristic), score = 206.835 - 84.6 * syllables/word
+    (sentence term omitted — the corpus is unpunctuated). A standard text
+    quality-filter signal (too-complex or too-degenerate docs score at the
+    extremes). Pure per-row expression work: regexp_count + a division of
+    exact integers; the affine transform is IEEE-identical given identical
+    inputs (constants written as DOUBLE literals on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_syll = F.expr("regexp_count(text, '[aeiouy]+')")
+    spw = F.col("n_syllables") / F.col("n_words").cast("double")
+    return (d.select("doc_id", "lang",
+                     n_words.alias("n_words"),
+                     n_syll.cast("bigint").alias("n_syllables"))
+            .filter(F.col("n_words") > 0)
+            .select("doc_id", "lang", "n_words", "n_syllables",
+                    spw.alias("syllables_per_word"),
+                    (F.lit(206.835) - F.lit(84.6) * spw)
+                    .alias("flesch_proxy")))

@@ -1,0 +1,305 @@
+"""Record-linkage / cross-corpus matching wave: blocked sorted-neighborhood
+dedup (Hernandez & Stolfo 1995), Fellegi-Sunter probabilistic pair scoring
+(Fellegi & Sunter 1969), and cross-language bitext candidate mining over
+the embedding space (Artetxe & Schwenk 2019, threshold variant) — the
+entity-resolution leg of a training-data pipeline, complementing the
+MinHash/SimHash near-dup family (beyond-reference mandate; the reference
+loader at /root/reference has no analytics surface).
+
+Determinism: pairwise Jaccard/overlap ratios are integer-count divisions
+(IEEE-identical); Fellegi-Sunter weights are ln() of exact integer ratios
+computed identically at query time on both engines and summed in a fixed
+order; cosine follows the repo-standard left-to-right double accumulation
+with round-9 (queries/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import query, t
+
+# ---------------------------------------------------------------------------
+# blocked sorted-neighborhood dedup (SNM)
+# ---------------------------------------------------------------------------
+
+_SNM_WINDOW = 3          # compare each record to its next 3 sort neighbors
+_SNM_JACCARD = 0.30      # verify threshold on distinct-token Jaccard
+
+_SNM_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         substring(text, 1, 4) AS blk,
+         substring(text, 1, 16) AS bk,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+nb AS (
+  SELECT doc_id, toks,
+         LEAD(doc_id, 1) OVER w AS id1, LEAD(toks, 1) OVER w AS t1,
+         LEAD(doc_id, 2) OVER w AS id2, LEAD(toks, 2) OVER w AS t2,
+         LEAD(doc_id, 3) OVER w AS id3, LEAD(toks, 3) OVER w AS t3
+  FROM base
+  WINDOW w AS (PARTITION BY blk ORDER BY bk, doc_id)
+),
+pairs AS (
+  SELECT doc_id AS a, id1 AS b, toks AS ta, t1 AS tb FROM nb WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2, toks, t2 FROM nb WHERE id2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id3, toks, t3 FROM nb WHERE id3 IS NOT NULL
+),
+scored AS (
+  SELECT LEAST(a, b) AS doc_a, GREATEST(a, b) AS doc_b,
+         len(list_intersect(ta, tb))
+           / CAST(len(list_distinct(list_concat(ta, tb))) AS DOUBLE)
+           AS jaccard
+  FROM pairs
+)
+SELECT doc_a, doc_b, MAX(jaccard) AS jaccard
+FROM scored
+WHERE jaccard >= {_SNM_JACCARD}
+GROUP BY doc_a, doc_b
+"""
+
+
+@query("dedup_sorted_neighborhood", _SNM_SQL)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """BLOCKED sorted-neighborhood dedup: records sorted by a textual key
+    within coarse blocks; each record is compared only to its next
+    ``_SNM_WINDOW`` sort neighbors, then verified by distinct-token
+    Jaccard — the classic O(n·w) record-linkage alternative to LSH when
+    near-duplicates share a lead (Hernandez & Stolfo, SIGMOD 1995).
+
+    Scale: the window PARTITIONS BY a 4-char block, so no global
+    single-partition sort ever forms — each block sorts independently
+    (the unblocked textbook SNM needs a total order, which is exactly the
+    anti-pattern a 1000-executor cluster cannot do). Cross-block seam
+    pairs are forfeited by design, the same documented trade as
+    dedup_boundary_overlap's shard seams. Jaccard is an integer-count
+    ratio (IEEE-identical across engines), and each unordered pair keeps
+    its MAX score (a pair can surface from two window offsets)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.substring("text", 1, 4).alias("blk"),
+        F.substring("text", 1, 16).alias("bk"),
+        F.array_distinct(F.split("text", " ")).alias("toks"))
+    w = W.partitionBy("blk").orderBy("bk", "doc_id")
+    nb = base.select(
+        "doc_id", "toks",
+        *[c for i in range(1, _SNM_WINDOW + 1) for c in (
+            F.lead("doc_id", i).over(w).alias(f"id{i}"),
+            F.lead("toks", i).over(w).alias(f"t{i}"))])
+    legs = [nb.filter(F.col(f"id{i}").isNotNull())
+            .select(F.col("doc_id").alias("a"),
+                    F.col(f"id{i}").alias("b"),
+                    F.col("toks").alias("ta"),
+                    F.col(f"t{i}").alias("tb"))
+            for i in range(1, _SNM_WINDOW + 1)]
+    pairs = legs[0]
+    for leg in legs[1:]:
+        pairs = pairs.unionAll(leg)
+    jac = (F.size(F.array_intersect("ta", "tb"))
+           / F.size(F.array_union("ta", "tb")).cast("double"))
+    return (pairs.select(F.least("a", "b").alias("doc_a"),
+                         F.greatest("a", "b").alias("doc_b"),
+                         jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= _SNM_JACCARD)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.max("jaccard").alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-pair scoring
+# ---------------------------------------------------------------------------
+
+# fixed (documented) conditional agreement probabilities: m_j = P(field j
+# agrees | pair is a match), u_j = P(agrees | non-match). One-step scoring
+# with pinned parameters (no EM) keeps the operator fully value-checkable.
+# probabilities expressed as integer PERCENTAGES so both engines derive
+# the weight doubles from exact integer ratios at query time (a 17-digit
+# python double repr embedded as a SQL literal hit a DuckDB string->double
+# parse that is off by one ulp for some values; ln() itself is
+# libm-parity, relied on repo-wide since the BM25/entropy oracles).
+_FS_FIELDS = [
+    # (name, m_pct, u_pct)
+    ("brand", 90, 20),  # brand agrees
+    ("noun", 85, 10),   # name noun (2nd word) agrees
+    ("price", 80, 30),  # retail price within 50
+]
+_FS_PCT = {name: (m, u, 100 - m, 100 - u) for name, m, u in _FS_FIELDS}
+
+
+def _fs_w_sql(name: str) -> tuple[str, str]:
+    m, u, nm, nu = _FS_PCT[name]
+    return (f"ln(CAST({m} AS DOUBLE) / CAST({u} AS DOUBLE))",
+            f"ln(CAST({nm} AS DOUBLE) / CAST({nu} AS DOUBLE))")
+
+_FS_SQL = f"""
+WITH base AS (
+  SELECT p_partkey, p_type, p_brand, p_retailprice,
+         (string_split(p_name, ' '))[2] AS name_noun,
+         p_size // 10 AS size_blk
+  FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+         CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS agree_brand,
+         CASE WHEN a.name_noun = b.name_noun THEN 1 ELSE 0 END AS agree_noun,
+         CASE WHEN ABS(a.p_retailprice - b.p_retailprice) < 50 THEN 1 ELSE 0 END
+           AS agree_price
+  FROM base a JOIN base b
+    ON a.p_type = b.p_type AND a.size_blk = b.size_blk
+   AND a.p_partkey < b.p_partkey
+)
+SELECT part_a, part_b, agree_brand, agree_noun, agree_price,
+       (CASE WHEN agree_brand = 1 THEN {_fs_w_sql('brand')[0]}
+             ELSE {_fs_w_sql('brand')[1]} END
+        + CASE WHEN agree_noun = 1 THEN {_fs_w_sql('noun')[0]}
+               ELSE {_fs_w_sql('noun')[1]} END
+        + CASE WHEN agree_price = 1 THEN {_fs_w_sql('price')[0]}
+               ELSE {_fs_w_sql('price')[1]} END) AS fs_score
+FROM pairs
+WHERE agree_brand + agree_noun + agree_price >= 2
+"""
+
+
+@query("linkage_fellegi_sunter", _FS_SQL)
+def linkage_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage over blocked part
+    pairs: candidate pairs form only inside (type, size-decade) blocks;
+    each comparison field (brand, name noun, retail price proximity)
+    contributes a log-likelihood weight ln(m/u) on agreement and
+    ln((1-m)/(1-u)) on disagreement with pinned (m, u) parameters — the
+    canonical match/non-match scorer behind every production
+    entity-resolution system.
+
+    Scale: pair formation is a block-keyed equi-self-join — pairs per
+    block are quadratic in block size, so block keys must be chosen (or
+    salted/capped, see operators/dedup.py lsh_candidate_pairs_capped) to
+    bound occupancy; the weight sum is three fixed-order double-literal
+    additions (IEEE-identical across engines, no libm calls at query
+    time). Output keeps pairs agreeing on >= 2 fields."""
+    p = t(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey", "p_type", "p_brand", "p_retailprice",
+        F.split("p_name", " ").getItem(1).alias("name_noun"),
+        F.expr("p_size div 10").alias("size_blk"))
+    a, b = base.alias("a"), base.alias("b")
+    agree_brand = F.when(F.col("a.p_brand") == F.col("b.p_brand"),
+                         1).otherwise(0)
+    agree_noun = F.when(F.col("a.name_noun") == F.col("b.name_noun"),
+                        1).otherwise(0)
+    agree_price = F.when(
+        F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) < 50,
+        1).otherwise(0)
+
+    def w(flag_col, name):
+        m, u, nm, nu = _FS_PCT[name]
+        agree = F.log(F.lit(float(m)) / F.lit(float(u)))
+        disagree = F.log(F.lit(float(nm)) / F.lit(float(nu)))
+        return F.when(F.col(flag_col) == 1, agree).otherwise(disagree)
+
+    pairs = (a.join(b, (F.col("a.p_type") == F.col("b.p_type"))
+                    & (F.col("a.size_blk") == F.col("b.size_blk"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.p_partkey").alias("part_a"),
+                     F.col("b.p_partkey").alias("part_b"),
+                     agree_brand.alias("agree_brand"),
+                     agree_noun.alias("agree_noun"),
+                     agree_price.alias("agree_price")))
+    score = (w("agree_brand", "brand") + w("agree_noun", "noun")
+             + w("agree_price", "price"))
+    return (pairs
+            .filter(F.col("agree_brand") + F.col("agree_noun")
+                    + F.col("agree_price") >= 2)
+            .select("part_a", "part_b", "agree_brand", "agree_noun",
+                    "agree_price", score.alias("fs_score")))
+
+
+# ---------------------------------------------------------------------------
+# cross-language bitext candidate mining
+# ---------------------------------------------------------------------------
+
+_DOT = ("list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"round(({d}) / (({na}) * ({nb})), 9)"
+
+
+_BITEXT_MIN_COS = 0.40
+_BITEXT_TOPK = 2
+
+_BITEXT_SQL = f"""
+WITH e AS (
+  SELECT d.doc_id, d.lang, emb.embedding,
+         ((CASE WHEN emb.embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN emb.embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN emb.embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN emb.embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM documents d JOIN embeddings emb ON emb.vec_id = d.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+         b.doc_id AS doc_b, b.lang AS lang_b,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM e a JOIN e b
+    ON a.bucket = b.bucket AND a.lang < b.lang
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a
+                               ORDER BY cos_sim DESC, doc_b) AS rn
+  FROM pairs WHERE cos_sim >= {_BITEXT_MIN_COS}
+)
+SELECT doc_a, lang_a, doc_b, lang_b, cos_sim, rn
+FROM ranked WHERE rn <= {_BITEXT_TOPK}
+"""
+
+
+@query("bitext_mining_candidates", _BITEXT_SQL)
+def bitext_mining_candidates(spark, sf_dir):
+    """Cross-language BITEXT candidate mining: documents in DIFFERENT
+    languages whose embeddings are cosine-close are translation-pair
+    candidates (the mining step behind CCMatrix/LASER-style parallel
+    corpora; threshold variant of Artetxe & Schwenk 2019). SRP-LSH bucket
+    equi-join replaces the all-pairs cross product; `lang_a < lang_b`
+    keeps each unordered cross-lang pair once; per-source-doc top-2 by
+    rounded cosine with doc_b as the unique tiebreak.
+
+    Scale: same posture as emb_near_dup_pairs — bucketed join, norms
+    computed once per side BELOW the pair join, candidate volume bounded
+    by bucket occupancy (16 buckets here; production uses more bits +
+    multiprobe)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = t(spark, sf_dir, "embeddings")
+    joined = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", "lang", "embedding")
+    from arangodb_java_parquet_spark.operators.similarity import (
+        dot, norm, srp_bucket)
+    b = (joined.withColumn("bucket", srp_bucket(F.col("embedding"), 4))
+         .withColumn("nrm", norm(F.col("embedding"))))
+    a = b.alias("a")
+    c = (b.withColumnRenamed("doc_id", "doc_id_b")
+         .withColumnRenamed("lang", "lang_b")
+         .withColumnRenamed("embedding", "embedding_b")
+         .withColumnRenamed("nrm", "nrm_b").alias("c"))
+    cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
+                  / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+    pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                    & (F.col("a.lang") < F.col("c.lang_b")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("a.lang").alias("lang_a"),
+                     F.col("c.doc_id_b").alias("doc_b"),
+                     F.col("c.lang_b").alias("lang_b"),
+                     cos.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= _BITEXT_MIN_COS))
+    w = W.partitionBy("doc_a").orderBy(F.desc("cos_sim"), "doc_b")
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _BITEXT_TOPK))

@@ -1002,3 +1002,109 @@ def token_pmi_collocations(spark, sf_dir):
                                   / ((F.col("da") / F.col("n"))
                                      * (F.col("db") / F.col("n")))), 9)
                     .alias("pmi")))
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-IDF cosine top-k retrieval (round 7)
+# ---------------------------------------------------------------------------
+
+# drop tokens whose document frequency exceeds 4/5 of the corpus (an
+# integer-exact relative stop-token cap: df*5 <= n_docs*4) — an absolute
+# cap is corpus-size-dependent and this synthetic corpus has a 31-token
+# vocabulary where every token is hot
+_TFC_DF_NUM, _TFC_DF_DEN = 4, 5
+_TFC_QUERY_DOCS = 5
+_TFC_TOPK = 5
+
+
+@query("sim_tfidf_cosine_topk", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+df AS (SELECT tok, COUNT(*) AS df FROM tf CROSS JOIN n GROUP BY tok, n.n_docs
+       HAVING COUNT(*) * {_TFC_DF_DEN} <= n.n_docs * {_TFC_DF_NUM}),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)), 9) AS w
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(30,9))) AS DOUBLE))
+           AS nrm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT q.doc_id AS qid, c.doc_id AS vid,
+         CAST(SUM(CAST(ROUND(q.w * c.w, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS dot
+  FROM w q JOIN w c ON q.tok = c.tok AND q.doc_id != c.doc_id
+  WHERE q.doc_id < {_TFC_QUERY_DOCS}
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.qid, d.vid,
+         ROUND(d.dot / (nq.nrm * nv.nrm), 9) AS cos_sim
+  FROM dots d
+  JOIN nrm nq ON nq.doc_id = d.qid
+  JOIN nrm nv ON nv.doc_id = d.vid
+),
+ranked AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vid) AS rn
+  FROM cos
+)
+SELECT qid, vid, cos_sim, rn FROM ranked WHERE rn <= {_TFC_TOPK}
+""")
+def sim_tfidf_cosine_topk(spark, sf_dir):
+    """SPARSE-VECTOR similarity search: cosine top-{_TFC_TOPK} over TF-IDF
+    bag-of-words vectors, computed via the inverted-index join (shared
+    tokens only) instead of materializing dense vectors — the classic IR
+    retrieval shape (Salton's vector model), complementing the dense
+    embedding ANN family.
+
+    Scale posture: tokens present in more than {_TFC_DF_NUM}/{_TFC_DF_DEN}
+    of documents are PRUNED before the pair join (a stop-token's posting
+    list is corpus-sized — joining on it is the quadratic blowup; real
+    systems drop or impact-order these), so per-token join fan-out is
+    bounded; production adds an absolute posting cap on top. Query side is
+    {_TFC_QUERY_DOCS} docs (broadcast); norms are computed ONCE PER DOC
+    below the pair join. Per-pair contributions round-9 then
+    exact-decimal sum (engine-portable float reduction)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.count()
+    df = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+          .filter(F.col("df") * _TFC_DF_DEN <= F.lit(n_docs) * _TFC_DF_NUM))
+    w = (tf.join(df, "tok")
+         .select("doc_id", "tok",
+                 (F.col("tf") * F.round(F.log(
+                     (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+                     9)).alias("w")))
+    nrm = (w.groupBy("doc_id")
+           .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
+                             .cast("decimal(30,9)")).cast("double"))
+                .alias("nrm")))
+    q = (w.filter(F.col("doc_id") < _TFC_QUERY_DOCS)
+         .withColumnRenamed("doc_id", "qid").withColumnRenamed("w", "wq"))
+    c = (w.withColumnRenamed("doc_id", "vid").withColumnRenamed("w", "wv"))
+    dots = (q.join(c, "tok")
+            .filter(F.col("qid") != F.col("vid"))
+            .groupBy("qid", "vid")
+            .agg(F.sum(F.round(F.col("wq") * F.col("wv"), 9)
+                       .cast("decimal(30,9)")).cast("double").alias("dot")))
+    nq = nrm.withColumnRenamed("doc_id", "qid").withColumnRenamed(
+        "nrm", "nrm_q")
+    nv = nrm.withColumnRenamed("doc_id", "vid").withColumnRenamed(
+        "nrm", "nrm_v")
+    cos = (dots.join(nq, "qid").join(nv, "vid")
+           .select("qid", "vid",
+                   F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_v")),
+                           9).alias("cos_sim")))
+    win = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
+    return (cos.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= _TFC_TOPK))

@@ -211,6 +211,12 @@ BENCH_QUERIES = [
     "simhash_bit_balance", "langid_cohens_kappa",
     "dedup_boundary_overlap", "sim_index_incremental_append",
     "dedup_cluster_quality_spread",
+    # round 7: record linkage, bitext mining, DSIR, temperature mixing,
+    # Luhn scan, readability, sparse TF-IDF retrieval
+    "dedup_sorted_neighborhood", "linkage_fellegi_sunter",
+    "bitext_mining_candidates", "quality_dsir_weights",
+    "mixture_temperature_sampling", "pii_luhn_validate",
+    "text_readability_scores", "sim_tfidf_cosine_topk",
 ]
 
 
