@@ -303,3 +303,133 @@ def bitext_mining_candidates(spark, sf_dir):
     w = W.partitionBy("doc_a").orderBy(F.desc("cos_sim"), "doc_b")
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _BITEXT_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered set-similarity join (round 7)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold t = 7/10, kept as an integer ratio so every filter is
+# integer-exact on both engines. (This synthetic corpus has a 31-token
+# vocabulary, so documents are unusually similar — a production corpus
+# would pair far more sparsely at the same threshold.)
+_PPJ_T_NUM, _PPJ_T_DEN = 7, 10
+# deterministic per-token cap on prefix posting lists (ordered by doc_id):
+# a hot prefix token joins at most _PPJ_CAP docs — the same bounded-evidence
+# contract as lsh_candidate_pairs_capped / dedup_substring_span. Without it
+# a degenerate corpus (or a 100 TB one) turns one hot prefix token into a
+# quadratic join (measured 88 s at sf0.1 uncapped on this corpus).
+_PPJ_CAP = 64
+
+_PPJ_SQL = f"""
+WITH toksd AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+df AS (SELECT tok, COUNT(*) AS df FROM toksd GROUP BY tok),
+sizes AS (SELECT doc_id, COUNT(*) AS s FROM toksd GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.tok, z.s,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY d.df ASC, t.tok ASC) AS p
+  FROM toksd t JOIN df d USING (tok) JOIN sizes z USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, tok, s FROM ranked
+  WHERE p <= s - ({_PPJ_T_NUM} * s + {_PPJ_T_DEN} - 1) // {_PPJ_T_DEN} + 1
+),
+capped AS (
+  SELECT doc_id, tok, s FROM (
+    SELECT doc_id, tok, s,
+           ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS pr
+    FROM prefix
+  ) WHERE pr <= {_PPJ_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.s AS sa, b.s AS sb
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  WHERE {_PPJ_T_NUM} * b.s <= {_PPJ_T_DEN} * a.s
+    AND {_PPJ_T_NUM} * a.s <= {_PPJ_T_DEN} * b.s
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.sa, c.sb, COUNT(*) AS overlap
+  FROM cand c
+  JOIN toksd ta ON ta.doc_id = c.doc_a
+  JOIN toksd tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, sa, sb, CAST(overlap AS BIGINT) AS overlap,
+       overlap / CAST(sa + sb - overlap AS DOUBLE) AS jaccard
+FROM verified
+WHERE {_PPJ_T_DEN} * overlap >= {_PPJ_T_NUM} * (sa + sb - overlap)
+"""
+
+
+@query("dedup_ppjoin_prefix", _PPJ_SQL)
+def dedup_ppjoin_prefix(spark, sf_dir):
+    """PPJoin-style PREFIX-FILTERED exact set-similarity join (Xiao et
+    al., WWW 2008): tokens globally ordered rarest-first (df asc); each
+    document's candidate-generating PREFIX is only its first
+    s - ceil(t*s) + 1 tokens — two documents can reach Jaccard >= t ONLY
+    if their prefixes share a token, so the pair join runs on the rare
+    prefix tokens instead of the full posting lists. The length filter
+    (t*|B| <= |A| <= |B|/t) prunes further before verification counts
+    the exact overlap.
+
+    This is the EXACT-answer counterpart to MinHash-LSH: no false
+    negatives, with the quadratic blowup controlled by prefix rarity
+    rather than banding probability. All thresholds are integer ratios
+    (t = {_PPJ_T_NUM}/{_PPJ_T_DEN}), so every filter and the final
+    Jaccard comparison are integer-exact on both engines.
+
+    Scale: the prefix join shuffles only (rare-token, doc) pairs — hot
+    tokens are excluded from prefixes by the df ordering precisely
+    because they rank last; verification joins are bounded by candidate
+    volume, and each prefix token's posting list is CAPPED at
+    {_PPJ_CAP} docs (deterministic doc_id order, mirrored in the oracle)
+    so a hot prefix token can never go quadratic — the bounded-evidence
+    contract shared with lsh_candidate_pairs_capped. Pairs beyond the
+    cap are forfeited: on a degenerate corpus the operator is a
+    high-recall screen rather than an exact join."""
+    d = t(spark, sf_dir, "documents")
+    toksd = (d.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("tok"))
+             .distinct())
+    df = toksd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toksd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    ranked = (toksd.join(df, "tok").join(sizes, "doc_id")
+              .withColumn("p", F.row_number().over(w)))
+    prefix_len = F.expr(
+        f"s - ({_PPJ_T_NUM} * s + {_PPJ_T_DEN} - 1) div {_PPJ_T_DEN} + 1")
+    prefix = (ranked.filter(F.col("p") <= prefix_len)
+              .select("doc_id", "tok", "s"))
+    wc = W.partitionBy("tok").orderBy("doc_id")
+    capped = (prefix.withColumn("pr", F.row_number().over(wc))
+              .filter(F.col("pr") <= _PPJ_CAP)
+              .select("doc_id", "tok", "s"))
+    a = (capped.withColumnRenamed("doc_id", "doc_a")
+         .withColumnRenamed("s", "sa"))
+    b = (capped.withColumnRenamed("doc_id", "doc_b")
+         .withColumnRenamed("s", "sb"))
+    cand = (a.join(b, "tok")
+            .filter((F.col("doc_a") < F.col("doc_b"))
+                    & (_PPJ_T_NUM * F.col("sb") <= _PPJ_T_DEN * F.col("sa"))
+                    & (_PPJ_T_NUM * F.col("sa") <= _PPJ_T_DEN * F.col("sb")))
+            .select("doc_a", "doc_b", "sa", "sb").distinct())
+    ta = toksd.withColumnRenamed("doc_id", "doc_a")
+    tb = (toksd.withColumnRenamed("doc_id", "vdoc_b")
+          .withColumnRenamed("tok", "tok_b"))
+    verified = (cand.join(ta, "doc_a")
+                .join(tb, (F.col("doc_b") == F.col("vdoc_b"))
+                      & (F.col("tok") == F.col("tok_b")))
+                .groupBy("doc_a", "doc_b", "sa", "sb")
+                .agg(F.count(F.lit(1)).alias("overlap")))
+    union_sz = F.col("sa") + F.col("sb") - F.col("overlap")
+    return (verified
+            .filter(_PPJ_T_DEN * F.col("overlap") >= _PPJ_T_NUM * union_sz)
+            .select("doc_a", "doc_b", "sa", "sb",
+                    F.col("overlap").cast("bigint").alias("overlap"),
+                    (F.col("overlap") / union_sz.cast("double"))
+                    .alias("jaccard")))

@@ -861,3 +861,85 @@ def exact_mode_per_group(spark, sf_dir):
             .select("l_returnflag",
                     F.col("l_quantity").alias("mode_quantity"),
                     F.col("n").alias("mode_count")))
+
+
+# ---------------------------------------------------------------------------
+# exact skewness / kurtosis from power sums (round 7)
+# ---------------------------------------------------------------------------
+
+@query("agg_skewness_kurtosis", """
+WITH s AS (
+  SELECT o_orderpriority,
+         o_totalprice / 100000e0 AS y
+  FROM orders
+),
+sums AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(ROUND(y * y * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(ROUND(y * y * y * y, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS s4
+  FROM s GROUP BY o_orderpriority
+),
+m AS (
+  SELECT o_orderpriority, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3e0 * (s1 / n) * (s2 / n)
+           + 2e0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4e0 * (s1 / n) * (s3 / n)
+           + 6e0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3e0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM sums
+)
+SELECT o_orderpriority, n, mean,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3e0 AS excess_kurtosis
+FROM m
+""")
+def agg_skewness_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis per order priority from
+    one-pass power sums (S1..S4) — the 3rd/4th-moment distribution-shape
+    profile (heavy tails / asymmetry) completing the var/stddev/corr
+    moment family; all four sums are map-side combinable.
+
+    Determinism: the variable is pre-scaled by 1e5 (skewness/kurtosis are
+    scale-invariant) so y^4 stays O(1) and the round-9-then-exact-decimal
+    sum applies (round-9 is unusable above ~1e7 magnitude — the
+    monthly_seasonal_index lesson). All derived moments are arithmetic on
+    bit-identical doubles in IDENTICAL expression order on both engines,
+    and m2^1.5 is written m2*sqrt(m2) (sqrt is IEEE-exact; pow is not)."""
+    o = t(spark, sf_dir, "orders")
+    y = F.col("o_totalprice") / F.lit(100000.0)
+    s = o.select("o_orderpriority", y.alias("y"))
+
+    def rdsum(expr):
+        return (F.sum(F.round(expr, 9).cast("decimal(30,9)"))
+                .cast("double"))
+
+    yy = F.col("y")
+    sums = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        rdsum(yy).alias("s1"),
+        rdsum(yy * yy).alias("s2"),
+        rdsum(yy * yy * yy).alias("s3"),
+        rdsum(yy * yy * yy * yy).alias("s4"))
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n")
+          - F.lit(3.0) * mean * (F.col("s2") / F.col("n"))
+          + F.lit(2.0) * mean * mean * mean)
+    m4 = (F.col("s4") / F.col("n")
+          - F.lit(4.0) * mean * (F.col("s3") / F.col("n"))
+          + F.lit(6.0) * mean * mean * (F.col("s2") / F.col("n"))
+          - F.lit(3.0) * mean * mean * mean * mean)
+    m = sums.select("o_orderpriority", "n", mean.alias("mean"),
+                    m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    return m.select(
+        "o_orderpriority", "n", "mean",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))))
+        .alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0))
+        .alias("excess_kurtosis"))

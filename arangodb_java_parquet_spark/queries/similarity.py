@@ -1497,3 +1497,131 @@ def rocchio_nearest_centroid(spark, sf_dir):
     return (assigned.groupBy("true_label",
                              F.col("cand").alias("pred_label"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k retrieval (round 7)
+# ---------------------------------------------------------------------------
+
+# lambda = 7/10 written as exact integer ratios so both engines derive the
+# identical double at query time (bare 0.7 parses as DECIMAL in DuckDB)
+_MMR_LAM = "(CAST(7 AS DOUBLE) / CAST(10 AS DOUBLE))"
+_MMR_ONE_MINUS = "(CAST(3 AS DOUBLE) / CAST(10 AS DOUBLE))"
+_MMR_SHORTLIST = 10
+_MMR_QUERY_VEC = 0
+
+_MMR_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {_MMR_QUERY_VEC}),
+rel AS (
+  SELECT e.vec_id AS vid, e.embedding,
+         {_sql_cos('q.qv', 'e.embedding')} AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {_MMR_QUERY_VEC}
+),
+short AS (
+  SELECT vid, embedding, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, vid) AS rn FROM rel
+  ) WHERE rn <= {_MMR_SHORTLIST}
+),
+ps AS (
+  SELECT a.vid AS va, b.vid AS vb,
+         {_sql_cos('a.embedding', 'b.embedding')} AS sim
+  FROM short a JOIN short b ON a.vid != b.vid
+),
+s1 AS (SELECT vid, rel FROM short ORDER BY rel DESC, vid LIMIT 1),
+c2 AS (
+  SELECT s.vid, {_MMR_LAM} * s.rel - {_MMR_ONE_MINUS} * p.sim AS score
+  FROM short s JOIN ps p
+    ON p.va = s.vid AND p.vb = (SELECT vid FROM s1)
+),
+s2 AS (SELECT vid, score FROM c2 ORDER BY score DESC, vid LIMIT 1),
+c3 AS (
+  SELECT s.vid,
+         {_MMR_LAM} * s.rel
+           - {_MMR_ONE_MINUS} * GREATEST(p1.sim, p2.sim) AS score
+  FROM short s
+  JOIN ps p1 ON p1.va = s.vid AND p1.vb = (SELECT vid FROM s1)
+  JOIN ps p2 ON p2.va = s.vid AND p2.vb = (SELECT vid FROM s2)
+),
+s3 AS (SELECT vid, score FROM c3 ORDER BY score DESC, vid LIMIT 1)
+SELECT 1 AS rank, vid, rel AS mmr_score FROM s1
+UNION ALL SELECT 2 AS rank, vid, score FROM s2
+UNION ALL SELECT 3 AS rank, vid, score FROM s3
+"""
+
+
+@query("sim_mmr_diversified_topk", _MMR_SQL)
+def sim_mmr_diversified_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein, SIGIR 1998): after a cosine shortlist, picks are made
+    greedily by score = lam*relevance - (1-lam)*max-similarity-to-already-
+    selected — the standard redundancy-killer for RAG context assembly
+    (three near-identical passages waste two context slots). Three
+    selection rounds unrolled as deterministic argmax stages (score desc,
+    vid tiebreak), lam = 7/10 as an exact integer ratio on both engines.
+
+    Scale: the corpus-sized work is ONE brute-force scan for the
+    shortlist (broadcast query, no corpus shuffle — same shape as
+    sim_topk_bruteforce; swap in the stored-IVF probe for serving); the
+    MMR rounds then operate on the {_MMR_SHORTLIST}-row shortlist and its
+    {_MMR_SHORTLIST}x{_MMR_SHORTLIST} pairwise-sim table — driver-scale
+    work, independent of corpus size, joined via 1-row broadcasts."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == _MMR_QUERY_VEC)
+         .select(F.col("embedding").alias("qv"),
+                 norm(F.col("embedding")).alias("qn")))
+    corpus = (e.filter(F.col("vec_id") != _MMR_QUERY_VEC)
+              .withColumn("nrm", norm(F.col("embedding"))))
+    rel = (corpus.crossJoin(F.broadcast(q))
+           .select(F.col("vec_id").alias("vid"), "embedding", "nrm",
+                   F.round(dot(F.col("embedding"), F.col("qv"))
+                           / (F.col("nrm") * F.col("qn")), 9).alias("rel")))
+    wsl = Window.orderBy(F.desc("rel"), "vid")
+    short = (rel.withColumn("rn", F.row_number().over(wsl))
+             .filter(F.col("rn") <= _MMR_SHORTLIST)
+             .select("vid", "embedding", "nrm", "rel"))
+    sa = short.select(F.col("vid").alias("va"),
+                      F.col("embedding").alias("ea"),
+                      F.col("nrm").alias("na"))
+    sb = short.select(F.col("vid").alias("vb"),
+                      F.col("embedding").alias("eb"),
+                      F.col("nrm").alias("nb"))
+    ps = (sa.join(sb, F.col("va") != F.col("vb"))
+          .select("va", "vb",
+                  F.round(dot(F.col("ea"), F.col("eb"))
+                          / (F.col("na") * F.col("nb")), 9).alias("sim")))
+    lam = F.lit(7.0) / F.lit(10.0)
+    om = F.lit(3.0) / F.lit(10.0)
+
+    s1 = (short.orderBy(F.desc("rel"), "vid").limit(1)
+          .select(F.col("vid").alias("sel1"), F.col("rel").alias("score1")))
+    c2 = (short.crossJoin(F.broadcast(s1))
+          .join(ps, (ps["va"] == F.col("vid"))
+                & (ps["vb"] == F.col("sel1")))
+          .select("vid", (lam * F.col("rel") - om * F.col("sim"))
+                  .alias("score")))
+    s2 = (c2.orderBy(F.desc("score"), "vid").limit(1)
+          .select(F.col("vid").alias("sel2"), F.col("score").alias("score2")))
+    p1 = ps.select(F.col("va").alias("v1"), F.col("vb").alias("w1"),
+                   F.col("sim").alias("sim1"))
+    p2 = ps.select(F.col("va").alias("v2"), F.col("vb").alias("w2"),
+                   F.col("sim").alias("sim2"))
+    c3 = (short.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
+          .join(p1, (F.col("v1") == F.col("vid"))
+                & (F.col("w1") == F.col("sel1")))
+          .join(p2, (F.col("v2") == F.col("vid"))
+                & (F.col("w2") == F.col("sel2")))
+          .select("vid",
+                  (lam * F.col("rel")
+                   - om * F.greatest(F.col("sim1"), F.col("sim2")))
+                  .alias("score")))
+    s3 = (c3.orderBy(F.desc("score"), "vid").limit(1)
+          .select(F.col("vid").alias("sel3"), F.col("score").alias("score3")))
+    r1 = s1.select(F.lit(1).alias("rank"), F.col("sel1").alias("vid"),
+                   F.col("score1").alias("mmr_score"))
+    r2 = s2.select(F.lit(2).alias("rank"), F.col("sel2").alias("vid"),
+                   F.col("score2").alias("mmr_score"))
+    r3 = s3.select(F.lit(3).alias("rank"), F.col("sel3").alias("vid"),
+                   F.col("score3").alias("mmr_score"))
+    return r1.unionAll(r2).unionAll(r3)

@@ -1422,3 +1422,72 @@ def graph_edge_triangle_support(spark, sf_dir):
     return supp.select("doc_a", "doc_b",
                        F.col("support").cast("bigint").alias("support"),
                        (F.col("support") >= 1).alias("in_2truss"))
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal-trend decomposition (round 7)
+# ---------------------------------------------------------------------------
+
+@query("timeseries_classical_decompose", f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1 AS BIGINT)
+           AS dow,  -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday
+         {sql_dsum('value')} AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+trended AS (
+  SELECT day, dow, revenue,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(SUM(CAST(revenue AS DECIMAL(30,8))) OVER w7
+                        AS DOUBLE) / 7
+              ELSE NULL END AS trend
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seasonal AS (
+  SELECT dow,
+         CAST(SUM(CAST(ROUND(revenue - trend, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) / COUNT(trend) AS seasonal
+  FROM trended WHERE trend IS NOT NULL
+  GROUP BY dow
+)
+SELECT t.day, t.dow, t.revenue, t.trend, s.seasonal,
+       t.revenue - t.trend - s.seasonal AS residual
+FROM trended t JOIN seasonal s USING (dow)
+WHERE t.trend IS NOT NULL
+""")
+def timeseries_classical_decompose(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition of daily revenue
+    (the moving-average method behind STL's initialization): trend =
+    centered 7-day moving average (full windows only), weekly seasonal =
+    per-day-of-week mean of the detrended series, residual = the rest —
+    the standard anomaly/forecast preprocessing split.
+
+    Determinism: daily revenue is an exact decimal sum; the centered MA
+    is a windowed decimal sum / 7; detrended values (~1e3 magnitude) are
+    round-9'd before the exact decimal seasonal mean; the residual is
+    plain subtraction of bit-identical doubles. Scale: one shuffle to
+    daily grain (combinable), then O(days) window/group work — the series
+    length, not the event volume, bounds everything downstream."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(dsum("value").alias("revenue"))
+             .withColumn("dow", F.dayofweek("day").cast("bigint")))
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "dow", "revenue",
+        F.when(F.count(F.lit(1)).over(w7) == 7,
+               F.sum(F.col("revenue").cast("decimal(30,8)")).over(w7)
+               .cast("double") / 7).alias("trend"))
+    seasonal = (trended.filter(F.col("trend").isNotNull())
+                .groupBy("dow")
+                .agg((F.sum(F.round(F.col("revenue") - F.col("trend"), 9)
+                            .cast("decimal(30,9)")).cast("double")
+                      / F.count("trend")).alias("seasonal")))
+    return (trended.filter(F.col("trend").isNotNull())
+            .join(F.broadcast(seasonal), "dow")
+            .select("day", "dow", "revenue", "trend", "seasonal",
+                    (F.col("revenue") - F.col("trend") - F.col("seasonal"))
+                    .alias("residual")))

@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     "bitext_mining_candidates", "quality_dsir_weights",
     "mixture_temperature_sampling", "pii_luhn_validate",
     "text_readability_scores", "sim_tfidf_cosine_topk",
+    "agg_skewness_kurtosis", "dedup_ppjoin_prefix",
+    "sim_mmr_diversified_topk", "timeseries_classical_decompose",
 ]
 
 
