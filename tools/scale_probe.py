@@ -82,6 +82,12 @@ PROBES = [
     "dedup_lsh_capped_pairs",
     "emb_pca_power_iteration",
     "cdc_apply_changes",
+    # round-7 flagships: capped PPJoin, sparse TF-IDF retrieval, blocked
+    # SNM, DSIR weights (bounded hashed-vocab broadcast)
+    "dedup_ppjoin_prefix",
+    "sim_tfidf_cosine_topk",
+    "dedup_sorted_neighborhood",
+    "quality_dsir_weights",
 ]
 
 
