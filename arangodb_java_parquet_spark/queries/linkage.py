@@ -393,9 +393,13 @@ def dedup_ppjoin_prefix(spark, sf_dir):
     cap are forfeited: on a degenerate corpus the operator is a
     high-recall screen rather than an exact join."""
     d = t(spark, sf_dir, "documents")
+    # toksd feeds df/sizes/ranked AND both verification sides; capped
+    # feeds both join sides — checkpoint each once (eager=False) so the
+    # explode->distinct lineage isn't re-derived per consumer (measured
+    # 17 exchanges without).
     toksd = (d.select("doc_id",
                       F.explode(F.split("text", " ")).alias("tok"))
-             .distinct())
+             .distinct().localCheckpoint(eager=False))
     df = toksd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toksd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
@@ -408,7 +412,8 @@ def dedup_ppjoin_prefix(spark, sf_dir):
     wc = W.partitionBy("tok").orderBy("doc_id")
     capped = (prefix.withColumn("pr", F.row_number().over(wc))
               .filter(F.col("pr") <= _PPJ_CAP)
-              .select("doc_id", "tok", "s"))
+              .select("doc_id", "tok", "s")
+              .localCheckpoint(eager=False))
     a = (capped.withColumnRenamed("doc_id", "doc_a")
          .withColumnRenamed("s", "sa"))
     b = (capped.withColumnRenamed("doc_id", "doc_b")

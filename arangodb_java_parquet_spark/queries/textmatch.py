@@ -1080,11 +1080,17 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
     n_docs = d.count()
     df = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
           .filter(F.col("df") * _TFC_DF_DEN <= F.lit(n_docs) * _TFC_DF_NUM))
+    # the weighted-token table feeds THREE consumers (query side, corpus
+    # side, norms); without a checkpoint the whole token->tf->df lineage
+    # re-derives per branch (measured 16 exchanges). localCheckpoint
+    # (eager=False) caps the plan at the materialized table — the
+    # repo-standard multi-consumer pattern (see graph_label_propagation).
     w = (tf.join(df, "tok")
          .select("doc_id", "tok",
                  (F.col("tf") * F.round(F.log(
                      (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
-                     9)).alias("w")))
+                     9)).alias("w"))
+         .localCheckpoint(eager=False))
     nrm = (w.groupBy("doc_id")
            .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
                              .cast("decimal(30,9)")).cast("double"))
