@@ -1043,3 +1043,64 @@ def stream_hll_maintenance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming per-window top-k (round 7)
+# ---------------------------------------------------------------------------
+
+_STK_SQL = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT win_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM counts
+)
+SELECT win_start, event_type, n_events, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("stream_topk_event_types", _STK_SQL)
+def stream_topk_event_types(spark, sf_dir):
+    """Streaming TRENDING-TOP-K: per hourly window, the 3 most frequent
+    event types — the live 'what's trending' widget. The streaming part
+    maintains the windowed counts incrementally (complete-mode memory
+    sink); ranking is NOT expressible inside a streaming aggregation
+    (no windows-over-aggregations in append/complete mode), so the
+    top-k window function runs as a batch query OVER the sink table —
+    the standard two-tier serving pattern (incremental state + cheap
+    read-side rank). Under availableNow the result equals the batch
+    top-k, so this carries a full value oracle."""
+    import uuid
+    from arangodb_java_parquet_spark.streaming.ingest import event_time_ltz
+    from pyspark.sql import Window as W
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = event_time_ltz(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    agg = (stream.groupBy(
+        F.window("ts", "1 hour").start.alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events")))
+    name = f"stk_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    wr = W.partitionBy("win_start").orderBy(F.desc("n_events"),
+                                            "event_type")
+    return (spark.table(name)
+            .withColumn("n_events", F.col("n_events").cast("bigint"))
+            .withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= 3))

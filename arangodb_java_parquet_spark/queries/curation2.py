@@ -685,3 +685,42 @@ def text_readability_scores(spark, sf_dir):
                     spw.alias("syllables_per_word"),
                     (F.lit(206.835) - F.lit(84.6) * spw)
                     .alias("flesch_proxy")))
+
+
+# ---------------------------------------------------------------------------
+# balanced class downsampling (round 7)
+# ---------------------------------------------------------------------------
+
+@query("sample_balanced_downsample", """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+floor_n AS (SELECT MIN(n) AS n_min FROM counts),
+ranked AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source
+FROM ranked r CROSS JOIN floor_n f
+WHERE r.rn <= f.n_min
+""")
+def sample_balanced_downsample(spark, sf_dir):
+    """BALANCED class downsampling: every language keeps exactly
+    n_min = |smallest class| documents, selected by deterministic
+    md5-rank (doc_id tiebreak) — the classic majority-downsample for
+    training-set class balance, reproducible bit-for-bit on any engine
+    or layout (unlike seeded RNG sampling). One combinable count, a
+    1-row broadcast floor, and a per-class md5 rank window."""
+    d = t(spark, sf_dir, "documents")
+    n_min = (d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+             .agg(F.min("n").alias("n_min")))
+    rw = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.select("doc_id", "lang", "source")
+            .withColumn("rn", F.row_number().over(rw))
+            .crossJoin(F.broadcast(n_min))
+            .filter(F.col("rn") <= F.col("n_min"))
+            .select("doc_id", "lang", "source"))

@@ -899,3 +899,110 @@ def mixture_rebalance_rates(spark, sf_dir):
                     .alias("sample_rate"),
                     F.when(target / share > 1.0, 1).otherwise(0)
                     .alias("needs_upsampling")))
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion (round 7)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 10
+_PRF_TOPK = 10
+
+
+@query("ir_query_expansion_prf", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 SUM(len(string_split(text, ' '))) AS total_len
+          FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ({_BM25_TERMS_SQL})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+idf AS (
+  SELECT tok,
+         LN(1.0 + (CAST(stats.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           AS idf
+  FROM dft CROSS JOIN stats
+),
+scores AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           idf.idf * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                               / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+           9) AS DECIMAL(30,9))) AS DOUBLE) AS score
+  FROM tf
+  JOIN idf USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {_PRF_FB_DOCS}
+),
+fb_terms AS (
+  SELECT t.tok, COUNT(DISTINCT t.doc_id) AS df_fb
+  FROM toks t JOIN fb USING (doc_id)
+  WHERE t.tok NOT IN ({_BM25_TERMS_SQL})
+  GROUP BY t.tok
+),
+corpus_df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+scored AS (
+  SELECT f.tok AS term, f.df_fb, c.df AS df_corpus,
+         ROUND(f.df_fb * LN(1.0 + (CAST(s.n_docs AS DOUBLE) - c.df + 0.5)
+                                  / (c.df + 0.5)), 9) AS offer_weight
+  FROM fb_terms f JOIN corpus_df c ON c.tok = f.tok CROSS JOIN stats s
+)
+SELECT term, CAST(df_fb AS BIGINT) AS df_fb,
+       CAST(df_corpus AS BIGINT) AS df_corpus, offer_weight, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY offer_weight DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {_PRF_TOPK}
+""")
+def ir_query_expansion_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback QUERY EXPANSION (Rocchio/Robertson
+    offer-weight family): run the fixed BM25 query, take the top
+    {_PRF_FB_DOCS} documents as pseudo-relevant, and rank their
+    non-query terms by df_in_feedback x smoothed-idf — the classic
+    automatic query expander every search stack ships. Reuses the
+    value-checked BM25 scorer (operators/ir.py); the feedback set is a
+    {_PRF_FB_DOCS}-row broadcast; term scoring is two combinable
+    distinct-counts plus a round-9 product.
+
+    Scale: corpus-wide work is the BM25 pass + one df aggregation (both
+    combinable, token-keyed); everything downstream of the feedback join
+    is bounded by the feedback docs' vocabulary."""
+    d = t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
+    wfb = Window.orderBy(F.desc("score"), "doc_id")
+    fb = (scores.withColumn("rn", F.row_number().over(wfb))
+          .filter(F.col("rn") <= _PRF_FB_DOCS).select("doc_id"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    n_docs = d.count()
+    fb_terms = (toks.join(F.broadcast(fb), "doc_id")
+                .filter(~F.col("tok").isin(*_BM25_TERMS))
+                .groupBy("tok")
+                .agg(F.countDistinct("doc_id").alias("df_fb")))
+    corpus_df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (fb_terms.join(corpus_df, "tok")
+              .select(F.col("tok").alias("term"), "df_fb",
+                      F.col("df").alias("df_corpus"),
+                      F.round(F.col("df_fb") * idf, 9)
+                      .alias("offer_weight")))
+    wr = Window.orderBy(F.desc("offer_weight"), "term")
+    return (scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= _PRF_TOPK)
+            .select("term", F.col("df_fb").cast("bigint").alias("df_fb"),
+                    F.col("df_corpus").cast("bigint").alias("df_corpus"),
+                    "offer_weight", "rn"))

@@ -1625,3 +1625,86 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     r3 = s3.select(F.lit(3).alias("rank"), F.col("sel3").alias("vid"),
                    F.col("score3").alias("mmr_score"))
     return r1.unionAll(r2).unionAll(r3)
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scoring (round 7)
+# ---------------------------------------------------------------------------
+
+_KNNO_K = 5
+_KNNO_TOP = 20
+
+_KNNO_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         1e0 - {_sql_cos('a.embedding', 'b.embedding')} AS dist
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT vid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist ASC, nid) AS rn
+  FROM pairs
+),
+scores AS (
+  SELECT vid,
+         CAST(SUM(CAST(ROUND(dist, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / {_KNNO_K} AS mean_knn_dist
+  FROM ranked WHERE rn <= {_KNNO_K}
+  GROUP BY vid
+  HAVING COUNT(*) = {_KNNO_K}
+)
+SELECT vid, mean_knn_dist, outlier_rank
+FROM (
+  SELECT vid, mean_knn_dist,
+         ROW_NUMBER() OVER (ORDER BY mean_knn_dist DESC, vid)
+           AS outlier_rank
+  FROM scores
+) WHERE outlier_rank <= {_KNNO_TOP}
+"""
+
+
+@query("emb_knn_outlier_score", _KNNO_SQL)
+def emb_knn_outlier_score(spark, sf_dir):
+    """kNN-DISTANCE outlier detection (Ramaswamy et al., SIGMOD 2000):
+    a vector's outlier score is its mean cosine distance to its
+    {_KNNO_K} nearest neighbors — embeddings far from everything are
+    mislabeled/garbage/OOD candidates, the embedding-space quality
+    screen run before training on scraped corpora. Neighbors come from
+    the SRP-LSH bucket join (the approximate-kNN contract shared with
+    emb_near_dup_pairs: no all-pairs cross product; vectors with fewer
+    than {_KNNO_K} in-bucket neighbors are not scored). Top
+    {_KNNO_TOP} by (score desc, vid) with round-9 distances."""
+    e = t(spark, sf_dir, "embeddings")
+    b = (e.select("vec_id", "embedding",
+                  srp_bucket(F.col("embedding"), 4).alias("bucket"))
+         .withColumn("nrm", norm(F.col("embedding"))))
+    a = b.alias("a")
+    c = (b.withColumnRenamed("vec_id", "nid")
+         .withColumnRenamed("embedding", "emb_b")
+         .withColumnRenamed("nrm", "nrm_b").alias("c"))
+    dist = F.lit(1.0) - F.round(
+        dot(F.col("a.embedding"), F.col("c.emb_b"))
+        / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+    pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+                    & (F.col("a.vec_id") != F.col("nid")))
+             .select(F.col("a.vec_id").alias("vid"), "nid",
+                     dist.alias("dist")))
+    wr = Window.partitionBy("vid").orderBy(F.asc("dist"), "nid")
+    scores = (pairs.withColumn("rn", F.row_number().over(wr))
+              .filter(F.col("rn") <= _KNNO_K)
+              .groupBy("vid")
+              .agg((F.sum(F.round(F.col("dist"), 9).cast("decimal(30,9)"))
+                    .cast("double") / _KNNO_K).alias("mean_knn_dist"),
+                   F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") == _KNNO_K).drop("n"))
+    wo = Window.orderBy(F.desc("mean_knn_dist"), "vid")
+    return (scores.withColumn("outlier_rank", F.row_number().over(wo))
+            .filter(F.col("outlier_rank") <= _KNNO_TOP))

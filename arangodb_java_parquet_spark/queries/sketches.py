@@ -390,3 +390,82 @@ def cms_join_size_estimate(spark, sf_dir):
                  F.max("true_join_size").alias("true_join_size"),
                  (F.min("ip") >= F.max("true_join_size"))
                  .alias("never_underestimates")))
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (second frequency moment) sketch (round 7)
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16  # independent +-1 estimators
+
+
+def _ams_sql() -> str:
+    # one estimator: S_j = sum over tokens of sign_j(tok) * count(tok),
+    # sign_j in {-1,+1} from an md5 bit — integer-exact until the final
+    # normalized square. Estimate of sum(p^2) = mean_j (S_j / N)^2.
+    est = ", ".join(
+        f"""CAST(SUM((CAST('0x' || substring(md5(tok || ':{j}'), 1, 8)
+                      AS BIGINT) % 2 * 2 - 1) * c) AS BIGINT) AS s{j}"""
+        for j in range(_AMS_K))
+    mean = " + ".join(
+        f"(CAST(s{j} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n)"
+        for j in range(_AMS_K))
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c) AS BIGINT) AS f2 FROM cnt),
+sketch AS (SELECT {est} FROM cnt)
+SELECT t.n AS n_tokens,
+       CAST(t.f2 AS DOUBLE) / t.n / t.n AS exact_sum_p2,
+       ({mean}) / {_AMS_K} AS ams_sum_p2,
+       (({mean}) / {_AMS_K})
+         / (CAST(t.f2 AS DOUBLE) / t.n / t.n) - 1e0 AS rel_error
+FROM tot t CROSS JOIN sketch
+"""
+
+
+@query("agg_ams_f2_sketch", _ams_sql())
+def agg_ams_f2_sketch(spark, sf_dir):
+    """Alon-Matias-Szegedy F2 sketch (STOC 1996): the second frequency
+    moment sum(p_i^2) — the corpus' token collision probability /
+    Simpson concentration, and the join-size primitive behind CMS inner
+    products — estimated by 16 independent +-1 random-sign estimators
+    (sign = an md5 bit per (token, estimator)). Each estimator's signed
+    count sum is INTEGER-exact (a BIGINT sum), so the sketch is
+    bit-portable across engines; only the final normalized squares are
+    doubles, derived identically. Output carries the exact moment, the
+    sketch estimate, and its relative error — the sketch grades itself.
+
+    Scale: one combinable count per token, then one combinable signed
+    sum per estimator; 16 integers of state total. Mergeable (signed
+    sums add across shards)."""
+    d = t(spark, sf_dir, "documents")
+    cnt = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+
+    def sign(j):
+        return (F.pmod(F.conv(F.substring(
+            F.md5(F.concat(F.col("tok"), F.lit(f":{j}"))), 1, 8), 16, 10)
+            .cast("long"), 2) * 2 - 1)
+
+    sketch = cnt.agg(
+        *[F.sum(sign(j) * F.col("c")).cast("bigint").alias(f"s{j}")
+          for j in range(_AMS_K)])
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"),
+                  F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"))
+    joined = tot.crossJoin(F.broadcast(sketch))
+    mean = None
+    for j in range(_AMS_K):
+        term = ((F.col(f"s{j}").cast("double") / F.col("n"))
+                * (F.col(f"s{j}").cast("double") / F.col("n")))
+        mean = term if mean is None else mean + term
+    exact = F.col("f2").cast("double") / F.col("n") / F.col("n")
+    est = mean / _AMS_K
+    return joined.select(
+        F.col("n").alias("n_tokens"),
+        exact.alias("exact_sum_p2"),
+        est.alias("ams_sum_p2"),
+        (est / exact - F.lit(1.0)).alias("rel_error"))

@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "text_readability_scores", "sim_tfidf_cosine_topk",
     "agg_skewness_kurtosis", "dedup_ppjoin_prefix",
     "sim_mmr_diversified_topk", "timeseries_classical_decompose",
+    "agg_ams_f2_sketch", "sample_balanced_downsample",
+    "ir_query_expansion_prf", "emb_knn_outlier_score",
+    "stream_topk_event_types",
 ]
 
 
