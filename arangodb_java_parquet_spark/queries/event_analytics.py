@@ -1079,3 +1079,55 @@ def anomaly_mad_days(spark, sf_dir):
                     F.col("med").alias("day_median"), "mad",
                     F.round(rz, 9).alias("robust_z"),
                     (F.abs(rz) > 3.5).alias("is_anomaly")))
+
+
+# ---------------------------------------------------------------------------
+# recency-weighted activity score (round 7)
+# ---------------------------------------------------------------------------
+
+_RECENCY_HALF_DAYS = 30
+
+
+@query("user_recency_weighted_activity", f"""
+WITH anchor AS (
+  SELECT CAST(date_trunc('day', MAX(ts)) AS DATE) AS max_day FROM events
+),
+scored AS (
+  SELECT user_id,
+         date_diff('day', CAST(date_trunc('day', ts) AS DATE), a.max_day)
+           AS age_days,
+         value
+  FROM events CROSS JOIN anchor a
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * EXP(-(age_days
+             / CAST({_RECENCY_HALF_DAYS} AS DOUBLE))), 9)
+           AS DECIMAL(30,9))) AS DOUBLE) AS recency_score
+FROM scored
+GROUP BY user_id
+""")
+def user_recency_weighted_activity(spark, sf_dir):
+    """EXPONENTIAL TIME-DECAY activity scoring: each event contributes
+    value * exp(-age_days/{_RECENCY_HALF_DAYS}) relative to the corpus'
+    newest day — the standard recency-weighted engagement feature
+    (recommendation freshness, churn risk) that a plain count/sum
+    misrepresents. Ages are exact integer day differences against a
+    1-row broadcast anchor; per-event terms are round-9'd then
+    exact-decimal summed (combinable, order-insensitive). One shuffle
+    on user_id."""
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.date_trunc("day", F.max("ts")).cast("date")
+                    .alias("max_day"))
+    scored = (ev.crossJoin(F.broadcast(anchor))
+              .select("user_id",
+                      F.datediff("max_day",
+                                 F.date_trunc("day", "ts").cast("date"))
+                      .alias("age_days"),
+                      "value"))
+    term = F.col("value") * F.exp(
+        -(F.col("age_days") / F.lit(float(_RECENCY_HALF_DAYS))))
+    return (scored.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(term, 9).cast("decimal(30,9)"))
+                 .cast("double").alias("recency_score")))

@@ -438,3 +438,77 @@ def dedup_ppjoin_prefix(spark, sf_dir):
                     F.col("overlap").cast("bigint").alias("overlap"),
                     (F.col("overlap") / union_sz.cast("double"))
                     .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy name matching over the deduplicated name domain (round 7)
+# ---------------------------------------------------------------------------
+
+_FUZZ_MAX_DIST = 4
+_FUZZ_BAND = 5  # length-band width for blocking
+
+
+@query("join_fuzzy_name_match", f"""
+WITH names AS (
+  SELECT p_name AS name, COUNT(*) AS n_parts,
+         CAST(LENGTH(p_name) AS BIGINT) AS ln
+  FROM part GROUP BY p_name
+),
+probe AS (
+  SELECT name, n_parts, ln,
+         UNNEST([ln // {_FUZZ_BAND} - 1, ln // {_FUZZ_BAND},
+                 ln // {_FUZZ_BAND} + 1]) AS bucket
+  FROM names
+),
+build AS (SELECT name, ln, ln // {_FUZZ_BAND} AS bucket FROM names),
+pairs AS (
+  SELECT p.name AS name_a, p.n_parts, b.name AS name_b,
+         CAST(levenshtein(p.name, b.name) AS BIGINT) AS lev_dist
+  FROM probe p JOIN build b ON p.bucket = b.bucket
+  WHERE p.name != b.name AND ABS(p.ln - b.ln) <= {_FUZZ_MAX_DIST}
+),
+best AS (
+  SELECT name_a, n_parts, name_b, lev_dist,
+         ROW_NUMBER() OVER (PARTITION BY name_a
+                            ORDER BY lev_dist ASC, name_b) AS rn
+  FROM pairs WHERE lev_dist <= {_FUZZ_MAX_DIST}
+)
+SELECT name_a, CAST(n_parts AS BIGINT) AS n_parts, name_b, lev_dist
+FROM best WHERE rn = 1
+""")
+def join_fuzzy_name_match(spark, sf_dir):
+    """FUZZY string join: each part name's closest OTHER name by
+    Levenshtein distance (<= {_FUZZ_MAX_DIST}) — the typo/variant
+    matcher behind catalog reconciliation. Two scale moves the naive
+    crossJoin-levenshtein misses: (1) the join runs over the
+    DEDUPLICATED name domain (dedupe-before-join: 64 distinct names
+    here stand in for 20k part rows; carry the multiplicity out as
+    n_parts), and (2) candidate pairs form via LENGTH-BAND blocking —
+    the probe side explodes to its 3 adjacent length buckets and
+    equi-joins the build side's bucket, sound because edit distance
+    >= length difference. Argmin per name with (dist, name) tiebreak;
+    all comparisons integer-exact."""
+    p = t(spark, sf_dir, "part")
+    names = (p.groupBy(F.col("p_name").alias("name"))
+             .agg(F.count(F.lit(1)).alias("n_parts"))
+             .withColumn("ln", F.length("name").cast("bigint")))
+    bucket = F.expr(f"ln div {_FUZZ_BAND}")
+    probe = names.select(
+        "name", "n_parts", "ln",
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"))
+    build = names.select(F.col("name").alias("name_b"),
+                         F.col("ln").alias("ln_b"),
+                         bucket.alias("bucket"))
+    pairs = (probe.join(build, "bucket")
+             .filter((F.col("name") != F.col("name_b"))
+                     & (F.abs(F.col("ln") - F.col("ln_b"))
+                        <= _FUZZ_MAX_DIST))
+             .select(F.col("name").alias("name_a"), "n_parts", "name_b",
+                     F.levenshtein("name", "name_b").cast("bigint")
+                     .alias("lev_dist"))
+             .filter(F.col("lev_dist") <= _FUZZ_MAX_DIST))
+    wr = W.partitionBy("name_a").orderBy(F.asc("lev_dist"), "name_b")
+    return (pairs.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select("name_a", F.col("n_parts").cast("bigint")
+                    .alias("n_parts"), "name_b", "lev_dist"))

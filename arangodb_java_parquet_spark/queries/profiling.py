@@ -992,3 +992,52 @@ def dq_schema_drift(spark, sf_dir):
                               - F.col("po.mean_price"))
                         > 0.05 * F.abs(F.col("po.mean_price"))))
                     .alias("drift_flag")))
+
+
+# ---------------------------------------------------------------------------
+# sequence-contiguity audit (round 7)
+# ---------------------------------------------------------------------------
+
+@query("dq_sequence_gap_audit", """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_lines,
+         COUNT(DISTINCT l_linenumber) AS n_distinct,
+         MIN(l_linenumber) AS lo,
+         MAX(l_linenumber) AS hi
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, n_lines, lo, hi,
+       CAST(hi - lo + 1 - n_distinct AS BIGINT) AS n_missing,
+       CAST(n_lines - n_distinct AS BIGINT) AS n_dup,
+       CAST(CASE WHEN lo != 1 THEN 1 ELSE 0 END AS INT)
+         AS starts_late
+FROM per_order
+WHERE hi - lo + 1 != n_distinct OR n_lines != n_distinct OR lo != 1
+""")
+def dq_sequence_gap_audit(spark, sf_dir):
+    """SEQUENCE-CONTIGUITY audit: per order, its line numbers should be
+    a dense 1..n run — gaps mean dropped records, duplicates mean
+    double-delivery, a late start means a lost head. The classic
+    ingestion-completeness check for any per-entity sequence column
+    (line numbers, kafka offsets per key, page numbers), computed with
+    ONE combinable aggregation (count, distinct-count, min, max) per
+    key — no window, no sort, no self-join; the dense-run invariant
+    hi-lo+1 == n_distinct does all the work arithmetically."""
+    li = t(spark, sf_dir, "lineitem")
+    per = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("n_lines"),
+                F.countDistinct("l_linenumber").alias("n_distinct"),
+                F.min("l_linenumber").alias("lo"),
+                F.max("l_linenumber").alias("hi")))
+    span = F.col("hi") - F.col("lo") + 1
+    return (per.filter((span != F.col("n_distinct"))
+                       | (F.col("n_lines") != F.col("n_distinct"))
+                       | (F.col("lo") != 1))
+            .select("l_orderkey", "n_lines", "lo", "hi",
+                    (span - F.col("n_distinct")).cast("bigint")
+                    .alias("n_missing"),
+                    (F.col("n_lines") - F.col("n_distinct")).cast("bigint")
+                    .alias("n_dup"),
+                    F.when(F.col("lo") != 1, 1).otherwise(0).cast("int")
+                    .alias("starts_late")))

@@ -1126,3 +1126,69 @@ def dedup_boundary_overlap(spark, sf_dir):
             .select("doc_head", "doc_tail",
                     F.col("head_len").cast("bigint").alias("head_len"),
                     F.col("tail_len").cast("bigint").alias("tail_len")))
+
+
+# ---------------------------------------------------------------------------
+# corpus diversity via MinHash collision mass (round 7)
+# ---------------------------------------------------------------------------
+
+_DIV_HASHES = 8
+
+_DIVERSITY_SQL = _MINHASH_SIG_SQL + f"""
+, n AS (SELECT COUNT(*) AS n_docs FROM sigs),
+coll AS (
+{" UNION ALL ".join(
+    f'''  SELECT {j} AS hash_idx,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll_pairs
+  FROM (SELECT h{j}, COUNT(*) AS c FROM sigs GROUP BY h{j})'''
+    for j in range(_DIV_HASHES))}
+)
+SELECT coll.hash_idx, coll.coll_pairs,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       coll.coll_pairs
+         / (CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1)) AS jaccard_est,
+       1e0 - coll.coll_pairs
+         / (CAST(n.n_docs AS DOUBLE) * (n.n_docs - 1)) AS diversity
+FROM coll CROSS JOIN n
+"""
+
+
+@query("corpus_diversity_minhash", _DIVERSITY_SQL)
+def corpus_diversity_minhash(spark, sf_dir):
+    """CORPUS DIVERSITY from MinHash collision mass: for hash j,
+    P(two random docs collide on min-hash j) estimates their expected
+    pairwise Jaccard — so ordered-pair collision mass sum(c_v*(c_v-1))
+    over the n*(n-1) pairs is a one-number average-pairwise-similarity
+    (and 1 - it, a diversity score) WITHOUT any pair join. Eight
+    estimators (one per signature column) expose the estimator spread.
+    Everything is integer-exact until the final ratio: counts, collision
+    mass, and n are BIGINTs on both engines.
+
+    Scale: reuses the signature table (one pass over shingles), then one
+    combinable count per hash column — no pairs, no shuffle beyond 8
+    value-keyed groupBys over n_docs rows. This is the cheap
+    every-ingest-batch health metric; the LSH funnel is what you run
+    when it drops."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    sigs = minhash_signatures(sh, "doc_id").localCheckpoint(eager=False)
+    n_docs = sigs.count()
+    legs = []
+    for j in range(_DIV_HASHES):
+        coll = (sigs.groupBy(f"h{j}").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+                     .alias("coll_pairs"))
+                .select(F.lit(j).alias("hash_idx"), "coll_pairs"))
+        legs.append(coll)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    est = (F.col("coll_pairs")
+           / (F.lit(float(n_docs)) * F.lit(n_docs - 1)))
+    return out.select(
+        "hash_idx", "coll_pairs",
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        est.alias("jaccard_est"),
+        (F.lit(1.0) - est).alias("diversity"))

@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "agg_ams_f2_sketch", "sample_balanced_downsample",
     "ir_query_expansion_prf", "emb_knn_outlier_score",
     "stream_topk_event_types",
+    "corpus_diversity_minhash", "join_fuzzy_name_match",
+    "user_recency_weighted_activity", "dq_sequence_gap_audit",
 ]
 
 
