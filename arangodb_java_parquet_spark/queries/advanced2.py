@@ -293,3 +293,59 @@ def stream_stream_left_outer_join(spark, sf_dir):
         _shutil.copy(part, os.path.join(src, f"zz_sentinel{rnd}.parquet"))
         drive()
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental rollup maintenance (round 7)
+# ---------------------------------------------------------------------------
+
+@query("stream_incremental_daily_rollup", """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_incremental_daily_rollup(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE as a streaming drive
+    (streaming/ingest.py:stream_incremental_rollup): the event stream is
+    delivered as two DISJOINT halves (event_id parity, one file per
+    micro-batch via maxFilesPerTrigger=1); each batch merges its (day,
+    event_type) partials — count + exact DECIMAL sum — into the
+    persistent rollup by ADDING partials. The oracle recomputes the
+    rollup from the full table, so the hash match proves algebraic merge
+    == full recompute, the property that lets a 100 TB lake maintain its
+    aggregates by reading only new files."""
+    import os
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        event_time_ltz, stream_incremental_rollup)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = scratch_dir("ajps_incroll_")
+    stream_dir = os.path.join(root, "in")
+    os.makedirs(stream_dir)
+    # the file stream source lists plain files — write each half as a
+    # single part and move it up as <stream_dir>/halfN.parquet
+    import glob
+    import shutil
+    for i in range(2):
+        tmp_dir = os.path.join(root, f"tmp_half{i}")
+        (raw.filter(F.col("event_id") % 2 == i).coalesce(1)
+         .write.mode("overwrite").parquet(tmp_dir))
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stream_dir, f"half{i}.parquet"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    state_dir = os.path.join(root, "state")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = stream_incremental_rollup(
+            spark, stream_dir, schema=raw.schema, state_dir=state_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"))
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (spark.read.parquet(state_dir)
+            .select("day", "event_type", "n_events",
+                    F.col("sum_value").cast("double").alias("sum_value")))

@@ -1041,3 +1041,83 @@ def dq_sequence_gap_audit(spark, sf_dir):
                     .alias("n_dup"),
                     F.when(F.col("lo") != 1, 1).otherwise(0).cast("int")
                     .alias("starts_late")))
+
+
+# ---------------------------------------------------------------------------
+# header-detail reconciliation report (round 7)
+# ---------------------------------------------------------------------------
+
+@query("dq_header_detail_reconcile", """
+WITH detail AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax), 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS detail_total
+  FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+  SELECT o.o_orderkey, o.o_totalprice, d.detail_total,
+         CASE
+           WHEN d.detail_total IS NULL THEN 'no_detail'
+           WHEN (d.detail_total - o.o_totalprice) / o.o_totalprice < -0.5
+             THEN 'under_50pct'
+           WHEN (d.detail_total - o.o_totalprice) / o.o_totalprice < -0.1
+             THEN 'under_10pct'
+           WHEN (d.detail_total - o.o_totalprice) / o.o_totalprice <= 0.1
+             THEN 'within_10pct'
+           WHEN (d.detail_total - o.o_totalprice) / o.o_totalprice <= 0.5
+             THEN 'over_10pct'
+           ELSE 'over_50pct'
+         END AS band
+  FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+),
+bands AS (
+  SELECT band, COUNT(*) AS n_orders FROM joined GROUP BY band
+),
+orphan AS (
+  SELECT 'detail_without_header' AS band, COUNT(*) AS n_orders
+  FROM (SELECT DISTINCT l.l_orderkey FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+)
+SELECT band, CAST(n_orders AS BIGINT) AS n_orders FROM bands
+UNION ALL
+SELECT band, CAST(n_orders AS BIGINT) FROM orphan
+""")
+def dq_header_detail_reconcile(spark, sf_dir):
+    """HEADER-DETAIL RECONCILIATION: the classic financial-DQ control —
+    does each order header's total match the sum of its lines? Output is
+    the banded mismatch distribution (within 10%, over/under by 10/50%),
+    headers with NO detail rows, and orphan details with no header (the
+    anti-join leg) — the daily report a billing pipeline alarms on.
+    Detail sums are round-9 exact-decimal (combinable); band edges
+    compare identically-derived doubles, so banding is engine-exact;
+    every output is an integer count."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    line_total = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  * (1 + F.col("l_tax")))
+    detail = (li.groupBy("l_orderkey")
+              .agg(F.sum(F.round(line_total, 9).cast("decimal(30,9)"))
+                   .cast("double").alias("detail_total")))
+    rel = ((F.col("detail_total") - F.col("o_totalprice"))
+           / F.col("o_totalprice"))
+    band = (F.when(F.col("detail_total").isNull(), "no_detail")
+            .when(rel < -0.5, "under_50pct")
+            .when(rel < -0.1, "under_10pct")
+            .when(rel <= 0.1, "within_10pct")
+            .when(rel <= 0.5, "over_10pct")
+            .otherwise("over_50pct"))
+    joined = (o.join(detail, o["o_orderkey"] == detail["l_orderkey"],
+                     "left")
+              .select(band.alias("band")))
+    bands = (joined.groupBy("band")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    orphan = (li.select("l_orderkey").distinct()
+              .join(o.select("o_orderkey"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                    "left_anti")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+              .select(F.lit("detail_without_header").alias("band"),
+                      "n_orders"))
+    return bands.unionAll(orphan)

@@ -308,3 +308,60 @@ def session_window_agg(events: DataFrame, *, gap: str = "30 minutes") -> DataFra
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select("user_id", F.col("sess.start").alias("sess_start"),
                     F.col("sess.end").alias("sess_end"), "n_events"))
+
+
+def stream_incremental_rollup(spark, path: str, *, schema,
+                              state_dir: str, checkpoint_dir: str,
+                              max_files_per_trigger: int = 1):
+    """Incremental MATERIALIZED-AGGREGATE maintenance: each micro-batch's
+    (day, event_type) partials — COUNT and an exact DECIMAL sum — are
+    MERGED into a persistent rollup table by adding partials, never
+    re-reading history. This is incremental view maintenance for
+    decomposable aggregates (the streaming twin of rollup_cascade_daily's
+    batch cascade): correctness rests on the file source's exactly-once
+    file tracking (each input file contributes to exactly one batch) plus
+    the algebraic merge, and the oracle proves the maintained table
+    hash-equals a full recompute.
+
+    Scale: per batch one combinable aggregation over the new files plus a
+    merge keyed by (day, type) against a table whose size is the rollup
+    grain, not the event volume. The swap reuses the crash-safe rename
+    protocol of stream_upsert_keyed.
+    """
+    import os
+    import shutil
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = (event_time_ltz(batch_df)
+                .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(30,8)"))
+                     .cast("decimal(30,8)").alias("sum_value")))
+        if os.path.isdir(state_dir):
+            cur = spark.read.parquet(state_dir)
+            part = (cur.unionByName(part)
+                    .groupBy("day", "event_type")
+                    .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                         F.sum("sum_value").cast("decimal(30,8)")
+                         .alias("sum_value")))
+        tmp = state_dir + ".new"
+        part.write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, old)
+        try:
+            os.rename(tmp, state_dir)
+        except OSError:
+            if not os.path.isdir(state_dir) and os.path.isdir(old):
+                os.rename(old, state_dir)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "stream_topk_event_types",
     "corpus_diversity_minhash", "join_fuzzy_name_match",
     "user_recency_weighted_activity", "dq_sequence_gap_audit",
+    "dq_header_detail_reconcile", "stream_incremental_daily_rollup",
 ]
 
 
