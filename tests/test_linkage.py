@@ -134,3 +134,99 @@ def test_luhn_validation_matches_python(spark, sf_dir):
     out = QUERIES["pii_luhn_validate"](spark, sf_dir).collect()
     for r in out:
         assert [r.n_ids, r.n_luhn_valid] == expect[r.shard]
+
+
+def test_ams_estimate_is_sane_and_matches_exact_recompute(spark, sf_dir):
+    """The AMS output is ONE averaged row; recompute the exact moment in
+    python and fence the 16-estimator average loosely (variance of a
+    single estimator is ~2*F2^2; /16 keeps typical error under ~50%)."""
+    from collections import Counter
+    texts = [r.text for r in
+             t(spark, sf_dir, "documents").select("text").collect()]
+    c = Counter(tok for s in texts for tok in s.split(" "))
+    n = sum(c.values())
+    exact = sum(v * v for v in c.values()) / n / n
+    row = QUERIES["agg_ams_f2_sketch"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_tokens == n
+    assert abs(r.exact_sum_p2 - exact) < 1e-12
+    assert r.ams_sum_p2 > 0
+    assert abs(r.rel_error) < 1.0  # loose sanity fence, not a bound
+
+
+def test_diversity_matches_exact_collision_mass(spark, sf_dir):
+    """Collision mass per hash column recomputed in python from the
+    signature table must equal the query's coll_pairs."""
+    from collections import Counter
+
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id").collect()
+    out = {r.hash_idx: r for r in
+           QUERIES["corpus_diversity_minhash"](spark, sf_dir).collect()}
+    n = len(sigs)
+    for j in range(8):
+        c = Counter(getattr(r, f"h{j}") for r in sigs)
+        mass = sum(v * (v - 1) for v in c.values())
+        assert out[j].coll_pairs == mass
+        assert out[j].n_docs == n
+        assert 0.0 <= out[j].diversity <= 1.0
+
+
+def test_prf_expansion_excludes_query_terms(spark, sf_dir):
+    rows = QUERIES["ir_query_expansion_prf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    terms = {r.term for r in rows}
+    assert terms.isdisjoint({"spark", "query", "table"})
+    # offer weights are rank-ordered
+    ordered = sorted(rows, key=lambda r: r.rn)
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a.offer_weight, ) >= (b.offer_weight, )
+
+
+def test_reconcile_bands_partition_the_order_count(spark, sf_dir):
+    out = {r.band: r.n_orders for r in
+           QUERIES["dq_header_detail_reconcile"](spark, sf_dir).collect()}
+    n_orders = t(spark, sf_dir, "orders").count()
+    band_sum = sum(v for k, v in out.items()
+                   if k != "detail_without_header")
+    assert band_sum == n_orders  # bands partition the header universe
+
+
+def test_sequence_gap_audit_recomputes(spark, sf_dir):
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber").collect())
+    per = {}
+    for r in li:
+        per.setdefault(r.l_orderkey, []).append(r.l_linenumber)
+    out = {r.l_orderkey: r for r in
+           QUERIES["dq_sequence_gap_audit"](spark, sf_dir).collect()}
+    for key, nums in per.items():
+        lo, hi, nd, n = min(nums), max(nums), len(set(nums)), len(nums)
+        flagged = (hi - lo + 1 != nd) or (n != nd) or (lo != 1)
+        assert (key in out) == flagged, key
+        if flagged:
+            r = out[key]
+            assert r.n_missing == hi - lo + 1 - nd
+            assert r.n_dup == n - nd
+
+
+def test_incremental_rollup_state_survives_batches(spark, sf_dir):
+    """The maintained rollup equals a direct full aggregation (count and
+    decimal-exact sum per (day, type)) — merge == recompute."""
+    out = QUERIES["stream_incremental_daily_rollup"](spark, sf_dir)
+    direct = (t(spark, sf_dir, "events")
+              .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(30,8)"))
+                   .cast("double").alias("sum_value")))
+    got = {(r.day, r.event_type): (r.n_events, r.sum_value)
+           for r in out.collect()}
+    want = {(r.day, r.event_type): (r.n_events, r.sum_value)
+            for r in direct.collect()}
+    assert got == want
