@@ -470,3 +470,64 @@ def cdc_apply_changes(spark, sf_dir):
                    F.lit("NEW").alias("mktsegment"),
                    F.lit("inserted").alias("row_origin")))
     return kept.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# per-user longest activity streak (round 7)
+# ---------------------------------------------------------------------------
+
+@query("user_longest_streak", """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+runs AS (
+  SELECT user_id, day,
+         date_diff('day', DATE '2024-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS streak_start
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       MIN(CASE WHEN len = (SELECT MAX(s2.len) FROM streaks s2
+                            WHERE s2.user_id = streaks.user_id)
+                THEN streak_start END) AS longest_start
+FROM streaks
+GROUP BY user_id
+""")
+def user_longest_streak(spark, sf_dir):
+    """Per-user LONGEST CONSECUTIVE-DAY activity streak — the engagement
+    metric behind every habit/retention dashboard — via the classic
+    gaps-and-islands trick: day_ordinal minus per-user row_number is
+    constant within a consecutive run, so one window + one groupBy finds
+    every streak; a second rollup takes the longest (earliest start as
+    tiebreak). All dates and counts are integer-exact. Scale: windows
+    partition by user over DISTINCT active days (bounded per user), and
+    both aggregations are combinable."""
+    ev = t(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.date_trunc("day", "ts").cast("date").alias("day"))
+            .distinct())
+    wd = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn(
+        "grp",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(wd))
+    streaks = (runs.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("streak_start")))
+    wmax = Window.partitionBy("user_id")
+    enriched = streaks.withColumn("max_len", F.max("len").over(wmax))
+    return (enriched.groupBy("user_id")
+            .agg(F.sum("len").cast("bigint").alias("n_active_days"),
+                 F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("len").cast("bigint").alias("longest_streak"),
+                 F.min(F.when(F.col("len") == F.col("max_len"),
+                              F.col("streak_start")))
+                 .alias("longest_start")))

@@ -1121,3 +1121,67 @@ def dq_header_detail_reconcile(spark, sf_dir):
               .select(F.lit("detail_without_header").alias("band"),
                       "n_orders"))
     return bands.unionAll(orphan)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney AUC of a ranking signal (round 7)
+# ---------------------------------------------------------------------------
+
+@query("eval_auc_mann_whitney", """
+WITH scores AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+byv AS (
+  SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS cpos
+  FROM scores GROUP BY s
+),
+w AS (
+  SELECT s, c, cpos,
+         SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c AS below
+  FROM byv
+),
+sums AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(cpos) AS BIGINT) AS n_pos,
+         SUM(cpos * (below + (c + 1) / 2.0e0)) AS rank_sum_pos
+  FROM w
+)
+SELECT n_pos, CAST(n - n_pos AS BIGINT) AS n_neg,
+       (rank_sum_pos - n_pos * (n_pos + 1) / 2.0e0)
+         / (CAST(n_pos AS DOUBLE) * (n - n_pos)) AS auc
+FROM sums
+""")
+def eval_auc_mann_whitney(spark, sf_dir):
+    """AUC-ROC of a ranking signal via the Mann-Whitney U statistic with
+    proper MIDRANKS for ties: AUC = (R1 - n1(n1+1)/2) / (n1*n0), where
+    R1 is the positives' tie-adjusted rank sum — the model-evaluation
+    primitive, computed here for document length as an English-language
+    discriminator. No per-row window: ranks come from ONE cumulative sum
+    over the DISTINCT-score table (avg rank of a tied value = #below +
+    (count+1)/2), so the shuffle is bounded by score cardinality, not
+    row count. Every quantity is an integer or an exact half — AUC is a
+    single division of bit-identical operands."""
+    d = t(spark, sf_dir, "documents")
+    scores = d.select(F.col("n_chars").alias("s"),
+                      F.when(F.col("lang") == "en", 1).otherwise(0)
+                      .alias("y"))
+    byv = scores.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").cast("bigint").alias("cpos"))
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w = byv.withColumn("below", F.sum("c").over(wcum) - F.col("c"))
+    sums = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("cpos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cpos")
+              * (F.col("below") + (F.col("c") + 1) / F.lit(2.0)))
+        .alias("rank_sum_pos"))
+    return sums.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        ((F.col("rank_sum_pos")
+          - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+         / (F.col("n_pos").cast("double") * (F.col("n") - F.col("n_pos"))))
+        .alias("auc"))

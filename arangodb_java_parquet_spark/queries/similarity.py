@@ -973,20 +973,10 @@ GROUP BY c.cid, c.cx, c.cy""")
     return "".join(parts)
 
 
-@query("kmeans_fixed_rounds", _kmeans_sql())
-def kmeans_fixed_rounds(spark, sf_dir):
-    """K-means with FIXED Lloyd rounds, fully VALUE-CHECKED — unlike the
-    fitted IVF entries (rows-only by necessity), this clustering is
-    bit-reproducible cross-engine: deterministic md5-ranked seeding,
-    argmin assignment via a (round-9 distance, cid) window tiebreak, and
-    exact-decimal centroid means. Entirely declarative — no driver
-    collect in the loop at all: each round is a broadcast-NLJ of the
-    K-row centroid table against the points plus one combinable mean
-    (the same per-round shape the distributed IVF fit uses, here over
-    2-D features so the oracle stays tractable). K and the round count
-    are compile-time constants generating both engines' chained stages
-    from one template."""
-    e = t(spark, sf_dir, "embeddings")
+def _kmeans_assign(e):
+    """Shared fixed-round Lloyd loop (seeding + assignment + means) used
+    by kmeans_fixed_rounds and the purity/NMI evaluation query — one
+    implementation, two consumers, same SQL template on the oracle side."""
     pts = e.select(
         "vec_id",
         F.round(F.col("embedding").getItem(0).cast("double"), 9).alias("x"),
@@ -1016,6 +1006,24 @@ def kmeans_fixed_rounds(spark, sf_dir):
                       F.round(F.sum(F.col("y").cast("decimal(20,9)"))
                               .cast("double") / F.count(F.lit(1)), 9)
                       .alias("cy")))
+    return assign, cents
+
+
+@query("kmeans_fixed_rounds", _kmeans_sql())
+def kmeans_fixed_rounds(spark, sf_dir):
+    """K-means with FIXED Lloyd rounds, fully VALUE-CHECKED — unlike the
+    fitted IVF entries (rows-only by necessity), this clustering is
+    bit-reproducible cross-engine: deterministic md5-ranked seeding,
+    argmin assignment via a (round-9 distance, cid) window tiebreak, and
+    exact-decimal centroid means. Entirely declarative — no driver
+    collect in the loop at all: each round is a broadcast-NLJ of the
+    K-row centroid table against the points plus one combinable mean
+    (the same per-round shape the distributed IVF fit uses, here over
+    2-D features so the oracle stays tractable). K and the round count
+    are compile-time constants generating both engines' chained stages
+    from one template."""
+    e = t(spark, sf_dir, "embeddings")
+    assign, cents = _kmeans_assign(e)
     return (cents.join(assign, "cid", "left")
             .groupBy("cid", "cx", "cy")
             .agg(F.count("vec_id").alias("n_points")))
@@ -1708,3 +1716,104 @@ def emb_knn_outlier_score(spark, sf_dir):
     wo = Window.orderBy(F.desc("mean_knn_dist"), "vid")
     return (scores.withColumn("outlier_rank", F.row_number().over(wo))
             .filter(F.col("outlier_rank") <= _KNNO_TOP))
+
+
+# ---------------------------------------------------------------------------
+# clustering evaluation: purity + NMI vs labels (round 7)
+# ---------------------------------------------------------------------------
+
+def _kmeans_purity_sql() -> str:
+    base = _kmeans_sql()
+    final = f"""
+SELECT c.cid, c.cx, c.cy, COUNT(a.vec_id) AS n_points
+FROM c{_KM_ROUNDS} c
+LEFT JOIN a{_KM_ROUNDS} a ON a.cid = c.cid
+GROUP BY c.cid, c.cx, c.cy"""
+    assert final in base
+    return base.replace(final, f""",
+asg AS (
+  SELECT a.vec_id, a.cid, e.label
+  FROM a{_KM_ROUNDS} a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+cont AS (SELECT cid, label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cont),
+crow AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS nc FROM cont GROUP BY cid),
+lrow AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM cont GROUP BY label),
+pure AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS pure_n
+  FROM (SELECT cid, MAX(n) AS mx FROM cont GROUP BY cid)
+),
+mi AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (c.n / CAST(t.nt AS DOUBLE))
+             * LN((c.n * CAST(t.nt AS DOUBLE)) / (cr.nc * CAST(lr.nl AS DOUBLE))),
+           9) AS DECIMAL(30,9))) AS DOUBLE) AS mi
+  FROM cont c
+  JOIN crow cr ON cr.cid = c.cid
+  JOIN lrow lr ON lr.label = c.label
+  CROSS JOIN tot t
+),
+hc AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(nc / CAST(t.nt AS DOUBLE)) * LN(nc / CAST(t.nt AS DOUBLE)),
+           9) AS DECIMAL(30,9))) AS DOUBLE) AS hc
+  FROM crow CROSS JOIN tot t
+),
+hl AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           -(nl / CAST(t.nt AS DOUBLE)) * LN(nl / CAST(t.nt AS DOUBLE)),
+           9) AS DECIMAL(30,9))) AS DOUBLE) AS hl
+  FROM lrow CROSS JOIN tot t
+)
+SELECT t.nt AS n_points, p.pure_n,
+       p.pure_n / CAST(t.nt AS DOUBLE) AS purity,
+       m.mi / sqrt(h1.hc * h2.hl) AS nmi
+FROM tot t CROSS JOIN pure p CROSS JOIN mi m
+CROSS JOIN hc h1 CROSS JOIN hl h2""")
+
+
+@query("kmeans_cluster_purity_nmi", _kmeans_purity_sql())
+def kmeans_cluster_purity_nmi(spark, sf_dir):
+    """CLUSTERING EVALUATION in-engine: purity (share of points whose
+    cluster's majority label is theirs) and normalized mutual
+    information sqrt-NMI between the value-checked k-means assignment
+    and the embedding labels — the two standard external cluster-quality
+    metrics, computed over the K x L contingency table (combinable
+    counts; K*L rows of downstream work regardless of corpus size).
+    MI/entropy terms are round-9 exact-decimal sums of integer-ratio
+    logs; the final nmi is a plain division of identically-derived
+    doubles. Reuses the SAME Lloyd template as kmeans_fixed_rounds on
+    both engines (one implementation, two consumers)."""
+    e = t(spark, sf_dir, "embeddings")
+    assign, _ = _kmeans_assign(e)
+    asg = (assign.select("vec_id", "cid")
+           .join(e.select("vec_id", "label"), "vec_id"))
+    cont = (asg.groupBy("cid", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False))
+    nt = cont.agg(F.sum("n")).collect()[0][0]
+    crow = cont.groupBy("cid").agg(F.sum("n").cast("bigint").alias("nc"))
+    lrow = cont.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    pure_n = (cont.groupBy("cid").agg(F.max("n").alias("mx"))
+              .agg(F.sum("mx").cast("bigint").alias("pure_n")))
+
+    def rdsum9(c):
+        return F.sum(F.round(c, 9).cast("decimal(30,9)")).cast("double")
+
+    ntd = F.lit(float(nt))
+    mi_term = ((F.col("n") / ntd)
+               * F.log((F.col("n") * ntd)
+                       / (F.col("nc") * F.col("nl").cast("double"))))
+    mi = (cont.join(crow, "cid").join(lrow, "label")
+          .agg(rdsum9(mi_term).alias("mi")))
+    hc = crow.agg(rdsum9(-(F.col("nc") / ntd)
+                         * F.log(F.col("nc") / ntd)).alias("hc"))
+    hl = lrow.agg(rdsum9(-(F.col("nl") / ntd)
+                         * F.log(F.col("nl") / ntd)).alias("hl"))
+    return (pure_n.crossJoin(F.broadcast(mi))
+            .crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hl))
+            .select(F.lit(nt).cast("bigint").alias("n_points"),
+                    "pure_n",
+                    (F.col("pure_n") / ntd).alias("purity"),
+                    (F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")))
+                    .alias("nmi")))

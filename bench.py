@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "corpus_diversity_minhash", "join_fuzzy_name_match",
     "user_recency_weighted_activity", "dq_sequence_gap_audit",
     "dq_header_detail_reconcile", "stream_incremental_daily_rollup",
+    "kmeans_cluster_purity_nmi", "user_longest_streak",
+    "eval_auc_mann_whitney",
 ]
 
 
