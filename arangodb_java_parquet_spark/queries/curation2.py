@@ -475,7 +475,8 @@ tgt_cnt AS (SELECT bucket, COUNT(*) AS c_tgt FROM toks
             WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY bucket),
 totals AS (
   SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
-         (SELECT CAST(SUM(c_tgt) AS BIGINT) FROM tgt_cnt) AS n_tgt
+         (SELECT COALESCE(CAST(SUM(c_tgt) AS BIGINT), 0) FROM tgt_cnt)
+           AS n_tgt
   FROM raw_cnt
 ),
 lr AS (
@@ -514,8 +515,12 @@ def quality_dsir_weights(spark, sf_dir):
     raw_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_cnt = (toks.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
                .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
-    n_raw = raw_cnt.agg(F.sum("c_raw")).collect()[0][0]
-    n_tgt = tgt_cnt.agg(F.sum("c_tgt")).collect()[0][0]
+    n_raw = raw_cnt.agg(F.sum("c_raw")).collect()[0][0] or 0
+    # SUM over an empty target slice is NULL -> None; Laplace (+BUCKETS)
+    # already keeps the log-ratio finite at n_tgt=0, so degrade smoothly
+    # instead of raising TypeError (and matching the oracle's NULL-free
+    # COALESCE'd denominator)
+    n_tgt = tgt_cnt.agg(F.sum("c_tgt")).collect()[0][0] or 0
     lr = (raw_cnt.join(tgt_cnt, "bucket", "left")
           .select("bucket", F.round(F.log(
               ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)

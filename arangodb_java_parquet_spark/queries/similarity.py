@@ -1585,9 +1585,10 @@ def sim_mmr_diversified_topk(spark, sf_dir):
            .select(F.col("vec_id").alias("vid"), "embedding", "nrm",
                    F.round(dot(F.col("embedding"), F.col("qv"))
                            / (F.col("nrm") * F.col("qn")), 9).alias("rel")))
-    wsl = Window.orderBy(F.desc("rel"), "vid")
-    short = (rel.withColumn("rn", F.row_number().over(wsl))
-             .filter(F.col("rn") <= _MMR_SHORTLIST)
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no single-partition shuffle of the corpus — an unpartitioned
+    # row_number Window would funnel every embedding row through one task)
+    short = (rel.orderBy(F.desc("rel"), "vid").limit(_MMR_SHORTLIST)
              .select("vid", "embedding", "nrm", "rel"))
     sa = short.select(F.col("vid").alias("va"),
                       F.col("embedding").alias("ea"),

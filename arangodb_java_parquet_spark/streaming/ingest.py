@@ -23,6 +23,69 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.sources.collections import Collection
 from arangodb_java_parquet_spark.sources.loader import ParquetLoader
 
+# ---------------------------------------------------------------------------
+# Crash-safe persistent-state swap, shared by the foreachBatch maintainers
+# (stream_upsert_keyed, stream_incremental_rollup). Protocol:
+#   write state to <dir>.new  ->  rename <dir> to <dir>.old  ->
+#   rename <dir>.new to <dir> ->  rmtree <dir>.old
+# A crash between the two renames leaves ".old" as the ONLY copy of the
+# state; _recover_state restores it at the next batch entry. ".old" is
+# cleared only while <dir> itself exists (a leftover from a crash AFTER a
+# completed swap), never when it is the sole survivor.
+#
+# foreachBatch is at-least-once: after a crash between the swap and the
+# checkpoint commit, the SAME epoch_id is redelivered. The epoch marker
+# (an "_"-prefixed file Spark's parquet reader ignores) is written inside
+# the new state directory BEFORE the swap, so marker and data move
+# atomically; a redelivered epoch equal to the marker is skipped instead
+# of re-merged (exactly-once effect for non-idempotent additive merges).
+# ---------------------------------------------------------------------------
+
+_EPOCH_MARKER = "_last_applied_epoch"
+
+
+def _recover_state(state_dir: str) -> None:
+    """Restore ``.old`` as the state table iff a prior crash between the
+    swap renames left it as the only copy."""
+    import os
+    old = state_dir + ".old"
+    if not os.path.isdir(state_dir) and os.path.isdir(old):
+        os.rename(old, state_dir)
+
+
+def _last_applied_epoch(state_dir: str):
+    import os
+    try:
+        with open(os.path.join(state_dir, _EPOCH_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _swap_state(state_dir: str, tmp: str, epoch_id: int) -> None:
+    """Atomically replace ``state_dir`` with ``tmp`` (already written),
+    stamping ``epoch_id`` inside ``tmp`` first so the marker travels with
+    the data through the rename."""
+    import os
+    import shutil
+    with open(os.path.join(tmp, _EPOCH_MARKER), "w") as fh:
+        fh.write(str(epoch_id))
+    old = state_dir + ".old"
+    if os.path.isdir(state_dir):
+        # stale .old can only exist here if a PREVIOUS swap completed but
+        # crashed before its cleanup — safe to clear (state_dir is current)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(state_dir, old)
+    try:
+        os.rename(tmp, state_dir)
+    except OSError:
+        # second rename failed in-process: restore the previous state table
+        # rather than leaving NO state_dir at all
+        if not os.path.isdir(state_dir) and os.path.isdir(old):
+            os.rename(old, state_dir)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
 
 def stream_load_to_collection(spark: SparkSession, path: str,
                               collection: Collection, *,
@@ -78,7 +141,6 @@ def stream_upsert_keyed(spark: SparkSession, path: str, *, schema,
     with dynamic partition overwrite rather than a whole-directory swap.
     """
     import os
-    import shutil
 
     from pyspark.sql import Window as W
 
@@ -91,28 +153,16 @@ def stream_upsert_keyed(spark: SparkSession, path: str, *, schema,
             .filter(F.col("__rn") == 1).drop("__rn"))
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _recover_state(state_dir)
+        if _last_applied_epoch(state_dir) == epoch_id:
+            return  # at-least-once redelivery of an already-applied batch
         best = latest_per_key(batch_df)
         if os.path.isdir(state_dir):
             cur = spark.read.parquet(state_dir)
             best = latest_per_key(cur.unionByName(best))
         tmp = state_dir + ".new"
         best.write.mode("overwrite").parquet(tmp)
-        old = state_dir + ".old"
-        # a leftover .old from a previously crashed batch would make the
-        # first rename below raise (destination exists) — clear it first
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, old)
-        try:
-            os.rename(tmp, state_dir)
-        except OSError:
-            # crashed between the two renames on a prior attempt, or the
-            # second rename failed now: restore the previous state table
-            # rather than leaving NO state_dir at all
-            if not os.path.isdir(state_dir) and os.path.isdir(old):
-                os.rename(old, state_dir)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(state_dir, tmp, epoch_id)
 
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -319,9 +369,12 @@ def stream_incremental_rollup(spark, path: str, *, schema,
     re-reading history. This is incremental view maintenance for
     decomposable aggregates (the streaming twin of rollup_cascade_daily's
     batch cascade): correctness rests on the file source's exactly-once
-    file tracking (each input file contributes to exactly one batch) plus
-    the algebraic merge, and the oracle proves the maintained table
-    hash-equals a full recompute.
+    file tracking (each input file contributes to exactly one batch), the
+    algebraic merge, AND the per-epoch marker swapped atomically with the
+    state (foreachBatch is only at-least-once — a batch redelivered after
+    a crash between swap and checkpoint commit is detected by its epoch_id
+    and skipped rather than double-added). The oracle proves the maintained
+    table hash-equals a full recompute.
 
     Scale: per batch one combinable aggregation over the new files plus a
     merge keyed by (day, type) against a table whose size is the rollup
@@ -329,9 +382,14 @@ def stream_incremental_rollup(spark, path: str, *, schema,
     protocol of stream_upsert_keyed.
     """
     import os
-    import shutil
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        _recover_state(state_dir)
+        if _last_applied_epoch(state_dir) == epoch_id:
+            # foreachBatch is at-least-once; the additive merge is NOT
+            # idempotent, so a redelivered epoch must be skipped, not
+            # re-added (the epoch marker swaps atomically with the data)
+            return
         part = (event_time_ltz(batch_df)
                 .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
                          "event_type")
@@ -347,17 +405,7 @@ def stream_incremental_rollup(spark, path: str, *, schema,
                          .alias("sum_value")))
         tmp = state_dir + ".new"
         part.write.mode("overwrite").parquet(tmp)
-        old = state_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, old)
-        try:
-            os.rename(tmp, state_dir)
-        except OSError:
-            if not os.path.isdir(state_dir) and os.path.isdir(old):
-                os.rename(old, state_dir)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(state_dir, tmp, epoch_id)
 
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -424,3 +424,83 @@ def test_stream_upsert_keyed_multibatch_evolution(spark, tmp_path):
     got = {r.user_id: (r.event_id, r.val)
            for r in spark.read.parquet(str(tmp_path / "state")).collect()}
     assert got == {1: (12, "a2"), 2: (11, "b"), 3: (13, "c")}
+
+
+def test_swap_state_crash_recovery_and_epoch_skip(spark, tmp_path):
+    """The crash-safety contract of the state-swap protocol (ADVICE r7):
+
+    1. if a prior process died between the two swap renames (state_dir
+       absent, '.old' the only copy), the next batch RESTORES '.old'
+       instead of clearing it;
+    2. a redelivered epoch_id (foreachBatch is at-least-once) is skipped
+       by the additive rollup merge instead of double-added.
+    """
+    import os
+
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        _EPOCH_MARKER, _last_applied_epoch, _recover_state, _swap_state)
+
+    # --- 1. mid-swap crash: .old is the only copy -> restored, not wiped
+    state = str(tmp_path / "state")
+    old = state + ".old"
+    os.mkdir(old)
+    with open(os.path.join(old, "part-0.txt"), "w") as fh:
+        fh.write("the only copy")
+    _recover_state(state)
+    assert os.path.isdir(state) and not os.path.isdir(old)
+    with open(os.path.join(state, "part-0.txt")) as fh:
+        assert fh.read() == "the only copy"
+
+    # --- completed swap leaves marker readable and clears .old
+    tmp_new = state + ".new"
+    os.mkdir(tmp_new)
+    with open(os.path.join(tmp_new, "part-0.txt"), "w") as fh:
+        fh.write("v2")
+    _swap_state(state, tmp_new, epoch_id=7)
+    assert _last_applied_epoch(state) == 7
+    assert not os.path.isdir(old) and not os.path.isdir(tmp_new)
+
+    # --- 2. additive rollup skips a redelivered epoch
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arangodb_java_parquet_spark.streaming.ingest import (
+        stream_incremental_rollup)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ts = dt.datetime(2024, 3, 1, 12)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["click", "click"]),
+        "ts": pa.array([ts, ts], pa.timestamp("us")),
+        "value": pa.array([2.0, 3.0])}), str(src / "b1.parquet"))
+    schema = ("event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    roll_state = str(tmp_path / "roll")
+    q = stream_incremental_rollup(
+        spark, str(src), schema=schema, state_dir=roll_state,
+        checkpoint_dir=str(tmp_path / "roll_ck"))
+    q.awaitTermination()
+    first = {(r.day, r.event_type): (r.n_events, float(r.sum_value))
+             for r in spark.read.parquet(roll_state).collect()}
+    applied = _last_applied_epoch(roll_state)
+    assert applied is not None
+
+    # simulate at-least-once redelivery: a FRESH checkpoint replays the
+    # same file as the same epoch_id (0) — exactly what the engine does
+    # after a crash between the state swap and the checkpoint commit.
+    # The additive merge must detect marker == epoch and skip, leaving
+    # the rollup unchanged (without the guard it would double-count).
+    assert applied == 0
+    q2 = stream_incremental_rollup(
+        spark, str(src), schema=schema, state_dir=roll_state,
+        checkpoint_dir=str(tmp_path / "roll_ck2"))
+    q2.awaitTermination()
+    after = {(r.day, r.event_type): (r.n_events, float(r.sum_value))
+             for r in spark.read.parquet(roll_state).collect()}
+    assert after == first
+    assert _last_applied_epoch(roll_state) == applied
