@@ -39,6 +39,14 @@ from arangodb_java_parquet_spark.sources.loader import ParquetLoader
 # the new state directory BEFORE the swap, so marker and data move
 # atomically; a redelivered epoch equal to the marker is skipped instead
 # of re-merged (exactly-once effect for non-idempotent additive merges).
+#
+# The marker carries the QUERY IDENTITY alongside the epoch (ADVICE r8):
+# epoch numbering restarts at 0 for every fresh checkpoint, so a bare
+# epoch match would mistake the first batch of a NEW query run over
+# retained state for a redelivery and silently drop it. The identity is
+# the streaming-query id Spark stamps into <checkpoint>/metadata — stable
+# across restarts of the same checkpoint (where redelivery can happen),
+# regenerated for a fresh one (where epoch 0 is genuinely new data).
 # ---------------------------------------------------------------------------
 
 _EPOCH_MARKER = "_last_applied_epoch"
@@ -53,23 +61,55 @@ def _recover_state(state_dir: str) -> None:
         os.rename(old, state_dir)
 
 
-def _last_applied_epoch(state_dir: str):
+def _query_identity(checkpoint_dir: str) -> str:
+    """Identity of the streaming query owning ``checkpoint_dir``: the
+    query id Spark writes to <checkpoint>/metadata at start (JSON
+    ``{"id": ...}``). Present by the time any foreachBatch runs; falls
+    back to the checkpoint path if unreadable."""
+    import json
+    import os
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return os.path.abspath(checkpoint_dir)
+
+
+def _last_applied(state_dir: str):
+    """(query_id, epoch) recorded by the last completed swap, or None."""
     import os
     try:
         with open(os.path.join(state_dir, _EPOCH_MARKER)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
+            qid, epoch = fh.read().splitlines()[:2]
+            return qid, int(epoch)
+    except (OSError, ValueError, IndexError):
         return None
 
 
-def _swap_state(state_dir: str, tmp: str, epoch_id: int) -> None:
+def _skip_redelivered(state_dir: str, query_id: str, epoch_id: int) -> bool:
+    """True iff (query_id, epoch_id) matches the marker — an at-least-once
+    redelivery of an already-applied batch. Clears a stale ``.old`` left by
+    a crash after the completed swap (provably stale here: state_dir
+    exists and carries the marker, so ``.old`` is the superseded copy)."""
+    import os
+    import shutil
+    if _last_applied(state_dir) == (query_id, epoch_id):
+        old = state_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        return True
+    return False
+
+
+def _swap_state(state_dir: str, tmp: str, epoch_id: int,
+                query_id: str = "") -> None:
     """Atomically replace ``state_dir`` with ``tmp`` (already written),
-    stamping ``epoch_id`` inside ``tmp`` first so the marker travels with
-    the data through the rename."""
+    stamping (query_id, epoch_id) inside ``tmp`` first so the marker
+    travels with the data through the rename."""
     import os
     import shutil
     with open(os.path.join(tmp, _EPOCH_MARKER), "w") as fh:
-        fh.write(str(epoch_id))
+        fh.write(f"{query_id}\n{epoch_id}")
     old = state_dir + ".old"
     if os.path.isdir(state_dir):
         # stale .old can only exist here if a PREVIOUS swap completed but
@@ -154,7 +194,8 @@ def stream_upsert_keyed(spark: SparkSession, path: str, *, schema,
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         _recover_state(state_dir)
-        if _last_applied_epoch(state_dir) == epoch_id:
+        qid = _query_identity(checkpoint_dir)
+        if _skip_redelivered(state_dir, qid, epoch_id):
             return  # at-least-once redelivery of an already-applied batch
         best = latest_per_key(batch_df)
         if os.path.isdir(state_dir):
@@ -162,7 +203,7 @@ def stream_upsert_keyed(spark: SparkSession, path: str, *, schema,
             best = latest_per_key(cur.unionByName(best))
         tmp = state_dir + ".new"
         best.write.mode("overwrite").parquet(tmp)
-        _swap_state(state_dir, tmp, epoch_id)
+        _swap_state(state_dir, tmp, epoch_id, qid)
 
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -385,10 +426,13 @@ def stream_incremental_rollup(spark, path: str, *, schema,
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         _recover_state(state_dir)
-        if _last_applied_epoch(state_dir) == epoch_id:
+        qid = _query_identity(checkpoint_dir)
+        if _skip_redelivered(state_dir, qid, epoch_id):
             # foreachBatch is at-least-once; the additive merge is NOT
-            # idempotent, so a redelivered epoch must be skipped, not
-            # re-added (the epoch marker swaps atomically with the data)
+            # idempotent, so a redelivered (query, epoch) must be skipped,
+            # not re-added (the marker swaps atomically with the data). A
+            # DIFFERENT query id at the same epoch is a fresh checkpoint
+            # over retained state — genuinely new data, merged normally.
             return
         part = (event_time_ltz(batch_df)
                 .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"),
@@ -405,7 +449,7 @@ def stream_incremental_rollup(spark, path: str, *, schema,
                          .alias("sum_value")))
         tmp = state_dir + ".new"
         part.write.mode("overwrite").parquet(tmp)
-        _swap_state(state_dir, tmp, epoch_id)
+        _swap_state(state_dir, tmp, epoch_id, qid)
 
     return (spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -427,18 +427,27 @@ def test_stream_upsert_keyed_multibatch_evolution(spark, tmp_path):
 
 
 def test_swap_state_crash_recovery_and_epoch_skip(spark, tmp_path):
-    """The crash-safety contract of the state-swap protocol (ADVICE r7):
+    """The crash-safety contract of the state-swap protocol (ADVICE r7+r8):
 
     1. if a prior process died between the two swap renames (state_dir
        absent, '.old' the only copy), the next batch RESTORES '.old'
        instead of clearing it;
-    2. a redelivered epoch_id (foreachBatch is at-least-once) is skipped
-       by the additive rollup merge instead of double-added.
+    2. a redelivered (query_id, epoch_id) — same checkpoint restarted
+       after a crash between the swap and the checkpoint commit — is
+       skipped by the additive rollup merge instead of double-added, and
+       the skip branch clears a stale '.old';
+    3. a FRESH checkpoint over retained state (epoch numbering restarts
+       at 0, but the query id differs) MERGES its new data instead of
+       mistaking it for a redelivery.
     """
     import os
 
     from arangodb_java_parquet_spark.streaming.ingest import (
-        _EPOCH_MARKER, _last_applied_epoch, _recover_state, _swap_state)
+        _EPOCH_MARKER, _last_applied, _recover_state, _swap_state)
+
+    # the whole protocol rests on Spark's parquet reader ignoring
+    # "_"-prefixed files, so the marker can live inside the state table
+    assert _EPOCH_MARKER.startswith("_")
 
     # --- 1. mid-swap crash: .old is the only copy -> restored, not wiped
     state = str(tmp_path / "state")
@@ -451,16 +460,16 @@ def test_swap_state_crash_recovery_and_epoch_skip(spark, tmp_path):
     with open(os.path.join(state, "part-0.txt")) as fh:
         assert fh.read() == "the only copy"
 
-    # --- completed swap leaves marker readable and clears .old
+    # --- completed swap leaves (query, epoch) marker readable, clears .old
     tmp_new = state + ".new"
     os.mkdir(tmp_new)
     with open(os.path.join(tmp_new, "part-0.txt"), "w") as fh:
         fh.write("v2")
-    _swap_state(state, tmp_new, epoch_id=7)
-    assert _last_applied_epoch(state) == 7
+    _swap_state(state, tmp_new, epoch_id=7, query_id="qA")
+    assert _last_applied(state) == ("qA", 7)
     assert not os.path.isdir(old) and not os.path.isdir(tmp_new)
 
-    # --- 2. additive rollup skips a redelivered epoch
+    # --- 2. additive rollup skips a genuinely redelivered epoch
     import datetime as dt
 
     import pyarrow as pa
@@ -481,26 +490,57 @@ def test_swap_state_crash_recovery_and_epoch_skip(spark, tmp_path):
     schema = ("event_id long, user_id long, event_type string, "
               "ts timestamp, value double")
     roll_state = str(tmp_path / "roll")
+    roll_ck = str(tmp_path / "roll_ck")
     q = stream_incremental_rollup(
         spark, str(src), schema=schema, state_dir=roll_state,
-        checkpoint_dir=str(tmp_path / "roll_ck"))
+        checkpoint_dir=roll_ck)
     q.awaitTermination()
     first = {(r.day, r.event_type): (r.n_events, float(r.sum_value))
              for r in spark.read.parquet(roll_state).collect()}
-    applied = _last_applied_epoch(roll_state)
-    assert applied is not None
-
-    # simulate at-least-once redelivery: a FRESH checkpoint replays the
-    # same file as the same epoch_id (0) — exactly what the engine does
-    # after a crash between the state swap and the checkpoint commit.
-    # The additive merge must detect marker == epoch and skip, leaving
-    # the rollup unchanged (without the guard it would double-count).
+    qid1, applied = _last_applied(roll_state)
     assert applied == 0
+
+    # simulate the crash window exactly: the state swap completed but the
+    # checkpoint commit did not. Deleting commits/0 (keeping offsets/0)
+    # makes the engine re-execute batch 0 with the SAME epoch_id and the
+    # SAME query id on restart — the marker must detect the redelivery
+    # and skip, leaving the rollup unchanged (without the guard it would
+    # double-count). A stale '.old' from that same crash window must be
+    # cleared by the skip branch.
+    os.remove(os.path.join(roll_ck, "commits", "0"))
+    crc = os.path.join(roll_ck, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    os.mkdir(roll_state + ".old")
     q2 = stream_incremental_rollup(
         spark, str(src), schema=schema, state_dir=roll_state,
-        checkpoint_dir=str(tmp_path / "roll_ck2"))
+        checkpoint_dir=roll_ck)
     q2.awaitTermination()
     after = {(r.day, r.event_type): (r.n_events, float(r.sum_value))
              for r in spark.read.parquet(roll_state).collect()}
     assert after == first
-    assert _last_applied_epoch(roll_state) == applied
+    assert _last_applied(roll_state) == (qid1, applied)
+    assert not os.path.isdir(roll_state + ".old")
+
+    # --- 3. fresh checkpoint + NEW data over retained state must MERGE:
+    # epoch numbering restarts at 0, colliding with the marker's epoch,
+    # but the fresh checkpoint's query id differs — skipping here would
+    # be silent data loss (the r8 ADVICE hazard).
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([3], pa.int64()),
+        "user_id": pa.array([2], pa.int64()),
+        "event_type": pa.array(["click"]),
+        "ts": pa.array([ts], pa.timestamp("us")),
+        "value": pa.array([10.0])}), str(src2 / "b2.parquet"))
+    q3 = stream_incremental_rollup(
+        spark, str(src2), schema=schema, state_dir=roll_state,
+        checkpoint_dir=str(tmp_path / "roll_ck3"))
+    q3.awaitTermination()
+    merged = {(r.day, r.event_type): (r.n_events, float(r.sum_value))
+              for r in spark.read.parquet(roll_state).collect()}
+    key = (dt.date(2024, 3, 1), "click")
+    assert merged[key] == (first[key][0] + 1, first[key][1] + 10.0)
+    qid3, epoch3 = _last_applied(roll_state)
+    assert epoch3 == 0 and qid3 != qid1
