@@ -397,3 +397,63 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
     return (probe.groupBy("_probe_rid", *keep)
             .agg(F.bool_and("_hit").alias("maybe_dup"))
             .drop("_probe_rid"))
+
+
+def exact_substring_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 50,
+                          min_occurrences: int = 2) -> DataFrame:
+    """Corpus-level EXACT-SUBSTRING duplicate spans (ExactSubstr, Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better")
+    — LSH-INDEPENDENT, unlike the candidate-bounded span evidence in
+    queries/textmatch.dedup_substring_span.
+
+    The paper builds a suffix array over the concatenated corpus and
+    reports every substring of >= k tokens occurring more than once. The
+    distributed re-expression: fingerprint every positional k-token
+    window (the suffix array's sort-by-prefix becomes a shuffle on the
+    window fingerprint — Spark's sort/hash exchange IS the scalable
+    analog of suffix sorting), keep fingerprints with >= min_occurrences
+    locations corpus-wide, and merge each document's duplicated window
+    positions into maximal spans (consecutive-position runs via the
+    pos - row_number() trick). A maximal span of W consecutive duplicated
+    windows covers W + k - 1 tokens, every k-token substring of which
+    occurs elsewhere — the exact removal unit ExactSubstr deletes.
+
+    Returns one row per maximal duplicated span:
+    (id_col, span_start, span_end, span_tokens, n_dup_windows), token
+    positions 1-based inclusive.
+
+    Scale (100 TB): rows are (id, pos, md5) window fingerprints — O(total
+    tokens) compact rows, documents themselves never shuffle. One
+    exchange on the fingerprint for the occurrence count, one join back
+    (same key, reuses the partitioning), one per-document window for the
+    run merge. No all-pairs stage anywhere, no skew: fingerprints are
+    md5-uniform, and the per-document run merge partitions on the
+    document id.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text_col), " ")
+    win_fps = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
+        f" i -> md5(array_join(slice(split({text_col}, ' '), i, {k}),"
+        f" ' ')))")
+    grams = (docs.filter(F.size(toks) >= k)
+             .select(id_col, F.posexplode(win_fps).alias("p0", "gh"))
+             .select(id_col, (F.col("p0") + 1).alias("pos"), "gh"))
+    dup = (grams.groupBy("gh")
+           .agg(F.count(F.lit(1)).alias("n_occ"))
+           .filter(F.col("n_occ") >= min_occurrences))
+    pos = grams.join(dup.select("gh"), "gh")
+    runs = pos.select(
+        id_col, "pos",
+        (F.col("pos") - F.row_number().over(
+            W.partitionBy(id_col).orderBy("pos"))).alias("grp"))
+    return (runs.groupBy(id_col, "grp")
+            .agg(F.min("pos").cast("bigint").alias("span_start"),
+                 (F.max("pos") + F.lit(k - 1)).cast("bigint")
+                 .alias("span_end"),
+                 (F.max("pos") - F.min("pos") + F.lit(k)).cast("bigint")
+                 .alias("span_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+            .drop("grp"))

@@ -55,45 +55,42 @@ from arangodb_java_parquet_spark.queries import linkage  # noqa: F401,E402
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
 DRIVER_PANEL = [
-    # ROUND-7 ROTATION (VERDICT r6 next-round #3): 49 of 50 slots are
-    # names with NO driver CORRECTNESS row in rounds 1-6; the one repeat
-    # is ir_inverted_index (r6's only red — a complex-output-schema err,
-    # now flattened, back in the panel so the fix is driver-proven).
-    # The 7 flattened landmine queries and the de-broadcast
-    # tfidf_top_terms lead. The r1-r6 green names stay locally
+    # ROUND-9 ROTATION (VERDICT r8 next-round #1, two rounds overdue):
+    # ALL 50 slots are names with NO driver CORRECTNESS row in rounds
+    # 1-8 (computed from the committed CORRECTNESS_r0*.json files), so
+    # this round's driver record is 50 first-time names — cumulative
+    # distinct driver-green coverage grows from 197 toward the full 377
+    # oracle-backed surface. Previously-green names stay locally
     # harness-checked every round via tools/check_correctness.py.
     #
-    # round-7 fixes, driver-proven
-    "ir_inverted_index", "array_hof_functions", "map_functions",
-    "map_hof_functions", "user_behavior_vector",
-    "dedup_prefix_fingerprint", "multimodal_image_dedup",
-    "tfidf_top_terms",
-    # SQL front door / UDx / scalar breadth
-    "sql_recursive_cte", "scalar_variant_json", "sql_portable_agg",
-    "scalar_try_functions", "udtf_tokenize_lateral",
-    "udaf_geomean_pandas", "agg_grouping_id", "scalar_json_typed",
-    # aggregation / relational breadth
-    "agg_count_distinct_twolevel", "agg_string_concat_ordered",
-    "agg_max_by_min_by", "exact_mode_per_group", "frequent_item_pairs",
-    "agg_trimmed_mean", "histogram_2d", "monthly_seasonal_index",
-    # windows / temporal joins / SCD
-    "window_running_total", "window_ntile_first_last",
-    "join_asof_forward", "join_asof_tolerance", "join_skew_salted",
-    "scd2_point_in_time", "join_events_scd2_interval",
-    "cdc_apply_changes",
+    # relational / aggregation / scalar breadth
+    "agg_skewness_kurtosis", "agg_salted_skew", "agg_median_abs_deviation",
+    "join_lateral_topn", "scalar_string_funcs2", "scalar_bitwise_ops",
+    "scalar_conditional_funcs", "window_nth_value",
+    # windows / temporal
+    "window_lag_lead", "window_rank_distribution", "window_tumbling_agg",
+    "window_hopping_agg", "timeseries_gap_fill", "cumulative_distinct_users",
     # event analytics
-    "markov_event_transitions", "time_to_convert_stats",
-    "survival_kaplan_meier", "ab_test_conversion_lift", "timeseries_acf",
-    # dedup / text long tail (incl. the round-6 flagships)
-    "dedup_lsh_capped_pairs", "dedup_boundary_overlap",
-    "dedup_minhash_merge_proof", "dedup_incremental_minhash_stored",
-    "boilerplate_ngram_catalog", "text_novelty_rate", "token_budget_plan",
-    # embeddings / similarity / graph
-    "emb_quantile_normalize", "sim_topk_pq_rerank",
-    "rocchio_nearest_centroid", "graph_kcore_2core",
-    "emb_pca_power_iteration",
-    # portable sketches
-    "cms_token_frequencies",
+    "rollup_cascade_daily", "rolling_wau_distinct", "event_pmi_pairs",
+    "daily_revenue_growth", "user_longest_streak", "user_survival_curve",
+    # data quality / evaluation
+    "dq_constraint_report", "dq_referential_orphans", "dq_schema_drift",
+    "dq_header_detail_reconcile", "eval_auc_mann_whitney",
+    # dedup / text pipeline (north star)
+    "dedup_minhash_signatures", "dedup_simhash_pairs",
+    "dedup_lsh_precision_recall", "dedup_ngram_coverage",
+    "dedup_sorted_neighborhood", "dedup_ppjoin_prefix",
+    "corpus_diversity_minhash", "quality_repetition_signals",
+    "dedup_exactsubstr_spans",
+    # linkage / curation
+    "linkage_fellegi_sunter", "join_fuzzy_name_match", "quality_dsir_weights",
+    "curation_bias_audit", "mixture_doremi_step", "privacy_k_anonymity",
+    # embeddings / similarity
+    "emb_l2_normalize", "emb_knn_outlier_score", "sim_mmr_diversified_topk",
+    "kmeans_cluster_purity_nmi", "sim_rbo_vs_exact", "ivf_cell_balance",
+    # portable sketches / streaming flagships
+    "agg_hll_portable_registers", "agg_quantile_sketch_portable",
+    "stream_upsert_merge", "stream_incremental_daily_rollup",
 ]
 
 

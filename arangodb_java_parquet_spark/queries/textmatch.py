@@ -1114,3 +1114,94 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
     win = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (cos.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") <= _TFC_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level ExactSubstr duplicate spans (Lee et al. 2022) — GLOBAL
+# sorted-fingerprint pass, independent of the LSH candidate stage above
+# ---------------------------------------------------------------------------
+
+# paper uses k=50 tokens; this corpus averages ~54 tokens/doc, so the
+# registered entry pins k=20 to exercise the operator end-to-end (the
+# operator default stays 50)
+_XSUB_K = 20
+
+_XSUB_SPANS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+{_XSUB_K - 1}],
+             ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               -- range() end is EXCLUSIVE: +2 yields i = 1 .. n-k+1
+               UNNEST(range(1, len(string_split(text, ' ')) - {_XSUB_K} + 2))
+                 AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= {_XSUB_K})
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+pos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_XSUB_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_XSUB_K} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@query("dedup_exactsubstr_spans", _XSUB_SPANS_SQL)
+def dedup_exactsubstr_spans(spark, sf_dir):
+    """ExactSubstr cross-document substring dedup (Lee et al. 2022): every
+    maximal token span whose k-token windows ALL occur >= 2 times
+    corpus-wide — the exact unit the paper's suffix-array pass deletes.
+    Unlike dedup_substring_span (span evidence over LSH candidate pairs),
+    this is a GLOBAL pass: the shuffle on the window fingerprint is the
+    distributed analog of suffix sorting, so no duplicate can hide from a
+    missed LSH candidate. See operators/dedup.exact_substring_spans for
+    the plan-shape and 100 TB notes."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_spans)
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_spans(d, "text", "doc_id", k=_XSUB_K)
+
+
+_XSUB_STATS_SQL = _XSUB_SPANS_SQL.replace(
+    "SELECT doc_id,\n       CAST(MIN(pos) AS BIGINT) AS span_start,",
+    """, spans AS (
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,""") + """)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs_affected,
+       CAST(SUM(s.n_dup_windows) AS BIGINT) AS total_dup_windows,
+       CAST(MAX(s.span_tokens) AS BIGINT) AS max_span_tokens
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("dedup_exactsubstr_stats", _XSUB_STATS_SQL)
+def dedup_exactsubstr_stats(spark, sf_dir):
+    """Removal accounting for the ExactSubstr pass, rolled up by corpus
+    source: how many duplicated spans, in how many documents, how many
+    duplicated windows, and the longest span — the report a curation run
+    reads before committing a deletion pass. One extra join (span rows,
+    already span-grain) + one aggregation on top of
+    dedup_exactsubstr_spans."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_spans)
+    d = t(spark, sf_dir, "documents")
+    spans = exact_substring_spans(d, "text", "doc_id", k=_XSUB_K)
+    return (spans.join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+                 F.countDistinct("doc_id").cast("bigint")
+                 .alias("n_docs_affected"),
+                 F.sum("n_dup_windows").cast("bigint")
+                 .alias("total_dup_windows"),
+                 F.max("span_tokens").cast("bigint")
+                 .alias("max_span_tokens")))
