@@ -1793,8 +1793,14 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=False))
     nt = cont.agg(F.sum("n")).collect()[0][0]
-    crow = cont.groupBy("cid").agg(F.sum("n").cast("bigint").alias("nc"))
-    lrow = cont.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    # the contingency marginals are K- and L-row tables consumed twice
+    # (entropy legs + the MI join) — materialize them and broadcast the
+    # MI-side joins so neither re-derives nor shuffles (r8 VERDICT item 4)
+    crow = (cont.groupBy("cid").agg(F.sum("n").cast("bigint").alias("nc"))
+            .localCheckpoint(eager=False))
+    lrow = (cont.groupBy("label")
+            .agg(F.sum("n").cast("bigint").alias("nl"))
+            .localCheckpoint(eager=False))
     pure_n = (cont.groupBy("cid").agg(F.max("n").alias("mx"))
               .agg(F.sum("mx").cast("bigint").alias("pure_n")))
 
@@ -1805,7 +1811,8 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
     mi_term = ((F.col("n") / ntd)
                * F.log((F.col("n") * ntd)
                        / (F.col("nc") * F.col("nl").cast("double"))))
-    mi = (cont.join(crow, "cid").join(lrow, "label")
+    mi = (cont.join(F.broadcast(crow), "cid")
+          .join(F.broadcast(lrow), "label")
           .agg(rdsum9(mi_term).alias("mi")))
     hc = crow.agg(rdsum9(-(F.col("nc") / ntd)
                          * F.log(F.col("nc") / ntd)).alias("hc"))

@@ -330,18 +330,22 @@ def dedup_lsh_precision_recall(spark, sf_dir):
     Scale: ground truth is exact all-pairs and therefore INTENTIONALLY
     bounded (the point is calibrating LSH parameters on a sample, then
     trusting LSH corpus-wide); the candidate side reuses the production
-    signature/banding operators unchanged."""
+    signature/banding operators unchanged. The DISTINCT shingle table is
+    materialized once (localCheckpoint, r8 VERDICT item 4) and feeds both
+    the Jaccard ground truth and the MinHash signatures — MIN over a set
+    equals MIN over the multiset, so sharing the deduped table changes no
+    value while halving the shingle derivation."""
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, jaccard_pairs, lsh_candidate_pairs,
         minhash_signatures)
     d = (t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < _PR_UNIVERSE))
-    sh = char_shingles(d, "text", "doc_id", k=5, distinct=True)
+    sh = (char_shingles(d, "text", "doc_id", k=5, distinct=True)
+          .localCheckpoint(eager=False))
     truth = (jaccard_pairs(sh.select("doc_id", "shingle"), "doc_id",
                            threshold=_PR_TAU, bounded=True)
              .select("doc_a", "doc_b"))
-    sigs = minhash_signatures(
-        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    sigs = minhash_signatures(sh, "doc_id")
     cand = lsh_candidate_pairs(sigs, "doc_id").select("doc_a", "doc_b")
     joined = (truth.withColumn("is_truth", F.lit(1))
               .join(cand.withColumn("is_cand", F.lit(1)),
@@ -1164,27 +1168,27 @@ def corpus_diversity_minhash(spark, sf_dir):
     Everything is integer-exact until the final ratio: counts, collision
     mass, and n are BIGINTs on both engines.
 
-    Scale: reuses the signature table (one pass over shingles), then one
-    combinable count per hash column — no pairs, no shuffle beyond 8
-    value-keyed groupBys over n_docs rows. This is the cheap
-    every-ingest-batch health metric; the LSH funnel is what you run
-    when it drops."""
+    Scale: reuses the signature table (one pass over shingles), then ONE
+    combinable count over the (hash_idx, value) unpivot — all 8
+    estimators ride a single pair of exchanges (r8 VERDICT item 4: the
+    previous 8 independent legs cost 2 exchanges each, 16 total). This
+    is the cheap every-ingest-batch health metric; the LSH funnel is
+    what you run when it drops."""
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, minhash_signatures)
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     sigs = minhash_signatures(sh, "doc_id").localCheckpoint(eager=False)
     n_docs = sigs.count()
-    legs = []
-    for j in range(_DIV_HASHES):
-        coll = (sigs.groupBy(f"h{j}").agg(F.count(F.lit(1)).alias("c"))
-                .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
-                     .alias("coll_pairs"))
-                .select(F.lit(j).alias("hash_idx"), "coll_pairs"))
-        legs.append(coll)
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
+    stacked = sigs.select(F.expr(
+        "stack(" + str(_DIV_HASHES) + ", "
+        + ", ".join(f"{j}, h{j}" for j in range(_DIV_HASHES))
+        + ") AS (hash_idx, hv)"))
+    out = (stacked.groupBy("hash_idx", "hv")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("hash_idx")
+           .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+                .alias("coll_pairs")))
     est = (F.col("coll_pairs")
            / (F.lit(float(n_docs)) * F.lit(n_docs - 1)))
     return out.select(
