@@ -299,3 +299,143 @@ SELECT tgt.q,
 FROM tgt JOIN cum
   ON cum.cum >= tgt.target AND cum.cum - cum.cnt < tgt.target
 """
+
+
+# ---------------------------------------------------------------------------
+# GK-style deterministic quantile summary (round 9)
+# ---------------------------------------------------------------------------
+
+def gk_quantile_summary(df: DataFrame, val_col: str, key_col: str,
+                        group_col: str, *, s: int = 64,
+                        shards: int = 4,
+                        quantiles=((1, 2), (9, 10), (99, 100))) -> DataFrame:
+    """Greenwald-Khanna-STYLE mergeable quantile summary, made fully
+    deterministic so Spark and an ANSI-SQL oracle agree to the bit
+    (unlike approx_percentile, whose GK/KLL internals are engine-private
+    — see agg_approx_quantile's rows-only justification).
+
+    The classic GK summary keeps tuples (v, g, delta) where g is the gap
+    in rank to the previous kept tuple. Streaming GK is insertion-order
+    dependent; the deterministic variant keeps, per shard, every s-th
+    element of the TOTALLY ORDERED data (order by value with a unique
+    key tiebreak) plus the shard maximum — exactly the summary GK's
+    compress phase converges to, with delta = 0 and per-shard rank error
+    <= s. Shard summaries MERGE by interleaving tuples in value order
+    and cumulative-summing g (the GK merge); merged rank error is
+    <= shards * s. A quantile query returns the first tuple whose
+    cumulative g reaches ceil(q * n).
+
+    Determinism notes: quantiles are INTEGER ratios (num, den) — never
+    float literals, which DuckDB parses as DECIMAL; targets use integer
+    ceiling division; cumulative sums are CAST BIGINT (DuckDB windowed
+    integer SUM promotes to HUGEINT); the estimate is a raw data value,
+    no arithmetic.
+
+    Scale (100 TB): each shard's summary is ~n_shard/s tuples built by
+    one per-(group, shard) window; the merge is a window over
+    groups x (shards * n/s) summary tuples — the corpus never re-sorts
+    globally. With shards = executor partitions this is the standard
+    distributed-GK topology; s trades summary size for rank error.
+
+    Output: (group_col, q, est_value, n_total, n_summary).
+    """
+    from pyspark.sql import Window as W
+
+    src = df.select(F.col(group_col).alias("p"),
+                    F.col(val_col).alias("v"),
+                    F.col(key_col).alias("k"),
+                    (F.col(key_col) % shards).alias("shard"))
+    w_rn = W.partitionBy("p", "shard").orderBy("v", "k")
+    w_n = W.partitionBy("p", "shard")
+    rn = (src.withColumn("rn", F.row_number().over(w_rn))
+          .withColumn("n_shard", F.count(F.lit(1)).over(w_n)))
+    kept = rn.filter((F.col("rn") % s == 0)
+                     | (F.col("rn") == F.col("n_shard")))
+    w_g = W.partitionBy("p", "shard").orderBy("rn")
+    wg = kept.withColumn(
+        "g", (F.col("rn") - F.coalesce(F.lag("rn").over(w_g), F.lit(0)))
+        .cast("bigint"))
+    w_cum = (W.partitionBy("p").orderBy("v", "k")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = wg.withColumn("cum", F.sum("g").over(w_cum).cast("bigint"))
+    tot = (src.groupBy("p")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_total")))
+    summ = (wg.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_summary")))
+    qdf = F.explode(F.array(*[
+        F.struct(F.lit(num).alias("num"), F.lit(den).alias("den"))
+        for num, den in quantiles])).alias("qq")
+    tgt = (tot.select("p", "n_total", qdf)
+           .select("p", "n_total", F.col("qq.num").alias("num"),
+                   F.col("qq.den").alias("den"))
+           .withColumn("target", F.expr(
+               "CAST((n_total * num + den - 1) div den AS BIGINT)")))
+    w_hit = W.partitionBy("p", "num", "den").orderBy("cum", "v", "k")
+    hit = (F.broadcast(tgt)
+           .join(merged.select("p", "v", "k", "cum"), "p")
+           .filter(F.col("cum") >= F.col("target"))
+           .withColumn("hr", F.row_number().over(w_hit))
+           .filter(F.col("hr") == 1))
+    return (hit.join(F.broadcast(summ), "p")
+            .select(F.col("p").alias(group_col),
+                    (F.col("num").cast("double") / F.col("den")).alias("q"),
+                    F.col("v").alias("est_value"), "n_total", "n_summary"))
+
+
+def gk_quantile_summary_sql(val_expr: str, key_expr: str, group_expr: str,
+                            src: str, *, s: int = 64, shards: int = 4,
+                            quantiles=((1, 2), (9, 10),
+                                       (99, 100))) -> str:
+    """ANSI-SQL twin of :func:`gk_quantile_summary` (one shared
+    generator, never hand-copied — the same single-source pattern as
+    hll_sql / quantile_sketch_sql)."""
+    qvals = ", ".join(f"({num}, {den})" for num, den in quantiles)
+    return f"""
+WITH gk_src AS (
+  SELECT {group_expr} AS p, {val_expr} AS v, {key_expr} AS k,
+         {key_expr} % {shards} AS shard
+  FROM {src}
+),
+gk_rn AS (
+  SELECT p, shard, v, k,
+         ROW_NUMBER() OVER (PARTITION BY p, shard ORDER BY v, k) AS rn,
+         COUNT(*) OVER (PARTITION BY p, shard) AS n_shard
+  FROM gk_src
+),
+gk_kept AS (
+  SELECT p, shard, v, k, rn FROM gk_rn
+  WHERE rn % {s} = 0 OR rn = n_shard
+),
+gk_wg AS (
+  SELECT p, shard, v, k, rn,
+         CAST(rn - COALESCE(LAG(rn) OVER (PARTITION BY p, shard
+                                          ORDER BY rn), 0) AS BIGINT) AS g
+  FROM gk_kept
+),
+gk_merged AS (
+  SELECT p, v, k,
+         CAST(SUM(g) OVER (PARTITION BY p ORDER BY v, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM gk_wg
+),
+gk_tot AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_total
+           FROM gk_src GROUP BY p),
+gk_summ AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_summary
+            FROM gk_wg GROUP BY p),
+gk_tgt AS (
+  SELECT t.p, t.n_total, qq.num, qq.den,
+         (t.n_total * qq.num + qq.den - 1) // qq.den AS target
+  FROM gk_tot t CROSS JOIN (VALUES {qvals}) AS qq(num, den)
+),
+gk_hit AS (
+  SELECT g.p, g.n_total, g.num, g.den, m.v,
+         ROW_NUMBER() OVER (PARTITION BY g.p, g.num, g.den
+                            ORDER BY m.cum, m.v, m.k) AS hr
+  FROM gk_tgt g JOIN gk_merged m ON m.p = g.p AND m.cum >= g.target
+)
+SELECT h.p AS {group_expr},
+       CAST(h.num AS DOUBLE) / h.den AS q,
+       h.v AS est_value, h.n_total, s.n_summary
+FROM gk_hit h JOIN gk_summ s ON s.p = h.p
+WHERE h.hr = 1"""

