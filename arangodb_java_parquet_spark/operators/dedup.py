@@ -399,6 +399,21 @@ def bloom_probe(df: DataFrame, key_col: str, bloom: DataFrame,
             .drop("_probe_rid"))
 
 
+def positional_window_fps(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 50) -> DataFrame:
+    """(id, pos, gh): md5 fingerprint of every positional k-token window
+    (1-based pos), the compact row the ExactSubstr family shuffles instead
+    of the documents themselves."""
+    toks = F.split(F.col(text_col), " ")
+    win_fps = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
+        f" i -> md5(array_join(slice(split({text_col}, ' '), i, {k}),"
+        f" ' ')))")
+    return (docs.filter(F.size(toks) >= k)
+            .select(id_col, F.posexplode(win_fps).alias("p0", "gh"))
+            .select(id_col, (F.col("p0") + 1).alias("pos"), "gh"))
+
+
 def exact_substring_spans(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 50,
                           min_occurrences: int = 2) -> DataFrame:
@@ -433,14 +448,7 @@ def exact_substring_spans(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window as W
 
-    toks = F.split(F.col(text_col), " ")
-    win_fps = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
-        f" i -> md5(array_join(slice(split({text_col}, ' '), i, {k}),"
-        f" ' ')))")
-    grams = (docs.filter(F.size(toks) >= k)
-             .select(id_col, F.posexplode(win_fps).alias("p0", "gh"))
-             .select(id_col, (F.col("p0") + 1).alias("pos"), "gh"))
+    grams = positional_window_fps(docs, text_col, id_col, k)
     dup = (grams.groupBy("gh")
            .agg(F.count(F.lit(1)).alias("n_occ"))
            .filter(F.col("n_occ") >= min_occurrences))
@@ -457,3 +465,66 @@ def exact_substring_spans(docs: DataFrame, text_col: str = "text",
                  .alias("span_tokens"),
                  F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
             .drop("grp"))
+
+
+def exact_substring_removal(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = 50) -> DataFrame:
+    """ExactSubstr REMOVAL accounting (the deletion step of Lee et al.
+    2022): every k-token window occurrence except the corpus-wide
+    CANONICAL one (first by (id, pos) within its fingerprint) is
+    removable; a document's removable positions merge into runs, runs
+    into token-overlap islands (two runs whose gap < k share tokens),
+    and the island union lengths are what deletion would actually cut.
+
+    Keep-first is the paper's policy; ordering by (id, pos) makes the
+    canonical choice deterministic in any engine and any partitioning.
+
+    Returns one row per AFFECTED document:
+    (id_col, n_tokens, tokens_removed, tokens_kept, keep_ratio).
+
+    Scale: same O(total tokens) fingerprint rows as
+    exact_substring_spans; one window over each fingerprint's occurrence
+    list (bounded by that fingerprint's duplication count) replaces the
+    count+join, then two per-document windows (runs, islands). Nothing
+    is all-pairs; document text shuffles only in the final
+    affected-docs-only join.
+    """
+    from pyspark.sql import Window as W
+
+    grams = positional_window_fps(docs, text_col, id_col, k)
+    occ = grams.withColumn(
+        "occ_rn", F.row_number().over(
+            W.partitionBy("gh").orderBy(id_col, "pos")))
+    rem = occ.filter(F.col("occ_rn") >= 2).select(id_col, "pos")
+    runs = rem.select(
+        id_col, "pos",
+        (F.col("pos") - F.row_number().over(
+            W.partitionBy(id_col).orderBy("pos"))).alias("grp"))
+    spans = (runs.groupBy(id_col, "grp")
+             .agg(F.min("pos").alias("s"),
+                  (F.max("pos") + F.lit(k - 1)).alias("e"))
+             .drop("grp"))
+    w_prev = (W.partitionBy(id_col).orderBy("s")
+              .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy(id_col).orderBy("s")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    isl = (spans.withColumn("pme", F.max("e").over(w_prev))
+           .withColumn("island_id", F.sum(
+               F.when(F.col("pme").isNull()
+                      | (F.col("s") > F.col("pme")), 1)
+               .otherwise(0)).over(w_run)))
+    merged = (isl.groupBy(id_col, "island_id")
+              .agg((F.max("e") - F.min("s") + 1).alias("removed_len")))
+    per_doc = (merged.groupBy(id_col)
+               .agg(F.sum("removed_len").cast("bigint")
+                    .alias("tokens_removed")))
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return (per_doc
+            .join(docs.select(id_col, n_toks.alias("n_tokens")), id_col)
+            .select(id_col, "n_tokens", "tokens_removed",
+                    (F.col("n_tokens") - F.col("tokens_removed"))
+                    .cast("bigint").alias("tokens_kept"),
+                    ((F.col("n_tokens") - F.col("tokens_removed"))
+                     / F.col("n_tokens").cast("double"))
+                    .alias("keep_ratio")))

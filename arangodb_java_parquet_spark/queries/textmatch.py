@@ -1205,3 +1205,77 @@ def dedup_exactsubstr_stats(spark, sf_dir):
                  .alias("total_dup_windows"),
                  F.max("span_tokens").cast("bigint")
                  .alias("max_span_tokens")))
+
+
+_XSUB_REMOVAL_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+{_XSUB_K - 1}],
+             ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               -- range() end is EXCLUSIVE: +2 yields i = 1 .. n-k+1
+               UNNEST(range(1, len(string_split(text, ' ')) - {_XSUB_K} + 2))
+                 AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= {_XSUB_K})
+),
+occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ_rn
+  FROM grams
+),
+rem AS (SELECT doc_id, pos FROM occ WHERE occ_rn >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM rem
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_XSUB_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+),
+m AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pme
+  FROM spans
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM m
+),
+merged AS (
+  SELECT doc_id, MAX(e) - MIN(s) + 1 AS removed_len
+  FROM isl GROUP BY doc_id, island_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(removed_len) AS BIGINT) AS tokens_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       p.tokens_removed,
+       CAST(len(string_split(d.text, ' ')) - p.tokens_removed AS BIGINT)
+         AS tokens_kept,
+       (len(string_split(d.text, ' ')) - p.tokens_removed)
+         / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS keep_ratio
+FROM per_doc p JOIN documents d USING (doc_id)
+"""
+
+
+@query("dedup_exactsubstr_removal", _XSUB_REMOVAL_SQL)
+def dedup_exactsubstr_removal(spark, sf_dir):
+    """The DELETION step of the ExactSubstr pass: keep each duplicated
+    k-token window's corpus-wide FIRST occurrence (canonical by
+    (doc_id, pos) — deterministic in any engine), mark every other
+    occurrence removable, merge each document's removable positions into
+    runs and token-overlap islands, and account exactly how many tokens
+    deletion cuts per affected document. See
+    operators/dedup.exact_substring_removal."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_removal)
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_removal(d, "text", "doc_id", k=_XSUB_K)

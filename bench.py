@@ -227,6 +227,10 @@ BENCH_QUERIES = [
     "dq_header_detail_reconcile", "stream_incremental_daily_rollup",
     "kmeans_cluster_purity_nmi", "user_longest_streak",
     "eval_auc_mann_whitney",
+    # round 9: global ExactSubstr pass + GK quantile registers
+    "dedup_exactsubstr_spans", "dedup_exactsubstr_stats",
+    "dedup_exactsubstr_removal",
+    "agg_quantile_gk_summary",
 ]
 
 

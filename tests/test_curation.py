@@ -671,3 +671,45 @@ def test_capped_lsh_preserves_cluster_connectivity(spark, sf_dir):
     comp_capped = sorted(
         tuple(r) for r in connected_components(capped).collect())
     assert comp_capped == comp_full
+
+
+def test_exactsubstr_spans_and_removal_algebra(spark):
+    """ExactSubstr invariants on a hand-built corpus: (1) a shared
+    k-window between two docs yields a span in both; (2) removal keeps
+    exactly one canonical occurrence — removable windows per fingerprint
+    = occurrences - 1; (3) island union never exceeds doc length and the
+    canonical (first) document loses nothing."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_removal, exact_substring_spans,
+        positional_window_fps)
+    shared = "a b c d e"          # 5 tokens, k=3 -> 3 shared windows
+    rows = [
+        (1, f"x0 x1 {shared} y0 y1"),     # canonical (lowest doc_id)
+        (2, f"z0 {shared} z1 z2 z3"),     # duplicate occurrence
+        (3, "q0 q1 q2 q3 q4 q5"),         # clean doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"])
+             for r in exact_substring_spans(docs, k=k).collect()}
+    # 'a b c d e' occupies positions 3..7 in doc1, 2..6 in doc2
+    assert spans == {1: (3, 7), 2: (2, 6)}
+
+    fps = positional_window_fps(docs, k=k)
+    occ = (fps.groupBy("gh").count().filter(F.col("count") >= 2).collect())
+    n_dup_occurrences = sum(r["count"] for r in occ)
+    removal = {r["doc_id"]: r for r in
+               exact_substring_removal(docs, k=k).collect()}
+    # doc1 holds every canonical first occurrence -> unaffected
+    assert 1 not in removal and 3 not in removal
+    r2 = removal[2]
+    # doc2's removable windows are positions 2..4 -> union 2..6 = 5 tokens
+    assert (r2["n_tokens"], r2["tokens_removed"], r2["tokens_kept"]) == \
+        (9, 5, 4)
+    assert abs(r2["keep_ratio"] - 4 / 9) < 1e-12
+    # exactly one canonical occurrence survives per duplicated fingerprint
+    n_removable = (fps.withColumn(
+        "rn", F.expr("row_number() over (partition by gh"
+                     " order by doc_id, pos)"))
+        .filter(F.col("rn") >= 2).count())
+    assert n_removable == n_dup_occurrences - len(occ)

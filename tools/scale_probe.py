@@ -88,6 +88,15 @@ PROBES = [
     "sim_tfidf_cosine_topk",
     "dedup_sorted_neighborhood",
     "quality_dsir_weights",
+    # round-9 additions (VERDICT r8 item 6): wave-5-7 flagships without
+    # measured exponents, the incremental-rollup BATCH twin
+    # (rollup_cascade_daily — the streaming maintainer merges the same
+    # combinable partials), and the new global ExactSubstr pass
+    "emb_knn_outlier_score",
+    "dq_header_detail_reconcile",
+    "corpus_diversity_minhash",
+    "rollup_cascade_daily",
+    "dedup_exactsubstr_spans",
 ]
 
 
