@@ -1279,3 +1279,81 @@ def dedup_exactsubstr_removal(spark, sf_dir):
         exact_substring_removal)
     d = t(spark, sf_dir, "documents")
     return exact_substring_removal(d, "text", "doc_id", k=_XSUB_K)
+
+
+_XSUB_SPLIT = 400
+
+_XSUB_INC_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+{_XSUB_K - 1}],
+             ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               -- range() end is EXCLUSIVE: +2 yields i = 1 .. n-k+1
+               UNNEST(range(1, len(string_split(text, ' ')) - {_XSUB_K} + 2))
+                 AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= {_XSUB_K})
+),
+corpus_fp AS (SELECT DISTINCT gh FROM grams WHERE doc_id < {_XSUB_SPLIT}),
+hits AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN corpus_fp c USING (gh)
+  WHERE g.doc_id >= {_XSUB_SPLIT}
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_XSUB_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {_XSUB_K} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+FROM runs GROUP BY doc_id, grp
+"""
+
+
+@query("dedup_exactsubstr_incremental", _XSUB_INC_SQL)
+def dedup_exactsubstr_incremental(spark, sf_dir):
+    """INCREMENTAL ExactSubstr at ingest against a PERSISTENT fingerprint
+    store (the substring sibling of dedup_incremental_minhash_stored):
+    the corpus's distinct k-token window fingerprints are fit ONCE into
+    the model store, and each new batch fingerprints only its own
+    windows and equi-joins the stored set — 'how much of this new
+    document already exists verbatim in the corpus' without ever
+    re-fingerprinting the corpus. Matching batch positions merge into
+    maximal spans exactly as in dedup_exactsubstr_spans. Value-checked
+    end to end: the oracle recomputes both sides from scratch, so a hash
+    match proves the stored index is byte-faithful. At 100 TB the store
+    is DISTINCT md5 fingerprints — append the batch's own fingerprints
+    back (one write) and tomorrow's index is current."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        positional_window_fps)
+    from arangodb_java_parquet_spark.operators.models import (
+        ensure_model, store_root_for)
+    from pyspark.sql import Window as W
+    d = t(spark, sf_dir, "documents")
+
+    def fit():
+        corpus = d.filter(F.col("doc_id") < _XSUB_SPLIT)
+        return (positional_window_fps(corpus, "text", "doc_id", _XSUB_K)
+                .select("gh").distinct())
+
+    store = ensure_model(spark, store_root_for(sf_dir, "documents"),
+                         "exactsubstr_fp_index", "window_fps", fit)
+    batch = d.filter(F.col("doc_id") >= _XSUB_SPLIT)
+    hits = (positional_window_fps(batch, "text", "doc_id", _XSUB_K)
+            .join(store, "gh"))
+    runs = hits.select(
+        "doc_id", "pos",
+        (F.col("pos") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos"))).alias("grp"))
+    return (runs.groupBy("doc_id", "grp")
+            .agg(F.min("pos").cast("bigint").alias("span_start"),
+                 (F.max("pos") + F.lit(_XSUB_K - 1)).cast("bigint")
+                 .alias("span_end"),
+                 (F.max("pos") - F.min("pos") + F.lit(_XSUB_K))
+                 .cast("bigint").alias("span_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+            .drop("grp"))

@@ -229,7 +229,7 @@ BENCH_QUERIES = [
     "eval_auc_mann_whitney",
     # round 9: global ExactSubstr pass + GK quantile registers
     "dedup_exactsubstr_spans", "dedup_exactsubstr_stats",
-    "dedup_exactsubstr_removal",
+    "dedup_exactsubstr_removal", "dedup_exactsubstr_incremental",
     "agg_quantile_gk_summary",
 ]
 
