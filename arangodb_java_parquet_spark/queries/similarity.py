@@ -102,7 +102,16 @@ WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.4
 def emb_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: SRP-LSH bucket equi-join
     replaces the all-pairs cross product; exact cosine filters within the
-    bucket — the embedding leg of the dedup funnel at corpus scale."""
+    bucket — the embedding leg of the dedup funnel at corpus scale.
+
+    Scale contract: with FIXED SRP bits the in-bucket pair count grows
+    quadratically in corpus size (the round-9 scale probe measured
+    exactly that on the uncapped kNN sibling before it was capped) — a
+    production run must grow ``bits`` with the corpus, ~log2(n / target
+    bucket size), so buckets stay O(1) and pair work stays linear. The
+    4-bit setting here matches the oracle on the test corpus; consumers
+    needing a hard bound regardless of bucketing use the capped funnel
+    (lsh_candidate_pairs_capped / emb_knn_outlier_score's shortlist)."""
     e = t(spark, sf_dir, "embeddings")
     # norms below the self-join (see topk_cosine_bruteforce): the in-bucket
     # pair projection is ONE dot, not the 3-HOF cosine re-expanded per pair
@@ -1642,6 +1651,13 @@ def sim_mmr_diversified_topk(spark, sf_dir):
 
 _KNNO_K = 5
 _KNNO_TOP = 20
+# per-bucket CANDIDATE cap: every vector scores against at most this many
+# in-bucket candidates (first by vec_id — deterministic in any engine), so
+# the bucket join is O(n_bucket * cap), never O(n_bucket^2). Added after
+# the round-9 scale probe measured exponent 1.86 on the uncapped join
+# (replicas multiply bucket sizes; 16 SRP buckets made pair count
+# quadratic). Same bounded-candidate contract as lsh_candidate_pairs_capped.
+_KNNO_CAND = 64
 
 _KNNO_SQL = f"""
 WITH b AS (
@@ -1652,10 +1668,17 @@ WITH b AS (
           (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
   FROM embeddings
 ),
+cand AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS crn
+    FROM b
+  ) WHERE crn <= {_KNNO_CAND}
+),
 pairs AS (
   SELECT a.vec_id AS vid, b.vec_id AS nid,
          1e0 - {_sql_cos('a.embedding', 'b.embedding')} AS dist
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  FROM b a JOIN cand b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
 ),
 ranked AS (
   SELECT vid, nid, dist,
@@ -1687,16 +1710,24 @@ def emb_knn_outlier_score(spark, sf_dir):
     {_KNNO_K} nearest neighbors — embeddings far from everything are
     mislabeled/garbage/OOD candidates, the embedding-space quality
     screen run before training on scraped corpora. Neighbors come from
-    the SRP-LSH bucket join (the approximate-kNN contract shared with
-    emb_near_dup_pairs: no all-pairs cross product; vectors with fewer
-    than {_KNNO_K} in-bucket neighbors are not scored). Top
-    {_KNNO_TOP} by (score desc, vid) with round-9 distances."""
+    the SRP-LSH bucket join against a per-bucket candidate shortlist of
+    {_KNNO_CAND} (the approximate-kNN contract shared with
+    emb_near_dup_pairs and lsh_candidate_pairs_capped: no all-pairs
+    cross product, no quadratic bucket joins — the round-9 scale probe
+    measured exponent 1.86 uncapped, 16 buckets make pair counts
+    quadratic in corpus size; vectors with fewer than {_KNNO_K}
+    in-bucket candidates are not scored). Top {_KNNO_TOP} by
+    (score desc, vid) with round-9 distances; the shortlist is
+    TakeOrdered (orderBy+limit), not an unpartitioned window."""
     e = t(spark, sf_dir, "embeddings")
     b = (e.select("vec_id", "embedding",
                   srp_bucket(F.col("embedding"), 4).alias("bucket"))
          .withColumn("nrm", norm(F.col("embedding"))))
+    wc = Window.partitionBy("bucket").orderBy("vec_id")
+    cand = (b.withColumn("crn", F.row_number().over(wc))
+            .filter(F.col("crn") <= _KNNO_CAND).drop("crn"))
     a = b.alias("a")
-    c = (b.withColumnRenamed("vec_id", "nid")
+    c = (cand.withColumnRenamed("vec_id", "nid")
          .withColumnRenamed("embedding", "emb_b")
          .withColumnRenamed("nrm", "nrm_b").alias("c"))
     dist = F.lit(1.0) - F.round(
@@ -1714,9 +1745,12 @@ def emb_knn_outlier_score(spark, sf_dir):
                     .cast("double") / _KNNO_K).alias("mean_knn_dist"),
                    F.count(F.lit(1)).alias("n"))
               .filter(F.col("n") == _KNNO_K).drop("n"))
+    # top-k via TakeOrderedAndProject (per-partition heaps), THEN the
+    # rank window over only the surviving _KNNO_TOP rows
+    shortlist = scores.orderBy(F.desc("mean_knn_dist"), "vid") \
+        .limit(_KNNO_TOP)
     wo = Window.orderBy(F.desc("mean_knn_dist"), "vid")
-    return (scores.withColumn("outlier_rank", F.row_number().over(wo))
-            .filter(F.col("outlier_rank") <= _KNNO_TOP))
+    return shortlist.withColumn("outlier_rank", F.row_number().over(wo))
 
 
 # ---------------------------------------------------------------------------
