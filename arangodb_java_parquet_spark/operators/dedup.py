@@ -484,19 +484,34 @@ def exact_substring_removal(docs: DataFrame, text_col: str = "text",
     (id_col, n_tokens, tokens_removed, tokens_kept, keep_ratio).
 
     Scale: same O(total tokens) fingerprint rows as
-    exact_substring_spans; one window over each fingerprint's occurrence
-    list (bounded by that fingerprint's duplication count) replaces the
-    count+join, then two per-document windows (runs, islands). Nothing
-    is all-pairs; document text shuffles only in the final
-    affected-docs-only join.
+    exact_substring_spans. The canonical occurrence is found with
+    COMBINABLE aggregations (min doc per fingerprint, then min pos
+    within that doc) plus a hash join back — deliberately NOT a
+    row_number window over each fingerprint's occurrence list, which
+    would put a boilerplate window occurring millions of times into ONE
+    window partition (the LSH-bucket skew problem in per-fingerprint
+    form; partial aggregation combines map-side instead). Then two
+    per-document windows (runs, islands). Nothing is all-pairs;
+    document text shuffles only in the final affected-docs-only join.
     """
     from pyspark.sql import Window as W
 
     grams = positional_window_fps(docs, text_col, id_col, k)
-    occ = grams.withColumn(
-        "occ_rn", F.row_number().over(
-            W.partitionBy("gh").orderBy(id_col, "pos")))
-    rem = occ.filter(F.col("occ_rn") >= 2).select(id_col, "pos")
+    canon_doc = (grams.groupBy("gh")
+                 .agg(F.min(id_col).alias("cdoc"),
+                      F.count(F.lit(1)).alias("n_occ"))
+                 .filter(F.col("n_occ") >= 2).drop("n_occ")
+                 .withColumnRenamed("gh", "cgh"))
+    canon = (grams.join(canon_doc,
+                        (F.col("gh") == F.col("cgh"))
+                        & (F.col(id_col) == F.col("cdoc")))
+             .groupBy("cgh")
+             .agg(F.min("cdoc").alias("cdoc"),
+                  F.min("pos").alias("cpos")))
+    rem = (grams.join(canon, F.col("gh") == F.col("cgh"))
+           .filter(~((F.col(id_col) == F.col("cdoc"))
+                     & (F.col("pos") == F.col("cpos"))))
+           .select(id_col, "pos"))
     runs = rem.select(
         id_col, "pos",
         (F.col("pos") - F.row_number().over(

@@ -50,10 +50,15 @@ def main() -> int:
         char_shingles, lsh_candidate_pairs, lsh_candidate_pairs_capped,
         minhash_signatures)
 
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_removal)
+
     spark = get_spark(app_name="lsh_skew_probe")
     work = "/tmp/ajps_skew_probe"
-    results: dict[str, dict[int, float]] = {"uncapped": {}, "capped": {}}
-    counts: dict[str, dict[int, int]] = {"uncapped": {}, "capped": {}}
+    results: dict[str, dict[int, float]] = {
+        "uncapped": {}, "capped": {}, "exactsubstr_removal": {}}
+    counts: dict[str, dict[int, int]] = {
+        "uncapped": {}, "capped": {}, "exactsubstr_removal": {}}
     try:
         for f in factors:
             path = os.path.join(work, f"docs_x{f}")
@@ -76,6 +81,21 @@ def main() -> int:
                 counts[variant][f] = cnt
                 print(f"x{f} {variant}: {best:.2f}s, {cnt} pairs",
                       flush=True)
+            # ExactSubstr removal on the SAME duplicate-heavy corpus:
+            # every window fingerprint occurs `factor` times, the
+            # adversarial case for the per-fingerprint canonical pass
+            # (combinable min-aggregations, never a per-fingerprint
+            # window — this probe is what pins that claim)
+            best, cnt = None, None
+            for _ in range(2):
+                t0 = time.time()
+                cnt = exact_substring_removal(d, k=20).count()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            results["exactsubstr_removal"][f] = best
+            counts["exactsubstr_removal"][f] = cnt
+            print(f"x{f} exactsubstr_removal: {best:.2f}s, {cnt} docs",
+                  flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -94,7 +114,7 @@ def main() -> int:
             factors[-1], factors[-1], factors[-2]),
         "|---|" + "---|" * (len(factors) + 3),
     ]
-    for variant in ("uncapped", "capped"):
+    for variant in ("uncapped", "capped", "exactsubstr_removal"):
         ts = results[variant]
         ratio = ts[factors[-1]] / ts[factors[-2]]
         expo = (math.log(ts[factors[-1]] / ts[factors[0]])
@@ -113,6 +133,15 @@ def main() -> int:
         "graphs is pinned by tests/test_curation.py::"
         "test_capped_lsh_preserves_cluster_connectivity; the capped "
         "variant is oracle-checked as dedup_lsh_capped_pairs.",
+        "",
+        "exactsubstr_removal (count of affected docs) runs "
+        "exact_substring_removal(k=20) on the same duplicate-heavy "
+        "corpus: every window fingerprint occurs `factor` times, the "
+        "adversarial case for the canonical-occurrence pass — which is "
+        "combinable min-aggregations plus a hash join, never a "
+        "per-fingerprint row_number window (a boilerplate fingerprint "
+        "would pile its whole occurrence list into one window "
+        "partition). Oracle-checked as dedup_exactsubstr_removal.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SKEW_PROBE.md"), "w") as fh:
