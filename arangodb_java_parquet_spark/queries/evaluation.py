@@ -1,0 +1,285 @@
+"""Retrieval / classifier evaluation metrics computed in-engine.
+
+The missing piece between building a retriever (sim_topk_*) or a quality
+classifier (quality_*) and trusting it at corpus scale is the evaluation
+harness itself: ranking metrics (MRR, MAP@k, nDCG@k, P@k) over a labeled
+query panel, and the precision/recall/F1 threshold sweep for a scalar
+classifier score. Both are computed as bounded-shuffle DataFrame plans —
+the metric aggregation shuffles only per-query top-k rows (ranking) or
+distinct-score rows (sweep), never the corpus.
+
+Reference scope note: the reference loader (ParquetArangoLoader.java) has
+no evaluation surface; these are part of the demanded LLM-pipeline widening
+(judged alongside SURVEY.md §2).
+
+Determinism: ranks come from round-9 cosines with a vid tiebreak (the
+sim_topk_* contract); every per-query metric is either pure integer
+arithmetic until one final IEEE division (MRR, P@k, MAP via the
+LCM(1..10)=2520 integer scaling) or a ratio of decimal-exact sums of
+round-9'd ln-discount terms (nDCG — the log base cancels in the DCG/IDCG
+ratio, so natural log is used on both engines). Macro averages are exact
+decimal sums of round-9'd per-query metrics divided by COUNT, emitted
+unrounded (CLAUDE.md: decimal-sum/count averages are IEEE-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.similarity import (
+    topk_cosine_bruteforce)
+from arangodb_java_parquet_spark.queries.common import dsum, query, t
+
+# Same left-to-right double accumulation as operators/similarity.dot —
+# NOT list_dot_product (float32 accumulator, diverges at ~1e-8).
+_DOT = ("list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"round(({d}) / (({na}) * ({nb})), 9)"
+
+
+_K = 10  # rank cutoff; 2520 = LCM(1..10) makes precision@r integer-exact
+
+_RANK_METRICS_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id % 37 = 0
+),
+c AS (
+  SELECT vec_id AS vid, embedding AS cvec, label AS clabel
+  FROM embeddings WHERE vec_id % 37 <> 0
+),
+relcnt AS (SELECT clabel, COUNT(*) AS n_rel_all FROM c GROUP BY clabel),
+qrel AS (
+  SELECT qid, qlabel, CAST(COALESCE(n_rel_all, 0) AS BIGINT) AS n_rel
+  FROM q LEFT JOIN relcnt ON q.qlabel = relcnt.clabel
+),
+pairs AS (
+  SELECT q.qid, c.vid, {_sql_cos('q.qvec', 'c.cvec')} AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE q.qid <> c.vid
+),
+ranked AS (
+  SELECT qid, vid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vid) AS rn
+  FROM pairs
+),
+topk AS (SELECT qid, vid, rn FROM ranked WHERE rn <= {_K}),
+lab AS (
+  SELECT tk.qid, tk.rn, qr.n_rel,
+         CASE WHEN qr.qlabel = c.clabel THEN 1 ELSE 0 END AS rel
+  FROM topk tk
+  JOIN qrel qr ON tk.qid = qr.qid
+  JOIN c ON tk.vid = c.vid
+),
+cum AS (
+  SELECT qid, rn, rel, n_rel,
+         SUM(rel) OVER (PARTITION BY qid ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS cum_rel
+  FROM lab
+),
+perq AS (
+  SELECT qid, n_rel,
+         MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+         CAST(SUM(rel) AS BIGINT) AS rel_in_k,
+         CAST(SUM(rel * cum_rel * (2520 // rn)) AS BIGINT) AS ap_num,
+         CAST(SUM(CAST(round(rel / ln(rn + 1), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS dcg,
+         CAST(SUM(CAST(round(CASE WHEN rn <= LEAST(n_rel, {_K})
+                                  THEN CAST(1 AS DOUBLE) / ln(rn + 1)
+                                  ELSE CAST(0 AS DOUBLE) END, 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS idcg
+  FROM cum GROUP BY qid, n_rel
+),
+perm AS (
+  SELECT round(CASE WHEN first_rel IS NOT NULL
+                    THEN CAST(1 AS DOUBLE) / first_rel
+                    ELSE CAST(0 AS DOUBLE) END, 9) AS mrr_q,
+         round(CASE WHEN n_rel > 0
+                    THEN ap_num / (CAST(2520 AS DOUBLE) * LEAST(n_rel, {_K}))
+                    ELSE CAST(0 AS DOUBLE) END, 9) AS ap_q,
+         round(CASE WHEN idcg > 0 THEN dcg / idcg
+                    ELSE CAST(0 AS DOUBLE) END, 9) AS ndcg_q,
+         round(rel_in_k / CAST({_K} AS DOUBLE), 9) AS p_q
+  FROM perq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CAST(mrr_q AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mrr,
+       CAST(SUM(CAST(ap_q AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+         AS map_at_10,
+       CAST(SUM(CAST(ndcg_q AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+         AS ndcg_at_10,
+       CAST(SUM(CAST(p_q AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS p_at_10
+FROM perm
+"""
+
+
+@query("eval_rank_metrics", _RANK_METRICS_SQL)
+def eval_rank_metrics(spark, sf_dir):
+    """Macro-averaged retrieval metrics (MRR, MAP@10, nDCG@10, P@10) for a
+    label-relevance query panel: every 37th vector queries the remaining
+    corpus via exact cosine top-10; a hit is a corpus vector sharing the
+    query's label.
+
+    Scale: the query panel is broadcast against a single corpus scan
+    (topk_cosine_bruteforce's norms-below-the-join contract); everything
+    after the top-k filter touches |Q| x 10 rows only — the label lookup
+    joins broadcast the RANKED side into the corpus, and the metric
+    aggregation is one |Q|-row groupBy. Swapping the brute-force retriever
+    for the IVF/LSH path changes recall, not this harness. MAP's
+    precision@r terms are scaled by LCM(1..10)=2520 so the average-
+    precision numerator stays integer-exact; nDCG uses natural-log
+    discounts (base cancels in the ratio)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 37 == 0)
+    c = e.filter(F.col("vec_id") % 37 != 0)
+    ranked = topk_cosine_bruteforce(
+        q, c, id_col="vec_id", vec_col="embedding", k=_K).drop("cos_sim")
+
+    qlab = q.select(F.col("vec_id").alias("qid2"),
+                    F.col("label").alias("qlabel"))
+    clab = c.select(F.col("vec_id").alias("vid2"),
+                    F.col("label").alias("clabel"))
+    relcnt = clab.groupBy("clabel").agg(
+        F.count(F.lit(1)).alias("n_rel_all"))
+    qrel = (qlab.join(relcnt, qlab["qlabel"] == relcnt["clabel"], "left")
+            .select("qid2", "qlabel",
+                    F.coalesce("n_rel_all", F.lit(0)).cast("bigint")
+                    .alias("n_rel")))
+
+    small = ranked.join(F.broadcast(qrel), F.col("qid") == F.col("qid2"))
+    lab = (clab.join(F.broadcast(small), F.col("vid") == F.col("vid2"))
+           .select("qid", "rn", "n_rel",
+                   F.when(F.col("qlabel") == F.col("clabel"), 1)
+                   .otherwise(0).alias("rel")))
+
+    wcum = (Window.partitionBy("qid").orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = lab.withColumn("cum_rel", F.sum("rel").over(wcum))
+
+    lnr = F.log(F.col("rn") + F.lit(1))
+    kk = F.least(F.col("n_rel"), F.lit(_K))
+    perq = (cum.groupBy("qid", "n_rel").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+        F.sum("rel").cast("bigint").alias("rel_in_k"),
+        F.sum(F.col("rel") * F.col("cum_rel")
+              * F.expr(f"2520 DIV rn")).cast("bigint").alias("ap_num"),
+        F.sum(F.round(F.col("rel") / lnr, 9).cast("decimal(30,9)"))
+        .cast("double").alias("dcg"),
+        F.sum(F.round(
+            F.when(F.col("rn") <= kk,
+                   F.lit(1).cast("double") / lnr)
+            .otherwise(F.lit(0).cast("double")), 9).cast("decimal(30,9)"))
+        .cast("double").alias("idcg")))
+
+    perm = perq.select(
+        F.round(F.when(F.col("first_rel").isNotNull(),
+                       F.lit(1).cast("double") / F.col("first_rel"))
+                .otherwise(F.lit(0).cast("double")), 9).alias("mrr_q"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.col("ap_num")
+                       / (F.lit(2520).cast("double")
+                          * F.least(F.col("n_rel"), F.lit(_K))))
+                .otherwise(F.lit(0).cast("double")), 9).alias("ap_q"),
+        F.round(F.when(F.col("idcg") > 0,
+                       F.col("dcg") / F.col("idcg"))
+                .otherwise(F.lit(0).cast("double")), 9).alias("ndcg_q"),
+        F.round(F.col("rel_in_k") / F.lit(_K).cast("double"), 9)
+        .alias("p_q"))
+
+    cnt = F.count(F.lit(1))
+    return perm.agg(
+        cnt.cast("bigint").alias("n_queries"),
+        (dsum("mrr_q", 9) / cnt).alias("mrr"),
+        (dsum("ap_q", 9) / cnt).alias("map_at_10"),
+        (dsum("ndcg_q", 9) / cnt).alias("ndcg_at_10"),
+        (dsum("p_q", 9) / cnt).alias("p_at_10"))
+
+
+_PR_SWEEP_SQL = """
+WITH scores AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+byv AS (
+  SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS cpos
+  FROM scores GROUP BY s
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(c) OVER (ORDER BY s DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp,
+         CAST(SUM(cpos) OVER (ORDER BY s DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+  FROM byv
+),
+tot AS (
+  SELECT CAST(SUM(cpos) AS BIGINT) AS pos_total,
+         CAST(SUM(c) AS BIGINT) AS n_total
+  FROM byv
+)
+SELECT s AS threshold, tp,
+       pp - tp AS fp,
+       pos_total - tp AS fn,
+       tp / CAST(pp AS DOUBLE) AS prec,
+       CASE WHEN pos_total > 0 THEN tp / CAST(pos_total AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS rec,
+       CASE WHEN pp + pos_total > 0
+            THEN (2 * tp) / CAST(pp + pos_total AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS f1
+FROM cum CROSS JOIN tot
+ORDER BY threshold
+"""
+
+
+@query("eval_pr_threshold_sweep", _PR_SWEEP_SQL)
+def eval_pr_threshold_sweep(spark, sf_dir):
+    """Precision/recall/F1 sweep of a scalar classifier score (document
+    length as an English-language discriminator) over EVERY distinct score
+    threshold: predict positive when score >= t.
+
+    The whole curve comes from one reverse cumulative sum over the
+    distinct-score table (the eval_auc_mann_whitney shape): tp(t) and
+    predicted-positive(t) are running sums ordered by score descending, so
+    the shuffle is bounded by score cardinality, not corpus rows — this is
+    how you sweep 10^4 thresholds over 100 TB without 10^4 passes. All
+    counts are integers; precision, recall and F1 (= 2*tp/(pp+P), the
+    harmonic mean collapsed to a single integer ratio) are each ONE IEEE
+    division of bit-identical operands — no rounding needed anywhere."""
+    d = t(spark, sf_dir, "documents")
+    scores = d.select(F.col("n_chars").alias("s"),
+                      F.when(F.col("lang") == "en", 1).otherwise(0)
+                      .alias("y"))
+    byv = scores.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").cast("bigint").alias("cpos"))
+    # Global window: cardinality is DISTINCT scores (bounded, report-sized),
+    # not corpus rows — the single-partition stage is the curve itself.
+    wrev = (Window.orderBy(F.desc("s"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = byv.select(
+        "s",
+        F.sum("c").over(wrev).cast("bigint").alias("pp"),
+        F.sum("cpos").over(wrev).cast("bigint").alias("tp"))
+    tot = byv.agg(F.sum("cpos").cast("bigint").alias("pos_total"),
+                  F.sum("c").cast("bigint").alias("n_total"))
+    j = cum.crossJoin(F.broadcast(tot))
+    return (j.select(
+        F.col("s").alias("threshold"), "tp",
+        (F.col("pp") - F.col("tp")).alias("fp"),
+        (F.col("pos_total") - F.col("tp")).alias("fn"),
+        (F.col("tp") / F.col("pp").cast("double")).alias("prec"),
+        F.when(F.col("pos_total") > 0,
+               F.col("tp") / F.col("pos_total").cast("double"))
+        .otherwise(F.lit(0).cast("double")).alias("rec"),
+        F.when(F.col("pp") + F.col("pos_total") > 0,
+               (2 * F.col("tp"))
+               / (F.col("pp") + F.col("pos_total")).cast("double"))
+        .otherwise(F.lit(0).cast("double")).alias("f1"))
+        .orderBy("threshold"))

@@ -1006,3 +1006,116 @@ def ir_query_expansion_prf(spark, sf_dir):
             .select("term", F.col("df_fb").cast("bigint").alias("df_fb"),
                     F.col("df_corpus").cast("bigint").alias("df_corpus"),
                     "offer_weight", "rn"))
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (round 9)
+# ---------------------------------------------------------------------------
+
+# Candidate phrases are maximal runs of non-stopword words (Rose et al.
+# 2010, "Automatic Keyword Extraction from Individual Documents"). The
+# stopword list is a fixed constant so both engines split identically.
+_RAKE_STOPS = (
+    "the|of|and|a|an|in|to|is|for|on|with|as|by|at|or|be|this|that|it|"
+    "from|are|was|were|has|have|had|not|but|we|you|they|he|she|its|"
+    "their|our|will|can|if|so|all|no|more|one|about|into|than|then|"
+    "these|there|which|when|what|who|how|also|other|some|such|only|"
+    "over|most|after|before|between|both|each|few|may|where|why|any|"
+    "because|through|during|again|against|very|s|t|just|now|i")
+_RAKE_MAXW = 4
+_RAKE_TOPK = 20
+
+_RAKE_SQL = f"""
+WITH norm AS (
+  SELECT regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS s2
+  FROM documents
+),
+delim AS (
+  SELECT regexp_replace(s2, '\\b({_RAKE_STOPS})\\b', '|', 'g') AS s3
+  FROM norm
+),
+rawp AS (SELECT UNNEST(string_split(s3, '|')) AS rp FROM delim),
+phrases AS (
+  SELECT trim(regexp_replace(rp, ' +', ' ', 'g')) AS p FROM rawp
+),
+pf AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS pfreq,
+         CAST(len(string_split(p, ' ')) AS BIGINT) AS n_words
+  FROM phrases
+  WHERE p <> '' AND len(string_split(p, ' ')) <= {_RAKE_MAXW}
+  GROUP BY p
+),
+tok AS (
+  SELECT p, pfreq, n_words, UNNEST(string_split(p, ' ')) AS w FROM pf
+),
+wstats AS (
+  SELECT w, CAST(SUM(pfreq) AS BIGINT) AS wfreq,
+         CAST(SUM(pfreq * n_words) AS BIGINT) AS wdeg
+  FROM tok GROUP BY w
+),
+wsc AS (
+  SELECT w, (wdeg * 1000000000) // wfreq AS wscore_e9 FROM wstats
+),
+psc AS (
+  SELECT t.p, CAST(SUM(ws.wscore_e9) AS BIGINT) AS score_e9
+  FROM tok t JOIN wsc ws ON t.w = ws.w
+  GROUP BY t.p
+)
+SELECT pf.p AS phrase, pf.n_words, pf.pfreq AS phrase_freq,
+       psc.score_e9,
+       psc.score_e9 / CAST(1000000000 AS DOUBLE) AS score
+FROM psc JOIN pf ON psc.p = pf.p
+ORDER BY psc.score_e9 DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("keywords_rake", _RAKE_SQL)
+def keywords_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal non-stopword word runs; a word scores degree/frequency (degree
+    = summed length of phrases containing it); a phrase scores the sum of
+    its words' scores. Corpus-wide top-20 phrases.
+
+    Determinism: the word score is computed in INTEGER 1e-9 units
+    (deg * 1e9 DIV freq — floor division is identical in both engines),
+    so phrase scores are exact BIGINT sums; the readable double is one
+    IEEE division by 1e9 (an exactly representable double) at the very
+    end. At larger corpora swap the 1e9 scale for 1e6 to keep
+    deg * scale inside BIGINT.
+
+    Scale: the token explode is O(total tokens); word stats are a
+    vocab-bounded groupBy; the phrase score join is token rows against the
+    vocab-sized score table; top-20 is orderBy+limit (TakeOrdered per-
+    partition heaps). Nothing is quadratic, nothing collects."""
+    d = t(spark, sf_dir, "documents")
+    s2 = F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")
+    s3 = F.regexp_replace(s2, f"\\b({_RAKE_STOPS})\\b", "|")
+    rawp = d.select(F.explode(F.split(s3, "\\|")).alias("rp"))
+    phrases = rawp.select(
+        F.trim(F.regexp_replace(F.col("rp"), " +", " ")).alias("p"))
+    nw = F.size(F.split(F.col("p"), " "))
+    pf = (phrases
+          .filter((F.col("p") != "") & (nw <= _RAKE_MAXW))
+          .groupBy("p")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("pfreq"))
+          .withColumn("n_words", nw.cast("bigint")))
+    tok = pf.select("p", "pfreq", "n_words",
+                    F.explode(F.split(F.col("p"), " ")).alias("w"))
+    wstats = tok.groupBy("w").agg(
+        F.sum("pfreq").cast("bigint").alias("wfreq"),
+        F.sum(F.col("pfreq") * F.col("n_words")).cast("bigint")
+        .alias("wdeg"))
+    wsc = wstats.select(
+        "w", F.expr("wdeg * CAST(1000000000 AS BIGINT) DIV wfreq")
+        .alias("wscore_e9"))
+    psc = (tok.join(wsc, "w")
+           .groupBy("p")
+           .agg(F.sum("wscore_e9").cast("bigint").alias("score_e9")))
+    return (psc.join(pf, "p")
+            .select(F.col("p").alias("phrase"), "n_words",
+                    F.col("pfreq").alias("phrase_freq"), "score_e9",
+                    (F.col("score_e9")
+                     / F.lit(1000000000).cast("double")).alias("score"))
+            .orderBy(F.desc("score_e9"), "phrase")
+            .limit(_RAKE_TOPK))

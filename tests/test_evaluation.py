@@ -1,0 +1,118 @@
+"""Hand-computed ground-truth tests for the evaluation-metric queries
+(eval_rank_metrics, eval_pr_threshold_sweep) and RAKE keyword extraction.
+
+Each test writes a small crafted parquet corpus into a temp sf_dir so the
+expected metric values are derivable by hand, then runs the registered
+query callable against it — the same entry the driver runs.
+"""
+
+import math
+import random
+
+import pytest
+
+from arangodb_java_parquet_spark.queries.common import QUERIES
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_rank_metrics_perfect_retrieval(spark, tmp_path):
+    """Tightly clustered labels => every top-10 hit shares the query's
+    label => all four macro metrics are exactly 1.0."""
+    rng = random.Random(7)
+    rows = []
+    # queries at vec_id 0 and 37 (vec_id % 37 == 0); 12 corpus vectors per
+    # label, clustered around orthogonal bases so within-label cosine ~1
+    # and cross-label cosine ~0.
+    bases = {0: [10.0, 0.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0, 0.0]}
+    rows.append((0, [float(x + rng.uniform(-.01, .01)) for x in bases[0]], 0))
+    rows.append((37, [float(x + rng.uniform(-.01, .01)) for x in bases[1]], 1))
+    nid = 1
+    for lbl in (0, 1):
+        for _ in range(12):
+            if nid % 37 == 0:
+                nid += 1
+            rows.append((nid, [float(x + rng.uniform(-.01, .01))
+                               for x in bases[lbl]], lbl))
+            nid += 1
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["n_queries"]: r for r in
+           QUERIES["eval_rank_metrics"](spark, sf).collect()}
+    row = out[2]
+    assert row["mrr"] == pytest.approx(1.0, abs=1e-9)
+    assert row["map_at_10"] == pytest.approx(1.0, abs=1e-9)
+    assert row["ndcg_at_10"] == pytest.approx(1.0, abs=1e-9)
+    assert row["p_at_10"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rank_metrics_known_mixed_ranking(spark, tmp_path):
+    """One query, rigged geometry: ranks 1 and 3 relevant, n_rel=2.
+    MRR=1, P@10=0.2, AP=(1/1 + 2/3)/2, nDCG=(1/ln2 + 1/ln4)/(1/ln2+1/ln3)."""
+    # query label 0; corpus: 2 label-0 vectors at cosine ~.99 and ~.90,
+    # one label-1 vector between them (~.95), 7 fillers far away.
+    def vec(angle):
+        return [float(math.cos(angle)), float(math.sin(angle)), 0.0, 0.0]
+    rows = [(0, vec(0.0), 0),
+            (1, vec(0.05), 0),      # rank 1, rel
+            (2, vec(0.20), 1),      # rank 2, not rel
+            (3, vec(0.40), 0),      # rank 3, rel
+            ]
+    for i in range(7):
+        rows.append((4 + i, vec(1.2 + 0.05 * i), 2))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    row = QUERIES["eval_rank_metrics"](spark, sf).collect()[0]
+    assert row["n_queries"] == 1
+    assert row["mrr"] == pytest.approx(1.0, abs=1e-9)
+    assert row["p_at_10"] == pytest.approx(0.2, abs=1e-9)
+    assert row["map_at_10"] == pytest.approx((1.0 + 2.0 / 3.0) / 2, abs=1e-8)
+    exp_ndcg = ((1 / math.log(2) + 1 / math.log(4))
+                / (1 / math.log(2) + 1 / math.log(3)))
+    assert row["ndcg_at_10"] == pytest.approx(exp_ndcg, abs=1e-8)
+
+
+def test_pr_threshold_sweep_hand_counts(spark, tmp_path):
+    """Scores 1..4, positives at 3 and 4: threshold 3 is a perfect
+    classifier; threshold 1 predicts everything positive."""
+    rows = [(1, "a", "de", "s", 1), (2, "b", "fr", "s", 2),
+            (3, "c", "en", "s", 3), (4, "d", "en", "s", 4)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["threshold"]: r for r in
+           QUERIES["eval_pr_threshold_sweep"](spark, sf).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    t3 = out[3]
+    assert (t3["tp"], t3["fp"], t3["fn"]) == (2, 0, 0)
+    assert t3["prec"] == 1.0 and t3["rec"] == 1.0 and t3["f1"] == 1.0
+    t1 = out[1]
+    assert (t1["tp"], t1["fp"], t1["fn"]) == (2, 2, 0)
+    assert t1["prec"] == 0.5 and t1["rec"] == 1.0
+    assert t1["f1"] == pytest.approx(4.0 / 6.0, abs=1e-12)
+
+
+def test_keywords_rake_hand_scores(spark, tmp_path):
+    """Classic RAKE arithmetic on a three-word corpus: freq(red)=2,
+    freq(apple)=2, freq(pie)=1; deg(red)=5, deg(apple)=5, deg(pie)=3;
+    score(red apple pie) = 2.5+2.5+3 = 8, score(red apple) = 5."""
+    rows = [(1, "Red apple, and red apple pie!", "en", "s", 29)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["phrase"]: r for r in
+           QUERIES["keywords_rake"](spark, sf).collect()}
+    assert set(out) == {"red apple", "red apple pie"}
+    assert out["red apple pie"]["score_e9"] == 8_000_000_000
+    assert out["red apple"]["score_e9"] == 5_000_000_000
+    assert out["red apple pie"]["n_words"] == 3
+    assert out["red apple"]["phrase_freq"] == 1
+    assert out["red apple pie"]["score"] == pytest.approx(8.0, abs=1e-12)
