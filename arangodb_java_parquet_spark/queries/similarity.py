@@ -1859,3 +1859,118 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
                     (F.col("pure_n") / ntd).alias("purity"),
                     (F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")))
                     .alias("nmi")))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (Gonzalez 1985), value-checked (round 9)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_sql() -> str:
+    dd = "ROUND((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy), 9)"
+    parts = [f"""WITH pts AS (
+  SELECT vec_id, ROUND(embedding[1]::DOUBLE, 9) AS x,
+         ROUND(embedding[2]::DOUBLE, 9) AS y
+  FROM embeddings
+),
+s1 AS (
+  SELECT vec_id AS sel_id, x AS sx, y AS sy, 1 AS ord
+  FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+)"""]
+    for r in range(2, _KC_K + 1):
+        parts.append(f""",
+m{r} AS (
+  SELECT p.vec_id, p.x, p.y, MIN({dd}) AS mind
+  FROM pts p CROSS JOIN s{r - 1} s
+  GROUP BY p.vec_id, p.x, p.y
+),
+s{r} AS (
+  SELECT * FROM s{r - 1}
+  UNION ALL
+  SELECT vec_id AS sel_id, x AS sx, y AS sy, {r} AS ord FROM (
+    SELECT vec_id, x, y,
+           ROW_NUMBER() OVER (ORDER BY mind DESC, vec_id) AS rn
+    FROM m{r}
+  ) WHERE rn = 1
+)""")
+    parts.append(f""",
+asg AS (
+  SELECT vec_id, ord, dd FROM (
+    SELECT p.vec_id, s.ord, {dd} AS dd,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dd} ASC, s.ord ASC) AS rn
+    FROM pts p CROSS JOIN s{_KC_K} s
+  ) WHERE rn = 1
+)
+SELECT s.ord, s.sel_id, s.sx, s.sy,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_assigned,
+       MAX(a.dd) AS radius_sq
+FROM s{_KC_K} s LEFT JOIN asg a ON a.ord = s.ord
+GROUP BY s.ord, s.sel_id, s.sx, s.sy""")
+    return "".join(parts)
+
+
+@query("coreset_kcenter_greedy", _kcenter_sql())
+def coreset_kcenter_greedy(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-first traversal) — the geometric coreset primitive for
+    training-data selection: pick K=8 maximally spread exemplars, then
+    report each center's cell size and radius (the covering guarantee).
+
+    Fully VALUE-CHECKED like kmeans_fixed_rounds: md5-ranked seed,
+    per-round farthest point via (round-9 min-distance DESC, vec_id)
+    ranking, 2-D features so the chained-CTE oracle stays tractable. K is
+    a compile-time constant generating both engines' stages from one
+    template.
+
+    Scale: each round is ONE corpus scan cross-joined with the <=K-row
+    broadcast center table, a combinable per-point MIN, and a
+    TakeOrdered(1) — no driver collect of anything but the plan. The
+    center table is localCheckpoint(eager=False)-truncated every round:
+    s_r references s_{r-1} twice (carry + candidate pool), so without
+    truncation the logical plan doubles per round (2^K leaf scans by
+    round 8 — Catalyst analysis, not execution, becomes the bottleneck);
+    with it the per-round plan is flat and the full fit is O(K) scans.
+    On degenerate corpora where every point coincides, later rounds
+    re-pick the smallest vec_id; distinct inputs (any real embedding
+    table) always select K distinct exemplars."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 9).alias("x"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9).alias("y"))
+
+    def dd_expr():
+        return F.round((F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+                       + (F.col("y") - F.col("sy"))
+                       * (F.col("y") - F.col("sy")), 9)
+
+    # orderBy+limit, not a global row_number window: TakeOrdered runs
+    # per-partition heaps instead of funneling the corpus into one task
+    s = (pts.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+         .limit(1)
+         .select(F.col("vec_id").alias("sel_id"), F.col("x").alias("sx"),
+                 F.col("y").alias("sy"), F.lit(1).alias("ord")))
+    for r in range(2, _KC_K + 1):
+        m = (pts.crossJoin(F.broadcast(s))
+             .groupBy("vec_id", "x", "y")
+             .agg(F.min(dd_expr()).alias("mind")))
+        pick = (m.orderBy(F.desc("mind"), "vec_id").limit(1)
+                .select(F.col("vec_id").alias("sel_id"),
+                        F.col("x").alias("sx"), F.col("y").alias("sy"),
+                        F.lit(r).alias("ord")))
+        s = s.unionByName(pick).localCheckpoint(eager=False)
+
+    asg = (pts.crossJoin(F.broadcast(s))
+           .withColumn("dd", dd_expr())
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("vec_id")
+               .orderBy(F.col("dd").asc(), F.col("ord").asc())))
+           .filter(F.col("rn") == 1)
+           .select("vec_id", "ord", "dd"))
+    return (s.join(asg, "ord", "left")
+            .groupBy("ord", "sel_id", "sx", "sy")
+            .agg(F.count("vec_id").cast("bigint").alias("n_assigned"),
+                 F.max("dd").alias("radius_sq")))

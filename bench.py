@@ -231,8 +231,9 @@ BENCH_QUERIES = [
     "dedup_exactsubstr_spans", "dedup_exactsubstr_stats",
     "dedup_exactsubstr_removal", "dedup_exactsubstr_incremental",
     "agg_quantile_gk_summary",
-    # round 9b: evaluation harness + RAKE keywords
+    # round 9b: evaluation harness + RAKE keywords + k-center coreset
     "eval_rank_metrics", "eval_pr_threshold_sweep", "keywords_rake",
+    "coreset_kcenter_greedy",
 ]
 
 

@@ -116,3 +116,30 @@ def test_keywords_rake_hand_scores(spark, tmp_path):
     assert out["red apple pie"]["n_words"] == 3
     assert out["red apple"]["phrase_freq"] == 1
     assert out["red apple pie"]["score"] == pytest.approx(8.0, abs=1e-12)
+
+
+def test_kcenter_exact_cover_when_k_equals_n(spark, tmp_path):
+    """With exactly K=8 distinct points, greedy k-center must select all
+    of them: every cell has one point and radius 0."""
+    rows = [(i, [float(i), float(i * i % 7), 0.0, 0.0], 0)
+            for i in range(8)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["coreset_kcenter_greedy"](spark, sf).collect()
+    assert len(out) == 8
+    assert sorted(r["sel_id"] for r in out) == list(range(8))
+    assert all(r["n_assigned"] == 1 and r["radius_sq"] == 0.0 for r in out)
+
+
+def test_kcenter_separation_invariant(spark, sf_dir):
+    """Gonzalez greedy invariant: every pair of selected centers is at
+    least as far apart as the final covering radius (this is what makes
+    it a 2-approximation)."""
+    out = QUERIES["coreset_kcenter_greedy"](spark, sf_dir).collect()
+    assert len(out) == 8
+    radius_sq = max(r["radius_sq"] for r in out)
+    cents = [(r["sx"], r["sy"]) for r in out]
+    for i in range(len(cents)):
+        for j in range(i + 1, len(cents)):
+            d2 = ((cents[i][0] - cents[j][0]) ** 2
+                  + (cents[i][1] - cents[j][1]) ** 2)
+            assert d2 >= radius_sq - 1e-6
