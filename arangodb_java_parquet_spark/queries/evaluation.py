@@ -45,11 +45,13 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 _K = 10  # rank cutoff; 2520 = LCM(1..10) makes precision@r integer-exact
+_PANEL = 32  # fixed query-panel size: eval cost stays O(corpus), not O(n^2)
 
 _RANK_METRICS_SQL = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
   FROM embeddings WHERE vec_id % 37 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PANEL}
 ),
 c AS (
   SELECT vec_id AS vid, embedding AS cvec, label AS clabel
@@ -123,9 +125,9 @@ FROM perm
 @query("eval_rank_metrics", _RANK_METRICS_SQL)
 def eval_rank_metrics(spark, sf_dir):
     """Macro-averaged retrieval metrics (MRR, MAP@10, nDCG@10, P@10) for a
-    label-relevance query panel: every 37th vector queries the remaining
-    corpus via exact cosine top-10; a hit is a corpus vector sharing the
-    query's label.
+    label-relevance query panel: an md5-ranked fixed-size panel (32) of
+    the every-37th vectors queries the remaining corpus via exact cosine
+    top-10; a hit is a corpus vector sharing the query's label.
 
     Scale: the query panel is broadcast against a single corpus scan
     (topk_cosine_bruteforce's norms-below-the-join contract); everything
@@ -137,7 +139,12 @@ def eval_rank_metrics(spark, sf_dir):
     precision numerator stays integer-exact; nDCG uses natural-log
     discounts (base cancels in the ratio)."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 37 == 0)
+    # Fixed-size md5-ranked panel (TakeOrdered): the evaluation cost is
+    # |panel| x |corpus| regardless of corpus growth — without the cap the
+    # every-37th rule makes the pair count quadratic in corpus size.
+    q = (e.filter(F.col("vec_id") % 37 == 0)
+         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+         .limit(_PANEL))
     c = e.filter(F.col("vec_id") % 37 != 0)
     ranked = topk_cosine_bruteforce(
         q, c, id_col="vec_id", vec_col="embedding", k=_K).drop("cos_sim")
