@@ -729,3 +729,99 @@ def sample_balanced_downsample(spark, sf_dir):
             .crossJoin(F.broadcast(n_min))
             .filter(F.col("rn") <= F.col("n_min"))
             .select("doc_id", "lang", "source"))
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/test split over duplicate clusters (round 9)
+# ---------------------------------------------------------------------------
+
+# Test split = md5 hex < '20' (lexicographic on lowercase hex: prefixes
+# '0'/'1' => exactly 2/16 = 12.5%), applied to the doc id (naive) vs the
+# duplicate-cluster representative (leakage-safe).
+_SPLIT_SQL = _must_replace(
+    _CLUSTER_SQL,
+    "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
+    """, comp AS (
+  SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+),
+full_docs AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+flags AS (
+  SELECT doc_id, component,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '20'
+              THEN 1 ELSE 0 END AS nt,
+         CASE WHEN md5(CAST(component AS VARCHAR)) < '20'
+              THEN 1 ELSE 0 END AS st
+  FROM full_docs
+),
+clust AS (
+  SELECT component, COUNT(*) AS n, CAST(SUM(nt) AS BIGINT) AS n_nt
+  FROM flags GROUP BY component
+),
+docstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS naive_test_docs,
+         CAST(SUM(st) AS BIGINT) AS safe_test_docs,
+         CAST(SUM(CASE WHEN nt <> st THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_moved
+  FROM flags
+),
+cstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(CASE WHEN n_nt > 0 AND n_nt < n THEN 1 ELSE 0 END)
+              AS BIGINT) AS leaky_clusters,
+         CAST(SUM(CASE WHEN n_nt > 0 AND n_nt < n THEN n ELSE 0 END)
+              AS BIGINT) AS docs_in_leaky
+  FROM clust
+)
+SELECT * FROM docstats CROSS JOIN cstats""")
+
+
+@query("split_leakage_safe_report", _SPLIT_SQL)
+def split_leakage_safe_report(spark, sf_dir):
+    """Leakage-safe train/test split audit: a naive per-document hash
+    split puts near-duplicate copies of the same content on BOTH sides
+    (train/test contamination — the held-out metric silently becomes a
+    memorization probe). The safe policy hashes the duplicate-CLUSTER
+    representative so whole clusters move together. This entry
+    quantifies the difference on the LSH component table: how many
+    clusters straddle the naive split (leaky), how many documents sit in
+    them, and how many documents the safe policy reassigns.
+
+    Pure integer arithmetic end to end (md5-prefix splits, counts) — no
+    float determinism surface at all. Scale: consumes the MATERIALIZED
+    component table (fit-once model store), one left join on doc_id and
+    two combinable aggregations; nothing touches text."""
+    from arangodb_java_parquet_spark.queries.curation import (
+        components_materialized)
+    comp = components_materialized(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    full_docs = (d.join(comp, d["doc_id"] == comp["node"], "left")
+                 .select("doc_id",
+                         F.coalesce("component", "doc_id")
+                         .alias("component")))
+    flags = full_docs.select(
+        "doc_id", "component",
+        F.when(F.md5(F.col("doc_id").cast("string")) < "20", 1)
+        .otherwise(0).alias("nt"),
+        F.when(F.md5(F.col("component").cast("string")) < "20", 1)
+        .otherwise(0).alias("st"))
+    clust = flags.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nt").cast("bigint").alias("n_nt"))
+    leaky = (F.col("n_nt") > 0) & (F.col("n_nt") < F.col("n"))
+    docstats = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("naive_test_docs"),
+        F.sum("st").cast("bigint").alias("safe_test_docs"),
+        F.sum(F.when(F.col("nt") != F.col("st"), 1).otherwise(0))
+        .cast("bigint").alias("docs_moved"))
+    cstats = clust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("bigint")
+        .alias("leaky_clusters"),
+        F.sum(F.when(leaky, F.col("n")).otherwise(0)).cast("bigint")
+        .alias("docs_in_leaky"))
+    return docstats.crossJoin(F.broadcast(cstats))

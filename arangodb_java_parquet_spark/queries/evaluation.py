@@ -290,3 +290,145 @@ def eval_pr_threshold_sweep(spark, sf_dir):
                / (F.col("pp") + F.col("pos_total")).cast("double"))
         .otherwise(F.lit(0).cast("double")).alias("f1"))
         .orderBy("threshold"))
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition (round 9)
+# ---------------------------------------------------------------------------
+
+_BRIER_SQL = """
+WITH scores AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+byv AS (
+  SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS cpos
+  FROM scores GROUP BY s
+),
+wv AS (
+  SELECT s, c, cpos,
+         SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c AS below
+  FROM byv
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(cpos) AS BIGINT) AS n_pos
+  FROM byv
+),
+probs AS (
+  SELECT s, c, cpos,
+         (2 * below + c + 1) / CAST(2 * n AS DOUBLE) AS p,
+         CAST(LEAST(((2 * below + c + 1) * 10) // (2 * n), 9)
+              AS INT) AS bin
+  FROM wv CROSS JOIN tot
+),
+bins AS (
+  SELECT bin,
+         CAST(SUM(c) AS BIGINT) AS n_k,
+         CAST(SUM(cpos) AS BIGINT) AS o_k,
+         CAST(SUM(CAST(round(c * p, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sum_p,
+         CAST(SUM(CAST(round(cpos * (p - 1) * (p - 1)
+                             + (c - cpos) * p * p, 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS brier_part
+  FROM probs GROUP BY bin
+),
+decomp AS (
+  SELECT CAST(SUM(CAST(round(n_k * ((sum_p / n_k) - (o_k / CAST(n_k AS DOUBLE)))
+                             * ((sum_p / n_k) - (o_k / CAST(n_k AS DOUBLE))), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS rel_sum,
+         CAST(SUM(CAST(round(n_k * ((o_k / CAST(n_k AS DOUBLE))
+                                    - (n_pos / CAST(n AS DOUBLE)))
+                             * ((o_k / CAST(n_k AS DOUBLE))
+                                - (n_pos / CAST(n AS DOUBLE))), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS res_sum,
+         CAST(SUM(CAST(round(brier_part, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS brier_sum,
+         MAX(n) AS n, MAX(n_pos) AS n_pos
+  FROM bins CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       n_pos / CAST(n AS DOUBLE) AS base_rate,
+       brier_sum / n AS brier,
+       rel_sum / n AS reliability,
+       res_sum / n AS resolution,
+       (n_pos / CAST(n AS DOUBLE)) * (1 - n_pos / CAST(n AS DOUBLE))
+         AS uncertainty,
+       brier_sum / n
+         - (rel_sum / n - res_sum / n
+            + (n_pos / CAST(n AS DOUBLE))
+              * (1 - n_pos / CAST(n AS DOUBLE))) AS decomp_gap
+FROM decomp
+"""
+
+
+@query("eval_brier_decomposition", _BRIER_SQL)
+def eval_brier_decomposition(spark, sf_dir):
+    """Brier score with the Murphy (1973) decomposition — reliability,
+    resolution, uncertainty — for a rank-calibrated probability forecast
+    of lang='en' from document length: p = midrank(score)/N (the
+    probability integral transform of the AUC entry's midranks), binned
+    into 10 equal-width reliability bins.
+
+    Determinism: p is one IEEE division of integer-exact midranks; the
+    BIN is computed by pure integer floor division (never floor of a
+    double product — CLAUDE.md's mis-binning rule); every weighted sum
+    of float-derived terms is round-9 + exact decimal; final metrics are
+    plain divisions of identical operands. decomp_gap reports the
+    within-bin forecast-variance residual (exactly 0 only when forecasts
+    are constant inside each bin).
+
+    Scale: identical shape to eval_auc_mann_whitney — one cumulative sum
+    over the DISTINCT-score table, then a 10-row bin rollup; shuffle
+    bounded by score cardinality."""
+    d = t(spark, sf_dir, "documents")
+    scores = d.select(F.col("n_chars").alias("s"),
+                      F.when(F.col("lang") == "en", 1).otherwise(0)
+                      .alias("y"))
+    byv = scores.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").cast("bigint").alias("cpos"))
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    wv = byv.withColumn("below", F.sum("c").over(wcum) - F.col("c"))
+    tot = byv.agg(F.sum("c").cast("bigint").alias("n"),
+                  F.sum("cpos").cast("bigint").alias("n_pos"))
+    mid = 2 * F.col("below") + F.col("c") + 1
+    probs = (wv.crossJoin(F.broadcast(tot))
+             .select("s", "c", "cpos", "n", "n_pos",
+                     (mid / (2 * F.col("n")).cast("double")).alias("p"),
+                     F.least(F.expr("((2 * below + c + 1) * 10)"
+                                    " DIV (2 * n)"), F.lit(9))
+                     .cast("int").alias("bin")))
+
+    def rd9(c9):
+        return F.sum(F.round(c9, 9).cast("decimal(30,9)")).cast("double")
+
+    bins = probs.groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("n_k"),
+        F.sum("cpos").cast("bigint").alias("o_k"),
+        rd9(F.col("c") * F.col("p")).alias("sum_p"),
+        rd9(F.col("cpos") * (F.col("p") - 1) * (F.col("p") - 1)
+            + (F.col("c") - F.col("cpos")) * F.col("p") * F.col("p"))
+        .alias("brier_part"))
+    pbar = F.col("sum_p") / F.col("n_k")
+    obar_k = F.col("o_k") / F.col("n_k").cast("double")
+    obar = F.col("n_pos") / F.col("n").cast("double")
+    decomp = (bins.crossJoin(F.broadcast(tot))
+              .agg(rd9(F.col("n_k") * (pbar - obar_k) * (pbar - obar_k))
+                   .alias("rel_sum"),
+                   rd9(F.col("n_k") * (obar_k - obar) * (obar_k - obar))
+                   .alias("res_sum"),
+                   rd9(F.col("brier_part")).alias("brier_sum"),
+                   F.max("n").alias("n"), F.max("n_pos").alias("n_pos")))
+    br = F.col("brier_sum") / F.col("n")
+    rel = F.col("rel_sum") / F.col("n")
+    res = F.col("res_sum") / F.col("n")
+    unc = obar * (1 - obar)
+    return decomp.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        obar.alias("base_rate"),
+        br.alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (br - (rel - res + unc)).alias("decomp_gap"))

@@ -1974,3 +1974,101 @@ def coreset_kcenter_greedy(spark, sf_dir):
             .groupBy("ord", "sel_id", "sx", "sy")
             .agg(F.count("vec_id").cast("bigint").alias("n_assigned"),
                  F.max("dd").alias("radius_sq")))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval runs (round 9)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
+_RRF_RUN_K = 20      # depth of each input run
+_RRF_OUT_K = 10
+
+_RRF_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         ((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 8 +
+          (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 4 +
+          (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2 +
+          (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b
+      WHERE vec_id < 5),
+pe AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE q.qid != e.vec_id
+),
+re AS (
+  SELECT qid, vid, rn AS ra FROM (
+    SELECT qid, vid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vid) AS rn
+    FROM pe
+  ) WHERE rn <= {_RRF_RUN_K}
+),
+pl AS (
+  SELECT q.qid, e.vec_id AS vid,
+         {_sql_cos('q.qvec', 'e.embedding')} AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE q.qid != e.vec_id
+),
+rl AS (
+  SELECT qid, vid, rn AS rb FROM (
+    SELECT qid, vid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vid) AS rn
+    FROM pl
+  ) WHERE rn <= {_RRF_RUN_K}
+),
+f AS (
+  SELECT COALESCE(re.qid, rl.qid) AS qid,
+         COALESCE(re.vid, rl.vid) AS vid,
+         CAST(COALESCE(1000000000 // ({_RRF_C} + ra), 0)
+              + COALESCE(1000000000 // ({_RRF_C} + rb), 0)
+              AS BIGINT) AS rrf_e9
+  FROM re FULL OUTER JOIN rl ON re.qid = rl.qid AND re.vid = rl.vid
+)
+SELECT qid, vid, rrf_e9, fused_rank FROM (
+  SELECT qid, vid, rrf_e9,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY rrf_e9 DESC, vid) AS fused_rank
+  FROM f
+) WHERE fused_rank <= {_RRF_OUT_K}
+"""
+
+
+@query("sim_rrf_fusion", _RRF_SQL)
+def sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    runs — exact cosine top-20 and SRP-LSH bucketed top-20 — into one
+    top-10: score(d) = sum over runs of 1/(60 + rank_run(d)). The
+    standard zero-training ensemble for hybrid retrieval (dense + sparse
+    or exact + ANN); a document missing from a run contributes 0.
+
+    Determinism: ranks are integers, and each reciprocal is computed in
+    integer 1e-9 units (1e9 DIV (60+rank)), so fused scores are exact
+    BIGINTs — no float anywhere. Scale: fusion is a |Q|*k full-outer
+    self-join of two already-tiny rank tables; the heavy lifting stays
+    in the underlying retrievers, which are the existing broadcast /
+    bucket-join plans."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ra = (topk_cosine_bruteforce(q, e, id_col="vec_id",
+                                 vec_col="embedding", k=_RRF_RUN_K)
+          .select("qid", "vid", F.col("rn").alias("ra")))
+    rb = (topk_cosine_lsh(q, e, id_col="vec_id", vec_col="embedding",
+                          k=_RRF_RUN_K, n_bits=4)
+          .select("qid", "vid", F.col("rn").alias("rb")))
+    contrib_a = F.expr(f"CAST(1000000000 AS BIGINT) DIV ({_RRF_C} + ra)")
+    contrib_b = F.expr(f"CAST(1000000000 AS BIGINT) DIV ({_RRF_C} + rb)")
+    fused = (ra.join(rb, ["qid", "vid"], "full_outer")
+             .select("qid", "vid",
+                     (F.coalesce(contrib_a, F.lit(0))
+                      + F.coalesce(contrib_b, F.lit(0)))
+                     .cast("bigint").alias("rrf_e9")))
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_e9"), "vid")
+    return (fused.withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= _RRF_OUT_K))

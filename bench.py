@@ -233,7 +233,8 @@ BENCH_QUERIES = [
     "agg_quantile_gk_summary",
     # round 9b: evaluation harness + RAKE keywords + k-center coreset
     "eval_rank_metrics", "eval_pr_threshold_sweep", "keywords_rake",
-    "coreset_kcenter_greedy",
+    "coreset_kcenter_greedy", "sim_rrf_fusion", "split_leakage_safe_report",
+    "eval_brier_decomposition",
 ]
 
 

@@ -143,3 +143,52 @@ def test_kcenter_separation_invariant(spark, sf_dir):
             d2 = ((cents[i][0] - cents[j][0]) ** 2
                   + (cents[i][1] - cents[j][1]) ** 2)
             assert d2 >= radius_sq - 1e-6
+
+
+def test_rrf_fusion_identical_runs_doubles_scores(spark, tmp_path):
+    """All-positive vectors land in one SRP bucket, so the LSH run equals
+    the exact run and every fused score is exactly 2 * (1e9 // (60+rank))."""
+    rng = random.Random(3)
+    rows = [(i, [float(rng.uniform(0.5, 2.0)) for _ in range(8)], 0)
+            for i in range(12)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = QUERIES["sim_rrf_fusion"](spark, sf).collect()
+    assert {r["qid"] for r in out} == {0, 1, 2, 3, 4}
+    for r in out:
+        assert r["rrf_e9"] == 2 * (1_000_000_000 // (60 + r["fused_rank"]))
+    for qid in range(5):
+        ranks = sorted(r["fused_rank"] for r in out if r["qid"] == qid)
+        assert ranks == list(range(1, 11))
+
+
+def test_split_leakage_naive_count_matches_hash(spark, sf_dir):
+    """naive_test_docs must equal the python-side count of doc_ids whose
+    md5 hex is lexicographically below '20' (the 1/8 split rule)."""
+    import hashlib
+    from arangodb_java_parquet_spark.queries.common import t as read_t
+    ids = [r["doc_id"] for r in
+           read_t(spark, sf_dir, "documents").select("doc_id").collect()]
+    expect = sum(1 for i in ids
+                 if hashlib.md5(str(i).encode()).hexdigest() < "20")
+    row = QUERIES["split_leakage_safe_report"](spark, sf_dir).collect()[0]
+    assert row["n_docs"] == len(ids)
+    assert row["naive_test_docs"] == expect
+    assert row["docs_in_leaky"] >= 2 * row["leaky_clusters"]
+    assert row["n_clusters"] <= row["n_docs"]
+
+
+def test_brier_decomposition_hand_values(spark, tmp_path):
+    """Scores 1..4, positives at 3,4: midrank probs .25/.5/.75/1.0 land in
+    singleton bins, so the Murphy identity holds exactly (gap 0) and
+    brier = 0.09375, resolution = 0.25, uncertainty = 0.25."""
+    rows = [(1, "a", "de", "s", 1), (2, "b", "fr", "s", 2),
+            (3, "c", "en", "s", 3), (4, "d", "en", "s", 4)]
+    sf = _write_documents(spark, tmp_path, rows)
+    row = QUERIES["eval_brier_decomposition"](spark, sf).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["base_rate"] == 0.5
+    assert row["brier"] == pytest.approx(0.09375, abs=1e-9)
+    assert row["reliability"] == pytest.approx(0.09375, abs=1e-9)
+    assert row["resolution"] == pytest.approx(0.25, abs=1e-9)
+    assert row["uncertainty"] == pytest.approx(0.25, abs=1e-9)
+    assert row["decomp_gap"] == pytest.approx(0.0, abs=1e-9)
