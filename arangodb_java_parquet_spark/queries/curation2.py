@@ -825,3 +825,94 @@ def split_leakage_safe_report(spark, sf_dir):
         F.sum(F.when(leaky, F.col("n")).otherwise(0)).cast("bigint")
         .alias("docs_in_leaky"))
     return docstats.crossJoin(F.broadcast(cstats))
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (round 9)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_EPOCHS = 3
+
+
+@query("mixture_unimax_allocation", f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM counts
+),
+wtab AS (
+  SELECT lang, n_docs, {_UNIMAX_EPOCHS} * n_docs AS cap, budget, n_langs,
+         ROW_NUMBER() OVER (ORDER BY {_UNIMAX_EPOCHS} * n_docs, lang) AS rk,
+         COALESCE(SUM({_UNIMAX_EPOCHS} * n_docs)
+                  OVER (ORDER BY {_UNIMAX_EPOCHS} * n_docs, lang
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cumb
+  FROM counts CROSS JOIN tot
+),
+prov_t AS (
+  SELECT lang, n_docs, cap, rk,
+         (budget - cumb) / CAST(n_langs - rk + 1 AS DOUBLE) AS prov
+  FROM wtab
+),
+th AS (
+  SELECT arg_min(prov, rk) AS theta
+  FROM prov_t WHERE CAST(cap AS DOUBLE) > prov
+)
+SELECT lang, n_docs, CAST(cap AS BIGINT) AS cap,
+       CASE WHEN theta IS NULL THEN CAST(cap AS DOUBLE)
+            ELSE LEAST(CAST(cap AS DOUBLE), theta) END AS allocated,
+       CASE WHEN theta IS NULL THEN CAST({_UNIMAX_EPOCHS} AS DOUBLE)
+            ELSE LEAST(CAST(cap AS DOUBLE), theta) / n_docs
+       END AS epochs_used
+FROM prov_t CROSS JOIN th
+""")
+def mixture_unimax_allocation(spark, sf_dir):
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    sample budget (here: one corpus-size worth) across languages as
+    UNIFORMLY as possible subject to a per-language cap of E=3 epochs
+    (_UNIMAX_EPOCHS) — the principled alternative to temperature sampling that
+    never over-repeats a low-resource language. The waterline theta is
+    found in CLOSED FORM with one sort + cumulative sum over the
+    language table (caps ascending; the first language whose cap exceeds
+    its provisional fair share (remaining budget / remaining languages)
+    binds theta via arg_min(prov, rk)); alloc = min(cap, theta).
+
+    Determinism: counts/caps are integers; theta and the allocations are
+    single IEEE divisions of integer-exact operands with a (cap, lang)
+    sort tiebreak. Scale: the window runs over the LANGUAGE dimension
+    (bounded, report-sized), never documents — the doc table contributes
+    one combinable count."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("budget"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    j = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("cap", F.lit(_UNIMAX_EPOCHS) * F.col("n_docs")))
+    w = W.orderBy("cap", "lang")
+    wtab = (j.withColumn("rk", F.row_number().over(w))
+            .withColumn("cumb", F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0))))
+    prov_t = wtab.select(
+        "lang", "n_docs", "cap", "rk",
+        ((F.col("budget") - F.col("cumb"))
+         / (F.col("n_langs") - F.col("rk") + 1).cast("double"))
+        .alias("prov"))
+    th = (prov_t.filter(F.col("cap").cast("double") > F.col("prov"))
+          .agg(F.min_by("prov", "rk").alias("theta")))
+    alloc = F.when(F.col("theta").isNull(), F.col("cap").cast("double")) \
+        .otherwise(F.least(F.col("cap").cast("double"), F.col("theta")))
+    return (prov_t.crossJoin(F.broadcast(th))
+            .select("lang", "n_docs", F.col("cap").cast("bigint").alias("cap"),
+                    alloc.alias("allocated"),
+                    F.when(F.col("theta").isNull(),
+                           F.lit(_UNIMAX_EPOCHS).cast("double"))
+                    .otherwise(F.least(F.col("cap").cast("double"),
+                                       F.col("theta")) / F.col("n_docs"))
+                    .alias("epochs_used")))

@@ -1196,3 +1196,76 @@ def corpus_diversity_minhash(spark, sf_dir):
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         est.alias("jaccard_est"),
         (F.lit(1.0) - est).alias("diversity"))
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose detection heuristic (round 9)
+# ---------------------------------------------------------------------------
+
+# RE2-portable (no lookaround); identical classes in Java regex and DuckDB.
+_CODE_SYMS = r"[{}();=<>\[\]]"
+_CODE_KWS = (r"\b(def|class|return|import|function|var|const|void|"
+             r"int|public|static|if|else|for|while)\b")
+
+
+@query("text_code_detect", f"""
+WITH feats AS (
+  SELECT source,
+         length(text) AS n_chars_t,
+         length(regexp_replace(text, '[^{{}}();=<>\\[\\]]', '', 'g'))
+           AS sym_chars,
+         len(regexp_extract_all(text, '{_CODE_KWS}')) AS kw_hits
+  FROM documents
+),
+scored AS (
+  SELECT source, n_chars_t, sym_chars, kw_hits,
+         CASE WHEN n_chars_t > 0
+                   AND (sym_chars * 100 >= n_chars_t * 2 OR kw_hits >= 3)
+              THEN 1 ELSE 0 END AS code_like
+  FROM feats
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(code_like) AS BIGINT) AS n_code_like,
+       CAST(SUM(kw_hits) AS BIGINT) AS total_kw_hits,
+       CAST(SUM(CAST(round(CASE WHEN n_chars_t > 0
+                                THEN sym_chars / CAST(n_chars_t AS DOUBLE)
+                                ELSE CAST(0 AS DOUBLE) END, 9)
+                     AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+         AS avg_symbol_density
+FROM scored GROUP BY source
+""")
+def text_code_detect(spark, sf_dir):
+    """Heuristic code-vs-prose detection per source — the pretraining-
+    pipeline router that decides which documents go to the code pipeline
+    (or get dropped from a prose corpus): a document is code-like when
+    its code-symbol density (braces/parens/semicolons/operators) reaches
+    2% or it has 3+
+    programming-keyword hits. Thresholding uses CROSS-MULTIPLIED integer
+    comparisons (sym*100 >= chars*2), never a float cut on a ratio, so
+    the decision is exact on both engines; the reported density average
+    is a round-9 decimal sum of per-doc ratios over COUNT.
+
+    Scale: per-document regex feature extraction is embarrassingly
+    parallel map work; the only shuffle is the per-source rollup."""
+    d = t(spark, sf_dir, "documents")
+    n_chars_t = F.length("text")
+    sym = F.length(F.regexp_replace("text", "[^{}();=<>\\[\\]]", ""))
+    kw = F.regexp_count("text", F.lit(_CODE_KWS))
+    feats = d.select("source", n_chars_t.alias("n_chars_t"),
+                     sym.alias("sym_chars"), kw.alias("kw_hits"))
+    code_like = F.when(
+        (F.col("n_chars_t") > 0)
+        & ((F.col("sym_chars") * 100 >= F.col("n_chars_t") * 2)
+           | (F.col("kw_hits") >= 3)), 1).otherwise(0)
+    scored = feats.withColumn("code_like", code_like)
+    density = F.when(
+        F.col("n_chars_t") > 0,
+        F.col("sym_chars") / F.col("n_chars_t").cast("double")) \
+        .otherwise(F.lit(0).cast("double"))
+    return (scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("code_like").cast("bigint").alias("n_code_like"),
+        F.sum("kw_hits").cast("bigint").alias("total_kw_hits"),
+        (F.sum(F.round(density, 9).cast("decimal(30,9)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_symbol_density")))

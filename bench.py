@@ -234,7 +234,8 @@ BENCH_QUERIES = [
     # round 9b: evaluation harness + RAKE keywords + k-center coreset
     "eval_rank_metrics", "eval_pr_threshold_sweep", "keywords_rake",
     "coreset_kcenter_greedy", "sim_rrf_fusion", "split_leakage_safe_report",
-    "eval_brier_decomposition",
+    "eval_brier_decomposition", "mixture_unimax_allocation",
+    "text_code_detect",
 ]
 
 

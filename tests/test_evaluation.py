@@ -192,3 +192,39 @@ def test_brier_decomposition_hand_values(spark, tmp_path):
     assert row["resolution"] == pytest.approx(0.25, abs=1e-9)
     assert row["uncertainty"] == pytest.approx(0.25, abs=1e-9)
     assert row["decomp_gap"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_unimax_waterfill_hand_values(spark, tmp_path):
+    """Langs with 10/20/70 docs, budget 100, caps x3 = 30/60/210:
+    waterline theta = 35 -> allocations 30/35/35, epochs 3/1.75/0.5."""
+    rows = []
+    did = 0
+    for lang, n in (("aa", 10), ("bb", 20), ("cc", 70)):
+        for _ in range(n):
+            rows.append((did, "x", lang, "s", 1))
+            did += 1
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["lang"]: r for r in
+           QUERIES["mixture_unimax_allocation"](spark, sf).collect()}
+    assert out["aa"]["allocated"] == 30.0
+    assert out["bb"]["allocated"] == 35.0
+    assert out["cc"]["allocated"] == 35.0
+    assert sum(r["allocated"] for r in out.values()) == 100.0
+    assert out["aa"]["epochs_used"] == 3.0
+    assert out["bb"]["epochs_used"] == 1.75
+    assert out["cc"]["epochs_used"] == 0.5
+
+
+def test_code_detect_flags_code_not_prose(spark, tmp_path):
+    """A snippet with keywords+symbols is code-like; plain prose is not."""
+    code = "def f(x): return x; import os; var y = f(1);"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, code, "en", "codesrc", len(code)),
+            (2, prose, "en", "prosesrc", len(prose))]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["source"]: r for r in
+           QUERIES["text_code_detect"](spark, sf).collect()}
+    assert out["codesrc"]["n_code_like"] == 1
+    assert out["prosesrc"]["n_code_like"] == 0
+    assert out["codesrc"]["total_kw_hits"] >= 3
+    assert out["prosesrc"]["avg_symbol_density"] == 0.0
