@@ -432,3 +432,104 @@ def eval_brier_decomposition(spark, sf_dir):
         res.alias("resolution"),
         unc.alias("uncertainty"),
         (br - (rel - res + unc)).alias("decomp_gap"))
+
+
+# ---------------------------------------------------------------------------
+# forecast-accuracy harness (round 9)
+# ---------------------------------------------------------------------------
+
+_FC_WIN = 7  # trailing window length; only fully-windowed days are scored
+
+_FC_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+),
+fc AS (
+  SELECT day, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8)))
+              OVER (ORDER BY day ROWS BETWEEN {_FC_WIN} PRECEDING
+                    AND 1 PRECEDING) AS DOUBLE)
+           / COUNT(*) OVER (ORDER BY day ROWS BETWEEN {_FC_WIN} PRECEDING
+                            AND 1 PRECEDING) AS forecast,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN {_FC_WIN} PRECEDING
+                        AND 1 PRECEDING) AS wn
+  FROM daily
+),
+err AS (
+  SELECT rev, forecast, rev - forecast AS e
+  FROM fc WHERE wn = {_FC_WIN}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       CAST(SUM(CAST(round(abs(e), 6) AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS mae,
+       sqrt(CAST(SUM(CAST(round((e / 1000) * (e / 1000), 6)
+                          AS DECIMAL(30,6))) AS DOUBLE)
+            / COUNT(*)) * 1000 AS rmse,
+       CAST(SUM(CAST(round(CASE WHEN rev > 0 THEN abs(e) / rev
+                                ELSE CAST(0 AS DOUBLE) END, 9)
+                     AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mape,
+       CAST(SUM(CAST(round(GREATEST(CAST(9 AS DOUBLE) / 10 * e,
+                                    (CAST(9 AS DOUBLE) / 10 - 1) * e), 6)
+                     AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+         AS pinball_90,
+       CAST(SUM(CAST(round(e, 6) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+         AS bias
+FROM err
+"""
+
+
+@query("eval_forecast_accuracy", _FC_SQL)
+def eval_forecast_accuracy(spark, sf_dir):
+    """Forecast-error harness — MAE, RMSE, MAPE, pinball@0.9 (the
+    quantile-forecast loss) and bias — applied to the trailing-7-day
+    rolling-mean baseline over daily revenue; only fully-windowed days
+    are scored. The harness is forecast-agnostic: point it at any
+    forecast column (EWMA, seasonal decompose, Theil-Sen trend) and the
+    metric surface is identical.
+
+    Determinism: the daily rollup and the rolling mean are exact decimal
+    sums (IEEE-identical divisions); errors are differences of identical
+    doubles; every metric numerator is a round-fenced decimal sum whose
+    scale keeps |term| digits + fraction digits within double's 16
+    significant digits (CLAUDE.md's magnitude rule) — squared errors are
+    ~1e11, past any safe round scale, so they are computed as
+    (e/1000)^2, round-6 fenced, and rescaled by 1000 after the sqrt
+    (the first attempt with round(e*e, 3) failed the harness by exactly
+    one boundary half-ulp). The 0.9 quantile weight is derived as an
+    integer ratio, never a float literal.
+
+    Scale: one combinable daily rollup; both the forecast window and the
+    metric aggregation run over the report-sized daily series."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    wfc = (Window.orderBy("day")
+           .rowsBetween(-_FC_WIN, -1))
+    fc = daily.select(
+        "day", "rev",
+        (F.sum(F.col("rev").cast("decimal(30,8)")).over(wfc)
+         .cast("double") / F.count(F.lit(1)).over(wfc)).alias("forecast"),
+        F.count(F.lit(1)).over(wfc).alias("wn"))
+    e = F.col("rev") - F.col("forecast")
+    err = (fc.filter(F.col("wn") == _FC_WIN)
+           .select("rev", "forecast", e.alias("e")))
+    q9 = F.lit(9).cast("double") / 10
+    cnt = F.count(F.lit(1))
+
+    def rdec(c9, scale):
+        return (F.sum(F.round(c9, scale)
+                      .cast(f"decimal(30,{scale})")).cast("double"))
+
+    return err.agg(
+        cnt.cast("bigint").alias("n_days_scored"),
+        (rdec(F.abs(F.col("e")), 6) / cnt).alias("mae"),
+        (F.sqrt(rdec((F.col("e") / 1000) * (F.col("e") / 1000), 6) / cnt)
+         * 1000).alias("rmse"),
+        (rdec(F.when(F.col("rev") > 0,
+                     F.abs(F.col("e")) / F.col("rev"))
+              .otherwise(F.lit(0).cast("double")), 9) / cnt).alias("mape"),
+        (rdec(F.greatest(q9 * F.col("e"), (q9 - 1) * F.col("e")), 6)
+         / cnt).alias("pinball_90"),
+        (rdec(F.col("e"), 6) / cnt).alias("bias"))

@@ -235,7 +235,7 @@ BENCH_QUERIES = [
     "eval_rank_metrics", "eval_pr_threshold_sweep", "keywords_rake",
     "coreset_kcenter_greedy", "sim_rrf_fusion", "split_leakage_safe_report",
     "eval_brier_decomposition", "mixture_unimax_allocation",
-    "text_code_detect",
+    "text_code_detect", "eval_forecast_accuracy",
 ]
 
 

@@ -228,3 +228,22 @@ def test_code_detect_flags_code_not_prose(spark, tmp_path):
     assert out["prosesrc"]["n_code_like"] == 0
     assert out["codesrc"]["total_kw_hits"] >= 3
     assert out["prosesrc"]["avg_symbol_density"] == 0.0
+
+
+def test_forecast_accuracy_hand_values(spark, tmp_path):
+    """Revenue 100*t over days 1..9: the trailing-7 mean forecasts 400
+    and 500 for days 8 and 9 (both errors exactly 400), so MAE = RMSE =
+    bias = 400, pinball@0.9 = 360, MAPE = (0.5 + 4/9)/2."""
+    import datetime
+    rows = [(datetime.date(1995, 1, d), float(100 * d))
+            for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet"))
+    row = QUERIES["eval_forecast_accuracy"](spark, str(tmp_path)).collect()[0]
+    assert row["n_days_scored"] == 2
+    assert row["mae"] == pytest.approx(400.0, abs=1e-6)
+    assert row["rmse"] == pytest.approx(400.0, abs=1e-6)
+    assert row["bias"] == pytest.approx(400.0, abs=1e-6)
+    assert row["pinball_90"] == pytest.approx(360.0, abs=1e-6)
+    assert row["mape"] == pytest.approx((0.5 + 4.0 / 9.0) / 2, abs=1e-9)
