@@ -97,6 +97,13 @@ PROBES = [
     "corpus_diversity_minhash",
     "rollup_cascade_daily",
     "dedup_exactsubstr_spans",
+    # round-9b flagships: fixed-panel retrieval eval (capped |Q|), RAKE
+    # (token explode + vocab-bounded joins), greedy k-center (K corpus
+    # scans), cluster-safe split (materialized-component consumer)
+    "eval_rank_metrics",
+    "keywords_rake",
+    "coreset_kcenter_greedy",
+    "split_leakage_safe_report",
 ]
 
 
