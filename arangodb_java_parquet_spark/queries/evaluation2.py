@@ -1,0 +1,693 @@
+"""Text-generation / annotation / uncertainty evaluation metrics (round 9c).
+
+Second evaluation wave: after the retrieval-ranking and classifier-sweep
+harness (evaluation.py), the remaining evaluation surfaces a training-data
+pipeline runs in-engine are
+
+* corpus BLEU + ROUGE n-gram overlap between candidate/reference text pairs
+  (the machine-translation / summarization metric family, Papineni et al.
+  2002; Lin 2004) — here over deterministic same-source document pairs;
+* Fleiss' kappa inter-annotator agreement (Fleiss 1971) across multiple
+  deterministic raters — the labeling-QA gate run before trusting a
+  crowd-labeled training set;
+* split-conformal prediction coverage (Vovk et al.; Angelopoulos & Bates
+  2021): a distribution-free calibrated interval from a held-out
+  calibration split, then the empirical coverage on a test split;
+* Matryoshka-truncation retrieval recall (Kusupati et al. 2022): how much
+  top-k retrieval quality survives truncating embeddings to a prefix of
+  dimensions — the evaluation behind serving shorter vectors.
+
+Reference scope note: the reference loader (ParquetArangoLoader.java) has
+no evaluation surface; these are part of the demanded LLM-pipeline widening
+(judged alongside SURVEY.md §2).
+
+Determinism: every metric is integer counting until one final IEEE
+division; ln/exp-derived outputs (BLEU's brevity penalty and geometric
+mean) are round-9 fenced on both engines per CLAUDE.md's ln/ratio rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.operators.similarity import (
+    topk_cosine_bruteforce)
+from arangodb_java_parquet_spark.queries.common import dsum, query, t
+from arangodb_java_parquet_spark.queries.evaluation import _sql_cos
+
+# ---------------------------------------------------------------------------
+# corpus BLEU-2 + ROUGE-1/2 over deterministic candidate/reference pairs
+# ---------------------------------------------------------------------------
+
+# Bigram list from a token array: one entry per window start; a 1-token
+# document degenerates to its unigram (identical definition both engines).
+_SQL_BIGRAMS = ("list_transform(range(1, greatest(len(toks) - 1, 1) + 1),"
+                " i -> array_to_string(toks[i:i+1], ' '))")
+_SPARK_BIGRAMS = ("transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                  " i -> concat_ws(' ', slice(toks, i, 2)))")
+
+_BLEU_SQL = f"""
+WITH base AS (
+  SELECT source, string_split(text, ' ') AS toks,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS nsrc
+  FROM documents
+),
+p2 AS (
+  SELECT source, (rn + 1) // 2 AS pk, rn % 2 AS side, toks
+  FROM base WHERE rn <= nsrc - nsrc % 2
+),
+uni AS (SELECT source, pk, side, UNNEST(toks) AS g FROM p2),
+big AS (SELECT source, pk, side, UNNEST({_SQL_BIGRAMS}) AS g FROM p2),
+cnt1 AS (
+  SELECT source, pk, g,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr
+  FROM uni GROUP BY 1, 2, 3
+),
+cnt2 AS (
+  SELECT source, pk, g,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr
+  FROM big GROUP BY 1, 2, 3
+),
+t1 AS (
+  SELECT CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS m1,
+         CAST(SUM(cc) AS BIGINT) AS tc1,
+         CAST(SUM(cr) AS BIGINT) AS tr1
+  FROM cnt1
+),
+t2 AS (
+  SELECT CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS m2,
+         CAST(SUM(cc) AS BIGINT) AS tc2,
+         CAST(SUM(cr) AS BIGINT) AS tr2
+  FROM cnt2
+),
+np AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs FROM p2),
+met AS (
+  SELECT n_pairs, tc1, tr1, m1, m2,
+         m1 / CAST(tc1 AS DOUBLE) AS prec1,
+         m2 / CAST(tc2 AS DOUBLE) AS prec2,
+         m1 / CAST(tr1 AS DOUBLE) AS rec1,
+         m2 / CAST(tr2 AS DOUBLE) AS rec2,
+         CASE WHEN tc1 >= tr1 THEN CAST(1 AS DOUBLE)
+              ELSE exp(CAST(1 AS DOUBLE) - CAST(tr1 AS DOUBLE) / tc1)
+         END AS bp_raw
+  FROM t1 CROSS JOIN t2 CROSS JOIN np
+)
+SELECT n_pairs, tc1 AS cand_tokens, tr1 AS ref_tokens,
+       m1 AS clipped1, m2 AS clipped2,
+       prec1, prec2,
+       rec1 AS rouge1_recall, rec2 AS rouge2_recall,
+       round(bp_raw, 9) AS brevity_penalty,
+       CASE WHEN m1 = 0 OR m2 = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(bp_raw * exp((ln(prec1) + ln(prec2)) / 2), 9)
+       END AS bleu2
+FROM met
+"""
+
+
+@query("eval_bleu_rouge_pairs", _BLEU_SQL)
+def eval_bleu_rouge_pairs(spark, sf_dir):
+    """Corpus-level BLEU-2 (clipped n-gram precision, geometric mean,
+    brevity penalty — Papineni et al. 2002) and ROUGE-1/2 recall (Lin
+    2004) over deterministic candidate/reference pairs: within each
+    source, documents are md5-ranked and consecutive rows paired (odd rn
+    = candidate, even = reference; an unpaired last row is dropped via
+    the per-source COUNT window, no extra join).
+
+    The clipped-match table needs NO candidate-reference join at all:
+    one groupBy on (pair, gram) with conditional per-side counts, then
+    SUM(LEAST(cand_count, ref_count)) — two shuffles per n-gram order,
+    both keyed on token-level pairs, never a pair-wise cross product.
+    That is the 100 TB shape: shuffle volume is O(total tokens).
+
+    Determinism: all counts integer (HUGEINT-fenced); precisions/recalls
+    are single IEEE divisions; the brevity penalty and the exp/ln
+    geometric mean are round-9 fenced on both engines."""
+    d = t(spark, sf_dir, "documents")
+    wrn = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wsrc = Window.partitionBy("source")
+    base = (d.select("source", "doc_id", F.split("text", " ").alias("toks"))
+            .withColumn("rn", F.row_number().over(wrn))
+            .withColumn("nsrc", F.count(F.lit(1)).over(wsrc)))
+    # Three consumers (unigram explode, bigram explode, pair count) read
+    # the windowed pairing — materialize it once (lazy localCheckpoint:
+    # plan truncation at zero extra job cost, CLAUDE.md pattern) instead
+    # of re-running the per-source ranking window per consumer.
+    p2 = (base.filter(F.col("rn") <= F.col("nsrc") - F.col("nsrc") % 2)
+          .select("source", F.expr("(rn + 1) DIV 2").alias("pk"),
+                  (F.col("rn") % 2).alias("side"), "toks")
+          .localCheckpoint(eager=False))
+
+    uni = p2.select("source", "pk", "side", F.explode("toks").alias("g"))
+    big = p2.select("source", "pk", "side",
+                    F.explode(F.expr(_SPARK_BIGRAMS)).alias("g"))
+
+    def clipped(grams):
+        cnt = grams.groupBy("source", "pk", "g").agg(
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("cc"),
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cr"))
+        return cnt.agg(
+            F.sum(F.least("cc", "cr")).cast("bigint").alias("m"),
+            F.sum("cc").cast("bigint").alias("tc"),
+            F.sum("cr").cast("bigint").alias("tr"))
+
+    t1 = (clipped(uni).withColumnRenamed("m", "m1")
+          .withColumnRenamed("tc", "tc1").withColumnRenamed("tr", "tr1"))
+    t2 = (clipped(big).withColumnRenamed("m", "m2")
+          .withColumnRenamed("tc", "tc2").withColumnRenamed("tr", "tr2"))
+    np_df = p2.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"))
+
+    met = (t1.crossJoin(t2).crossJoin(np_df).select(
+        "n_pairs", "tc1", "tr1", "m1", "m2",
+        (F.col("m1") / F.col("tc1").cast("double")).alias("prec1"),
+        (F.col("m2") / F.col("tc2").cast("double")).alias("prec2"),
+        (F.col("m1") / F.col("tr1").cast("double")).alias("rec1"),
+        (F.col("m2") / F.col("tr2").cast("double")).alias("rec2"),
+        F.when(F.col("tc1") >= F.col("tr1"), F.lit(1).cast("double"))
+        .otherwise(F.exp(F.lit(1).cast("double")
+                         - F.col("tr1").cast("double") / F.col("tc1")))
+        .alias("bp_raw")))
+    return met.select(
+        "n_pairs",
+        F.col("tc1").alias("cand_tokens"), F.col("tr1").alias("ref_tokens"),
+        F.col("m1").alias("clipped1"), F.col("m2").alias("clipped2"),
+        "prec1", "prec2",
+        F.col("rec1").alias("rouge1_recall"),
+        F.col("rec2").alias("rouge2_recall"),
+        F.round(F.col("bp_raw"), 9).alias("brevity_penalty"),
+        F.when((F.col("m1") == 0) | (F.col("m2") == 0),
+               F.lit(0).cast("double"))
+        .otherwise(F.round(F.col("bp_raw")
+                           * F.exp((F.log("prec1") + F.log("prec2")) / 2), 9))
+        .alias("bleu2"))
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa: multi-rater agreement over deterministic annotators
+# ---------------------------------------------------------------------------
+
+_FLEISS_SQL = """
+WITH rated AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN instr(text, ' the ') > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS n1
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT) AS s_agree,
+         CAST(SUM(n1) AS BIGINT) AS t_pos
+  FROM rated
+),
+met AS (
+  SELECT n_items,
+         s_agree / CAST(n_items * 6 AS DOUBLE) AS pbar,
+         t_pos / CAST(n_items * 3 AS DOUBLE) AS p_pos
+  FROM agg
+)
+SELECT n_items, CAST(3 AS BIGINT) AS n_raters, pbar,
+       p_pos * p_pos + (1 - p_pos) * (1 - p_pos) AS pe,
+       CASE WHEN 1 - (p_pos * p_pos + (1 - p_pos) * (1 - p_pos)) = 0
+            THEN CAST(1 AS DOUBLE)
+            ELSE (pbar - (p_pos * p_pos + (1 - p_pos) * (1 - p_pos)))
+                 / (1 - (p_pos * p_pos + (1 - p_pos) * (1 - p_pos)))
+       END AS fleiss_kappa
+FROM met
+"""
+
+
+@query("eval_fleiss_kappa", _FLEISS_SQL)
+def eval_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    THREE raters on a binary is-English label per document, where the
+    raters are deterministic heuristics (the gold lang column, a
+    stopword-presence rule, a length rule). This is the labeling-QA
+    statistic for multi-annotator training data; Cohen's kappa
+    (langid_cohens_kappa) covers exactly two raters, Fleiss generalizes.
+
+    Per item with r raters and category counts n_ij, agreement is
+    P_i = (sum_j n_ij^2 - r) / (r(r-1)); with two categories this is
+    one integer expression per row, so the whole statistic reduces to
+    ONE combinable aggregation of three integer sums — the 100 TB plan
+    is a single map-side-combined pass. Every division is one IEEE op
+    on identical integer-derived operands; no rounding needed."""
+    d = t(spark, sf_dir, "documents")
+    n1 = (F.when(F.col("lang") == "en", 1).otherwise(0)
+          + F.when(F.instr(F.col("text"), " the ") > 0, 1).otherwise(0)
+          + F.when(F.col("n_chars") >= 800, 1).otherwise(0))
+    rated = d.select(n1.alias("n1"))
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1")) - 3)
+        .cast("bigint").alias("s_agree"),
+        F.sum("n1").cast("bigint").alias("t_pos"))
+    met = agg.select(
+        "n_items",
+        (F.col("s_agree") / (F.col("n_items") * 6).cast("double"))
+        .alias("pbar"),
+        (F.col("t_pos") / (F.col("n_items") * 3).cast("double"))
+        .alias("p_pos"))
+    pe = (F.col("p_pos") * F.col("p_pos")
+          + (1 - F.col("p_pos")) * (1 - F.col("p_pos")))
+    return met.select(
+        "n_items", F.lit(3).cast("bigint").alias("n_raters"), "pbar",
+        pe.alias("pe"),
+        F.when(1 - pe == 0, F.lit(1).cast("double"))
+        .otherwise((F.col("pbar") - pe) / (1 - pe)).alias("fleiss_kappa"))
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction: calibrated interval + test coverage
+# ---------------------------------------------------------------------------
+
+_CONF_SQL = """
+WITH assigned AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(o_totalprice AS DOUBLE) AS y,
+         instr('0123456789abcdef',
+               substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS d
+  FROM orders
+),
+model AS (
+  SELECT prio,
+         CAST(SUM(CAST(y AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS yhat
+  FROM assigned WHERE d < 8 GROUP BY prio
+),
+ntrain AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM assigned WHERE d < 8
+),
+calr AS (
+  SELECT abs(y - yhat) AS r
+  FROM assigned a JOIN model m ON a.prio = m.prio
+  WHERE d >= 8 AND d < 12
+),
+kt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(LEAST(((COUNT(*) + 1) * 9 + 9) // 10, COUNT(*)) AS BIGINT)
+           AS k_rank
+  FROM calr
+),
+byv AS (SELECT r, COUNT(*) AS c FROM calr GROUP BY r),
+cum AS (
+  SELECT r, SUM(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM byv
+),
+qh AS (
+  SELECT MIN(r) AS q_hat FROM cum CROSS JOIN kt WHERE cumc >= k_rank
+),
+cov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN abs(y - yhat) <= q_hat THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cov
+  FROM assigned a JOIN model m ON a.prio = m.prio
+  CROSS JOIN qh
+  WHERE d >= 12
+)
+SELECT n_train, n_cal, k_rank, n_test, q_hat,
+       2 * q_hat AS interval_width,
+       n_cov / CAST(n_test AS DOUBLE) AS coverage,
+       CAST(9 AS DOUBLE) / 10 AS target_coverage
+FROM ntrain CROSS JOIN kt CROSS JOIN qh CROSS JOIN cov
+"""
+
+
+@query("eval_conformal_coverage", _CONF_SQL)
+def eval_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction (Vovk et al.; Angelopoulos & Bates
+    2021) with the finite-sample quantile: a per-priority mean model is
+    fit on the train split (md5 digits 0-7), the calibration split
+    (8-11) supplies |y - yhat| nonconformity scores, q_hat is the
+    ceil((n+1)*0.9)-th smallest score (the exact order statistic, never
+    a float quantile estimator), and coverage of yhat +/- q_hat is
+    measured on the test split (12-15). Distribution-free: coverage is
+    guaranteed >= 90% in expectation whatever the model.
+
+    The order statistic comes from a cumulative count over the
+    DISTINCT-score table (the eval_pr_threshold_sweep shape); at 100 TB
+    the calibration quantile would come from the mergeable GK summary
+    (agg_quantile_gk_summary) instead — the harness keeps the exact
+    rank so the oracle is bit-checkable. The rank index is pure integer
+    arithmetic (ceil via (x*9+9)//10); residuals are differences of
+    identical IEEE doubles; coverage is one integer-ratio division."""
+    o = t(spark, sf_dir, "orders")
+    digit = (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                                 1, 1)) - 1)
+    assigned = o.select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("y"),
+        digit.alias("d"))
+    train = assigned.filter(F.col("d") < 8)
+    # model (a handful of rows) and the calibration residuals each feed
+    # multiple scalar consumers; materialize once so the orders scan and
+    # the train aggregation don't re-run per consumer.
+    model = (train.groupBy("prio")
+             .agg((dsum("y") / F.count(F.lit(1))).alias("yhat"))
+             .localCheckpoint(eager=False))
+    ntrain = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+
+    calr = (assigned.filter((F.col("d") >= 8) & (F.col("d") < 12))
+            .join(F.broadcast(model), "prio")
+            .select(F.abs(F.col("y") - F.col("yhat")).alias("r"))
+            .localCheckpoint(eager=False))
+    cnt = F.count(F.lit(1))
+    kt = calr.agg(
+        cnt.cast("bigint").alias("n_cal"),
+        F.least(F.expr("((count(1) + 1) * 9 + 9) DIV 10"), cnt)
+        .cast("bigint").alias("k_rank"))
+    byv = calr.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select("r", F.sum("c").over(wcum).alias("cumc"))
+    qh = (cum.crossJoin(F.broadcast(kt.select("k_rank")))
+          .filter(F.col("cumc") >= F.col("k_rank"))
+          .agg(F.min("r").alias("q_hat")))
+    cov = (assigned.filter(F.col("d") >= 12)
+           .join(F.broadcast(model), "prio")
+           .crossJoin(F.broadcast(qh))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                F.sum(F.when(F.abs(F.col("y") - F.col("yhat"))
+                             <= F.col("q_hat"), 1).otherwise(0))
+                .cast("bigint").alias("n_cov")))
+    return (ntrain.crossJoin(kt).crossJoin(qh).crossJoin(cov)
+            .select("n_train", "n_cal", "k_rank", "n_test", "q_hat",
+                    (2 * F.col("q_hat")).alias("interval_width"),
+                    (F.col("n_cov") / F.col("n_test").cast("double"))
+                    .alias("coverage"),
+                    (F.lit(9).cast("double") / 10).alias("target_coverage")))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation retrieval recall
+# ---------------------------------------------------------------------------
+
+_MAT_K = 10
+_MAT_PANEL = 32
+
+_MAT_SQL = f"""
+WITH q0 AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings WHERE vec_id % 37 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_MAT_PANEL}
+),
+q AS (SELECT qid, qvec, qvec[1:16] AS qv16, qvec[1:32] AS qv32 FROM q0),
+c AS (
+  SELECT vec_id AS vid, embedding AS cvec,
+         embedding[1:16] AS cv16, embedding[1:32] AS cv32
+  FROM embeddings WHERE vec_id % 37 <> 0
+),
+pairs AS (
+  SELECT q.qid, c.vid,
+         {_sql_cos('q.qvec', 'c.cvec')} AS cf,
+         {_sql_cos('q.qv16', 'c.cv16')} AS c16,
+         {_sql_cos('q.qv32', 'c.cv32')} AS c32
+  FROM c CROSS JOIN q WHERE q.qid <> c.vid
+),
+tf AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cf DESC, vid) AS rn
+    FROM pairs) WHERE rn <= {_MAT_K}
+),
+t16 AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY c16 DESC, vid) AS rn
+    FROM pairs) WHERE rn <= {_MAT_K}
+),
+t32 AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY c32 DESC, vid) AS rn
+    FROM pairs) WHERE rn <= {_MAT_K}
+),
+m16 AS (SELECT CAST(COUNT(*) AS BIGINT) AS o16
+        FROM tf JOIN t16 USING (qid, vid)),
+m32 AS (SELECT CAST(COUNT(*) AS BIGINT) AS o32
+        FROM tf JOIN t32 USING (qid, vid)),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full FROM tf),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q)
+SELECT n_queries, n_full,
+       o16 AS overlap_dim16, o32 AS overlap_dim32,
+       o16 / CAST(n_full AS DOUBLE) AS recall_at10_dim16,
+       o32 / CAST(n_full AS DOUBLE) AS recall_at10_dim32
+FROM nq CROSS JOIN tot CROSS JOIN m16 CROSS JOIN m32
+"""
+
+
+@query("emb_matryoshka_recall", _MAT_SQL)
+def emb_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation evaluation (Kusupati et al. 2022): recall of
+    exact cosine top-{_MAT_K} retrieval when embeddings are truncated to
+    their first 16 / 32 of 64 dimensions, against the full-dimension
+    top-{_MAT_K} as ground truth, macro-averaged over the md5-ranked
+    {_MAT_PANEL}-query panel (the eval_rank_metrics panel contract).
+    The number that tells you whether serving half-width vectors is
+    free retrieval-quality-wise.
+
+    Scale: three broadcast-panel brute-force passes (norms computed once
+    per side below each pair join — the topk_cosine_bruteforce
+    contract); overlap joins and the final scalars touch |Q| x k rows.
+    Swapping the exact retriever for the IVF/PQ path changes the
+    candidate source, not this harness."""
+    e = t(spark, sf_dir, "embeddings")
+    # The panel feeds four consumers (three retrieval passes + the query
+    # count); the full-dim top-k feeds three (two overlap joins + the
+    # denominator). Materialize both (lazy localCheckpoint) so the
+    # TakeOrdered panel selection and — far more importantly — the
+    # O(|Q| x |C|) full-dimension pair scoring run ONCE, not per branch.
+    q = (e.filter(F.col("vec_id") % 37 == 0)
+         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+         .limit(_MAT_PANEL)
+         .localCheckpoint(eager=False))
+    c = e.filter(F.col("vec_id") % 37 != 0)
+
+    def trunc(df, n):
+        return df.select("vec_id",
+                         F.slice("embedding", 1, n).alias("embedding"))
+
+    tf = topk_cosine_bruteforce(q, c, id_col="vec_id",
+                                vec_col="embedding", k=_MAT_K
+                                ).localCheckpoint(eager=False)
+    t16 = topk_cosine_bruteforce(trunc(q, 16), trunc(c, 16),
+                                 id_col="vec_id", vec_col="embedding",
+                                 k=_MAT_K)
+    t32 = topk_cosine_bruteforce(trunc(q, 32), trunc(c, 32),
+                                 id_col="vec_id", vec_col="embedding",
+                                 k=_MAT_K)
+    full = tf.select("qid", "vid")
+    m16 = (full.join(t16.select("qid", "vid"), ["qid", "vid"])
+           .agg(F.count(F.lit(1)).cast("bigint").alias("o16")))
+    m32 = (full.join(t32.select("qid", "vid"), ["qid", "vid"])
+           .agg(F.count(F.lit(1)).cast("bigint").alias("o32")))
+    tot = full.agg(F.count(F.lit(1)).cast("bigint").alias("n_full"))
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    return (nq.crossJoin(tot).crossJoin(m16).crossJoin(m32)
+            .select("n_queries", "n_full",
+                    F.col("o16").alias("overlap_dim16"),
+                    F.col("o32").alias("overlap_dim32"),
+                    (F.col("o16") / F.col("n_full").cast("double"))
+                    .alias("recall_at10_dim16"),
+                    (F.col("o32") / F.col("n_full").cast("double"))
+                    .alias("recall_at10_dim32")))
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph hubness: k-occurrence distribution skewness
+# ---------------------------------------------------------------------------
+
+_HUB_N = 300   # bounded universe (the emb_mutual_knn_graph contract)
+_HUB_K = 5
+
+_HUB_SQL = f"""
+WITH u AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < {_HUB_N}),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+  FROM u a JOIN u b ON a.vec_id <> b.vec_id
+),
+knn AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, vid) AS rn
+    FROM pairs) WHERE rn <= {_HUB_K}
+),
+indeg AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS c FROM knn GROUP BY vid),
+kocc AS (
+  SELECT u.vec_id, COALESCE(i.c, 0) AS k_occ
+  FROM u LEFT JOIN indeg i ON i.vid = u.vec_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k_occ) AS BIGINT) AS s1,
+         CAST(SUM(k_occ * k_occ) AS BIGINT) AS s2,
+         CAST(SUM(k_occ * k_occ * k_occ) AS BIGINT) AS s3,
+         CAST(MAX(k_occ) AS BIGINT) AS max_kocc,
+         CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs
+  FROM kocc
+),
+m AS (
+  SELECT n, max_kocc, n_antihubs,
+         s1 / CAST(n AS DOUBLE) AS mean,
+         s2 / CAST(n AS DOUBLE)
+           - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS var,
+         s3 / CAST(n AS DOUBLE) AS m3r,
+         s2 / CAST(n AS DOUBLE) AS m2r
+  FROM s
+)
+SELECT n AS n_vectors, CAST({_HUB_K} AS BIGINT) AS k,
+       mean AS mean_kocc, var AS var_kocc, max_kocc, n_antihubs,
+       CASE WHEN var <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE round((m3r - 3 * mean * m2r + 2 * mean * mean * mean)
+                       / (var * sqrt(var)), 9)
+       END AS skew_kocc
+FROM m
+"""
+
+
+@query("emb_knn_hubness", _HUB_SQL)
+def emb_knn_hubness(spark, sf_dir):
+    """Hubness diagnostic of the embedding space (Radovanovic et al.
+    2010): the skewness of the k-occurrence distribution — how often
+    each vector appears in OTHER vectors' kNN lists. High positive skew
+    means hub points dominate retrieval (a known pathology of
+    high-dimensional embeddings that silently degrades kNN search and
+    near-dup detection); n_antihubs counts vectors never retrieved.
+    Runs on the bounded universe shared with emb_mutual_knn_graph so
+    the oracle's exact all-pairs truth stays tractable; at 100 TB the
+    directed kNN table comes from the ANN candidates instead — the
+    in-degree aggregation and moment formula are candidate-source-
+    agnostic.
+
+    Determinism: in-degrees are integers (the left join pins never-
+    retrieved vectors at 0); all three moment sums are exact integer
+    sums; mean/variance/skewness are IEEE expressions over identical
+    operands with the final skew round-9 fenced (sqrt chain)."""
+    e = t(spark, sf_dir, "embeddings")
+    u = e.filter(F.col("vec_id") < _HUB_N)
+    knn = topk_cosine_bruteforce(u, u, id_col="vec_id",
+                                 vec_col="embedding", k=_HUB_K)
+    indeg = knn.groupBy("vid").agg(F.count(F.lit(1)).cast("bigint")
+                                   .alias("c"))
+    kocc = (u.select("vec_id")
+            .join(indeg, F.col("vec_id") == F.col("vid"), "left")
+            .select("vec_id", F.coalesce("c", F.lit(0)).alias("k_occ")))
+    s = kocc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k_occ").cast("bigint").alias("s1"),
+        F.sum(F.col("k_occ") * F.col("k_occ")).cast("bigint").alias("s2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+        .cast("bigint").alias("s3"),
+        F.max("k_occ").cast("bigint").alias("max_kocc"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_antihubs"))
+    nd = F.col("n").cast("double")
+    mean = F.col("s1") / nd
+    var = F.col("s2") / nd - mean * mean
+    m = s.select("n", "max_kocc", "n_antihubs",
+                 mean.alias("mean"), var.alias("var"),
+                 (F.col("s3") / nd).alias("m3r"),
+                 (F.col("s2") / nd).alias("m2r"))
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(_HUB_K).cast("bigint").alias("k"),
+        F.col("mean").alias("mean_kocc"),
+        F.col("var").alias("var_kocc"),
+        "max_kocc", "n_antihubs",
+        F.when(F.col("var") <= 0, F.lit(0).cast("double"))
+        .otherwise(F.round(
+            (F.col("m3r") - 3 * F.col("mean") * F.col("m2r")
+             + 2 * F.col("mean") * F.col("mean") * F.col("mean"))
+            / (F.col("var") * F.sqrt(F.col("var"))), 9))
+        .alias("skew_kocc"))
+
+
+# ---------------------------------------------------------------------------
+# centroid silhouette for the value-checked k-means assignment
+# ---------------------------------------------------------------------------
+
+def _silhouette_sql() -> str:
+    from arangodb_java_parquet_spark.queries.similarity import (
+        _KM_ROUNDS, _kmeans_sql)
+    base = _kmeans_sql()
+    final = f"""
+SELECT c.cid, c.cx, c.cy, COUNT(a.vec_id) AS n_points
+FROM c{_KM_ROUNDS} c
+LEFT JOIN a{_KM_ROUNDS} a ON a.cid = c.cid
+GROUP BY c.cid, c.cx, c.cy"""
+    assert final in base
+    return base.replace(final, f""",
+dists AS (
+  SELECT a.vec_id, a.cid AS own_cid, c.cid,
+         ROUND(sqrt((a.x - c.cx) * (a.x - c.cx)
+                    + (a.y - c.cy) * (a.y - c.cy)), 9) AS dst
+  FROM a{_KM_ROUNDS} a CROSS JOIN c{_KM_ROUNDS} c
+),
+sil AS (
+  SELECT vec_id, own_cid,
+         MAX(CASE WHEN cid = own_cid THEN dst END) AS a_dist,
+         MIN(CASE WHEN cid <> own_cid THEN dst END) AS b_dist
+  FROM dists GROUP BY vec_id, own_cid
+),
+sv AS (
+  SELECT own_cid AS cid,
+         CASE WHEN GREATEST(a_dist, b_dist) = 0 THEN CAST(0 AS DOUBLE)
+              ELSE ROUND((b_dist - a_dist) / GREATEST(a_dist, b_dist), 9)
+         END AS s
+  FROM sil
+)
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(s AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*)
+         AS mean_silhouette
+FROM sv GROUP BY cid""")
+
+
+@query("cluster_silhouette_centroid", _silhouette_sql())
+def cluster_silhouette_centroid(spark, sf_dir):
+    """Centroid (simplified) silhouette per cluster for the value-checked
+    fixed-round k-means assignment: a(i) = distance to the own-cluster
+    centroid, b(i) = distance to the nearest OTHER centroid,
+    s(i) = (b - a) / max(a, b) — the internal cluster-validation
+    companion to the external purity/NMI entry (same shared Lloyd loop,
+    one implementation, three consumers). The centroid variant is the
+    one that scales: exact silhouette is O(n^2) pairwise, this is one
+    broadcast of K centroids against the assignment (O(nK)) plus a
+    K-row rollup.
+
+    Determinism: seeding/assignment inherit kmeans_fixed_rounds'
+    contract (md5-ranked seeds, round-9 distances, cid tiebreak);
+    distances are round-9'd sqrt of identically-associated products;
+    s is round-9 fenced before the exact decimal mean."""
+    from arangodb_java_parquet_spark.queries.similarity import (
+        _kmeans_assign)
+    e = t(spark, sf_dir, "embeddings")
+    assign, cents = _kmeans_assign(e)
+    cc = cents.select(F.col("cid").alias("ccid"), "cx", "cy")
+    dst = F.round(F.sqrt(
+        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+        + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))), 9)
+    dists = (assign.crossJoin(F.broadcast(cc))
+             .select("vec_id", F.col("cid").alias("own_cid"),
+                     F.col("ccid"), dst.alias("dst")))
+    sil = dists.groupBy("vec_id", "own_cid").agg(
+        F.max(F.when(F.col("ccid") == F.col("own_cid"), F.col("dst")))
+        .alias("a_dist"),
+        F.min(F.when(F.col("ccid") != F.col("own_cid"), F.col("dst")))
+        .alias("b_dist"))
+    s = (F.when(F.greatest("a_dist", "b_dist") == 0,
+                F.lit(0).cast("double"))
+         .otherwise(F.round((F.col("b_dist") - F.col("a_dist"))
+                            / F.greatest("a_dist", "b_dist"), 9)))
+    return (sil.select(F.col("own_cid").alias("cid"), s.alias("s"))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                 (F.sum(F.col("s").cast("decimal(30,9)")).cast("double")
+                  / F.count(F.lit(1))).alias("mean_silhouette")))

@@ -1119,3 +1119,101 @@ def keywords_rake(spark, sf_dir):
                      / F.lit(1000000000).cast("double")).alias("score"))
             .orderBy(F.desc("score_e9"), "phrase")
             .limit(_RAKE_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram language model (round 9c)
+# ---------------------------------------------------------------------------
+
+@query("quality_kneser_ney_logprob", """
+WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bigrams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS bg
+  FROM arrs WHERE len(a) >= 2
+),
+bi AS (SELECT bg, COUNT(*) AS cnt2 FROM bigrams GROUP BY bg),
+bsplit AS (
+  SELECT bg, cnt2,
+         string_split(bg, ' ')[1] AS v,
+         string_split(bg, ' ')[2] AS w
+  FROM bi
+),
+ctx AS (
+  SELECT v, CAST(SUM(cnt2) AS BIGINT) AS cv,
+         CAST(COUNT(*) AS BIGINT) AS n1v
+  FROM bsplit GROUP BY v
+),
+wt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1w FROM bsplit GROUP BY w),
+ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bi),
+fitted AS (
+  SELECT bg, ROUND(LN(
+      (4 * cnt2 - 3) / CAST(4 * cv AS DOUBLE)
+      + ((3 * n1v) / CAST(4 * cv AS DOUBLE)) * (n1w / CAST(ntypes AS DOUBLE))
+    ), 9) AS logp
+  FROM bsplit JOIN ctx USING (v) JOIN wt USING (w) CROSS JOIN ty
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(logp AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+         AS avg_logprob_kn
+FROM bigrams JOIN fitted USING (bg)
+GROUP BY doc_id
+""")
+def quality_kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram score (Kneser & Ney 1995; Chen &
+    Goodman 1998) — the stronger LM companion to the stupid-backoff
+    entry: absolute discounting (d = 3/4) redistributes mass to a
+    CONTINUATION unigram (how many distinct contexts a word follows,
+    not how often it occurs), which is what separates natural prose
+    from templated text that reuses high-frequency words in few
+    contexts.
+
+      P_KN(w|v) = max(c(vw) - d, 0)/c(v.) + (d * N1+(v.)/c(v.)) * Pcont(w)
+      Pcont(w)  = N1+(.w) / N1+(..)
+
+    Scoring the fitting corpus means every scored bigram is observed, so
+    no OOV branch is needed. All model quantities are integer counts;
+    the discount enters as the integer ratio (4c-3)/4c (never a float
+    literal — CLAUDE.md's literal rule); per-type ln is round-9 fenced;
+    the per-doc mean is an exact decimal sum over one IEEE division.
+
+    Scale: counts are map-side combinable, keyed by bigram/context/word
+    (corpus text never shuffles); at 100 TB the three model tables get
+    the same frequency-floor + capped-vocab treatment as
+    quality_bigram_logprob (operators/curation.capped_vocab) — the KN
+    interpolation already defines what truncated mass falls back to."""
+    arr = F.split(F.col("text"), " ")
+    bigram_expr = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
+    d = t(spark, sf_dir, "documents")
+    bigrams = (d.filter(F.size(arr) >= 2)
+               .select("doc_id", F.explode(bigram_expr).alias("bg")))
+    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    # Four consumers (ctx, wt, ntypes, the fitted join) read the bigram-
+    # type table; materialize it once (lazy localCheckpoint) so the
+    # corpus explode+count runs a single time, not per consumer.
+    bsplit = bi.select(
+        "bg", "cnt2",
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("v"),
+        F.element_at(F.split(F.col("bg"), " "), 2).alias("w")
+    ).localCheckpoint(eager=False)
+    ctx = bsplit.groupBy("v").agg(
+        F.sum("cnt2").cast("bigint").alias("cv"),
+        F.count(F.lit(1)).cast("bigint").alias("n1v"))
+    wt = bsplit.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1w"))
+    ty = bsplit.agg(F.count(F.lit(1)).cast("bigint").alias("ntypes"))
+    term1 = (4 * F.col("cnt2") - 3) / (4 * F.col("cv")).cast("double")
+    lam = (3 * F.col("n1v")) / (4 * F.col("cv")).cast("double")
+    pcont = F.col("n1w") / F.col("ntypes").cast("double")
+    fitted = (bsplit.join(ctx, "v").join(wt, "w")
+              .crossJoin(F.broadcast(ty))
+              .select("bg",
+                      F.round(F.log(term1 + lam * pcont), 9).alias("logp")))
+    return (bigrams.join(fitted, "bg")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 (F.sum(F.col("logp").cast("decimal(20,9)")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_logprob_kn")))

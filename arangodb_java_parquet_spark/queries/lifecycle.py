@@ -531,3 +531,83 @@ def user_longest_streak(spark, sf_dir):
                  F.min(F.when(F.col("len") == F.col("max_len"),
                               F.col("streak_start")))
                  .alias("longest_start")))
+
+
+# ---------------------------------------------------------------------------
+# global clustering coefficient (round 9c)
+# ---------------------------------------------------------------------------
+
+@query("graph_clustering_coefficient", _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e ab
+  JOIN e bc ON bc.doc_a = ab.doc_b
+  JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+),
+und AS (
+  SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e
+),
+deg AS (SELECT node, COUNT(*) AS dg FROM und GROUP BY node),
+wed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(dg) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges = 0 THEN CAST(0 AS DOUBLE)
+            ELSE (3 * n_triangles) / CAST(n_wedges AS DOUBLE)
+       END AS global_clustering_coeff
+FROM wed CROSS JOIN tri
+""")
+def graph_clustering_coefficient(spark, sf_dir):
+    """GLOBAL clustering coefficient (transitivity) of the LSH
+    document-similarity graph: 3 * triangles / wedges, where wedges =
+    sum over nodes of deg*(deg-1)/2 — the one-number answer to "are
+    near-dup neighborhoods cliques or stars?" that complements the raw
+    triangle count (near-dup clusters should be transitive; a low
+    coefficient on a dedup graph means the candidate generator is
+    chaining unrelated documents through hub shingles).
+
+    The edge list is materialized once (lazy localCheckpoint) and feeds
+    the triangle enumeration (two partitioned equi-joins, a<b<c
+    orientation) and the degree aggregation — without it the whole
+    shingle->minhash->LSH lineage re-derives per consumer (the
+    graph_label_propagation lesson). All counts integer; the
+    coefficient is one IEEE division."""
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    e = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+         .select("doc_a", "doc_b")
+         .localCheckpoint(eager=False))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
+           .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))
+                 & (F.col("ac.doc_b") == F.col("bc.doc_b")))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+    und = (e.select(F.col("doc_a").alias("node"))
+           .unionAll(e.select(F.col("doc_b").alias("node"))))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("dg"))
+    wed = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("sum(dg) DIV 2").cast("bigint").alias("n_edges"),
+        F.expr("sum(dg * (dg - 1)) DIV 2").cast("bigint")
+        .alias("n_wedges"))
+    return (wed.crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    F.when(F.col("n_wedges") == 0, F.lit(0).cast("double"))
+                    .otherwise((3 * F.col("n_triangles"))
+                               / F.col("n_wedges").cast("double"))
+                    .alias("global_clustering_coeff")))

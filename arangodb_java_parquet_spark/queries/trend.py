@@ -615,17 +615,10 @@ FROM l{_LPA_ROUNDS} GROUP BY label""")
     return "".join(parts)
 
 
-@query("graph_label_propagation", _lpa_sql())
-def graph_label_propagation(spark, sf_dir):
-    """Label-propagation COMMUNITIES over the LSH similarity graph —
-    the O(E)-per-round community detector (Raghavan et al. 2007),
-    complementing connected components (CC merges everything reachable;
-    LPA splits dense regions apart). Semi-synchronous fixed rounds with
-    fully deterministic updates: each node adopts its neighbors'
-    modal label with a (count desc, label asc) tiebreak — the classic
-    random-tie LPA made reproducible. Each round is one edges×labels
-    join + two combinable aggregations; plan depth fixed by the round
-    count. Output: community sizes."""
+def _lpa_labels(spark, sf_dir):
+    """Shared fixed-round semi-synchronous LPA (edges, final labels) —
+    one implementation, two consumers (community sizes + modularity),
+    same SQL template on the oracle side (the _kmeans_assign pattern)."""
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
@@ -654,9 +647,106 @@ def graph_label_propagation(spark, sf_dir):
                           .orderBy(F.desc("c"), F.asc("label"))))
                   .filter(F.col("rn") == 1)
                   .select("node", "label"))
+    return edges, labels
+
+
+@query("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark, sf_dir):
+    """Label-propagation COMMUNITIES over the LSH similarity graph —
+    the O(E)-per-round community detector (Raghavan et al. 2007),
+    complementing connected components (CC merges everything reachable;
+    LPA splits dense regions apart). Semi-synchronous fixed rounds with
+    fully deterministic updates: each node adopts its neighbors'
+    modal label with a (count desc, label asc) tiebreak — the classic
+    random-tie LPA made reproducible. Each round is one edges×labels
+    join + two combinable aggregations; plan depth fixed by the round
+    count. Output: community sizes."""
+    _, labels = _lpa_labels(spark, sf_dir)
     return (labels.groupBy(F.col("label").alias("community"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
                  F.min("node").cast("bigint").alias("min_member")))
+
+
+def _modularity_sql() -> str:
+    base = _lpa_sql()
+    final = f"""
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member
+FROM l{_LPA_ROUNDS} GROUP BY label"""
+    assert final in base
+    return base.replace(final, f""",
+deg AS (SELECT src AS node, COUNT(*) AS dg FROM edges GROUP BY src),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dir FROM edges),
+csz AS (
+  SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d.dg) AS BIGINT) AS deg_sum
+  FROM l{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+),
+intra AS (
+  SELECT ls.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_dir
+  FROM edges e
+  JOIN l{_LPA_ROUNDS} ls ON ls.node = e.src
+  JOIN l{_LPA_ROUNDS} ld ON ld.node = e.dst
+  WHERE ls.label = ld.label
+  GROUP BY ls.label
+)
+SELECT c.community, c.n_members,
+       CAST(COALESCE(i.intra_dir, 0) // 2 AS BIGINT) AS intra_edges,
+       c.deg_sum,
+       COALESCE(i.intra_dir, 0) / CAST(n_dir AS DOUBLE)
+         - (c.deg_sum / CAST(n_dir AS DOUBLE))
+           * (c.deg_sum / CAST(n_dir AS DOUBLE)) AS q_contrib
+FROM csz c LEFT JOIN intra i ON i.community = c.community
+CROSS JOIN nd""")
+
+
+@query("graph_modularity_lpa", _modularity_sql())
+def graph_modularity_lpa(spark, sf_dir):
+    """Newman MODULARITY of the label-propagation communities — the
+    standard did-the-community-detector-find-real-structure score:
+    per community c, Q_c = e_c/m - (d_c/2m)^2 (intra-edge share minus
+    the degree-null-model expectation); the global Q is the sum of the
+    q_contrib column. Reuses the SAME fixed-round LPA assignment as
+    graph_label_propagation (one implementation, one SQL template, two
+    consumers — the _kmeans_assign pattern).
+
+    On the directed (doubled) edge table, intra_dir = 2*e_c and
+    n_dir = 2m, so both modularity terms are ratios of plain integer
+    counts — IEEE-identical without any rounding. The per-community
+    joins are label lookups keyed by node; nothing is all-pairs.
+
+    Scale: degrees, community sizes and intra-edge counts are each one
+    combinable aggregation over the (already LSH-bounded) edge list;
+    the label table joins by node id."""
+    edges, labels = _lpa_labels(spark, sf_dir)
+    labels = labels.localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg"))
+    nd = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_dir"))
+    csz = (labels.join(deg, "node")
+           .groupBy(F.col("label").alias("community"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                F.sum("dg").cast("bigint").alias("deg_sum")))
+    ls = labels.select(F.col("node").alias("src"),
+                       F.col("label").alias("lsrc"))
+    ld = labels.select(F.col("node").alias("dst"),
+                       F.col("label").alias("ldst"))
+    intra = (edges.join(ls, "src").join(ld, "dst")
+             .filter(F.col("lsrc") == F.col("ldst"))
+             .groupBy(F.col("lsrc").alias("community"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("intra_dir")))
+    j = (csz.join(intra, "community", "left")
+         .crossJoin(F.broadcast(nd)))
+    idir = F.coalesce("intra_dir", F.lit(0))
+    dshare = F.col("deg_sum") / F.col("n_dir").cast("double")
+    return j.select(
+        "community", "n_members",
+        F.expr("COALESCE(intra_dir, 0) DIV 2").cast("bigint")
+        .alias("intra_edges"),
+        "deg_sum",
+        (idir / F.col("n_dir").cast("double") - dshare * dshare)
+        .alias("q_contrib"))
 
 
 # ---------------------------------------------------------------------------

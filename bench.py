@@ -236,6 +236,12 @@ BENCH_QUERIES = [
     "coreset_kcenter_greedy", "sim_rrf_fusion", "split_leakage_safe_report",
     "eval_brier_decomposition", "mixture_unimax_allocation",
     "text_code_detect", "eval_forecast_accuracy",
+    # round 9c: BLEU/ROUGE, Fleiss kappa, conformal coverage, Matryoshka
+    "eval_bleu_rouge_pairs", "eval_fleiss_kappa",
+    "eval_conformal_coverage", "emb_matryoshka_recall",
+    "quality_kneser_ney_logprob", "emb_knn_hubness",
+    "cluster_silhouette_centroid", "graph_modularity_lpa",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Hand-computed ground-truth and invariant tests for the round-9c wave:
+BLEU/ROUGE pairs, Fleiss' kappa, split-conformal coverage, Matryoshka
+recall, Kneser-Ney scoring, kNN hubness, centroid silhouette, LPA
+modularity, clustering coefficient.
+
+Crafted corpora are written as parquet sf_dirs so each test runs the SAME
+registered callable the driver runs; metric expectations are derived by
+hand in the comments.
+"""
+
+import math
+
+import pytest
+
+from arangodb_java_parquet_spark.queries.common import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# eval_bleu_rouge_pairs
+# ---------------------------------------------------------------------------
+
+def test_bleu_identical_pairs_score_one(spark, tmp_path):
+    """Every document in a source shares one text => every md5-ranked
+    consecutive pair is (x, x) => clipped precision/recall 1 at both
+    orders, BP 1, BLEU-2 exactly 1. A 5-doc source exercises the
+    odd-row drop (5 docs -> 2 pairs)."""
+    rows = [(i, "the quick brown fox", "en", "s1", 19) for i in range(4)]
+    rows += [(10 + i, "lorem ipsum dolor", "xx", "s2", 17) for i in range(5)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_bleu_rouge_pairs"](spark, sf).collect()[0]
+    assert r["n_pairs"] == 4  # 2 from s1 + 2 from s2 (one s2 doc dropped)
+    assert r["prec1"] == 1.0 and r["prec2"] == 1.0
+    assert r["rouge1_recall"] == 1.0 and r["rouge2_recall"] == 1.0
+    assert r["brevity_penalty"] == 1.0
+    assert r["bleu2"] == 1.0
+
+
+def test_bleu_zero_bigram_overlap_guard(spark, tmp_path):
+    """Two docs with the same token multiset but reversed order: unigram
+    precision 1, bigram overlap 0 => the m2=0 guard pins BLEU-2 to 0
+    (instead of ln(0))."""
+    rows = [(0, "a b", "en", "s1", 3), (1, "b a", "en", "s1", 3)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_bleu_rouge_pairs"](spark, sf).collect()[0]
+    assert r["n_pairs"] == 1
+    assert r["prec1"] == 1.0
+    assert r["clipped2"] == 0
+    assert r["bleu2"] == 0.0
+    assert r["rouge2_recall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# eval_fleiss_kappa
+# ---------------------------------------------------------------------------
+
+def test_fleiss_kappa_perfect_agreement(spark, tmp_path):
+    """All three raters say 'en' on every item => Pe = 1 => the guard
+    returns kappa = 1."""
+    rows = [(i, "x the y", "en", "s", 900) for i in range(6)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_fleiss_kappa"](spark, sf).collect()[0]
+    assert r["pbar"] == 1.0
+    assert r["fleiss_kappa"] == 1.0
+
+
+def test_fleiss_kappa_hand_computed(spark, tmp_path):
+    """Rater votes per item: [3, 1, 1, 0] positives.
+    Pbar = sum(n1^2 + n0^2 - 3) / (n*6) = (6+2+2+6)/24 = 2/3;
+    p_pos = 5/12; Pe = (25+49)/144 = 37/72;
+    kappa = (2/3 - 37/72) / (1 - 37/72) = 11/35."""
+    rows = [
+        (0, "x the y", "en", "s", 900),   # all 3 raters: yes
+        (1, "xxxx", "en", "s", 10),       # lang only
+        (2, "x the y", "fr", "s", 10),    # stopword only
+        (3, "xxxx", "fr", "s", 900),      # length only... n1=1
+    ]
+    # fix item 3 to 0 positives: short n_chars, no ' the ', not en
+    rows[3] = (3, "xxxx", "fr", "s", 10)
+    # and add one all-negative replaced by length-only to match [3,1,1,0]:
+    # item 1 => n1=1 (lang), item 2 => n1=1 (stopword), item 3 => n1=0.
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_fleiss_kappa"](spark, sf).collect()[0]
+    # votes: [3,1,1,0] => S = 6+2+2+6 = 16; Pbar = 16/24
+    assert r["pbar"] == pytest.approx(16 / 24, abs=1e-12)
+    assert r["fleiss_kappa"] == pytest.approx(
+        (16 / 24 - 37 / 72) / (1 - 37 / 72), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# eval_conformal_coverage
+# ---------------------------------------------------------------------------
+
+def test_conformal_internal_consistency(spark):
+    """On real data: the rank index matches ceil(0.9*(n_cal+1)) clamped
+    to n_cal, splits partition the table, and coverage is a valid
+    fraction near-or-above the target (finite-sample)."""
+    r = QUERIES["eval_conformal_coverage"](spark, SF0001).collect()[0]
+    n_cal = r["n_cal"]
+    assert r["k_rank"] == min(math.ceil(0.9 * (n_cal + 1)), n_cal)
+    assert r["q_hat"] >= 0
+    assert r["interval_width"] == 2 * r["q_hat"]
+    assert 0.0 <= r["coverage"] <= 1.0
+    # split-conformal guarantee is in expectation; allow finite-sample slack
+    assert r["coverage"] >= 0.8
+    assert r["target_coverage"] == 0.9
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_recall
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_recall_one_when_info_in_prefix(spark, tmp_path):
+    """All signal in the first 4 dims, zeros elsewhere => truncated and
+    full rankings are identical => recall@10 is exactly 1 at both
+    truncations."""
+    import random
+    rng = random.Random(3)
+    rows = []
+    for vid in range(0, 40):
+        v = [rng.uniform(-1, 1) for _ in range(4)] + [0.0] * 60
+        rows.append((vid, [float(x) for x in v], 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = QUERIES["emb_matryoshka_recall"](spark, sf).collect()[0]
+    assert r["n_queries"] >= 1
+    assert r["recall_at10_dim16"] == 1.0
+    assert r["recall_at10_dim32"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# quality_kneser_ney_logprob
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    """Corpus = {"a b", "a c"}: for each doc the single bigram scores
+    P = max(1-3/4,0)/2 + (3/4 * 2/2) * (1/2) = 1/8 + 3/8 = 1/2,
+    so avg_logprob_kn = round(ln(0.5), 9). KN probabilities over the
+    context 'a' sum to exactly 1 (0.5 + 0.5) — the normalization
+    property that distinguishes KN from stupid backoff."""
+    rows = [(0, "a b", "en", "s", 3), (1, "a c", "en", "s", 3)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in
+           QUERIES["quality_kneser_ney_logprob"](spark, sf).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n_bigrams"] == 1
+        assert r["avg_logprob_kn"] == pytest.approx(
+            round(math.log(0.5), 9), abs=1e-12)
+
+
+def test_kneser_ney_seen_everywhere_scores_zero(spark, tmp_path):
+    """A single repeated bigram gets ALL the probability mass:
+    P = (4*2-3)/8 + (3*1/8)*(1/1) = 5/8 + 3/8 = 1 => logp = 0."""
+    rows = [(0, "a b", "en", "s", 3), (1, "a b", "en", "s", 3)]
+    sf = _write_documents(spark, tmp_path, rows)
+    for r in QUERIES["quality_kneser_ney_logprob"](spark, sf).collect():
+        assert r["avg_logprob_kn"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_hubness / cluster_silhouette_centroid / graph entries
+# ---------------------------------------------------------------------------
+
+def test_hubness_mean_is_exactly_k(spark):
+    """Every vector retrieves exactly k neighbors, so the mean
+    k-occurrence is exactly k = 5 by double-counting; variance is
+    non-negative and antihubs are a valid count."""
+    r = QUERIES["emb_knn_hubness"](spark, SF0001).collect()[0]
+    assert r["mean_kocc"] == 5.0
+    assert r["var_kocc"] >= 0
+    assert 0 <= r["n_antihubs"] <= r["n_vectors"]
+    assert r["max_kocc"] >= 5  # some vector is at least averagely popular
+
+
+def test_silhouette_bounds_and_partition(spark):
+    rows = QUERIES["cluster_silhouette_centroid"](spark, SF0001).collect()
+    emb_count = spark.read.parquet(f"{SF0001}/embeddings.parquet").count()
+    assert sum(r["n_points"] for r in rows) == emb_count
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_modularity_bounds(spark):
+    rows = QUERIES["graph_modularity_lpa"](spark, SF0001).collect()
+    q = sum(r["q_contrib"] for r in rows)
+    assert -0.5 <= q <= 1.0
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert r["intra_edges"] >= 0
+        # a community's intra-edge endpoints cannot exceed its degree sum
+        assert 2 * r["intra_edges"] <= r["deg_sum"]
+
+
+def test_clustering_coefficient_bounds(spark):
+    r = QUERIES["graph_clustering_coefficient"](spark, SF0001).collect()[0]
+    assert 0.0 <= r["global_clustering_coeff"] <= 1.0
+    assert r["n_wedges"] >= 3 * r["n_triangles"]
+    assert r["n_edges"] >= 0 and r["n_nodes"] >= 0
