@@ -349,3 +349,82 @@ def stream_incremental_daily_rollup(spark, sf_dir):
     return (spark.read.parquet(state_dir)
             .select("day", "event_type", "n_events",
                     F.col("sum_value").cast("double").alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (round 9d): distributional privacy beyond l-diversity
+# ---------------------------------------------------------------------------
+
+@query("privacy_t_closeness", """
+WITH base AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(FLOOR(c_acctbal / 1000.0) AS INT) AS sens
+  FROM customer
+),
+gdist AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS n_s FROM base
+         GROUP BY sens),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+cls AS (SELECT seg, nat, CAST(COUNT(*) AS BIGINT) AS n_c FROM base
+        GROUP BY seg, nat),
+cs AS (SELECT seg, nat, sens, CAST(COUNT(*) AS BIGINT) AS n_cs FROM base
+       GROUP BY seg, nat, sens),
+expanded AS (
+  SELECT c.seg, c.nat, c.n_c, g.sens, g.n_s, COALESCE(x.n_cs, 0) AS n_cs
+  FROM cls c CROSS JOIN gdist g
+  LEFT JOIN cs x ON x.seg = c.seg AND x.nat = c.nat AND x.sens = g.sens
+)
+SELECT seg AS c_mktsegment, nat AS c_nationkey,
+       CAST(MAX(n_c) AS BIGINT) AS k_size,
+       CAST(SUM(CAST(ROUND(abs(n_cs / CAST(n_c AS DOUBLE)
+                               - n_s / CAST(n AS DOUBLE)), 9)
+                     AS DECIMAL(20,9))) AS DOUBLE) / 2 AS t_closeness_tvd
+FROM expanded CROSS JOIN tot
+GROUP BY seg, nat
+""")
+def privacy_t_closeness(spark, sf_dir):
+    """t-CLOSENESS report (Li, Li & Venkatasubramanian 2007) — the
+    distributional tier above privacy_k_anonymity's k/l columns: for
+    each quasi-identifier equivalence class, the total-variation
+    distance between the class's sensitive-value distribution (the
+    $1000 account-balance band) and the GLOBAL distribution. l-diversity
+    misses skewness attacks (a class can have l distinct values but
+    99% mass on one); a class with large TVD leaks information even
+    when k and l pass. Release gate: max(t_closeness_tvd) <= t.
+
+    The class x sensitive-domain expansion is a cross join of two
+    BOUNDED aggregates (classes x bands — never rows); absent
+    combinations are pinned at 0 by the left join so the TVD sums over
+    the full domain. All counts integer; the per-term |p_c - p_g| is a
+    difference of single IEEE divisions, round-9 fenced into an exact
+    decimal sum, halved once at the end."""
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("sens"))
+    glob = base.groupBy("sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls = base.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    cs = (base.groupBy("seg", "nat", "sens")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_cs"))
+          .withColumnRenamed("seg", "xseg")
+          .withColumnRenamed("nat", "xnat")
+          .withColumnRenamed("sens", "xsens"))
+    expanded = (cls.crossJoin(F.broadcast(glob))
+                .join(cs, (F.col("seg") == F.col("xseg"))
+                      & (F.col("nat") == F.col("xnat"))
+                      & (F.col("sens") == F.col("xsens")), "left")
+                .select("seg", "nat", "n_c", "sens", "n_s",
+                        F.coalesce("n_cs", F.lit(0)).alias("n_cs")))
+    term = F.abs(F.col("n_cs") / F.col("n_c").cast("double")
+                 - F.col("n_s") / F.col("n").cast("double"))
+    return (expanded.crossJoin(F.broadcast(tot))
+            .groupBy("seg", "nat")
+            .agg(F.max("n_c").cast("bigint").alias("k_size"),
+                 (F.sum(F.round(term, 9).cast("decimal(20,9)"))
+                  .cast("double") / 2).alias("t_closeness_tvd"))
+            .select(F.col("seg").alias("c_mktsegment"),
+                    F.col("nat").alias("c_nationkey"),
+                    "k_size", "t_closeness_tvd"))

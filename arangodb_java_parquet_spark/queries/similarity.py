@@ -2072,3 +2072,83 @@ def sim_rrf_fusion(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(F.desc("rrf_e9"), "vid")
     return (fused.withColumn("fused_rank", F.row_number().over(w))
             .filter(F.col("fused_rank") <= _RRF_OUT_K))
+
+
+# ---------------------------------------------------------------------------
+# anisotropy score (round 9d): mean pairwise cosine via the mean vector
+# ---------------------------------------------------------------------------
+
+@query("emb_anisotropy_score", f"""
+WITH nv AS (
+  SELECT embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+dims AS (
+  SELECT u.i AS dim,
+         CAST(SUM(CAST(ROUND(embedding[u.i]::DOUBLE / nrm, 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS s_i,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM nv, (SELECT UNNEST(range(1, 65)) AS i) u
+  WHERE nrm > 0
+  GROUP BY u.i
+),
+q AS (
+  SELECT CAST(MAX(nn) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND((s_i / nn) * (s_i / nn), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS sq
+  FROM dims
+)
+SELECT n AS n_vectors,
+       sqrt(sq) AS mean_vec_norm,
+       CASE WHEN n > 1
+            THEN (CAST(n AS DOUBLE) * n * sq - n)
+                 / (CAST(n AS DOUBLE) * (n - 1))
+            ELSE CAST(0 AS DOUBLE) END AS mean_pairwise_cosine
+FROM q
+""")
+def emb_anisotropy_score(spark, sf_dir):
+    """ANISOTROPY of the embedding space (Ethayarajh 2019; Mu &
+    Viswanath 2018): the expected cosine between two distinct corpus
+    vectors — near 0 for an isotropic (directionally uniform) space,
+    large when a common dominant direction inflates all similarities
+    (the pathology that post-processing like mean-removal fixes, and
+    the reason raw-cosine near-dup thresholds drift between embedding
+    models). Computed WITHOUT any pair join via the mean-vector
+    identity over unit vectors: sum_{{i != j}} cos(u_i, u_j)
+    = ||sum u||^2 - n, so mean pairwise cosine
+    = (n^2 ||mean u||^2 - n) / (n (n-1)).
+
+    One per-dimension combinable aggregation (the emb_dimension_profile
+    shape: 64 groups at any corpus size) plus a 64-row rollup — O(n)
+    where the naive definition is O(n^2). Determinism: unit components
+    round-9 into exact decimal sums; per-dim means are single IEEE
+    divisions; the 64-term square sum is round-9 fenced; the final
+    identity is a product/difference of identical doubles."""
+    e = t(spark, sf_dir, "embeddings")
+    # Materialize (embedding, nrm) BEFORE the explode: projection
+    # collapse otherwise folds the interpreted HOF norm into the
+    # per-exploded-row projection and evaluates it 64x per vector
+    # (measured 52 s -> ~3 s at sf0.01; the CLAUDE.md HOF-collapse trap).
+    nv = (e.select("embedding", norm(F.col("embedding")).alias("nrm"))
+          .filter(F.col("nrm") > 0)
+          .localCheckpoint(eager=False))
+    x = nv.select((F.posexplode("embedding")).alias("i0", "val"),
+                  F.col("nrm"))
+    dims = (x.groupBy((F.col("i0") + 1).alias("dim"))
+            .agg(F.sum(F.round(F.col("val").cast("double") / F.col("nrm"),
+                               9).cast("decimal(20,9)"))
+                 .cast("double").alias("s_i"),
+                 F.count(F.lit(1)).cast("bigint").alias("nn")))
+    mi = F.col("s_i") / F.col("nn")
+    q = dims.agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.sum(F.round(mi * mi, 9).cast("decimal(20,9)")).cast("double")
+        .alias("sq"))
+    nd = F.col("n").cast("double")
+    return q.select(
+        F.col("n").alias("n_vectors"),
+        F.sqrt(F.col("sq")).alias("mean_vec_norm"),
+        F.when(F.col("n") > 1,
+               (nd * F.col("n") * F.col("sq") - F.col("n"))
+               / (nd * (F.col("n") - 1)))
+        .otherwise(F.lit(0).cast("double")).alias("mean_pairwise_cosine"))

@@ -1357,3 +1357,57 @@ def dedup_exactsubstr_incremental(spark, sf_dir):
                  .cast("bigint").alias("span_tokens"),
                  F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
             .drop("grp"))
+
+
+# ---------------------------------------------------------------------------
+# active learning: margin (uncertainty) sampling from the IRLS model (9d)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 25
+
+
+def _margin_sql() -> str:
+    R = _IRLS_ROUNDS
+    return _irls_prefix_sql() + f""",
+scored AS (
+  SELECT d.doc_id,
+         ROUND(1.0e0 / (1.0e0 + exp(0.0e0 -
+               ROUND(w.w0 + w.w1 * (d.n_chars / 1000.0e0), 9))), 9) AS mu
+  FROM documents d CROSS JOIN w{R} w
+)
+SELECT doc_id, mu, ROUND(abs(mu - 0.5e0), 9) AS margin
+FROM scored
+ORDER BY margin ASC, doc_id ASC
+LIMIT {_MARGIN_K}"""
+
+
+@query("active_margin_sampling", _margin_sql())
+def active_margin_sampling(spark, sf_dir):
+    """ACTIVE-LEARNING acquisition: margin (uncertainty) sampling — the
+    {_MARGIN_K} documents whose fitted probability under the in-engine
+    IRLS logistic model sits closest to the 0.5 decision boundary (Lewis
+    & Gale 1994). This is the next-labeling-batch selector of a
+    label-efficient curation loop: spend annotation budget where the
+    model is least sure. Composes the SAME generated IRLS chain as
+    logistic_irls_fit / calibration_report (one source of truth on both
+    engines); scoring is one broadcast of the 1-row weight vector
+    against the corpus, and the batch selection is TakeOrdered
+    (per-partition heaps), not a global sort.
+
+    Determinism: mu inherits the fit entry's round-9 sigmoid contract;
+    the margin is round-9'd and tie-broken by doc_id, so the top-k
+    boundary is engine-exact. The eta expression keeps the prefix
+    template's association (w1 * (n_chars/1000)) so scored mu is
+    bit-identical to the fit's final CTE."""
+    pts, w = _irls_fit(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    scored = (d.crossJoin(F.broadcast(w))
+              .select("doc_id",
+                      (F.col("n_chars") / F.lit(1000.0)).alias("x"),
+                      "w0", "w1")
+              .select("doc_id", _irls_mu_expr().alias("mu")))
+    return (scored.select("doc_id", "mu",
+                          F.round(F.abs(F.col("mu") - 0.5), 9)
+                          .alias("margin"))
+            .orderBy(F.asc("margin"), F.asc("doc_id"))
+            .limit(_MARGIN_K))

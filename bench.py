@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "quality_kneser_ney_logprob", "emb_knn_hubness",
     "cluster_silhouette_centroid", "graph_modularity_lpa",
     "graph_clustering_coefficient",
+    # round 9d: privacy depth, anisotropy, active-learning acquisition
+    "privacy_t_closeness", "emb_anisotropy_score", "active_margin_sampling",
 ]
 
 

@@ -214,3 +214,52 @@ def test_clustering_coefficient_bounds(spark):
     assert 0.0 <= r["global_clustering_coeff"] <= 1.0
     assert r["n_wedges"] >= 3 * r["n_triangles"]
     assert r["n_edges"] >= 0 and r["n_nodes"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# round 9d: t-closeness, anisotropy, margin sampling
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_zero_when_class_matches_global(spark):
+    """TVD is in [0, 1); a class whose sensitive distribution equals the
+    global one scores 0; every class's k matches the k-anonymity entry."""
+    rows = QUERIES["privacy_t_closeness"](spark, SF0001).collect()
+    kan = {(r["c_mktsegment"], r["c_nationkey"]): r["k_size"] for r in
+           QUERIES["privacy_k_anonymity"](spark, SF0001).collect()}
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_closeness_tvd"] < 1.0
+        assert kan[(r["c_mktsegment"], r["c_nationkey"])] == r["k_size"]
+
+
+def test_anisotropy_identical_vectors_score_one(spark, tmp_path):
+    """All vectors identical => every pairwise cosine is exactly 1 =>
+    mean_pairwise_cosine = 1 and the mean unit vector has norm 1."""
+    rows = [(i, [3.0, 4.0] + [0.0] * 62, 0) for i in range(20)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = QUERIES["emb_anisotropy_score"](spark, sf).collect()[0]
+    assert r["n_vectors"] == 20
+    assert r["mean_vec_norm"] == pytest.approx(1.0, abs=1e-8)
+    assert r["mean_pairwise_cosine"] == pytest.approx(1.0, abs=1e-7)
+
+
+def test_anisotropy_symmetric_vectors_score_negative(spark, tmp_path):
+    """Ten +e1 and ten -e1 unit vectors: sum u = 0, so mean pairwise
+    cosine = (0 - n) / (n(n-1)) = -1/(n-1)."""
+    rows = [(i, [1.0] + [0.0] * 63, 0) for i in range(10)]
+    rows += [(10 + i, [-1.0] + [0.0] * 63, 0) for i in range(10)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = QUERIES["emb_anisotropy_score"](spark, sf).collect()[0]
+    assert r["mean_pairwise_cosine"] == pytest.approx(-1 / 19, abs=1e-9)
+
+
+def test_margin_sampling_is_most_uncertain(spark):
+    """The selected batch's margins are a prefix of the global margin
+    ranking: no unselected document has a strictly smaller margin."""
+    sel = QUERIES["active_margin_sampling"](spark, SF0001).collect()
+    assert len(sel) == 25
+    margins = [r["margin"] for r in sel]
+    assert margins == sorted(margins)
+    assert all(0.0 <= m <= 0.5 for m in margins)
+    # mu inherits the fitted model: probabilities in (0, 1)
+    assert all(0.0 < r["mu"] < 1.0 for r in sel)

@@ -104,6 +104,20 @@ PROBES = [
     "keywords_rake",
     "coreset_kcenter_greedy",
     "split_leakage_safe_report",
+    # round-9c flagships: token-keyed BLEU/ROUGE clipping, KN model fit
+    # + score (two corpus passes), LPA-derived modularity, triangle/wedge
+    # transitivity, conformal order statistic, panel-capped Matryoshka
+    "eval_bleu_rouge_pairs",
+    "quality_kneser_ney_logprob",
+    "graph_modularity_lpa",
+    "graph_clustering_coefficient",
+    "eval_conformal_coverage",
+    "emb_matryoshka_recall",
+    # round-9d flagships: bounded-domain TVD expansion, O(n) anisotropy
+    # via the mean-vector identity, IRLS-scored TakeOrdered acquisition
+    "privacy_t_closeness",
+    "emb_anisotropy_score",
+    "active_margin_sampling",
 ]
 
 
