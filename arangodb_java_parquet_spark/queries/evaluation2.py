@@ -691,3 +691,93 @@ def cluster_silhouette_centroid(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
                  (F.sum(F.col("s").cast("decimal(30,9)")).cast("double")
                   / F.count(F.lit(1))).alias("mean_silhouette")))
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha with abstentions (round 9e)
+# ---------------------------------------------------------------------------
+
+_KRIPP_SQL = """
+WITH rated AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN instr(text, ' the ') > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS o,
+         (CASE WHEN n_chars >= 400 AND n_chars < 800 THEN 2 ELSE 3 END)
+           AS m,
+         (CASE WHEN n_chars >= 400 AND n_chars < 800
+               THEN (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                     + CASE WHEN instr(text, ' the ') > 0
+                            THEN 1 ELSE 0 END)
+               ELSE (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                     + CASE WHEN instr(text, ' the ') > 0
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END)
+          END) AS o_eff
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(m) AS BIGINT) AS mm,
+         CAST(SUM(o_eff) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN m = 3 THEN o_eff * (3 - o_eff)
+                       ELSE 2 * o_eff * (2 - o_eff) END) AS BIGINT) AS s
+  FROM rated
+)
+SELECT n_items, mm AS n_ratings,
+       s / CAST(mm AS DOUBLE) AS do_rate,
+       (2 * CAST(n1 AS DOUBLE) * (mm - n1))
+         / (CAST(mm AS DOUBLE) * (mm - 1)) AS de_rate,
+       CASE WHEN n1 = 0 OR n1 = mm THEN CAST(1 AS DOUBLE)
+            ELSE 1 - (CAST(s AS DOUBLE) * (mm - 1))
+                     / (2 * CAST(n1 AS DOUBLE) * (mm - n1))
+       END AS krippendorff_alpha
+FROM agg
+"""
+
+
+@query("eval_krippendorff_alpha", _KRIPP_SQL)
+def eval_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal, binary) — the agreement statistic
+    that, unlike Fleiss' kappa, HANDLES MISSING RATINGS: the length
+    rater abstains on mid-length documents (400 <= n_chars < 800), so
+    items carry m in {2, 3} ratings and the statistic weights each
+    item's pairable ratings correctly. The real-world labeling-QA case:
+    annotators skip items outside their competence.
+
+    Computational form: observed disagreement Do = (1/M) * sum_i
+    2*o_i*(m_i - o_i)/(m_i - 1) (integer-exact here since m_i - 1
+    divides 2*o*(m-o) for m in {2,3}); expected disagreement De =
+    2*n1*n0 / (M*(M-1)) from the pooled ratings; alpha = 1 - Do/De
+    collapses to 1 - S*(M-1)/(2*n1*n0) — ONE division of
+    integer-derived doubles (products go through double first so the
+    formula cannot overflow at corpus scale). One combinable
+    aggregation; degenerate all-same-category corpora pin alpha at 1."""
+    d = t(spark, sf_dir, "documents")
+    r1 = F.when(F.col("lang") == "en", 1).otherwise(0)
+    r2 = F.when(F.instr(F.col("text"), " the ") > 0, 1).otherwise(0)
+    r3 = F.when(F.col("n_chars") >= 800, 1).otherwise(0)
+    abstain = (F.col("n_chars") >= 400) & (F.col("n_chars") < 800)
+    rated = d.select(
+        F.when(abstain, F.lit(2)).otherwise(F.lit(3)).alias("m"),
+        F.when(abstain, r1 + r2).otherwise(r1 + r2 + r3).alias("o_eff"))
+    agg = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("m").cast("bigint").alias("mm"),
+        F.sum("o_eff").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("m") == 3,
+                     F.col("o_eff") * (3 - F.col("o_eff")))
+              .otherwise(2 * F.col("o_eff") * (2 - F.col("o_eff"))))
+        .cast("bigint").alias("s"))
+    n1d = F.col("n1").cast("double")
+    mmd = F.col("mm").cast("double")
+    sd = F.col("s").cast("double")
+    return agg.select(
+        "n_items", F.col("mm").alias("n_ratings"),
+        (F.col("s") / mmd).alias("do_rate"),
+        ((2 * n1d * (F.col("mm") - F.col("n1")))
+         / (mmd * (F.col("mm") - 1))).alias("de_rate"),
+        F.when((F.col("n1") == 0) | (F.col("n1") == F.col("mm")),
+               F.lit(1).cast("double"))
+        .otherwise(1 - (sd * (F.col("mm") - 1))
+                   / (2 * n1d * (F.col("mm") - F.col("n1"))))
+        .alias("krippendorff_alpha"))

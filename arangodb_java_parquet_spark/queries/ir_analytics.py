@@ -1217,3 +1217,296 @@ def quality_kneser_ney_logprob(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                  (F.sum(F.col("logp").cast("decimal(20,9)")).cast("double")
                   / F.count(F.lit(1))).alias("avg_logprob_kn")))
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (round 9e)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000  # Dirichlet prior mass (integer: no float literals)
+
+
+@query("ir_dirichlet_lm_score", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ({_BM25_TERMS_SQL})),
+cfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM q GROUP BY tok),
+qconst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(ROUND(LN(({_QL_MU} * cf)
+                                / CAST(total AS DOUBLE)), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS bg_const
+  FROM cfs CROSS JOIN stats
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM q GROUP BY 1, 2),
+corr AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(LN(1 + (CAST(tf.c AS DOUBLE) * total)
+                                    / ({_QL_MU} * cfs.cf)), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS match_part
+  FROM tf JOIN cfs USING (tok) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+       qc.bg_const
+         - qc.n_terms * ROUND(LN(CAST(dl.dl + {_QL_MU} AS DOUBLE)), 9)
+         + COALESCE(corr.match_part, CAST(0 AS DOUBLE)) AS score
+FROM dl
+LEFT JOIN corr ON corr.doc_id = dl.doc_id
+CROSS JOIN qconst qc
+""")
+def ir_dirichlet_lm_score(spark, sf_dir):
+    """Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    Lafferty 2001), mu = {_QL_MU} — with BM25 and TF-IDF cosine this
+    completes the classic lexical-ranking triple. Uses the sparse
+    background-offset decomposition that makes QL scoring bounded at
+    corpus scale: score(d) = sum_t ln(mu*P(t|C)) - |q|*ln(dl + mu)
+    + sum_(t in d AND q) ln(1 + c_td * |C| / (mu * cf_t)), so only
+    MATCHING (doc, term) pairs ever shuffle (the BM25 shape) and
+    non-matching docs are scored from the per-doc length alone.
+
+    Determinism: the query-constant and match corrections are round-9
+    ln terms in exact decimal sums; smoothing ratios are pure integer
+    ratios (mu is an integer constant, P(t|C) = cf/|C| stays a
+    bigint-over-double division); the final score is two additions of
+    identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    dl = d.select("doc_id",
+                  F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(F.sum(F.size(F.split("text", " "))).cast("bigint")
+                  .alias("total"))
+    q = toks.filter(F.col("tok").isin(list(_BM25_TERMS)))
+    cfs = q.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    qconst = (cfs.crossJoin(F.broadcast(stats))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                   F.sum(F.round(F.log((_QL_MU * F.col("cf"))
+                                       / F.col("total").cast("double")), 9)
+                         .cast("decimal(20,9)")).cast("double")
+                   .alias("bg_const")))
+    tf = q.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    corr = (tf.join(F.broadcast(cfs), "tok")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(F.round(F.log(
+                1 + (F.col("c").cast("double") * F.col("total"))
+                / (_QL_MU * F.col("cf"))), 9).cast("decimal(20,9)"))
+                 .cast("double").alias("match_part")))
+    return (dl.join(corr, "doc_id", "left")
+            .crossJoin(F.broadcast(qconst))
+            .select("doc_id", F.col("dl").cast("bigint").alias("dl"),
+                    (F.col("bg_const")
+                     - F.col("n_terms")
+                     * F.round(F.log((F.col("dl") + _QL_MU)
+                                     .cast("double")), 9)
+                     + F.coalesce("match_part", F.lit(0).cast("double")))
+                    .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (round 9e)
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 3
+_TR_TOPK = 20
+
+
+def _textrank_sql() -> str:
+    parts = ["""
+WITH arrs AS (
+  SELECT regexp_extract_all(text, '[a-z]{4,}') AS a FROM documents
+),
+bg AS (
+  SELECT UNNEST(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS bgs
+  FROM arrs WHERE len(a) >= 2
+),
+dir_e AS (
+  SELECT string_split(bgs, ' ')[1] AS src,
+         string_split(bgs, ' ')[2] AS dst
+  FROM bg
+  WHERE string_split(bgs, ' ')[1] <> string_split(bgs, ' ')[2]
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT src, dst FROM dir_e
+    UNION ALL SELECT dst, src FROM dir_e
+  ) GROUP BY src, dst
+),
+wdeg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wd
+         FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wdeg),
+s0 AS (SELECT node, CAST(1 AS DOUBLE) / n AS s FROM wdeg CROSS JOIN nn)"""]
+    for r in range(1, _TR_ROUNDS + 1):
+        parts.append(f""",
+m{r} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(ROUND(s.s * e.w / CAST(d.wd AS DOUBLE), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS mass
+  FROM edges e
+  JOIN s{r - 1} s ON s.node = e.src
+  JOIN wdeg d ON d.node = e.src
+  GROUP BY e.dst
+),
+s{r} AS (
+  SELECT w.node,
+         ROUND(CAST(3 AS DOUBLE) / (20 * n)
+               + (CAST(17 AS DOUBLE) / 20)
+                 * COALESCE(m.mass, CAST(0 AS DOUBLE)), 9) AS s
+  FROM wdeg w LEFT JOIN m{r} m ON m.node = w.node CROSS JOIN nn
+)""")
+    parts.append(f"""
+SELECT node AS token, s AS textrank_score,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT node, s, ROW_NUMBER() OVER (ORDER BY s DESC, node ASC) AS rn
+  FROM s{_TR_ROUNDS}
+) WHERE rn <= {_TR_TOPK}""")
+    return "".join(parts)
+
+
+@query("keywords_textrank", _textrank_sql())
+def keywords_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-centrality companion to the degree-heuristic RAKE entry:
+    content words (lowercase runs of length >= 4) become nodes, adjacent
+    content words become weighted undirected edges, and {_TR_ROUNDS}
+    fixed damped PageRank rounds (d = 17/20, an integer ratio) rank
+    tokens by centrality; top {_TR_TOPK} with a token tiebreak.
+
+    Per round: one edges-x-scores join + one combinable mass
+    aggregation + a left join back to the node table (dangling-free by
+    construction — every node of the undirected graph has out-weight).
+    Plan depth is fixed by the round count; the vocabulary-sized score
+    table is the only state. Per-edge mass terms are round-9 fenced
+    into exact decimal sums; each round's score is one rounded affine
+    expression, so the fixed point is engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    arr = F.expr("regexp_extract_all(text, '[a-z]{4,}', 0)")
+    bg = (d.select(arr.alias("a"))
+          .filter(F.size("a") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(a) - 2),"
+              " i -> concat(a[i], ' ', a[i + 1]))")).alias("bgs")))
+    sp = F.split(F.col("bgs"), " ")
+    dir_e = (bg.select(F.element_at(sp, 1).alias("src"),
+                       F.element_at(sp, 2).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    edges = (dir_e.unionAll(dir_e.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+             .localCheckpoint(eager=False))
+    wdeg = (edges.groupBy(F.col("src").alias("node"))
+            .agg(F.sum("w").cast("bigint").alias("wd"))
+            .localCheckpoint(eager=False))
+    nn = wdeg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = (wdeg.crossJoin(F.broadcast(nn))
+         .select("node", (F.lit(1).cast("double") / F.col("n")).alias("s")))
+    for _ in range(_TR_ROUNDS):
+        mass = (edges.join(s.withColumnRenamed("node", "src"), "src")
+                .join(wdeg.withColumnRenamed("node", "src")
+                      .withColumnRenamed("wd", "swd"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.round(F.col("s") * F.col("w")
+                                   / F.col("swd").cast("double"), 9)
+                           .cast("decimal(20,9)")).cast("double")
+                     .alias("mass")))
+        s = (wdeg.join(mass, "node", "left")
+             .crossJoin(F.broadcast(nn))
+             .select("node",
+                     F.round(F.lit(3).cast("double") / (20 * F.col("n"))
+                             + (F.lit(17).cast("double") / 20)
+                             * F.coalesce("mass",
+                                          F.lit(0).cast("double")), 9)
+                     .alias("s")))
+    shortlist = s.orderBy(F.desc("s"), F.asc("node")).limit(_TR_TOPK)
+    wo = Window.orderBy(F.desc("s"), F.asc("node"))
+    return (shortlist
+            .withColumn("rank", F.row_number().over(wo).cast("bigint"))
+            .select(F.col("node").alias("token"),
+                    F.col("s").alias("textrank_score"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing (round 9e)
+# ---------------------------------------------------------------------------
+
+_BBIT_SQL_BITS_A = " + ".join(
+    f"(CASE WHEN CAST('0x' || substring(sa.h{j}, 8, 1) AS INT) % 2"
+    f" = CAST('0x' || substring(sb.h{j}, 8, 1) AS INT) % 2"
+    f" THEN 1 ELSE 0 END)" for j in range(8))
+_BBIT_SQL_FULL = " + ".join(
+    f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)" for j in range(8))
+
+
+@query("dedup_minhash_bbit", _MINHASH_SIG_SQL + f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({_BBIT_SQL_BITS_A} AS BIGINT) AS agree_bits,
+       (2 * ({_BBIT_SQL_BITS_A}) - 8) / CAST(8 AS DOUBLE)
+         AS est_jaccard_1bit,
+       ({_BBIT_SQL_FULL}) / CAST(8 AS DOUBLE) AS est_jaccard_full
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+""")
+def dedup_minhash_bbit(spark, sf_dir):
+    """b-BIT minwise hashing (Li & Koenig, CACM 2011), b = 1: keep only
+    the lowest bit of each MinHash component and estimate Jaccard from
+    1-bit agreement with the unbiased correction J_hat = 2*A - 1 (for
+    b=1 the collision probability is J + (1-J)/2). This is the
+    storage-collapsed sketch the paper made standard — 8 BITS per
+    document instead of 8 32-bit words (a 32x shrink of signature
+    state, the difference between an in-memory and a spilled dedup pass
+    at 100 TB) — evaluated here against the full-width estimator on the
+    same LSH candidate pairs so the estimator-vs-storage tradeoff is a
+    queryable number.
+
+    All agreement counts are integers; both estimates are single IEEE
+    divisions of integer-derived operands (the 1-bit estimate may go
+    negative on true-low-Jaccard pairs — that is the unbiased
+    estimator's documented behavior, not clamped here)."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    sa = sigs.select([F.col("doc_id").alias("doc_a")]
+                     + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    sb = sigs.select([F.col("doc_id").alias("doc_b")]
+                     + [F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+
+    def bit(col):
+        return F.conv(F.substring(col, 8, 1), 16, 10).cast("int") % 2
+
+    agree1 = sum((bit(F.col(f"a{j}")) == bit(F.col(f"b{j}"))).cast("int")
+                 for j in range(8))
+    agree_full = sum((F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+                     for j in range(8))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    agree1.cast("bigint").alias("agree_bits"),
+                    ((2 * agree1 - 8) / F.lit(8).cast("double"))
+                    .alias("est_jaccard_1bit"),
+                    (agree_full / F.lit(8).cast("double"))
+                    .alias("est_jaccard_full")))

@@ -244,6 +244,9 @@ BENCH_QUERIES = [
     "graph_clustering_coefficient",
     # round 9d: privacy depth, anisotropy, active-learning acquisition
     "privacy_t_closeness", "emb_anisotropy_score", "active_margin_sampling",
+    # round 9e: QL retrieval, TextRank, b-bit sketch, Krippendorff alpha
+    "ir_dirichlet_lm_score", "keywords_textrank", "dedup_minhash_bbit",
+    "eval_krippendorff_alpha",
 ]
 
 

@@ -263,3 +263,75 @@ def test_margin_sampling_is_most_uncertain(spark):
     assert all(0.0 <= m <= 0.5 for m in margins)
     # mu inherits the fitted model: probabilities in (0, 1)
     assert all(0.0 < r["mu"] < 1.0 for r in sel)
+
+
+# ---------------------------------------------------------------------------
+# round 9e: TextRank, Dirichlet-LM, b-bit minhash, Krippendorff alpha
+# ---------------------------------------------------------------------------
+
+def test_textrank_hub_word_ranks_first(spark, tmp_path):
+    """A star-shaped co-occurrence graph: the hub word is adjacent to
+    every other content word, so damped PageRank must rank it first."""
+    text = "alpha hubword beta hubword gamma hubword delta"
+    rows = [(0, text, "en", "s", len(text))]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = QUERIES["keywords_textrank"](spark, sf).collect()
+    assert out[0]["rank"] == 1
+    assert out[0]["token"] == "hubword"
+    scores = [r["textrank_score"] for r in sorted(out,
+                                                  key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dirichlet_lm_prefers_matching_doc(spark, tmp_path):
+    """Two docs of identical length, one containing a query term: the
+    matching doc must outscore the non-matching one (the correction term
+    ln(1 + c|C|/(mu*cf)) is strictly positive); equal-length non-matching
+    docs tie exactly (background-only score)."""
+    rows = [(0, "spark alpha beta", "en", "s", 16),
+            (1, "gamma delta epsi", "en", "s", 16),
+            (2, "zeta keppa omega", "en", "s", 16)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {r["doc_id"]: r["score"] for r in
+           QUERIES["ir_dirichlet_lm_score"](spark, sf).collect()}
+    assert out[0] > out[1]
+    assert out[1] == out[2]
+
+
+def test_bbit_identical_docs_estimate_one(spark, tmp_path):
+    """Identical texts share every MinHash component, so both the 1-bit
+    and full-width estimators return exactly 1."""
+    rows = [(0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = QUERIES["dedup_minhash_bbit"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["agree_bits"] == 8
+    assert r["est_jaccard_1bit"] == 1.0
+    assert r["est_jaccard_full"] == 1.0
+
+
+def test_krippendorff_hand_computed_zero(spark, tmp_path):
+    """Item A: m=3 ratings all positive (no disagreement); item B: the
+    length rater abstains (m=2) and the two voters split (o=1).
+    S = 0 + 2*1*1/1 = 2; M = 5; n1 = 4; n0 = 1;
+    alpha = 1 - S(M-1)/(2*n1*n0) = 1 - 2*4/8 = 0 exactly."""
+    rows = [(0, "x the y", "en", "s", 900),
+            (1, "xxxx", "en", "s", 500)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_krippendorff_alpha"](spark, sf).collect()[0]
+    assert r["n_ratings"] == 5
+    assert r["do_rate"] == pytest.approx(2 / 5, abs=1e-12)
+    assert r["de_rate"] == pytest.approx(0.4, abs=1e-12)
+    assert r["krippendorff_alpha"] == 0.0
+
+
+def test_krippendorff_perfect_agreement_with_abstentions(spark, tmp_path):
+    """All voters agree everywhere (abstainers included): n1 == M pins
+    alpha at 1 via the degenerate guard."""
+    rows = [(0, "x the y", "en", "s", 900),
+            (1, "z the w", "en", "s", 500)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_krippendorff_alpha"](spark, sf).collect()[0]
+    assert r["krippendorff_alpha"] == 1.0

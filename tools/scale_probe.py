@@ -118,6 +118,12 @@ PROBES = [
     "privacy_t_closeness",
     "emb_anisotropy_score",
     "active_margin_sampling",
+    # round-9e flagships: sparse-offset QL scoring, fixed-round TextRank
+    # over the token co-occurrence graph, bit-collapsed minhash pairs
+    "ir_dirichlet_lm_score",
+    "keywords_textrank",
+    "dedup_minhash_bbit",
+    "eval_krippendorff_alpha",
 ]
 
 
