@@ -1131,3 +1131,78 @@ def user_recency_weighted_activity(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(term, 9).cast("decimal(30,9)"))
                  .cast("double").alias("recency_score")))
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (round 9f)
+# ---------------------------------------------------------------------------
+
+@query("cohort_ltv_curve", """
+WITH first_m AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))
+           AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+csize AS (
+  SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_m GROUP BY cohort_month
+),
+rev AS (
+  SELECT f.cohort_month,
+         CAST(date_diff('month', f.cohort_month,
+              CAST(date_trunc('month', CAST(o.o_orderdate AS DATE))
+                   AS DATE)) AS INT) AS age_months,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+           AS month_rev
+  FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+cumr AS (
+  SELECT cohort_month, age_months,
+         CAST(SUM(CAST(month_rev AS DECIMAL(30,8)))
+              OVER (PARTITION BY cohort_month ORDER BY age_months
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+  FROM rev
+)
+SELECT c.cohort_month, c.age_months, s.cohort_size, c.cum_revenue,
+       c.cum_revenue / s.cohort_size AS ltv_per_customer
+FROM cumr c JOIN csize s ON s.cohort_month = c.cohort_month
+WHERE c.age_months <= 12
+""")
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort LIFETIME-VALUE curve: customers grouped by first-order
+    month, cumulative revenue per cohort by month-age, normalized per
+    cohort member — the revenue companion to cohort_retention's
+    activity triangle (payback-period and LTV/CAC analyses read this
+    table directly). First 13 age rows per cohort.
+
+    Month ages are exact integer month diffs between two month-start
+    dates (both engines truncate first, so months_between has no
+    fractional part); revenue rollups and the running cumulative are
+    exact decimal sums; the per-customer LTV is one division by the
+    integer cohort size. Shapes: the per-customer first-month dim joins
+    back onto orders (broadcast at dim scale), one combinable rollup
+    per (cohort, age), a window over cohort-sized partitions."""
+    o = t(spark, sf_dir, "orders")
+    om = F.date_trunc("month", F.col("o_orderdate").cast("date")) \
+        .cast("date")
+    first_m = o.groupBy("o_custkey").agg(F.min(om).alias("cohort_month"))
+    csize = first_m.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    age = F.months_between(om, F.col("cohort_month")).cast("int")
+    rev = (o.join(F.broadcast(first_m), "o_custkey")
+           .groupBy("cohort_month", age.alias("age_months"))
+           .agg(dsum("o_totalprice").alias("month_rev")))
+    wcum = (W.partitionBy("cohort_month").orderBy("age_months")
+            .rowsBetween(W.unboundedPreceding, 0))
+    cumr = rev.select(
+        "cohort_month", "age_months",
+        F.sum(F.col("month_rev").cast("decimal(30,8)")).over(wcum)
+        .cast("double").alias("cum_revenue"))
+    return (cumr.join(F.broadcast(csize), "cohort_month")
+            .filter(F.col("age_months") <= 12)
+            .select("cohort_month", "age_months", "cohort_size",
+                    "cum_revenue",
+                    (F.col("cum_revenue") / F.col("cohort_size"))
+                    .alias("ltv_per_customer")))

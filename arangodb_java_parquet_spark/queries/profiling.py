@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.common import dsum, query, t
 
 
 @query("profile_orders_columns", """
@@ -1185,3 +1185,162 @@ def eval_auc_mann_whitney(spark, sf_dir):
           - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
          / (F.col("n_pos").cast("double") * (F.col("n") - F.col("n_pos"))))
         .alias("auc"))
+
+
+# ---------------------------------------------------------------------------
+# area under the precision-recall curve (round 9f)
+# ---------------------------------------------------------------------------
+
+@query("eval_auc_pr", """
+WITH scores AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+byv AS (
+  SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS cpos
+  FROM scores GROUP BY s
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(c) OVER (ORDER BY s DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp,
+         CAST(SUM(cpos) OVER (ORDER BY s DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(cpos) OVER (ORDER BY s DESC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+           AS tp_prev
+  FROM byv
+),
+tot AS (
+  SELECT CAST(SUM(cpos) AS BIGINT) AS n_pos,
+         CAST(SUM(c) AS BIGINT) AS n_total
+  FROM byv
+)
+SELECT n_pos, n_total,
+       n_pos / CAST(n_total AS DOUBLE) AS prevalence,
+       CAST(SUM(CAST(ROUND(((tp - tp_prev) / CAST(n_pos AS DOUBLE))
+                           * (tp / CAST(pp AS DOUBLE)), 9)
+                     AS DECIMAL(20,9))) AS DOUBLE) AS auprc
+FROM cum CROSS JOIN tot
+GROUP BY n_pos, n_total
+""")
+def eval_auc_pr(spark, sf_dir):
+    """Average precision (AUPRC, the step-wise interpolation sklearn
+    calls average_precision_score): AP = sum_k (R_k - R_(k-1)) * P_k
+    over thresholds descending — the imbalance-robust companion to the
+    Mann-Whitney AUROC entry, on the same length-predicts-English
+    classifier. Always compare against `prevalence` (the random-
+    classifier AUPRC), not 0.5.
+
+    Same scale shape as eval_pr_threshold_sweep: one reverse cumulative
+    sum over the DISTINCT-score table (recall deltas come from a LAG-
+    style shifted frame in the same window order — no self-join), so
+    shuffle volume is score cardinality. Each AP term is a product of
+    two integer-ratio divisions, round-9 fenced into one exact decimal
+    sum."""
+    d = t(spark, sf_dir, "documents")
+    scores = d.select(F.col("n_chars").alias("s"),
+                      F.when(F.col("lang") == "en", 1).otherwise(0)
+                      .alias("y"))
+    byv = scores.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("y").cast("bigint").alias("cpos"))
+    wrev = (Window.orderBy(F.desc("s"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wprev = (Window.orderBy(F.desc("s"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = byv.select(
+        "s",
+        F.sum("c").over(wrev).cast("bigint").alias("pp"),
+        F.sum("cpos").over(wrev).cast("bigint").alias("tp"),
+        F.coalesce(F.sum("cpos").over(wprev), F.lit(0)).cast("bigint")
+        .alias("tp_prev"))
+    tot = byv.agg(F.sum("cpos").cast("bigint").alias("n_pos"),
+                  F.sum("c").cast("bigint").alias("n_total"))
+    term = (((F.col("tp") - F.col("tp_prev"))
+             / F.col("n_pos").cast("double"))
+            * (F.col("tp") / F.col("pp").cast("double")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("n_pos", "n_total")
+            .agg(F.sum(F.round(term, 9).cast("decimal(20,9)"))
+                 .cast("double").alias("auprc"))
+            .select("n_pos", "n_total",
+                    (F.col("n_pos") / F.col("n_total").cast("double"))
+                    .alias("prevalence"),
+                    "auprc"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segment migration matrix (round 9f)
+# ---------------------------------------------------------------------------
+
+@query("rfm_migration_matrix", """
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE) < CAST('1998-07-01' AS DATE)
+              THEN 1 ELSE 2 END AS period,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS m
+  FROM orders GROUP BY 1, 2
+),
+seg AS (
+  SELECT o_custkey, period,
+         NTILE(5) OVER (PARTITION BY period
+                        ORDER BY m DESC, o_custkey ASC) AS quintile
+  FROM spend
+),
+mig AS (
+  SELECT a.quintile AS seg_p1, b.quintile AS seg_p2,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM seg a JOIN seg b ON b.o_custkey = a.o_custkey
+  WHERE a.period = 1 AND b.period = 2
+  GROUP BY 1, 2
+),
+rowtot AS (
+  SELECT seg_p1, CAST(SUM(n_customers) AS BIGINT) AS row_n
+  FROM mig GROUP BY seg_p1
+)
+SELECT m.seg_p1, m.seg_p2, m.n_customers,
+       m.n_customers / CAST(r.row_n AS DOUBLE) AS row_share
+FROM mig m JOIN rowtot r ON r.seg_p1 = m.seg_p1
+""")
+def rfm_migration_matrix(spark, sf_dir):
+    """Customer-value MIGRATION matrix: spend-quintile segment in the
+    early period (orders before 1995) vs the late period, for customers
+    active in both — the segment-transition table behind churn/upsell
+    playbooks (diagonal = stable value, below-diagonal = upgrades).
+    Complements the static rfm_segmentation snapshot with dynamics.
+
+    NTILE is partitioned per period with a (spend desc, custkey)
+    tiebreak so quintile boundaries are engine-exact; per-customer
+    spend is an exact decimal sum; the matrix is at most 25 rows and
+    row_share is one integer-ratio division. The self-join matches on
+    customer id (period filters on each side) — both sides are the
+    per-customer aggregate, never raw orders."""
+    o = t(spark, sf_dir, "orders")
+    period = F.when(F.col("o_orderdate").cast("date")
+                    < F.lit("1998-07-01").cast("date"), 1).otherwise(2)
+    spend = (o.groupBy("o_custkey", period.alias("period"))
+             .agg(dsum("o_totalprice").alias("m")))
+    wq = Window.partitionBy("period").orderBy(F.desc("m"),
+                                              F.asc("o_custkey"))
+    # both join sides and the row totals read the segment table —
+    # materialize it once (lazy localCheckpoint) so the spend rollup +
+    # NTILE window don't re-run per consumer
+    seg = (spend.select("o_custkey", "period",
+                        F.ntile(5).over(wq).alias("quintile"))
+           .localCheckpoint(eager=False))
+    a = (seg.filter(F.col("period") == 1)
+         .select("o_custkey", F.col("quintile").alias("seg_p1")))
+    b = (seg.filter(F.col("period") == 2)
+         .select(F.col("o_custkey").alias("ck2"),
+                 F.col("quintile").alias("seg_p2")))
+    mig = (a.join(b, F.col("o_custkey") == F.col("ck2"))
+           .groupBy("seg_p1", "seg_p2")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers")))
+    rowtot = mig.groupBy("seg_p1").agg(
+        F.sum("n_customers").cast("bigint").alias("row_n"))
+    return (mig.join(F.broadcast(rowtot), "seg_p1")
+            .select("seg_p1", "seg_p2", "n_customers",
+                    (F.col("n_customers") / F.col("row_n").cast("double"))
+                    .alias("row_share")))

@@ -2152,3 +2152,101 @@ def emb_anisotropy_score(spark, sf_dir):
                (nd * F.col("n") * F.col("sq") - F.col("n"))
                / (nd * (F.col("n") - 1)))
         .otherwise(F.lit(0).cast("double")).alias("mean_pairwise_cosine"))
+
+
+# ---------------------------------------------------------------------------
+# coordinate effective rank (round 9f)
+# ---------------------------------------------------------------------------
+
+@query("emb_effective_rank", """
+WITH dims AS (
+  SELECT u.i AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND((CAST(SUM(CAST(ROUND(embedding[u.i]::DOUBLE
+                                    * embedding[u.i]::DOUBLE, 9)
+                              AS DECIMAL(20,9))) AS DOUBLE)
+                - CAST(SUM(CAST(ROUND(embedding[u.i]::DOUBLE, 9)
+                               AS DECIMAL(20,9))) AS DOUBLE)
+                  * CAST(SUM(CAST(ROUND(embedding[u.i]::DOUBLE, 9)
+                                 AS DECIMAL(20,9))) AS DOUBLE)
+                  / COUNT(*)) / (COUNT(*) - 1), 9) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) u
+  GROUP BY u.i
+),
+tv AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_dims,
+         CAST(SUM(CAST(v AS DECIMAL(20,9))) AS DOUBLE) AS tot_var,
+         CAST(SUM(CAST(ROUND(v * v, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS sq_var,
+         MAX(v) AS max_var
+  FROM dims
+),
+ent AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           CASE WHEN d.v > 0
+                THEN 0 - (d.v / t.tot_var) * LN(d.v / t.tot_var)
+                ELSE CAST(0 AS DOUBLE) END, 9)
+           AS DECIMAL(20,9))) AS DOUBLE) AS h
+  FROM dims d CROSS JOIN tv t
+)
+SELECT t.n_dims, CAST(t.n AS BIGINT) AS n_vectors,
+       t.tot_var AS total_variance,
+       (t.tot_var * t.tot_var) / t.sq_var AS participation_ratio,
+       t.max_var / t.tot_var AS top_dim_share,
+       ROUND(exp(e.h), 9) AS effective_rank
+FROM tv t CROSS JOIN ent e
+""")
+def emb_effective_rank(spark, sf_dir):
+    """COORDINATE effective rank of the embedding corpus — how many
+    dimensions actually carry variance: the participation ratio
+    (sum v)^2 / sum v^2 and the entropy effective rank exp(H(v/sum v))
+    (Roy & Vetterli 2007) over per-dimension variances, plus the top
+    dimension's variance share. 64 for perfectly spread variance, ~1
+    when one coordinate dominates — the one-number companion to
+    emb_dimension_profile's 64-row table and the quick check before
+    choosing a Matryoshka truncation width. (Coordinate-basis variant:
+    rotations need the PCA entry; dead/dominant COORDINATES are what
+    serving truncation cares about.)
+
+    One posexplode + one 64-group combinable exact-moment aggregation
+    (the dimension-profile shape), then 64-row rollups. Per-dim
+    variances are round-9'd; the entropy terms and variance squares are
+    round-9 fenced into exact decimal sums; the final ratios are IEEE
+    expressions over identical operands with exp round-9'd."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("i0", "val"))
+    xv = F.round(F.col("val").cast("double"), 9)
+    xsq = F.round(F.col("val").cast("double")
+                  * F.col("val").cast("double"), 9)
+    cnt = F.count(F.lit(1))
+    s1 = F.sum(xv.cast("decimal(20,9)")).cast("double")
+    s2 = F.sum(xsq.cast("decimal(20,9)")).cast("double")
+    # two consumers (total/square rollup + entropy) read the 64-row
+    # variance table — materialize so the corpus explode runs once
+    dims = (x.groupBy((F.col("i0") + 1).alias("dim"))
+            .agg(cnt.cast("bigint").alias("n"),
+                 F.round((s2 - s1 * s1 / cnt) / (cnt - 1), 9).alias("v"))
+            .localCheckpoint(eager=False))
+    tv = dims.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(F.col("v").cast("decimal(20,9)")).cast("double")
+        .alias("tot_var"),
+        F.sum(F.round(F.col("v") * F.col("v"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("sq_var"),
+        F.max("v").alias("max_var"))
+    p = F.col("v") / F.col("tot_var")
+    ent = (dims.crossJoin(F.broadcast(tv))
+           .agg(F.sum(F.round(
+               F.when(F.col("v") > 0, F.lit(0) - p * F.log(p))
+               .otherwise(F.lit(0).cast("double")), 9)
+               .cast("decimal(20,9)")).cast("double").alias("h")))
+    return (tv.crossJoin(ent)
+            .select("n_dims", F.col("n").cast("bigint").alias("n_vectors"),
+                    F.col("tot_var").alias("total_variance"),
+                    ((F.col("tot_var") * F.col("tot_var"))
+                     / F.col("sq_var")).alias("participation_ratio"),
+                    (F.col("max_var") / F.col("tot_var"))
+                    .alias("top_dim_share"),
+                    F.round(F.exp(F.col("h")), 9).alias("effective_rank")))

@@ -247,6 +247,9 @@ BENCH_QUERIES = [
     # round 9e: QL retrieval, TextRank, b-bit sketch, Krippendorff alpha
     "ir_dirichlet_lm_score", "keywords_textrank", "dedup_minhash_bbit",
     "eval_krippendorff_alpha",
+    # round 9f: AUPRC, customer dynamics, coordinate effective rank
+    "eval_auc_pr", "rfm_migration_matrix", "cohort_ltv_curve",
+    "emb_effective_rank",
 ]
 
 

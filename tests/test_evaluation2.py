@@ -335,3 +335,79 @@ def test_krippendorff_perfect_agreement_with_abstentions(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     r = QUERIES["eval_krippendorff_alpha"](spark, sf).collect()[0]
     assert r["krippendorff_alpha"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 9f: AUPRC, RFM migration, cohort LTV, effective rank
+# ---------------------------------------------------------------------------
+
+def test_auprc_perfect_classifier(spark, tmp_path):
+    """Scores perfectly separate the classes => AP = 1 exactly."""
+    rows = [(i, "x", "en", "s", 1000 + i) for i in range(5)]
+    rows += [(10 + i, "x", "fr", "s", 10 + i) for i in range(5)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_auc_pr"](spark, sf).collect()[0]
+    assert r["auprc"] == pytest.approx(1.0, abs=1e-9)
+    assert r["prevalence"] == 0.5
+
+
+def test_auprc_valid_range(spark):
+    """AP is a weighted mean of precisions, so it lives in (0, 1]; a
+    weak scorer may fall below prevalence (prevalence is the EXPECTED
+    random AP, not a lower bound), so only the hard range is asserted."""
+    r = QUERIES["eval_auc_pr"](spark, SF0001).collect()[0]
+    assert 0.0 < r["auprc"] <= 1.0
+    assert 0.0 < r["prevalence"] < 1.0
+
+
+def test_rfm_migration_rows_partition_customers(spark):
+    """Row shares sum to 1 per origin segment; quintiles in 1..5."""
+    rows = QUERIES["rfm_migration_matrix"](spark, SF0001).collect()
+    assert rows
+    bys = {}
+    for r in rows:
+        assert 1 <= r["seg_p1"] <= 5 and 1 <= r["seg_p2"] <= 5
+        bys.setdefault(r["seg_p1"], 0.0)
+        bys[r["seg_p1"]] += r["row_share"]
+    for s, tot in bys.items():
+        assert tot == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    """Cumulative revenue is non-decreasing in age within every cohort,
+    and ltv_per_customer = cum_revenue / cohort_size."""
+    rows = QUERIES["cohort_ltv_curve"](spark, SF0001).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort_month"], []).append(r)
+        assert r["ltv_per_customer"] == pytest.approx(
+            r["cum_revenue"] / r["cohort_size"], rel=1e-12)
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["age_months"])
+        vals = [r["cum_revenue"] for r in rs]
+        assert vals == sorted(vals)
+
+
+def test_effective_rank_uniform_variance(spark, tmp_path):
+    """Vectors = +/- the all-ones direction scaled per dim equally:
+    every dimension has identical variance => participation ratio and
+    entropy effective rank both equal n_dims (64)."""
+    rows = [(i, [1.0] * 64 if i % 2 == 0 else [-1.0] * 64, 0)
+            for i in range(10)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = QUERIES["emb_effective_rank"](spark, sf).collect()[0]
+    assert r["participation_ratio"] == pytest.approx(64.0, rel=1e-9)
+    assert r["effective_rank"] == pytest.approx(64.0, rel=1e-6)
+    assert r["top_dim_share"] == pytest.approx(1 / 64, rel=1e-9)
+
+
+def test_effective_rank_single_dimension(spark, tmp_path):
+    """All variance in dimension 1 => participation ratio = 1, top dim
+    share = 1, effective rank = 1."""
+    rows = [(i, [float(i)] + [0.0] * 63, 0) for i in range(10)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    r = QUERIES["emb_effective_rank"](spark, sf).collect()[0]
+    assert r["participation_ratio"] == pytest.approx(1.0, rel=1e-9)
+    assert r["effective_rank"] == pytest.approx(1.0, rel=1e-6)
+    assert r["top_dim_share"] == pytest.approx(1.0, rel=1e-9)

@@ -124,6 +124,11 @@ PROBES = [
     "keywords_textrank",
     "dedup_minhash_bbit",
     "eval_krippendorff_alpha",
+    # round-9f flagships
+    "eval_auc_pr",
+    "rfm_migration_matrix",
+    "cohort_ltv_curve",
+    "emb_effective_rank",
 ]
 
 
