@@ -1206,3 +1206,70 @@ def cohort_ltv_curve(spark, sf_dir):
                     "cum_revenue",
                     (F.col("cum_revenue") / F.col("cohort_size"))
                     .alias("ltv_per_customer")))
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event top-1 accuracy (round 9g)
+# ---------------------------------------------------------------------------
+
+@query("markov_next_event_accuracy", """
+WITH seq AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+trans AS (SELECT cur, nxt FROM seq WHERE nxt IS NOT NULL),
+counts AS (SELECT cur, nxt, COUNT(*) AS c FROM trans GROUP BY cur, nxt),
+pred AS (
+  SELECT cur, nxt AS predicted FROM (
+    SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur
+                                        ORDER BY c DESC, nxt ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+),
+hits AS (
+  SELECT CAST(SUM(CASE WHEN c2.nxt = p.predicted THEN c2.c ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         CAST(SUM(c2.c) AS BIGINT) AS n_transitions,
+         CAST(COUNT(DISTINCT c2.cur) AS BIGINT) AS n_states
+  FROM counts c2 JOIN pred p ON p.cur = c2.cur
+)
+SELECT n_states, n_transitions, n_correct,
+       n_correct / CAST(n_transitions AS DOUBLE) AS top1_accuracy
+FROM hits
+""")
+def markov_next_event_accuracy(spark, sf_dir):
+    """In-sample TOP-1 accuracy of the first-order Markov next-event
+    model: for each state, predict the modal successor ((count desc,
+    type) tiebreak — the markov_event_transitions matrix argmaxed) and
+    score it against every observed transition. The evaluation that
+    turns the transition-matrix diagnostic into a number you can compare
+    against deeper sequence models before spending on them.
+
+    The fit and the scoring share ONE (cur, nxt) count table — the
+    argmax is a window over the per-state successor lists and the
+    accuracy is a count-weighted join back, so the corpus contributes
+    exactly one LEAD window plus one combinable aggregation. All counts
+    integer; accuracy is one integer-ratio division."""
+    e = t(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(wl).alias("nxt"))
+    counts = (seq.filter(F.col("nxt").isNotNull())
+              .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint(eager=False))
+    wp = W.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    pred = (counts.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") == 1)
+            .select("cur", F.col("nxt").alias("predicted")))
+    hits = (counts.join(F.broadcast(pred), "cur")
+            .agg(F.sum(F.when(F.col("nxt") == F.col("predicted"),
+                              F.col("c")).otherwise(0))
+                 .cast("bigint").alias("n_correct"),
+                 F.sum("c").cast("bigint").alias("n_transitions"),
+                 F.countDistinct("cur").cast("bigint").alias("n_states")))
+    return hits.select(
+        "n_states", "n_transitions", "n_correct",
+        (F.col("n_correct") / F.col("n_transitions").cast("double"))
+        .alias("top1_accuracy"))

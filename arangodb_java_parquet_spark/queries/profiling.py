@@ -1344,3 +1344,73 @@ def rfm_migration_matrix(spark, sf_dir):
             .select("seg_p1", "seg_p2", "n_customers",
                     (F.col("n_customers") / F.col("row_n").cast("double"))
                     .alias("row_share")))
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency violation report (round 9g)
+# ---------------------------------------------------------------------------
+
+def _fd_sql(fd_name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+  SELECT '{fd_name}' AS fd,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups,
+         CAST(SUM(total - mx) AS BIGINT) AS g3_rows_to_remove,
+         CAST(SUM(total - mx) AS DOUBLE) / SUM(total) AS g3_error
+  FROM (
+    SELECT {lhs}, COUNT(*) AS n_rhs,
+           CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS mx
+    FROM (SELECT {lhs}, {rhs}, COUNT(*) AS c FROM {table}
+          GROUP BY {lhs}, {rhs})
+    GROUP BY {lhs}
+  )"""
+
+
+_FD_CHECKS = [
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey",
+     "l_shipdate"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey",
+     "l_suppkey"),
+]
+
+
+@query("dq_functional_dependencies", "\nUNION ALL\n".join(
+    _fd_sql(*c) for c in _FD_CHECKS))
+def dq_functional_dependencies(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY violation report: for each declared
+    candidate FD X -> Y, the number of X-groups with more than one Y
+    value and the g3 error (minimum rows to remove for the FD to hold,
+    Kivinen & Mannila 1995) — the schema-normalization / dirty-data
+    check that dq_constraint_report's null/FK/range rules don't cover.
+    A PK-backed FD (o_orderkey -> o_custkey) must report zero; the
+    deliberately-false candidates quantify HOW non-functional the
+    relationship is, which is what you triage after a bad upstream
+    merge.
+
+    Each FD is a two-level combinable aggregation ((X, Y) counts, then
+    per-X total/max/distinct) — shuffles keyed by the FD's own columns;
+    g3_error is one integer-ratio division. Report-sized union output."""
+    out = None
+    for fd_name, table, lhs, rhs in _FD_CHECKS:
+        df = t(spark, sf_dir, table)
+        inner = df.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+        per_l = inner.groupBy(lhs).agg(
+            F.count(F.lit(1)).alias("n_rhs"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.max("c").alias("mx"))
+        rep = per_l.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("violating_groups"),
+            F.sum(F.col("total") - F.col("mx")).cast("bigint")
+            .alias("g3_rows_to_remove"),
+            (F.sum(F.col("total") - F.col("mx")).cast("double")
+             / F.sum("total")).alias("g3_error")
+        ).select(F.lit(fd_name).alias("fd"), "n_groups",
+                 "violating_groups", "g3_rows_to_remove", "g3_error")
+        out = rep if out is None else out.unionAll(rep)
+    return out

@@ -1581,3 +1581,82 @@ def timeseries_classical_decompose(spark, sf_dir):
             .select("day", "dow", "revenue", "trend", "seasonal",
                     (F.col("revenue") - F.col("trend") - F.col("seasonal"))
                     .alias("residual")))
+
+
+# ---------------------------------------------------------------------------
+# time-decay attribution (round 9g)
+# ---------------------------------------------------------------------------
+
+_ATTR_DECAY_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 300
+),
+purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM ev WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.p_id, e.event_type,
+         ROUND(exp(0 - (CAST(epoch_us(CAST(p.p_ts AS TIMESTAMP))
+                             - epoch_us(CAST(e.ts AS TIMESTAMP))
+                             AS DOUBLE) / 3600000000)
+                       * (ln(CAST(2 AS DOUBLE)) / 24)), 9) AS w
+  FROM purchases p
+  JOIN ev e ON e.user_id = p.user_id
+           AND (e.ts < p.p_ts OR (e.ts = p.p_ts AND e.event_id < p.p_id))
+           AND e.event_type <> 'purchase'
+),
+norm AS (
+  SELECT p_id,
+         CAST(SUM(CAST(w AS DECIMAL(20,9))) AS DOUBLE) AS sw
+  FROM touches GROUP BY p_id
+)
+SELECT t.event_type AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(ROUND(t.w / n.sw, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE), 9) AS decayed_credit
+FROM touches t JOIN norm n ON n.p_id = t.p_id
+GROUP BY t.event_type
+"""
+
+
+@query("attribution_time_decay", _ATTR_DECAY_SQL)
+def attribution_time_decay(spark, sf_dir):
+    """TIME-DECAY attribution (half-life 24h): every touch before a
+    purchase earns weight 2^(-age/halflife), normalized to one unit of
+    credit per purchase — completes the standard four-model attribution
+    suite (last-touch, linear, position-based, time-decay). Unlike the
+    linear entry it credits every touch OCCURRENCE, so recent repeated
+    nudges outweigh one old impression.
+
+    The decay weight is exp of an integer microsecond age times the
+    integer-ratio constant ln(2)/24 per hour (no float literals);
+    weights are round-9 fenced, per-purchase normalizers are exact
+    decimal sums, and shares are round-9'd single divisions before the
+    final decimal rollup. The touch join is per-user (bounded history)
+    with the (ts, event_id) simultaneity tiebreak shared with the other
+    attribution entries."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id")))
+    dus = (F.unix_micros(F.col("p_ts").cast("timestamp"))
+           - F.unix_micros(F.col("ts").cast("timestamp")))
+    w = F.round(F.exp(F.lit(0) - (dus.cast("double") / 3600000000)
+                      * (F.log(F.lit(2).cast("double")) / 24)), 9)
+    touches = (purchases.join(
+                   e.select("user_id", "ts", "event_id", "event_type"),
+                   "user_id")
+               .filter((F.col("event_type") != "purchase")
+                       & ((F.col("ts") < F.col("p_ts"))
+                          | ((F.col("ts") == F.col("p_ts"))
+                             & (F.col("event_id") < F.col("p_id")))))
+               .select("p_id", "event_type", w.alias("w")))
+    norm = touches.groupBy("p_id").agg(
+        F.sum(F.col("w").cast("decimal(20,9)")).cast("double").alias("sw"))
+    return (touches.join(norm, "p_id")
+            .groupBy(F.col("event_type").alias("touch_type"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+                 F.round(F.sum(F.round(F.col("w") / F.col("sw"), 9)
+                               .cast("decimal(20,9)")).cast("double"), 9)
+                 .alias("decayed_credit")))

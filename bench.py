@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     # round 9f: AUPRC, customer dynamics, coordinate effective rank
     "eval_auc_pr", "rfm_migration_matrix", "cohort_ltv_curve",
     "emb_effective_rank",
+    # round 9g: decay attribution, markov eval, FD violations
+    "attribution_time_decay", "markov_next_event_accuracy",
+    "dq_functional_dependencies",
 ]
 
 

@@ -411,3 +411,43 @@ def test_effective_rank_single_dimension(spark, tmp_path):
     assert r["participation_ratio"] == pytest.approx(1.0, rel=1e-9)
     assert r["effective_rank"] == pytest.approx(1.0, rel=1e-6)
     assert r["top_dim_share"] == pytest.approx(1.0, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round 9g: time-decay attribution, markov accuracy, FD report
+# ---------------------------------------------------------------------------
+
+def test_time_decay_credits_sum_to_purchases(spark):
+    """Per-purchase shares are normalized, so total credit across touch
+    types equals the number of attributed purchases (those with >= 1
+    prior touch) up to round-9 slack."""
+    rows = QUERIES["attribution_time_decay"](spark, SF0001).collect()
+    lin = QUERIES["attribution_linear"](spark, SF0001).collect()
+    assert rows
+    total = sum(r["decayed_credit"] for r in rows)
+    total_lin = sum(r["linear_credit"] for r in lin)
+    # both models distribute exactly one unit per attributed purchase
+    assert total == pytest.approx(total_lin, abs=1e-5)
+
+
+def test_markov_accuracy_bounds_and_majority(spark):
+    """Top-1 accuracy is at least 1/n_states (predicting the modal
+    successor can't do worse than uniform over observed successors on
+    the fitting data) and at most 1."""
+    r = QUERIES["markov_next_event_accuracy"](spark, SF0001).collect()[0]
+    assert 0.0 < r["top1_accuracy"] <= 1.0
+    assert r["n_correct"] <= r["n_transitions"]
+    assert r["top1_accuracy"] >= 1.0 / r["n_states"] - 1e-12
+
+
+def test_fd_primary_key_holds(spark):
+    out = {r["fd"]: r for r in
+           QUERIES["dq_functional_dependencies"](spark, SF0001).collect()}
+    pk = out["orders.o_orderkey->o_custkey"]
+    assert pk["violating_groups"] == 0
+    assert pk["g3_rows_to_remove"] == 0
+    assert pk["g3_error"] == 0.0
+    # the deliberately-false candidates must register violations
+    assert out["lineitem.l_orderkey->l_shipdate"]["violating_groups"] > 0
+    for r in out.values():
+        assert 0.0 <= r["g3_error"] < 1.0

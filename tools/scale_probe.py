@@ -129,6 +129,10 @@ PROBES = [
     "rfm_migration_matrix",
     "cohort_ltv_curve",
     "emb_effective_rank",
+    # round-9g flagships
+    "attribution_time_decay",
+    "markov_next_event_accuracy",
+    "dq_functional_dependencies",
 ]
 
 
