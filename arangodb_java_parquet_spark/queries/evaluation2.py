@@ -781,3 +781,176 @@ def eval_krippendorff_alpha(spark, sf_dir):
         .otherwise(1 - (sd * (F.col("mm") - 1))
                    / (2 * n1d * (F.col("mm") - F.col("n1"))))
         .alias("krippendorff_alpha"))
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired classifier comparison + Cohen's d effect size (round 9h)
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = """
+WITH scored AS (
+  SELECT CASE WHEN (n_chars >= 800) = (lang = 'en') THEN 1 ELSE 0 END
+           AS ok_a,
+         CASE WHEN (instr(text, ' the ') > 0) = (lang = 'en')
+              THEN 1 ELSE 0 END AS ok_b
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ok_a) AS BIGINT) AS correct_a,
+         CAST(SUM(ok_b) AS BIGINT) AS correct_b,
+         CAST(SUM(CASE WHEN ok_a = 1 AND ok_b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS disc_b,
+         CAST(SUM(CASE WHEN ok_a = 0 AND ok_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS disc_c
+  FROM scored
+)
+SELECT n_docs,
+       correct_a / CAST(n_docs AS DOUBLE) AS acc_a,
+       correct_b / CAST(n_docs AS DOUBLE) AS acc_b,
+       disc_b, disc_c,
+       CASE WHEN disc_b + disc_c = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ((disc_b - disc_c) * (disc_b - disc_c))
+                 / CAST(disc_b + disc_c AS DOUBLE) END AS mcnemar_chi2,
+       CASE WHEN disc_b + disc_c = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ((abs(disc_b - disc_c) - 1) * (abs(disc_b - disc_c) - 1))
+                 / CAST(disc_b + disc_c AS DOUBLE) END AS mcnemar_chi2_cc
+FROM agg
+"""
+
+
+@query("eval_mcnemar_paired", _MCNEMAR_SQL)
+def eval_mcnemar_paired(spark, sf_dir):
+    """McNemar's paired test (1947) comparing TWO classifiers on the
+    SAME documents — the statistically correct way to ask "is rule A
+    actually better than rule B?" (comparing raw accuracies ignores
+    that both face the same items): only the discordant counts matter,
+    chi2 = (b - c)^2 / (b + c), with the Edwards continuity-corrected
+    variant alongside. Classifiers: the length rule vs the stopword
+    rule, gold label lang='en' (the pair whose agreement the kappa
+    entries measure — this entry asks which is RIGHT, not whether they
+    agree).
+
+    One combinable aggregation of five integer counters; both
+    statistics are single divisions of integer-derived operands (b+c=0
+    degenerates to 0)."""
+    d = t(spark, sf_dir, "documents")
+    ok_a = F.when((F.col("n_chars") >= 800) == (F.col("lang") == "en"), 1) \
+        .otherwise(0)
+    ok_b = F.when((F.instr(F.col("text"), " the ") > 0)
+                  == (F.col("lang") == "en"), 1).otherwise(0)
+    scored = d.select(ok_a.alias("ok_a"), ok_b.alias("ok_b"))
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ok_a").cast("bigint").alias("correct_a"),
+        F.sum("ok_b").cast("bigint").alias("correct_b"),
+        F.sum(F.when((F.col("ok_a") == 1) & (F.col("ok_b") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("disc_b"),
+        F.sum(F.when((F.col("ok_a") == 0) & (F.col("ok_b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("disc_c"))
+    bc = F.col("disc_b") + F.col("disc_c")
+    diff = F.col("disc_b") - F.col("disc_c")
+    adiff = F.abs(diff) - 1
+    return agg.select(
+        "n_docs",
+        (F.col("correct_a") / F.col("n_docs").cast("double")).alias("acc_a"),
+        (F.col("correct_b") / F.col("n_docs").cast("double")).alias("acc_b"),
+        "disc_b", "disc_c",
+        F.when(bc == 0, F.lit(0).cast("double"))
+        .otherwise((diff * diff) / bc.cast("double")).alias("mcnemar_chi2"),
+        F.when(bc == 0, F.lit(0).cast("double"))
+        .otherwise((adiff * adiff) / bc.cast("double"))
+        .alias("mcnemar_chi2_cc"))
+
+
+_COHENS_D_SQL = """
+WITH g AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+         n_chars AS x
+  FROM documents
+),
+m AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM g GROUP BY grp
+),
+w AS (
+  SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+         MAX(CASE WHEN grp = 1 THEN s1 END) AS s1_1,
+         MAX(CASE WHEN grp = 1 THEN s2 END) AS s2_1,
+         MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+         MAX(CASE WHEN grp = 0 THEN s1 END) AS s1_0,
+         MAX(CASE WHEN grp = 0 THEN s2 END) AS s2_0
+  FROM m
+),
+st AS (
+  SELECT n1, n0,
+         s1_1 / CAST(n1 AS DOUBLE) AS m1,
+         s1_0 / CAST(n0 AS DOUBLE) AS m0,
+         (s2_1 - s1_1 / CAST(n1 AS DOUBLE) * s1_1) / (n1 - 1) AS v1,
+         (s2_0 - s1_0 / CAST(n0 AS DOUBLE) * s1_0) / (n0 - 1) AS v0
+  FROM w
+)
+SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n0 AS BIGINT) AS n_other,
+       m1 - m0 AS mean_diff,
+       sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+            / CAST(n1 + n0 - 2 AS DOUBLE)) AS pooled_sd,
+       (m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                        / CAST(n1 + n0 - 2 AS DOUBLE)) AS cohens_d,
+       ((m1 - m0) / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0)
+                         / CAST(n1 + n0 - 2 AS DOUBLE)))
+         * (1 - CAST(3 AS DOUBLE) / (4 * (n1 + n0) - 9)) AS hedges_g
+FROM st
+"""
+
+
+@query("eval_cohens_d_effect_size", _COHENS_D_SQL)
+def eval_cohens_d_effect_size(spark, sf_dir):
+    """Cohen's d standardized effect size (with the Hedges' g
+    small-sample correction, an integer-ratio factor) for the
+    document-length difference between English and non-English docs —
+    the magnitude statistic that belongs next to every significance
+    test (the A/B entry reports lift; this reports COMPARABLE effect
+    units). Thresholds 0.2/0.5/0.8 are the conventional small/medium/
+    large readings.
+
+    n_chars is integer, so both group moment sums are EXACT bigints in
+    one combinable aggregation; means, variances, the pooled SD and d
+    itself are IEEE expressions over identical integer-derived operands
+    (the s1^2 term is ordered s1/n*s1 to stay in double range at corpus
+    scale) — no rounding fence needed anywhere."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+                 F.col("n_chars").alias("x"))
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"))
+    w = m.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("s1_1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("s2_1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("s1_0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("s2_0"))
+    m1 = F.col("s1_1") / F.col("n1").cast("double")
+    m0 = F.col("s1_0") / F.col("n0").cast("double")
+    v1 = (F.col("s2_1") - F.col("s1_1") / F.col("n1").cast("double")
+          * F.col("s1_1")) / (F.col("n1") - 1)
+    v0 = (F.col("s2_0") - F.col("s1_0") / F.col("n0").cast("double")
+          * F.col("s1_0")) / (F.col("n0") - 1)
+    st = w.select("n1", "n0", m1.alias("m1"), m0.alias("m0"),
+                  v1.alias("v1"), v0.alias("v0"))
+    psd = F.sqrt(((F.col("n1") - 1) * F.col("v1")
+                  + (F.col("n0") - 1) * F.col("v0"))
+                 / (F.col("n1") + F.col("n0") - 2).cast("double"))
+    dd = (F.col("m1") - F.col("m0")) / psd
+    return st.select(
+        F.col("n1").cast("bigint").alias("n_en"),
+        F.col("n0").cast("bigint").alias("n_other"),
+        (F.col("m1") - F.col("m0")).alias("mean_diff"),
+        psd.alias("pooled_sd"),
+        dd.alias("cohens_d"),
+        (dd * (1 - F.lit(3).cast("double")
+               / (4 * (F.col("n1") + F.col("n0")) - 9))).alias("hedges_g"))

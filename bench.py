@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     # round 9g: decay attribution, markov eval, FD violations
     "attribution_time_decay", "markov_next_event_accuracy",
     "dq_functional_dependencies",
+    # round 9h: paired classifier comparison + effect size
+    "eval_mcnemar_paired", "eval_cohens_d_effect_size",
 ]
 
 

@@ -451,3 +451,42 @@ def test_fd_primary_key_holds(spark):
     assert out["lineitem.l_orderkey->l_shipdate"]["violating_groups"] > 0
     for r in out.values():
         assert 0.0 <= r["g3_error"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# round 9h: McNemar paired test, Cohen's d
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_hand_computed(spark, tmp_path):
+    """4 docs: A right/B wrong twice (b=2), A wrong/B right once (c=1),
+    both right once => chi2 = (2-1)^2/3 = 1/3; continuity-corrected
+    (|1|-1)^2/3 = 0."""
+    rows = [
+        # A = length>=800, B = contains ' the ', gold = lang='en'
+        (0, "xxxx", "en", "s", 900),     # A right, B wrong  (b)
+        (1, "xxxx", "en", "s", 850),     # A right, B wrong  (b)
+        (2, "x the y", "en", "s", 100),  # A wrong, B right  (c)
+        (3, "x the y", "en", "s", 900),  # both right
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_mcnemar_paired"](spark, sf).collect()[0]
+    assert (r["disc_b"], r["disc_c"]) == (2, 1)
+    assert r["mcnemar_chi2"] == pytest.approx(1 / 3, abs=1e-12)
+    assert r["mcnemar_chi2_cc"] == 0.0
+    assert r["acc_a"] == pytest.approx(3 / 4)
+    assert r["acc_b"] == pytest.approx(2 / 4)
+
+
+def test_cohens_d_known_groups(spark, tmp_path):
+    """en lengths {10, 14}: mean 12, var 8; other {2, 6}: mean 4, var 8.
+    pooled sd = sqrt(8) => d = 8/sqrt(8) = 2*sqrt(2); hedges factor
+    1 - 3/(4*4-9) = 4/7."""
+    rows = [(0, "x", "en", "s", 10), (1, "x", "en", "s", 14),
+            (2, "x", "fr", "s", 2), (3, "x", "fr", "s", 6)]
+    sf = _write_documents(spark, tmp_path, rows)
+    r = QUERIES["eval_cohens_d_effect_size"](spark, sf).collect()[0]
+    assert r["mean_diff"] == pytest.approx(8.0, abs=1e-12)
+    assert r["pooled_sd"] == pytest.approx(math.sqrt(8), rel=1e-12)
+    assert r["cohens_d"] == pytest.approx(8 / math.sqrt(8), rel=1e-12)
+    assert r["hedges_g"] == pytest.approx(8 / math.sqrt(8) * 4 / 7,
+                                          rel=1e-12)
