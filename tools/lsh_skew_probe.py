@@ -56,9 +56,11 @@ def main() -> int:
     spark = get_spark(app_name="lsh_skew_probe")
     work = "/tmp/ajps_skew_probe"
     results: dict[str, dict[int, float]] = {
-        "uncapped": {}, "capped": {}, "exactsubstr_removal": {}}
+        "uncapped": {}, "capped": {}, "exactsubstr_removal": {},
+        "triangles_uncapped": {}, "triangles_capped": {}}
     counts: dict[str, dict[int, int]] = {
-        "uncapped": {}, "capped": {}, "exactsubstr_removal": {}}
+        "uncapped": {}, "capped": {}, "exactsubstr_removal": {},
+        "triangles_uncapped": {}, "triangles_capped": {}}
     try:
         for f in factors:
             path = os.path.join(work, f"docs_x{f}")
@@ -96,6 +98,35 @@ def main() -> int:
             counts["exactsubstr_removal"][f] = cnt
             print(f"x{f} exactsubstr_removal: {best:.2f}s, {cnt} docs",
                   flush=True)
+            # Triangle enumeration on the duplicate-heavy graph: every
+            # original doc's replicas form an f-clique, so the triangle
+            # POPULATION grows ~f^2 per row under the uncapped pairs —
+            # this probe measures how much the bucket cap (same
+            # connected components, star edges for the overflow)
+            # recovers for clique-dense graph diagnostics
+            # (graph_clustering_coefficient / graph_modularity_lpa).
+            for variant, fn in (
+                    ("triangles_uncapped",
+                     lambda s2: lsh_candidate_pairs(s2, "doc_id")),
+                    ("triangles_capped",
+                     lambda s2: lsh_candidate_pairs_capped(
+                         s2, "doc_id", max_bucket=32))):
+                e = (fn(sigs).select("doc_a", "doc_b")
+                     .localCheckpoint(eager=False))
+                ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+                tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
+                       .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))
+                             & (F.col("ac.doc_b") == F.col("bc.doc_b"))))
+                best, cnt = None, None
+                for _ in range(2):
+                    t0 = time.time()
+                    cnt = tri.count()
+                    el = time.time() - t0
+                    best = el if best is None else min(best, el)
+                results[variant][f] = best
+                counts[variant][f] = cnt
+                print(f"x{f} {variant}: {best:.2f}s, {cnt} triangles",
+                      flush=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -114,7 +145,8 @@ def main() -> int:
             factors[-1], factors[-1], factors[-2]),
         "|---|" + "---|" * (len(factors) + 3),
     ]
-    for variant in ("uncapped", "capped", "exactsubstr_removal"):
+    for variant in ("uncapped", "capped", "exactsubstr_removal",
+                    "triangles_uncapped", "triangles_capped"):
         ts = results[variant]
         ratio = ts[factors[-1]] / ts[factors[-2]]
         expo = (math.log(ts[factors[-1]] / ts[factors[0]])
@@ -142,6 +174,16 @@ def main() -> int:
         "per-fingerprint row_number window (a boilerplate fingerprint "
         "would pile its whole occurrence list into one window "
         "partition). Oracle-checked as dedup_exactsubstr_removal.",
+        "",
+        "triangles_* enumerate a<b<c triangles (the "
+        "graph_clustering_coefficient / graph_triangle_count join) on "
+        "the duplicate-heavy graph: replicas form f-cliques, so the "
+        "uncapped triangle POPULATION itself grows ~f^2 per row — "
+        "enumeration cost is inherent to the data, which is why the "
+        "mixed-corpus SCALE_PROBE row shows 1.49. The capped pairs "
+        "(same connected components) bound bucket cliques, which is "
+        "the serving-path mitigation when the diagnostic runs BEFORE "
+        "dedup instead of after.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SKEW_PROBE.md"), "w") as fh:
