@@ -403,14 +403,26 @@ def positional_window_fps(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 50) -> DataFrame:
     """(id, pos, gh): md5 fingerprint of every positional k-token window
     (1-based pos), the compact row the ExactSubstr family shuffles instead
-    of the documents themselves."""
+    of the documents themselves.
+
+    The tokenization is HOISTED out of the window lambda: interpreted
+    HOFs re-evaluate every subexpression per lambda invocation, and
+    projection collapse folds a ``split`` column straight back into the
+    lambda, so the naive formulation re-splits the document once per
+    window — O(tokens^2 / k) per document. Materializing the
+    ``(id, toks)`` projection via ``localCheckpoint(eager=False)`` below
+    the posexplode pins the split to once per document (the
+    ``emb_anisotropy_score`` pattern); each window then costs one O(k)
+    array slice.
+    """
     toks = F.split(F.col(text_col), " ")
+    base = (docs.filter(F.size(toks) >= k)
+            .select(id_col, toks.alias("_toks"))
+            .localCheckpoint(eager=False))
     win_fps = F.expr(
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1),"
-        f" i -> md5(array_join(slice(split({text_col}, ' '), i, {k}),"
-        f" ' ')))")
-    return (docs.filter(F.size(toks) >= k)
-            .select(id_col, F.posexplode(win_fps).alias("p0", "gh"))
+        f"transform(sequence(1, size(_toks) - {k} + 1),"
+        f" i -> md5(array_join(slice(_toks, i, {k}), ' ')))")
+    return (base.select(id_col, F.posexplode(win_fps).alias("p0", "gh"))
             .select(id_col, (F.col("p0") + 1).alias("pos"), "gh"))
 
 
@@ -494,6 +506,28 @@ def exact_substring_removal(docs: DataFrame, text_col: str = "text",
     per-document windows (runs, islands). Nothing is all-pairs;
     document text shuffles only in the final affected-docs-only join.
     """
+    isl = _removal_islands(docs, text_col, id_col, k)
+    merged = (isl.groupBy(id_col, "island_id")
+              .agg((F.max("e") - F.min("s") + 1).alias("removed_len")))
+    per_doc = (merged.groupBy(id_col)
+               .agg(F.sum("removed_len").cast("bigint")
+                    .alias("tokens_removed")))
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return (per_doc
+            .join(docs.select(id_col, n_toks.alias("n_tokens")), id_col)
+            .select(id_col, "n_tokens", "tokens_removed",
+                    (F.col("n_tokens") - F.col("tokens_removed"))
+                    .cast("bigint").alias("tokens_kept"),
+                    ((F.col("n_tokens") - F.col("tokens_removed"))
+                     / F.col("n_tokens").cast("double"))
+                    .alias("keep_ratio")))
+
+
+def _removal_islands(docs: DataFrame, text_col: str, id_col: str,
+                     k: int) -> DataFrame:
+    """Shared deletion geometry for the ExactSubstr removal/apply pair:
+    (id_col, island_id, s, e) token-overlap islands of removable
+    (non-canonical) window positions, 1-based inclusive."""
     from pyspark.sql import Window as W
 
     grams = positional_window_fps(docs, text_col, id_col, k)
@@ -524,22 +558,54 @@ def exact_substring_removal(docs: DataFrame, text_col: str = "text",
               .rowsBetween(W.unboundedPreceding, -1))
     w_run = (W.partitionBy(id_col).orderBy("s")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    isl = (spans.withColumn("pme", F.max("e").over(w_prev))
-           .withColumn("island_id", F.sum(
-               F.when(F.col("pme").isNull()
-                      | (F.col("s") > F.col("pme")), 1)
-               .otherwise(0)).over(w_run)))
-    merged = (isl.groupBy(id_col, "island_id")
-              .agg((F.max("e") - F.min("s") + 1).alias("removed_len")))
-    per_doc = (merged.groupBy(id_col)
-               .agg(F.sum("removed_len").cast("bigint")
-                    .alias("tokens_removed")))
-    n_toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    return (per_doc
-            .join(docs.select(id_col, n_toks.alias("n_tokens")), id_col)
-            .select(id_col, "n_tokens", "tokens_removed",
-                    (F.col("n_tokens") - F.col("tokens_removed"))
-                    .cast("bigint").alias("tokens_kept"),
-                    ((F.col("n_tokens") - F.col("tokens_removed"))
-                     / F.col("n_tokens").cast("double"))
-                    .alias("keep_ratio")))
+    return (spans.withColumn("pme", F.max("e").over(w_prev))
+            .withColumn("island_id", F.sum(
+                F.when(F.col("pme").isNull()
+                       | (F.col("s") > F.col("pme")), 1)
+                .otherwise(0)).over(w_run))
+            .select(id_col, "island_id", "s", "e"))
+
+
+def exact_substring_apply(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 50) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022): emit the
+    CLEANED corpus — every document's text with its removable islands
+    (keep-first canonical semantics, identical geometry to
+    exact_substring_removal) cut out and the surviving tokens rejoined.
+    This is the pipeline's actual product; spans/removal/incremental are
+    its reports.
+
+    Returns one row per INPUT document (unaffected documents pass
+    through verbatim):
+    (id_col, n_tokens, tokens_kept, cleaned_text). ``tokens_kept``
+    reconciles exactly with exact_substring_removal's per-document
+    accounting; a fully-duplicated non-canonical document yields
+    tokens_kept = 0 and cleaned_text = ''.
+
+    Scale: islands are report-sized (affected docs only) and join back
+    to the corpus on the document id — document text shuffles exactly
+    once, into its own islands. The cut itself is a per-row indexed
+    array filter over the pre-split token array (no UDF, no explode of
+    the kept tokens); the (tokens, islands) projection is materialized
+    below the final projection so the filter HOF evaluates once per
+    document even though two output columns consume it."""
+    isl = _removal_islands(docs, text_col, id_col, k)
+    isl_per_doc = (isl.groupBy(id_col)
+                   .agg(F.sort_array(F.collect_list(F.struct(
+                       F.col("s").cast("bigint").alias("s"),
+                       F.col("e").cast("bigint").alias("e"))))
+                        .alias("_isl")))
+    empty = "CAST(array() AS array<struct<s:bigint,e:bigint>>)"
+    base = (docs.select(id_col, F.split(F.col(text_col), " ").alias("_toks"))
+            .join(isl_per_doc, id_col, "left")
+            .select(id_col, "_toks",
+                    F.expr(f"coalesce(_isl, {empty})").alias("_isl")))
+    kept = (base.select(
+        id_col, F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.expr("filter(_toks, (x, i) -> NOT exists(_isl,"
+               " r -> r.s <= i + 1 AND i + 1 <= r.e))").alias("_kept"))
+        .localCheckpoint(eager=False))
+    return kept.select(
+        id_col, "n_tokens",
+        F.size("_kept").cast("bigint").alias("tokens_kept"),
+        F.array_join("_kept", " ").alias("cleaned_text"))

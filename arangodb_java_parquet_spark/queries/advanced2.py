@@ -172,10 +172,15 @@ def emb_pca_power_iteration(spark, sf_dir):
     v = spark.range(1, 65).select(F.col("id").cast("int").alias("j"),
                                   F.lit(1.0).alias("v"))
     for _ in range(3):
+        # each matvec result feeds TWO consumers (its own normalizer and
+        # the normalized vector) and the next iteration chains on both —
+        # without materializing, the lineage doubles per iteration
+        # (2^3 re-derivations, 42 exchanges measured). 64 rows.
         w = (g.join(F.broadcast(v), "j")
              .groupBy("i")
              .agg(F.sum(F.round(F.col("g") * F.col("v"), 9)
-                        .cast("decimal(30,9)")).cast("double").alias("w")))
+                        .cast("decimal(30,9)")).cast("double").alias("w"))
+             .localCheckpoint(eager=False))
         nrm = w.agg(F.max(F.abs(F.col("w"))).alias("nrm"))
         v = (w.crossJoin(F.broadcast(nrm))
              .select(F.col("i").alias("j"),

@@ -247,8 +247,13 @@ def graph_triangle_count(spark, sf_dir):
     per-node adjacency ever materializes."""
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
-    e = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id") \
-        .select("doc_a", "doc_b")
+    # the edge list feeds FOUR consumers (three join aliases + the edge
+    # count): materialize it once — lambda-HOF subtrees in the minhash
+    # lineage don't canonicalize, so without this the whole
+    # shingle->minhash->LSH derivation re-runs per alias (21 exchanges
+    # measured).
+    e = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+         .select("doc_a", "doc_b").localCheckpoint(eager=False))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
            .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))

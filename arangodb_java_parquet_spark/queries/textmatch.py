@@ -973,14 +973,19 @@ def token_pmi_collocations(spark, sf_dir):
     round-9 ln arithmetic; a min-co-occurrence floor keeps the sparse
     tail out."""
     d = t(spark, sf_dir, "documents")
+    # the distinct (doc, token) incidence feeds THREE consumers (top-K
+    # vocabulary, the bounded incidence, the doc count) and the bounded
+    # incidence another three (df, both self-join sides): materialize
+    # each once instead of re-exploding documents per consumer (17
+    # exchanges measured without it).
     toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .distinct())
+            .distinct().localCheckpoint(eager=False))
     top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
            .withColumn("rn", F.row_number().over(
                W.orderBy(F.desc("df"), F.asc("tok"))))
            .filter(F.col("rn") <= _PMI_TOPK)
            .select("tok"))
-    inc = toks.join(F.broadcast(top), "tok")
+    inc = toks.join(F.broadcast(top), "tok").localCheckpoint(eager=False)
     n_docs = toks.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     df = inc.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("d"))
     a = inc.select("doc_id", F.col("tok").alias("tok_a"))
@@ -1279,6 +1284,79 @@ def dedup_exactsubstr_removal(spark, sf_dir):
         exact_substring_removal)
     d = t(spark, sf_dir, "documents")
     return exact_substring_removal(d, "text", "doc_id", k=_XSUB_K)
+
+
+_XSUB_APPLY_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+{_XSUB_K - 1}],
+             ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               -- range() end is EXCLUSIVE: +2 yields i = 1 .. n-k+1
+               UNNEST(range(1, len(string_split(text, ' ')) - {_XSUB_K} + 2))
+                 AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= {_XSUB_K})
+),
+occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ_rn
+  FROM grams
+),
+rem AS (SELECT doc_id, pos FROM occ WHERE occ_rn >= 2),
+runs AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM rem
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_XSUB_K - 1} AS e
+  FROM runs GROUP BY doc_id, grp
+),
+toks AS (
+  SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS tok
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.pos BETWEEN s.s AND s.e)
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COUNT(k.pos) AS BIGINT) AS tokens_kept,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS cleaned_text
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, d.text
+"""
+
+
+@query("dedup_exactsubstr_apply", _XSUB_APPLY_SQL)
+def dedup_exactsubstr_apply(spark, sf_dir):
+    """The APPLY step that completes the ExactSubstr family end to end:
+    the CLEANED corpus itself — each document's text with every
+    non-canonical duplicated island cut out (keep-first semantics,
+    the exact geometry of dedup_exactsubstr_removal) and the surviving
+    tokens rejoined. Unaffected documents pass through verbatim; a
+    fully-duplicated non-canonical document comes out empty. The oracle
+    recomputes the deletion geometry independently (row_number
+    occurrence ranking vs Spark's combinable min-agg canonicals) and
+    compares the full cleaned TEXT, so the value hash proves the two
+    formulations delete byte-identical token sets. See
+    operators/dedup.exact_substring_apply for the 100 TB plan shape.
+
+    Note the oracle removes per-SPAN intervals while Spark removes
+    per-island intervals — equal by construction, because spans within
+    one island pairwise overlap (an island breaks exactly where a span
+    starts past the running max end), so the interval unions coincide.
+    """
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_apply)
+    d = t(spark, sf_dir, "documents")
+    return exact_substring_apply(d, "text", "doc_id", k=_XSUB_K)
 
 
 _XSUB_SPLIT = 400

@@ -69,8 +69,12 @@ def cusum_change_point(spark, sf_dir):
     partition is fine at any corpus scale — the heavy lifting (daily
     rollup) is map-side combinable."""
     o = t(spark, sf_dir, "orders")
+    # the daily rollup feeds FOUR consumers (stats, the cusum window,
+    # the before/after means): materialize it once instead of scanning
+    # orders per consumer (16 exchanges measured without it).
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
-             .agg(dsum("o_totalprice").alias("rev")))
+             .agg(dsum("o_totalprice").alias("rev"))
+             .localCheckpoint(eager=False))
     stats = daily.agg(
         F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
         .alias("total"),
@@ -90,7 +94,8 @@ def cusum_change_point(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("day").alias("change_day"),
                     F.col("s").alias("cusum_at_peak"),
-                    F.abs(F.col("s")).alias("magnitude")))
+                    F.abs(F.col("s")).alias("magnitude"))
+            .localCheckpoint(eager=False))  # 1 row, 3 consumers
     before = (daily.join(F.broadcast(peak.select("change_day")),
                          daily.day <= F.col("change_day"))
               .agg(F.round(
@@ -921,9 +926,14 @@ def graph_two_hop_reach(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # the shingle->minhash->LSH lineage feeds every downstream consumer
+    # (both union arms, the degree agg, the self-joins): materialize the
+    # candidate pairs ONCE — lambda-HOF subtrees don't canonicalize, so
+    # without this the whole lineage re-derives per consumer (29/28
+    # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id")
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -976,9 +986,14 @@ def graph_assortativity(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # the shingle->minhash->LSH lineage feeds every downstream consumer
+    # (both union arms, the degree agg, the self-joins): materialize the
+    # candidate pairs ONCE — lambda-HOF subtrees don't canonicalize, so
+    # without this the whole lineage re-derives per consumer (29/28
+    # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id")
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -1376,9 +1391,14 @@ def graph_kcore_2core(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # the shingle->minhash->LSH lineage feeds every downstream consumer
+    # (both union arms, the degree agg, the self-joins): materialize the
+    # candidate pairs ONCE — lambda-HOF subtrees don't canonicalize, so
+    # without this the whole lineage re-derives per consumer (29/28
+    # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id")
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -1490,9 +1510,14 @@ def graph_edge_triangle_support(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # the shingle->minhash->LSH lineage feeds every downstream consumer
+    # (both union arms, the degree agg, the self-joins): materialize the
+    # candidate pairs ONCE — lambda-HOF subtrees don't canonicalize, so
+    # without this the whole lineage re-derives per consumer (29/28
+    # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id")
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),

@@ -713,3 +713,58 @@ def test_exactsubstr_spans_and_removal_algebra(spark):
                      " order by doc_id, pos)"))
         .filter(F.col("rn") >= 2).count())
     assert n_removable == n_dup_occurrences - len(occ)
+
+
+def test_exactsubstr_apply_reconciles_with_removal(spark, sf_dir):
+    """The APPLY step's cleaned corpus must reconcile EXACTLY with the
+    removal accounting: tokens_kept matches per affected doc, unaffected
+    docs pass through verbatim, and the cleaned text's own token count
+    equals tokens_kept (no phantom separators)."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_apply, exact_substring_removal)
+    from arangodb_java_parquet_spark.queries.common import t
+
+    d = t(spark, sf_dir, "documents")
+    k = 20
+    applied = {r["doc_id"]: r for r in
+               exact_substring_apply(d, k=k).collect()}
+    removal = {r["doc_id"]: r for r in
+               exact_substring_removal(d, k=k).collect()}
+    texts = {r["doc_id"]: r["text"]
+             for r in d.select("doc_id", "text").collect()}
+    assert set(applied) == set(texts)          # one row per input doc
+    assert removal                             # corpus has duplicates
+    for doc_id, row in applied.items():
+        n_tokens = len(texts[doc_id].split(" "))
+        assert row["n_tokens"] == n_tokens
+        if doc_id in removal:
+            assert row["tokens_kept"] == removal[doc_id]["tokens_kept"]
+            assert row["cleaned_text"] != texts[doc_id]
+        else:
+            assert row["tokens_kept"] == n_tokens
+            assert row["cleaned_text"] == texts[doc_id]
+        n_clean = (len(row["cleaned_text"].split(" "))
+                   if row["cleaned_text"] else 0)
+        assert n_clean == row["tokens_kept"]
+
+
+def test_exactsubstr_apply_handbuilt(spark):
+    """Hand-built corpus: the duplicate occurrence's island is cut, the
+    canonical document is untouched, and the cleaned text is exactly the
+    surviving tokens in order."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_apply)
+    shared = "a b c d e"
+    rows = [
+        (1, f"x0 x1 {shared} y0 y1"),
+        (2, f"z0 {shared} z1 z2 z3"),
+        (3, "q0 q1 q2 q3 q4 q5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           exact_substring_apply(docs, k=3).collect()}
+    assert out[1]["cleaned_text"] == rows[0][1]
+    # doc2 loses positions 2..6 ('a b c d e'), keeping 'z0 z1 z2 z3'
+    assert out[2]["cleaned_text"] == "z0 z1 z2 z3"
+    assert out[2]["tokens_kept"] == 4
+    assert out[3]["cleaned_text"] == rows[2][1]
