@@ -609,3 +609,52 @@ def exact_substring_apply(docs: DataFrame, text_col: str = "text",
         id_col, "n_tokens",
         F.size("_kept").cast("bigint").alias("tokens_kept"),
         F.array_join("_kept", " ").alias("cleaned_text"))
+
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           w: int = 4) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window over the hash sequence, and select each window's
+    MINIMUM hash (rightmost position on ties); the distinct selected
+    (position, hash) set is the document's fingerprint sketch. The
+    guarantee: any shared substring of at least k + w - 1 tokens
+    produces at least one shared fingerprint, while storing only
+    ~2/(w+1) of the gram hashes — local-sampling dedup between full
+    ExactSubstr (every window) and MinHash (global sketch, no
+    positions).
+
+    Returns (id_col, fp_pos, fp): distinct selected fingerprints,
+    fp_pos the 1-based token position of the selected gram.
+
+    Cross-engine determinism: the window argmin is computed as a plain
+    MIN over the string encoding gh || zero-padded (99999999 - pos) —
+    minimal hash first, rightmost position on ties — so any engine's
+    ORDER-independent MIN selects the identical fingerprint.
+
+    Scale: per-document windows only (partition by id), O(tokens) rows
+    in, ~2·tokens/(w+1) fingerprints out; the cross-document match join
+    happens on the fingerprint hash downstream, never all-pairs. Gram
+    hashing reuses the hoisted positional-window projection (split
+    evaluated once per document).
+    """
+    from pyspark.sql import Window as W
+
+    grams = positional_window_fps(docs, text_col, id_col, k)
+    enc = F.concat(
+        F.col("gh"),
+        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"))
+    frame = (W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1))
+    whole = W.partitionBy(id_col)
+    return (grams
+            .withColumn("_enc", enc)
+            .withColumn("_ng", F.count(F.lit(1)).over(whole))
+            .withColumn("_sel", F.min("_enc").over(frame))
+            .filter(F.col("pos") <= F.col("_ng") - w + 1)
+            .select(F.col(id_col),
+                    (F.lit(99999999)
+                     - F.substring("_sel", 33, 8).cast("int"))
+                    .cast("bigint").alias("fp_pos"),
+                    F.substring("_sel", 1, 32).alias("fp"))
+            .distinct())

@@ -954,3 +954,160 @@ def eval_cohens_d_effect_size(spark, sf_dir):
         dd.alias("cohens_d"),
         (dd * (1 - F.lit(3).cast("double")
                / (4 * (F.col("n1") + F.col("n0")) - 9))).alias("hedges_g"))
+
+
+# ---------------------------------------------------------------------------
+# rank-correlation pair: Kendall tau-b + Spearman rho (round 10)
+# ---------------------------------------------------------------------------
+
+# Two integer per-document quality signals with natural ties: token count
+# and character count. Kendall is O(n^2) pairs by definition, so the
+# universe is bounded (the standard practice: rank-correlate a sample or a
+# top-k slate, not the corpus); Spearman is O(n log n) and could run
+# corpus-wide, but shares the universe so the two coefficients are
+# comparable.
+_RC_DOCS = 300
+
+_RC_BASE = f"""
+WITH s AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS x, n_chars AS y
+  FROM documents WHERE doc_id < {_RC_DOCS}
+)"""
+
+
+@query("eval_kendall_tau_b", _RC_BASE + """
+, p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT n0 AS n_pairs, conc AS n_concordant, disc AS n_discordant,
+       tx AS ties_x, ty AS ties_y,
+       (conc - disc)
+         / sqrt(CAST((n0 - tx) AS DOUBLE) * CAST((n0 - ty) AS DOUBLE))
+         AS tau_b
+FROM p
+""")
+def eval_kendall_tau_b(spark, sf_dir):
+    """KENDALL TAU-B rank correlation (Kendall 1938, tau-b tie
+    correction) between two per-document quality signals (token count vs
+    char count) over a bounded slate — the nonparametric agreement
+    check run when comparing two rankers/scorers without trusting either
+    scale. Pure integer pair counting (concordant / discordant / ties)
+    until ONE final sqrt+division of exact integers — bit-identical in
+    any engine, no rounding fence needed. The pair join is bounded to
+    {n} documents by construction (tau is O(n^2) by definition; at scale
+    you rank-correlate a sample or a per-query slate, never a corpus).
+    """.format(n=_RC_DOCS)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _RC_DOCS)
+    s = d.select("doc_id",
+                 F.size(F.split("text", " ")).alias("x"),
+                 F.col("n_chars").alias("y"))
+    a = s.select(F.col("doc_id").alias("ida"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"))
+    b = s.select(F.col("doc_id").alias("idb"), F.col("x").alias("xb"),
+                 F.col("y").alias("yb"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    p = (a.join(b, F.col("ida") < F.col("idb"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n0"),
+              F.sum(F.when(((F.col("xa") < F.col("xb"))
+                            & (F.col("ya") < F.col("yb")))
+                           | ((F.col("xa") > F.col("xb"))
+                              & (F.col("ya") > F.col("yb"))), one)
+                    .otherwise(zero)).cast("bigint").alias("conc"),
+              F.sum(F.when(((F.col("xa") < F.col("xb"))
+                            & (F.col("ya") > F.col("yb")))
+                           | ((F.col("xa") > F.col("xb"))
+                              & (F.col("ya") < F.col("yb"))), one)
+                    .otherwise(zero)).cast("bigint").alias("disc"),
+              F.sum(F.when(F.col("xa") == F.col("xb"), one)
+                    .otherwise(zero)).cast("bigint").alias("tx"),
+              F.sum(F.when(F.col("ya") == F.col("yb"), one)
+                    .otherwise(zero)).cast("bigint").alias("ty")))
+    return p.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("n_concordant"),
+        F.col("disc").alias("n_discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        ((F.col("conc") - F.col("disc"))
+         / F.sqrt((F.col("n0") - F.col("tx")).cast("double")
+                  * (F.col("n0") - F.col("ty")).cast("double")))
+        .alias("tau_b"))
+
+
+@query("eval_spearman_rho", _RC_BASE + """
+, r AS (
+  SELECT doc_id,
+         RANK() OVER (ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY x) - 1) / CAST(2 AS DOUBLE)
+           AS rx,
+         RANK() OVER (ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY y) - 1) / CAST(2 AS DOUBLE)
+           AS ry
+  FROM s
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(rx, 1) AS DECIMAL(30,1))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(ry, 1) AS DECIMAL(30,1))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(rx * ry, 2) AS DECIMAL(30,2))) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(CAST(ROUND(rx * rx, 2) AS DECIMAL(30,2))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(ry * ry, 2) AS DECIMAL(30,2))) AS DOUBLE)
+           AS syy
+  FROM r
+)
+SELECT n AS n_docs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+         AS spearman_rho
+FROM m
+""")
+def eval_spearman_rho(spark, sf_dir):
+    """SPEARMAN RHO (Spearman 1904, tie-corrected via fractional/average
+    ranks): Pearson correlation of the average-rank transforms of the
+    same two signals eval_kendall_tau_b compares — the scale-free
+    monotone-association twin. Average ranks are exact multiples of 0.5
+    (min-rank + (ties-1)/2), rank products are exact to 2 decimals, so
+    the decimal moment sums are EXACT and the final correlation is one
+    round-9-fenced expression over identical doubles. One sort-rank
+    window pass + one combinable moment aggregation — O(n log n),
+    corpus-safe (unlike tau's pair join)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _RC_DOCS)
+    s = d.select("doc_id",
+                 F.size(F.split("text", " ")).alias("x"),
+                 F.col("n_chars").alias("y"))
+    rx = (F.rank().over(Window.orderBy("x"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("x")) - 1)
+          / F.lit(2).cast("double"))
+    ry = (F.rank().over(Window.orderBy("y"))
+          + (F.count(F.lit(1)).over(Window.partitionBy("y")) - 1)
+          / F.lit(2).cast("double"))
+    r = s.select(rx.alias("rx"), ry.alias("ry"))
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("rx"), 1).cast("decimal(30,1)"))
+        .cast("double").alias("sx"),
+        F.sum(F.round(F.col("ry"), 1).cast("decimal(30,1)"))
+        .cast("double").alias("sy"),
+        F.sum(F.round(F.col("rx") * F.col("ry"), 2).cast("decimal(30,2)"))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("rx") * F.col("rx"), 2).cast("decimal(30,2)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.round(F.col("ry") * F.col("ry"), 2).cast("decimal(30,2)"))
+        .cast("double").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+           * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return m.select(F.col("n").alias("n_docs"),
+                    F.round(num / den, 9).alias("spearman_rho"))

@@ -1510,3 +1510,200 @@ def dedup_minhash_bbit(spark, sf_dir):
                     .alias("est_jaccard_1bit"),
                     (agree_full / F.lit(8).cast("double"))
                     .alias("est_jaccard_full")))
+
+
+# ---------------------------------------------------------------------------
+# mixture divergence / smoothing / diversity wave (round 10)
+# ---------------------------------------------------------------------------
+
+@query("mixture_js_divergence", """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM st),
+mat AS (
+  SELECT s.source, v.tok, COALESCE(st.c, 0) AS c, sn.n
+  FROM sn s CROSS JOIN vocab v
+  LEFT JOIN st ON st.source = s.source AND st.tok = v.tok
+  JOIN sn ON sn.source = s.source
+),
+terms AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.c > 0 THEN
+           ROUND((a.c / CAST(a.n AS DOUBLE))
+                 * LN(CAST(2 * a.c * b.n AS DOUBLE)
+                      / CAST(a.c * b.n + b.c * a.n AS DOUBLE)), 9)
+         ELSE 0e0 END AS ta,
+         CASE WHEN b.c > 0 THEN
+           ROUND((b.c / CAST(b.n AS DOUBLE))
+                 * LN(CAST(2 * b.c * a.n AS DOUBLE)
+                      / CAST(a.c * b.n + b.c * a.n AS DOUBLE)), 9)
+         ELSE 0e0 END AS tb
+  FROM mat a JOIN mat b ON a.tok = b.tok AND a.source < b.source
+)
+SELECT source_a, source_b,
+       (CAST(SUM(CAST(ta AS DECIMAL(30,9))) AS DOUBLE)
+        + CAST(SUM(CAST(tb AS DECIMAL(30,9))) AS DOUBLE))
+         / CAST(2 AS DOUBLE) AS js_divergence
+FROM terms GROUP BY 1, 2
+""")
+def mixture_js_divergence(spark, sf_dir):
+    """PAIRWISE Jensen-Shannon divergence between source unigram
+    distributions (Lin 1991) — the SYMMETRIC, bounded [0, ln 2] mixture
+    diagnostic that complements mixture_kl_divergence's per-source-vs-
+    corpus KL: which pairs of sources are interchangeable and which
+    bring genuinely different text. Zeros are native to JS (a token
+    absent from one source contributes only the other side's term), so
+    no smoothing constant pollutes the value. Each term's log ratio is
+    derived from INTEGER products only (p/m = 2*ca*nb / (ca*nb + cb*na))
+    so both engines compute identical doubles; terms are round-9 fenced
+    then exact-decimal summed. Shape: the (vocab x sources) incidence is
+    vocab-sized (the same broadcast posture as the corpus distribution
+    in mixture_kl_divergence); the pair join is vocab x source-pairs,
+    with sources an enumerable handful at any corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .localCheckpoint(eager=False))  # feeds totals, vocab, matrix
+    sn = (st.groupBy("source")
+          .agg(F.sum("c").cast("bigint").alias("n")))
+    vocab = st.select("tok").distinct()
+    mat = (sn.crossJoin(vocab)
+           .join(st, ["source", "tok"], "left")
+           .select("source", "tok",
+                   F.coalesce(F.col("c"), F.lit(0)).alias("c"), "n"))
+    a = mat.select(F.col("source").alias("source_a"), "tok",
+                   F.col("c").alias("ca"), F.col("n").alias("na"))
+    b = mat.select(F.col("source").alias("source_b"), "tok",
+                   F.col("c").alias("cb"), F.col("n").alias("nb"))
+    j = (a.join(b, "tok")
+         .filter(F.col("source_a") < F.col("source_b")))
+    denom = (F.col("ca") * F.col("nb")
+             + F.col("cb") * F.col("na")).cast("double")
+    ta = F.when(F.col("ca") > 0, F.round(
+        (F.col("ca") / F.col("na").cast("double"))
+        * F.log((2 * F.col("ca") * F.col("nb")).cast("double") / denom),
+        9)).otherwise(F.lit(0.0))
+    tb = F.when(F.col("cb") > 0, F.round(
+        (F.col("cb") / F.col("nb").cast("double"))
+        * F.log((2 * F.col("cb") * F.col("na")).cast("double") / denom),
+        9)).otherwise(F.lit(0.0))
+    return (j.select("source_a", "source_b", ta.alias("ta"), tb.alias("tb"))
+            .groupBy("source_a", "source_b")
+            .agg(((F.sum(F.col("ta").cast("decimal(30,9)")).cast("double")
+                   + F.sum(F.col("tb").cast("decimal(30,9)"))
+                   .cast("double"))
+                  / F.lit(2).cast("double")).alias("js_divergence")))
+
+
+@query("vocab_good_turing", """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+coc AS (SELECT source, c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM st GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM st GROUP BY 1)
+SELECT t.source, t.n_tokens, t.vocab,
+       COALESCE(MAX(CASE WHEN c.r = 1 THEN c.n_r END), 0) AS n1,
+       COALESCE(MAX(CASE WHEN c.r = 2 THEN c.n_r END), 0) AS n2,
+       COALESCE(MAX(CASE WHEN c.r = 3 THEN c.n_r END), 0) AS n3,
+       COALESCE(MAX(CASE WHEN c.r = 1 THEN c.n_r END), 0)
+         / CAST(t.n_tokens AS DOUBLE) AS p_unseen,
+       2 * COALESCE(MAX(CASE WHEN c.r = 2 THEN c.n_r END), 0)
+         / CAST(NULLIF(COALESCE(MAX(CASE WHEN c.r = 1 THEN c.n_r END), 0),
+                       0) AS DOUBLE) AS r1_star,
+       3 * COALESCE(MAX(CASE WHEN c.r = 3 THEN c.n_r END), 0)
+         / CAST(NULLIF(COALESCE(MAX(CASE WHEN c.r = 2 THEN c.n_r END), 0),
+                       0) AS DOUBLE) AS r2_star
+FROM tot t LEFT JOIN coc c ON c.source = t.source
+GROUP BY t.source, t.n_tokens, t.vocab
+""")
+def vocab_good_turing(spark, sf_dir):
+    """GOOD-TURING frequency estimation per source (Good 1953): the
+    count-of-counts table's head (N1, N2, N3), the unseen-mass estimate
+    p0 = N1/N (the probability the NEXT token drawn from this source is
+    a word never seen before — the coverage/novelty signal behind
+    vocabulary-growth planning), and the Turing-smoothed adjusted counts
+    r* = (r+1) N_{r+1}/N_r for r = 1, 2. Everything is integer counting
+    (two combinable aggregations) until plain IEEE divisions — no
+    rounding fence needed. Count-of-counts is at most max-frequency
+    rows per source, report-sized at any corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .localCheckpoint(eager=False))  # feeds count-of-counts + totals
+    coc = (st.groupBy("source", F.col("c").alias("r"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_r")))
+    tot = (st.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab")))
+    nr = lambda r: F.coalesce(  # noqa: E731
+        F.max(F.when(F.col("r") == r, F.col("n_r"))), F.lit(0))
+    return (tot.join(coc, "source", "left")
+            .groupBy("source", "n_tokens", "vocab")
+            .agg(nr(1).alias("n1"), nr(2).alias("n2"), nr(3).alias("n3"))
+            .select("source", "n_tokens", "vocab", "n1", "n2", "n3",
+                    (F.col("n1") / F.col("n_tokens").cast("double"))
+                    .alias("p_unseen"),
+                    (2 * F.col("n2")
+                     / F.nullif(F.col("n1"), F.lit(0)).cast("double"))
+                    .alias("r1_star"),
+                    (3 * F.col("n3")
+                     / F.nullif(F.col("n2"), F.lit(0)).cast("double"))
+                    .alias("r2_star")))
+
+
+@query("text_simpson_diversity", """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+  FROM st GROUP BY 1
+)
+SELECT source, n_tokens, vocab,
+       s2 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson_lambda,
+       1e0 - s2 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+         AS gini_simpson,
+       CAST(n_tokens * (n_tokens - 1) AS DOUBLE) / s2 AS inverse_simpson
+FROM agg
+""")
+def text_simpson_diversity(spark, sf_dir):
+    """SIMPSON DIVERSITY of each source's token distribution (Simpson
+    1949, the unbiased finite-sample form λ = Σ c(c-1) / (N(N-1)) — the
+    probability two tokens drawn without replacement are the same type),
+    with the Gini-Simpson complement and the inverse-Simpson effective
+    vocabulary size. Low diversity (high λ) flags template/boilerplate
+    sources before they flood a training mix — the concentration twin of
+    the entropy and Zipf diagnostics. Pure integer arithmetic (one
+    combinable pass over (source, token) counts) until plain IEEE
+    divisions: bit-identical on any engine, no rounding."""
+    d = t(spark, sf_dir, "documents")
+    st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    agg = (st.groupBy("source")
+           .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("vocab"),
+                F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+                .alias("s2")))
+    nn = (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double")
+    return agg.select(
+        "source", "n_tokens", "vocab",
+        (F.col("s2") / nn).alias("simpson_lambda"),
+        (F.lit(1.0) - F.col("s2") / nn).alias("gini_simpson"),
+        (nn / F.col("s2")).alias("inverse_simpson"))

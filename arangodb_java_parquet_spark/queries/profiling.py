@@ -1414,3 +1414,133 @@ def dq_functional_dependencies(spark, sf_dir):
                  "violating_groups", "g3_rows_to_remove", "g3_error")
         out = rep if out is None else out.unionAll(rep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# distributional audits (round 10): Benford first-digit + Cramér's V
+# ---------------------------------------------------------------------------
+
+@query("dq_benford_first_digit", """
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+grid AS (
+  SELECT d.digit,
+         LN(CAST(d.digit + 1 AS DOUBLE) / CAST(d.digit AS DOUBLE))
+           / LN(CAST(10 AS DOUBLE)) AS expected_p,
+         COALESCE(o.n_obs, 0) AS n_obs, t.n
+  FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+  LEFT JOIN obs o ON o.digit = d.digit
+  CROSS JOIN tot t
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, expected_p,
+       n_obs / CAST(n AS DOUBLE) AS observed_p,
+       ROUND((n_obs - n * expected_p) * (n_obs - n * expected_p)
+             / (n * expected_p), 9) AS chi2_term
+FROM grid
+""")
+def dq_benford_first_digit(spark, sf_dir):
+    """BENFORD'S-LAW first-digit audit of the order totals (Newcomb
+    1881 / Benford 1938; the fraud/fabrication screen auditors run on
+    financial columns): observed leading-digit frequencies vs the
+    log-law expectation p(d) = log10(1 + 1/d), with the per-digit
+    chi-square contribution. A synthetic or manipulated money column
+    deviates loudly. The leading digit is extracted via exact integer
+    arithmetic (FLOOR then bigint-to-string — no float log10 whose
+    half-ulp at powers of ten mis-bins), the expectation from integer
+    ratios so both engines derive identical doubles, and the chi-square
+    terms are round-9 fenced. One combinable count; the digit grid is
+    nine rows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
+                    1, 1).cast("int").alias("digit"))
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    all_digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    exp_p = (F.log((F.col("digit") + 1).cast("double")
+                   / F.col("digit").cast("double"))
+             / F.log(F.lit(10).cast("double")))
+    grid = (all_digits.join(obs, "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
+                    .alias("n_obs"),
+                    exp_p.alias("expected_p"), "n"))
+    return grid.select(
+        "digit", "n_obs", "expected_p",
+        (F.col("n_obs") / F.col("n").cast("double")).alias("observed_p"),
+        F.round((F.col("n_obs") - F.col("n") * F.col("expected_p"))
+                * (F.col("n_obs") - F.col("n") * F.col("expected_p"))
+                / (F.col("n") * F.col("expected_p")), 9)
+        .alias("chi2_term"))
+
+
+@query("categorical_cramers_v", """
+WITH obs AS (
+  SELECT p_brand, p_size, COUNT(*) AS o
+  FROM part GROUP BY 1, 2
+),
+marg AS (
+  SELECT b.p_brand, c.p_size, b.nb, c.nc, tot.n
+  FROM (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS nb
+        FROM obs GROUP BY 1) b
+  CROSS JOIN (SELECT p_size, CAST(SUM(o) AS BIGINT) AS nc
+              FROM obs GROUP BY 1) c
+  CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs) tot
+),
+chi AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT marg.p_brand) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT marg.p_size) AS BIGINT) AS n_cols,
+         CAST(SUM(CAST(ROUND(
+           (COALESCE(obs.o, 0) - (marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n)
+           * (COALESCE(obs.o, 0) - (marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n)
+           / ((marg.nb * CAST(marg.nc AS DOUBLE)) / marg.n), 9)
+           AS DECIMAL(30,9))) AS DOUBLE) AS chi2
+  FROM marg
+  LEFT JOIN obs ON obs.p_brand = marg.p_brand
+               AND obs.p_size = marg.p_size
+)
+SELECT n, n_rows, n_cols, chi2,
+       sqrt((chi2 / n) / LEAST(n_rows - 1, n_cols - 1)) AS cramers_v
+FROM chi
+""")
+def categorical_cramers_v(spark, sf_dir):
+    """CRAMÉR'S V effect size (Cramér 1946) for the brand × size
+    association: V = sqrt((chi2/n) / min(r-1, c-1)) — the normalized
+    [0,1] companion the raw chi-square statistic
+    (categorical_chi2_independence) lacks, comparable across tables of
+    different shapes. Same full-grid chi-square recipe (marginal cross
+    join supplies empty cells, per-cell round-9, exact decimal sum);
+    the final V is a plain composition of already-identical doubles and
+    exact integers, emitted unrounded per the repo's derived-ratio
+    discipline."""
+    p = t(spark, sf_dir, "part")
+    obs = p.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("o"))
+    nb = obs.groupBy("p_brand").agg(F.sum("o").alias("nb"))
+    nc = obs.groupBy("p_size").agg(F.sum("o").alias("nc"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    marg = nb.crossJoin(nc).crossJoin(F.broadcast(tot))
+    grid = marg.join(obs, ["p_brand", "p_size"], "left")
+    exp = (F.col("nb") * F.col("nc").cast("double")) / F.col("n")
+    dev = F.coalesce(F.col("o"), F.lit(0)) - exp
+    cell = F.round(dev * dev / exp, 9)
+    chi = grid.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("p_brand").cast("bigint").alias("n_rows"),
+        F.countDistinct("p_size").cast("bigint").alias("n_cols"),
+        F.sum(cell.cast("decimal(30,9)")).cast("double").alias("chi2"))
+    return chi.select(
+        "n", "n_rows", "n_cols", "chi2",
+        F.sqrt((F.col("chi2") / F.col("n"))
+               / F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+               .cast("double")).alias("cramers_v"))

@@ -1597,8 +1597,13 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
     # no single-partition shuffle of the corpus — an unpartitioned
     # row_number Window would funnel every embedding row through one task)
+    # the shortlist feeds FIVE consumers (both pairwise-sim sides, s1,
+    # and the two re-score stages): materialize the 10 rows once, or
+    # every consumer re-runs the corpus brute-force scan (measured
+    # 0.98 -> 1.9 s drift at sf0.1).
     short = (rel.orderBy(F.desc("rel"), "vid").limit(_MMR_SHORTLIST)
-             .select("vid", "embedding", "nrm", "rel"))
+             .select("vid", "embedding", "nrm", "rel")
+             .localCheckpoint(eager=False))
     sa = short.select(F.col("vid").alias("va"),
                       F.col("embedding").alias("ea"),
                       F.col("nrm").alias("na"))
@@ -1608,7 +1613,8 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     ps = (sa.join(sb, F.col("va") != F.col("vb"))
           .select("va", "vb",
                   F.round(dot(F.col("ea"), F.col("eb"))
-                          / (F.col("na") * F.col("nb")), 9).alias("sim")))
+                          / (F.col("na") * F.col("nb")), 9).alias("sim"))
+          .localCheckpoint(eager=False))  # 90 rows, 3 consumers
     lam = F.lit(7.0) / F.lit(10.0)
     om = F.lit(3.0) / F.lit(10.0)
 

@@ -1286,6 +1286,126 @@ def dedup_exactsubstr_removal(spark, sf_dir):
     return exact_substring_removal(d, "text", "doc_id", k=_XSUB_K)
 
 
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5   # gram size (tokens)
+_WIN_W = 4   # winnowing window (grams)
+_WIN_DF_CAP = 50   # stop-fingerprint cap for the match join
+_WIN_MIN_SHARED = 3
+
+_WIN_FPS_CTE = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string((string_split(text, ' '))[i:i+{_WIN_K - 1}],
+             ' ')) AS gh
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) - {_WIN_K} + 2))
+                 AS i
+        FROM documents WHERE len(string_split(text, ' ')) >= {_WIN_K})
+),
+ng AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+sel AS (
+  SELECT doc_id, pos,
+         MIN(gh || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0'))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS s
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT sel.doc_id,
+         CAST(99999999 - CAST(substring(sel.s, 33, 8) AS INT) AS BIGINT)
+           AS fp_pos,
+         substring(sel.s, 1, 32) AS fp
+  FROM sel JOIN ng USING (doc_id)
+  WHERE sel.pos <= ng.n_g - {_WIN_W} + 1
+)"""
+
+
+@query("dedup_winnowing_density", _WIN_FPS_CTE + f"""
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(MAX(ng.n_g) AS BIGINT) AS n_grams,
+       COUNT(*) / CAST(MAX(ng.n_g) AS DOUBLE) AS density
+FROM fps f JOIN ng ON ng.doc_id = f.doc_id
+GROUP BY f.doc_id
+""")
+def dedup_winnowing_density(spark, sf_dir):
+    """WINNOWING fingerprint sketch per document (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS plagiarism-detection algorithm): the
+    rightmost-minimum gram hash of every {_WIN_W}-gram window, reported
+    as a per-document density audit (selected fingerprints / grams —
+    theory says ~2/(w+1) on random text, spikes mean repetitive
+    low-entropy documents). The cross-engine argmin is a plain string
+    MIN over gh || zfill(99999999 - pos), so both engines select the
+    identical fingerprint set bit-for-bit. See
+    operators/dedup.winnowing_fingerprints for the guarantee and the
+    100 TB posture (per-document windows, O(tokens) rows, no pairs)."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        winnowing_fingerprints)
+    d = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(d, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+    grams_per_doc = (F.size(F.split(F.col("text"), " "))
+                     - F.lit(_WIN_K - 1)).cast("bigint")
+    ng = (d.filter(F.size(F.split(F.col("text"), " ")) >= _WIN_K)
+          .select("doc_id", grams_per_doc.alias("n_g")))
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"))
+            .join(ng, "doc_id")
+            .select("doc_id", "n_fingerprints",
+                    F.col("n_g").alias("n_grams"),
+                    (F.col("n_fingerprints")
+                     / F.col("n_g").cast("double")).alias("density")))
+
+
+@query("dedup_winnowing_matches", _WIN_FPS_CTE + f"""
+, dfp AS (SELECT DISTINCT doc_id, fp FROM fps),
+live AS (
+  SELECT fp FROM dfp GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_WIN_DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM (SELECT d.doc_id, d.fp FROM dfp d JOIN live USING (fp)) a
+  JOIN (SELECT d.doc_id, d.fp FROM dfp d JOIN live USING (fp)) b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs
+WHERE n_shared >= {_WIN_MIN_SHARED}
+""")
+def dedup_winnowing_matches(spark, sf_dir):
+    """Cross-document WINNOWING matches — the MOSS report: document
+    pairs sharing >= {_WIN_MIN_SHARED} selected fingerprints. By the
+    winnowing guarantee any shared run of k + w - 1 = {_WIN_K + _WIN_W - 1}
+    tokens shares at least one fingerprint, so this catches every
+    substantial overlap while joining only the ~2/(w+1)-sampled
+    fingerprint table. Fingerprints present in more than {_WIN_DF_CAP}
+    documents are dropped before the pair join (the stop-fingerprint
+    cap: a boilerplate fingerprint's posting list is corpus-sized and
+    its join quadratic — the same bounded-postings contract as PPJoin
+    and the capped LSH funnel)."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        winnowing_fingerprints)
+    d = t(spark, sf_dir, "documents")
+    dfp = (winnowing_fingerprints(d, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+           .select("doc_id", "fp").distinct()
+           .localCheckpoint(eager=False))  # feeds df-cap + both join sides
+    live = (dfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
+            .select("fp"))
+    bounded = dfp.join(F.broadcast(live), "fp")
+    a = bounded.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = bounded.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WIN_MIN_SHARED))
+
+
 _XSUB_APPLY_SQL = f"""
 WITH grams AS (
   SELECT doc_id, i AS pos,

@@ -1026,6 +1026,65 @@ def graph_assortativity(spark, sf_dir):
                     .alias("assortativity")))
 
 
+@query("graph_harmonic_centrality", _graph_base_sql() + """
+, deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+          FROM edges GROUP BY src),
+hop2 AS (
+  SELECT e1.src AS node, e2.dst AS reached
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+  WHERE e2.dst <> e1.src
+  UNION
+  SELECT src AS node, dst AS reached FROM edges
+),
+reach AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS r2
+          FROM hop2 GROUP BY node)
+SELECT r.node AS doc_id, d.d AS degree, r.r2 AS n_within_2_hops,
+       d.d + (r.r2 - d.d) / CAST(2 AS DOUBLE) AS harmonic_2hop
+FROM reach r JOIN deg d ON d.node = r.node
+""")
+def graph_harmonic_centrality(spark, sf_dir):
+    """HARMONIC CENTRALITY truncated at 2 hops over the LSH similarity
+    graph (Boldi & Vigna 2014's harmonic centrality, the sum of 1/d(u,v),
+    here with the sum cut at distance 2 — the standard bounded-radius
+    approximation, since full APSP is not a 100 TB operation): neighbors
+    contribute 1, distance-2 nodes contribute 1/2. Identifies the
+    documents whose near-duplicate neighborhoods are both large AND
+    densely connected — the canonical-representative picker for cluster
+    dedup. Reuses the two-hop machinery (edges self-join bounded by
+    Σ deg², candidate pairs materialized once); the final value is one
+    exact integer expression + an IEEE-identical halving, no rounding
+    fence needed."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))  # deg + both hop legs + union
+    deg = (edges.groupBy("src")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
+    e2 = edges.select(F.col("src").alias("mid"),
+                      F.col("dst").alias("reached"))
+    hop2 = (edges.join(e2, edges.dst == e2.mid)
+            .filter(F.col("reached") != F.col("src"))
+            .select("src", "reached")
+            .union(edges.select("src", F.col("dst").alias("reached")))
+            .distinct())
+    reach = (hop2.groupBy("src")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("n_within_2_hops")))
+    return (reach.join(deg, "src")
+            .select(F.col("src").alias("doc_id"), "degree",
+                    "n_within_2_hops",
+                    (F.col("degree")
+                     + (F.col("n_within_2_hops") - F.col("degree"))
+                     / F.lit(2).cast("double")).alias("harmonic_2hop")))
+
+
 # ---------------------------------------------------------------------------
 # session bounce rate per day
 # ---------------------------------------------------------------------------

@@ -768,3 +768,38 @@ def test_exactsubstr_apply_handbuilt(spark):
     assert out[2]["cleaned_text"] == "z0 z1 z2 z3"
     assert out[2]["tokens_kept"] == 4
     assert out[3]["cleaned_text"] == rows[2][1]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) any shared run
+    of >= k + w - 1 tokens yields >= 1 shared fingerprint; (2) selected
+    positions are valid gram positions; (3) fingerprint count is at most
+    the window-start count and at least ceil(n_windows / w)."""
+    import math
+
+    from arangodb_java_parquet_spark.operators.dedup import (
+        winnowing_fingerprints)
+    k, w = 3, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # 6 tokens
+    rows = [
+        (1, f"a0 a1 a2 a3 {shared} a4 a5"),
+        (2, f"b0 {shared} b1 b2 b3 b4 b5 b6"),
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        n_tokens = len(rows[r["doc_id"] - 1][1].split(" "))
+        assert 1 <= r["fp_pos"] <= n_tokens - k + 1
+    # guarantee: docs 1 and 2 share a (k+w-1)-token run -> >= 1 shared fp
+    assert by_doc[1] & by_doc[2]
+    # clean doc shares nothing
+    assert not (by_doc[3] & by_doc[1]) and not (by_doc[3] & by_doc[2])
+    for doc_id, text in ((i, txt) for i, txt in rows):
+        n_grams = len(text.split(" ")) - k + 1
+        n_windows = n_grams - w + 1
+        n_sel = sum(1 for r in fps if r["doc_id"] == doc_id)
+        assert n_sel <= n_windows  # distinct selections, one per window
+        assert n_sel >= math.ceil(n_windows / w)  # min covers <= w windows

@@ -490,3 +490,34 @@ def test_cohens_d_known_groups(spark, tmp_path):
     assert r["cohens_d"] == pytest.approx(8 / math.sqrt(8), rel=1e-12)
     assert r["hedges_g"] == pytest.approx(8 / math.sqrt(8) * 4 / 7,
                                           rel=1e-12)
+
+
+def test_kendall_spearman_handcomputed(spark, tmp_path):
+    """Hand-computed tau-b and rho on a 5-point set with ties, fed
+    through the registered queries via a miniature documents table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # x = token count, y = n_chars; rows built so x has one tie pair and
+    # y has one tie pair:  (x, y) = (1,10) (2,20) (2,30) (3,30) (4,40)
+    texts = ["t", "t t", "u u", "t t t", "t t t t"]
+    ys = [10, 20, 30, 30, 40]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts), "lang": pa.array(["en"] * 5),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array(ys, pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from arangodb_java_parquet_spark.queries import QUERIES
+    kt = QUERIES["eval_kendall_tau_b"](spark, str(tmp_path)).collect()[0]
+    # pairs (i<j) of (x,y): 10 pairs; concordant: (1,2)(1,3)(1,4)(1,5)
+    # (2,3: x tie)(2,4)(2,5)(3,4: y tie)(3,5)(4,5) -> C=8, D=0, tx=1, ty=1
+    assert kt["n_pairs"] == 10 and kt["n_concordant"] == 8
+    assert kt["n_discordant"] == 0
+    assert kt["ties_x"] == 1 and kt["ties_y"] == 1
+    assert abs(kt["tau_b"] - 8 / 9) < 1e-12  # 8 / sqrt(9*9)
+    sp = QUERIES["eval_spearman_rho"](spark, str(tmp_path)).collect()[0]
+    # avg ranks: rx = 1, 2.5, 2.5, 4, 5 ; ry = 1, 2, 3.5, 3.5, 5
+    # moments: sxy=53.75 sxx=syy=54.5 -> rho = 43.75/47.5 = 0.92105...
+    assert sp["n_docs"] == 5
+    assert abs(sp["spearman_rho"] - 43.75 / 47.5) < 1e-8
