@@ -916,3 +916,86 @@ def mixture_unimax_allocation(spark, sf_dir):
                     .otherwise(F.least(F.col("cap").cast("double"),
                                        F.col("theta")) / F.col("n_docs"))
                     .alias("epochs_used")))
+
+
+@query("split_temporal_holdout", """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+ranked AS (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS nd
+  FROM days
+),
+cutoff AS (
+  SELECT day AS cut, nd FROM ranked WHERE rn = (7 * nd + 9) // 10
+),
+lab AS (
+  SELECT e.user_id,
+         CASE WHEN CAST(e.ts AS DATE) <= c.cut THEN 1 ELSE 0 END AS is_tr
+  FROM events e CROSS JOIN cutoff c
+),
+ev AS (
+  SELECT CAST(SUM(is_tr) AS BIGINT) AS n_train_events,
+         CAST(SUM(1 - is_tr) AS BIGINT) AS n_test_events
+  FROM lab
+),
+us AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE tr > 0) AS BIGINT) AS n_train_users,
+         CAST(COUNT(*) FILTER (WHERE te > 0) AS BIGINT) AS n_test_users,
+         CAST(COUNT(*) FILTER (WHERE tr > 0 AND te > 0) AS BIGINT)
+           AS n_overlap_users
+  FROM (SELECT user_id, SUM(is_tr) AS tr, SUM(1 - is_tr) AS te
+        FROM lab GROUP BY user_id)
+)
+SELECT c.cut AS cutoff_day, CAST(c.nd AS BIGINT) AS n_days,
+       ev.n_train_events, ev.n_test_events,
+       us.n_train_users, us.n_test_users, us.n_overlap_users,
+       us.n_overlap_users / CAST(us.n_test_users AS DOUBLE)
+         AS user_overlap_ratio
+FROM cutoff c CROSS JOIN ev CROSS JOIN us
+""")
+def split_temporal_holdout(spark, sf_dir):
+    """TEMPORAL HOLDOUT split audit — the time-based counterpart of the
+    hash split (train_test_split_hash) and the cluster-safe split
+    (split_leakage_safe_report): train = everything up to the 70th-
+    percentile day (rank ceil(0.7·n_days) over DISTINCT days, computed
+    with integer arithmetic (7n+9)//10 so both engines pick the
+    identical cutoff), test = strictly after. Reports the split sizes
+    and the USER overlap between sides — the quantity that decides
+    whether the eval measures generalization to new time (users shared,
+    expected) or must be re-split per-user (overlap ≈ 1 means every
+    test user was trained on). One distinct-days window (days are
+    report-sized at any scale) + one combinable per-user aggregation.
+    """
+    e = t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    ranked = days.select(
+        "day", F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nd"))
+    cutoff = (ranked.filter(
+        F.col("rn") == F.expr("(7 * nd + 9) div 10"))
+        .select(F.col("day").alias("cut"), "nd")
+        .localCheckpoint(eager=False))  # 1 row, 2 consumers
+    lab = (e.crossJoin(F.broadcast(cutoff.select("cut")))
+           .select("user_id",
+                   F.when(F.to_date("ts") <= F.col("cut"), 1).otherwise(0)
+                   .alias("is_tr"))
+           .localCheckpoint(eager=False))  # feeds event + user rollups
+    ev = lab.agg(
+        F.sum("is_tr").cast("bigint").alias("n_train_events"),
+        F.sum(1 - F.col("is_tr")).cast("bigint").alias("n_test_events"))
+    per_user = (lab.groupBy("user_id")
+                .agg(F.sum("is_tr").alias("tr"),
+                     F.sum(1 - F.col("is_tr")).alias("te")))
+    us = per_user.agg(
+        F.sum(F.when(F.col("tr") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_train_users"),
+        F.sum(F.when(F.col("te") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_test_users"),
+        F.sum(F.when((F.col("tr") > 0) & (F.col("te") > 0), 1)
+              .otherwise(0)).cast("bigint").alias("n_overlap_users"))
+    return (cutoff.select(F.col("cut").alias("cutoff_day"),
+                          F.col("nd").cast("bigint").alias("n_days"))
+            .crossJoin(ev).crossJoin(us)
+            .withColumn("user_overlap_ratio",
+                        F.col("n_overlap_users")
+                        / F.col("n_test_users").cast("double")))

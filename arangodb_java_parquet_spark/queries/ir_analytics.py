@@ -1707,3 +1707,75 @@ def text_simpson_diversity(spark, sf_dir):
         (F.col("s2") / nn).alias("simpson_lambda"),
         (F.lit(1.0) - F.col("s2") / nn).alias("gini_simpson"),
         (nn / F.col("s2")).alias("inverse_simpson"))
+
+
+_MATTR_W = 25
+
+
+@query("quality_mattr", f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS tok,
+         len(string_split(text, ' ')) AS n
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_MATTR_W})
+),
+prevs AS (
+  SELECT doc_id, pos, n,
+         COALESCE(LAG(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos), 0)
+           AS prev
+  FROM toks
+),
+contrib AS (
+  SELECT doc_id, n,
+         GREATEST(LEAST(pos, n - {_MATTR_W} + 1)
+                  - GREATEST(pos - {_MATTR_W} + 1, prev + 1, 1) + 1,
+                  0) AS c
+  FROM prevs
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(MAX(n) - {_MATTR_W} + 1 AS BIGINT) AS n_windows,
+       CAST(SUM(c) AS BIGINT) AS distinct_window_sum,
+       SUM(c) / (CAST({_MATTR_W} AS DOUBLE) * (MAX(n) - {_MATTR_W} + 1))
+         AS mattr
+FROM contrib GROUP BY doc_id
+""")
+def quality_mattr(spark, sf_dir):
+    """MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, Covington & McFall 2010)
+    — the length-independent lexical-diversity quality signal (plain TTR
+    collapses as documents grow; MATTR averages TTR over every sliding
+    {w}-token window). The naive form counts distinct types per window:
+    O(tokens · w) and COUNT(DISTINCT) inside a frame, which neither
+    engine supports. Rewritten CLOSED-FORM in O(tokens): a token
+    occurrence at position p with previous same-type occurrence at q is
+    the window-first occurrence exactly for window starts s in
+    [max(p-w+1, q+1, 1), min(p, n-w+1)], so its total contribution to
+    Σ_s distinct(s) is that interval's length — one LAG window per
+    (doc, type) chain plus one combinable sum. Pure integer arithmetic
+    to one final division. Per-document work, no corpus state: scales
+    embarrassingly.""".format(w=_MATTR_W)
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.size(F.split("text", " ")) >= _MATTR_W))
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n"),
+        F.posexplode(F.split("text", " ")).alias("p0", "tok"))
+    prevs = toks.select(
+        "doc_id", "n", (F.col("p0") + 1).alias("pos"), "tok").withColumn(
+        "prev", F.coalesce(
+            F.lag("pos").over(Window.partitionBy("doc_id", "tok")
+                              .orderBy("pos")), F.lit(0)))
+    w = _MATTR_W
+    c = F.greatest(
+        F.least(F.col("pos"), F.col("n") - w + 1)
+        - F.greatest(F.col("pos") - w + 1, F.col("prev") + 1, F.lit(1))
+        + 1, F.lit(0))
+    return (prevs.select("doc_id", "n", c.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.max("n").cast("bigint").alias("n_tokens"),
+                 (F.max("n") - w + 1).cast("bigint").alias("n_windows"),
+                 F.sum("c").cast("bigint").alias("distinct_window_sum"),
+                 (F.sum("c")
+                  / (F.lit(w).cast("double") * (F.max("n") - w + 1)))
+                 .alias("mattr")))

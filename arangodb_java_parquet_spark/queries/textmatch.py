@@ -1609,3 +1609,152 @@ def active_margin_sampling(spark, sf_dir):
                           .alias("margin"))
             .orderBy(F.asc("margin"), F.asc("doc_id"))
             .limit(_MARGIN_K))
+
+
+# ---------------------------------------------------------------------------
+# round 10b: cross-source containment matrix + IDF-weighted Jaccard verify
+# ---------------------------------------------------------------------------
+
+@query("dedup_cross_source_containment", """
+WITH grams AS (
+  SELECT DISTINCT source, shingle
+  FROM (SELECT source,
+               UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                 i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))
+                 AS shingle
+        FROM documents)
+),
+counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+           FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM grams a JOIN grams b
+    ON a.shingle = b.shingle AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_shared, cb.n_sh AS n_b,
+       i.n_shared / CAST(cb.n_sh AS DOUBLE) AS containment_b_in_a
+FROM inter i JOIN counts cb ON cb.source = i.source_b
+""")
+def dedup_cross_source_containment(spark, sf_dir):
+    """CROSS-SOURCE duplication matrix: for every ordered source pair
+    (A, B), the fraction of B's distinct word-5-gram shingles that also
+    appear in A — the corpus-curation heatmap that tells you which
+    sources are re-crawls/mirrors of which (directed containment
+    catches a small source embedded in a big one, where symmetric
+    Jaccard dilutes to noise). Drives the keep-which-source decision
+    before cluster dedup. Shape: one distinct (source, shingle) pass,
+    one equi-join on the shingle — per-shingle fan-out is bounded by
+    the number of SOURCES (a handful at any corpus scale), never by
+    document count, so the join output is at most |shingles| x
+    |sources|². Pure integer counting to one final division."""
+    d = t(spark, sf_dir, "documents")
+    grams = (d.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 4,"
+            " 1)), i -> array_join(slice(split(text, ' '), i, 5), ' '))"))
+        .alias("shingle"))
+        .distinct().localCheckpoint(eager=False))  # counts + both sides
+    counts = (grams.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")))
+    a = grams.select(F.col("source").alias("source_a"), "shingle")
+    b = grams.select(F.col("source").alias("source_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("source_a") != F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    return (inter.join(F.broadcast(counts.withColumnRenamed(
+                "source", "source_b").withColumnRenamed("n_sh", "n_b")),
+                "source_b")
+            .select("source_a", "source_b", "n_shared", "n_b",
+                    (F.col("n_shared") / F.col("n_b").cast("double"))
+                    .alias("containment_b_in_a")))
+
+
+_WJ_DOCS = 100
+_WJ_THRESH_NUM, _WJ_THRESH_DEN = 1, 100  # weighted-jaccard floor 0.01
+
+
+@query("dedup_weighted_jaccard", f"""
+WITH uni AS (SELECT doc_id, text FROM documents WHERE doc_id < {_WJ_DOCS}),
+grams AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               UNNEST(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+                 AS shingle
+        FROM uni)
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM uni),
+idf AS (
+  SELECT shingle,
+         ROUND(LN(CAST(n.n_docs + 1 AS DOUBLE)
+                  / CAST(COUNT(*) + 1 AS DOUBLE)), 9) AS w
+  FROM grams CROSS JOIN n GROUP BY shingle, n.n_docs
+),
+wg AS (SELECT g.doc_id, g.shingle, i.w FROM grams g JOIN idf i USING (shingle)),
+sums AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) AS s
+  FROM wg GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(a.w AS DECIMAL(30,9))) AS DOUBLE) AS si
+  FROM wg a JOIN wg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.si AS inter_weight,
+       sa.s + sb.s - i.si AS union_weight,
+       i.si / (sa.s + sb.s - i.si) AS weighted_jaccard
+FROM inter i
+JOIN sums sa ON sa.doc_id = i.doc_a
+JOIN sums sb ON sb.doc_id = i.doc_b
+WHERE i.si / (sa.s + sb.s - i.si)
+      >= CAST({_WJ_THRESH_NUM} AS DOUBLE) / CAST({_WJ_THRESH_DEN} AS DOUBLE)
+""")
+def dedup_weighted_jaccard(spark, sf_dir):
+    """IDF-WEIGHTED Jaccard verify stage (Chum, Philbin & Zisserman
+    2008's weighted min-hash target): shingle overlap where each shared
+    word-3-gram counts its corpus rarity ln((N+1)/(df+1)) instead of 1
+    — two docs sharing boilerplate n-grams score near zero while two
+    docs sharing rare content score high, exactly the discrimination
+    plain Jaccard (dedup_ngram_jaccard) lacks. Same bounded verify
+    universe (doc_id < {n}); weights round-9 then exact-decimal summed;
+    union weight by inclusion-exclusion (sA + sB - inter, no union
+    materialization). Threshold as an integer ratio on both engines.
+    """.format(n=_WJ_DOCS)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _WJ_DOCS)
+    from arangodb_java_parquet_spark.operators.dedup import word_ngrams
+    grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
+    n_docs = d.count()
+    idf = (grams.groupBy("shingle")
+           .agg(F.round(F.log(F.lit(float(n_docs + 1))
+                              / (F.count(F.lit(1)) + 1).cast("double")), 9)
+                .alias("w")))
+    wg = grams.join(idf, "shingle").localCheckpoint(eager=False)
+    sums = (wg.groupBy("doc_id")
+            .agg(F.sum(F.col("w").cast("decimal(30,9)")).cast("double")
+                 .alias("s")))
+    a = wg.select(F.col("doc_id").alias("doc_a"), "shingle",
+                  F.col("w").alias("wa"))
+    b = wg.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.col("wa").cast("decimal(30,9)")).cast("double")
+                  .alias("si")))
+    sa = sums.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sums.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    thr = (F.lit(_WJ_THRESH_NUM).cast("double")
+           / F.lit(_WJ_THRESH_DEN).cast("double"))
+    uw = F.col("sa") + F.col("sb") - F.col("si")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", F.col("si").alias("inter_weight"),
+                    uw.alias("union_weight"),
+                    (F.col("si") / uw).alias("weighted_jaccard"))
+            .filter(F.col("weighted_jaccard") >= thr))

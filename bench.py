@@ -255,6 +255,17 @@ BENCH_QUERIES = [
     "dq_functional_dependencies",
     # round 9h: paired classifier comparison + effect size
     "eval_mcnemar_paired", "eval_cohens_d_effect_size",
+    # round 10: ExactSubstr APPLY + winnowing + rank correlations +
+    # divergence/diversity/audit wave
+    "dedup_exactsubstr_apply", "dedup_winnowing_density",
+    "dedup_winnowing_matches", "eval_kendall_tau_b", "eval_spearman_rho",
+    "mixture_js_divergence", "vocab_good_turing", "text_simpson_diversity",
+    "graph_harmonic_centrality", "dq_benford_first_digit",
+    "categorical_cramers_v",
+    # round 10b: cross-source containment, weighted Jaccard, MATTR,
+    # temporal holdout
+    "dedup_cross_source_containment", "dedup_weighted_jaccard",
+    "quality_mattr", "split_temporal_holdout",
 ]
 
 

@@ -521,3 +521,41 @@ def test_kendall_spearman_handcomputed(spark, tmp_path):
     # moments: sxy=53.75 sxx=syy=54.5 -> rho = 43.75/47.5 = 0.92105...
     assert sp["n_docs"] == 5
     assert abs(sp["spearman_rho"] - 43.75 / 47.5) < 1e-8
+
+
+def test_mattr_closed_form_handcomputed(spark, tmp_path):
+    """The O(T) closed-form MATTR equals the direct per-window distinct
+    count on hand-built docs (w is pinned to the registered 25, so the
+    docs are built around it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arangodb_java_parquet_spark.queries.ir_analytics import _MATTR_W
+
+    w = _MATTR_W
+
+    def direct_mattr(tokens):
+        n = len(tokens)
+        wins = [tokens[s:s + w] for s in range(n - w + 1)]
+        return sum(len(set(win)) for win in wins) / (w * len(wins))
+
+    docs = [
+        " ".join(["a", "b"] * w),                  # alternating, 2w toks
+        " ".join(["x"] * (w + 5)),                 # constant
+        " ".join(f"t{i}" for i in range(w + 3)),   # all distinct
+        " ".join(f"t{i % 7}" for i in range(3 * w)),  # period 7
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs), "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from arangodb_java_parquet_spark.queries import QUERIES
+    rows = {r["doc_id"]: r for r in
+            QUERIES["quality_mattr"](spark, str(tmp_path)).collect()}
+    for i, doc in enumerate(docs):
+        toks = doc.split(" ")
+        assert rows[i]["n_tokens"] == len(toks)
+        assert rows[i]["n_windows"] == len(toks) - w + 1
+        assert abs(rows[i]["mattr"] - direct_mattr(toks)) < 1e-12

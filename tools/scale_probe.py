@@ -133,6 +133,18 @@ PROBES = [
     "attribution_time_decay",
     "markov_next_event_accuracy",
     "dq_functional_dependencies",
+    # round-10 flagships: the ExactSubstr APPLY step (islands join-back +
+    # indexed array filter), winnowing selection (per-doc windows) and
+    # its capped fingerprint match join, vocab-bounded JS divergence,
+    # and the 2-hop harmonic centrality (edges self-join, Σ deg² bound)
+    "dedup_exactsubstr_apply",
+    "dedup_winnowing_density",
+    "dedup_winnowing_matches",
+    "mixture_js_divergence",
+    "graph_harmonic_centrality",
+    # round-10b flagships: source-bounded shingle join, O(T) MATTR
+    "dedup_cross_source_containment",
+    "quality_mattr",
 ]
 
 
