@@ -1779,3 +1779,109 @@ def quality_mattr(spark, sf_dir):
                  (F.sum("c")
                   / (F.lit(w).cast("double") * (F.max("n") - w + 1)))
                  .alias("mattr")))
+
+
+_BD_TOPK = 30
+
+
+@query("text_burrows_delta", f"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+sn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, SUM(c) AS tc,
+           ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, tok) AS rn
+    FROM st GROUP BY tok
+  ) WHERE rn <= {_BD_TOPK}
+),
+f AS (
+  SELECT s.source, tp.tok,
+         COALESCE(st.c, 0) / CAST(s.n AS DOUBLE) AS fr
+  FROM sn s CROSS JOIN top tp
+  LEFT JOIN st ON st.source = s.source AND st.tok = tp.tok
+),
+mu AS (
+  SELECT tok,
+         CAST(SUM(CAST(ROUND(fr, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / COUNT(*) AS m,
+         COUNT(*) AS ns
+  FROM f GROUP BY tok
+),
+z AS (
+  SELECT f.source, f.tok,
+         ROUND((f.fr - mu.m)
+               / sqrt(CAST(SUM(CAST(ROUND((f2.fr - mu.m) * (f2.fr - mu.m),
+                                          12) AS DECIMAL(30,12)))
+                           AS DOUBLE) / mu.ns), 9) AS z
+  FROM f
+  JOIN mu ON mu.tok = f.tok
+  JOIN f f2 ON f2.tok = f.tok
+  GROUP BY f.source, f.tok, f.fr, mu.m, mu.ns
+),
+d AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 9) AS DECIMAL(30,9)))
+              AS DOUBLE) / COUNT(*) AS burrows_delta
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, burrows_delta FROM d
+""")
+def text_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA stylometric distance between sources (Burrows
+    2002, the standard authorship-attribution measure): z-score each
+    source's relative frequency of the corpus's top-{_BD_TOPK} tokens
+    against the across-source mean and population std of that token,
+    then Delta(a, b) = mean |z_a - z_b| — sources with the same
+    'authorial fingerprint' (function-word profile) score near zero
+    even when their content words differ, which n-gram overlap cannot
+    see. Frequencies are integer-ratio doubles; the variance (computed
+    as an explicit deviation-square sum so both engines share one
+    formulation) is round-12-then-decimal-summed; z and |Δz| round-9
+    fenced. Every table after the one token pass is (top-K x sources)-
+    sized — broadcast material at any corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+          .localCheckpoint(eager=False))  # totals, top-K, matrix
+    sn = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    top = (st.groupBy("tok").agg(F.sum("c").alias("tc"))
+           .withColumn("rn", F.row_number().over(
+               Window.orderBy(F.desc("tc"), "tok")))
+           .filter(F.col("rn") <= _BD_TOPK).select("tok"))
+    f = (sn.crossJoin(F.broadcast(top))
+         .join(st, ["source", "tok"], "left")
+         .select("source", "tok",
+                 (F.coalesce(F.col("c"), F.lit(0))
+                  / F.col("n").cast("double")).alias("fr"))
+         .localCheckpoint(eager=False))  # feeds mu, the square sum, z
+    mu = (f.groupBy("tok")
+          .agg((F.sum(F.round("fr", 9).cast("decimal(30,9)"))
+                .cast("double") / F.count(F.lit(1))).alias("m"),
+               F.count(F.lit(1)).alias("ns")))
+    f2 = f.select(F.col("tok").alias("tok2"), F.col("fr").alias("fr2"))
+    var = (mu.join(f2, mu.tok == F.col("tok2"))
+           .groupBy("tok", "m", "ns")
+           .agg((F.sum(F.round((F.col("fr2") - F.col("m"))
+                               * (F.col("fr2") - F.col("m")), 12)
+                       .cast("decimal(30,12)")).cast("double")
+                 / F.col("ns")).alias("v")))
+    z = (f.join(F.broadcast(var), "tok")
+         .select("source", "tok",
+                 F.round((F.col("fr") - F.col("m")) / F.sqrt("v"), 9)
+                 .alias("z")))
+    za = z.select(F.col("source").alias("source_a"), "tok",
+                  F.col("z").alias("za"))
+    zb = z.select(F.col("source").alias("source_b"), "tok",
+                  F.col("z").alias("zb"))
+    return (za.join(zb, "tok")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg((F.sum(F.round(F.abs(F.col("za") - F.col("zb")), 9)
+                        .cast("decimal(30,9)")).cast("double")
+                  / F.count(F.lit(1))).alias("burrows_delta")))

@@ -1417,71 +1417,9 @@ def dq_functional_dependencies(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# distributional audits (round 10): Benford first-digit + Cramér's V
+# distributional audits (round 10): Cramér's V effect size
+# (a Benford first-digit audit already exists: trend.py:benford_first_digit)
 # ---------------------------------------------------------------------------
-
-@query("dq_benford_first_digit", """
-WITH digits AS (
-  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
-                             AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM orders WHERE o_totalprice >= 1
-),
-obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
-        FROM digits GROUP BY 1),
-tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
-grid AS (
-  SELECT d.digit,
-         LN(CAST(d.digit + 1 AS DOUBLE) / CAST(d.digit AS DOUBLE))
-           / LN(CAST(10 AS DOUBLE)) AS expected_p,
-         COALESCE(o.n_obs, 0) AS n_obs, t.n
-  FROM (SELECT UNNEST(range(1, 10)) AS digit) d
-  LEFT JOIN obs o ON o.digit = d.digit
-  CROSS JOIN tot t
-)
-SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, expected_p,
-       n_obs / CAST(n AS DOUBLE) AS observed_p,
-       ROUND((n_obs - n * expected_p) * (n_obs - n * expected_p)
-             / (n * expected_p), 9) AS chi2_term
-FROM grid
-""")
-def dq_benford_first_digit(spark, sf_dir):
-    """BENFORD'S-LAW first-digit audit of the order totals (Newcomb
-    1881 / Benford 1938; the fraud/fabrication screen auditors run on
-    financial columns): observed leading-digit frequencies vs the
-    log-law expectation p(d) = log10(1 + 1/d), with the per-digit
-    chi-square contribution. A synthetic or manipulated money column
-    deviates loudly. The leading digit is extracted via exact integer
-    arithmetic (FLOOR then bigint-to-string — no float log10 whose
-    half-ulp at powers of ten mis-bins), the expectation from integer
-    ratios so both engines derive identical doubles, and the chi-square
-    terms are round-9 fenced. One combinable count; the digit grid is
-    nine rows."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
-    digits = o.select(
-        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
-                    1, 1).cast("int").alias("digit"))
-    obs = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs"))
-    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
-    all_digits = spark.range(1, 10).select(
-        F.col("id").cast("int").alias("digit"))
-    exp_p = (F.log((F.col("digit") + 1).cast("double")
-                   / F.col("digit").cast("double"))
-             / F.log(F.lit(10).cast("double")))
-    grid = (all_digits.join(obs, "digit", "left")
-            .crossJoin(F.broadcast(tot))
-            .select("digit",
-                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint")
-                    .alias("n_obs"),
-                    exp_p.alias("expected_p"), "n"))
-    return grid.select(
-        "digit", "n_obs", "expected_p",
-        (F.col("n_obs") / F.col("n").cast("double")).alias("observed_p"),
-        F.round((F.col("n_obs") - F.col("n") * F.col("expected_p"))
-                * (F.col("n_obs") - F.col("n") * F.col("expected_p"))
-                / (F.col("n") * F.col("expected_p")), 9)
-        .alias("chi2_term"))
-
 
 @query("categorical_cramers_v", """
 WITH obs AS (

@@ -493,7 +493,7 @@ def dedup_intradoc_spans(spark, sf_dir):
 # multinomial Naive Bayes, fitted AND evaluated in the engine
 # ---------------------------------------------------------------------------
 
-_NB_SQL = """
+_NB_CORE_SQL = """
 WITH train AS (
   SELECT lang, text FROM documents WHERE doc_id % 10 < 8
 ),
@@ -539,8 +539,11 @@ scored AS (
   JOIN floors f ON TRUE
   LEFT JOIN ll ON ll.lang = f.lang AND ll.tok = h.tok
   GROUP BY h.doc_id, f.lang
-),
-pred AS (
+)
+"""
+
+_NB_SQL = _NB_CORE_SQL + """
+, pred AS (
   SELECT doc_id, actual_lang, lang AS predicted_lang FROM (
     SELECT s.doc_id, s.actual_lang, s.lang,
            ROW_NUMBER() OVER (
@@ -571,6 +574,21 @@ def nb_classifier_confusion(spark, sf_dir):
     and the class fan-out is |classes|. On this label-free word-salad
     corpus the matrix is near-chance BY CONSTRUCTION; the machinery is
     what's value-checked."""
+    scored2 = _nb_scored(spark, sf_dir)
+    pred = (scored2.withColumn("rn", F.row_number().over(
+                W.partitionBy("doc_id")
+                .orderBy(F.desc("sc"), F.asc("lang"))))
+            .filter(F.col("rn") == 1)
+            .select("actual_lang", F.col("lang").alias("predicted_lang")))
+    return (pred.groupBy("actual_lang", "predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _nb_scored(spark, sf_dir):
+    """Shared NB scoring chain: one row per (held doc, class) with the
+    round-9 decision score sc = ll_sum + log_prior — one source of
+    truth for the fitted model, consumed by the confusion matrix and
+    the confident-learning joint (mirrors _NB_CORE_SQL)."""
     d = t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 10 < 8)
     toks = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -606,16 +624,10 @@ def nb_classifier_confusion(spark, sf_dir):
                    F.sum(F.coalesce("logp", "floor_logp")
                          .cast("decimal(20,9)")).cast("double")
                    .alias("ll_sum")))
-    pred = (scored.join(F.broadcast(priors), "lang")
-            .withColumn("rn", F.row_number().over(
-                W.partitionBy("doc_id")
-                .orderBy(F.desc(F.round(F.col("ll_sum")
-                                        + F.col("log_prior"), 9)),
-                         F.asc("lang"))))
-            .filter(F.col("rn") == 1)
-            .select("actual_lang", F.col("lang").alias("predicted_lang")))
-    return (pred.groupBy("actual_lang", "predicted_lang")
-            .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (scored.join(F.broadcast(priors), "lang")
+            .select("doc_id", "actual_lang", "lang",
+                    F.round(F.col("ll_sum") + F.col("log_prior"), 9)
+                    .alias("sc")))
 
 
 # ---------------------------------------------------------------------------
@@ -1758,3 +1770,158 @@ def dedup_weighted_jaccard(spark, sf_dir):
                     uw.alias("union_weight"),
                     (F.col("si") / uw).alias("weighted_jaccard"))
             .filter(F.col("weighted_jaccard") >= thr))
+
+
+_WIN_SPLIT = 400
+
+
+@query("dedup_winnowing_incremental", _WIN_FPS_CTE + f"""
+, store AS (SELECT DISTINCT fp FROM fps WHERE doc_id < {_WIN_SPLIT}),
+batch AS (
+  SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+  WHERE doc_id >= {_WIN_SPLIT}
+),
+per_doc AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fps,
+         CAST(SUM(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched
+  FROM batch b LEFT JOIN store s ON s.fp = b.fp
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_fps, n_matched,
+       1e0 - n_matched / CAST(n_fps AS DOUBLE) AS novelty
+FROM per_doc
+""")
+def dedup_winnowing_incremental(spark, sf_dir):
+    """INCREMENTAL winnowing at ingest against a PERSISTENT fingerprint
+    store — completing the stored-index triple (MinHash bands:
+    dedup_incremental_minhash_stored; ExactSubstr windows:
+    dedup_exactsubstr_incremental; winnowing sketches: this): the
+    corpus's distinct winnowed fingerprints are fit ONCE into the model
+    store; each new batch winnows only its own documents and equi-joins
+    the stored set, reporting per-document fingerprint novelty (the
+    MOSS originality score). The oracle recomputes BOTH sides from
+    scratch, so the value hash proves the stored index byte-faithful.
+    At 100 TB the store is the distinct ~2/(w+1)-sampled fingerprints —
+    one append per batch keeps it current; the corpus is never
+    re-winnowed."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        winnowing_fingerprints)
+    from arangodb_java_parquet_spark.operators.models import (
+        ensure_model, store_root_for)
+    d = t(spark, sf_dir, "documents")
+
+    def fit():
+        corpus = d.filter(F.col("doc_id") < _WIN_SPLIT)
+        return (winnowing_fingerprints(corpus, "text", "doc_id",
+                                       k=_WIN_K, w=_WIN_W)
+                .select("fp").distinct())
+
+    store = ensure_model(spark, store_root_for(sf_dir, "documents"),
+                         "winnowing_fp_index", "window_fps", fit)
+    batch = d.filter(F.col("doc_id") >= _WIN_SPLIT)
+    bfp = (winnowing_fingerprints(batch, "text", "doc_id",
+                                  k=_WIN_K, w=_WIN_W)
+           .select("doc_id", "fp").distinct())
+    hit = bfp.join(store.select(F.col("fp").alias("sfp")),
+                   bfp.fp == F.col("sfp"), "left")
+    return (hit.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+                 F.sum(F.when(F.col("sfp").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_matched"))
+            .select("doc_id", "n_fps", "n_matched",
+                    (F.lit(1.0) - F.col("n_matched")
+                     / F.col("n_fps").cast("double")).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# confident-learning joint (label-noise detection) over the NB posterior
+# ---------------------------------------------------------------------------
+
+_CJ_SQL = _NB_CORE_SQL + """
+, scored2 AS (
+  SELECT s.doc_id, s.actual_lang, s.lang,
+         ROUND(s.ll_sum + p.log_prior, 9) AS sc
+  FROM scored s JOIN priors p ON p.lang = s.lang
+),
+mx AS (SELECT doc_id, MAX(sc) AS m FROM scored2 GROUP BY doc_id),
+ex AS (
+  SELECT s.doc_id, s.actual_lang, s.lang,
+         ROUND(EXP(s.sc - mx.m), 9) AS e
+  FROM scored2 s JOIN mx USING (doc_id)
+),
+den AS (SELECT doc_id,
+               CAST(SUM(CAST(e AS DECIMAL(20,9))) AS DOUBLE) AS den
+        FROM ex GROUP BY doc_id),
+prob AS (
+  SELECT ex.doc_id, ex.actual_lang, ex.lang,
+         ROUND(ex.e / den.den, 9) AS p
+  FROM ex JOIN den USING (doc_id)
+),
+th AS (
+  SELECT lang,
+         CAST(SUM(CAST(p AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS thr
+  FROM prob WHERE lang = actual_lang GROUP BY lang
+),
+cand AS (
+  SELECT prob.doc_id, prob.actual_lang, prob.lang, prob.p
+  FROM prob JOIN th ON th.lang = prob.lang
+  WHERE prob.p >= th.thr
+),
+cj AS (
+  SELECT doc_id, actual_lang, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY p DESC, lang) AS rn
+  FROM cand
+)
+SELECT actual_lang AS given_label, lang AS confident_label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       actual_lang <> lang AS is_label_issue
+FROM cj WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@query("label_confident_joint", _CJ_SQL)
+def label_confident_joint(spark, sf_dir):
+    """CONFIDENT-LEARNING joint for label-noise detection (Northcutt,
+    Jiang & Chuang, JAIR 2021 — the cleanlab algorithm): per-class
+    thresholds t_j = mean self-confidence p_j over examples GIVEN label
+    j; each example counts into cell C[given][argmax_{j: p_j >= t_j}],
+    and off-diagonal mass is the estimated label-error set — the audit
+    a labeled training set gets before anyone trusts its labels.
+    Posterior p_j is the softmax of the shared NB decision scores
+    (_nb_scored — the same fitted model the confusion matrix checks),
+    computed max-shifted with round-9 fences on the exp outputs (exp of
+    identical round-9 doubles agrees across engines at 9 decimals;
+    piloted over 20k values) and an exact-decimal normalizer. Examples
+    meeting no class threshold are dropped, per the paper. Shape: adds
+    two per-doc combinable aggregations and one |classes|-row broadcast
+    to the NB chain — same scale posture."""
+    scored2 = _nb_scored(spark, sf_dir).localCheckpoint(eager=False)
+    mx = scored2.groupBy("doc_id").agg(F.max("sc").alias("m"))
+    ex = (scored2.join(mx, "doc_id")
+          .select("doc_id", "actual_lang", "lang",
+                  F.round(F.exp(F.col("sc") - F.col("m")), 9).alias("e"))
+          .localCheckpoint(eager=False))  # feeds normalizer + probs
+    den = (ex.groupBy("doc_id")
+           .agg(F.sum(F.col("e").cast("decimal(20,9)")).cast("double")
+                .alias("den")))
+    prob = (ex.join(den, "doc_id")
+            .select("doc_id", "actual_lang", "lang",
+                    F.round(F.col("e") / F.col("den"), 9).alias("p"))
+            .localCheckpoint(eager=False))  # feeds thresholds + counting
+    th = (prob.filter(F.col("lang") == F.col("actual_lang"))
+          .groupBy("lang")
+          .agg((F.sum(F.col("p").cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1))).alias("thr")))
+    cand = prob.join(F.broadcast(th), "lang").filter(
+        F.col("p") >= F.col("thr"))
+    cj = (cand.withColumn("rn", F.row_number().over(
+              W.partitionBy("doc_id").orderBy(F.desc("p"), F.asc("lang"))))
+          .filter(F.col("rn") == 1))
+    return (cj.groupBy(F.col("actual_lang").alias("given_label"),
+                       F.col("lang").alias("confident_label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .withColumn("is_label_issue",
+                        F.col("given_label") != F.col("confident_label")))

@@ -260,12 +260,14 @@ BENCH_QUERIES = [
     "dedup_exactsubstr_apply", "dedup_winnowing_density",
     "dedup_winnowing_matches", "eval_kendall_tau_b", "eval_spearman_rho",
     "mixture_js_divergence", "vocab_good_turing", "text_simpson_diversity",
-    "graph_harmonic_centrality", "dq_benford_first_digit",
-    "categorical_cramers_v",
+    "graph_harmonic_centrality", "categorical_cramers_v",
     # round 10b: cross-source containment, weighted Jaccard, MATTR,
     # temporal holdout
     "dedup_cross_source_containment", "dedup_weighted_jaccard",
     "quality_mattr", "split_temporal_holdout",
+    # round 10c: stored-index winnowing, stylometry, label-noise audit
+    "dedup_winnowing_incremental", "text_burrows_delta",
+    "label_confident_joint",
 ]
 
 

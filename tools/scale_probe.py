@@ -145,6 +145,8 @@ PROBES = [
     # round-10b flagships: source-bounded shingle join, O(T) MATTR
     "dedup_cross_source_containment",
     "quality_mattr",
+    # round-10c flagships: softmax-thresholded confident joint (NB chain)
+    "label_confident_joint",
 ]
 
 
