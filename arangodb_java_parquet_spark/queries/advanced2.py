@@ -132,11 +132,14 @@ v{k} AS (SELECT w{k}.i AS j, ROUND(w{k}.w / n{k}.nrm, 9) AS v
             "g AS (SELECT i, j, g FROM tri\n"
             "      UNION ALL SELECT j, i, g FROM tri WHERE i < j),\n"
             "v0 AS (SELECT UNNEST(range(1, 65)) AS j, 1.0::DOUBLE AS v),"
-            + ",".join(iters)
-            + f"\nSELECT j AS dim, v AS pc1 FROM {prev}")
+            + ",".join(iters), prev)
 
 
-@query("emb_pca_power_iteration", _pca_sql())
+_PCA_CTE, _PCA_LAST = _pca_sql()
+
+
+@query("emb_pca_power_iteration",
+       _PCA_CTE + f"\nSELECT j AS dim, v AS pc1 FROM {_PCA_LAST}")
 def emb_pca_power_iteration(spark, sf_dir):
     """PCA TOP COMPONENT entirely in-engine: 3 unrolled power iterations
     v ← G·v / max|G·v| over the 64×64 Gram matrix (the distributed d×d
@@ -151,6 +154,16 @@ def emb_pca_power_iteration(spark, sf_dir):
     production dims (768-4096) G still fits in a broadcast and the same
     plan holds. The Arrow gram twin (gram_matrix_arrow) supplies G at
     dims where the explode formulation is impractical."""
+    _g, v = _pca_gram_and_v(spark, sf_dir)
+    return v.select(F.col("j").cast("bigint").alias("dim"),
+                    F.col("v").alias("pc1"))
+
+
+def _pca_gram_and_v(spark, sf_dir):
+    """Shared PCA chain (mirrors _PCA_CTE): the materialized mirrored
+    64x64 Gram matrix g(i, j) and the power-iteration eigenvector
+    estimate v(j) after 3 round-9-fenced iterations — consumed by the
+    component entry and the explained-variance entry."""
     e = t(spark, sf_dir, "embeddings")
     e1 = e.select("embedding",
                   F.posexplode("embedding").alias("i0", "vi"))
@@ -185,8 +198,7 @@ def emb_pca_power_iteration(spark, sf_dir):
         v = (w.crossJoin(F.broadcast(nrm))
              .select(F.col("i").alias("j"),
                      F.round(F.col("w") / F.col("nrm"), 9).alias("v")))
-    return v.select(F.col("j").cast("bigint").alias("dim"),
-                    F.col("v").alias("pc1"))
+    return g, v.localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -433,3 +445,57 @@ def privacy_t_closeness(spark, sf_dir):
             .select(F.col("seg").alias("c_mktsegment"),
                     F.col("nat").alias("c_nationkey"),
                     "k_size", "t_closeness_tvd"))
+
+
+@query("emb_pca_explained_variance", _PCA_CTE + f"""
+, gv AS (
+  SELECT g.i,
+         CAST(SUM(CAST(ROUND(g.g * {_PCA_LAST}.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS w
+  FROM g JOIN {_PCA_LAST} ON {_PCA_LAST}.j = g.j GROUP BY 1
+),
+lam AS (
+  SELECT CAST(SUM(CAST(ROUND(gv.w * {_PCA_LAST}.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE)
+           / CAST(SUM(CAST(ROUND({_PCA_LAST}.v * {_PCA_LAST}.v, 9)
+                           AS DECIMAL(30,9))) AS DOUBLE) AS lambda1
+  FROM gv JOIN {_PCA_LAST} ON {_PCA_LAST}.j = gv.i
+),
+tr AS (
+  SELECT CAST(SUM(CAST(g AS DECIMAL(30,8))) AS DOUBLE) AS trace_g
+  FROM g WHERE i = j
+)
+SELECT lam.lambda1, tr.trace_g,
+       lam.lambda1 / tr.trace_g AS explained_variance_ratio
+FROM lam CROSS JOIN tr
+""")
+def emb_pca_explained_variance(spark, sf_dir):
+    """TOP-COMPONENT EXPLAINED VARIANCE — the number the PCA entry's
+    eigenvector lacks: the Rayleigh quotient lambda_1 = v'Gv / v'v of
+    the power-iteration estimate against trace(G) = sum of eigenvalues,
+    i.e. what fraction of total (uncentered) embedding energy the top
+    direction carries — the collapse-vs-spread scalar read next to
+    anisotropy and effective rank. Shares the exact Gram + iteration
+    chain with emb_pca_power_iteration (_pca_gram_and_v /_PCA_CTE — one
+    source of truth); adds one 64-row matvec, two round-9 decimal dot
+    products, and the exact-decimal trace. The final ratio is a plain
+    division of identical doubles."""
+    g, v = _pca_gram_and_v(spark, sf_dir)
+    gv = (g.join(F.broadcast(v), "j")
+          .groupBy("i")
+          .agg(F.sum(F.round(F.col("g") * F.col("v"), 9)
+                     .cast("decimal(30,9)")).cast("double").alias("w")))
+    v2 = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    lam = (gv.join(F.broadcast(v2), "i")
+           .agg((F.sum(F.round(F.col("w") * F.col("vi"), 9)
+                       .cast("decimal(30,9)")).cast("double")
+                 / F.sum(F.round(F.col("vi") * F.col("vi"), 9)
+                         .cast("decimal(30,9)")).cast("double"))
+                .alias("lambda1")))
+    tr = (g.filter(F.col("i") == F.col("j"))
+          .agg(F.sum(F.col("g").cast("decimal(30,8)")).cast("double")
+               .alias("trace_g")))
+    return (lam.crossJoin(F.broadcast(tr))
+            .select("lambda1", "trace_g",
+                    (F.col("lambda1") / F.col("trace_g"))
+                    .alias("explained_variance_ratio")))

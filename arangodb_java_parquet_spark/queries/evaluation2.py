@@ -1111,3 +1111,62 @@ def eval_spearman_rho(spark, sf_dir):
            * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
     return m.select(F.col("n").alias("n_docs"),
                     F.round(num / den, 9).alias("spearman_rho"))
+
+
+_CLIFF_DOCS = 400
+
+
+@query("eval_cliffs_delta", f"""
+WITH s AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+         n_chars AS x
+  FROM documents WHERE doc_id < {_CLIFF_DOCS}
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN a.x > b.x THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gt,
+         CAST(SUM(CASE WHEN a.x < b.x THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lt
+  FROM (SELECT x FROM s WHERE grp = 1) a
+  JOIN (SELECT x FROM s WHERE grp = 0) b ON TRUE
+)
+SELECT n_pairs, n_gt, n_lt,
+       CAST(n_pairs - n_gt - n_lt AS BIGINT) AS n_tied,
+       (n_gt - n_lt) / CAST(n_pairs AS DOUBLE) AS cliffs_delta
+FROM p
+""")
+def eval_cliffs_delta(spark, sf_dir):
+    """CLIFF'S DELTA ordinal effect size (Cliff 1993): P(X > Y) -
+    P(X < Y) for the same English-vs-other document-length comparison
+    eval_cohens_d_effect_size measures parametrically — the robust
+    companion when the distributions are skewed or ordinal (|d| 0.147/
+    0.33/0.474 = small/medium/large). Related to the Mann-Whitney U the
+    AUC entry computes (delta = 2·AUC - 1), so the two entries
+    cross-validate. Pure integer pair counting to one final division.
+    The group cross join is O(n1·n0) BY DEFINITION, so the universe is
+    bounded to {n} documents — at scale you compute it on a sample or
+    via the rank-sum identity from the corpus-wide AUC entry, which is
+    the O(n log n) path.""".format(n=_CLIFF_DOCS)
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < _CLIFF_DOCS))
+    s = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.col("n_chars").alias("x"))
+    a = s.filter(F.col("grp") == 1).select(F.col("x").alias("xa"))
+    b = s.filter(F.col("grp") == 0).select(F.col("x").alias("xb"))
+    # broadcast the smaller side so the pair join plans as a
+    # BroadcastNestedLoop, never a CartesianProduct (plan discipline:
+    # cart stays 0 registry-wide)
+    p = (a.crossJoin(F.broadcast(b))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+              F.sum(F.when(F.col("xa") > F.col("xb"), 1).otherwise(0))
+              .cast("bigint").alias("n_gt"),
+              F.sum(F.when(F.col("xa") < F.col("xb"), 1).otherwise(0))
+              .cast("bigint").alias("n_lt")))
+    return p.select(
+        "n_pairs", "n_gt", "n_lt",
+        (F.col("n_pairs") - F.col("n_gt") - F.col("n_lt")).cast("bigint")
+        .alias("n_tied"),
+        ((F.col("n_gt") - F.col("n_lt")) / F.col("n_pairs").cast("double"))
+        .alias("cliffs_delta"))

@@ -267,7 +267,8 @@ BENCH_QUERIES = [
     "quality_mattr", "split_temporal_holdout",
     # round 10c: stored-index winnowing, stylometry, label-noise audit
     "dedup_winnowing_incremental", "text_burrows_delta",
-    "label_confident_joint",
+    "label_confident_joint", "eval_cliffs_delta",
+    "emb_pca_explained_variance",
 ]
 
 
