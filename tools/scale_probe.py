@@ -240,6 +240,20 @@ def main() -> None:
             f"| {name} | "
             + " | ".join(f"{r[f]:.2f}" for f in factors)
             + f" | {expo:.2f} |")
+    lines += [
+        "",
+        "Adjudicated exponents (data growth, not plan defects): on the",
+        "replica corpus identical texts land in the same LSH buckets, so",
+        "the similarity graph grows f-cliques — the hop-2 pair POPULATION",
+        "(Σ deg², the quantity graph_harmonic_centrality and the triangle",
+        "family enumerate) itself grows superlinearly with the factor.",
+        "The serving-path mitigation is the capped candidate graph",
+        "(lsh_candidate_pairs_capped, connectivity-preserving): on the",
+        "duplicate-heavy SKEW_PROBE corpus the capped triangle enumeration",
+        "— the same Σ deg² bound — measures exponent ~0.6 vs ~2.0",
+        "uncapped. Diagnostics that must run BEFORE dedup go through the",
+        "capped graph; after dedup the cliques are gone by construction.",
+    ]
     out = "\n".join(lines) + "\n"
     if write_report:
         with open("SCALE_PROBE.md", "w") as fh:
