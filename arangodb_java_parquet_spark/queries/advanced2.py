@@ -499,3 +499,49 @@ def emb_pca_explained_variance(spark, sf_dir):
             .select("lambda1", "trace_g",
                     (F.col("lambda1") / F.col("trace_g"))
                     .alias("explained_variance_ratio")))
+
+
+@query("privacy_delta_presence", """
+WITH sample AS (SELECT DISTINCT o_custkey FROM orders),
+cls AS (
+  SELECT c.c_mktsegment, c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_class,
+         CAST(SUM(CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in_sample
+  FROM customer c LEFT JOIN sample s ON s.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_nationkey, n_class, n_in_sample,
+       n_in_sample / CAST(n_class AS DOUBLE) AS presence_rate,
+       n_in_sample = n_class AS certain_presence,
+       n_in_sample = 0 AS certain_absence
+FROM cls
+""")
+def privacy_delta_presence(spark, sf_dir):
+    """DELTA-PRESENCE disclosure audit (Nergiz, Atzori & Clifton 2007)
+    — the privacy tier the k-anonymity/l-diversity/t-closeness reports
+    don't cover: when a DERIVED dataset is published (here: the set of
+    customers who placed orders), an attacker who knows an individual's
+    quasi-identifiers learns they are in the dataset with probability
+    equal to their QI class's presence rate. presence_rate = 1 reveals
+    membership with certainty (every customer in that segment x nation
+    placed an order); rate = 0 reveals certain absence — both are
+    disclosures even though the published data is 'anonymous'. One
+    distinct-projection of the published set + one combinable per-class
+    aggregation; the report is QI-grid-sized. Pure integer counting to
+    one division."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    sample = o.select("o_custkey").distinct()
+    cls = (c.join(sample, c.c_custkey == sample.o_custkey, "left")
+           .groupBy("c_mktsegment", "c_nationkey")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_class"),
+                F.sum(F.when(F.col("o_custkey").isNotNull(), 1)
+                      .otherwise(0)).cast("bigint").alias("n_in_sample")))
+    return cls.select(
+        "c_mktsegment", "c_nationkey", "n_class", "n_in_sample",
+        (F.col("n_in_sample") / F.col("n_class").cast("double"))
+        .alias("presence_rate"),
+        (F.col("n_in_sample") == F.col("n_class"))
+        .alias("certain_presence"),
+        (F.col("n_in_sample") == 0).alias("certain_absence"))

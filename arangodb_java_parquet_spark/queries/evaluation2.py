@@ -1170,3 +1170,59 @@ def eval_cliffs_delta(spark, sf_dir):
         .alias("n_tied"),
         ((F.col("n_gt") - F.col("n_lt")) / F.col("n_pairs").cast("double"))
         .alias("cliffs_delta"))
+
+
+@query("eval_gwet_ac1", """
+WITH rated AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         + (CASE WHEN instr(text, ' the ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END) AS n1
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1) - 3) AS BIGINT)
+           AS s_agree,
+         CAST(SUM(n1) AS BIGINT) AS t_pos
+  FROM rated
+),
+met AS (
+  SELECT n_items,
+         s_agree / CAST(n_items * 6 AS DOUBLE) AS pbar,
+         t_pos / CAST(n_items * 3 AS DOUBLE) AS pi
+  FROM agg
+)
+SELECT n_items, pbar, pi,
+       2 * pi * (1 - pi) AS pe_ac1,
+       (pbar - 2 * pi * (1 - pi)) / (1 - 2 * pi * (1 - pi)) AS gwet_ac1
+FROM met
+""")
+def eval_gwet_ac1(spark, sf_dir):
+    """GWET'S AC1 agreement coefficient (Gwet 2008) on the SAME
+    three-rater binary setup as eval_fleiss_kappa — the statistic that
+    fixes the kappa paradox: when one category dominates (high
+    prevalence), kappa collapses toward zero even for near-perfect
+    raters, while AC1's chance term 2·pi(1-pi) stays calibrated.
+    Reporting both coefficients on identical ratings is inter-annotator
+    QA practice. Same single combinable pass of three integer sums;
+    every output is one IEEE expression over identical integer-derived
+    operands — no rounding fence."""
+    d = t(spark, sf_dir, "documents")
+    n1 = (F.when(F.col("lang") == "en", 1).otherwise(0)
+          + F.when(F.instr(F.col("text"), " the ") > 0, 1).otherwise(0)
+          + F.when(F.col("n_chars") >= 800, 1).otherwise(0))
+    agg = d.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1")) - 3)
+        .cast("bigint").alias("s_agree"),
+        F.sum("n1").cast("bigint").alias("t_pos"))
+    met = agg.select(
+        "n_items",
+        (F.col("s_agree") / (F.col("n_items") * 6).cast("double"))
+        .alias("pbar"),
+        (F.col("t_pos") / (F.col("n_items") * 3).cast("double"))
+        .alias("pi"))
+    pe = 2 * F.col("pi") * (1 - F.col("pi"))
+    return met.select("n_items", "pbar", "pi", pe.alias("pe_ac1"),
+                      ((F.col("pbar") - pe) / (1 - pe)).alias("gwet_ac1"))

@@ -1885,3 +1885,68 @@ def text_burrows_delta(spark, sf_dir):
             .agg((F.sum(F.round(F.abs(F.col("za") - F.col("zb")), 9)
                         .cast("decimal(30,9)")).cast("double")
                   / F.count(F.lit(1))).alias("burrows_delta")))
+
+
+@query("text_bigram_entropy_rate", """
+WITH arrs AS (SELECT source, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT source,
+         UNNEST(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+         UNNEST(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+  FROM arrs WHERE len(a) >= 2
+),
+c12 AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3),
+c1 AS (SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c1
+       FROM c12 GROUP BY 1, 2),
+n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c12 GROUP BY 1)
+SELECT c12.source,
+       MAX(n.n) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+       CAST(SUM(CAST(ROUND(
+         (0 - (c12.c / CAST(n.n AS DOUBLE)))
+           * LN(c12.c / CAST(c1.c1 AS DOUBLE)), 9) AS DECIMAL(30,9)))
+         AS DOUBLE) AS entropy_rate
+FROM c12
+JOIN c1 ON c1.source = c12.source AND c1.w1 = c12.w1
+JOIN n ON n.source = c12.source
+GROUP BY c12.source
+""")
+def text_bigram_entropy_rate(spark, sf_dir):
+    """BIGRAM ENTROPY RATE per source — the conditional entropy
+    H(W2 | W1) = -Σ p(w1,w2) ln p(w2|w1) of the source's token process
+    (Shannon's entropy rate under a first-order Markov model): how
+    predictable the NEXT token is given the current one. Template
+    sources score far below their unigram entropy (the unigram entry
+    can't see sequential repetition; this is the signal that catches
+    mad-libs boilerplate with shuffled vocabulary). Both probabilities
+    are integer-count ratios (c12/n and c12/c1), per-bigram terms
+    round-9 then exact-decimal summed. Two combinable aggregations over
+    (source, bigram) counts; conditional-context totals join back on
+    the (source, w1) key — no corpus-wide state beyond the bigram
+    table."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = (d.filter(F.size(toks) >= 2)
+          .select("source", F.posexplode(
+              F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
+                     " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                     " element_at(split(text, ' '), i + 1) AS w2))"))
+              .alias("p0", "s"))
+          .select("source", F.col("s.w1").alias("w1"),
+                  F.col("s.w2").alias("w2")))
+    c12 = (bg.groupBy("source", "w1", "w2")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+           .localCheckpoint(eager=False))  # feeds c1, n, terms
+    c1 = (c12.groupBy("source", "w1")
+          .agg(F.sum("c").cast("bigint").alias("c1")))
+    n = c12.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    term = F.round(
+        (-(F.col("c") / F.col("n").cast("double")))
+        * F.log(F.col("c") / F.col("c1").cast("double")), 9)
+    return (c12.join(c1, ["source", "w1"]).join(F.broadcast(n), "source")
+            .groupBy("source")
+            .agg(F.max("n").alias("n_bigrams"),
+                 F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
+                 F.sum(term.cast("decimal(30,9)")).cast("double")
+                 .alias("entropy_rate")))

@@ -1602,7 +1602,7 @@ def graph_edge_triangle_support(spark, sf_dir):
 # classical seasonal-trend decomposition (round 7)
 # ---------------------------------------------------------------------------
 
-@query("timeseries_classical_decompose", f"""
+_DECOMP_CTE = f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1 AS BIGINT)
@@ -1627,6 +1627,10 @@ seasonal AS (
   FROM trended WHERE trend IS NOT NULL
   GROUP BY dow
 )
+"""
+
+
+@query("timeseries_classical_decompose", _DECOMP_CTE + """
 SELECT t.day, t.dow, t.revenue, t.trend, s.seasonal,
        t.revenue - t.trend - s.seasonal AS residual
 FROM trended t JOIN seasonal s USING (dow)
@@ -1744,3 +1748,100 @@ def attribution_time_decay(spark, sf_dir):
                  F.round(F.sum(F.round(F.col("w") / F.col("sw"), 9)
                                .cast("decimal(20,9)")).cast("double"), 9)
                  .alias("decayed_credit")))
+
+
+@query("timeseries_strength_measures", _DECOMP_CTE + """
+, comp AS (
+  SELECT (t.revenue - t.trend - s.seasonal) / CAST(1024 AS DOUBLE) AS r,
+         (t.revenue - s.seasonal) / CAST(1024 AS DOUBLE) AS tr,
+         (t.revenue - t.trend) / CAST(1024 AS DOUBLE) AS sr
+  FROM trended t JOIN seasonal s USING (dow)
+  WHERE t.trend IS NOT NULL
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(r, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / COUNT(*) AS mr,
+         CAST(SUM(CAST(ROUND(tr, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / COUNT(*) AS mtr,
+         CAST(SUM(CAST(ROUND(sr, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / COUNT(*) AS msr
+  FROM comp
+),
+v AS (
+  SELECT MAX(m.n) AS n,
+         CAST(SUM(CAST(ROUND((c.r - m.mr) * (c.r - m.mr), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) / MAX(m.n) AS vr,
+         CAST(SUM(CAST(ROUND((c.tr - m.mtr) * (c.tr - m.mtr), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) / MAX(m.n) AS vtr,
+         CAST(SUM(CAST(ROUND((c.sr - m.msr) * (c.sr - m.msr), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) / MAX(m.n) AS vsr
+  FROM comp c CROSS JOIN m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       vr AS var_resid, vtr AS var_trend_resid, vsr AS var_seas_resid,
+       ROUND(GREATEST(CAST(0 AS DOUBLE), 1 - vr / vtr), 9) AS f_trend,
+       ROUND(GREATEST(CAST(0 AS DOUBLE), 1 - vr / vsr), 9) AS f_seasonal
+FROM v
+""")
+def timeseries_strength_measures(spark, sf_dir):
+    """TREND/SEASONAL STRENGTH of the daily-revenue series (Hyndman &
+    Athanasopoulos, fpp3 §4.3: F_T = max(0, 1 - Var(R)/Var(T+R)),
+    F_S = max(0, 1 - Var(R)/Var(S+R))) computed on the SAME classical
+    decomposition timeseries_classical_decompose emits (_DECOMP_CTE —
+    one source of truth) — the pair of [0,1] scalars a feature-store /
+    forecasting pipeline uses to route series to seasonal vs
+    non-seasonal models. Determinism: components are scaled by the
+    exact binary factor 1/1024 before squaring (keeps squares below the
+    round-9 magnitude ceiling at any revenue scale — the strength
+    ratios are scale-invariant), variances are TWO-PASS (mean first,
+    then round-9 squared deviations, exact decimal sums) so there is no
+    catastrophic cancellation anywhere; the final ratios are round-9
+    fenced. O(days) work after the daily rollup."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(dsum("value").alias("revenue"))
+             .withColumn("dow", F.dayofweek("day").cast("bigint")))
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "dow", "revenue",
+        F.when(F.count(F.lit(1)).over(w7) == 7,
+               F.sum(F.col("revenue").cast("decimal(30,8)")).over(w7)
+               .cast("double") / 7).alias("trend"))
+    seasonal = (trended.filter(F.col("trend").isNotNull())
+                .groupBy("dow")
+                .agg((F.sum(F.round(F.col("revenue") - F.col("trend"), 9)
+                            .cast("decimal(30,9)")).cast("double")
+                      / F.count("trend")).alias("seasonal")))
+    k = F.lit(1024).cast("double")
+    comp = (trended.filter(F.col("trend").isNotNull())
+            .join(F.broadcast(seasonal), "dow")
+            .select(((F.col("revenue") - F.col("trend")
+                      - F.col("seasonal")) / k).alias("r"),
+                    ((F.col("revenue") - F.col("seasonal")) / k)
+                    .alias("tr"),
+                    ((F.col("revenue") - F.col("trend")) / k).alias("sr"))
+            .localCheckpoint(eager=False))  # feeds means + deviations
+    dmean = lambda c: (F.sum(F.round(F.col(c), 9)  # noqa: E731
+                             .cast("decimal(30,9)")).cast("double")
+                       / F.count(F.lit(1)))
+    m = comp.agg(F.count(F.lit(1)).alias("n"), dmean("r").alias("mr"),
+                 dmean("tr").alias("mtr"), dmean("sr").alias("msr"))
+    dvar = lambda c, mc: (F.sum(F.round(  # noqa: E731
+        (F.col(c) - F.col(mc)) * (F.col(c) - F.col(mc)), 9)
+        .cast("decimal(30,9)")).cast("double") / F.max("n"))
+    v = (comp.crossJoin(F.broadcast(m))
+         .agg(F.max("n").cast("bigint").alias("n_days"),
+              dvar("r", "mr").alias("var_resid"),
+              dvar("tr", "mtr").alias("var_trend_resid"),
+              dvar("sr", "msr").alias("var_seas_resid")))
+    zero = F.lit(0).cast("double")
+    return v.select(
+        "n_days", "var_resid", "var_trend_resid", "var_seas_resid",
+        F.round(F.greatest(zero, 1 - F.col("var_resid")
+                           / F.col("var_trend_resid")), 9)
+        .alias("f_trend"),
+        F.round(F.greatest(zero, 1 - F.col("var_resid")
+                           / F.col("var_seas_resid")), 9)
+        .alias("f_seasonal"))

@@ -269,6 +269,10 @@ BENCH_QUERIES = [
     "dedup_winnowing_incremental", "text_burrows_delta",
     "label_confident_joint", "eval_cliffs_delta",
     "emb_pca_explained_variance",
+    # round 10d: strength measures, bigram entropy rate, AC1,
+    # delta-presence
+    "timeseries_strength_measures", "text_bigram_entropy_rate",
+    "eval_gwet_ac1", "privacy_delta_presence",
 ]
 
 
