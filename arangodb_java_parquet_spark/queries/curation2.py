@@ -999,3 +999,67 @@ def split_temporal_holdout(spark, sf_dir):
             .withColumn("user_overlap_ratio",
                         F.col("n_overlap_users")
                         / F.col("n_test_users").cast("double")))
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@query("sample_neyman_allocation", f"""
+WITH m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(n_chars) / CAST(COUNT(*) AS DOUBLE) AS mu
+  FROM documents GROUP BY source
+),
+v AS (
+  SELECT d.source, MAX(m.n_docs) AS n_docs,
+         sqrt(CAST(SUM(CAST(ROUND((d.n_chars - m.mu) * (d.n_chars - m.mu),
+                                  6) AS DECIMAL(30,6))) AS DOUBLE)
+              / MAX(m.n_docs)) AS sigma
+  FROM documents d JOIN m ON m.source = d.source
+  GROUP BY d.source
+),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(n_docs * sigma, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS t
+  FROM v
+)
+SELECT v.source, v.n_docs, ROUND(v.sigma, 9) AS sigma,
+       ROUND(v.n_docs * v.sigma, 9) / tot.t AS weight,
+       {_NEYMAN_BUDGET} * (ROUND(v.n_docs * v.sigma, 9) / tot.t)
+         AS allocation
+FROM v CROSS JOIN tot
+""")
+def sample_neyman_allocation(spark, sf_dir):
+    """NEYMAN OPTIMAL ALLOCATION for stratified sampling (Neyman 1934):
+    given a labeling/eval budget of {b} documents, allocate
+    n_h ∝ N_h·σ_h per source — variance-heterogeneous strata get more
+    budget than proportional allocation gives, minimizing the estimator
+    variance for a fixed cost. This is the design step BEFORE the
+    deterministic samplers (sample_stratified_hash draws the rows; this
+    decides how many per stratum). σ_h is a two-pass population std of
+    the document-length signal (exact integer mean, round-6 squared
+    deviations — n_chars² fits the round-6 magnitude ceiling — exact
+    decimal sum); N_h·σ_h products round-9 before the exact total.
+    Two combinable passes; the report is |sources| rows.
+    """.format(b=_NEYMAN_BUDGET)
+    d = t(spark, sf_dir, "documents")
+    m = (d.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              (F.sum("n_chars") / F.count(F.lit(1)).cast("double"))
+              .alias("mu")))
+    v = (d.join(F.broadcast(m), "source")
+         .groupBy("source")
+         .agg(F.max("n_docs").alias("n_docs"),
+              F.sqrt(F.sum(F.round((F.col("n_chars") - F.col("mu"))
+                                   * (F.col("n_chars") - F.col("mu")), 6)
+                           .cast("decimal(30,6)")).cast("double")
+                     / F.max("n_docs")).alias("sigma"))
+         .localCheckpoint(eager=False))  # feeds total + report
+    tot = v.agg(F.sum(F.round(F.col("n_docs") * F.col("sigma"), 9)
+                      .cast("decimal(30,9)")).cast("double").alias("t"))
+    w = F.round(F.col("n_docs") * F.col("sigma"), 9) / F.col("t")
+    return (v.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round("sigma", 9).alias("sigma"),
+                    w.alias("weight"),
+                    (F.lit(_NEYMAN_BUDGET) * w).alias("allocation")))

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.similarity import (
     topk_cosine_bruteforce)
-from arangodb_java_parquet_spark.queries.common import dsum, query, t
+from arangodb_java_parquet_spark.queries.common import (dsum, query,
+                                                        sql_dsum, t)
 
 # Same left-to-right double accumulation as operators/similarity.dot —
 # NOT list_dot_product (float32 accumulator, diverges at ~1e-8).
@@ -533,3 +534,70 @@ def eval_forecast_accuracy(spark, sf_dir):
         (rdec(F.greatest(q9 * F.col("e"), (q9 - 1) * F.col("e")), 6)
          / cnt).alias("pinball_90"),
         (rdec(F.col("e"), 6) / cnt).alias("bias"))
+
+
+@query("eval_forecast_mase", f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+),
+f AS (
+  SELECT day, rev,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(SUM(CAST(rev AS DECIMAL(30,8))) OVER w7
+                        AS DOUBLE) / 7
+              ELSE NULL END AS fc,
+         LAG(rev, 7) OVER (ORDER BY day) AS snaive
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (SELECT * FROM f WHERE fc IS NOT NULL AND snaive IS NOT NULL),
+mae AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(ROUND(ABS(rev - fc), 6) AS DECIMAL(30,6)))
+              AS DOUBLE) / COUNT(*) AS mae_model,
+         CAST(SUM(CAST(ROUND(ABS(rev - snaive), 6) AS DECIMAL(30,6)))
+              AS DOUBLE) / COUNT(*) AS mae_snaive
+  FROM scored
+)
+SELECT n_days, mae_model, mae_snaive,
+       mae_model / mae_snaive AS mase
+FROM mae
+""")
+def eval_forecast_mase(spark, sf_dir):
+    """MASE — mean absolute SCALED error (Hyndman & Koehler 2006), the
+    scale-free forecast metric eval_forecast_accuracy's MAE/RMSE/MAPE
+    set lacks (MAPE breaks near zero; MASE divides the model's MAE by
+    the seasonal-naive lag-7 baseline's MAE on the SAME scored days, so
+    < 1 literally means 'beats the naive forecaster'). Model under
+    test: the trailing-7-day rolling mean, as in the accuracy harness.
+    Daily revenue is an exact decimal sum; absolute errors round-6 (day
+    revenue reaches ~1e7 at scale — round-9 would exceed double's
+    significant digits) then exact-decimal averaged; the final ratio is
+    one IEEE division of identical doubles. O(days) after the rollup.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev")))
+    w7 = Window.orderBy("day").rowsBetween(-7, -1)
+    wl = Window.orderBy("day")
+    f = daily.select(
+        "day", "rev",
+        F.when(F.count(F.lit(1)).over(w7) == 7,
+               F.sum(F.col("rev").cast("decimal(30,8)")).over(w7)
+               .cast("double") / 7).alias("fc"),
+        F.lag("rev", 7).over(wl).alias("snaive"))
+    scored = f.filter(F.col("fc").isNotNull()
+                      & F.col("snaive").isNotNull())
+    mae = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum(F.round(F.abs(F.col("rev") - F.col("fc")), 6)
+               .cast("decimal(30,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mae_model"),
+        (F.sum(F.round(F.abs(F.col("rev") - F.col("snaive")), 6)
+               .cast("decimal(30,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mae_snaive"))
+    return mae.select("n_days", "mae_model", "mae_snaive",
+                      (F.col("mae_model") / F.col("mae_snaive"))
+                      .alias("mase"))

@@ -1925,3 +1925,95 @@ def label_confident_joint(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
             .withColumn("is_label_issue",
                         F.col("given_label") != F.col("confident_label")))
+
+
+_LLR_MIN_C = 5
+
+
+@query("token_collocations_llr", f"""
+WITH arrs AS (SELECT string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT UNNEST(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+         UNNEST(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+  FROM arrs WHERE len(a) >= 2
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+        FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS r1 FROM c12 GROUP BY 1),
+c2 AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS s1 FROM c12 GROUP BY 1),
+n AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM c12),
+cells AS (
+  SELECT c12.w1, c12.w2, c12.k11,
+         c1.r1 - c12.k11 AS k12,
+         c2.s1 - c12.k11 AS k21,
+         n.n - c1.r1 - c2.s1 + c12.k11 AS k22,
+         c1.r1, c2.s1, n.n
+  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+  WHERE c12.k11 >= {_LLR_MIN_C}
+)
+SELECT w1, w2, k11 AS n_bigram,
+       ROUND(2 * (
+         (CASE WHEN k11 > 0 THEN k11 * LN(CAST(k11 * n AS DOUBLE)
+                                          / CAST(r1 * s1 AS DOUBLE))
+               ELSE 0e0 END)
+         + (CASE WHEN k12 > 0 THEN k12 * LN(CAST(k12 * n AS DOUBLE)
+                                            / CAST(r1 * (n - s1) AS DOUBLE))
+                 ELSE 0e0 END)
+         + (CASE WHEN k21 > 0 THEN k21 * LN(CAST(k21 * n AS DOUBLE)
+                                            / CAST((n - r1) * s1 AS DOUBLE))
+                 ELSE 0e0 END)
+         + (CASE WHEN k22 > 0 THEN k22 * LN(CAST(k22 * n AS DOUBLE)
+                                            / CAST((n - r1) * (n - s1)
+                                                   AS DOUBLE))
+                 ELSE 0e0 END)), 6) AS llr_g2
+FROM cells
+""")
+def token_collocations_llr(spark, sf_dir):
+    """DUNNING LOG-LIKELIHOOD-RATIO collocations (Dunning 1993, the G²
+    statistic): for every ADJACENT bigram occurring >= {_LLR_MIN_C}
+    times, the 2x2 contingency G² = 2 Σ k·ln(k·N / (rowtot·coltot)) —
+    the collocation test that stays calibrated for RARE words where PMI
+    (token_pmi_collocations, document-level co-occurrence) explodes.
+    The phrase-mining ranker used before merging multiword expressions
+    into tokenizer vocab. All four cell counts are exact integers
+    derived from one bigram pass; each log term is an integer-product
+    ratio (k·N / rowtot·coltot) so both engines derive identical
+    doubles; G² is round-6 fenced (values reach ~1e5 — round-9 would
+    exceed double's significant digits on ties). Marginal tables join
+    back on single-token keys; nothing is all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = (d.filter(F.size(toks) >= 2)
+          .select(F.posexplode(
+              F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
+                     " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                     " element_at(split(text, ' '), i + 1) AS w2))"))
+              .alias("p0", "s"))
+          .select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")))
+    c12 = (bg.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
+           .localCheckpoint(eager=False))  # feeds both marginals + cells
+    c1 = c12.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r1"))
+    c2 = c12.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("s1"))
+    n = c12.agg(F.sum("k11").cast("bigint").alias("n"))
+    cells = (c12.filter(F.col("k11") >= _LLR_MIN_C)
+             .join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+             .crossJoin(F.broadcast(n))
+             .select("w1", "w2", "k11", "r1", "s1", "n",
+                     (F.col("r1") - F.col("k11")).alias("k12"),
+                     (F.col("s1") - F.col("k11")).alias("k21"),
+                     (F.col("n") - F.col("r1") - F.col("s1")
+                      + F.col("k11")).alias("k22")))
+
+    def term(k, row, col):
+        return F.when(F.col(k) > 0, F.col(k) * F.log(
+            (F.col(k) * F.col("n")).cast("double")
+            / (row * col).cast("double"))).otherwise(F.lit(0.0))
+
+    g2 = 2 * (term("k11", F.col("r1"), F.col("s1"))
+              + term("k12", F.col("r1"), F.col("n") - F.col("s1"))
+              + term("k21", F.col("n") - F.col("r1"), F.col("s1"))
+              + term("k22", F.col("n") - F.col("r1"),
+                     F.col("n") - F.col("s1")))
+    return cells.select("w1", "w2", F.col("k11").alias("n_bigram"),
+                        F.round(g2, 6).alias("llr_g2"))

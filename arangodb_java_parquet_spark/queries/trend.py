@@ -1845,3 +1845,71 @@ def timeseries_strength_measures(spark, sf_dir):
         F.round(F.greatest(zero, 1 - F.col("var_resid")
                            / F.col("var_seas_resid")), 9)
         .alias("f_seasonal"))
+
+
+@query("graph_rich_club_coefficient", _graph_base_sql() + """
+, deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+          FROM edges GROUP BY src),
+ks AS (SELECT UNNEST(range(1, 9)) AS k),
+rich AS (
+  SELECT ks.k, deg.node
+  FROM ks JOIN deg ON deg.d > ks.k
+),
+rc AS (
+  SELECT r.k,
+         CAST(COUNT(DISTINCT r.node) AS BIGINT) AS n_rich,
+         CAST(SUM(CASE WHEN db.d > r.k THEN 1 ELSE 0 END) AS BIGINT)
+           AS e_rich_directed
+  FROM rich r
+  JOIN edges e ON e.src = r.node
+  JOIN deg db ON db.node = e.dst
+  GROUP BY r.k
+)
+SELECT k, n_rich, e_rich_directed,
+       CASE WHEN n_rich >= 2
+            THEN e_rich_directed / CAST(n_rich * (n_rich - 1) AS DOUBLE)
+            ELSE NULL END AS rich_club_phi
+FROM rc
+""")
+def graph_rich_club_coefficient(spark, sf_dir):
+    """RICH-CLUB COEFFICIENT sweep (Zhou & Mondragón 2004) of the LSH
+    similarity graph: for each degree threshold k, phi(k) = density of
+    the subgraph induced by nodes with degree > k — phi near 1 means
+    the high-degree documents (template families) interlink into one
+    boilerplate core (dedup them as a unit); low phi means independent
+    hub clusters. Directed-edge counting over the materialized edge
+    list joined to the degree table twice — each edge is examined once
+    per threshold it survives (<= 8 thresholds), never all-pairs. Pure
+    integer counting to one guarded division."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id"), "doc_id").localCheckpoint(eager=False)
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))  # deg + edge sweep
+    deg = (edges.groupBy("src")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+           .localCheckpoint(eager=False))  # both join sides + rich sets
+    ks = spark.range(1, 9).select(F.col("id").cast("bigint").alias("k"))
+    rich = (ks.join(deg, deg.d > ks.k)
+            .select("k", F.col("src").alias("node")))
+    ed = edges.select(F.col("src").alias("esrc"),
+                      F.col("dst").alias("edst"))
+    db = deg.select(F.col("src").alias("_b"), F.col("d").alias("db"))
+    rc = (rich.join(ed, rich.node == F.col("esrc"))
+          .join(db, F.col("edst") == F.col("_b"))
+          .groupBy("k")
+          .agg(F.countDistinct("node").cast("bigint").alias("n_rich"),
+               F.sum(F.when(F.col("db") > F.col("k"), 1).otherwise(0))
+               .cast("bigint").alias("e_rich_directed")))
+    return rc.select(
+        "k", "n_rich", "e_rich_directed",
+        F.when(F.col("n_rich") >= 2,
+               F.col("e_rich_directed")
+               / (F.col("n_rich") * (F.col("n_rich") - 1)).cast("double"))
+        .alias("rich_club_phi"))

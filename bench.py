@@ -273,6 +273,9 @@ BENCH_QUERIES = [
     # delta-presence
     "timeseries_strength_measures", "text_bigram_entropy_rate",
     "eval_gwet_ac1", "privacy_delta_presence",
+    # round 10e: LLR collocations, rich club, Neyman allocation, MASE
+    "token_collocations_llr", "graph_rich_club_coefficient",
+    "sample_neyman_allocation", "eval_forecast_mase",
 ]
 
 

@@ -147,6 +147,11 @@ PROBES = [
     "quality_mattr",
     # round-10c flagships: softmax-thresholded confident joint (NB chain)
     "label_confident_joint",
+    # round-10d/e flagships: conditional-entropy bigram pass, LLR
+    # collocations (bigram marginal joins), threshold-swept rich club
+    "text_bigram_entropy_rate",
+    "token_collocations_llr",
+    "graph_rich_club_coefficient",
 ]
 
 
