@@ -1812,11 +1812,14 @@ mu AS (
   FROM f GROUP BY tok
 ),
 z AS (
+  -- zero-variance tokens (identical frequency in every source) carry
+  -- no stylometric signal: z := 0 via NULLIF + COALESCE
   SELECT f.source, f.tok,
-         ROUND((f.fr - mu.m)
-               / sqrt(CAST(SUM(CAST(ROUND((f2.fr - mu.m) * (f2.fr - mu.m),
-                                          12) AS DECIMAL(30,12)))
-                           AS DOUBLE) / mu.ns), 9) AS z
+         COALESCE(ROUND((f.fr - mu.m)
+               / sqrt(NULLIF(
+                   CAST(SUM(CAST(ROUND((f2.fr - mu.m) * (f2.fr - mu.m),
+                                       12) AS DECIMAL(30,12)))
+                        AS DOUBLE) / mu.ns, 0)), 9), 0e0) AS z
   FROM f
   JOIN mu ON mu.tok = f.tok
   JOIN f f2 ON f2.tok = f.tok
@@ -1873,8 +1876,11 @@ def text_burrows_delta(spark, sf_dir):
                  / F.col("ns")).alias("v")))
     z = (f.join(F.broadcast(var), "tok")
          .select("source", "tok",
-                 F.round((F.col("fr") - F.col("m")) / F.sqrt("v"), 9)
-                 .alias("z")))
+                 F.coalesce(
+                     F.round((F.col("fr") - F.col("m"))
+                             / F.sqrt(F.nullif(F.col("v"), F.lit(0.0))),
+                             9),
+                     F.lit(0.0)).alias("z")))
     za = z.select(F.col("source").alias("source_a"), "tok",
                   F.col("z").alias("za"))
     zb = z.select(F.col("source").alias("source_b"), "tok",
