@@ -1482,3 +1482,87 @@ def categorical_cramers_v(spark, sf_dir):
         F.sqrt((F.col("chi2") / F.col("n"))
                / F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
                .cast("double")).alias("cramers_v"))
+
+
+@query("drift_psi_report", """
+WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+ranked AS (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS nd
+  FROM days
+),
+cutoff AS (SELECT day AS cut FROM ranked WHERE rn = (nd + 1) // 2),
+lab AS (
+  SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         CASE WHEN CAST(o_orderdate AS DATE) <= c.cut
+              THEN 1 ELSE 0 END AS is_before
+  FROM orders CROSS JOIN cutoff c
+),
+cells AS (
+  SELECT bucket,
+         CAST(SUM(is_before) AS BIGINT) AS n_before,
+         CAST(SUM(1 - is_before) AS BIGINT) AS n_after
+  FROM lab GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS np,
+         CAST(SUM(n_after) AS BIGINT) AS nq,
+         CAST(COUNT(*) AS BIGINT) AS b
+  FROM cells
+)
+SELECT c.bucket, c.n_before, c.n_after,
+       (c.n_before + 1) / CAST(t.np + t.b AS DOUBLE) AS p_before,
+       (c.n_after + 1) / CAST(t.nq + t.b AS DOUBLE) AS p_after,
+       ROUND(((c.n_after + 1) / CAST(t.nq + t.b AS DOUBLE)
+              - (c.n_before + 1) / CAST(t.np + t.b AS DOUBLE))
+             * LN(CAST((c.n_after + 1) * (t.np + t.b) AS DOUBLE)
+                  / CAST((c.n_before + 1) * (t.nq + t.b) AS DOUBLE)),
+             9) AS psi_term
+FROM cells c CROSS JOIN tot t
+""")
+def drift_psi_report(spark, sf_dir):
+    """POPULATION STABILITY INDEX between the first and second half of
+    the order history (split at the median distinct day, integer-rank
+    arithmetic so both engines pick the identical cutoff) over the
+    standard fixed-width value buckets — the model-monitoring drift
+    metric production scorecards run beside the KS statistic
+    (drift_ks_statistic): PSI = Σ (q-p)·ln(q/p), < 0.1 stable / > 0.25
+    action. Empty-on-one-side buckets are handled by add-one (Laplace)
+    smoothing with INTEGER counts — the usual epsilon hack is a float
+    literal that poisons cross-engine hashes; (c+1)/(n+B) keeps every
+    probability an integer ratio and every log a ratio of integer
+    products. Per-bucket contributions round-9; the report is
+    bucket-grid-sized; two combinable passes."""
+    o = t(spark, sf_dir, "orders")
+    days = o.select(F.col("o_orderdate").cast("date").alias("day")
+                    ).distinct()
+    from pyspark.sql import Window as W
+    ranked = days.select(
+        "day", F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nd"))
+    cutoff = (ranked.filter(F.col("rn") == F.expr("(nd + 1) div 2"))
+              .select(F.col("day").alias("cut")))
+    lab = (o.crossJoin(F.broadcast(cutoff))
+           .select(F.floor(F.col("o_totalprice") / 50000.0)
+                   .cast("bigint").alias("bucket"),
+                   F.when(F.col("o_orderdate").cast("date")
+                          <= F.col("cut"), 1).otherwise(0)
+                   .alias("is_before")))
+    cells = (lab.groupBy("bucket")
+             .agg(F.sum("is_before").cast("bigint").alias("n_before"),
+                  F.sum(1 - F.col("is_before")).cast("bigint")
+                  .alias("n_after"))
+             .localCheckpoint(eager=False))  # feeds totals + report
+    tot = cells.agg(F.sum("n_before").cast("bigint").alias("np"),
+                    F.sum("n_after").cast("bigint").alias("nq"),
+                    F.count(F.lit(1)).cast("bigint").alias("b"))
+    p = (F.col("n_before") + 1) / (F.col("np") + F.col("b")).cast("double")
+    q = (F.col("n_after") + 1) / (F.col("nq") + F.col("b")).cast("double")
+    lr = F.log(((F.col("n_after") + 1) * (F.col("np") + F.col("b")))
+               .cast("double")
+               / ((F.col("n_before") + 1) * (F.col("nq") + F.col("b")))
+               .cast("double"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_before", "n_after",
+                    p.alias("p_before"), q.alias("p_after"),
+                    F.round((q - p) * lr, 9).alias("psi_term")))

@@ -1913,3 +1913,60 @@ def graph_rich_club_coefficient(spark, sf_dir):
                F.col("e_rich_directed")
                / (F.col("n_rich") * (F.col("n_rich") - 1)).cast("double"))
         .alias("rich_club_phi"))
+
+
+@query("drift_page_hinkley", f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE) AS total,
+         COUNT(*) AS n
+  FROM daily
+),
+m AS (
+  SELECT day, rev,
+         CAST(SUM(CAST(ROUND(rev - total / n, 6) AS DECIMAL(30,6)))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS mt
+  FROM daily CROSS JOIN stats
+),
+ph AS (
+  SELECT day, rev, mt,
+         mt - MIN(mt) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ph
+  FROM m
+)
+SELECT day, rev, mt, ph FROM ph
+""")
+def drift_page_hinkley(spark, sf_dir):
+    """PAGE-HINKLEY upward-drift statistic on daily revenue (Page 1954;
+    Hinkley 1971 — the sequential change detector streaming drift
+    monitors like river/MOA implement): m_t = Σ (x_s - x̄), and
+    PH_t = m_t - min_{s<=t} m_s measures how far the cumulative
+    deviation has RISEN off its running floor — it alarms the moment an
+    upward level shift begins, where cusum_change_point retrospectively
+    locates the single best split. Same determinism recipe as CUSUM:
+    exact decimal daily rollup, round-6 deviations (daily revenue
+    magnitude) into an exact decimal running sum, then a running MIN
+    and one subtraction of identical doubles. O(days) window work after
+    the combinable rollup."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev"))
+             .localCheckpoint(eager=False))  # stats + running sums
+    stats = daily.agg(
+        F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+        .alias("total"),
+        F.count(F.lit(1)).alias("n"))
+    dev = F.round(F.col("rev") - F.col("total") / F.col("n"), 6)
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    m = (daily.crossJoin(F.broadcast(stats))
+         .withColumn("mt", F.sum(dev.cast("decimal(30,6)")).over(wrun)
+                     .cast("double")))
+    return m.select("day", "rev", "mt",
+                    (F.col("mt") - F.min("mt").over(wrun)).alias("ph"))

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     # round 10e: LLR collocations, rich club, Neyman allocation, MASE
     "token_collocations_llr", "graph_rich_club_coefficient",
     "sample_neyman_allocation", "eval_forecast_mase",
+    # round 10f: drift monitoring pair
+    "drift_psi_report", "drift_page_hinkley",
 ]
 
 
