@@ -81,8 +81,11 @@ DRIVER_PANEL = [
     # quality / language modeling
     "quality_kneser_ney_logprob", "quality_bigram_logprob",
     "quality_perplexity_buckets", "text_token_entropy", "token_zipf_slope",
-    "text_readability_scores", "lang_id_confusion_matrix",
-    "vocab_coverage_oov", "text_code_detect",
+    "text_readability_scores",
+    # round-10-new flagships (winnowing + label-noise audit), driver-
+    # proven in their birth round like exactsubstr_spans was in r9
+    "dedup_winnowing_density", "dedup_winnowing_matches",
+    "label_confident_joint",
     # IR / keywords
     "keywords_rake", "keywords_textrank", "ir_dirichlet_lm_score",
     "sim_tfidf_cosine_topk",
