@@ -278,12 +278,18 @@ def join_semi(spark, sf_dir):
 SELECT c_custkey, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey)
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """)
 def join_anti(spark, sf_dir):
-    """LEFT ANTI join (NOT EXISTS)."""
+    """LEFT ANTI join (NOT EXISTS): customers with no URGENT-priority
+    order. The right side is filtered so the result is NON-EMPTY at
+    every test scale — an anti join whose oracle comparison matches on
+    zero rows is a trivial pass (the bare customers-without-orders form
+    returns nothing at sf0.01, caught by the zero-row audit)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT"))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_mktsegment"))
 

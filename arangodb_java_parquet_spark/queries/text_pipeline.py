@@ -146,14 +146,17 @@ SELECT i.doc_a, i.doc_b, i.n_common,
 FROM inter i
 JOIN counts ca ON ca.doc_id = i.doc_a
 JOIN counts cb ON cb.doc_id = i.doc_b
-WHERE i.n_common / (ca.n_sh + cb.n_sh - i.n_common) >= 0.05
+WHERE i.n_common / (ca.n_sh + cb.n_sh - i.n_common) >= 0.02
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard over a bounded candidate universe
-    (doc_id < 100) — the verify stage of the dedup funnel."""
+    (doc_id < 100) — the verify stage of the dedup funnel. Threshold
+    0.02: the synthetic corpus's top pair scores ~0.03 at sf0.01, and a
+    verify stage whose oracle comparison matches on zero rows proves
+    nothing (zero-row audit)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
-    return jaccard_pairs(grams, "doc_id", threshold=0.05, bounded=True)
+    return jaccard_pairs(grams, "doc_id", threshold=0.02, bounded=True)
 
 
 _SIMHASH_BITS = 16

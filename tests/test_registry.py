@@ -78,3 +78,23 @@ def test_no_complex_output_columns_streaming(spark):
     assert offenders == {}, (
         f"streaming oracle queries with driver-unhashable complex output "
         f"columns: {offenders}")
+
+
+def test_no_zero_row_oracle_passes_in_committed_harness():
+    """A value-checked entry whose result is EMPTY at sf0.01 passes the
+    oracle comparison trivially (both sides hash nothing) — the
+    committed full-harness record must contain no such entries. Caught
+    live in round 10: dedup_ngram_jaccard's 0.05 threshold and the bare
+    customers-without-orders anti join both returned zero rows at
+    sf0.01 and were proving nothing."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(glob.glob(os.path.join(root, "HARNESS_FULL_r*.txt")))
+    assert records, "no committed harness record"
+    latest = records[-1]
+    zero = [l.strip() for l in open(latest)
+            if re.match(r"PASS\s+\S+: 0 rows", l.strip())]
+    assert not zero, f"zero-row trivial passes in {latest}: {zero}"
