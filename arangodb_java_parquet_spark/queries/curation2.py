@@ -949,7 +949,7 @@ us AS (
 SELECT c.cut AS cutoff_day, CAST(c.nd AS BIGINT) AS n_days,
        ev.n_train_events, ev.n_test_events,
        us.n_train_users, us.n_test_users, us.n_overlap_users,
-       us.n_overlap_users / CAST(us.n_test_users AS DOUBLE)
+       us.n_overlap_users / CAST(NULLIF(us.n_test_users, 0) AS DOUBLE)
          AS user_overlap_ratio
 FROM cutoff c CROSS JOIN ev CROSS JOIN us
 """)
@@ -998,7 +998,8 @@ def split_temporal_holdout(spark, sf_dir):
             .crossJoin(ev).crossJoin(us)
             .withColumn("user_overlap_ratio",
                         F.col("n_overlap_users")
-                        / F.col("n_test_users").cast("double")))
+                        / F.nullif(F.col("n_test_users"), F.lit(0))
+                        .cast("double")))
 
 
 _NEYMAN_BUDGET = 1000
@@ -1024,14 +1025,15 @@ tot AS (
   FROM v
 )
 SELECT v.source, v.n_docs, ROUND(v.sigma, 9) AS sigma,
-       ROUND(v.n_docs * v.sigma, 9) / tot.t AS weight,
-       {_NEYMAN_BUDGET} * (ROUND(v.n_docs * v.sigma, 9) / tot.t)
+       ROUND(v.n_docs * v.sigma, 9) / NULLIF(tot.t, 0) AS weight,
+       {_NEYMAN_BUDGET} * (ROUND(v.n_docs * v.sigma, 9) / NULLIF(tot.t, 0))
          AS allocation
 FROM v CROSS JOIN tot
 """)
 def sample_neyman_allocation(spark, sf_dir):
     """NEYMAN OPTIMAL ALLOCATION for stratified sampling (Neyman 1934):
-    given a labeling/eval budget of {b} documents, allocate
+    given a labeling/eval budget of 1000 documents (_NEYMAN_BUDGET),
+    allocate
     n_h ∝ N_h·σ_h per source — variance-heterogeneous strata get more
     budget than proportional allocation gives, minimizing the estimator
     variance for a fixed cost. This is the design step BEFORE the
@@ -1041,7 +1043,7 @@ def sample_neyman_allocation(spark, sf_dir):
     deviations — n_chars² fits the round-6 magnitude ceiling — exact
     decimal sum); N_h·σ_h products round-9 before the exact total.
     Two combinable passes; the report is |sources| rows.
-    """.format(b=_NEYMAN_BUDGET)
+    """
     d = t(spark, sf_dir, "documents")
     m = (d.groupBy("source")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1057,7 +1059,8 @@ def sample_neyman_allocation(spark, sf_dir):
          .localCheckpoint(eager=False))  # feeds total + report
     tot = v.agg(F.sum(F.round(F.col("n_docs") * F.col("sigma"), 9)
                       .cast("decimal(30,9)")).cast("double").alias("t"))
-    w = F.round(F.col("n_docs") * F.col("sigma"), 9) / F.col("t")
+    w = (F.round(F.col("n_docs") * F.col("sigma"), 9)
+         / F.nullif(F.col("t"), F.lit(0.0)))
     return (v.crossJoin(F.broadcast(tot))
             .select("source", "n_docs",
                     F.round("sigma", 9).alias("sigma"),

@@ -1003,9 +1003,10 @@ def eval_kendall_tau_b(spark, sf_dir):
     scale. Pure integer pair counting (concordant / discordant / ties)
     until ONE final sqrt+division of exact integers — bit-identical in
     any engine, no rounding fence needed. The pair join is bounded to
-    {n} documents by construction (tau is O(n^2) by definition; at scale
-    you rank-correlate a sample or a per-query slate, never a corpus).
-    """.format(n=_RC_DOCS)
+    300 documents (_RC_DOCS) by construction (tau is O(n^2) by
+    definition; at scale you rank-correlate a sample or a per-query
+    slate, never a corpus).
+    """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _RC_DOCS)
     s = d.select("doc_id",
                  F.size(F.split("text", " ")).alias("x"),
@@ -1133,7 +1134,7 @@ p AS (
 )
 SELECT n_pairs, n_gt, n_lt,
        CAST(n_pairs - n_gt - n_lt AS BIGINT) AS n_tied,
-       (n_gt - n_lt) / CAST(n_pairs AS DOUBLE) AS cliffs_delta
+       (n_gt - n_lt) / CAST(NULLIF(n_pairs, 0) AS DOUBLE) AS cliffs_delta
 FROM p
 """)
 def eval_cliffs_delta(spark, sf_dir):
@@ -1145,9 +1146,11 @@ def eval_cliffs_delta(spark, sf_dir):
     AUC entry computes (delta = 2·AUC - 1), so the two entries
     cross-validate. Pure integer pair counting to one final division.
     The group cross join is O(n1·n0) BY DEFINITION, so the universe is
-    bounded to {n} documents — at scale you compute it on a sample or
-    via the rank-sum identity from the corpus-wide AUC entry, which is
-    the O(n log n) path.""".format(n=_CLIFF_DOCS)
+    bounded to 400 documents (_CLIFF_DOCS) — at scale you compute it on
+    a sample or via the rank-sum identity from the corpus-wide AUC
+    entry, which is the O(n log n) path. An empty group (no English or
+    no non-English docs in the slate) is guarded with NULLIF on the
+    pair count."""
     d = (t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < _CLIFF_DOCS))
     s = d.select(
@@ -1168,7 +1171,8 @@ def eval_cliffs_delta(spark, sf_dir):
         "n_pairs", "n_gt", "n_lt",
         (F.col("n_pairs") - F.col("n_gt") - F.col("n_lt")).cast("bigint")
         .alias("n_tied"),
-        ((F.col("n_gt") - F.col("n_lt")) / F.col("n_pairs").cast("double"))
+        ((F.col("n_gt") - F.col("n_lt"))
+         / F.nullif(F.col("n_pairs"), F.lit(0)).cast("double"))
         .alias("cliffs_delta"))
 
 

@@ -1746,7 +1746,7 @@ def quality_mattr(spark, sf_dir):
     """MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, Covington & McFall 2010)
     — the length-independent lexical-diversity quality signal (plain TTR
     collapses as documents grow; MATTR averages TTR over every sliding
-    {w}-token window). The naive form counts distinct types per window:
+    _MATTR_W=25-token window). The naive form counts distinct types per window:
     O(tokens · w) and COUNT(DISTINCT) inside a frame, which neither
     engine supports. Rewritten CLOSED-FORM in O(tokens): a token
     occurrence at position p with previous same-type occurrence at q is
@@ -1755,7 +1755,7 @@ def quality_mattr(spark, sf_dir):
     Σ_s distinct(s) is that interval's length — one LAG window per
     (doc, type) chain plus one combinable sum. Pure integer arithmetic
     to one final division. Per-document work, no corpus state: scales
-    embarrassingly.""".format(w=_MATTR_W)
+    embarrassingly."""
     d = (t(spark, sf_dir, "documents")
          .filter(F.size(F.split("text", " ")) >= _MATTR_W))
     toks = d.select(

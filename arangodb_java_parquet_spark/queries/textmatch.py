@@ -1736,10 +1736,11 @@ def dedup_weighted_jaccard(spark, sf_dir):
     — two docs sharing boilerplate n-grams score near zero while two
     docs sharing rare content score high, exactly the discrimination
     plain Jaccard (dedup_ngram_jaccard) lacks. Same bounded verify
-    universe (doc_id < {n}); weights round-9 then exact-decimal summed;
+    universe (doc_id < _WJ_DOCS); weights round-9 then exact-decimal
+    summed;
     union weight by inclusion-exclusion (sA + sB - inter, no union
     materialization). Threshold as an integer ratio on both engines.
-    """.format(n=_WJ_DOCS)
+    """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _WJ_DOCS)
     from arangodb_java_parquet_spark.operators.dedup import word_ngrams
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)

@@ -715,6 +715,35 @@ def test_exactsubstr_spans_and_removal_algebra(spark):
     assert n_removable == n_dup_occurrences - len(occ)
 
 
+def test_exactsubstr_window_formulation_ignores_sub_k_duplicates(spark):
+    """Documented divergence from Lee et al.'s suffix-array definition
+    (operators/dedup.py exact_substring_spans docstring, VERDICT r10
+    #5): a duplicated span SHORTER than k tokens contains no full
+    k-window, so the window-fingerprint formulation reports nothing
+    for it — conservative at the paper's operating threshold (its
+    removal unit is exactly spans >= k=50 tokens). Construct both
+    cases in one corpus: a (k-1)-token cross-document repeat must be
+    invisible, while a k-token repeat in the same corpus is found."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        exact_substring_spans)
+    k = 5
+    sub = "s1 s2 s3 s4"          # k-1 = 4 tokens, repeated -> invisible
+    full = "f1 f2 f3 f4 f5"      # exactly k tokens, repeated -> found
+    rows = [
+        (1, f"a0 {sub} a1 a2 a3 a4 a5"),
+        (2, f"b0 b1 {sub} b2 b3 b4 b5"),
+        (3, f"c0 {full} c1 c2"),
+        (4, f"d0 d1 d2 {full} d3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in exact_substring_spans(docs, k=k).collect()}
+    # the sub-k repeat yields NO span in docs 1/2; the k-token repeat
+    # yields exactly its own window in docs 3/4 (full at pos 2..6 in
+    # doc3, pos 4..8 in doc4)
+    assert spans == {(3, 2, 6), (4, 4, 8)}
+
+
 def test_exactsubstr_apply_reconciles_with_removal(spark, sf_dir):
     """The APPLY step's cleaned corpus must reconcile EXACTLY with the
     removal accounting: tokens_kept matches per affected doc, unaffected
@@ -803,3 +832,23 @@ def test_winnowing_guarantee_and_density(spark):
         n_sel = sum(1 for r in fps if r["doc_id"] == doc_id)
         assert n_sel <= n_windows  # distinct selections, one per window
         assert n_sel >= math.ceil(n_windows / w)  # min covers <= w windows
+
+
+def test_winnowing_position_encoding_bound_enforced(spark):
+    """ADVICE r10: the rightmost-on-ties tie-break encodes pos as
+    zero-padded (99999999 - pos), valid only for pos < 1e8. The
+    operator enforces the bound with a defensive filter, so every
+    emitted fp_pos decodes to a positive in-range position — checked
+    here by verifying the filter exists in the plan lineage and that
+    decode round-trips on a normal corpus (constructing an actual
+    1e8-token document is infeasible in a unit test)."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        winnowing_fingerprints)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 7}" for i in range(40)))],
+        "doc_id long, text string")
+    out = winnowing_fingerprints(docs, k=3, w=4)
+    # the defensive bound filter must be part of the logical plan
+    assert "100000000" in out._jdf.queryExecution().analyzed().toString()
+    for r in out.collect():
+        assert 1 <= r["fp_pos"] < 10 ** 8

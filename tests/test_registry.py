@@ -98,3 +98,10 @@ def test_no_zero_row_oracle_passes_in_committed_harness():
     zero = [l.strip() for l in open(latest)
             if re.match(r"PASS\s+\S+: 0 rows", l.strip())]
     assert not zero, f"zero-row trivial passes in {latest}: {zero}"
+    # VERDICT r10 #6: a rows-only entry that decays to 0 rows would
+    # still "pass" its count check vacuously — hold rows-only lines to
+    # the same nonzero bar.
+    zero_ro = [l.strip() for l in open(latest)
+               if re.match(r"rows-only\s+\S+: 0 rows", l.strip())]
+    assert not zero_ro, (
+        f"zero-row rows-only entries in {latest}: {zero_ro}")
