@@ -57,52 +57,52 @@ from arangodb_java_parquet_spark.queries import evaluation2  # noqa: F401,E402
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
 DRIVER_PANEL = [
-    # ROUND-10 ROTATION (VERDICT r9 next-round #1): 49 slots are names
-    # with NO driver CORRECTNESS row in rounds 1-9 (computed from the
-    # committed CORRECTNESS_r0*.json files) — concentrated on the
-    # r9c-9h waves the judge called out (ExactSubstr trio, evaluation
-    # harness, embedding diagnostics, Kneser-Ney, modularity, b-bit
-    # minwise, t-closeness, GK registers) — plus the round-10-new
-    # dedup_exactsubstr_apply. Cumulative distinct driver-green grows
-    # 247 -> ~297 of the oracle-backed surface. Previously-green names
-    # stay locally harness-checked every round via
-    # tools/check_correctness.py.
+    # ROUND-11 ROTATION (VERDICT r10 next-round #1): all 50 slots are
+    # names with NO driver CORRECTNESS row in rounds 1-10 (computed from
+    # the committed CORRECTNESS_r*.json files — 297 distinct sampled,
+    # 150 never-sampled oracle-backed remaining before this round).
+    # Concentrated on the waves the judge called out as oracle-pass but
+    # never driver-sampled (the r10-new text/quality/mixture/drift wave,
+    # the rank-correlation + effect-size eval additions) plus the loader
+    # parity roundtrips and this round's PCA/Gram optimization target.
+    # Cumulative distinct driver-green grows 297 -> ~347 of 457.
+    # Previously-green names stay locally harness-checked every round
+    # via tools/check_correctness.py (full 457-entry drive).
     #
-    # ExactSubstr family (Lee et al. 2022, now end-to-end incl. APPLY)
-    "dedup_exactsubstr_removal", "dedup_exactsubstr_stats",
-    "dedup_exactsubstr_incremental", "dedup_exactsubstr_apply",
-    "dedup_intradoc_spans",
-    # dedup / fingerprint breadth
-    "dedup_minhash_bbit", "dedup_minhash_jaccard_estimate",
-    "dedup_simhash_hamming1", "simhash_bit_balance",
-    "dedup_cluster_size_histogram", "dedup_roi_report",
-    "dedup_rate_by_source", "text_normalize_fingerprint",
-    "dedup_paragraphs_reassemble", "pipeline_clean_corpus",
-    # quality / language modeling
-    "quality_kneser_ney_logprob", "quality_bigram_logprob",
-    "quality_perplexity_buckets", "text_token_entropy", "token_zipf_slope",
-    "text_readability_scores",
-    # round-10-new flagships (winnowing + label-noise audit), driver-
-    # proven in their birth round like exactsubstr_spans was in r9
-    "dedup_winnowing_density", "dedup_winnowing_matches",
-    "label_confident_joint",
-    # IR / keywords
-    "keywords_rake", "keywords_textrank", "ir_dirichlet_lm_score",
-    "sim_tfidf_cosine_topk",
-    # embedding diagnostics / similarity
-    "emb_effective_rank", "emb_anisotropy_score", "emb_matryoshka_recall",
-    "emb_knn_hubness", "cluster_silhouette_centroid", "sim_rrf_fusion",
-    "coreset_kcenter_greedy", "emb_hard_negatives",
-    # evaluation harness
-    "eval_bleu_rouge_pairs", "eval_fleiss_kappa", "eval_krippendorff_alpha",
-    "eval_mcnemar_paired", "eval_cohens_d_effect_size",
-    "eval_conformal_coverage", "eval_rank_metrics",
-    "eval_brier_decomposition",
+    # text / token statistics
+    "text_token_count", "text_top_tokens", "text_chunk_windows",
+    "text_hapax_ratio", "text_chi2_keyness", "vocab_coverage_oov",
+    "vocab_good_turing", "text_simpson_diversity", "quality_mattr",
+    "text_burrows_delta", "text_bigram_entropy_rate",
+    "token_collocations_llr",
+    # language-ID / quality signals
+    "lang_id_confusion_matrix", "langid_cohens_kappa", "text_code_detect",
+    "source_quality_scorecard", "quality_signal_correlation",
+    # dedup breadth (winnowing incremental + containment + weighted-J)
+    "dedup_cross_source_containment", "dedup_weighted_jaccard",
+    "dedup_winnowing_incremental",
+    # mixture / curation / sampling / splits
+    "mixture_js_divergence", "mixture_unimax_allocation",
+    "mixture_temperature_sampling", "sample_balanced_downsample",
+    "sample_neyman_allocation", "split_leakage_safe_report",
+    "split_temporal_holdout",
+    # packing / sharding / PII
+    "pack_length_buckets", "data_shuffle_shards", "pii_luhn_validate",
+    # embeddings / ANN serving
+    "emb_pca_explained_variance", "emb_label_separability",
+    "emb_cosine_calibration", "emb_dimension_profile",
+    "sim_topk_pq_adc_stored", "bitext_mining_candidates",
+    # evaluation harness (rank correlation + effect sizes + forecast)
+    "eval_auc_pr", "eval_pr_threshold_sweep", "eval_forecast_mase",
+    "eval_kendall_tau_b", "eval_spearman_rho", "eval_cliffs_delta",
+    "eval_gwet_ac1",
+    # drift
+    "drift_psi_report", "drift_page_hinkley",
     # graph
-    "graph_modularity_lpa", "graph_triangle_count",
-    # privacy / attribution / dq / sketches
-    "privacy_t_closeness", "attribution_time_decay",
-    "dq_functional_dependencies", "agg_quantile_gk_summary",
+    "graph_degree_distribution", "graph_clustering_coefficient",
+    "graph_link_prediction_jaccard",
+    # loader parity roundtrips (reference core surface)
+    "loader_roundtrip", "loader_roundtrip_nested",
 ]
 
 
