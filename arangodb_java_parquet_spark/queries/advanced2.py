@@ -163,21 +163,28 @@ def _pca_gram_and_v(spark, sf_dir):
     """Shared PCA chain (mirrors _PCA_CTE): the materialized mirrored
     64x64 Gram matrix g(i, j) and the power-iteration eigenvector
     estimate v(j) after 3 round-9-fenced iterations — consumed by the
-    component entry and the explained-variance entry."""
+    component entry and the explained-variance entry.
+
+    The Gram comes from the ARROW production path
+    (operators/similarity.gram_matrix_arrow: one numpy d×d partial per
+    partition, exact scaled-int64 accumulation — the per-partition
+    analog of SUM(CAST(prod AS DECIMAL(30,8)))), which is bit-identical
+    to the JVM decimal explode formulation the oracle CTE mirrors:
+    tests/test_similarity.py::test_gram_matrix_arrow_matches_jvm pins
+    full-matrix equality and test_pca_gram_input_matches_jvm pins the
+    exact DataFrame this chain consumes. The swap (VERDICT r10 #3) cuts
+    the entries' dominant cost ~10× — the explode path pushed d²/2 rows
+    per vector through the aggregator; the Arrow path ships d²/2 rows
+    per PARTITION — while the eigensolve inputs, and therefore the
+    value oracles, are unchanged by the pin. The python stage is
+    exact-integer arithmetic (hash-safe), disclosed in
+    tests/test_plans.py alongside the UDTF exception."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        gram_matrix_arrow)
     e = t(spark, sf_dir, "embeddings")
-    e1 = e.select("embedding",
-                  F.posexplode("embedding").alias("i0", "vi"))
-    e2 = e1.select(
-        F.col("i0"), F.col("vi"),
-        F.posexplode(F.expr("slice(embedding, i0 + 1, 64)"))
-        .alias("p0", "vj"))
-    prod = F.col("vi").cast("double") * F.col("vj").cast("double")
-    tri = (e2.groupBy((F.col("i0") + 1).alias("i"),
-                      (F.col("i0") + F.col("p0") + 1).alias("j"))
-           .agg(F.sum(prod.cast("decimal(30,8)")).cast("double")
-                .alias("g")))
+    tri = gram_matrix_arrow(e, vec_col="embedding", dim=64, scale=8)
     # the full (mirrored) Gram feeds all three matvec iterations —
-    # materialize once (non-canonicalizing explode lineage)
+    # materialize once (non-canonicalizing mapInPandas lineage)
     g = (tri.unionByName(
             tri.filter(F.col("i") < F.col("j"))
             .select(F.col("j").alias("i"), F.col("i").alias("j"), "g"))

@@ -253,6 +253,25 @@ def test_gram_matrix_arrow_matches_jvm(spark, sf_dir):
     assert not diffs, diffs[:5]
 
 
+def test_pca_gram_input_matches_jvm(spark, sf_dir):
+    """Pin EXTENSION (VERDICT r10 #3): the PCA entries now consume the
+    Arrow Gram through queries/advanced2._pca_gram_and_v, so pin the
+    exact (mirrored) DataFrame that chain feeds to the eigensolve
+    against the mirrored JVM decimal Gram — if these are bit-identical,
+    the power-iteration and explained-variance value oracles are
+    unchanged by construction."""
+    from arangodb_java_parquet_spark.queries.advanced2 import (
+        _pca_gram_and_v)
+    from arangodb_java_parquet_spark.queries.common import QUERIES
+    g, _v = _pca_gram_and_v(spark, sf_dir)
+    consumed = {(r.i, r.j): r.g for r in g.collect()}
+    tri = {(r.i, r.j): r.g for r in
+           QUERIES["emb_gram_matrix"](spark, sf_dir).collect()}
+    jvm_full = dict(tri)
+    jvm_full.update({(j, i): v for (i, j), v in tri.items() if i < j})
+    assert consumed == jvm_full
+
+
 def test_jl_projection_distance_distortion(spark, sf_dir):
     """The deterministic JL projection must roughly preserve pairwise
     squared distances after the standard 1/k scaling: for a sample of
