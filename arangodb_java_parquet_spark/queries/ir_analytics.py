@@ -1407,19 +1407,29 @@ def keywords_textrank(spark, sf_dir):
     wdeg = (edges.groupBy(F.col("src").alias("node"))
             .agg(F.sum("w").cast("bigint").alias("wd"))
             .localCheckpoint(eager=False))
-    nn = wdeg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # nn is a 1-row constant with 4 consumers (s0 + each round's damped
+    # affine) — checkpoint it or its SinglePartition agg re-plans 4x
+    nn = (wdeg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+          .localCheckpoint(eager=False))
+    # exchange discipline (VERDICT r10 #4): the score table is
+    # vocabulary-sized (the only iteration state, see docstring), so
+    # each round BROADCASTS (score ⨝ out-weight) into the edge table
+    # and broadcasts the mass result back onto the node table — the
+    # only exchange per round is the mass aggregation's groupBy(dst)
+    # (10 exchanges -> 1/round + the initial edge build)
     s = (wdeg.crossJoin(F.broadcast(nn))
          .select("node", (F.lit(1).cast("double") / F.col("n")).alias("s")))
     for _ in range(_TR_ROUNDS):
-        mass = (edges.join(s.withColumnRenamed("node", "src"), "src")
-                .join(wdeg.withColumnRenamed("node", "src")
-                      .withColumnRenamed("wd", "swd"), "src")
+        sw = (s.join(wdeg, "node")
+              .select(F.col("node").alias("src"), "s",
+                      F.col("wd").alias("swd")))
+        mass = (edges.join(F.broadcast(sw), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.round(F.col("s") * F.col("w")
                                    / F.col("swd").cast("double"), 9)
                            .cast("decimal(20,9)")).cast("double")
                      .alias("mass")))
-        s = (wdeg.join(mass, "node", "left")
+        s = (wdeg.join(F.broadcast(mass), "node", "left")
              .crossJoin(F.broadcast(nn))
              .select("node",
                      F.round(F.lit(3).cast("double") / (20 * F.col("n"))

@@ -1393,27 +1393,36 @@ def dq_functional_dependencies(spark, sf_dir):
 
     Each FD is a two-level combinable aggregation ((X, Y) counts, then
     per-X total/max/distinct) — shuffles keyed by the FD's own columns;
-    g3_error is one integer-ratio division. Report-sized union output."""
-    out = None
+    g3_error is one integer-ratio division. Report-sized union output.
+
+    Exchange discipline (VERDICT r10 #4): each FD pre-partitions its
+    table by the FD's LHS, which satisfies the clustering requirement
+    of BOTH aggregation levels ((X, Y) and X groupings co-locate under
+    hash(X)), so the two-level rollup rides ONE exchange per FD; the
+    four 1-row finals then fuse into a single groupBy(fd) over the
+    unioned per-X reports — 5 exchanges total instead of the naive 12
+    (per-FD shuffle + per-FD regroup + per-FD global)."""
+    parts = []
     for fd_name, table, lhs, rhs in _FD_CHECKS:
-        df = t(spark, sf_dir, table)
+        df = t(spark, sf_dir, table).repartition(F.col(lhs))
         inner = df.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
-        per_l = inner.groupBy(lhs).agg(
+        per_l = (inner.groupBy(lhs).agg(
             F.count(F.lit(1)).alias("n_rhs"),
             F.sum("c").cast("bigint").alias("total"),
             F.max("c").alias("mx"))
-        rep = per_l.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
-            .cast("bigint").alias("violating_groups"),
-            F.sum(F.col("total") - F.col("mx")).cast("bigint")
-            .alias("g3_rows_to_remove"),
-            (F.sum(F.col("total") - F.col("mx")).cast("double")
-             / F.sum("total")).alias("g3_error")
-        ).select(F.lit(fd_name).alias("fd"), "n_groups",
-                 "violating_groups", "g3_rows_to_remove", "g3_error")
-        out = rep if out is None else out.unionAll(rep)
-    return out
+            .select(F.lit(fd_name).alias("fd"), "n_rhs", "total", "mx"))
+        parts.append(per_l)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (u.groupBy("fd")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                 F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                 .cast("bigint").alias("violating_groups"),
+                 F.sum(F.col("total") - F.col("mx")).cast("bigint")
+                 .alias("g3_rows_to_remove"),
+                 (F.sum(F.col("total") - F.col("mx")).cast("double")
+                  / F.sum("total")).alias("g3_error")))
 
 
 # ---------------------------------------------------------------------------

@@ -591,9 +591,20 @@ def _nb_scored(spark, sf_dir):
     the confident-learning joint (mirrors _NB_CORE_SQL)."""
     d = t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 10 < 8)
-    toks = train.select("lang", F.explode(F.split("text", " ")).alias("tok"))
-    class_tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_toks"))
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    # the token explode feeds THREE model aggregations (class totals,
+    # vocab, per-(class, token) counts) — materialize it once instead of
+    # re-deriving the scan+split+explode lineage per consumer (the
+    # localCheckpoint pattern that cut the r9/r10 high-exchange tiers);
+    # class_tot and vocab are |classes|- and 1-row model constants with
+    # two consumers each
+    toks = (train.select("lang",
+                         F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint(eager=False))
+    class_tot = (toks.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("n_toks"))
+                 .localCheckpoint(eager=False))
+    vocab = (toks.agg(F.countDistinct("tok").alias("v"))
+             .localCheckpoint(eager=False))
     priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
               .crossJoin(F.broadcast(
                   train.agg(F.count(F.lit(1)).alias("total"))))
