@@ -1066,3 +1066,61 @@ def sample_neyman_allocation(spark, sf_dir):
                     F.round("sigma", 9).alias("sigma"),
                     w.alias("weight"),
                     (F.lit(_NEYMAN_BUDGET) * w).alias("allocation")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (round 11)
+# ---------------------------------------------------------------------------
+
+_ARES_K = 50
+_ARES_SCALE = 1152921504606846976  # 2^60, exact in double
+
+
+@query("sample_weighted_ares", f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ROUND(ln(CAST(CAST('0x' ||
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS DOUBLE) / {_ARES_SCALE})
+               / n_chars, 9) AS ares_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, ares_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY ares_key DESC, doc_id ASC)
+            AS BIGINT) AS draw_rank
+FROM keyed
+ORDER BY ares_key DESC, doc_id ASC
+LIMIT {_ARES_K}
+""")
+def sample_weighted_ares(spark, sf_dir):
+    """WEIGHTED sampling without replacement, deterministic (Efraimidis
+    & Spirakis 2006, A-Res): each item draws u ~ U(0,1) and the k
+    largest u^(1/w) win — equivalently the k largest ln(u)/w, the
+    numerically-stable form used here. Inclusion probabilities are
+    proportional to weight (document length), the property plain
+    uniform samplers (sample_stratified_hash) lack, and the one you
+    want when a labeling budget should cover TOKENS, not documents.
+    u is md5-derived (60-bit integer / exact 2^60), so the draw is
+    reproducible run-to-run, shard-independent, and cross-engine: the
+    only library call is ln(), whose 1-ulp engine variance is fenced by
+    round-9 on the final key (the repo's standard ln() treatment);
+    doc_id breaks exact key ties.
+
+    Scale: keys are per-row expressions (no state), and the top-k is a
+    distributed TakeOrdered — per-partition k-selection then a k-way
+    merge, never a global sort. Reservoir semantics at 100 TB: each
+    shard keeps its own k largest keys; merging reservoirs re-takes the
+    top k, exactly what this plan does."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint").cast("double")
+         / F.lit(_ARES_SCALE))
+    keyed = d.select("doc_id",
+                     F.col("n_chars").cast("bigint").alias("weight"),
+                     F.round(F.log(u) / F.col("n_chars"), 9)
+                     .alias("ares_key"))
+    topk = (keyed.orderBy(F.desc("ares_key"), F.asc("doc_id"))
+            .limit(_ARES_K))
+    w = W.orderBy(F.desc("ares_key"), F.asc("doc_id"))
+    return topk.withColumn(
+        "draw_rank", F.row_number().over(w).cast("bigint"))

@@ -1966,3 +1966,137 @@ def text_bigram_entropy_rate(spark, sf_dir):
                  F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
                  F.sum(term.cast("decimal(30,9)")).cast("double")
                  .alias("entropy_rate")))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding parameter planner (round 11)
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = [(1, 8), (2, 4), (4, 2)]  # (rows_per_band, n_bands), r*b=8
+
+
+def _lsh_pow_sql(base: str, n: int) -> str:
+    """x^n as an explicit multiplication chain — identical text on both
+    engines (library pow() is not cross-engine bit-stable; products of
+    the dyadic-rational minhash estimates are exact)."""
+    if n == 1:
+        return base
+    half = _lsh_pow_sql(base, n // 2)
+    return f"({half}*{half})"
+
+
+def _lsh_p_sql(r: int, b: int) -> str:
+    xr = _lsh_pow_sql("s", r)
+    tb = _lsh_pow_sql(f"(1 - {xr})", b)
+    return f"(1 - {tb})"
+
+
+def _lsh_planner_sql() -> str:
+    est_cte = """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+        + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS s
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b
+)"""
+    legs = []
+    for r, b in _LSH_CONFIGS:
+        p = _lsh_p_sql(r, b)
+        legs.append(f"""
+SELECT CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({b} AS BIGINT) AS n_bands,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_pairs,
+       CAST(SUM(CAST(ROUND({p}, 9) AS DECIMAL(20,9))) AS DOUBLE)
+         AS expected_candidates,
+       CAST(SUM(CASE WHEN s >= CAST(1 AS DOUBLE) / 2
+                     THEN CAST(ROUND(1 - {p}, 9) AS DECIMAL(20,9))
+                     ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE)
+         AS expected_missed_ge_half
+FROM est""")
+    return est_cte + "\nUNION ALL\n".join(legs)
+
+
+def _lsh_pow_col(x, n: int):
+    if n == 1:
+        return x
+    half = _lsh_pow_col(x, n // 2)
+    return half * half
+
+
+@query("dedup_lsh_param_planner", _MINHASH_SIG_SQL + _lsh_planner_sql())
+def dedup_lsh_param_planner(spark, sf_dir):
+    """LSH BANDING PARAMETER PLANNER (the s-curve analysis of Leskovec,
+    Rajaraman & Ullman, MMDS ch. 3): before re-running a 100 TB dedup
+    with a different (rows-per-band r × bands b) split of the same 8
+    minhashes, score each configuration against the CORPUS'S OWN
+    observed pair-similarity distribution — for every current LSH
+    candidate pair with estimated Jaccard s, the probability the config
+    would surface it is p = 1-(1-s^r)^b. Reports, per config: the
+    expected candidate volume (cost driver: sum of p) and the expected
+    mass of s >= 1/2 pairs it would MISS (recall driver: sum of 1-p
+    over likely duplicates). r=1 maximizes recall at maximal candidate
+    cost; r=4 the reverse — the table makes the trade-off concrete on
+    this corpus instead of on the textbook curve.
+
+    Determinism: s is an exact dyadic rational (agreeing hashes / 8),
+    p is an explicit multiplication chain (no library pow()), so every
+    term is exact in double and cannot sit on a round-9 halfway point
+    (dyadic values never end in 5·10^-10); terms round-9 into exact
+    decimal sums. Scale: rides the LSH-bounded candidate pair table
+    (one materialized banding, see lsh_candidate_pairs) — the planner
+    costs one extra combinable aggregation per config over pairs that
+    the dedup funnel already enumerates."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    sa = sigs.select([F.col("doc_id").alias("doc_a")]
+                     + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
+    sb = sigs.select([F.col("doc_id").alias("doc_b")]
+                     + [F.col(f"h{j}").alias(f"b{j}") for j in range(8)])
+    agree = sum((F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+                for j in range(8))
+    est = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+           .select((agree / F.lit(8.0)).alias("s"))
+           .localCheckpoint(eager=False))  # feeds all three config aggs
+    legs = []
+    for r, b in _LSH_CONFIGS:
+        p = F.lit(1) - _lsh_pow_col(
+            F.lit(1) - _lsh_pow_col(F.col("s"), r), b)
+        legs.append(est.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_pairs"),
+            F.sum(F.round(p, 9).cast("decimal(20,9)")).cast("double")
+            .alias("expected_candidates"),
+            F.sum(F.when(F.col("s") >= F.lit(1).cast("double") / 2,
+                         F.round(F.lit(1) - p, 9).cast("decimal(20,9)"))
+                  .otherwise(F.lit(0).cast("decimal(20,9)")))
+            .cast("double").alias("expected_missed_ge_half"))
+            .select(F.lit(r).cast("bigint").alias("rows_per_band"),
+                    F.lit(b).cast("bigint").alias("n_bands"),
+                    "n_scored_pairs", "expected_candidates",
+                    "expected_missed_ge_half"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

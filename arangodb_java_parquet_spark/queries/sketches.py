@@ -496,3 +496,123 @@ def agg_quantile_gk_summary(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return gk_quantile_summary(o, "o_totalprice", "o_orderkey",
                                "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with UNION / INTERSECTION algebra
+# (round 11 — extends the mergeable-sketch family with set operations)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = 1152921504606846976  # 2^60: 15 md5 hex digits, exact in double
+
+
+def _kmv_set_sql(pri: str) -> str:
+    return (f"SELECT DISTINCT CAST(CAST('0x' || "
+            f"substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)"
+            f" AS BIGINT) AS h FROM orders WHERE o_orderpriority = '{pri}'")
+
+
+def _kmv_est(hk: str, n: str) -> str:
+    return (f"CASE WHEN {n} < {_KMV_K} THEN CAST({n} AS DOUBLE) "
+            f"ELSE CAST({_KMV_K - 1} AS DOUBLE)"
+            f" / ({hk} / {_KMV_SCALE}) END")
+
+
+@query("sketch_kmv_distinct_ops", f"""
+WITH a AS ({_kmv_set_sql('1-URGENT')}),
+b AS ({_kmv_set_sql('2-HIGH')}),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+       ORDER BY h LIMIT {_KMV_K}),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM ka),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM kb),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM ku),
+mem AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ku
+  WHERE ku.h IN (SELECT h FROM a) AND ku.h IN (SELECT h FROM b)
+),
+ex AS (
+  SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+         CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       ex.exact_a, ex.exact_b,
+       {_kmv_est('sa.hk', 'sa.n')} AS est_a,
+       {_kmv_est('sb.hk', 'sb.n')} AS est_b,
+       {_kmv_est('su.hk', 'su.n')} AS est_union,
+       CAST(mem.n_both AS DOUBLE) / su.n AS kmv_jaccard,
+       (CAST(mem.n_both AS DOUBLE) / su.n)
+         * ({_kmv_est('su.hk', 'su.n')}) AS est_intersection
+FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN mem CROSS JOIN ex
+""")
+def sketch_kmv_distinct_ops(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch with SET ALGEBRA (Bar-Yossef
+    et al. 2002; Beyer et al. 2007 for the unbiased (k-1)/u_k estimator
+    and the union/intersection extension): keep the k smallest md5-hash
+    values of each set; D-hat = (k-1)/u_k where u_k is the k-th smallest
+    normalized hash. The union sketch is the k smallest of the merged
+    hash sets (KMV is closed under union — the property HLL set algebra
+    lacks for INTERSECTION), and the Jaccard estimate is the fraction of
+    the union sketch's members present in both sets, giving
+    |A∩B|-hat = J-hat · |A∪B|-hat. Sets: customers with URGENT vs HIGH
+    orders. Degenerate small sets (n < k) fall back to the exact
+    cardinality (the sketch IS the set).
+
+    Determinism: hashes are 60-bit integers from 15 md5 hex digits;
+    normalization divides by the exact binary 2^60, so every estimate is
+    a short chain of IEEE-identical double ops — the sketch, not just
+    its row count, is value-checked (same contract as the portable
+    HLL/CMS/AMS/GK entries).
+
+    Scale: the k-min selection is a distributed TakeOrdered (top-k per
+    partition, k-merge on the driver side of the exchange) — never a
+    global sort; membership tests broadcast the 64-row union sketch
+    against the hash sets. Sketch state is k numbers per set: shards
+    merge by unioning sketches and re-taking the k minimum."""
+    o = t(spark, sf_dir, "orders")
+
+    def hset(pri):
+        return (o.filter(F.col("o_orderpriority") == pri)
+                .select(F.conv(F.substring(
+                    F.md5(F.col("o_custkey").cast("string")), 1, 15),
+                    16, 10).cast("bigint").alias("h"))
+                .distinct()
+                .localCheckpoint(eager=False))  # feeds sketch + membership
+
+    a, b = hset("1-URGENT"), hset("2-HIGH")
+    u = a.unionByName(b).distinct()
+
+    def sk(df, nc, hc):
+        return (df.orderBy("h").limit(_KMV_K)
+                .agg(F.count(F.lit(1)).cast("bigint").alias(nc),
+                     F.max("h").alias(hc)))
+
+    def est(nc, hc):
+        return (F.when(F.col(nc) < _KMV_K, F.col(nc).cast("double"))
+                .otherwise(F.lit(_KMV_K - 1).cast("double")
+                           / (F.col(hc) / F.lit(_KMV_SCALE))))
+
+    ku = u.orderBy("h").limit(_KMV_K).localCheckpoint(eager=False)
+    su = ku.agg(F.count(F.lit(1)).cast("bigint").alias("nu"),
+                F.max("h").alias("hu"))
+    mem = (ku.join(a, "h", "left_semi").join(b, "h", "left_semi")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_both")))
+    ex = (a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+          .crossJoin(F.broadcast(
+              b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))))
+    jacc = F.col("n_both").cast("double") / F.col("nu")
+    return (sk(a, "na", "ha")
+            .crossJoin(F.broadcast(sk(b, "nb", "hb")))
+            .crossJoin(F.broadcast(su))
+            .crossJoin(F.broadcast(mem))
+            .crossJoin(F.broadcast(ex))
+            .select(F.lit(_KMV_K).cast("bigint").alias("k"),
+                    "exact_a", "exact_b",
+                    est("na", "ha").alias("est_a"),
+                    est("nb", "hb").alias("est_b"),
+                    est("nu", "hu").alias("est_union"),
+                    jacc.alias("kmv_jaccard"),
+                    (jacc * est("nu", "hu")).alias("est_intersection")))

@@ -1,0 +1,102 @@
+"""Hand-computed invariants for the round-11 additions: KMV sketch set
+algebra, the LSH banding parameter planner, and A-Res weighted sampling."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import QUERIES, t
+
+
+def test_kmv_estimates_within_error_band(spark, sf_dir):
+    """KMV distinct estimates must land within the theoretical relative
+    error ~1/sqrt(k-1) of the exact cardinalities (loose 4-sigma band),
+    and the set algebra must be internally consistent: the union
+    estimate is at least each side's, and the intersection estimate is
+    nonnegative and at most the union."""
+    row = QUERIES["sketch_kmv_distinct_ops"](spark, sf_dir).collect()[0]
+    k = row["k"]
+    band = 4.0 / math.sqrt(k - 1)
+    for est, exact in ((row["est_a"], row["exact_a"]),
+                       (row["est_b"], row["exact_b"])):
+        assert exact > 0
+        assert abs(est / exact - 1.0) < band, (est, exact, band)
+    assert row["est_union"] >= max(row["est_a"], row["est_b"]) * (1 - band)
+    assert 0.0 <= row["kmv_jaccard"] <= 1.0
+    assert 0.0 <= row["est_intersection"] <= row["est_union"]
+    # exact Jaccard of the two customer sets for comparison
+    o = t(spark, sf_dir, "orders")
+    a = {r[0] for r in o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct().collect()}
+    b = {r[0] for r in o.filter(F.col("o_orderpriority") == "2-HIGH")
+         .select("o_custkey").distinct().collect()}
+    true_j = len(a & b) / len(a | b)
+    # Jaccard from a k-sample of the union is a proportion estimate:
+    # binomial 4-sigma band
+    jband = 4.0 * math.sqrt(true_j * (1 - true_j) / k) + 1e-9
+    assert abs(row["kmv_jaccard"] - true_j) <= jband, (
+        row["kmv_jaccard"], true_j, jband)
+
+
+def test_lsh_planner_tradeoff_monotone(spark, sf_dir):
+    """The planner's own s-curve math implies strict trade-off ordering
+    across the three (r, b) configs: smaller r (more forgiving bands)
+    means MORE expected candidates and LESS missed high-similarity
+    mass. Also p in [0, 1] bounds: expected_candidates <= n pairs."""
+    rows = {r["rows_per_band"]: r for r in
+            QUERIES["dedup_lsh_param_planner"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4}
+    n = rows[1]["n_scored_pairs"]
+    assert all(r["n_scored_pairs"] == n for r in rows.values())
+    assert (rows[1]["expected_candidates"]
+            >= rows[2]["expected_candidates"]
+            >= rows[4]["expected_candidates"] > 0)
+    assert (rows[1]["expected_missed_ge_half"]
+            <= rows[2]["expected_missed_ge_half"]
+            <= rows[4]["expected_missed_ge_half"])
+    for r in rows.values():
+        assert 0 <= r["expected_candidates"] <= n
+        assert r["expected_missed_ge_half"] >= 0
+
+
+def test_ares_weighted_sampling_biases_toward_long_docs(spark, sf_dir):
+    """A-Res inclusion probability is proportional to weight, so the
+    sampled documents' mean length must exceed the corpus mean (the
+    length-biased sampling property), every key must be negative
+    (ln u < 0, w > 0), and ranks must be the contiguous 1..k in key
+    order."""
+    out = QUERIES["sample_weighted_ares"](spark, sf_dir).collect()
+    assert [r["draw_rank"] for r in out] == list(range(1, len(out) + 1))
+    keys = [r["ares_key"] for r in out]
+    assert all(k < 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    corpus_mean = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["weight"] for r in out) / len(out)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_ares_matches_bruteforce_python(spark):
+    """On a tiny hand corpus the engine's A-Res draw must equal the
+    brute-force python computation of the same md5-derived keys."""
+    import hashlib
+
+    rows = [(i, "x" * (10 + 7 * (i % 5))) for i in range(1, 31)]
+    docs = spark.createDataFrame(
+        [(i, txt, len(txt)) for i, txt in rows],
+        "doc_id long, text string, n_chars int")
+    docs.createOrReplaceTempView("___ares_tmp")
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return round(math.log(h / 2 ** 60) / w, 9)
+
+    expect = sorted(((key(i, len(txt)), i) for i, txt in rows),
+                    key=lambda p: (-p[0], p[1]))[:50]
+    from arangodb_java_parquet_spark.queries.curation2 import _ARES_SCALE
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("bigint").cast("double") / F.lit(_ARES_SCALE))
+    got = (docs.select("doc_id",
+                       F.round(F.log(u) / F.col("n_chars"), 9).alias("k"))
+           .orderBy(F.desc("k"), F.asc("doc_id")).collect())
+    assert [(r["k"], r["doc_id"]) for r in got][:len(expect)] == expect
