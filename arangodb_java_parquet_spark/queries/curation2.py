@@ -1124,3 +1124,81 @@ def sample_weighted_ares(spark, sf_dir):
     w = W.orderBy(F.desc("ares_key"), F.asc("doc_id"))
     return topk.withColumn(
         "draw_rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# data-constrained scaling: the value of repeating deduplicated data
+# (round 11)
+# ---------------------------------------------------------------------------
+
+_DC_EPOCHS = [1, 2, 4, 8, 16]
+# R* = 15.39 — the fitted repetition half-life from Muennighoff et al.
+# 2023 ("Scaling Data-Constrained Language Models", eq. 6), carried as
+# the integer ratio 1539/100 so both engines derive the identical double
+_DC_RSTAR_NUM, _DC_RSTAR_DEN = 1539, 100
+
+
+@query("mixture_data_constrained_epochs", f"""
+WITH u AS (
+  SELECT source, CAST(SUM(tok1) AS BIGINT) AS unique_tokens
+  FROM (SELECT source, md5(text) AS fp,
+               MIN(len(string_split(text, ' '))) AS tok1
+        FROM documents GROUP BY source, md5(text))
+  GROUP BY source
+),
+e AS (SELECT UNNEST([{', '.join(str(x) for x in _DC_EPOCHS)}]) AS epochs)
+SELECT u.source, u.unique_tokens, CAST(e.epochs AS BIGINT) AS epochs,
+       CAST(u.unique_tokens AS DOUBLE)
+         + CAST(u.unique_tokens AS DOUBLE)
+           * (CAST({_DC_RSTAR_NUM} AS DOUBLE) / {_DC_RSTAR_DEN})
+           * (1 - ROUND(exp(-(CAST({_DC_RSTAR_DEN} AS DOUBLE)
+                              * (e.epochs - 1)) / {_DC_RSTAR_NUM}), 9))
+         AS effective_tokens,
+       (CAST(u.unique_tokens AS DOUBLE)
+         + CAST(u.unique_tokens AS DOUBLE)
+           * (CAST({_DC_RSTAR_NUM} AS DOUBLE) / {_DC_RSTAR_DEN})
+           * (1 - ROUND(exp(-(CAST({_DC_RSTAR_DEN} AS DOUBLE)
+                              * (e.epochs - 1)) / {_DC_RSTAR_NUM}), 9)))
+         / (CAST(u.unique_tokens AS DOUBLE) * e.epochs)
+         AS token_efficiency
+FROM u CROSS JOIN e
+""")
+def mixture_data_constrained_epochs(spark, sf_dir):
+    """DATA-CONSTRAINED SCALING epoch planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): after dedup bounds each
+    source's UNIQUE token supply, how much is an extra epoch of
+    repetition worth? The paper's fitted decay gives effective tokens
+    D' = U + U·R*·(1 - exp(-R/R*)) for R = epochs-1 repetitions with
+    R* = 15.39: ~2-4 epochs are nearly free, value decays exponentially,
+    and beyond ~16 epochs repetition adds almost nothing — the table a
+    mixture planner consults when a source is too small for its target
+    weight (pairs with mixture_unimax_allocation's epoch caps and the
+    dedup_roi_report). Unique supply per source counts each distinct
+    document text (md5 fingerprint) once.
+
+    Determinism: R*/R ratios derive from the integer pair 1539/100
+    identically per engine; exp() inputs are exact doubles and the
+    output is round-9 fenced (the r10-piloted exp treatment); every
+    later op is an IEEE-identical product/division — no decimal sums
+    needed since nothing re-aggregates after the fence. Scale: one
+    (source, fingerprint) aggregation — the dedup pass the pipeline
+    already runs — then a |sources|×|epoch grid| projection."""
+    d = t(spark, sf_dir, "documents")
+    u = (d.groupBy("source", F.md5("text").alias("fp"))
+         .agg(F.min(F.size(F.split("text", " "))).alias("tok1"))
+         .groupBy("source")
+         .agg(F.sum("tok1").cast("bigint").alias("unique_tokens")))
+    e = (F.explode(F.array(*[F.lit(x) for x in _DC_EPOCHS]))
+         .alias("epochs"))
+    rstar = (F.lit(_DC_RSTAR_NUM).cast("double") / F.lit(_DC_RSTAR_DEN))
+    decay = F.round(F.exp(-(F.lit(_DC_RSTAR_DEN).cast("double")
+                            * (F.col("epochs") - 1))
+                          / F.lit(_DC_RSTAR_NUM)), 9)
+    eff = (F.col("unique_tokens").cast("double")
+           + F.col("unique_tokens").cast("double") * rstar * (1 - decay))
+    return (u.select("source", "unique_tokens", e)
+            .select("source", "unique_tokens",
+                    F.col("epochs").cast("bigint").alias("epochs"),
+                    eff.alias("effective_tokens"),
+                    (eff / (F.col("unique_tokens").cast("double")
+                            * F.col("epochs"))).alias("token_efficiency")))

@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     "sample_neyman_allocation", "eval_forecast_mase",
     # round 10f: drift monitoring pair
     "drift_psi_report", "drift_page_hinkley",
+    # round 11: KMV set algebra, LSH planner, A-Res weighted sampling
+    "sketch_kmv_distinct_ops", "dedup_lsh_param_planner",
+    "sample_weighted_ares",
 ]
 
 

@@ -100,3 +100,35 @@ def test_ares_matches_bruteforce_python(spark):
                        F.round(F.log(u) / F.col("n_chars"), 9).alias("k"))
            .orderBy(F.desc("k"), F.asc("doc_id")).collect())
     assert [(r["k"], r["doc_id"]) for r in got][:len(expect)] == expect
+
+
+def test_data_constrained_epochs_decay_invariants(spark, sf_dir):
+    """Muennighoff-decay sanity: for every source, effective tokens are
+    strictly increasing in epochs but with strictly diminishing
+    marginal value; epoch 1 is exactly the unique supply
+    (efficiency 1); efficiency is strictly decreasing; and effective
+    tokens never exceed U * (1 + R*)."""
+    rows = QUERIES["mixture_data_constrained_epochs"](
+        spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["epochs"])
+        u = rs[0]["unique_tokens"]
+        assert rs[0]["epochs"] == 1
+        assert rs[0]["effective_tokens"] == float(u)
+        assert abs(rs[0]["token_efficiency"] - 1.0) < 1e-12
+        effs = [r["effective_tokens"] for r in rs]
+        assert all(b > a for a, b in zip(effs, effs[1:])), src
+        margins = [b - a for a, b in zip(effs, effs[1:])]
+        # marginal value per ADDED epoch block must shrink (the grid is
+        # geometric, so normalize by the epoch-count delta)
+        deltas = [r2["epochs"] - r1["epochs"]
+                  for r1, r2 in zip(rs, rs[1:])]
+        per_epoch = [m / d for m, d in zip(margins, deltas)]
+        assert all(b < a for a, b in zip(per_epoch, per_epoch[1:])), src
+        effic = [r["token_efficiency"] for r in rs]
+        assert all(b < a for a, b in zip(effic, effic[1:])), src
+        assert all(e < u * (1 + 15.39) for e in effs), src
