@@ -358,16 +358,19 @@ def eval_conformal_coverage(spark, sf_dir):
             .select(F.abs(F.col("y") - F.col("yhat")).alias("r"))
             .localCheckpoint(eager=False))
     cnt = F.count(F.lit(1))
+    # kt and q_hat are 1-row constants with two consumers each (the
+    # rank filter / coverage pass AND the final report row) — checkpoint
+    # so neither scalar chain re-plans (r11 exchange discipline)
     kt = calr.agg(
         cnt.cast("bigint").alias("n_cal"),
         F.least(F.expr("((count(1) + 1) * 9 + 9) DIV 10"), cnt)
-        .cast("bigint").alias("k_rank"))
+        .cast("bigint").alias("k_rank")).localCheckpoint(eager=False)
     byv = calr.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
     cum = byv.select("r", F.sum("c").over(wcum).alias("cumc"))
     qh = (cum.crossJoin(F.broadcast(kt.select("k_rank")))
           .filter(F.col("cumc") >= F.col("k_rank"))
-          .agg(F.min("r").alias("q_hat")))
+          .agg(F.min("r").alias("q_hat")).localCheckpoint(eager=False))
     cov = (assigned.filter(F.col("d") >= 12)
            .join(F.broadcast(model), "prio")
            .crossJoin(F.broadcast(qh))
@@ -451,40 +454,61 @@ def emb_matryoshka_recall(spark, sf_dir):
     The number that tells you whether serving half-width vectors is
     free retrieval-quality-wise.
 
-    Scale: three broadcast-panel brute-force passes (norms computed once
-    per side below each pair join — the topk_cosine_bruteforce
-    contract); overlap joins and the final scalars touch |Q| x k rows.
-    Swapping the exact retriever for the IVF/PQ path changes the
-    candidate source, not this harness."""
+    Scale: ONE broadcast-panel pair enumeration scoring all three
+    widths per pair (the oracle CTE's shape — r11 exchange discipline
+    replaced the previous three separate brute-force passes), with all
+    six norms computed once per side below the join (the
+    topk_cosine_bruteforce contract); the scored pair table is
+    materialized once and the three per-width top-k windows read it.
+    Overlap joins and the final scalars touch |Q| x k rows. Swapping
+    the exact retriever for the IVF/PQ path changes the candidate
+    source, not this harness."""
+    from arangodb_java_parquet_spark.operators.similarity import dot, norm
     e = t(spark, sf_dir, "embeddings")
-    # The panel feeds four consumers (three retrieval passes + the query
-    # count); the full-dim top-k feeds three (two overlap joins + the
-    # denominator). Materialize both (lazy localCheckpoint) so the
-    # TakeOrdered panel selection and — far more importantly — the
-    # O(|Q| x |C|) full-dimension pair scoring run ONCE, not per branch.
     q = (e.filter(F.col("vec_id") % 37 == 0)
          .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
          .limit(_MAT_PANEL)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec"),
+                 F.slice("embedding", 1, 16).alias("qv16"),
+                 F.slice("embedding", 1, 32).alias("qv32"))
+         .withColumn("qn", norm(F.col("qvec")))
+         .withColumn("qn16", norm(F.col("qv16")))
+         .withColumn("qn32", norm(F.col("qv32")))
          .localCheckpoint(eager=False))
-    c = e.filter(F.col("vec_id") % 37 != 0)
+    c = (e.filter(F.col("vec_id") % 37 != 0)
+         .select(F.col("vec_id").alias("vid"),
+                 F.col("embedding").alias("cvec"),
+                 F.slice("embedding", 1, 16).alias("cv16"),
+                 F.slice("embedding", 1, 32).alias("cv32"))
+         .withColumn("cn", norm(F.col("cvec")))
+         .withColumn("cn16", norm(F.col("cv16")))
+         .withColumn("cn32", norm(F.col("cv32"))))
 
-    def trunc(df, n):
-        return df.select("vec_id",
-                         F.slice("embedding", 1, n).alias("embedding"))
+    def cos(qv, cv, qn, cn):
+        return F.round(dot(F.col(qv), F.col(cv))
+                       / (F.col(qn) * F.col(cn)), 9)
 
-    tf = topk_cosine_bruteforce(q, c, id_col="vec_id",
-                                vec_col="embedding", k=_MAT_K
-                                ).localCheckpoint(eager=False)
-    t16 = topk_cosine_bruteforce(trunc(q, 16), trunc(c, 16),
-                                 id_col="vec_id", vec_col="embedding",
-                                 k=_MAT_K)
-    t32 = topk_cosine_bruteforce(trunc(q, 32), trunc(c, 32),
-                                 id_col="vec_id", vec_col="embedding",
-                                 k=_MAT_K)
-    full = tf.select("qid", "vid")
-    m16 = (full.join(t16.select("qid", "vid"), ["qid", "vid"])
+    pairs = (c.crossJoin(F.broadcast(q))
+             .filter(F.col("qid") != F.col("vid"))
+             .select("qid", "vid",
+                     cos("qvec", "cvec", "qn", "cn").alias("cf"),
+                     cos("qv16", "cv16", "qn16", "cn16").alias("c16"),
+                     cos("qv32", "cv32", "qn32", "cn32").alias("c32"))
+             .localCheckpoint(eager=False))  # one scoring pass, 3 windows
+
+    def topk(col):
+        w = Window.partitionBy("qid").orderBy(F.desc(col), "vid")
+        return (pairs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _MAT_K).select("qid", "vid"))
+
+    full = topk("cf").localCheckpoint(eager=False)
+    # the truncated-width slates are |Q| x k rows — broadcast them into
+    # the overlap joins (a shuffled join on (qid, vid) costs 2 exchanges
+    # per overlap for 320-row inputs)
+    m16 = (full.join(F.broadcast(topk("c16")), ["qid", "vid"])
            .agg(F.count(F.lit(1)).cast("bigint").alias("o16")))
-    m32 = (full.join(t32.select("qid", "vid"), ["qid", "vid"])
+    m32 = (full.join(F.broadcast(topk("c32")), ["qid", "vid"])
            .agg(F.count(F.lit(1)).cast("bigint").alias("o32")))
     tot = full.agg(F.count(F.lit(1)).cast("bigint").alias("n_full"))
     nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))

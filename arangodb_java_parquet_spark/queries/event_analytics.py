@@ -302,9 +302,15 @@ def event_pmi_pairs(spark, sf_dir):
     event-level cross join; marginals are |event_type|-sized and
     broadcast."""
     e = t(spark, sf_dir, "events")
-    ue = e.select("user_id", "event_type").distinct()
+    # incidence feeds the self-join's two sides + the marginals, and the
+    # marginal table feeds both pair sides — materialize each once
+    # (non-canonicalizing self-join lineage; the r10/r11 checkpoint
+    # pattern)
+    ue = (e.select("user_id", "event_type").distinct()
+          .localCheckpoint(eager=False))
     n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
-    cnt = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    cnt = (ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=False))
     a, b = ue.alias("a"), ue.alias("b")
     pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
                     & (F.col("a.event_type") < F.col("b.event_type")))

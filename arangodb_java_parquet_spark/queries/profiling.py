@@ -1471,13 +1471,17 @@ def categorical_cramers_v(spark, sf_dir):
     exact integers, emitted unrounded per the repo's derived-ratio
     discipline."""
     p = t(spark, sf_dir, "part")
-    obs = p.groupBy("p_brand", "p_size").agg(
-        F.count(F.lit(1)).alias("o"))
+    # obs is the (brands x sizes)-bounded contingency table with FOUR
+    # consumers (both marginals, the total, the grid join) — checkpoint
+    # it, and broadcast it into the full-grid left join (r11 exchange
+    # discipline: 9 -> 5 exchanges)
+    obs = (p.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False))
     nb = obs.groupBy("p_brand").agg(F.sum("o").alias("nb"))
     nc = obs.groupBy("p_size").agg(F.sum("o").alias("nc"))
     tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
     marg = nb.crossJoin(nc).crossJoin(F.broadcast(tot))
-    grid = marg.join(obs, ["p_brand", "p_size"], "left")
+    grid = marg.join(F.broadcast(obs), ["p_brand", "p_size"], "left")
     exp = (F.col("nb") * F.col("nc").cast("double")) / F.col("n")
     dev = F.coalesce(F.col("o"), F.lit(0)) - exp
     cell = F.round(dev * dev / exp, 9)
