@@ -1254,3 +1254,90 @@ def eval_gwet_ac1(spark, sf_dir):
     pe = 2 * F.col("pi") * (1 - F.col("pi"))
     return met.select("n_items", "pbar", "pi", pe.alias("pe_ac1"),
                       ((F.col("pbar") - pe) / (1 - pe)).alias("gwet_ac1"))
+
+
+# ---------------------------------------------------------------------------
+# embedding alignment & uniformity (round 11)
+# ---------------------------------------------------------------------------
+
+_AU_N = 300  # bounded pair universe (the emb_knn_hubness contract)
+
+
+@query("emb_alignment_uniformity", f"""
+WITH u AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < {_AU_N}),
+pairs AS (
+  SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos,
+         (2 - 2 * {_sql_cos('a.embedding', 'b.embedding')}) AS sq
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM u)
+SELECT nv.n_vectors,
+       CAST(SUM(pos) AS BIGINT) AS n_pos_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN pos = 1 THEN CAST(sq AS DECIMAL(20,9))
+                     ELSE CAST(0 AS DECIMAL(20,9)) END) AS DOUBLE)
+         / NULLIF(SUM(pos), 0) AS alignment,
+       ROUND(ln(CAST(SUM(CAST(ROUND(exp(-2 * sq), 9) AS DECIMAL(20,9)))
+                     AS DOUBLE) / COUNT(*)), 9) AS uniformity
+FROM pairs CROSS JOIN nv
+GROUP BY nv.n_vectors
+""")
+def emb_alignment_uniformity(spark, sf_dir):
+    """ALIGNMENT & UNIFORMITY (Wang & Isola 2020, "Understanding
+    Contrastive Representation Learning...") — the two numbers that
+    predict whether an embedding space is good for retrieval BEFORE any
+    retrieval eval: alignment = E[||x̂-ŷ||²] over positive (same-label)
+    pairs (lower = positives cluster), uniformity = ln E[exp(-2||x̂-ŷ||²)]
+    over ALL pairs (lower = mass spreads over the hypersphere; a
+    collapsed space scores ~0). Read next to emb_anisotropy_score: that
+    measures the mean-direction bias, this measures both sides of the
+    contrastive trade-off at once.
+
+    On normalized vectors ||x̂-ŷ||² = 2 - 2·cos, so every distance
+    derives from the same round-9 cosine the retrieval entries use —
+    exact 9-decimal multiples, summed as exact decimals (no further
+    fence needed for alignment; the empty-positive edge is NULLIF
+    guarded). Uniformity's exp() is round-9 fenced on identical inputs
+    (the r10-piloted treatment) and the final ln() of the exact-mean
+    ratio is round-9.
+
+    Scale: the pair universe is bounded to {_AU_N} vectors BY DESIGN
+    (the metric is defined as an expectation — at 100 TB you estimate
+    it on a uniform sample, exactly what the bounded universe is);
+    norms are computed once per side below the pair join."""
+    from arangodb_java_parquet_spark.operators.similarity import dot, norm
+    e = t(spark, sf_dir, "embeddings")
+    u = (e.filter(F.col("vec_id") < _AU_N)
+         .select("vec_id", "embedding", "label")
+         .withColumn("nrm", norm(F.col("embedding")))
+         .localCheckpoint(eager=False))  # pair sides + n_vectors
+    a = u.select(F.col("vec_id").alias("ia"),
+                 F.col("embedding").alias("va"),
+                 F.col("label").alias("la"), F.col("nrm").alias("na"))
+    b = u.select(F.col("vec_id").alias("ib"),
+                 F.col("embedding").alias("vb"),
+                 F.col("label").alias("lb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot(F.col("va"), F.col("vb"))
+                  / (F.col("na") * F.col("nb")), 9)
+    pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+             .select(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+                     .alias("pos"),
+                     (F.lit(2) - 2 * cos).alias("sq")))
+    nv = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    dec = "decimal(20,9)"
+    return (pairs.crossJoin(F.broadcast(nv))
+            .groupBy("n_vectors")
+            .agg(F.sum("pos").cast("bigint").alias("n_pos_pairs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 (F.sum(F.when(F.col("pos") == 1,
+                               F.col("sq").cast(dec))
+                        .otherwise(F.lit(0).cast(dec))).cast("double")
+                  / F.nullif(F.sum("pos"), F.lit(0)))
+                 .alias("alignment"),
+                 F.round(F.log(
+                     F.sum(F.round(F.exp(-2 * F.col("sq")), 9)
+                           .cast(dec)).cast("double")
+                     / F.count(F.lit(1))), 9).alias("uniformity"))
+            .select("n_vectors", "n_pos_pairs", "n_pairs",
+                    "alignment", "uniformity"))

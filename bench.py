@@ -280,7 +280,8 @@ BENCH_QUERIES = [
     "drift_psi_report", "drift_page_hinkley",
     # round 11: KMV set algebra, LSH planner, A-Res weighted sampling
     "sketch_kmv_distinct_ops", "dedup_lsh_param_planner",
-    "sample_weighted_ares",
+    "sample_weighted_ares", "mixture_data_constrained_epochs",
+    "emb_alignment_uniformity",
 ]
 
 

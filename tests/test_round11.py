@@ -132,3 +132,36 @@ def test_data_constrained_epochs_decay_invariants(spark, sf_dir):
         effic = [r["token_efficiency"] for r in rs]
         assert all(b < a for a, b in zip(effic, effic[1:])), src
         assert all(e < u * (1 + 15.39) for e in effs), src
+
+
+def test_alignment_uniformity_bounds_and_collapse_contrast(spark, sf_dir):
+    """Wang-Isola invariants: alignment in [0, 4] (normalized vectors),
+    uniformity in [-4, 0] (exp(-2*sq) in [e^-8, 1]); and a COLLAPSED
+    space (all vectors identical) must score alignment ~0 and
+    uniformity ~0, strictly worse (higher) uniformity than the real
+    corpus — the separation the metric exists to detect."""
+    row = QUERIES["emb_alignment_uniformity"](spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == row["n_vectors"] * (row["n_vectors"] - 1) // 2
+    assert 0.0 <= row["alignment"] <= 4.0
+    assert -4.0 <= row["uniformity"] <= 0.0
+
+    from pyspark.sql import functions as SF
+    collapsed = spark.createDataFrame(
+        [(i, [1.0] * 8 , i % 3) for i in range(40)],
+        "vec_id long, embedding array<double>, label int")
+    from arangodb_java_parquet_spark.operators.similarity import dot, norm
+    u = collapsed.withColumn("nrm", norm(SF.col("embedding")))
+    a = u.select(SF.col("vec_id").alias("ia"),
+                 SF.col("embedding").alias("va"), SF.col("nrm").alias("na"))
+    b = u.select(SF.col("vec_id").alias("ib"),
+                 SF.col("embedding").alias("vb"), SF.col("nrm").alias("nb"))
+    cos = SF.round(dot(SF.col("va"), SF.col("vb"))
+                   / (SF.col("na") * SF.col("nb")), 9)
+    sq = (SF.lit(2) - 2 * cos)
+    got = (a.join(SF.broadcast(b), SF.col("ia") < SF.col("ib"))
+           .agg(SF.avg(sq).alias("align"),
+                SF.log(SF.avg(SF.exp(-2 * sq))).alias("unif"))
+           .collect()[0])
+    assert abs(got["align"]) < 1e-9           # collapsed: positives at 0
+    assert abs(got["unif"]) < 1e-9            # collapsed: uniformity -> 0
+    assert row["uniformity"] < got["unif"] - 0.01

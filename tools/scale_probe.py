@@ -152,6 +152,17 @@ PROBES = [
     "text_bigram_entropy_rate",
     "token_collocations_llr",
     "graph_rich_club_coefficient",
+    # round-11 flagships: KMV TakeOrdered k-min selection, the s-curve
+    # planner over the LSH-bounded pair table, A-Res TakeOrdered
+    # reservoirs, per-source dedup+grid projection, and the Arrow-Gram
+    # PCA chain (the r11 cutover — exponent should now track the Arrow
+    # twin's, not the explode path's)
+    "sketch_kmv_distinct_ops",
+    "dedup_lsh_param_planner",
+    "sample_weighted_ares",
+    "mixture_data_constrained_epochs",
+    "emb_pca_explained_variance",
+    "emb_alignment_uniformity",
 ]
 
 
