@@ -165,3 +165,134 @@ def test_alignment_uniformity_bounds_and_collapse_contrast(spark, sf_dir):
     assert abs(got["align"]) < 1e-9           # collapsed: positives at 0
     assert abs(got["unif"]) < 1e-9            # collapsed: uniformity -> 0
     assert row["uniformity"] < got["unif"] - 0.01
+
+
+# ---------------------------------------------------------------------------
+# wave 1 (nonparametric statistics + multiple testing): hand-verified
+# invariants computed in pure python against the same sf0.01 inputs
+# ---------------------------------------------------------------------------
+
+def test_sign_test_pvalues_exact_binomial(spark, sf_dir):
+    """Each sign-test p-value must equal the EXACT two-sided binomial
+    tail min(1, 2*sum_{k<=min(s,n-s)} C(n,k)/2^n) recomputed in python
+    from the emitted (n, s); BH rejection must be the textbook step-up:
+    reject exactly ranks 1..i* where i* = max{i : p_(i) <= i*alpha/m}."""
+    rows = QUERIES["eval_bh_fdr_correction"](spark, sf_dir).collect()
+    m = len(rows)
+    assert m >= 2
+    by_rank = sorted(rows, key=lambda r: r["bh_rank"])
+    prev_p = 0.0
+    for r in by_rank:
+        n, s = r["n_changes"], r["s_plus"]
+        exact = min(1.0, 2.0 * sum(math.comb(n, k)
+                                   for k in range(min(s, n - s) + 1))
+                    / (1 << n))
+        assert r["p_value"] == exact, (r["event_type"], r["p_value"], exact)
+        assert r["p_value"] >= prev_p
+        prev_p = r["p_value"]
+    i_star = max([r["bh_rank"] for r in by_rank
+                  if r["p_value"] * 20 * m <= r["bh_rank"]], default=0)
+    for r in by_rank:
+        assert r["rejected"] == (1 if r["bh_rank"] <= i_star else 0)
+
+
+def test_wilcoxon_matches_bruteforce_python(spark, sf_dir):
+    """W+ / W- / z recomputed with a brute-force midrank assignment over
+    the per-user half-vs-half differences must match bit-for-bit (the
+    operator's cumulative-sum midranks are exact halves)."""
+    row = QUERIES["eval_wilcoxon_signed_rank"](spark, sf_dir).collect()[0]
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).collect()[0]
+    mid = (lo + hi) // 2
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(us <= mid, 1).otherwise(0)).alias("c1"),
+                     F.sum(F.when(us > mid, 1).otherwise(0)).alias("c2"))
+                .collect())
+    ds = [r["c2"] - r["c1"] for r in per_user if r["c2"] != r["c1"]]
+    ranked = sorted((abs(d), d > 0) for d in ds)
+    n = len(ds)
+    # midranks by scanning runs of equal |d|
+    w_plus, i = 0.0, 0
+    ties = 0
+    while i < n:
+        j = i
+        while j < n and ranked[j][0] == ranked[i][0]:
+            j += 1
+        c = j - i
+        midrank = i + (c + 1) / 2.0
+        w_plus += midrank * sum(1 for k in range(i, j) if ranked[k][1])
+        ties += c ** 3 - c
+        i = j
+    assert row["n_pairs"] == n
+    assert row["w_plus"] == w_plus
+    assert row["w_minus"] == n * (n + 1) / 2.0 - w_plus
+    var = (n * (n + 1) * (2 * n + 1) * 2.0 - ties) / 48.0
+    z = (4 * w_plus - n * float(n + 1)) / (4 * math.sqrt(var))
+    assert row["z_score"] == z
+
+
+def test_macro_ovr_auc_bounds_and_macro_row(spark, sf_dir):
+    """Per-label AUCs in [0,1]; the macro row (label=-1) equals the mean
+    of the round-9 per-label AUCs; complement check: sum over labels of
+    n_pos equals the macro row's n."""
+    rows = QUERIES["eval_auc_macro_ovr"](spark, sf_dir).collect()
+    per = [r for r in rows if r["label"] >= 0]
+    macro = [r for r in rows if r["label"] == -1][0]
+    assert len(per) >= 2
+    for r in per:
+        assert 0.0 <= r["auc"] <= 1.0
+    assert sum(r["n_pos"] for r in per) == macro["n_pos"]
+    from decimal import Decimal
+    want = float(sum(Decimal(repr(round(r["auc"], 9))) for r in per)) / len(per)
+    assert abs(macro["auc"] - want) < 1e-12
+
+
+def test_mann_kendall_s_matches_bruteforce(spark, sf_dir):
+    """S recomputed from the collected monthly series must match; tau in
+    [-1,1]; z sign agrees with S."""
+    row = QUERIES["trend_mann_kendall"](spark, sf_dir).collect()[0]
+    o = t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                         .alias("m"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                    .cast("double").alias("x"))
+               .orderBy("m").collect())
+    xs = [r["x"] for r in monthly]
+    s = sum((xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(len(xs)) for j in range(i + 1, len(xs)))
+    assert row["s_stat"] == s
+    assert row["n_periods"] == len(xs)
+    assert -1.0 <= row["kendall_tau"] <= 1.0
+    if s > 0:
+        assert row["z_score"] > 0
+    elif s < 0:
+        assert row["z_score"] < 0
+
+
+def test_pinball_loss_asymmetry(spark, sf_dir):
+    """Pinball losses are nonnegative; the q=0.9 loss must penalize
+    under-forecasting 9x over-forecasting: recompute from the daily
+    series for one event type."""
+    rows = QUERIES["eval_pinball_loss"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pinball_p50"] >= 0.0 and r["pinball_p90"] >= 0.0
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts").cast("timestamp"))
+                        .alias("d"))
+             .agg(F.count(F.lit(1)).alias("y"))
+             .orderBy("event_type", "d").collect())
+    etype = rows[0]["event_type"]
+    ys = [r["y"] for r in daily if r["event_type"] == etype]
+    ntr = len(ys) // 2
+    train, test = sorted(ys[:ntr]), ys[ntr:]
+    f50 = train[(ntr + 1) // 2 - 1]
+    f90 = train[(9 * ntr + 9) // 10 - 1]
+    p50 = sum(abs(y - f50) for y in test) / (2.0 * len(test))
+    p90 = sum(max(9 * (y - f90), f90 - y) for y in test) / (10.0 * len(test))
+    got = [r for r in rows if r["event_type"] == etype][0]
+    assert got["n_test"] == len(test)
+    assert got["pinball_p50"] == p50
+    assert got["pinball_p90"] == p90
