@@ -237,50 +237,41 @@ _CKA_D = 32  # each view is 32 of the 64 dimensions
 
 
 @query("emb_linear_cka", f"""
-WITH xs AS (
-  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
-  FROM embeddings, (SELECT UNNEST(range(1, {_CKA_D} + 1)) AS i) i
-),
-ys AS (
-  SELECT vec_id, i.i AS j,
-         CAST(embedding[i.i + {_CKA_D}] AS DOUBLE) AS v
-  FROM embeddings, (SELECT UNNEST(range(1, {_CKA_D} + 1)) AS i) i
+WITH tri AS (
+  SELECT a.i, b.j,
+         CAST(SUM(CAST(embedding[a.i]::DOUBLE * embedding[b.j]::DOUBLE
+                       AS DECIMAL(30,8))) AS DOUBLE) AS g
+  FROM embeddings,
+       (SELECT UNNEST(range(1, {2 * _CKA_D} + 1)) AS i) a,
+       (SELECT UNNEST(range(1, {2 * _CKA_D} + 1)) AS j) b
+  WHERE b.j >= a.i
+  GROUP BY 1, 2
 ),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
-mx AS (SELECT i, {sql_dsum('v', 9)} / COUNT(*) AS mu FROM xs GROUP BY i),
-my AS (SELECT j, {sql_dsum('v', 9)} / COUNT(*) AS mu FROM ys GROUP BY j),
-xc AS (SELECT xs.vec_id, xs.i, xs.v - mx.mu AS v
-       FROM xs JOIN mx ON mx.i = xs.i),
-yc AS (SELECT ys.vec_id, ys.j, ys.v - my.mu AS v
-       FROM ys JOIN my ON my.j = ys.j),
-cxy AS (
-  SELECT x.i, y.j,
-         CAST(SUM(CAST(ROUND(x.v * y.v, 9) AS DECIMAL(30,9)))
-              AS DOUBLE) AS c
-  FROM xc x JOIN yc y ON y.vec_id = x.vec_id
-  GROUP BY 1, 2
+mu AS (
+  SELECT d.i,
+         CAST(SUM(CAST(ROUND(embedding[d.i]::DOUBLE, 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS s
+  FROM embeddings, (SELECT UNNEST(range(1, {2 * _CKA_D} + 1)) AS i) d
+  GROUP BY 1
 ),
-cxx AS (
-  SELECT a.i, b.i AS j,
-         CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(30,9)))
-              AS DOUBLE) AS c
-  FROM xc a JOIN xc b ON b.vec_id = a.vec_id
-  GROUP BY 1, 2
-),
-cyy AS (
-  SELECT a.j AS i, b.j,
-         CAST(SUM(CAST(ROUND(a.v * b.v, 9) AS DECIMAL(30,9)))
-              AS DOUBLE) AS c
-  FROM yc a JOIN yc b ON b.vec_id = a.vec_id
-  GROUP BY 1, 2
+c AS (
+  SELECT t.i, t.j,
+         t.g / nn.n - (mi.s / nn.n) * (mj.s / nn.n) AS c
+  FROM tri t CROSS JOIN nn
+  JOIN mu mi ON mi.i = t.i
+  JOIN mu mj ON mj.i = t.j
 ),
 fr AS (
-  SELECT (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
-                      AS DOUBLE) FROM cxy) AS hsic_xy,
-         (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
-                      AS DOUBLE) FROM cxx) AS hsic_xx,
-         (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9)))
-                      AS DOUBLE) FROM cyy) AS hsic_yy
+  SELECT
+    (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9))) AS DOUBLE)
+     FROM c WHERE i <= {_CKA_D} AND j >= {_CKA_D} + 1) AS hsic_xy,
+    (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9))
+                     * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS DOUBLE)
+     FROM c WHERE j <= {_CKA_D}) AS hsic_xx,
+    (SELECT CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(30,9))
+                     * (CASE WHEN i = j THEN 1 ELSE 2 END)) AS DOUBLE)
+     FROM c WHERE i >= {_CKA_D} + 1) AS hsic_yy
 )
 SELECT nn.n AS n_vectors, CAST({_CKA_D} AS BIGINT) AS d_view,
        hsic_xy, hsic_xx, hsic_yy,
@@ -293,54 +284,57 @@ def emb_linear_cka(spark, sf_dir):
     between two views of the embedding table — the first and last 32
     dimensions, standing in for two layers/checkpoints of an encoder:
     CKA = ||Cov(X,Y)||_F^2 / (||Cov(X,X)||_F ||Cov(Y,Y)||_F) on centered
-    features. The covariance entries come from the EXPLODED (vec, dim,
-    value) layout joined per-vector — the shuffle is keyed on (i, j)
-    dimension pairs, i.e. O(n*d^2) work distributed across the cluster
-    with no d x d matrix ever resident on one executor (the same layout
-    the PCA/Gram entries established; the HOF-free join form avoids
-    both the interpreted-HOF and the JIT-oversized flat-sum pitfalls).
-    Determinism: per-dim means are exact decimal averages; centered
-    products and their squares are round-9 fenced into exact decimal
-    sums (values are O(1), so neither the round-9 floor nor the
-    decimal ceiling binds); the final ratio divides identical doubles
-    (NULLIF-guarded against a zero-variance view)."""
+    features. All three covariance blocks are sub-blocks of the ONE
+    full d x d Gram matrix (Cov_ij = G_ij/n - mu_i mu_j), so the Spark
+    side consumes the Arrow Gram production path
+    (operators/similarity.gram_matrix_arrow: one numpy d x d partial
+    per partition, exact scaled-int64 accumulation — bit-identical to
+    the JVM decimal formulation by
+    tests/test_similarity.py::test_gram_matrix_arrow_matches_jvm, the
+    same plumbing the PCA entries ride per VERDICT r10 #3) instead of
+    an O(n d^2)-row centered pair join. Post-Gram work is d^2/2-row
+    arithmetic. Frobenius norms fold the upper triangle with weight 2
+    off-diagonal inside each view; the cross-view block lies entirely
+    above the diagonal. Determinism: Gram entries are exact decimal
+    sums; per-dim means are round-9 exact decimal sums over n; each
+    covariance is an identically-shaped double expression; squared
+    entries are round-9 fenced (values O(1)) into exact decimal sums;
+    the final ratio is one guarded division."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        gram_matrix_arrow)
     emb = t(spark, sf_dir, "embeddings")
-    idx = F.explode(F.sequence(F.lit(1), F.lit(_CKA_D))).alias("i")
-    xs = (emb.select("vec_id", idx,
-                     F.col("embedding").alias("e"))
-          .select("vec_id", "i",
-                  F.element_at("e", F.col("i")).cast("double").alias("v")))
-    ys = (emb.select("vec_id", idx, F.col("embedding").alias("e"))
-          .select("vec_id", F.col("i").alias("j"),
-                  F.element_at("e", F.col("i") + _CKA_D).cast("double")
-                  .alias("v")))
+    d2 = 2 * _CKA_D
+    tri = gram_matrix_arrow(emb, vec_col="embedding", dim=d2, scale=8)
     nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    mx = xs.groupBy("i").agg((dsum("v", 9) / F.count(F.lit(1))).alias("mu"))
-    my = ys.groupBy("j").agg((dsum("v", 9) / F.count(F.lit(1))).alias("mu"))
-    xc = (xs.join(F.broadcast(mx), "i")
-          .select("vec_id", "i", (F.col("v") - F.col("mu")).alias("v"))
-          .localCheckpoint(eager=False))  # feeds cxy + cxx twice
-    yc = (ys.join(F.broadcast(my), "j")
-          .select("vec_id", "j", (F.col("v") - F.col("mu")).alias("v"))
-          .localCheckpoint(eager=False))  # feeds cxy + cyy twice
-
-    def cov(a, acol, b, bcol):
-        aa = a.select("vec_id", F.col(acol).alias("_i"),
-                      F.col("v").alias("va"))
-        bb = b.select("vec_id", F.col(bcol).alias("_j"),
-                      F.col("v").alias("vb"))
-        return (aa.join(bb, "vec_id")
-                .groupBy("_i", "_j")
-                .agg(dsum(F.round(F.col("va") * F.col("vb"), 9), 9)
-                     .alias("c")))
-
-    def fro(cdf, name):
-        return cdf.agg(dsum(F.round(F.col("c") * F.col("c"), 9), 9)
-                       .alias(name))
-
-    fr = (fro(cov(xc, "i", yc, "j"), "hsic_xy")
-          .crossJoin(F.broadcast(fro(cov(xc, "i", xc, "i"), "hsic_xx")))
-          .crossJoin(F.broadcast(fro(cov(yc, "j", yc, "j"), "hsic_yy"))))
+    idx = F.explode(F.sequence(F.lit(1), F.lit(d2))).alias("i")
+    mu = (emb.select(idx, F.col("embedding").alias("e"))
+          .select("i", F.element_at("e", F.col("i")).cast("double")
+                  .alias("v"))
+          .groupBy("i").agg(dsum(F.round(F.col("v"), 9), 9).alias("s")))
+    mi = mu.select(F.col("i").alias("_mi"), F.col("s").alias("si"))
+    mj = mu.select(F.col("i").alias("_mj"), F.col("s").alias("sj"))
+    c = (tri.crossJoin(F.broadcast(nn))
+         .join(F.broadcast(mi), F.col("_mi") == F.col("i"))
+         .join(F.broadcast(mj), F.col("_mj") == F.col("j"))
+         .select("i", "j",
+                 (F.col("g") / F.col("n")
+                  - (F.col("si") / F.col("n"))
+                  * (F.col("sj") / F.col("n"))).alias("c"))
+         .localCheckpoint(eager=False))  # d^2/2 rows feed three sums
+    # weight as decimal(1,0): decimal(30,9) * plain INT would exceed
+    # Spark's 38-digit cap and silently REDUCE THE SCALE of the product
+    # (observed: hsic_xx off by 2.5e-5); a 1-digit decimal keeps the
+    # doubled terms exact at scale 9 on both engines.
+    w = (F.when(F.col("i") == F.col("j"), 1).otherwise(2)
+         .cast("decimal(1,0)"))
+    cc9 = F.round(F.col("c") * F.col("c"), 9).cast("decimal(30,9)")
+    hxy = (c.where((F.col("i") <= _CKA_D) & (F.col("j") >= _CKA_D + 1))
+           .agg(F.sum(cc9).cast("double").alias("hsic_xy")))
+    hxx = (c.where(F.col("j") <= _CKA_D)
+           .agg(F.sum(cc9 * w).cast("double").alias("hsic_xx")))
+    hyy = (c.where(F.col("i") >= _CKA_D + 1)
+           .agg(F.sum(cc9 * w).cast("double").alias("hsic_yy")))
+    fr = hxy.crossJoin(F.broadcast(hxx)).crossJoin(F.broadcast(hyy))
     return (fr.crossJoin(F.broadcast(nn))
             .select(F.col("n").alias("n_vectors"),
                     F.lit(_CKA_D).cast("bigint").alias("d_view"),

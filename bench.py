@@ -282,6 +282,12 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct_ops", "dedup_lsh_param_planner",
     "sample_weighted_ares", "mixture_data_constrained_epochs",
     "emb_alignment_uniformity",
+    # round 11 wave 1: nonparametric statistics + multiple testing
+    "eval_bh_fdr_correction", "eval_wilcoxon_signed_rank",
+    "eval_auc_macro_ovr", "trend_mann_kendall", "eval_pinball_loss",
+    # round 11 wave 2: cluster validation / graph / CKA / CDC / ICC
+    "cluster_davies_bouldin", "graph_adamic_adar", "emb_linear_cka",
+    "dedup_cdc_chunking", "eval_icc_2_1",
 ]
 
 
