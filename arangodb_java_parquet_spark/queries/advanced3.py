@@ -550,3 +550,600 @@ def eval_icc_2_1(spark, sf_dir):
                     + (F.col("k") / F.col("n").cast("double"))
                     * (F.col("msc") - F.col("mse")), F.lit(0.0)))
         .alias("icc_2_1"))
+
+
+# ===========================================================================
+# round-11 wave 3
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# blocking-scheme quality for record linkage (reduction ratio / completeness)
+# ---------------------------------------------------------------------------
+
+@query("linkage_blocking_quality", """
+WITH truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+keys AS (
+  SELECT c_custkey,
+         'name_prefix' AS scheme, substring(c_name, 1, 15) AS bkey
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nation_segment',
+         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+  FROM customer
+),
+blocks AS (
+  SELECT scheme, bkey, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM keys GROUP BY 1, 2
+),
+cand AS (
+  SELECT scheme, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS cand_pairs
+  FROM blocks GROUP BY scheme
+),
+captured AS (
+  SELECT a.scheme, CAST(COUNT(*) AS BIGINT) AS n_captured
+  FROM keys a JOIN keys b
+    ON b.scheme = a.scheme AND b.c_custkey = a.c_custkey + 1
+   AND b.bkey = a.bkey
+  GROUP BY a.scheme
+)
+SELECT c.scheme, c.n_blocks, c.cand_pairs,
+       1.0e0 - c.cand_pairs / (n.n * (n.n - 1) / 2.0e0)
+         AS reduction_ratio,
+       COALESCE(cp.n_captured, 0) / CAST(t.n_true AS DOUBLE)
+         AS pairs_completeness
+FROM cand c
+LEFT JOIN captured cp ON cp.scheme = c.scheme
+CROSS JOIN nn n CROSS JOIN truth t
+""")
+def linkage_blocking_quality(spark, sf_dir):
+    """BLOCKING-SCHEME EVALUATION for record linkage (Christen 2012):
+    reduction ratio RR = 1 - |candidate pairs| / |all pairs| and pairs
+    completeness PC = |true matches inside blocks| / |true matches| —
+    the two numbers that decide whether a blocking key is safe to
+    deploy before the expensive comparison stage (join_fuzzy_name_match
+    / linkage_fellegi_sunter). The ground truth is the deterministic
+    adjacent-serial pair set (c_custkey, c_custkey+1) — an O(n)
+    equi-join, never pairwise. Candidate-pair counts come from BLOCK
+    SIZES ONLY (sum sz*(sz-1)/2), so nothing quadratic is ever
+    materialized — exactly how blocking audits stay feasible at 100 TB.
+    Two schemes are scored: a name-prefix key (adjacent serials collide
+    unless they cross a radix boundary -> high PC, high RR) and a
+    (nation, segment) key (uninformative for serial adjacency -> low
+    PC). Every metric is integer counting until one final division."""
+    c = t(spark, sf_dir, "customer")
+    a = c.select((F.col("c_custkey") + 1).alias("k"))
+    truth = (c.join(a, F.col("c_custkey") == F.col("k"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+    nn = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    keys = (c.select("c_custkey", F.lit("name_prefix").alias("scheme"),
+                     F.substring("c_name", 1, 15).alias("bkey"))
+            .unionAll(c.select(
+                "c_custkey", F.lit("nation_segment"),
+                F.concat_ws("|", F.col("c_nationkey").cast("string"),
+                            F.col("c_mktsegment"))))
+            .localCheckpoint(eager=False))  # feeds blocks + both join legs
+    blocks = (keys.groupBy("scheme", "bkey")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("sz")))
+    cand = (blocks.groupBy("scheme")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                 F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint")
+                 .alias("cand_pairs")))
+    kb = keys.select(F.col("scheme").alias("s2"),
+                     (F.col("c_custkey") - 1).alias("k2"),
+                     F.col("bkey").alias("b2"))
+    captured = (keys.join(kb, (F.col("s2") == F.col("scheme"))
+                          & (F.col("k2") == F.col("c_custkey"))
+                          & (F.col("b2") == F.col("bkey")))
+                .groupBy("scheme")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_captured")))
+    return (cand.join(captured, "scheme", "left")
+            .crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(truth))
+            .select("scheme", "n_blocks", "cand_pairs",
+                    (F.lit(1.0) - F.col("cand_pairs")
+                     / (F.col("n") * (F.col("n") - 1) / F.lit(2.0)))
+                    .alias("reduction_ratio"),
+                    (F.coalesce("n_captured", F.lit(0))
+                     / F.col("n_true").cast("double"))
+                    .alias("pairs_completeness")))
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening of the 2-D embedding projection (closed-form 2x2)
+# ---------------------------------------------------------------------------
+
+@query("emb_zca_whitening_2d", """
+WITH pts AS (
+  SELECT ROUND(embedding[1]::DOUBLE, 9) AS x,
+         ROUND(embedding[2]::DOUBLE, 9) AS y
+  FROM embeddings
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS syy
+  FROM pts
+),
+cv AS (
+  SELECT n,
+         sxx / n - (sx / n) * (sx / n) AS cxx,
+         sxy / n - (sx / n) * (sy / n) AS cxy,
+         syy / n - (sy / n) * (sy / n) AS cyy
+  FROM mo
+),
+wm AS (
+  SELECT n, cxx, cxy, cyy,
+         sqrt(cxx * cyy - cxy * cxy) AS s,
+         sqrt(cxx + cyy + 2 * sqrt(cxx * cyy - cxy * cxy)) AS tau
+  FROM cv
+),
+ww AS (
+  SELECT n, cxx, cxy, cyy,
+         ((cyy + s) / tau) / NULLIF(s, 0) AS w11,
+         (-cxy / tau) / NULLIF(s, 0) AS w12,
+         ((cxx + s) / tau) / NULLIF(s, 0) AS w22
+  FROM wm
+)
+SELECT n AS n_vectors, cxx, cxy, cyy, w11, w12, w22,
+       ROUND(w11 * (cxx * w11 + cxy * w12)
+             + w12 * (cxy * w11 + cyy * w12), 9) + 0.0e0 AS wcov_xx,
+       ROUND(w11 * (cxx * w12 + cxy * w22)
+             + w12 * (cxy * w12 + cyy * w22), 9) + 0.0e0 AS wcov_xy,
+       ROUND(w12 * (cxx * w12 + cxy * w22)
+             + w22 * (cxy * w12 + cyy * w22), 9) + 0.0e0 AS wcov_yy
+FROM ww
+""")
+def emb_zca_whitening_2d(spark, sf_dir):
+    """ZCA WHITENING of the 2-D embedding projection via the closed-form
+    2x2 inverse matrix square root: with s = sqrt(det C) and
+    tau = sqrt(tr C + 2s), sqrt(C) = (C + sI)/tau and W = C^(-1/2) =
+    adj(sqrt(C))/s — the symmetric whitening transform (Bell & Sejnowski
+    1997; Kessy et al. 2018) that decorrelates features while staying
+    closest to the identity. The emitted wcov_* entries are the
+    whitened covariance W C W recomputed algebraically — the unit-test
+    built into the output (expected ~ I). Scale: ONE combinable moment
+    aggregation (five decimal sums) and a single-row closed-form chain;
+    no iteration, no collect. Determinism: round-9 inputs, exact
+    decimal moments, then identically-shaped double expressions (sqrt
+    is IEEE correctly-rounded; divisions NULLIF-guarded against a
+    degenerate singular covariance); the near-identity outputs are
+    round-9 fenced."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.round(F.col("embedding").getItem(0).cast("double"), 9).alias("x"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9).alias("y"))
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x", 9).alias("sx"), dsum("y", 9).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+        dsum(F.round(F.col("y") * F.col("y"), 9), 9).alias("syy"))
+    cv = mo.select(
+        "n",
+        (F.col("sxx") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        .alias("cxx"),
+        (F.col("sxy") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+        .alias("cxy"),
+        (F.col("syy") / F.col("n")
+         - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+        .alias("cyy"))
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    wm = cv.select(
+        "n", "cxx", "cxy", "cyy", F.sqrt(det).alias("s"),
+        F.sqrt(F.col("cxx") + F.col("cyy") + 2 * F.sqrt(det)).alias("tau"))
+    ww = wm.select(
+        "n", "cxx", "cxy", "cyy",
+        (((F.col("cyy") + F.col("s")) / F.col("tau"))
+         / F.nullif(F.col("s"), F.lit(0.0))).alias("w11"),
+        ((-F.col("cxy") / F.col("tau"))
+         / F.nullif(F.col("s"), F.lit(0.0))).alias("w12"),
+        (((F.col("cxx") + F.col("s")) / F.col("tau"))
+         / F.nullif(F.col("s"), F.lit(0.0))).alias("w22"))
+    return ww.select(
+        F.col("n").alias("n_vectors"), "cxx", "cxy", "cyy",
+        "w11", "w12", "w22",
+        (F.round(F.col("w11") * (F.col("cxx") * F.col("w11")
+                                 + F.col("cxy") * F.col("w12"))
+                + F.col("w12") * (F.col("cxy") * F.col("w11")
+                                  + F.col("cyy") * F.col("w12")), 9)
+         + F.lit(0.0)).alias("wcov_xx"),
+        (F.round(F.col("w11") * (F.col("cxx") * F.col("w12")
+                                 + F.col("cxy") * F.col("w22"))
+                + F.col("w12") * (F.col("cxy") * F.col("w12")
+                                  + F.col("cyy") * F.col("w22")), 9)
+         + F.lit(0.0)).alias("wcov_xy"),
+        (F.round(F.col("w12") * (F.col("cxx") * F.col("w12")
+                                 + F.col("cxy") * F.col("w22"))
+                + F.col("w22") * (F.col("cxy") * F.col("w12")
+                                  + F.col("cyy") * F.col("w22")), 9)
+         + F.lit(0.0)).alias("wcov_yy"))
+
+
+# ---------------------------------------------------------------------------
+# SpotSigs near-duplicate detection (stopword-anchored signatures)
+# ---------------------------------------------------------------------------
+
+_SPOT_DF_CAP = 50      # drop signatures present in more docs (stop-sigs)
+_SPOT_MIN_J = 0.3      # emit pairs at or above this signature Jaccard
+
+
+@query("dedup_spotsigs", f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS tok
+  FROM (SELECT doc_id, text,
+               UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents)
+),
+anchors AS (
+  SELECT doc_id, pos FROM toks WHERE tok IN ('a', 'the')
+),
+nonstop AS (
+  SELECT doc_id, pos, tok FROM toks WHERE tok NOT IN ('a', 'the')
+),
+chains AS (
+  SELECT a.doc_id, a.pos,
+         'sig:' || string_agg(f.tok, ':' ORDER BY f.pos) AS sig
+  FROM anchors a
+  JOIN LATERAL (
+    SELECT n.pos, n.tok FROM nonstop n
+    WHERE n.doc_id = a.doc_id AND n.pos > a.pos
+    ORDER BY n.pos LIMIT 2
+  ) f ON TRUE
+  GROUP BY a.doc_id, a.pos
+),
+sigs AS (SELECT DISTINCT doc_id, sig FROM chains),
+df AS (
+  SELECT sig FROM sigs GROUP BY sig
+  HAVING COUNT(*) BETWEEN 2 AND {_SPOT_DF_CAP}
+),
+kept AS (SELECT s.doc_id, s.sig FROM sigs s JOIN df USING (sig)),
+card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sigs
+         FROM sigs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b
+    ON b.sig = a.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       ca.n_sigs AS sigs_a, cb.n_sigs AS sigs_b,
+       i.n_common / CAST(ca.n_sigs + cb.n_sigs - i.n_common AS DOUBLE)
+         AS spot_jaccard
+FROM inter i
+JOIN card ca ON ca.doc_id = i.doc_a
+JOIN card cb ON cb.doc_id = i.doc_b
+WHERE i.n_common / CAST(ca.n_sigs + cb.n_sigs - i.n_common AS DOUBLE)
+      >= CAST(3 AS DOUBLE) / 10
+""")
+def dedup_spotsigs(spark, sf_dir):
+    """SPOTSIGS near-duplicate detection (Theobald et al., SIGIR 2008):
+    signatures are chains of the next 2 NON-stopword tokens after each
+    stopword anchor ('a'/'the') — anchoring at stopwords samples
+    natural-text positions that boilerplate injection tends not to
+    move, the paper's trick for news-page dedup. Doc similarity is
+    Jaccard over DISTINCT signature sets via an inverted signature
+    index: signatures shared by >{_SPOT_DF_CAP} docs are dropped
+    (stop-sigs — the same DF cap bounding the winnowing and PPJoin
+    postings), so the pair join is bounded per signature, never
+    all-pairs. The chain lookup is a per-anchor top-2 scan expressed as
+    a rank-2 window over the (doc, anchor) forward neighborhood; the
+    Spark side bounds it to a LOOKAHEAD of 8 positions so the
+    self-join fan-out is constant per anchor (two adjacent stopwords
+    within 8 tokens of an anchor are guaranteed in this corpus'
+    vocabulary; the oracle's LATERAL is unbounded and agrees — any
+    divergence would hash-FAIL). Integer counting into one final
+    division; the threshold is an integer-ratio literal."""
+    d = t(spark, sf_dir, "documents")
+    toks = (d.select("doc_id",
+                     F.posexplode(F.split("text", " "))
+                     .alias("pos0", "tok"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+            .localCheckpoint(eager=False))  # anchors + nonstop legs
+    anchors = (toks.where(F.col("tok").isin("a", "the"))
+               .select("doc_id", "pos"))
+    nonstop = (toks.where(~F.col("tok").isin("a", "the"))
+               .select(F.col("doc_id").alias("nd"),
+                       F.col("pos").alias("np"), "tok"))
+    near = (anchors.join(
+        nonstop,
+        (F.col("nd") == F.col("doc_id")) & (F.col("np") > F.col("pos"))
+        & (F.col("np") <= F.col("pos") + 8)))
+    w = Window.partitionBy("doc_id", "pos").orderBy("np")
+    chains = (near.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= 2)
+              .groupBy("doc_id", "pos")
+              .agg(F.concat(F.lit("sig:"), F.expr(
+                  "array_join(transform(array_sort(collect_list("
+                  "struct(np, tok))), s -> s.tok), ':')")).alias("sig")))
+    sigs = (chains.select("doc_id", "sig").distinct()
+            .localCheckpoint(eager=False))  # df + kept + card legs
+    df = (sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("ndocs"))
+          .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= _SPOT_DF_CAP))
+          .select("sig"))
+    kept = sigs.join(df, "sig")
+    card = sigs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sigs"))
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "sig")
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "sig")
+    inter = (ka.join(kb, "sig")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    ca = card.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_sigs").alias("sigs_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_sigs").alias("sigs_b"))
+    jac = (F.col("n_common")
+           / (F.col("sigs_a") + F.col("sigs_b") - F.col("n_common"))
+           .cast("double"))
+    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+            .select("doc_a", "doc_b", "n_common", "sigs_a", "sigs_b",
+                    jac.alias("spot_jaccard"))
+            .where(jac >= F.lit(3).cast("double") / 10))
+
+
+# ---------------------------------------------------------------------------
+# DeLong variance / confidence interval for AUC
+# ---------------------------------------------------------------------------
+
+@query("eval_auc_delong_ci", """
+WITH scores AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+byv AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(y) AS BIGINT) AS cpos
+  FROM scores GROUP BY s
+),
+cum AS (
+  SELECT s, c, cpos, c - cpos AS cneg,
+         CAST(COALESCE(SUM(c - cpos) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS negb,
+         CAST(COALESCE(SUM(cpos) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS posa
+  FROM byv
+),
+tot AS (
+  SELECT CAST(SUM(cpos) AS BIGINT) AS n1,
+         CAST(SUM(c - cpos) AS BIGINT) AS n0
+  FROM byv
+),
+moments AS (
+  SELECT
+    CAST(SUM(CAST(cpos * (2 * negb + cneg) AS DECIMAL(38,0)))
+         AS DOUBLE) AS su,
+    CAST(SUM(CAST(cpos * (2 * negb + cneg) * (2 * negb + cneg)
+                  AS DECIMAL(38,0))) AS DOUBLE) AS suu,
+    CAST(SUM(CAST(cneg * (2 * posa + cpos) AS DECIMAL(38,0)))
+         AS DOUBLE) AS sv,
+    CAST(SUM(CAST(cneg * (2 * posa + cpos) * (2 * posa + cpos)
+                  AS DECIMAL(38,0))) AS DOUBLE) AS svv
+  FROM cum
+),
+met AS (
+  SELECT n1, n0,
+         su / (2.0e0 * n1 * n0) AS auc,
+         (suu - su * (su / n1)) / (n1 - 1) / (4.0e0 * n0 * n0) AS s10,
+         (svv - sv * (sv / n0)) / (n0 - 1) / (4.0e0 * n1 * n1) AS s01
+  FROM moments CROSS JOIN tot
+)
+SELECT n1 AS n_pos, n0 AS n_neg, auc,
+       s10 / n1 + s01 / n0 AS var_auc,
+       auc - (CAST(196 AS DOUBLE) / 100)
+             * sqrt(s10 / n1 + s01 / n0) AS ci_low,
+       auc + (CAST(196 AS DOUBLE) / 100)
+             * sqrt(s10 / n1 + s01 / n0) AS ci_high
+FROM met
+""")
+def eval_auc_delong_ci(spark, sf_dir):
+    """DELONG VARIANCE AND 95% CI FOR AUC (DeLong, DeLong &
+    Clarke-Pearson 1988): the structural components V10(pos) = P(score
+    beats a random negative) and V01(neg) are computed per DISTINCT
+    score value from the same cumulative-count table the Mann-Whitney
+    AUC uses — V10 = (2*#neg_below + #neg_equal) / (2*n0), an exact
+    INTEGER u = 2*negb + cneg per group, so the component moments
+    (sum c*u, sum c*u^2) are exact decimal(38,0) integer sums and the
+    sample variances S10/S01 are identically-shaped double expressions
+    on both engines. var(AUC) = S10/n1 + S01/n0; the CI multiplier is
+    the integer-ratio literal 196/100 (never a float repr, per the repo
+    rule). Scale: one distinct-score cumulative pass — no per-row
+    window, no pair join; this is how AUC gets an error bar at 100 TB
+    without bootstrapping."""
+    d = t(spark, sf_dir, "documents")
+    scores = d.select(F.col("n_chars").alias("s"),
+                      F.when(F.col("lang") == "en", 1).otherwise(0)
+                      .alias("y"))
+    byv = scores.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("cpos"))
+    wup = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    wdn = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    cum = byv.select(
+        "s", "c", "cpos", (F.col("c") - F.col("cpos")).alias("cneg"),
+        F.coalesce(F.sum(F.col("c") - F.col("cpos")).over(wup), F.lit(0))
+        .cast("bigint").alias("negb"),
+        F.coalesce(F.sum("cpos").over(wdn), F.lit(0))
+        .cast("bigint").alias("posa"))
+    tot = byv.agg(F.sum("cpos").cast("bigint").alias("n1"),
+                  F.sum(F.col("c") - F.col("cpos")).cast("bigint")
+                  .alias("n0"))
+    u = 2 * F.col("negb") + F.col("cneg")
+    v = 2 * F.col("posa") + F.col("cpos")
+    moments = cum.agg(
+        F.sum((F.col("cpos") * u).cast("decimal(38,0)")).cast("double")
+        .alias("su"),
+        F.sum((F.col("cpos") * u * u).cast("decimal(38,0)")).cast("double")
+        .alias("suu"),
+        F.sum((F.col("cneg") * v).cast("decimal(38,0)")).cast("double")
+        .alias("sv"),
+        F.sum((F.col("cneg") * v * v).cast("decimal(38,0)")).cast("double")
+        .alias("svv"))
+    met = (moments.crossJoin(F.broadcast(tot))
+           .select("n1", "n0",
+                   (F.col("su") / (F.lit(2.0) * F.col("n1") * F.col("n0")))
+                   .alias("auc"),
+                   ((F.col("suu") - F.col("su") * (F.col("su")
+                                                   / F.col("n1")))
+                    / (F.col("n1") - 1)
+                    / (F.lit(4.0) * F.col("n0") * F.col("n0")))
+                   .alias("s10"),
+                   ((F.col("svv") - F.col("sv") * (F.col("sv")
+                                                   / F.col("n0")))
+                    / (F.col("n0") - 1)
+                    / (F.lit(4.0) * F.col("n1") * F.col("n1")))
+                   .alias("s01")))
+    var = F.col("s10") / F.col("n1") + F.col("s01") / F.col("n0")
+    z95 = F.lit(196).cast("double") / 100
+    return met.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"), "auc",
+        var.alias("var_auc"),
+        (F.col("auc") - z95 * F.sqrt(var)).alias("ci_low"),
+        (F.col("auc") + z95 * F.sqrt(var)).alias("ci_high"))
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend forecast (fit by fold, scored on a holdout)
+# ---------------------------------------------------------------------------
+
+@query("forecast_holt_linear", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT event_type, d, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+  FROM daily
+),
+series AS (
+  SELECT event_type, CAST(nd // 2 AS BIGINT) AS n_train,
+         list(CAST(y AS DOUBLE) ORDER BY rn) AS ys
+  FROM rk WHERE rn <= nd // 2
+  GROUP BY event_type, nd // 2
+),
+fitted AS (
+  -- DuckDB 1.0 notes: list_reduce has no initial-value argument (the
+  -- seed state rides as the FIRST list element), and STRUCT-valued
+  -- accumulators update fields IN PLACE (a later field sees an earlier
+  -- field's NEW value — diverges from Spark's snapshot semantics), so
+  -- the (level, trend) state is a 2-element DOUBLE list, which reduces
+  -- with correct snapshot semantics on both engines.
+  SELECT event_type, n_train,
+         list_reduce(
+           list_prepend(
+             [ys[2], ys[2] - ys[1]],
+             list_transform(range(3, CAST(n_train AS BIGINT) + 1),
+                            k -> [ys[k], CAST(0 AS DOUBLE)])),
+           (acc, e) -> [
+             (CAST(3 AS DOUBLE) / 10) * e[1]
+               + (1 - CAST(3 AS DOUBLE) / 10) * (acc[1] + acc[2]),
+             (CAST(1 AS DOUBLE) / 10)
+               * (((CAST(3 AS DOUBLE) / 10) * e[1]
+                   + (1 - CAST(3 AS DOUBLE) / 10) * (acc[1] + acc[2]))
+                  - acc[1])
+               + (1 - CAST(1 AS DOUBLE) / 10) * acc[2]
+           ]) AS st
+  FROM series WHERE n_train >= 3
+),
+fc AS (
+  SELECT event_type, n_train, st[1] AS level_fit, st[2] AS trend_fit
+  FROM fitted
+)
+SELECT f.event_type,
+       f.level_fit, f.trend_fit,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CAST(ROUND((t.y - (f.level_fit
+                                   + (t.rn - f.n_train) * f.trend_fit))
+                           * (t.y - (f.level_fit
+                                     + (t.rn - f.n_train) * f.trend_fit)),
+                           6) AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS mse,
+       CAST(SUM(CAST(ROUND(ABS(t.y - (f.level_fit
+                                      + (t.rn - f.n_train)
+                                        * f.trend_fit)), 9)
+                     AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS mae
+FROM rk t JOIN fc f USING (event_type)
+WHERE t.rn > f.n_train
+GROUP BY f.event_type, f.level_fit, f.trend_fit
+""")
+def forecast_holt_linear(spark, sf_dir):
+    """HOLT'S LINEAR-TREND EXPONENTIAL SMOOTHING (Holt 1957): fit
+    level/trend on the FIRST half of each event type's daily-count
+    series with alpha=3/10, beta=1/10 (integer-ratio literals), then
+    score the frozen h-step forecast l + h*b on the second half (MSE
+    round-6 fenced — squared residuals, per the repo's squared-
+    deviation rule — and MAE round-9). The inherently SEQUENTIAL
+    recurrence l_t = a*y_t + (1-a)(l+b); b_t = g*(l_t - l) + (1-g)*b is
+    expressed as a FOLD over the per-type ordered series — Spark's
+    aggregate() HOF and DuckDB's list_reduce() walk the identical
+    left-to-right chain of exactly-rounded double ops, so the fitted
+    state is bit-identical (the series values are integer counts —
+    exact doubles). Scale: the fold runs on ONE ROW PER TYPE over a
+    calendar-bounded array (30 days here); the corpus-sized work is
+    the daily aggregation — this is the legitimate shape for per-key
+    sequential state, NOT a driver loop."""
+    ev = t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts").cast("timestamp"))
+                        .alias("d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    wt = Window.partitionBy("event_type")
+    rk = (daily.select(
+        "event_type", "d", "y",
+        F.row_number().over(wt.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("nd"))
+        .localCheckpoint(eager=False))  # feeds the fit + the holdout
+    series = (rk.where(F.col("rn") <= F.expr("nd div 2"))
+              .groupBy("event_type", F.expr("nd div 2").alias("n_train"))
+              .agg(F.expr(
+                  "transform(array_sort(collect_list(struct(rn, y))),"
+                  " s -> CAST(s.y AS DOUBLE))").alias("ys")))
+    fitted = (series.where(F.col("n_train") >= 3)
+              .withColumn("st", F.expr("""
+        aggregate(
+          slice(ys, 3, CAST(n_train AS INT) - 2),
+          array(element_at(ys, 2),
+                element_at(ys, 2) - element_at(ys, 1)),
+          (acc, e) -> array(
+            (CAST(3 AS DOUBLE) / 10) * e
+              + (1 - CAST(3 AS DOUBLE) / 10)
+                * (element_at(acc, 1) + element_at(acc, 2)),
+            (CAST(1 AS DOUBLE) / 10)
+              * (((CAST(3 AS DOUBLE) / 10) * e
+                  + (1 - CAST(3 AS DOUBLE) / 10)
+                    * (element_at(acc, 1) + element_at(acc, 2)))
+                 - element_at(acc, 1))
+              + (1 - CAST(1 AS DOUBLE) / 10) * element_at(acc, 2)))""")))
+    fc = fitted.select("event_type", "n_train",
+                       F.element_at("st", 1).alias("level_fit"),
+                       F.element_at("st", 2).alias("trend_fit"))
+    test = rk.join(F.broadcast(fc), "event_type").where(
+        F.col("rn") > F.col("n_train"))
+    resid = (F.col("y") - (F.col("level_fit")
+                           + (F.col("rn") - F.col("n_train"))
+                           * F.col("trend_fit")))
+    return (test.groupBy("event_type", "level_fit", "trend_fit")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                 (F.sum(F.round(resid * resid, 6).cast("decimal(30,6)"))
+                  .cast("double") / F.count(F.lit(1))).alias("mse"),
+                 (F.sum(F.round(F.abs(resid), 9).cast("decimal(30,9)"))
+                  .cast("double") / F.count(F.lit(1))).alias("mae"))
+            .select("event_type", "level_fit", "trend_fit", "n_test",
+                    "mse", "mae"))

@@ -288,6 +288,9 @@ BENCH_QUERIES = [
     # round 11 wave 2: cluster validation / graph / CKA / CDC / ICC
     "cluster_davies_bouldin", "graph_adamic_adar", "emb_linear_cka",
     "dedup_cdc_chunking", "eval_icc_2_1",
+    # round 11 wave 3: blocking eval / ZCA / SpotSigs / DeLong / Holt
+    "linkage_blocking_quality", "emb_zca_whitening_2d", "dedup_spotsigs",
+    "eval_auc_delong_ci", "forecast_holt_linear",
 ]
 
 

@@ -433,3 +433,138 @@ def test_icc_matches_python_anova(spark, sf_dir):
     assert row["n_subjects"] == n
     assert row["msr"] == msr and row["msc"] == msc and row["mse"] == mse
     assert row["icc_2_1"] == icc
+
+
+# ---------------------------------------------------------------------------
+# wave 3: blocking eval / ZCA whitening / SpotSigs / DeLong / Holt
+# ---------------------------------------------------------------------------
+
+def test_blocking_quality_invariants(spark, sf_dir):
+    """name_prefix blocks adjacent serials except across radix
+    boundaries -> PC close to 1 and strictly greater than the
+    uninformative (nation, segment) scheme; RR in (0,1]; candidate
+    pairs consistent with a python recomputation of block sizes."""
+    rows = {r["scheme"]: r for r in
+            QUERIES["linkage_blocking_quality"](spark, sf_dir).collect()}
+    np_, ns_ = rows["name_prefix"], rows["nation_segment"]
+    # at sf0.001 all 150 serials share one 15-char prefix block, so the
+    # prefix scheme's RR legitimately bottoms out at exactly 0
+    assert 0.0 <= np_["reduction_ratio"] <= 1.0
+    assert 0.0 < ns_["reduction_ratio"] <= 1.0
+    assert np_["pairs_completeness"] > 0.9
+    assert np_["pairs_completeness"] > ns_["pairs_completeness"]
+    c = t(spark, sf_dir, "customer").select("c_name").collect()
+    from collections import Counter
+    sizes = Counter(r["c_name"][:15] for r in c)
+    assert np_["cand_pairs"] == sum(s * (s - 1) // 2
+                                    for s in sizes.values())
+    assert np_["n_blocks"] == len(sizes)
+
+
+def test_zca_whitened_covariance_is_identity(spark, sf_dir):
+    """The emitted whitened covariance must be the identity to round-9
+    (the algebraic W C W check built into the output), and W must be
+    symmetric positive (w11, w22 > 0)."""
+    row = QUERIES["emb_zca_whitening_2d"](spark, sf_dir).collect()[0]
+    assert abs(row["wcov_xx"] - 1.0) < 1e-6
+    assert abs(row["wcov_yy"] - 1.0) < 1e-6
+    assert abs(row["wcov_xy"]) < 1e-6
+    assert row["w11"] > 0 and row["w22"] > 0
+    assert row["cxx"] > 0 and row["cyy"] > 0
+
+
+def test_spotsigs_pairs_match_bruteforce(spark, sf_dir):
+    """Recompute SpotSigs signatures in python for one emitted pair and
+    confirm the signature-set Jaccard; all emitted pairs meet the 0.3
+    threshold and are ordered doc_a < doc_b."""
+    rows = QUERIES["dedup_spotsigs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["spot_jaccard"] >= 0.3 - 1e-12
+
+    def sigset(text):
+        toks = text.split(" ")
+        sigs = set()
+        for i, tok in enumerate(toks):
+            if tok in ("a", "the"):
+                chain = [w for w in toks[i + 1:] if w not in ("a", "the")][:2]
+                if chain:
+                    sigs.add("sig:" + ":".join(chain))
+        return sigs
+
+    docs = {d["doc_id"]: d["text"]
+            for d in t(spark, sf_dir, "documents").collect()}
+    r = rows[0]
+    sa, sb = sigset(docs[r["doc_a"]]), sigset(docs[r["doc_b"]])
+    assert r["sigs_a"] == len(sa) and r["sigs_b"] == len(sb)
+    # n_common counts DF-capped shared signatures (cap drops stop-sigs),
+    # so it is bounded by the raw intersection
+    assert r["n_common"] <= len(sa & sb)
+
+
+def test_delong_ci_matches_reference_formula(spark, sf_dir):
+    """Recompute AUC, DeLong variance and CI from raw scores in python
+    (structural components per observation) and compare; CI must
+    bracket the AUC."""
+    row = QUERIES["eval_auc_delong_ci"](spark, sf_dir).collect()[0]
+    d = t(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    pos = sorted(r["n_chars"] for r in d if r["lang"] == "en")
+    neg = sorted(r["n_chars"] for r in d if r["lang"] != "en")
+    import bisect
+    n1, n0 = len(pos), len(neg)
+
+    def v10(s):
+        lo = bisect.bisect_left(neg, s)
+        hi = bisect.bisect_right(neg, s)
+        return (lo + 0.5 * (hi - lo)) / n0
+
+    def v01(s):
+        lo = bisect.bisect_left(pos, s)
+        hi = bisect.bisect_right(pos, s)
+        return (len(pos) - hi + 0.5 * (hi - lo)) / n1
+
+    vs10 = [v10(s) for s in pos]
+    vs01 = [v01(s) for s in neg]
+    auc = sum(vs10) / n1
+    m10 = sum(vs10) / n1
+    m01 = sum(vs01) / n0
+    s10 = sum((v - m10) ** 2 for v in vs10) / (n1 - 1)
+    s01 = sum((v - m01) ** 2 for v in vs01) / (n0 - 1)
+    var = s10 / n1 + s01 / n0
+    assert row["n_pos"] == n1 and row["n_neg"] == n0
+    assert abs(row["auc"] - auc) < 1e-12
+    assert abs(row["var_auc"] - var) < 1e-12
+    assert row["ci_low"] < row["auc"] < row["ci_high"]
+
+
+def test_holt_fold_matches_python_recurrence(spark, sf_dir):
+    """The fitted (level, trend) and the holdout MSE/MAE must match a
+    python reimplementation of the identical fold and forecast."""
+    rows = {r["event_type"]: r for r in
+            QUERIES["forecast_holt_linear"](spark, sf_dir).collect()}
+    daily = (t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      .alias("d"))
+             .agg(F.count(F.lit(1)).alias("y"))
+             .orderBy("event_type", "d").collect())
+    from decimal import Decimal
+    for etype, row in rows.items():
+        ys = [float(r["y"]) for r in daily if r["event_type"] == etype]
+        ntr = len(ys) // 2
+        l, b = ys[1], ys[1] - ys[0]
+        a, g = 3 / 10, 1 / 10
+        for y in ys[2:ntr]:
+            lnew = a * y + (1 - a) * (l + b)
+            b = g * (lnew - l) + (1 - g) * b
+            l = lnew
+        assert row["level_fit"] == l and row["trend_fit"] == b
+        test = ys[ntr:]
+        resid = [y - (l + (h + 1) * b) for h, y in enumerate(test)]
+        mse = float(sum(Decimal(repr(round(r * r, 6)))
+                        for r in resid)) / len(test)
+        mae = float(sum(Decimal(repr(round(abs(r), 9)))
+                        for r in resid)) / len(test)
+        assert row["n_test"] == len(test)
+        assert abs(row["mse"] - mse) < 1e-9 and abs(row["mae"] - mae) < 1e-9
