@@ -828,3 +828,64 @@ def dedup_roi_report(spark, sf_dir):
                     F.round(1.0 - F.col("surviving_tokens")
                             / F.col("total_tokens").cast("double"), 9)
                     .alias("token_savings_frac")))
+
+
+@query("dedup_soft_weights",
+       _must_replace(
+           _CLUSTER_SQL,
+           "SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src",
+           """, comp AS (
+  SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src
+),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component),
+wts AS (
+  SELECT d.doc_id, d.source, s.cluster_size,
+         CASE WHEN s.cluster_size IS NULL
+              THEN CAST(1 AS DECIMAL(20,9))
+              ELSE CAST(ROUND(1.0e0 / s.cluster_size, 9)
+                        AS DECIMAL(20,9)) END AS w
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  LEFT JOIN sizes s ON s.component = c.component
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cluster_size IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered,
+       CAST(SUM(w) AS DOUBLE) AS effective_docs,
+       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS effective_fraction
+FROM wts GROUP BY source"""))
+def dedup_soft_weights(spark, sf_dir):
+    """SOFT DEDUPLICATION WEIGHTS: instead of deleting near-duplicates,
+    weight every document by 1/|its near-dup cluster| (docs outside any
+    cluster keep weight 1) — the training-data reweighting that
+    preserves coverage while neutralizing duplicate over-representation
+    (the soft variant of keep-one dedup, cf. SemDeDup/D4-style cluster
+    downweighting). Consumes the MATERIALIZED component table
+    (components_materialized — fit once, parquet-exact), joins sizes
+    back, and rolls up per source: raw vs effective document counts and
+    the effective fraction — the number that says how much of a source
+    is 'really there' after duplication. Scale: two hash joins on
+    (node, component) + one combinable rollup; weights are round-9
+    reciprocals of integers summed as exact decimals."""
+    comp = components_materialized(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    wts = (d.join(comp.withColumnRenamed("node", "doc_id"),
+                  "doc_id", "left")
+           .join(F.broadcast(sizes), "component", "left")
+           .select("source", "cluster_size",
+                   F.when(F.col("cluster_size").isNull(),
+                          F.lit(1).cast("decimal(20,9)"))
+                   .otherwise(F.round(F.lit(1.0) / F.col("cluster_size"),
+                                      9).cast("decimal(20,9)"))
+                   .alias("w")))
+    return (wts.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("cluster_size").isNotNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_clustered"),
+                 F.sum("w").cast("double").alias("effective_docs"),
+                 (F.sum("w").cast("double") / F.count(F.lit(1)))
+                 .alias("effective_fraction")))

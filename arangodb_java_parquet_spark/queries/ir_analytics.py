@@ -2100,3 +2100,88 @@ def dedup_lsh_param_planner(spark, sf_dir):
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# query likelihood with Jelinek-Mercer smoothing (round 11)
+# ---------------------------------------------------------------------------
+
+@query("ir_query_likelihood_jm", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ({_BM25_TERMS_SQL})),
+cfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM q GROUP BY tok),
+qconst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(CAST(ROUND(LN(cf / (2.0e0 * total)), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS bg_const
+  FROM cfs CROSS JOIN stats
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM q GROUP BY 1, 2),
+corr AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(LN(1 + (CAST(tf.c AS DOUBLE) * total)
+                                    / (CAST(cfs.cf AS DOUBLE) * dl.dl)),
+                             9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS match_part
+  FROM tf JOIN cfs USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT dl.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+       qc.bg_const + COALESCE(corr.match_part, CAST(0 AS DOUBLE)) AS score
+FROM dl
+LEFT JOIN corr ON corr.doc_id = dl.doc_id
+CROSS JOIN qconst qc
+""")
+def ir_query_likelihood_jm(spark, sf_dir):
+    """Query-likelihood retrieval with JELINEK-MERCER smoothing (Zhai &
+    Lafferty 2001), lambda = 1/2 — the interpolation smoother that
+    favors verbose queries, completing the smoothing family next to the
+    Dirichlet entry (ir_dirichlet_lm_score, which favors short keyword
+    queries). Same sparse background-offset decomposition: with
+    lambda = 1/2, score(d) = sum_t ln(cf_t / (2|C|)) + sum_(t in d AND
+    q) ln(1 + c_td * |C| / (cf_t * dl_d)), so only MATCHING (doc, term)
+    pairs shuffle and unmatched docs score from the query constant
+    alone — the bounded-postings shape all the lexical rankers here
+    share. Determinism: round-9 ln terms in exact decimal sums;
+    lambda enters as the integer literal 2 (never a float repr); the
+    final score is one addition of identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    dl = d.select("doc_id",
+                  F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(F.sum(F.size(F.split("text", " "))).cast("bigint")
+                  .alias("total"))
+    q = toks.filter(F.col("tok").isin(list(_BM25_TERMS)))
+    cfs = q.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    qconst = (cfs.crossJoin(F.broadcast(stats))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                   F.sum(F.round(F.log(F.col("cf")
+                                       / (F.lit(2.0) * F.col("total"))), 9)
+                         .cast("decimal(20,9)")).cast("double")
+                   .alias("bg_const")))
+    tf = q.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    corr = (tf.join(F.broadcast(cfs), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(F.round(F.log(
+                1 + (F.col("c").cast("double") * F.col("total"))
+                / (F.col("cf").cast("double") * F.col("dl"))), 9)
+                .cast("decimal(20,9)"))
+                 .cast("double").alias("match_part")))
+    return (dl.join(corr, "doc_id", "left")
+            .crossJoin(F.broadcast(qconst))
+            .select("doc_id", F.col("dl").cast("bigint").alias("dl"),
+                    (F.col("bg_const")
+                     + F.coalesce("match_part", F.lit(0).cast("double")))
+                    .alias("score")))

@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     # round 11 wave 3: blocking eval / ZCA / SpotSigs / DeLong / Holt
     "linkage_blocking_quality", "emb_zca_whitening_2d", "dedup_spotsigs",
     "eval_auc_delong_ci", "forecast_holt_linear",
+    # round 11 wave 4: soft-dedup weights, JM query likelihood
+    "dedup_soft_weights", "ir_query_likelihood_jm",
 ]
 
 

@@ -568,3 +568,59 @@ def test_holt_fold_matches_python_recurrence(spark, sf_dir):
                         for r in resid)) / len(test)
         assert row["n_test"] == len(test)
         assert abs(row["mse"] - mse) < 1e-9 and abs(row["mae"] - mae) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# wave 4: soft-dedup weights / Jelinek-Mercer query likelihood
+# ---------------------------------------------------------------------------
+
+def test_soft_weights_conservation(spark, sf_dir):
+    """Conservation law: summed over sources, effective docs equal the
+    number of distinct near-dup clusters plus the unclustered docs
+    (each cluster contributes exactly size * 1/size = 1); effective
+    fraction in (0, 1]; n_clustered consistent with the component
+    table."""
+    from decimal import Decimal
+    rows = QUERIES["dedup_soft_weights"](spark, sf_dir).collect()
+    assert rows
+    from arangodb_java_parquet_spark.queries.curation import (
+        components_materialized)
+    comp = components_materialized(spark, sf_dir).collect()
+    n_clusters = len({r["component"] for r in comp})
+    n_clustered = len(comp)
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_clustered"] for r in rows) == n_clustered
+    total_eff = sum(Decimal(repr(r["effective_docs"])) for r in rows)
+    # clusters contribute ~1 each (round-9 reciprocals x size), loners 1
+    want = n_clusters + (n_docs - n_clustered)
+    assert abs(float(total_eff) - want) < 1e-5
+    for r in rows:
+        assert 0.0 < r["effective_fraction"] <= 1.0
+
+
+def test_jm_scores_rank_matching_docs_first(spark, sf_dir):
+    """Every doc containing all three query terms must outscore every
+    doc containing none (JM smoothing is monotone in matches); the
+    no-match score equals the bg constant recomputed in python."""
+    import math as _m
+    from decimal import Decimal
+    rows = QUERIES["ir_query_likelihood_jm"](spark, sf_dir).collect()
+    docs = {d["doc_id"]: d["text"]
+            for d in t(spark, sf_dir, "documents").collect()}
+    terms = ("spark", "query", "table")
+    total = sum(len(txt.split(" ")) for txt in docs.values())
+    cf = {q: sum(txt.split(" ").count(q) for txt in docs.values())
+          for q in terms}
+    bg = float(sum(Decimal(repr(round(_m.log(cf[q] / (2.0 * total)), 9)))
+                   for q in terms))
+    none_scores = [r["score"] for r in rows
+                   if not any(q in docs[r["doc_id"]].split(" ")
+                              for q in terms)]
+    full_scores = [r["score"] for r in rows
+                   if all(q in docs[r["doc_id"]].split(" ")
+                          for q in terms)]
+    if none_scores:
+        assert all(abs(s - bg) < 1e-9 for s in none_scores)
+    if none_scores and full_scores:
+        assert min(full_scores) > max(none_scores)
