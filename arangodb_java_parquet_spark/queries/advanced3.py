@@ -1147,3 +1147,228 @@ def forecast_holt_linear(spark, sf_dir):
                   .cast("double") / F.count(F.lit(1))).alias("mae"))
             .select("event_type", "level_fit", "trend_fit", "n_test",
                     "mse", "mae"))
+
+
+# ===========================================================================
+# round-11 wave 5
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Matthews correlation + Youden's J for a deterministic binary classifier
+# ---------------------------------------------------------------------------
+
+@query("eval_mcc_matthews", """
+WITH cm AS (
+  SELECT
+    CAST(SUM(CASE WHEN n_chars >= 800 AND lang = 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN n_chars >= 800 AND lang <> 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN n_chars < 800 AND lang = 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN n_chars < 800 AND lang <> 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM documents
+)
+SELECT tp, fp, fn, tn,
+       (tp * tn - fp * fn)
+         / NULLIF(sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                       * (tn + fp) * (tn + fn)), 0) AS mcc,
+       tp / NULLIF(CAST(tp + fn AS DOUBLE), 0)
+         + tn / NULLIF(CAST(tn + fp AS DOUBLE), 0) - 1 AS youden_j,
+       (tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy
+FROM cm
+""")
+def eval_mcc_matthews(spark, sf_dir):
+    """MATTHEWS CORRELATION COEFFICIENT + YOUDEN'S J (Matthews 1975;
+    Youden 1950) for the deterministic length>=800 is-English
+    classifier (the same rater pair the kappa entries use): MCC =
+    (TP*TN - FP*FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    chance-balanced single-number summary that stays honest under
+    class imbalance, where accuracy and F1 mislead. ONE combinable
+    aggregation (four integer counts); MCC is a single division by a
+    correctly-rounded sqrt of an identically-shaped double product
+    (NULLIF-guarded against a degenerate all-one-class corpus);
+    Youden's J = sensitivity + specificity - 1 from the same counts."""
+    d = t(spark, sf_dir, "documents")
+    pred = F.col("n_chars") >= 800
+    pos = F.col("lang") == "en"
+    cm = d.agg(
+        F.sum(F.when(pred & pos, 1).otherwise(0)).cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(pred & ~pos, 1).otherwise(0)).cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~pred & pos, 1).otherwise(0)).cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~pred & ~pos, 1).otherwise(0)).cast("bigint")
+        .alias("tn"))
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        ((F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+         / F.nullif(F.sqrt((F.col("tp") + F.col("fp")).cast("double")
+                           * (F.col("tp") + F.col("fn"))
+                           * (F.col("tn") + F.col("fp"))
+                           * (F.col("tn") + F.col("fn"))), F.lit(0.0)))
+        .alias("mcc"),
+        (F.col("tp") / F.nullif((F.col("tp") + F.col("fn")).cast("double"),
+                                F.lit(0.0))
+         + F.col("tn") / F.nullif((F.col("tn") + F.col("fp"))
+                                  .cast("double"), F.lit(0.0)) - 1)
+        .alias("youden_j"),
+        ((F.col("tp") + F.col("tn"))
+         / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+         .cast("double")).alias("accuracy"))
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's z-test of calibration
+# ---------------------------------------------------------------------------
+
+@query("eval_calibration_spiegelhalter_z", """
+WITH preds AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ROUND(1.0e0 / (1.0e0 + exp(-(n_chars - 750)
+                                    / CAST(100 AS DOUBLE))), 9) AS p
+  FROM documents
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND((y - p) * (1 - 2 * p), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS num,
+         CAST(SUM(CAST(ROUND((1 - 2 * p) * (1 - 2 * p) * p * (1 - p), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS den,
+         CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS expected_pos,
+         CAST(SUM(y) AS BIGINT) AS observed_pos
+  FROM preds
+)
+SELECT n, observed_pos, expected_pos,
+       num / NULLIF(sqrt(den), 0) AS spiegelhalter_z
+FROM sums
+""")
+def eval_calibration_spiegelhalter_z(spark, sf_dir):
+    """SPIEGELHALTER'S Z-TEST OF CALIBRATION (Spiegelhalter 1986): for
+    probabilistic predictions p (a deterministic logistic of document
+    length) against binary outcomes y, z = sum (y-p)(1-2p) / sqrt(sum
+    (1-2p)^2 p(1-p)) — the significance test that separates CALIBRATION
+    error from discrimination (its expectation is 0 for a perfectly
+    calibrated forecaster regardless of AUC), complementing the Brier
+    decomposition entry. The logistic is round-9 fenced (exp is not
+    cross-engine exactly rounded; round(exp) of round-9-identical
+    inputs is, per the repo's piloted rule); every moment is a round-9
+    product into an exact decimal sum; z is one guarded division. ONE
+    combinable aggregation — map-side combined at any scale."""
+    d = t(spark, sf_dir, "documents")
+    p = F.round(F.lit(1.0) / (F.lit(1.0)
+                              + F.exp(-(F.col("n_chars") - 750)
+                                      / F.lit(100).cast("double"))), 9)
+    preds = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        p.alias("p"))
+    sums = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round((F.col("y") - F.col("p")) * (1 - 2 * F.col("p")), 9)
+              .cast("decimal(30,9)")).cast("double").alias("num"),
+        F.sum(F.round((1 - 2 * F.col("p")) * (1 - 2 * F.col("p"))
+                      * F.col("p") * (1 - F.col("p")), 9)
+              .cast("decimal(30,9)")).cast("double").alias("den"),
+        F.sum(F.round(F.col("p"), 9).cast("decimal(30,9)")).cast("double")
+        .alias("expected_pos"),
+        F.sum("y").cast("bigint").alias("observed_pos"))
+    return sums.select(
+        "n", "observed_pos", "expected_pos",
+        (F.col("num") / F.nullif(F.sqrt(F.col("den")), F.lit(0.0)))
+        .alias("spiegelhalter_z"))
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outlier scoring on the 2-D embedding projection
+# ---------------------------------------------------------------------------
+
+_MAHA_TOPK = 20
+
+
+@query("emb_mahalanobis_outliers_2d", f"""
+WITH pts AS (
+  SELECT vec_id,
+         ROUND(embedding[1]::DOUBLE, 9) AS x,
+         ROUND(embedding[2]::DOUBLE, 9) AS y
+  FROM embeddings
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS syy
+  FROM pts
+),
+cv AS (
+  SELECT sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS cxx,
+         sxy / n - (sx / n) * (sy / n) AS cxy,
+         syy / n - (sy / n) * (sy / n) AS cyy
+  FROM mo
+),
+scored AS (
+  SELECT p.vec_id,
+         ROUND((cv.cyy * (p.x - cv.mx) * (p.x - cv.mx)
+                - 2 * cv.cxy * (p.x - cv.mx) * (p.y - cv.my)
+                + cv.cxx * (p.y - cv.my) * (p.y - cv.my))
+               / NULLIF(cv.cxx * cv.cyy - cv.cxy * cv.cxy, 0), 9)
+           AS maha_sq
+  FROM pts p CROSS JOIN cv
+)
+SELECT vec_id, maha_sq
+FROM scored
+ORDER BY maha_sq DESC, vec_id ASC
+LIMIT {_MAHA_TOPK}
+""")
+def emb_mahalanobis_outliers_2d(spark, sf_dir):
+    """MAHALANOBIS OUTLIER SCORING on the 2-D embedding projection
+    (Mahalanobis 1936): d^2 = (p-mu)' C^-1 (p-mu) via the closed-form
+    2x2 inverse — the PARAMETRIC outlier detector next to the
+    density-based kNN entry (emb_knn_outlier_score): one fits a global
+    Gaussian (O(n) + a broadcast of 5 scalars), the other ranks by
+    local neighborhood distance (bucketed kNN) — a pipeline runs both
+    because they disagree exactly on the interesting points. Top-{_MAHA_TOPK}
+    by score with vec_id tiebreak plans as TakeOrdered (no global
+    sort). Determinism: exact decimal moments, identically-shaped
+    double covariance expressions, round-9 scores, guarded determinant
+    division."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.round(F.col("embedding").getItem(0).cast("double"), 9).alias("x"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9).alias("y"))
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x", 9).alias("sx"), dsum("y", 9).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9), 9).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 9), 9).alias("sxy"),
+        dsum(F.round(F.col("y") * F.col("y"), 9), 9).alias("syy"))
+    cv = mo.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+        .alias("cxx"),
+        (F.col("sxy") / F.col("n")
+         - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+        .alias("cxy"),
+        (F.col("syy") / F.col("n")
+         - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+        .alias("cyy"))
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    scored = (pts.crossJoin(F.broadcast(cv))
+              .select("vec_id",
+                      F.round((F.col("cyy") * dx * dx
+                               - 2 * F.col("cxy") * dx * dy
+                               + F.col("cxx") * dy * dy)
+                              / F.nullif(det, F.lit(0.0)), 9)
+                      .alias("maha_sq")))
+    return (scored.orderBy(F.col("maha_sq").desc(), F.col("vec_id").asc())
+            .limit(_MAHA_TOPK))

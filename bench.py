@@ -293,6 +293,9 @@ BENCH_QUERIES = [
     "eval_auc_delong_ci", "forecast_holt_linear",
     # round 11 wave 4: soft-dedup weights, JM query likelihood
     "dedup_soft_weights", "ir_query_likelihood_jm",
+    # round 11 wave 5: MCC, calibration z, Mahalanobis outliers
+    "eval_mcc_matthews", "eval_calibration_spiegelhalter_z",
+    "emb_mahalanobis_outliers_2d",
 ]
 
 

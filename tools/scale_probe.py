@@ -163,6 +163,17 @@ PROBES = [
     "mixture_data_constrained_epochs",
     "emb_pca_explained_variance",
     "emb_alignment_uniformity",
+    # round-11 wave 2-4 flagships: per-doc window chunking + hash-keyed
+    # dedup accounting, stopword-anchored signature postings (DF-capped
+    # pair join), degree-weighted two-hop scoring, the Arrow-Gram CKA,
+    # block-size-only linkage accounting, and the per-type fold (the
+    # corpus-sized stage is the daily aggregation)
+    "dedup_cdc_chunking",
+    "dedup_spotsigs",
+    "graph_adamic_adar",
+    "emb_linear_cka",
+    "linkage_blocking_quality",
+    "forecast_holt_linear",
 ]
 
 
