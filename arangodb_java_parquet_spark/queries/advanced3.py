@@ -1,5 +1,8 @@
-"""Round-11 wave 2: cluster validation, graph scoring, representation
-similarity, content-defined chunking, and numeric inter-rater reliability.
+"""Round-11 waves 2/3/5: cluster validation, graph scoring,
+representation similarity, content-defined chunking, inter-rater
+reliability, record-linkage blocking evaluation, whitening, SpotSigs,
+AUC error bars, sequential forecasting, and classifier/calibration
+statistics.
 
 * Davies-Bouldin index (Davies & Bouldin 1979) — the third consumer of
   the shared fixed-round Lloyd loop (after kmeans_fixed_rounds' output
@@ -20,6 +23,13 @@ similarity, content-defined chunking, and numeric inter-rater reliability.
 * ICC(2,1) intraclass correlation (Shrout & Fleiss 1979) — absolute-
   agreement reliability of NUMERIC ratings, completing the kappa family
   (Cohen/Fleiss/Krippendorff/Gwet cover categorical labels).
+* Wave 3: blocking-scheme evaluation (reduction ratio / pairs
+  completeness from block sizes only), closed-form 2x2 ZCA whitening
+  with the W C W identity emitted, SpotSigs near-dup signatures
+  (Theobald et al. 2008), the DeLong AUC variance/CI, and Holt's
+  linear-trend smoothing as a bit-identical cross-engine fold.
+* Wave 5: Matthews correlation + Youden's J, Spiegelhalter's
+  calibration z-test, and parametric Mahalanobis outlier top-k.
 
 Reference scope note: the reference loader (ParquetArangoLoader.java) has
 no analytics surface; these extend the demanded LLM-pipeline engine
