@@ -204,7 +204,11 @@ def graph_adamic_adar(spark, sf_dir):
     middle's contribution is scored before the (a,c) rollup; an
     anti-join removes existing edges. Scale: the two-hop join is the
     standard edge-partition workload over LSH-bounded candidate edges —
-    never all-pairs. Determinism: deg >= 2 for any middle node by
+    never all-pairs; its cost is Σ deg², which on a duplicate-heavy
+    PRE-dedup corpus grows with clique size (SCALE_PROBE exponent 1.30,
+    same as the harmonic-centrality kin) — run it through
+    lsh_candidate_pairs_capped when probing before dedup, as the probe
+    report's standing adjudication prescribes for this family. Determinism: deg >= 2 for any middle node by
     construction (it touches both endpoints) so ln() is positive
     (NULLIF-guarded regardless, per the repo rule); per-middle terms
     are round-9 ln-ratios summed as exact decimals."""
