@@ -1386,3 +1386,255 @@ def emb_mahalanobis_outliers_2d(spark, sf_dir):
                       .alias("maha_sq")))
     return (scored.orderBy(F.col("maha_sq").desc(), F.col("vec_id").asc())
             .limit(_MAHA_TOPK))
+
+
+# ===========================================================================
+# round-11 wave 6
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Allen interval-algebra census over same-order line-item intervals
+# ---------------------------------------------------------------------------
+
+@query("intervals_allen_profile", """
+WITH iv AS (
+  SELECT l_orderkey AS ok, l_linenumber AS ln,
+         l_shipdate AS s,
+         l_shipdate + to_days(CAST(l_quantity AS INT)) AS e
+  FROM lineitem
+),
+pairs AS (
+  SELECT CASE
+           WHEN a.e < b.s THEN 'precedes'
+           WHEN a.e = b.s THEN 'meets'
+           WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+           WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+           WHEN a.s < b.s AND a.e = b.e THEN 'finished_by'
+           WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+           ELSE 'overlaps'
+         END AS relation
+  FROM iv a JOIN iv b
+    ON b.ok = a.ok
+   AND (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+        OR (a.s = b.s AND a.e = b.e AND a.ln < b.ln))
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       COUNT(*) / CAST(t.n AS DOUBLE) AS share
+FROM pairs CROSS JOIN tot t
+GROUP BY relation, t.n
+""")
+def intervals_allen_profile(spark, sf_dir):
+    """ALLEN INTERVAL-ALGEBRA CENSUS (Allen 1983): classify every pair
+    of same-order line-item service intervals [shipdate, shipdate +
+    quantity days] into the canonical relation set (precedes / meets /
+    overlaps / starts / finished_by / contains / equals — the 13
+    relations collapse to 7 after ordering each pair by (start, end,
+    line) so the inverse relations never occur). This is the temporal-
+    reasoning profile behind concurrency analytics (how often do a
+    customer's service windows nest vs chain?), complementing the
+    interval JOINs (join_range_interval, intervals_merge_islands) with
+    a relation-type census. Scale: the pair join is keyed on
+    l_orderkey — fan-out bounded by order size squared (~basket^2,
+    the frequent_item_pairs shape), never global. All comparisons are
+    exact integer-day timestamp arithmetic; shares are one division."""
+    li = t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").alias("s"),
+        F.expr("l_shipdate + make_interval(0, 0, 0,"
+               " CAST(l_quantity AS INT), 0, 0, 0)").alias("e"))
+    a = iv.select(F.col("ok"), F.col("ln").alias("aln"),
+                  F.col("s").alias("as_"), F.col("e").alias("ae"))
+    b = iv.select(F.col("ok"), F.col("ln").alias("bln"),
+                  F.col("s").alias("bs"), F.col("e").alias("be"))
+    canon = ((F.col("as_") < F.col("bs"))
+             | ((F.col("as_") == F.col("bs")) & (F.col("ae") < F.col("be")))
+             | ((F.col("as_") == F.col("bs")) & (F.col("ae") == F.col("be"))
+                & (F.col("aln") < F.col("bln"))))
+    rel = (F.when(F.col("ae") < F.col("bs"), "precedes")
+           .when(F.col("ae") == F.col("bs"), "meets")
+           .when((F.col("as_") == F.col("bs"))
+                 & (F.col("ae") == F.col("be")), "equals")
+           .when((F.col("as_") == F.col("bs"))
+                 & (F.col("ae") < F.col("be")), "starts")
+           .when((F.col("as_") < F.col("bs"))
+                 & (F.col("ae") == F.col("be")), "finished_by")
+           .when((F.col("as_") < F.col("bs"))
+                 & (F.col("ae") > F.col("be")), "contains")
+           .otherwise("overlaps"))
+    pairs = (a.join(b, "ok").where(canon)
+             .select(rel.alias("relation"))
+             .localCheckpoint(eager=False))  # census + the total
+    tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (pairs.groupBy("relation")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .crossJoin(F.broadcast(tot))
+            .select("relation", "n_pairs",
+                    (F.col("n_pairs") / F.col("n").cast("double"))
+                    .alias("share")))
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains / lift table by score decile
+# ---------------------------------------------------------------------------
+
+@query("eval_lift_gain_deciles", """
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM documents
+),
+dec AS (
+  SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(SUM(n_rows) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+         CAST(SUM(n_pos) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS tot_rows,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM dec
+)
+SELECT decile, n_rows, n_pos,
+       cum_pos / CAST(tot_pos AS DOUBLE) AS cum_gain,
+       (cum_pos / CAST(cum_rows AS DOUBLE))
+         / NULLIF(tot_pos / CAST(tot_rows AS DOUBLE), 0) AS cum_lift
+FROM cum
+""")
+def eval_lift_gain_deciles(spark, sf_dir):
+    """CUMULATIVE GAINS / LIFT TABLE by score decile — the targeting-
+    model evaluation artifact (how much of the positive class does the
+    top k/10 of the ranking capture, and at what multiple of random):
+    gain_k = cumpos_k / totpos, lift_k = precision_k / prevalence.
+    Deciles come from integer arithmetic on the (score DESC, id) row
+    number ((rn-1)*10 div n + 1 — the repo's integer-div binning rule,
+    NOT ntile, whose remainder placement is engine-specific lore), so
+    bucket membership is bit-identical. Ten-row rollup; every metric
+    is integer counting until two final divisions. Complements the
+    threshold sweep (eval_pr_threshold_sweep) and AUC entries with the
+    business-facing decile view."""
+    d = t(spark, sf_dir, "documents")
+    wall = Window.partitionBy()
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.row_number().over(
+            Window.orderBy(F.col("n_chars").desc(), "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"))
+    dec = (scored.groupBy(F.expr("CAST((rn - 1) * 10 div n + 1 AS BIGINT)")
+                          .alias("decile"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("y").cast("bigint").alias("n_pos")))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = dec.select(
+        "decile", "n_rows", "n_pos",
+        F.sum("n_rows").over(wcum).cast("bigint").alias("cum_rows"),
+        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
+        F.sum("n_rows").over(wall).cast("bigint").alias("tot_rows"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("tot_pos"))
+    return cum.select(
+        "decile", "n_rows", "n_pos",
+        (F.col("cum_pos") / F.col("tot_pos").cast("double"))
+        .alias("cum_gain"),
+        ((F.col("cum_pos") / F.col("cum_rows").cast("double"))
+         / F.nullif(F.col("tot_pos") / F.col("tot_rows").cast("double"),
+                    F.lit(0.0))).alias("cum_lift"))
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate of the embedding space
+# ---------------------------------------------------------------------------
+
+_TWONN_PANEL = 64
+
+
+@query("emb_intrinsic_dim_twonn", f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_TWONN_PANEL}
+),
+c AS (SELECT vec_id AS vid, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT q.qid, c.vid,
+         1 - {{cos}} AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY 1 - {{cos}} ASC, c.vid) AS rn
+  FROM q JOIN c ON c.vid <> q.qid
+),
+nn AS (
+  SELECT qid,
+         MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+  FROM scored WHERE rn <= 2 GROUP BY qid
+),
+used AS (
+  SELECT qid, ROUND(LN(d2 / d1), 9) AS ln_mu
+  FROM nn WHERE d1 > 0 AND d2 IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(CAST(ln_mu AS DECIMAL(30,9))) AS DOUBLE) AS sum_ln_mu
+  FROM used
+)
+SELECT CAST({_TWONN_PANEL} AS BIGINT) AS panel_size, n_used, sum_ln_mu,
+       n_used / NULLIF(sum_ln_mu, 0) AS twonn_id
+FROM agg
+""".format(cos="round(("
+           "list_sum(list_transform(range(1, 65), i -> "
+           "CAST(q.qvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))"
+           ") / ((sqrt(list_sum(list_transform(range(1, 65), i -> "
+           "CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) * "
+           "(sqrt(list_sum(list_transform(range(1, 65), i -> "
+           "CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)))))), 9)"))
+def emb_intrinsic_dim_twonn(spark, sf_dir):
+    """TwoNN INTRINSIC DIMENSION (Facco et al. 2017): the MLE
+    d_hat = n / sum ln(d2/d1) over the ratio of each point's second-
+    to first-nearest-neighbor distance — the likelihood-ratio estimate
+    of the manifold dimension the embeddings actually occupy (vs their
+    64 ambient dimensions), the diagnostic behind dimension-truncation
+    decisions (pairs with emb_effective_rank, which measures the
+    LINEAR spectrum; TwoNN sees curved manifolds). Estimated on a
+    {_TWONN_PANEL}-point md5-selected panel against the full corpus —
+    the TwoNN estimator converges on samples, so eval cost stays
+    O(panel x corpus) (the eval_rank_metrics shape), never all-pairs.
+    Distances are 1 - round9(cosine) (identical doubles both engines,
+    norms computed once per side below the pair join); exact-duplicate
+    neighbors (d1 = 0) are discarded per the paper; ln ratios are
+    round-9 fenced into an exact decimal sum; the estimate is one
+    guarded division."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        topk_cosine_bruteforce)
+    e = t(spark, sf_dir, "embeddings")
+    panel = (e.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.md5(F.col("vec_id").cast("string")),
+                           "vec_id")))
+        .where(F.col("rk") <= _TWONN_PANEL).drop("rk"))
+    knn = topk_cosine_bruteforce(panel, e, id_col="vec_id",
+                                 vec_col="embedding", k=2)
+    nn = (knn.groupBy("qid")
+          .agg(F.max(F.when(F.col("rn") == 1, 1 - F.col("cos_sim")))
+               .alias("d1"),
+               F.max(F.when(F.col("rn") == 2, 1 - F.col("cos_sim")))
+               .alias("d2")))
+    used = (nn.where((F.col("d1") > 0) & F.col("d2").isNotNull())
+            .select(F.round(F.log(F.col("d2") / F.col("d1")), 9)
+                    .alias("ln_mu")))
+    agg = used.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.col("ln_mu").cast("decimal(30,9)")).cast("double")
+        .alias("sum_ln_mu"))
+    return agg.select(
+        F.lit(_TWONN_PANEL).cast("bigint").alias("panel_size"),
+        "n_used", "sum_ln_mu",
+        (F.col("n_used") / F.nullif(F.col("sum_ln_mu"), F.lit(0.0)))
+        .alias("twonn_id"))

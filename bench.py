@@ -296,6 +296,9 @@ BENCH_QUERIES = [
     # round 11 wave 5: MCC, calibration z, Mahalanobis outliers
     "eval_mcc_matthews", "eval_calibration_spiegelhalter_z",
     "emb_mahalanobis_outliers_2d",
+    # round 11 wave 6: Allen census, lift/gain deciles, TwoNN ID
+    "intervals_allen_profile", "eval_lift_gain_deciles",
+    "emb_intrinsic_dim_twonn",
 ]
 
 

@@ -695,3 +695,69 @@ def test_mahalanobis_topk_matches_numpy(spark, sf_dir):
     m = np.einsum("ij,jk,ik->i", d, inv, d)
     order = np.lexsort((ids, -m))[:20]
     assert set(ids[order]) == {r["vec_id"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# wave 6: Allen census / lift-gain deciles / TwoNN intrinsic dimension
+# ---------------------------------------------------------------------------
+
+def test_allen_profile_partitions_all_pairs(spark, sf_dir):
+    """The 7 canonical relation counts must partition the full same-
+    order pair population (sum = sum over orders of k*(k-1)/2), shares
+    must sum to 1, and no inverse-relation label may appear."""
+    rows = QUERIES["intervals_allen_profile"](spark, sf_dir).collect()
+    allowed = {"precedes", "meets", "overlaps", "starts", "finished_by",
+               "contains", "equals"}
+    assert {r["relation"] for r in rows} <= allowed
+    li = t(spark, sf_dir, "lineitem")
+    sizes = (li.groupBy("l_orderkey").count().collect())
+    want_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    assert sum(r["n_pairs"] for r in rows) == want_pairs
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_lift_gain_monotone_and_consistent(spark, sf_dir):
+    """Gains are nondecreasing in decile and end at exactly 1.0; lift
+    is nonincreasing for a score positively associated with the label
+    at the top decile vs the bottom; decile populations cover n."""
+    rows = sorted(QUERIES["eval_lift_gain_deciles"](spark, sf_dir)
+                  .collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["cum_gain"] for r in rows]
+    assert all(b >= a for a, b in zip(gains, gains[1:]))
+    assert gains[-1] == 1.0
+    n = t(spark, sf_dir, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    # final cumulative lift is exactly 1 by construction
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-12
+
+
+def test_twonn_matches_numpy(spark, sf_dir):
+    """Recompute the TwoNN estimate in numpy over the same md5 panel
+    (cosine distance, round-9 snapping, d1>0 filter) and compare."""
+    import hashlib
+    import numpy as np
+    from decimal import Decimal
+    row = QUERIES["emb_intrinsic_dim_twonn"](spark, sf_dir).collect()[0]
+    e = t(spark, sf_dir, "embeddings").select("vec_id",
+                                              "embedding").collect()
+    ids = [r["vec_id"] for r in e]
+    m = np.array([r["embedding"] for r in e], dtype=np.float64)
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    panel = order[:row["panel_size"]]
+    norms = np.linalg.norm(m, axis=1)
+    lns = []
+    for qi in panel:
+        cos = (m @ m[qi]) / (norms * norms[qi])
+        dist = np.round(1 - np.round(cos, 9), 15)
+        cand = sorted((dist[j], ids[j]) for j in range(len(ids))
+                      if j != qi)
+        d1, d2 = cand[0][0], cand[1][0]
+        if d1 > 0 and d2 is not None:
+            lns.append(round(np.log(d2 / d1), 9))
+    assert row["n_used"] == len(lns)
+    want = float(len(lns)) / float(sum(Decimal(repr(v)) for v in lns))
+    assert abs(row["twonn_id"] - want) < 1e-6
+    assert row["twonn_id"] > 0
