@@ -1638,3 +1638,87 @@ def emb_intrinsic_dim_twonn(spark, sf_dir):
         "n_used", "sum_ln_mu",
         (F.col("n_used") / F.nullif(F.col("sum_ln_mu"), F.lit(0.0)))
         .alias("twonn_id"))
+
+
+# ---------------------------------------------------------------------------
+# weighted Cohen's kappa (ordinal agreement; linear + quadratic weights)
+# ---------------------------------------------------------------------------
+
+@query("eval_weighted_kappa", """
+WITH rated AS (
+  SELECT LEAST(10, n_chars // 100) AS r1,
+         LEAST(10, len(string_split(text, ' ')) // 20) AS r2
+  FROM documents
+),
+joint AS (
+  SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS o
+  FROM rated GROUP BY 1, 2
+),
+rows_ AS (SELECT r1, CAST(SUM(o) AS BIGINT) AS nr FROM joint GROUP BY r1),
+cols_ AS (SELECT r2, CAST(SUM(o) AS BIGINT) AS nc FROM joint GROUP BY r2),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM joint),
+obs AS (
+  SELECT
+    CAST(SUM((r1 - r2) * (r1 - r2) * o) AS BIGINT) AS num_q,
+    CAST(SUM(ABS(r1 - r2) * o) AS BIGINT) AS num_l
+  FROM joint
+),
+exp_ AS (
+  SELECT
+    CAST(SUM((a.r1 - b.r2) * (a.r1 - b.r2) * a.nr * b.nc) AS BIGINT)
+      AS den_q,
+    CAST(SUM(ABS(a.r1 - b.r2) * a.nr * b.nc) AS BIGINT) AS den_l
+  FROM rows_ a CROSS JOIN cols_ b
+)
+SELECT nn.n AS n_items,
+       1 - (CAST(obs.num_q AS DOUBLE) * nn.n)
+             / NULLIF(CAST(exp_.den_q AS DOUBLE), 0) AS kappa_quadratic,
+       1 - (CAST(obs.num_l AS DOUBLE) * nn.n)
+             / NULLIF(CAST(exp_.den_l AS DOUBLE), 0) AS kappa_linear
+FROM obs CROSS JOIN exp_ CROSS JOIN nn
+""")
+def eval_weighted_kappa(spark, sf_dir):
+    """WEIGHTED COHEN'S KAPPA (Cohen 1968) with quadratic AND linear
+    disagreement weights — the ordinal-agreement statistic (essay-
+    scoring / quality-rating QA) the existing kappa family lacks:
+    langid_cohens_kappa is nominal, Fleiss/Krippendorff/Gwet are
+    categorical, ICC(2,1) treats ratings as interval. Uses the SAME
+    deterministic 0-10 raters as eval_icc_2_1 (one rating setup, two
+    reliability lenses). kappa_w = 1 - (n * sum w_ij O_ij) /
+    (sum w_ij R_i C_j): joint counts and both weighted sums are EXACT
+    integers (w <= 100, products bounded by 100*n^2 — BIGINT-safe past
+    sf100); each kappa is one guarded division of identically-shaped
+    doubles. Scale: one groupBy on the 11x11 rating grid; the
+    expectation 'join' is the 121-cell marginal cross — constant."""
+    d = t(spark, sf_dir, "documents")
+    rated = d.select(
+        F.least(F.lit(10), F.expr("n_chars div 100")).alias("r1"),
+        F.least(F.lit(10), F.expr("size(split(text, ' ')) div 20"))
+        .cast("bigint").alias("r2"))
+    joint = (rated.groupBy("r1", "r2")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+             .localCheckpoint(eager=False))  # marginals + totals + obs
+    rows_ = joint.groupBy("r1").agg(F.sum("o").cast("bigint").alias("nr"))
+    cols_ = joint.groupBy("r2").agg(F.sum("o").cast("bigint").alias("nc"))
+    nn = joint.agg(F.sum("o").cast("bigint").alias("n"))
+    obs = joint.agg(
+        F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+              * F.col("o")).cast("bigint").alias("num_q"),
+        F.sum(F.abs(F.col("r1") - F.col("r2")) * F.col("o"))
+        .cast("bigint").alias("num_l"))
+    exp_ = (rows_.crossJoin(F.broadcast(cols_))
+            .agg(F.sum((F.col("r1") - F.col("r2"))
+                       * (F.col("r1") - F.col("r2"))
+                       * F.col("nr") * F.col("nc")).cast("bigint")
+                 .alias("den_q"),
+                 F.sum(F.abs(F.col("r1") - F.col("r2"))
+                       * F.col("nr") * F.col("nc")).cast("bigint")
+                 .alias("den_l")))
+    return (obs.crossJoin(F.broadcast(exp_)).crossJoin(F.broadcast(nn))
+            .select(F.col("n").alias("n_items"),
+                    (1 - (F.col("num_q").cast("double") * F.col("n"))
+                     / F.nullif(F.col("den_q").cast("double"),
+                                F.lit(0.0))).alias("kappa_quadratic"),
+                    (1 - (F.col("num_l").cast("double") * F.col("n"))
+                     / F.nullif(F.col("den_l").cast("double"),
+                                F.lit(0.0))).alias("kappa_linear")))

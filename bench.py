@@ -298,7 +298,7 @@ BENCH_QUERIES = [
     "emb_mahalanobis_outliers_2d",
     # round 11 wave 6: Allen census, lift/gain deciles, TwoNN ID
     "intervals_allen_profile", "eval_lift_gain_deciles",
-    "emb_intrinsic_dim_twonn",
+    "emb_intrinsic_dim_twonn", "eval_weighted_kappa",
 ]
 
 

@@ -761,3 +761,31 @@ def test_twonn_matches_numpy(spark, sf_dir):
     want = float(len(lns)) / float(sum(Decimal(repr(v)) for v in lns))
     assert abs(row["twonn_id"] - want) < 1e-6
     assert row["twonn_id"] > 0
+
+
+def test_weighted_kappa_matches_python(spark, sf_dir):
+    """QWK/LWK recomputed from the raw joint distribution in python must
+    match bit-for-bit; both kappas <= 1; quadratic >= linear for raters
+    whose disagreements are mostly small (weights penalize big gaps)."""
+    row = QUERIES["eval_weighted_kappa"](spark, sf_dir).collect()[0]
+    d = t(spark, sf_dir, "documents").select("n_chars", "text").collect()
+    from collections import Counter
+    joint = Counter()
+    for r in d:
+        r1 = min(10, r["n_chars"] // 100)
+        r2 = min(10, len(r["text"].split(" ")) // 20)
+        joint[(r1, r2)] += 1
+    n = sum(joint.values())
+    rows_ = Counter(); cols_ = Counter()
+    for (a, b), o in joint.items():
+        rows_[a] += o; cols_[b] += o
+    num_q = sum((a - b) ** 2 * o for (a, b), o in joint.items())
+    num_l = sum(abs(a - b) * o for (a, b), o in joint.items())
+    den_q = sum((a - b) ** 2 * ra * cb
+                for a, ra in rows_.items() for b, cb in cols_.items())
+    den_l = sum(abs(a - b) * ra * cb
+                for a, ra in rows_.items() for b, cb in cols_.items())
+    assert row["n_items"] == n
+    assert row["kappa_quadratic"] == 1 - (float(num_q) * n) / float(den_q)
+    assert row["kappa_linear"] == 1 - (float(num_l) * n) / float(den_l)
+    assert row["kappa_quadratic"] <= 1 and row["kappa_linear"] <= 1
