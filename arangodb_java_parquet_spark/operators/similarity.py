@@ -685,6 +685,25 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, *, id_col: str,
                        n_sub=n_sub, sub_dim=sub_dim)
 
 
+# Oracle-checked registry entries that deliberately consume the Arrow
+# gram_matrix_arrow path inside a hash-compared query. This is THE
+# canonical exemption list for the "no python in oracle-checked plans"
+# gate (tests/test_plans.py imports it): additions are legitimate ONLY
+# because the Arrow stage is exact scaled-int64 accumulation pinned
+# bit-identical to the JVM decimal formulation by
+# tests/test_similarity.py::test_gram_matrix_arrow_matches_jvm (full
+# matrix) and ::test_pca_gram_input_matches_jvm (the exact DataFrame the
+# PCA chain consumes) — so the python stage cannot perturb the hashes.
+# Any new consumer MUST ride the same pinned gram (or add its own
+# equality pin) before being added here.
+ARROW_GRAM_CONSUMERS = frozenset({
+    "emb_pca_power_iteration",      # VERDICT r10 #3 cutover
+    "emb_pca_explained_variance",   # same shared _pca_gram_and_v chain
+    "emb_linear_cka",               # all 3 covariance blocks are sub-blocks
+                                    # of the one pinned d×d Gram
+})
+
+
 def gram_matrix_arrow(emb: DataFrame, *, vec_col: str = "embedding",
                       dim: int = 64, scale: int = 8) -> DataFrame:
     """Distributed Gram matrix G = Σ v·vᵀ (upper triangle, 1-based i<=j),

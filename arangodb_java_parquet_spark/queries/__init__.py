@@ -59,52 +59,57 @@ from arangodb_java_parquet_spark.queries import advanced3  # noqa: F401,E402
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
 DRIVER_PANEL = [
-    # ROUND-11 ROTATION (VERDICT r10 next-round #1): all 50 slots are
-    # names with NO driver CORRECTNESS row in rounds 1-10 (computed from
-    # the committed CORRECTNESS_r*.json files — 297 distinct sampled,
-    # 150 never-sampled oracle-backed remaining before this round).
-    # Concentrated on the waves the judge called out as oracle-pass but
-    # never driver-sampled (the r10-new text/quality/mixture/drift wave,
-    # the rank-correlation + effect-size eval additions) plus the loader
-    # parity roundtrips and this round's PCA/Gram optimization target.
-    # Cumulative distinct driver-green grows 297 -> ~347 of 457.
+    # ROUND-12 ROTATION (VERDICT r11 next-round #1): all 50 slots are
+    # names with NO driver CORRECTNESS row in rounds 1-11 (computed from
+    # the committed CORRECTNESS_r*.json files — 347 distinct sampled,
+    # 129 never-sampled oracle-backed remaining before this round).
+    # Cross-section of the remaining families: the full evaluation-
+    # harness wave (AUC variants, nonparametrics, agreement, calibration,
+    # forecast), the embedding-diagnostics wave (CKA/ZCA/Mahalanobis/
+    # TwoNN/alignment), the remaining dedup breadth (SpotSigs, CDC,
+    # soft weights, LSH planner — incl. the three entries this round's
+    # ADVICE fixes touched, so the driver confirms the fixes), mixture/
+    # sampling, graph, time-series, multimodal plumbing, sketches.
+    # Cumulative distinct driver-green grows 347 -> ~397 of 486.
     # Previously-green names stay locally harness-checked every round
-    # via tools/check_correctness.py (full 457-entry drive).
+    # via tools/check_correctness.py (full 486-entry drive).
     #
-    # text / token statistics
-    "text_token_count", "text_top_tokens", "text_chunk_windows",
-    "text_hapax_ratio", "text_chi2_keyness", "vocab_coverage_oov",
-    "vocab_good_turing", "text_simpson_diversity", "quality_mattr",
-    "text_burrows_delta", "text_bigram_entropy_rate",
-    "token_collocations_llr",
-    # language-ID / quality signals
-    "lang_id_confusion_matrix", "langid_cohens_kappa", "text_code_detect",
-    "source_quality_scorecard", "quality_signal_correlation",
-    # dedup breadth (winnowing incremental + containment + weighted-J)
-    "dedup_cross_source_containment", "dedup_weighted_jaccard",
-    "dedup_winnowing_incremental",
-    # mixture / curation / sampling / splits
-    "mixture_js_divergence", "mixture_unimax_allocation",
-    "mixture_temperature_sampling", "sample_balanced_downsample",
-    "sample_neyman_allocation", "split_leakage_safe_report",
-    "split_temporal_holdout",
-    # packing / sharding / PII
-    "pack_length_buckets", "data_shuffle_shards", "pii_luhn_validate",
-    # embeddings / ANN serving
-    "emb_pca_explained_variance", "emb_label_separability",
-    "emb_cosine_calibration", "emb_dimension_profile",
-    "sim_topk_pq_adc_stored", "bitext_mining_candidates",
-    # evaluation harness (rank correlation + effect sizes + forecast)
-    "eval_auc_pr", "eval_pr_threshold_sweep", "eval_forecast_mase",
-    "eval_kendall_tau_b", "eval_spearman_rho", "eval_cliffs_delta",
-    "eval_gwet_ac1",
-    # drift
-    "drift_psi_report", "drift_page_hinkley",
-    # graph
-    "graph_degree_distribution", "graph_clustering_coefficient",
-    "graph_link_prediction_jaccard",
-    # loader parity roundtrips (reference core surface)
-    "loader_roundtrip", "loader_roundtrip_nested",
+    # text / vocab statistics
+    "vocab_growth_curve", "token_length_histogram",
+    "doc_length_by_lang_profile", "lang_purity_by_source",
+    "bpe_apply_compression",
+    # dedup breadth (SpotSigs + CDC + soft weights + LSH planner)
+    "dedup_soft_weights", "dedup_lsh_param_planner", "dedup_cdc_chunking",
+    "dedup_spotsigs", "dedup_cluster_quality_spread",
+    # mixture / sampling / curation
+    "sample_stratified_hash", "sample_language_quota",
+    "sample_weighted_ares", "mixture_source_weights",
+    "mixture_rebalance_rates", "mixture_data_constrained_epochs",
+    # embeddings diagnostics
+    "emb_label_stats", "emb_bucket_histogram", "emb_drift_by_label",
+    "emb_alignment_uniformity", "emb_linear_cka", "emb_zca_whitening_2d",
+    "emb_mahalanobis_outliers_2d", "emb_intrinsic_dim_twonn",
+    # evaluation harness (AUC variants, nonparametrics, agreement,
+    # calibration, forecast)
+    "eval_forecast_accuracy", "eval_bh_fdr_correction",
+    "eval_wilcoxon_signed_rank", "eval_auc_macro_ovr", "eval_pinball_loss",
+    "eval_icc_2_1", "eval_auc_delong_ci", "eval_mcc_matthews",
+    "eval_calibration_spiegelhalter_z", "eval_weighted_kappa",
+    # trend / forecast / drift
+    "trend_mann_kendall", "forecast_holt_linear",
+    "timeseries_classical_decompose", "drift_ks_statistic",
+    # graph (incl. this round's capped-default diagnostics)
+    "graph_adamic_adar", "graph_edge_triangle_support",
+    "graph_rich_club_coefficient",
+    # linkage / intervals / privacy
+    "linkage_blocking_quality", "intervals_allen_profile",
+    "privacy_delta_presence",
+    # sketches
+    "agg_ams_f2_sketch", "sketch_kmv_distinct_ops",
+    # multimodal plumbing (oracle-backed metadata legs)
+    "multimodal_binary_meta", "multimodal_format_sniff",
+    # clustering quality / scale ops
+    "cluster_davies_bouldin", "zonemap_pruning_report",
 ]
 
 

@@ -809,7 +809,7 @@ chains AS (
   FROM anchors a
   JOIN LATERAL (
     SELECT n.pos, n.tok FROM nonstop n
-    WHERE n.doc_id = a.doc_id AND n.pos > a.pos
+    WHERE n.doc_id = a.doc_id AND n.pos > a.pos AND n.pos <= a.pos + 8
     ORDER BY n.pos LIMIT 2
   ) f ON TRUE
   GROUP BY a.doc_id, a.pos
@@ -850,12 +850,13 @@ def dedup_spotsigs(spark, sf_dir):
     (stop-sigs — the same DF cap bounding the winnowing and PPJoin
     postings), so the pair join is bounded per signature, never
     all-pairs. The chain lookup is a per-anchor top-2 scan expressed as
-    a rank-2 window over the (doc, anchor) forward neighborhood; the
-    Spark side bounds it to a LOOKAHEAD of 8 positions so the
-    self-join fan-out is constant per anchor (two adjacent stopwords
-    within 8 tokens of an anchor are guaranteed in this corpus'
-    vocabulary; the oracle's LATERAL is unbounded and agrees — any
-    divergence would hash-FAIL). Integer counting into one final
+    a rank-2 window over the (doc, anchor) forward neighborhood; BOTH
+    sides bound it to a LOOKAHEAD of 8 positions (the oracle LATERAL
+    carries the same ``n.pos <= a.pos + 8`` bound) so the self-join
+    fan-out is constant per anchor and equivalence does not rest on
+    any corpus property — a regenerated corpus with a long stopword
+    run yields identical truncated chains on both engines. Integer
+    counting into one final
     division; the threshold is an integer-ratio literal."""
     d = t(spark, sf_dir, "documents")
     toks = (d.select("doc_id",

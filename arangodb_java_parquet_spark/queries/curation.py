@@ -842,9 +842,8 @@ sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
 wts AS (
   SELECT d.doc_id, d.source, s.cluster_size,
          CASE WHEN s.cluster_size IS NULL
-              THEN CAST(1 AS DECIMAL(20,9))
-              ELSE CAST(ROUND(1.0e0 / s.cluster_size, 9)
-                        AS DECIMAL(20,9)) END AS w
+              THEN CAST(1000000000 AS BIGINT)
+              ELSE CAST(1000000000 // s.cluster_size AS BIGINT) END AS wn
   FROM documents d
   LEFT JOIN comp c ON c.node = d.doc_id
   LEFT JOIN sizes s ON s.component = c.component
@@ -853,8 +852,10 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN cluster_size IS NOT NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clustered,
-       CAST(SUM(w) AS DOUBLE) AS effective_docs,
-       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS effective_fraction
+       CAST(CAST(SUM(wn) AS BIGINT) AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE) AS effective_docs,
+       (CAST(CAST(SUM(wn) AS BIGINT) AS DOUBLE)
+         / CAST(1000000000 AS DOUBLE)) / COUNT(*) AS effective_fraction
 FROM wts GROUP BY source"""))
 def dedup_soft_weights(spark, sf_dir):
     """SOFT DEDUPLICATION WEIGHTS: instead of deleting near-duplicates,
@@ -867,8 +868,14 @@ def dedup_soft_weights(spark, sf_dir):
     back, and rolls up per source: raw vs effective document counts and
     the effective fraction — the number that says how much of a source
     is 'really there' after duplication. Scale: two hash joins on
-    (node, component) + one combinable rollup; weights are round-9
-    reciprocals of integers summed as exact decimals."""
+    (node, component) + one combinable rollup. Weights are
+    INTEGER-SCALED reciprocals: numerator = 10^9 div k summed as exact
+    BIGINT, divided by 10^9 as a double only at the end — round(1/k, 9)
+    would hit an implementation-defined halfway point whenever k is of
+    the form 2^a*5^b with a 10-digit exact reciprocal (k=1024:
+    1/1024 = 0.0009765625; Spark HALF_UP vs DuckDB scale-and-rint
+    diverge), so the halfway class is avoided entirely by floor
+    division, never reached by rounding."""
     comp = components_materialized(spark, sf_dir)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
@@ -878,14 +885,15 @@ def dedup_soft_weights(spark, sf_dir):
            .join(F.broadcast(sizes), "component", "left")
            .select("source", "cluster_size",
                    F.when(F.col("cluster_size").isNull(),
-                          F.lit(1).cast("decimal(20,9)"))
-                   .otherwise(F.round(F.lit(1.0) / F.col("cluster_size"),
-                                      9).cast("decimal(20,9)"))
-                   .alias("w")))
+                          F.lit(1000000000).cast("bigint"))
+                   .otherwise(F.expr("1000000000 div cluster_size")
+                              .cast("bigint"))
+                   .alias("wn")))
+    eff = (F.sum("wn").cast("bigint").cast("double")
+           / F.lit(1000000000).cast("double"))
     return (wts.groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum(F.when(F.col("cluster_size").isNotNull(), 1)
                        .otherwise(0)).cast("bigint").alias("n_clustered"),
-                 F.sum("w").cast("double").alias("effective_docs"),
-                 (F.sum("w").cast("double") / F.count(F.lit(1)))
-                 .alias("effective_fraction")))
+                 eff.alias("effective_docs"),
+                 (eff / F.count(F.lit(1))).alias("effective_fraction")))

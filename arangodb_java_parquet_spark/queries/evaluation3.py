@@ -307,7 +307,8 @@ aucs AS (
 )
 SELECT label, n_pos, auc FROM aucs
 UNION ALL
-SELECT CAST(-1 AS BIGINT) AS label, (SELECT n FROM tot) AS n_pos,
+SELECT CAST(-1 AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
        CAST(SUM(CAST(ROUND(auc, 9) AS DECIMAL(20,9))) AS DOUBLE)
          / COUNT(*) AS auc
 FROM aucs
@@ -321,7 +322,9 @@ def eval_auc_macro_ovr(spark, sf_dir):
     distinct-score table followed by a per-label rank-sum: AUC_L =
     (R_L - n_L(n_L+1)/2) / (n_L * (n-n_L)). The macro row (label = -1)
     is the decimal-summed average of the round-9-fenced per-label AUCs
-    (each itself a single IEEE division of exact operands).
+    (each itself a single IEEE division of exact operands); its n_pos
+    column carries the NUMBER OF AVERAGED LABELS (not a positive
+    count — no per-label meaning applies to the macro row).
 
     Scale: distinct-score table + one groupBy(label) — no per-row
     window, no pair join; the rank join is on the bounded score table.
@@ -353,9 +356,9 @@ def eval_auc_macro_ovr(spark, sf_dir):
                                 * (F.col("n") - F.col("n_pos")),
                                 F.lit(0.0))).alias("auc"))
             .localCheckpoint(eager=False))
-    macro = (aucs.crossJoin(F.broadcast(tot))
+    macro = (aucs
              .agg(F.first(F.lit(-1).cast("bigint")).alias("label"),
-                  F.first("n").alias("n_pos"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_pos"),
                   (dsum(F.round(F.col("auc"), 9), 9) / F.count(F.lit(1)))
                   .alias("auc")))
     return aucs.unionByName(macro)

@@ -210,15 +210,15 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     skipped.add("loader_roundtrip")           # foreachPartition sink path
     skipped.add("loader_roundtrip_nested")
     skipped.add("udaf_geomean_pandas")        # pandas UDAF is the point
-    # PCA pair: consume the Arrow Gram (per-partition numpy partials,
-    # exact scaled-int64 accumulation — bit-identical to the JVM decimal
-    # path by test_similarity.py::test_pca_gram_input_matches_jvm), so
-    # the python stage cannot perturb the hashes (VERDICT r10 #3).
-    skipped.add("emb_pca_power_iteration")
-    skipped.add("emb_pca_explained_variance")
-    # linear CKA consumes the same pinned Arrow Gram (all three
-    # covariance blocks are sub-blocks of the one d x d Gram)
-    skipped.add("emb_linear_cka")
+    # Arrow-Gram consumers: the canonical exemption list lives WITH the
+    # operator (operators/similarity.ARROW_GRAM_CONSUMERS) together with
+    # its justification — exact scaled-int64 accumulation pinned
+    # bit-identical to the JVM decimal path by the equality-pin tests
+    # named there. Future additions must edit that constant (and cite a
+    # pin), not this test.
+    from arangodb_java_parquet_spark.operators.similarity import (
+        ARROW_GRAM_CONSUMERS)
+    skipped.update(ARROW_GRAM_CONSUMERS)
     from arangodb_java_parquet_spark.plans.inspect import formatted_plan
     # join_cross is a deliberate tiny cross join (region × 5 segments)
     cartesian_ok = {"join_cross"}
