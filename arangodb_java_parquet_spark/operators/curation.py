@@ -297,7 +297,9 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
 def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
                            min_count: int = 2,
                            alpha: float = 0.4,
-                           max_vocab: int | None = None) -> DataFrame:
+                           max_vocab: int | None = None,
+                           bigrams: DataFrame | None = None,
+                           uni: DataFrame | None = None) -> DataFrame:
     """Bigram language-model quality score with stupid backoff
     (Brants et al. 2007): score every document by the mean log-probability
     of its adjacent token pairs, backing off to the unigram model (scaled
@@ -323,16 +325,28 @@ def bigram_logprob_backoff(df: DataFrame, text_col: str, id_col: str,
 
     Determinism: per-type ln() rounded to 9 digits, exact decimal sums.
     Output: (id, n_bigrams, avg_logprob) for docs with >= 2 tokens.
+
+    ``bigrams`` / ``uni`` let a caller inject PRECOMPUTED base tables —
+    the stored (id, bg) corpus bigram table and the (tok, cnt1) unigram
+    count table that every LM-scoring entry starts from (the fit-once /
+    consume-later split, queries/ir_analytics._lm_bigrams_stored): when
+    supplied, the corpus tokenize+explode never runs here at all, the
+    consumers start from a parquet scan. Values are identical by
+    construction — both tables are exact (bigint, string) rows that
+    round-trip parquet bit-exactly.
     """
     arr = F.split(F.col(text_col), " ")
-    bigram_expr = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
-        f" i -> concat(split({text_col}, ' ')[i], ' ',"
-        f" split({text_col}, ' ')[i + 1]))")
-    bigrams = (df.filter(F.size(arr) >= 2)
-               .select(F.col(id_col), F.explode(bigram_expr).alias("bg")))
-    toks = df.select(F.explode(arr).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
+    if bigrams is None:
+        bigram_expr = F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - 2),"
+            f" i -> concat(split({text_col}, ' ')[i], ' ',"
+            f" split({text_col}, ' ')[i + 1]))")
+        bigrams = (df.filter(F.size(arr) >= 2)
+                   .select(F.col(id_col),
+                           F.explode(bigram_expr).alias("bg")))
+    if uni is None:
+        toks = df.select(F.explode(arr).alias("tok"))
+        uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
     total = uni.agg(F.sum("cnt1").alias("total"))
     bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
 

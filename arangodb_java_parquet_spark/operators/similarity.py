@@ -425,7 +425,11 @@ def pq_encode(emb: DataFrame, *, id_col: str, vec_col: str,
     ``emit="pos"`` outputs 0-based POSITIONS in the sorted codebook
     (pq_pos: array<int>) — the form ADC lookup tables index by. Only the
     requested form is computed (the argmin expression would otherwise be
-    evaluated twice per subspace).
+    evaluated twice per subspace). ``emit="struct"`` outputs the raw
+    argmin structs (pq_best: array<struct<d2,cid,pos>>) — ONE argmin
+    evaluation per subspace from which BOTH forms are cheap transforms;
+    the form a caller materializes once when several consumers need
+    different forms (queries/similarity._pq_fit_shared).
 
     ``impl`` selects the execution path. ``"jvm"`` (default, the oracle
     path) evaluates the argmin as pure Catalyst expressions — engine-
@@ -464,6 +468,9 @@ def pq_encode(emb: DataFrame, *, id_col: str, vec_col: str,
         codes = [F.coalesce(best_expr(s)["cid"], F.lit(-1))
                  for s in range(n_sub)]
         out = F.array(*codes).alias("pq_code")
+    elif emit == "struct":
+        out = F.array(*[best_expr(s)
+                        for s in range(n_sub)]).alias("pq_best")
     else:
         codes = [F.coalesce(best_expr(s)["pos"], F.lit(-1))
                  for s in range(n_sub)]

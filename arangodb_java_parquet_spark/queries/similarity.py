@@ -313,6 +313,51 @@ def semdedup_prune(spark, sf_dir):
                cent_mod=37, tau=0.4)
 
 
+_PQ_FIT_CACHE: dict = {}
+
+
+def _pq_fit_shared(spark, sf_dir):
+    """Session-shared PQ fit (VERDICT r11 #3): the codeword argmin over
+    the corpus — the dominant cost of every flat-PQ entry — runs ONCE per
+    (SparkContext, sf_dir) and is localCheckpointed; encode / ADC /
+    rerank all consume the same materialized table instead of re-deriving
+    the interpreted-HOF argmin chain per entry. The first consumer still
+    pays (and thereby still exercises) the full fit lineage in-session —
+    this is in-memory sharing, not the parquet model store (that split is
+    ann_stored.py's job). Both code forms derive from one ``emit="struct"``
+    materialization (cid and pos are fields of the SAME argmin struct), so
+    values are identical to the per-entry fits by construction.
+
+    Returns ``(enc_cid, enc_pos, cb)``: (vec_id, pq_code) /
+    (vec_id, pq_pos) / the 1-row broadcastable codebook."""
+    import os as _os
+    from arangodb_java_parquet_spark.operators.similarity import (
+        pq_codebook, pq_encode)
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _PQ_FIT_CACHE.get(key)
+    if hit is None:
+        e = t(spark, sf_dir, "embeddings")
+        best = (pq_encode(e, id_col="vec_id", vec_col="embedding",
+                          emit="struct")
+                .select("vec_id", "pq_best")
+                .localCheckpoint(eager=False))
+        cb = (pq_codebook(e, id_col="vec_id", vec_col="embedding",
+                          cent_mod=37)
+              .localCheckpoint(eager=False))
+        hit = (best, cb)
+        _PQ_FIT_CACHE[key] = hit
+    best, cb = hit
+    enc_cid = best.select(
+        "vec_id",
+        F.expr("transform(pq_best, x -> coalesce(x.cid,"
+               " CAST(-1 AS BIGINT)))").alias("pq_code"))
+    enc_pos = best.select(
+        "vec_id",
+        F.expr("transform(pq_best, x -> coalesce(x.pos, -1))")
+        .alias("pq_pos"))
+    return enc_cid, enc_pos, cb
+
+
 _PQ_COMMON = """
 WITH subs AS (SELECT UNNEST(range(0, 8)) AS s),
 cb AS (
@@ -353,10 +398,9 @@ def sim_pq_encode(spark, sf_dir):
     value-checks). Codebook broadcast, per-subspace argmin as pure
     array_min expressions — linear scan, no shuffle. Code emitted as a
     '-'-joined string (driver canonicalizer needs scalar columns).
-    operators/similarity.py:pq_encode."""
-    from arangodb_java_parquet_spark.operators.similarity import pq_encode
-    e = t(spark, sf_dir, "embeddings")
-    enc = pq_encode(e, id_col="vec_id", vec_col="embedding")
+    operators/similarity.py:pq_encode; the fit is the SESSION-SHARED
+    one (_pq_fit_shared, VERDICT r11 #3) every flat-PQ entry consumes."""
+    enc, _pos, _cb = _pq_fit_shared(spark, sf_dir)
     return enc.select(
         "vec_id",
         F.concat_ws("-", F.col("pq_code").cast("array<string>"))
@@ -398,13 +442,12 @@ def sim_topk_pq_adc(spark, sf_dir):
     the scan carries ONLY (id, 8-int code); codeword vectors come from
     the broadcast codebook via array-lookup expressions. Per-subspace d2
     rounded to 9 then summed as exact decimals so the oracle's unordered
-    SUM is bit-equal. operators/similarity.py:pq_adc_topk."""
+    SUM is bit-equal. operators/similarity.py:pq_adc_topk; codes and
+    codebook come from the SESSION-SHARED fit (_pq_fit_shared)."""
     from arangodb_java_parquet_spark.operators.similarity import (
-        pq_adc_topk, pq_codebook, pq_encode)
+        pq_adc_topk)
     e = t(spark, sf_dir, "embeddings")
-    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
-                    emit="pos").select("vec_id", "pq_pos")
-    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    _cid, enc, cb = _pq_fit_shared(spark, sf_dir)
     return pq_adc_topk(e.filter(F.col("vec_id") < 5), enc, cb,
                        id_col="vec_id", vec_col="embedding", k=5)
 
@@ -533,16 +576,43 @@ def decontaminate_semantic(spark, sf_dir):
                  (F.max("cos_sim") >= 0.6).alias("contaminated")))
 
 
+_IVFPQ_FIT_CACHE: dict = {}
+
+
+def _ivfpq_fit_shared(spark, sf_dir):
+    """Session-shared IVF-PQ fit: the (cents, enc, cb) triple from
+    operators/similarity.ivfpq_fit computed ONCE per (SparkContext,
+    sf_dir) and localCheckpointed — the in-memory analog of the model
+    store ann_stored.py uses (same artifacts, same probe)."""
+    import os as _os
+    from arangodb_java_parquet_spark.operators.similarity import ivfpq_fit
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _IVFPQ_FIT_CACHE.get(key)
+    if hit is None:
+        e = t(spark, sf_dir, "embeddings")
+        cents, enc, cb = ivfpq_fit(e, id_col="vec_id",
+                                   vec_col="embedding")
+        hit = (cents.localCheckpoint(eager=False),
+               enc.localCheckpoint(eager=False),
+               cb.localCheckpoint(eager=False))
+        _IVFPQ_FIT_CACHE[key] = hit
+    return hit
+
+
 @query("sim_topk_ivfpq")
 def sim_topk_ivfpq(spark, sf_dir):
-    """IVF-PQ composite ANN top-5 (operators/similarity.py:ivfpq_topk) —
-    coarse cells route the query, asymmetric PQ distances score only the
-    probed cells' codes. Rows-only (composite index semantics); recall
-    vs brute force pinned in tests/test_similarity.py."""
-    from arangodb_java_parquet_spark.operators.similarity import ivfpq_topk
+    """IVF-PQ composite ANN top-5 (operators/similarity.py:ivfpq_fit +
+    ivfpq_probe) — coarse cells route the query, asymmetric PQ distances
+    score only the probed cells' codes. The fit triple is the
+    SESSION-SHARED one (_ivfpq_fit_shared). Rows-only (composite index
+    semantics); recall vs brute force pinned in
+    tests/test_similarity.py."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        ivfpq_probe)
     e = t(spark, sf_dir, "embeddings")
-    return ivfpq_topk(e.filter(F.col("vec_id") < 10), e,
-                      id_col="vec_id", vec_col="embedding", k=5)
+    cents, enc, cb = _ivfpq_fit_shared(spark, sf_dir)
+    return ivfpq_probe(e.filter(F.col("vec_id") < 10), cents, enc, cb,
+                       id_col="vec_id", vec_col="embedding", k=5)
 
 
 @query("emb_quantile_normalize", """
@@ -1378,13 +1448,12 @@ def sim_topk_pq_rerank(spark, sf_dir):
     of |shortlist| exact distances per query instead of |corpus|. The
     rerank join fetches vectors for shortlist ids only — at 100 TB
     that is a k'-row broadcast-side lookup per query, not a corpus
-    scan. Fully value-checked through both stages."""
+    scan. Fully value-checked through both stages. Codes and codebook
+    come from the SESSION-SHARED fit (_pq_fit_shared)."""
     from arangodb_java_parquet_spark.operators.similarity import (
-        pq_adc_topk, pq_codebook, pq_encode)
+        pq_adc_topk)
     e = t(spark, sf_dir, "embeddings")
-    enc = pq_encode(e, id_col="vec_id", vec_col="embedding",
-                    emit="pos").select("vec_id", "pq_pos")
-    cb = pq_codebook(e, id_col="vec_id", vec_col="embedding", cent_mod=37)
+    _cid, enc, cb = _pq_fit_shared(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5)
     shortlist = pq_adc_topk(q, enc, cb, id_col="vec_id",
                             vec_col="embedding",
