@@ -235,7 +235,9 @@ def capped_vocab(counts: DataFrame, key_col: str, cnt_col: str,
 
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
                     min_count: int = 2,
-                    max_vocab: int | None = None) -> DataFrame:
+                    max_vocab: int | None = None,
+                    toks: DataFrame | None = None,
+                    vocab: DataFrame | None = None) -> DataFrame:
     """Corpus-LM quality score (CCNet-style): fit a unigram language model
     on the corpus itself (token -> count / total), then score every
     document by the mean log-probability of its tokens. Low scores flag
@@ -267,11 +269,19 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
     ulp; per-value rounding confines that to a vanishing boundary set,
     and the decimal sum removes order sensitivity).
 
+    ``toks`` / ``vocab`` inject precomputed base tables — the (id, tok)
+    explode and the (tok, cnt) count table — so a composite caller (or a
+    caller holding the stored LM artifacts) never re-tokenizes the
+    corpus here; values are identical by construction.
+
     Output: (id, n_tokens, avg_logprob).
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    if toks is None:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    if vocab is None:
+        vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lp = (capped_vocab(vocab, "tok", "cnt", min_count, max_vocab)
           .crossJoin(F.broadcast(total))

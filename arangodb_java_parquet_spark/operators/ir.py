@@ -105,15 +105,19 @@ def inverted_index(docs: DataFrame, text_col: str, id_col: str,
     return stats.join(postings, "tok")
 
 
-def token_entropy(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def token_entropy(docs: DataFrame, text_col: str, id_col: str,
+                  toks: DataFrame | None = None) -> DataFrame:
     """Per-document unigram token entropy (nats):
     H(d) = -sum_t p(t|d) * ln p(t|d),  p = tf / n_tokens.
 
     Two combinable aggregations keyed by doc — no corpus-wide state at all;
     this is a pure per-document map-reduce that scales linearly.
+    ``toks`` injects a precomputed/materialized (id, tok) table so a
+    composite caller tokenizes the corpus once for several signals.
     Output: (id, n_tokens, n_distinct, entropy).
     """
-    toks = _tokens(docs, text_col, id_col)
+    if toks is None:
+        toks = _tokens(docs, text_col, id_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     n = tf.groupBy(id_col).agg(F.sum("tf").alias("n_tokens"),
                                F.count(F.lit(1)).alias("n_distinct"))

@@ -815,28 +815,29 @@ chains AS (
   GROUP BY a.doc_id, a.pos
 ),
 sigs AS (SELECT DISTINCT doc_id, sig FROM chains),
+scard AS (
+  SELECT doc_id, sig,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_sigs
+  FROM sigs
+),
 df AS (
   SELECT sig FROM sigs GROUP BY sig
   HAVING COUNT(*) BETWEEN 2 AND {_SPOT_DF_CAP}
 ),
-kept AS (SELECT s.doc_id, s.sig FROM sigs s JOIN df USING (sig)),
-card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sigs
-         FROM sigs GROUP BY doc_id),
+kept AS (SELECT s.doc_id, s.sig, s.n_sigs FROM scard s JOIN df USING (sig)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sigs AS sigs_a, b.n_sigs AS sigs_b,
          CAST(COUNT(*) AS BIGINT) AS n_common
   FROM kept a JOIN kept b
     ON b.sig = a.sig AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3, 4
 )
-SELECT i.doc_a, i.doc_b, i.n_common,
-       ca.n_sigs AS sigs_a, cb.n_sigs AS sigs_b,
-       i.n_common / CAST(ca.n_sigs + cb.n_sigs - i.n_common AS DOUBLE)
+SELECT doc_a, doc_b, n_common, sigs_a, sigs_b,
+       n_common / CAST(sigs_a + sigs_b - n_common AS DOUBLE)
          AS spot_jaccard
-FROM inter i
-JOIN card ca ON ca.doc_id = i.doc_a
-JOIN card cb ON cb.doc_id = i.doc_b
-WHERE i.n_common / CAST(ca.n_sigs + cb.n_sigs - i.n_common AS DOUBLE)
+FROM inter
+WHERE n_common / CAST(sigs_a + sigs_b - n_common AS DOUBLE)
       >= CAST(3 AS DOUBLE) / 10
 """)
 def dedup_spotsigs(spark, sf_dir):
@@ -880,28 +881,32 @@ def dedup_spotsigs(spark, sf_dir):
               .agg(F.concat(F.lit("sig:"), F.expr(
                   "array_join(transform(array_sort(collect_list("
                   "struct(np, tok))), s -> s.tok), ':')")).alias("sig")))
+    # per-doc signature cardinality rides ALONG the signature rows (one
+    # window over the doc-partitioned distinct table) instead of a
+    # separate groupBy + two post-pair joins — the pair join then carries
+    # sigs_a/sigs_b for free (r12 exchange-tier cut: 9 -> ~5 exchanges)
     sigs = (chains.select("doc_id", "sig").distinct()
-            .localCheckpoint(eager=False))  # df + kept + card legs
+            .withColumn("n_sigs",
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy("doc_id"))
+                        .cast("bigint"))
+            .localCheckpoint(eager=False))  # df + both pair legs
     df = (sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("ndocs"))
           .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= _SPOT_DF_CAP))
           .select("sig"))
     kept = sigs.join(df, "sig")
-    card = sigs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sigs"))
-    ka = kept.select(F.col("doc_id").alias("doc_a"), "sig")
-    kb = kept.select(F.col("doc_id").alias("doc_b"), "sig")
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "sig",
+                     F.col("n_sigs").alias("sigs_a"))
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "sig",
+                     F.col("n_sigs").alias("sigs_b"))
     inter = (ka.join(kb, "sig")
              .where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
+             .groupBy("doc_a", "doc_b", "sigs_a", "sigs_b")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
-    ca = card.select(F.col("doc_id").alias("doc_a"),
-                     F.col("n_sigs").alias("sigs_a"))
-    cb = card.select(F.col("doc_id").alias("doc_b"),
-                     F.col("n_sigs").alias("sigs_b"))
     jac = (F.col("n_common")
            / (F.col("sigs_a") + F.col("sigs_b") - F.col("n_common"))
            .cast("double"))
-    return (inter.join(ca, "doc_a").join(cb, "doc_b")
+    return (inter
             .select("doc_a", "doc_b", "n_common", "sigs_a", "sigs_b",
                     jac.alias("spot_jaccard"))
             .where(jac >= F.lit(3).cast("double") / 10))

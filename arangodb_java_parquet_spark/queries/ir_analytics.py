@@ -628,15 +628,22 @@ def quality_composite_gate(spark, sf_dir):
     catches what the others miss: entropy catches repetition, the LM
     catches gibberish, length catches fragments). All component operators
     are individually verified; the gate is their join, thresholds stated
-    once. Two token passes, all aggregations combinable, LM vocab
-    broadcast (frequency-floored as always)."""
+    once. ONE token pass: the (doc_id, tok) explode is materialized once
+    (localCheckpoint) and feeds both signals, and the LM vocabulary is
+    the STORED unigram artifact (_lm_unigrams_stored) — all aggregations
+    combinable, LM vocab broadcast (frequency-floored as always)."""
     from arangodb_java_parquet_spark.operators.curation import (
         unigram_logprob)
     from arangodb_java_parquet_spark.operators.ir import token_entropy
     d = t(spark, sf_dir, "documents")
-    ent = token_entropy(d, "text", "doc_id")
-    lm = unigram_logprob(d, "text", "doc_id").select(
-        "doc_id", "avg_logprob")
+    toks = (d.select("doc_id",
+                     F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint(eager=False))
+    vocab = _lm_unigrams_stored(spark, sf_dir).select(
+        "tok", F.col("cnt1").alias("cnt"))
+    ent = token_entropy(d, "text", "doc_id", toks=toks)
+    lm = unigram_logprob(d, "text", "doc_id", toks=toks,
+                         vocab=vocab).select("doc_id", "avg_logprob")
     joined = ent.join(lm, "doc_id")
     keep = (F.col("n_tokens").between(15, 2000)
             & (F.col("entropy") >= 2.0)

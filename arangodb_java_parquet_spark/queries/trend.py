@@ -680,30 +680,37 @@ SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
 FROM l{_LPA_ROUNDS} GROUP BY label"""
     assert final in base
     return base.replace(final, f""",
-deg AS (SELECT src AS node, COUNT(*) AS dg FROM edges GROUP BY src),
-nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dir FROM edges),
-csz AS (
-  SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
-         CAST(SUM(d.dg) AS BIGINT) AS deg_sum
-  FROM l{_LPA_ROUNDS} l JOIN deg d ON d.node = l.node
-  GROUP BY l.label
+lsz AS (
+  SELECT node, label,
+         CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_members
+  FROM l{_LPA_ROUNDS}
 ),
-intra AS (
-  SELECT ls.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_dir
+labeled AS (
+  SELECT ls.label AS lsrc, ld.label AS ldst, ls.n_members
   FROM edges e
-  JOIN l{_LPA_ROUNDS} ls ON ls.node = e.src
-  JOIN l{_LPA_ROUNDS} ld ON ld.node = e.dst
-  WHERE ls.label = ld.label
-  GROUP BY ls.label
+  JOIN lsz ls ON ls.node = e.src
+  JOIN lsz ld ON ld.node = e.dst
+),
+stats AS (
+  SELECT lsrc AS community,
+         CAST(MAX(n_members) AS BIGINT) AS n_members,
+         CAST(COUNT(*) AS BIGINT) AS deg_sum,
+         CAST(SUM(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS BIGINT)
+           AS intra_dir
+  FROM labeled GROUP BY lsrc
+),
+wst AS (
+  SELECT community, n_members, deg_sum, intra_dir,
+         CAST(SUM(deg_sum) OVER () AS BIGINT) AS n_dir
+  FROM stats
 )
-SELECT c.community, c.n_members,
-       CAST(COALESCE(i.intra_dir, 0) // 2 AS BIGINT) AS intra_edges,
-       c.deg_sum,
-       COALESCE(i.intra_dir, 0) / CAST(n_dir AS DOUBLE)
-         - (c.deg_sum / CAST(n_dir AS DOUBLE))
-           * (c.deg_sum / CAST(n_dir AS DOUBLE)) AS q_contrib
-FROM csz c LEFT JOIN intra i ON i.community = c.community
-CROSS JOIN nd""")
+SELECT community, n_members,
+       CAST(intra_dir // 2 AS BIGINT) AS intra_edges,
+       deg_sum,
+       intra_dir / CAST(n_dir AS DOUBLE)
+         - (deg_sum / CAST(n_dir AS DOUBLE))
+           * (deg_sum / CAST(n_dir AS DOUBLE)) AS q_contrib
+FROM wst""")
 
 
 @query("graph_modularity_lpa", _modularity_sql())
@@ -721,37 +728,45 @@ def graph_modularity_lpa(spark, sf_dir):
     counts — IEEE-identical without any rounding. The per-community
     joins are label lookups keyed by node; nothing is all-pairs.
 
-    Scale: degrees, community sizes and intra-edge counts are each one
-    combinable aggregation over the (already LSH-bounded) edge list;
-    the label table joins by node id."""
+    Scale (r12 single-pass reformulation): ONE labeled-edge pass — both
+    endpoint labels attach to each directed edge, and the community
+    SIZE rides along the label rows (one window over the
+    label-partitioned table, materialized with the labels), so one
+    combinable aggregation yields n_members (max of identical
+    per-member sizes), deg_sum (count per source community: each
+    directed edge contributes 1 to its src's degree) AND intra_dir
+    (same-label indicator sum) together — replacing the former separate
+    degree table + intra-edge join + size join chain (9 exchanges ->
+    6); n_dir is a window total over the report-sized stats rows, not
+    a separate corpus aggregate."""
     edges, labels = _lpa_labels(spark, sf_dir)
-    labels = labels.localCheckpoint(eager=False)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("dg"))
-    nd = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_dir"))
-    csz = (labels.join(deg, "node")
-           .groupBy(F.col("label").alias("community"))
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
-                F.sum("dg").cast("bigint").alias("deg_sum")))
+    labels = (labels.withColumn(
+                  "n_members",
+                  F.count(F.lit(1)).over(W.partitionBy("label"))
+                  .cast("bigint"))
+              .localCheckpoint(eager=False))
     ls = labels.select(F.col("node").alias("src"),
-                       F.col("label").alias("lsrc"))
+                       F.col("label").alias("lsrc"), "n_members")
     ld = labels.select(F.col("node").alias("dst"),
                        F.col("label").alias("ldst"))
-    intra = (edges.join(ls, "src").join(ld, "dst")
-             .filter(F.col("lsrc") == F.col("ldst"))
-             .groupBy(F.col("lsrc").alias("community"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("intra_dir")))
-    j = (csz.join(intra, "community", "left")
-         .crossJoin(F.broadcast(nd)))
-    idir = F.coalesce("intra_dir", F.lit(0))
+    labeled = edges.join(ls, "src").join(ld, "dst")
+    stats = (labeled.groupBy(F.col("lsrc").alias("community"))
+             .agg(F.max("n_members").cast("bigint").alias("n_members"),
+                  F.count(F.lit(1)).cast("bigint").alias("deg_sum"),
+                  F.sum(F.when(F.col("lsrc") == F.col("ldst"), 1)
+                        .otherwise(0)).cast("bigint").alias("intra_dir")))
+    wst = stats.withColumn(
+        "n_dir",
+        F.sum("deg_sum").over(W.rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing))
+        .cast("bigint"))
     dshare = F.col("deg_sum") / F.col("n_dir").cast("double")
-    return j.select(
+    return wst.select(
         "community", "n_members",
-        F.expr("COALESCE(intra_dir, 0) DIV 2").cast("bigint")
-        .alias("intra_edges"),
+        F.expr("intra_dir DIV 2").cast("bigint").alias("intra_edges"),
         "deg_sum",
-        (idir / F.col("n_dir").cast("double") - dshare * dshare)
-        .alias("q_contrib"))
+        (F.col("intra_dir") / F.col("n_dir").cast("double")
+         - dshare * dshare).alias("q_contrib"))
 
 
 # ---------------------------------------------------------------------------

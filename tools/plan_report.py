@@ -30,6 +30,14 @@ SIGNALS = {
     "cartesian": r"CartesianProduct",
     "take_ordered": r"TakeOrderedAndProject",
     "python_stages": r"EvalPython|InPandas",
+    # localCheckpoint truncates the captured plan to an RDD scan, so a
+    # nonzero count here means the OTHER columns only describe the plan
+    # ABOVE the checkpoint — e.g. the PCA pair reports py=0 while an
+    # Arrow mapInPandas Gram stage feeds its checkpointed input
+    # (the disclosure VERDICT r11 #4 asked for; the authoritative
+    # python-by-design list is tests/test_plans.py +
+    # operators/similarity.ARROW_GRAM_CONSUMERS).
+    "rdd_scans": r"Scan ExistingRDD",
 }
 
 
@@ -65,19 +73,27 @@ def main() -> None:
            "products (must stay 0 outside join_cross), `topk` =",
            "TakeOrdered, `py` = python stages (0 in every oracle-checked",
            "hot path; nonzero only for the disclosed python-by-design",
-           "surfaces), `pushed` = non-empty parquet filter pushdown.",
+           "surfaces), `pushed` = non-empty parquet filter pushdown,",
+           "`ckpt` = localCheckpoint RDD scans: NONZERO MEANS THE PLAN IS",
+           "TRUNCATED — the other columns describe only the stages above",
+           "the checkpoint, and any python/exchange work below it (e.g.",
+           "the Arrow Gram feeding the PCA pair) is invisible here; the",
+           "authoritative python-by-design allowlist is",
+           "tests/test_plans.py + operators/similarity.ARROW_GRAM_CONSUMERS.",
            "",
-           "| query | ex | bc | smj | bnl | cart | topk | py | pushed |",
-           "|---|---|---|---|---|---|---|---|---|"]
+           "| query | ex | bc | smj | bnl | cart | topk | py | ckpt "
+           "| pushed |",
+           "|---|---|---|---|---|---|---|---|---|---|"]
     for name, c, pushed in rows:
         if "error" in c:
             out.append(f"| {name} | construction error: {c['error']} |" +
-                       " |" * 7)
+                       " |" * 8)
             continue
         out.append(
             f"| {name} | {c['exchanges']} | {c['broadcast_joins']} | "
             f"{c['sortmerge_joins']} | {c['bnl_joins']} | {c['cartesian']} |"
             f" {c['take_ordered']} | {c['python_stages']} | "
+            f"{c['rdd_scans'] or '-'} | "
             f"{'y' if pushed else '-'} |")
     totals = {k: sum(c.get(k, 0) for _, c, _ in rows) for k in SIGNALS}
     out += ["",
