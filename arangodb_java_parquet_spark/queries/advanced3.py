@@ -150,21 +150,8 @@ def cluster_davies_bouldin(spark, sf_dir):
 
 def _aa_sql() -> str:
     from arangodb_java_parquet_spark.queries.text_pipeline import (
-        _MINHASH_SIG_SQL)
-    return _MINHASH_SIG_SQL + """
-, bands AS (
-  SELECT doc_id, 0 AS band_idx,
-         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash
-  FROM sigs
-  UNION ALL SELECT doc_id, 1,
-         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
+        _MINHASH_SIG_SQL, capped_pairs_cte_sql)
+    return _MINHASH_SIG_SQL + capped_pairs_cte_sql(32, out="cand") + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM cand
   UNION ALL SELECT doc_b, doc_a FROM cand
@@ -203,20 +190,24 @@ def graph_adamic_adar(spark, sf_dir):
     joins onto the MIDDLE node of the two-hop self-join so each
     middle's contribution is scored before the (a,c) rollup; an
     anti-join removes existing edges. Scale: the two-hop join is the
-    standard edge-partition workload over LSH-bounded candidate edges —
-    never all-pairs; its cost is Σ deg², which on a duplicate-heavy
-    PRE-dedup corpus grows with clique size (SCALE_PROBE exponent 1.30,
-    same as the harmonic-centrality kin) — run it through
-    lsh_candidate_pairs_capped when probing before dedup, as the probe
-    report's standing adjudication prescribes for this family. Determinism: deg >= 2 for any middle node by
+    standard edge-partition workload whose cost is Σ deg², which on a
+    duplicate-heavy PRE-dedup corpus grows with clique size (SCALE_PROBE
+    exponent 1.30 on the uncapped graph) — so the input is the
+    SKEW-CAPPED candidate graph (lsh_candidate_pairs_capped,
+    max_bucket=32) BY DEFAULT, the r11 standing adjudication made
+    structural; the uncapped graph stays available as the opt-in via
+    operators/dedup.lsh_candidate_pairs for post-dedup corpora. Oracle
+    mirrors the capped construction (capped_pairs_cte_sql).
+    Determinism: deg >= 2 for any middle node by
     construction (it touches both endpoints) so ln() is positive
     (NULLIF-guarded regardless, per the repo rule); per-middle terms
     are round-9 ln-ratios summed as exact decimals."""
     from arangodb_java_parquet_spark.operators.dedup import (
-        char_shingles, lsh_candidate_pairs, minhash_signatures)
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
-    cand = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    cand = (lsh_candidate_pairs_capped(
+                minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
             .localCheckpoint(eager=False))  # feeds edges + the anti-join
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))

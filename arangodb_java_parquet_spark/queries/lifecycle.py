@@ -14,9 +14,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.operators.dedup import (
-    char_shingles, lsh_candidate_pairs, minhash_signatures)
+    char_shingles, lsh_candidate_pairs, lsh_candidate_pairs_capped,
+    minhash_signatures)
 from arangodb_java_parquet_spark.queries.common import query, t
-from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
+from arangodb_java_parquet_spark.queries.text_pipeline import (
+    _MINHASH_SIG_SQL, capped_pairs_cte_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -216,19 +218,8 @@ def sample_weighted_topk(spark, sf_dir):
 # triangle counting over the similarity graph
 # ---------------------------------------------------------------------------
 
-@query("graph_triangle_count", _MINHASH_SIG_SQL + """
-, bands AS (
-  SELECT doc_id, 0 AS band_idx,
-         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
-  UNION ALL SELECT doc_id, 1,
-         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
-),
-e AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
+@query("graph_triangle_count", _MINHASH_SIG_SQL
+       + capped_pairs_cte_sql(32, out="e") + """,
 tri AS (
   SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
   FROM e ab
@@ -244,7 +235,17 @@ def graph_triangle_count(spark, sf_dir):
     triangle-dense; bridges are not). Canonical a<b<c orientation makes
     each triangle counted exactly once via two partitioned equi-joins on
     edge endpoints — the standard distributed triangle enumeration; no
-    per-node adjacency ever materializes."""
+    per-node adjacency ever materializes.
+
+    The input graph is the SKEW-CAPPED candidate graph
+    (lsh_candidate_pairs_capped, max_bucket=32) BY DEFAULT — on a
+    duplicate-heavy PRE-dedup corpus the uncapped triangle population
+    itself grows quadratically per clique (SKEW_PROBE.md: exponent 2.14
+    uncapped vs 0.78 capped, the r11 standing adjudication), so the
+    bounded graph is the only shape that survives the 100 TB pre-dedup
+    diagnostic; the uncapped graph remains the opt-in via
+    operators/dedup.lsh_candidate_pairs for post-dedup corpora. Oracle
+    mirrors the capped construction (capped_pairs_cte_sql)."""
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     # the edge list feeds FOUR consumers (three join aliases + the edge
@@ -252,7 +253,8 @@ def graph_triangle_count(spark, sf_dir):
     # lineage don't canonicalize, so without this the whole
     # shingle->minhash->LSH derivation re-runs per alias (21 exchanges
     # measured).
-    e = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
+    e = (lsh_candidate_pairs_capped(minhash_signatures(sh, "doc_id"),
+                                    "doc_id", max_bucket=32)
          .select("doc_a", "doc_b").localCheckpoint(eager=False))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))

@@ -92,6 +92,48 @@ MINHASH_SHINGLES_CTE = """WITH shingles AS (
 
 _MINHASH_SIG_SQL = MINHASH_SHINGLES_CTE + minhash_sig_cte_sql() + "\n"
 
+
+def capped_pairs_cte_sql(cap: int = 32, out: str = "cand") -> str:
+    """SQL CTE chain for the SKEW-CAPPED LSH candidate pairs — the exact
+    oracle mirror of operators/dedup.lsh_candidate_pairs_capped: per
+    (band_idx, band_hash) bucket, all-pairs among the first ``cap``
+    members (by doc_id) plus star edges from the bucket min to every
+    member beyond the cap. Appends to a query that already has ``sigs``
+    (from _MINHASH_SIG_SQL); emits the pair CTE named ``out`` with
+    (doc_a, doc_b), doc_a < doc_b. The capped graph preserves per-bucket
+    connectivity, and is the DEFAULT input for the pre-dedup graph
+    diagnostics (triangles, Adamic-Adar) whose cost grows with clique
+    size on duplicate-heavy corpora (SKEW_PROBE.md: uncapped triangle
+    exponent 2.14 adversarial vs 0.78 capped)."""
+    return f"""
+, bands AS (
+  SELECT doc_id, 0 AS band_idx,
+         md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_hash FROM sigs
+  UNION ALL SELECT doc_id, 1,
+         md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sigs
+),
+ranked AS (
+  SELECT doc_id, band_idx, band_hash,
+         ROW_NUMBER() OVER (PARTITION BY band_idx, band_hash
+                            ORDER BY doc_id) AS rk
+  FROM bands
+),
+{out} AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ranked a JOIN ranked b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.rk <= {cap} AND b.rk <= {cap}
+    UNION ALL
+    SELECT m.doc_id AS doc_a, t.doc_id AS doc_b
+    FROM ranked t JOIN ranked m
+      ON m.band_idx = t.band_idx AND m.band_hash = t.band_hash
+     AND m.rk = 1
+    WHERE t.rk > {cap}
+  )
+)"""
+
 @query("dedup_minhash_lsh", _MINHASH_SIG_SQL + """
 , bands AS (
   SELECT doc_id, 0 AS band_idx,

@@ -317,19 +317,20 @@ def test_davies_bouldin_internal_consistency(spark, sf_dir):
 
 
 def test_adamic_adar_matches_bruteforce(spark, sf_dir):
-    """Recompute AA scores in python from the LSH candidate edge list:
-    for every emitted (a, c), score must equal the round-9 decimal sum
-    of 1/ln(deg(m)) over common neighbors m, and (a, c) must not be an
-    existing edge."""
+    """Recompute AA scores in python from the CAPPED LSH candidate edge
+    list (the entry's default graph as of r12): for every emitted
+    (a, c), score must equal the round-9 decimal sum of 1/ln(deg(m))
+    over common neighbors m, and (a, c) must not be an existing edge."""
     import math as _m
     from decimal import Decimal
     from arangodb_java_parquet_spark.operators.dedup import (
-        char_shingles, lsh_candidate_pairs, minhash_signatures)
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = {(r["doc_a"], r["doc_b"]) for r in
-            lsh_candidate_pairs(minhash_signatures(sh, "doc_id"),
-                                "doc_id").collect()}
+            lsh_candidate_pairs_capped(minhash_signatures(sh, "doc_id"),
+                                       "doc_id",
+                                       max_bucket=32).collect()}
     adj = {}
     for a, b in cand:
         adj.setdefault(a, set()).add(b)

@@ -181,9 +181,14 @@ def main() -> int:
         "uncapped triangle POPULATION itself grows ~f^2 per row — "
         "enumeration cost is inherent to the data, which is why the "
         "mixed-corpus SCALE_PROBE row shows 1.49. The capped pairs "
-        "(same connected components) bound bucket cliques, which is "
-        "the serving-path mitigation when the diagnostic runs BEFORE "
-        "dedup instead of after.",
+        "(same connected components) bound bucket cliques. As of r12 "
+        "the capped graph IS THE DEFAULT input for the pre-dedup graph "
+        "diagnostics named in the r11 adjudication — "
+        "graph_triangle_count and graph_adamic_adar consume "
+        "lsh_candidate_pairs_capped(max_bucket=32), oracles mirrored "
+        "via capped_pairs_cte_sql — so triangles_capped is the default "
+        "path's row; the uncapped graph stays available as the opt-in "
+        "operator (lsh_candidate_pairs) for post-dedup corpora.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SKEW_PROBE.md"), "w") as fh:
