@@ -1719,3 +1719,137 @@ def eval_weighted_kappa(spark, sf_dir):
                     (1 - (F.col("num_l").cast("double") * F.col("n"))
                      / F.nullif(F.col("den_l").cast("double"),
                                 F.lit(0.0))).alias("kappa_linear")))
+
+
+# ---------------------------------------------------------------------------
+# 2-D orthogonal Procrustes alignment between two embedding views
+# ---------------------------------------------------------------------------
+
+@query("emb_procrustes_2d", """
+WITH pts AS (
+  SELECT ROUND(embedding[1]::DOUBLE, 9) AS x1,
+         ROUND(embedding[2]::DOUBLE, 9) AS x2,
+         ROUND(embedding[3]::DOUBLE, 9) AS y1,
+         ROUND(embedding[4]::DOUBLE, 9) AS y2
+  FROM embeddings
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(30,9))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(x2 AS DECIMAL(30,9))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(y1 AS DECIMAL(30,9))) AS DOUBLE) AS sy1,
+         CAST(SUM(CAST(y2 AS DECIMAL(30,9))) AS DOUBLE) AS sy2,
+         CAST(SUM(CAST(ROUND(x1 * y1, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx1y1,
+         CAST(SUM(CAST(ROUND(x1 * y2, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx1y2,
+         CAST(SUM(CAST(ROUND(x2 * y1, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx2y1,
+         CAST(SUM(CAST(ROUND(x2 * y2, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx2y2,
+         CAST(SUM(CAST(ROUND(x1 * x1, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx1x1,
+         CAST(SUM(CAST(ROUND(x2 * x2, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sx2x2,
+         CAST(SUM(CAST(ROUND(y1 * y1, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sy1y1,
+         CAST(SUM(CAST(ROUND(y2 * y2, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS sy2y2
+  FROM pts
+),
+cv AS (
+  SELECT n,
+         sx1y1 / n - (sx1 / n) * (sy1 / n) AS m11,
+         sx1y2 / n - (sx1 / n) * (sy2 / n) AS m12,
+         sx2y1 / n - (sx2 / n) * (sy1 / n) AS m21,
+         sx2y2 / n - (sx2 / n) * (sy2 / n) AS m22,
+         sx1x1 / n - (sx1 / n) * (sx1 / n)
+           + sx2x2 / n - (sx2 / n) * (sx2 / n) AS var_x,
+         sy1y1 / n - (sy1 / n) * (sy1 / n)
+           + sy2y2 / n - (sy2 / n) * (sy2 / n) AS var_y
+  FROM mo
+)
+SELECT n AS n_vectors, m11, m12, m21, m22,
+       (m11 + m22) / NULLIF(sqrt((m11 + m22) * (m11 + m22)
+                                 + (m12 - m21) * (m12 - m21)), 0)
+         AS cos_theta,
+       (m12 - m21) / NULLIF(sqrt((m11 + m22) * (m11 + m22)
+                                 + (m12 - m21) * (m12 - m21)), 0)
+         AS sin_theta,
+       sqrt((m11 + m22) * (m11 + m22) + (m12 - m21) * (m12 - m21))
+         AS opt_trace,
+       ROUND(var_x + var_y
+             - 2 * sqrt((m11 + m22) * (m11 + m22)
+                        + (m12 - m21) * (m12 - m21)), 9) + 0.0
+         AS residual
+FROM cv
+""")
+def emb_procrustes_2d(spark, sf_dir):
+    """2-D ORTHOGONAL PROCRUSTES alignment (Schönemann 1966) between two
+    views of the embedding table (dims 1-2 vs dims 3-4): the rotation
+    R(theta) minimizing E||Y - RX||^2 over centered views has the closed
+    form (cos, sin) = (tr M, skew M) / ||(tr M, skew M)|| where
+    M = cov(X, Y) — the 2-D special case of the SVD solution, solvable
+    with sqrt alone (NO atan2, whose last-ulp behavior is
+    engine-specific). Emits the cross-covariance, the optimal rotation,
+    the achieved trace, and the residual E||Y - RX||^2 =
+    var(X) + var(Y) - 2*opt_trace — the embedding-drift diagnostic that
+    answers 'did the space ROTATE or actually change?' after a model
+    update (rotation-invariant change shows as near-zero residual with
+    a nontrivial angle). Complements CKA (rotation-INVARIANT similarity)
+    with the rotation itself.
+
+    Determinism: the ZCA/whitening moment recipe — round-9 inputs,
+    round-9 products, exact decimal sums, then identically-shaped double
+    expressions (sqrt is IEEE correctly-rounded, divisions
+    NULLIF-guarded); the near-zero residual is round-9 fenced and
+    +0.0-guarded against the -0.0 repr split. ONE combinable moment
+    aggregation (13 decimal sums), then a 1-row closed form."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.round(F.col("embedding").getItem(0).cast("double"), 9)
+        .alias("x1"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9)
+        .alias("x2"),
+        F.round(F.col("embedding").getItem(2).cast("double"), 9)
+        .alias("y1"),
+        F.round(F.col("embedding").getItem(3).cast("double"), 9)
+        .alias("y2"))
+
+    def rp(a, b):
+        return dsum(F.round(F.col(a) * F.col(b), 9), 9)
+
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum("x1", 9).alias("sx1"), dsum("x2", 9).alias("sx2"),
+        dsum("y1", 9).alias("sy1"), dsum("y2", 9).alias("sy2"),
+        rp("x1", "y1").alias("sx1y1"), rp("x1", "y2").alias("sx1y2"),
+        rp("x2", "y1").alias("sx2y1"), rp("x2", "y2").alias("sx2y2"),
+        rp("x1", "x1").alias("sx1x1"), rp("x2", "x2").alias("sx2x2"),
+        rp("y1", "y1").alias("sy1y1"), rp("y2", "y2").alias("sy2y2"))
+    n = F.col("n")
+
+    def cov(sab, sa, sb):
+        return (F.col(sab) / n
+                - (F.col(sa) / n) * (F.col(sb) / n))
+
+    cv = mo.select(
+        "n",
+        cov("sx1y1", "sx1", "sy1").alias("m11"),
+        cov("sx1y2", "sx1", "sy2").alias("m12"),
+        cov("sx2y1", "sx2", "sy1").alias("m21"),
+        cov("sx2y2", "sx2", "sy2").alias("m22"),
+        (cov("sx1x1", "sx1", "sx1")
+         + cov("sx2x2", "sx2", "sx2")).alias("var_x"),
+        (cov("sy1y1", "sy1", "sy1")
+         + cov("sy2y2", "sy2", "sy2")).alias("var_y"))
+    c = F.col("m11") + F.col("m22")
+    s = F.col("m12") - F.col("m21")
+    nrm = F.sqrt(c * c + s * s)
+    return cv.select(
+        F.col("n").alias("n_vectors"), "m11", "m12", "m21", "m22",
+        (c / F.nullif(nrm, F.lit(0.0))).alias("cos_theta"),
+        (s / F.nullif(nrm, F.lit(0.0))).alias("sin_theta"),
+        nrm.alias("opt_trace"),
+        (F.round(F.col("var_x") + F.col("var_y") - 2 * nrm, 9)
+         + F.lit(0.0)).alias("residual"))

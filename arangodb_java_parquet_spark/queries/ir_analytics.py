@@ -2242,3 +2242,47 @@ def ir_query_likelihood_jm(spark, sf_dir):
                     (F.col("bg_const")
                      + F.coalesce("match_part", F.lit(0).cast("double")))
                     .alias("score")))
+
+
+# ---------------------------------------------------------------------------
+# Yule's K characteristic (vocabulary-richness / repetitiveness index)
+# ---------------------------------------------------------------------------
+
+@query("text_yules_k", """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(10000 AS DOUBLE)
+         * (CAST(SUM(tf * tf) AS BIGINT) - CAST(SUM(tf) AS BIGINT))
+         / (CAST(SUM(tf) AS BIGINT) * CAST(SUM(tf) AS DOUBLE))
+         AS yules_k
+FROM tf GROUP BY doc_id
+""")
+def text_yules_k(spark, sf_dir):
+    """YULE'S K characteristic (Yule 1944) per document:
+    K = 10^4 * (sum_m m^2 V_m - N) / N^2, computed directly from the
+    term-frequency table as 10^4 * (sum tf^2 - N) / N^2 — the classic
+    length-robust repetitiveness index (higher = more repeated tokens),
+    complementing MATTR (window type ratio) and Simpson diversity in the
+    quality-signal family: K is the one that is provably insensitive to
+    document LENGTH under Yule's urn model, so one threshold works
+    across short and long documents. Pure integer moments (tf^2 sums)
+    with ONE final IEEE division — no rounding anywhere. Two combinable
+    aggregations keyed by doc; corpus tokens never shuffle by token."""
+    d = t(spark, sf_dir, "documents")
+    tf = (d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    n = F.sum("tf").cast("bigint")
+    s2 = F.sum(F.col("tf") * F.col("tf")).cast("bigint")
+    return (tf.groupBy("doc_id")
+            .agg(n.alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 (F.lit(10000).cast("double") * (s2 - n)
+                  / (n * n.cast("double"))).alias("yules_k")))

@@ -1985,3 +1985,266 @@ def drift_page_hinkley(spark, sf_dir):
                      .cast("double")))
     return m.select("day", "rev", "mt",
                     (F.col("mt") - F.min("mt").over(wrun)).alias("ph"))
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth mover's) distance between two document halves
+# ---------------------------------------------------------------------------
+
+@query("drift_wasserstein_1d", """
+WITH s AS (
+  SELECT n_chars AS v, doc_id % 2 AS half FROM documents
+),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM s
+),
+byv AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM byv
+),
+terms AS (
+  SELECT CAST(ABS(cum_a * n_b - cum_b * n_a) AS DECIMAL(25,0))
+           * CAST(v_next - v AS DECIMAL(12,0)) AS term
+  FROM cum CROSS JOIN tot
+  WHERE v_next IS NOT NULL
+)
+SELECT t.n_a, t.n_b,
+       CAST(COALESCE(SUM(term), CAST(0 AS DECIMAL(38,0))) AS DOUBLE)
+         / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS w1_distance
+FROM tot t LEFT JOIN terms ON TRUE
+GROUP BY t.n_a, t.n_b
+""")
+def drift_wasserstein_1d(spark, sf_dir):
+    """1-D WASSERSTEIN-1 (earth mover's) distance between the n_chars
+    distributions of the two deterministic document halves — the drift
+    metric that, unlike KS (sup-norm) or PSI (binned), integrates the
+    FULL CDF gap in the units of the variable: W1 = integral
+    |F_a - F_b| dv over the sorted support. Complements drift_ks /
+    drift_psi_report in the monitoring family.
+
+    EXACT integer formulation: on integer-valued scores,
+    W1 * n_a * n_b = sum over support gaps of
+    |cum_a*n_b - cum_b*n_a| * (v_next - v) — pure BIGINT cross products
+    summed as exact decimals, divided back once (the decimal->double
+    cast is correctly rounded in both engines). No rounding anywhere.
+    Scale: one combinable per-value count + one window over the DISTINCT
+    support (bounded by the value domain, not the corpus) — the same
+    shape as the CDF pass inside drift_ks_statistic."""
+    d = t(spark, sf_dir, "documents")
+    s = d.select(F.col("n_chars").alias("v"),
+                 (F.col("doc_id") % 2).alias("half"))
+    tot = s.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"))
+    byv = (s.groupBy("v")
+           .agg(F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+                .cast("bigint").alias("ca"),
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+                .cast("bigint").alias("cb")))
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = byv.select(
+        "v",
+        F.sum("ca").over(wc).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(wc).cast("bigint").alias("cum_b"),
+        F.lead("v").over(W.orderBy("v")).alias("v_next"))
+    term = (F.abs(F.col("cum_a") * F.col("n_b")
+                  - F.col("cum_b") * F.col("n_a")).cast("decimal(25,0)")
+            * (F.col("v_next") - F.col("v")).cast("decimal(12,0)"))
+    terms = (cum.crossJoin(F.broadcast(tot))
+             .filter(F.col("v_next").isNotNull())
+             .select(term.alias("term"), "n_a", "n_b"))
+    return (terms.groupBy("n_a", "n_b")
+            .agg((F.coalesce(F.sum("term"),
+                             F.lit(0).cast("decimal(38,0)"))
+                  .cast("double")
+                  / (F.col("n_a").cast("double")
+                     * F.col("n_b").cast("double")))
+                 .alias("w1_distance")))
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily revenue ACF
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = (1, 2, 3)
+
+
+def _ljung_box_sql() -> str:
+    legs = []
+    for lag in _LB_LAGS:
+        legs.append(f"""
+SELECT {lag} AS lag, ROUND((n * sxy - sx * sy)
+       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS acf
+FROM (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 2) AS DECIMAL(30,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 2) AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+  FROM (SELECT rev AS x,
+               LAG(rev, {lag}) OVER (ORDER BY day) AS y
+        FROM daily)
+  WHERE y IS NOT NULL
+)""")
+    return (f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+acfs AS ({'UNION ALL'.join(legs)})
+SELECT nn.n AS n_obs, CAST({len(_LB_LAGS)} AS BIGINT) AS df,
+       nn.n * (nn.n + 2)
+         * CAST(SUM(CAST(ROUND(acf * acf / (nn.n - lag), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE) AS q_stat
+FROM acfs CROSS JOIN nn
+GROUP BY nn.n
+""")
+
+
+@query("timeseries_ljung_box", _ljung_box_sql())
+def timeseries_ljung_box(spark, sf_dir):
+    """LJUNG-BOX portmanteau statistic (Ljung & Box 1978) over lags 1-3
+    of the daily revenue series: Q = n(n+2) * sum_k acf_k^2/(n-k) — the
+    is-there-ANY-autocorrelation gate run on forecast residuals before
+    trusting a model (compare Q to the chi-square(df) critical value;
+    the chi-square CDF itself is a special function, deliberately left
+    to the consumer). Reuses the timeseries_acf moment recipe verbatim
+    (round-4/round-2 fenced exact-decimal moments — products reach
+    ~1e8); each acf_k is round-9, its square and the 1/(n-k) scaling
+    are arithmetic on identical doubles re-fenced at round-9, decimal
+    summed, and the n(n+2) factor is exact integer-derived double
+    multiplication. One combinable rollup + three window legs over the
+    tiny daily table."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev"))
+             .localCheckpoint(eager=False))
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = W.orderBy("day")
+    acfs = None
+    for lag in _LB_LAGS:
+        p = (daily.select(F.col("rev").alias("x"),
+                          F.lag("rev", lag).over(w).alias("y"))
+             .filter(F.col("y").isNotNull()))
+        m = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("x"), 4).cast("decimal(30,4)"))
+            .cast("double").alias("sx"),
+            F.sum(F.round(F.col("y"), 4).cast("decimal(30,4)"))
+            .cast("double").alias("sy"),
+            F.sum(F.round(F.col("x") * F.col("x"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("sxx"),
+            F.sum(F.round(F.col("y") * F.col("y"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("syy"),
+            F.sum(F.round(F.col("x") * F.col("y"), 2)
+                  .cast("decimal(30,2)")).cast("double").alias("sxy"))
+        leg = m.select(
+            F.lit(lag).alias("lag"),
+            F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt((F.col("n") * F.col("sxx")
+                              - F.col("sx") * F.col("sx"))
+                             * (F.col("n") * F.col("syy")
+                                - F.col("sy") * F.col("sy"))), 9)
+            .alias("acf"))
+        acfs = leg if acfs is None else acfs.unionAll(leg)
+    contrib = F.round(F.col("acf") * F.col("acf")
+                      / (F.col("n") - F.col("lag")), 9)
+    return (acfs.crossJoin(F.broadcast(nn))
+            .groupBy("n")
+            .agg((F.col("n") * (F.col("n") + 2)
+                  * F.sum(contrib.cast("decimal(20,9)")).cast("double"))
+                 .alias("q_stat"))
+            .select(F.col("n").alias("n_obs"),
+                    F.lit(len(_LB_LAGS)).cast("bigint").alias("df"),
+                    "q_stat"))
+
+
+# ---------------------------------------------------------------------------
+# eigenvector centrality on the capped LSH similarity graph
+# ---------------------------------------------------------------------------
+
+_EIG_ITERS = 3
+
+
+def _eig_centrality_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL, capped_pairs_cte_sql)
+    head = _MINHASH_SIG_SQL + capped_pairs_cte_sql(32, out="cand") + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+v0 AS (SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS v FROM edges)"""
+    prev = "v0"
+    iters = []
+    for k in range(1, _EIG_ITERS + 1):
+        iters.append(f"""
+w{k} AS (
+  SELECT e.src AS node,
+         CAST(SUM(CAST(ROUND(p.v, 9) AS DECIMAL(30,9))) AS DOUBLE) AS w
+  FROM edges e JOIN {prev} p ON p.node = e.dst
+  GROUP BY e.src
+),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k} AS (SELECT node, ROUND(w / m, 9) AS v FROM w{k} CROSS JOIN m{k})""")
+        prev = f"v{k}"
+    return (head + "," + ",".join(iters)
+            + f"\nSELECT node, v AS centrality FROM {prev}")
+
+
+@query("graph_eigenvector_centrality", _eig_centrality_sql())
+def graph_eigenvector_centrality(spark, sf_dir):
+    """EIGENVECTOR CENTRALITY (Bonacich 1987) on the skew-capped LSH
+    similarity graph: 3 unrolled power iterations v <- A·v / max|A·v| —
+    the influence score where a node matters because its NEIGHBORS
+    matter, separating the hub of a near-dup mega-cluster from
+    incidentally-connected periphery (degree can't). Same determinism
+    recipe as the PCA power iteration: per-edge terms are round-9
+    neighbor values summed as exact decimals, the max-abs normalizer is
+    exact, the division IEEE-identical, and each iteration re-fences at
+    round-9. Input is the CAPPED candidate graph (the r12 default for
+    pre-dedup graph diagnostics, SKEW_PROBE.md); each iteration is one
+    edges-by-dst join + one combinable groupBy — O(E) per round, plan
+    depth fixed by the iteration count."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs_capped(
+        minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))  # feeds every iteration
+    v = (edges.select(F.col("src").alias("node")).distinct()
+         .withColumn("v", F.lit(1).cast("double")))
+    for _ in range(_EIG_ITERS):
+        w = (edges.join(v.withColumnRenamed("node", "dst"), "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum(F.round(F.col("v"), 9).cast("decimal(30,9)"))
+                  .cast("double").alias("w"))
+             .localCheckpoint(eager=False))  # normalizer + next iter
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+             .select("node", F.round(F.col("w") / F.col("m"), 9)
+                     .alias("v")))
+    return v.select("node", F.col("v").alias("centrality"))

@@ -234,15 +234,16 @@ def test_wilcoxon_matches_bruteforce_python(spark, sf_dir):
 
 def test_macro_ovr_auc_bounds_and_macro_row(spark, sf_dir):
     """Per-label AUCs in [0,1]; the macro row (label=-1) equals the mean
-    of the round-9 per-label AUCs; complement check: sum over labels of
-    n_pos equals the macro row's n."""
+    of the round-9 per-label AUCs and reports the NUMBER OF AVERAGED
+    LABELS in n_pos (the r12 ADVICE fix — n_pos no longer overloads the
+    total row count on the macro row)."""
     rows = QUERIES["eval_auc_macro_ovr"](spark, sf_dir).collect()
     per = [r for r in rows if r["label"] >= 0]
     macro = [r for r in rows if r["label"] == -1][0]
     assert len(per) >= 2
     for r in per:
         assert 0.0 <= r["auc"] <= 1.0
-    assert sum(r["n_pos"] for r in per) == macro["n_pos"]
+    assert macro["n_pos"] == len(per)
     from decimal import Decimal
     want = float(sum(Decimal(repr(round(r["auc"], 9))) for r in per)) / len(per)
     assert abs(macro["auc"] - want) < 1e-12

@@ -1,0 +1,236 @@
+"""Hand-computed invariants for the round-12 additions: retrieval-ranking
+evaluation (nDCG@10 / MRR / AP@10), split-conformal thresholds, 1-D
+Wasserstein drift, Ljung-Box, Yule's K, 2-D Procrustes alignment, and
+eigenvector centrality on the capped LSH graph."""
+
+import math
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.queries.common import QUERIES, t
+
+
+def _ranked_bruteforce(spark, sf_dir):
+    """Python reference ranking under the label-as-relevance protocol."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label").collect()
+    qs = [r for r in e if r["vec_id"] < 10]
+    cs = [r for r in e if r["vec_id"] >= 10]
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(d / (na * nb), 9)
+
+    out = {}
+    for q in qs:
+        scored = sorted(
+            ((cos(q["embedding"], c["embedding"]), c["vec_id"],
+              1 if c["label"] == q["label"] else 0) for c in cs),
+            key=lambda x: (-x[0], x[1]))
+        out[q["vec_id"]] = [(i + 1, rel) for i, (_, _, rel)
+                            in enumerate(scored)]
+    return out
+
+
+def test_retrieval_metrics_match_bruteforce(spark, sf_dir):
+    """nDCG@10, MRR, AP@10 recomputed in python from the brute-force
+    ranking must match the engine rows (python float arithmetic mirrors
+    the round-9 fences closely enough for exact equality on the fenced
+    outputs; sums go through Decimal like the engine)."""
+    ranking = _ranked_bruteforce(spark, sf_dir)
+    g = {i: round(math.log(2.0) / math.log(i + 1.0), 9)
+         for i in range(1, 11)}
+
+    ndcg_rows = {r["qid"]: r for r in
+                 QUERIES["eval_ndcg_at_k"](spark, sf_dir).collect()}
+    ap_rows = {r["qid"]: r for r in
+               QUERIES["eval_average_precision_at_k"](
+                   spark, sf_dir).collect()}
+    mrr_rows = {r["qid"]: r for r in
+                QUERIES["eval_mean_reciprocal_rank"](
+                    spark, sf_dir).collect()}
+    assert set(ndcg_rows) == set(ranking)
+    for qid, ranked in ranking.items():
+        n_rel = sum(rel for _, rel in ranked)
+        dcg = float(sum(Decimal(repr(g[rn])) for rn, rel in ranked[:10]
+                        if rel == 1))
+        idcg = float(sum(Decimal(repr(g[i]))
+                         for i in range(1, min(n_rel, 10) + 1)))
+        r = ndcg_rows[qid]
+        assert r["n_rel"] == n_rel
+        assert r["dcg"] == dcg
+        assert r["idcg"] == idcg
+        if idcg:
+            assert r["ndcg"] == dcg / idcg
+            assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+        # AP@10
+        cum, terms = 0, []
+        for rn, rel in ranked[:10]:
+            cum += rel
+            if rel == 1:
+                terms.append(Decimal(repr(round(cum / rn, 9))))
+        ap = float(sum(terms)) / min(n_rel, 10) if n_rel else None
+        ar = ap_rows[qid]
+        assert ar["n_rel"] == n_rel
+        if ap is not None:
+            assert abs(ar["ap_at_k"] - ap) < 1e-12
+            assert 0.0 <= ar["ap_at_k"] <= 1.0 + 1e-12
+        # MRR leg
+        first = next((rn for rn, rel in ranked if rel == 1), None)
+        if first is not None:
+            mr = mrr_rows[qid]
+            assert mr["first_rel_rank"] == first
+            assert mr["reciprocal_rank"] == (10**9 // first) / 1e9
+    macro = mrr_rows[-1]
+    per = [v["reciprocal_rank"] for k, v in mrr_rows.items() if k != -1]
+    assert macro["first_rel_rank"] == len(per)
+    assert abs(macro["reciprocal_rank"] - sum(per) / len(per)) < 1e-9
+
+
+def test_conformal_threshold_is_order_statistic(spark, sf_dir):
+    """The per-lang threshold must equal the ceil((n+1)*0.9)-th smallest
+    calibration score recomputed in python, and coverage must be the
+    exact held-split ratio."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars").collect()
+    rows = {r["lang"]: r for r in
+            QUERIES["eval_conformal_threshold"](spark, sf_dir).collect()}
+    langs = {r["lang"] for r in d}
+    assert set(rows) == langs
+    for lang in langs:
+        cal = sorted((r["n_chars"], r["doc_id"]) for r in d
+                     if r["lang"] == lang and r["doc_id"] % 10 < 8)
+        held = [r["n_chars"] for r in d
+                if r["lang"] == lang and r["doc_id"] % 10 >= 8]
+        n = len(cal)
+        q_idx = min(-(-((n + 1) * 90) // 100), n)
+        want = cal[q_idx - 1][0]
+        r = rows[lang]
+        assert r["n_cal"] == n and r["q_idx"] == q_idx
+        assert r["threshold"] == want
+        cov = sum(1 for h in held if h <= want)
+        assert r["n_covered"] == cov and r["n_test"] == len(held)
+        assert r["coverage"] == cov / len(held)
+
+
+def test_wasserstein_matches_bruteforce(spark, sf_dir):
+    """W1 recomputed in python from the exact CDF-gap integral."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    a = sorted(r["n_chars"] for r in d if r["doc_id"] % 2 == 0)
+    b = sorted(r["n_chars"] for r in d if r["doc_id"] % 2 == 1)
+    support = sorted(set(a) | set(b))
+    ca = cb = 0
+    ia = ib = 0
+    total = 0
+    for v, vn in zip(support, support[1:]):
+        while ia < len(a) and a[ia] <= v:
+            ia += 1
+        while ib < len(b) and b[ib] <= v:
+            ib += 1
+        total += abs(ia * len(b) - ib * len(a)) * (vn - v)
+    want = total / (len(a) * len(b))
+    row = QUERIES["drift_wasserstein_1d"](spark, sf_dir).collect()[0]
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert row["w1_distance"] == want
+    assert want >= 0.0
+
+
+def test_ljung_box_consistent_with_acf(spark, sf_dir):
+    """Q recomputed from the registered timeseries ACF machinery's own
+    formula: nonnegative, and equal to n(n+2) * sum(round9(acf^2/(n-k)))
+    over the same lags on the same daily-revenue series."""
+    row = QUERIES["timeseries_ljung_box"](spark, sf_dir).collect()[0]
+    assert row["df"] == 3
+    assert row["q_stat"] >= 0.0
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                  .cast("double").alias("rev"))
+             .orderBy("day").collect())
+    xs = [r["rev"] for r in daily]
+    n = len(xs)
+    assert row["n_obs"] == n
+    terms = []
+    for lag in (1, 2, 3):
+        x = [round(v, 4) for v in xs[lag:]]
+        y = [round(v, 4) for v in xs[:-lag]]
+        m = len(x)
+        sx, sy = float(sum(map(Decimal, map(repr, x)))), float(
+            sum(map(Decimal, map(repr, y))))
+        sxx = float(sum(Decimal(repr(round(v * v, 2))) for v in xs[lag:]))
+        syy = float(sum(Decimal(repr(round(v * v, 2))) for v in xs[:-lag]))
+        sxy = float(sum(Decimal(repr(round(u * v, 2)))
+                        for u, v in zip(xs[lag:], xs[:-lag])))
+        acf = round((m * sxy - sx * sy)
+                    / math.sqrt((m * sxx - sx * sx)
+                                * (m * syy - sy * sy)), 9)
+        terms.append(Decimal(repr(round(acf * acf / (n - lag), 9))))
+    want = n * (n + 2) * float(sum(terms))
+    assert abs(row["q_stat"] - want) < 1e-6 * max(1.0, abs(want))
+
+
+def test_yules_k_matches_bruteforce(spark, sf_dir):
+    """K recomputed in python for every document."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rows = {r["doc_id"]: r for r in
+            QUERIES["text_yules_k"](spark, sf_dir).collect()}
+    assert len(rows) == len(d)
+    for r in d[:50]:
+        tf = {}
+        for tok in r["text"].split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+        n = sum(tf.values())
+        s2 = sum(v * v for v in tf.values())
+        row = rows[r["doc_id"]]
+        assert row["n_tokens"] == n and row["n_types"] == len(tf)
+        assert row["yules_k"] == 10000.0 * (s2 - n) / (n * float(n))
+        assert row["yules_k"] >= 0.0
+
+
+def test_procrustes_rotation_and_residual(spark, sf_dir):
+    """The rotation must be a unit vector (cos^2 + sin^2 = 1), the
+    achieved trace must match numpy's SVD-based optimum to 1e-6, and the
+    residual must be nonnegative (a rotation cannot beat the optimum)."""
+    import numpy as np
+    row = QUERIES["emb_procrustes_2d"](spark, sf_dir).collect()[0]
+    assert abs(row["cos_theta"] ** 2 + row["sin_theta"] ** 2 - 1.0) < 1e-12
+    assert row["residual"] >= -1e-9
+    e = t(spark, sf_dir, "embeddings").select("embedding").collect()
+    arr = np.array([r["embedding"] for r in e], dtype=np.float64)
+    x = arr[:, 0:2] - arr[:, 0:2].mean(axis=0)
+    y = arr[:, 2:4] - arr[:, 2:4].mean(axis=0)
+    m = (x.T @ y) / len(arr)
+    u, sv, vt = np.linalg.svd(m)
+    # rotation-ONLY optimum: s1 + s2 when det(M) >= 0, s1 - s2 when the
+    # optimal orthogonal map is a reflection (det(M) < 0) — the entry
+    # solves the det=+1 constrained problem by construction
+    want = sv[0] + sv[1] if np.linalg.det(m) >= 0 else sv[0] - sv[1]
+    assert abs(row["opt_trace"] - want) < 1e-6
+    # the 2x2 cross-covariance entries match numpy
+    assert abs(row["m11"] - m[0, 0]) < 1e-6
+    assert abs(row["m22"] - m[1, 1]) < 1e-6
+
+
+def test_eigenvector_centrality_normalized(spark, sf_dir):
+    """Power-iteration invariants: every node of the capped graph gets a
+    score, the max-abs score is exactly 1 (the last normalizer), and all
+    scores are positive (nonnegative adjacency, positive start)."""
+    rows = QUERIES["graph_eigenvector_centrality"](
+        spark, sf_dir).collect()
+    assert rows
+    scores = [r["centrality"] for r in rows]
+    assert max(abs(s) for s in scores) == 1.0
+    assert all(s > 0.0 for s in scores)
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs_capped(
+        minhash_signatures(
+            char_shingles(d, "text", "doc_id", k=5, distinct=False),
+            "doc_id"),
+        "doc_id", max_bucket=32).collect()
+    nodes = {r["doc_a"] for r in cand} | {r["doc_b"] for r in cand}
+    assert {r["node"] for r in rows} == nodes
