@@ -299,6 +299,11 @@ BENCH_QUERIES = [
     # round 11 wave 6: Allen census, lift/gain deciles, TwoNN ID
     "intervals_allen_profile", "eval_lift_gain_deciles",
     "emb_intrinsic_dim_twonn", "eval_weighted_kappa",
+    # round 12: retrieval-ranking eval + conformal + drift/ts/graph wave
+    "eval_ndcg_at_k", "eval_mean_reciprocal_rank",
+    "eval_average_precision_at_k", "eval_conformal_threshold",
+    "drift_wasserstein_1d", "timeseries_ljung_box", "text_yules_k",
+    "emb_procrustes_2d", "graph_eigenvector_centrality",
 ]
 
 
