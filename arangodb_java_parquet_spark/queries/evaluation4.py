@@ -359,3 +359,89 @@ def eval_conformal_threshold(spark, sf_dir):
                  (F.sum(F.when(F.col("h_chars") <= F.col("threshold"), 1)
                         .otherwise(0))
                   / F.count(F.lit(1)).cast("double")).alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduction diagnostic (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+@query("eval_cuped_adjustment", """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(30,8))
+                       ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+                       THEN CAST(o_totalprice AS DECIMAL(30,8))
+                       ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) AS y
+  FROM orders GROUP BY o_custkey
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS sxy
+  FROM per_cust
+)
+SELECT n AS n_customers,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9) + 0.0
+         AS theta,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 9)
+         + 0.0 AS variance_reduction
+FROM mo
+""")
+def eval_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013, WSDM — 'Improving the
+    Sensitivity of Online Controlled Experiments'): regress each
+    customer's post-period revenue on their PRE-period revenue; theta =
+    cov(x,y)/var(x) is the adjustment coefficient and rho^2 is the
+    fraction of metric variance the adjustment removes — the standard
+    pre-experiment covariate trick that lets an A/B test detect the
+    same effect with (1-rho^2) of the sample. The deterministic period
+    split is the calendar (pre/post 1998-01-01) over the 1995-2001
+    order range. Per-customer sums are exact decimals; the moment
+    recipe is the ACF one (round-4 values / round-2 products — customer
+    revenue reaches ~1e6, so its square needs the reduced fence);
+    theta and rho^2 are round-9 ratio outputs with the +0.0 guard
+    (theta can round to zero from below). One combinable per-customer
+    rollup + one moment aggregation."""
+    o = t(spark, sf_dir, "orders")
+    pre = F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"),
+                 F.col("o_totalprice").cast("decimal(30,8)")) \
+        .otherwise(F.lit(0).cast("decimal(30,8)"))
+    post = F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"),
+                  F.col("o_totalprice").cast("decimal(30,8)")) \
+        .otherwise(F.lit(0).cast("decimal(30,8)"))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(pre).cast("double").alias("x"),
+                     F.sum(post).cast("double").alias("y")))
+    mo = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("x"), 4).cast("decimal(30,4)"))
+        .cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 4).cast("decimal(30,4)"))
+        .cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 2).cast("decimal(38,2)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 2).cast("decimal(38,2)"))
+        .cast("double").alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 2).cast("decimal(38,2)"))
+        .cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return mo.select(
+        n.alias("n_customers"),
+        (F.round(cov_n / F.nullif(varx_n, F.lit(0.0)), 9)
+         + F.lit(0.0)).alias("theta"),
+        (F.round((cov_n * cov_n)
+                 / F.nullif(varx_n * vary_n, F.lit(0.0)), 9)
+         + F.lit(0.0)).alias("variance_reduction"))

@@ -1279,3 +1279,186 @@ def markov_next_event_accuracy(spark, sf_dir):
         "n_states", "n_transitions", "n_correct",
         (F.col("n_correct") / F.col("n_transitions").cast("double"))
         .alias("top1_accuracy"))
+
+
+# ---------------------------------------------------------------------------
+# log-rank test between two user cohorts (round 12)
+# ---------------------------------------------------------------------------
+
+@query("survival_log_rank", f"""
+WITH b AS (SELECT epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS tmax FROM events),
+life AS (
+  SELECT user_id, user_id % 2 AS grp,
+         (epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+          - epoch_us(CAST(MIN(ts) AS TIMESTAMP))) // 86400000000 AS dur,
+         CASE WHEN epoch_us(CAST(MAX(ts) AS TIMESTAMP))
+                   >= b.tmax - {_KM_CENSOR_US} THEN 1 ELSE 0 END AS cens
+  FROM events CROSS JOIN b GROUP BY user_id, b.tmax
+),
+per_day AS (
+  SELECT dur AS day,
+         CAST(SUM((1 - cens) * grp) AS BIGINT) AS d1,
+         CAST(SUM((1 - cens) * (1 - grp)) AS BIGINT) AS d0,
+         CAST(SUM(grp) AS BIGINT) AS end1,
+         CAST(SUM(1 - grp) AS BIGINT) AS end0
+  FROM life GROUP BY dur
+),
+risk AS (
+  SELECT day, d1, d0,
+         CAST(SUM(end1) OVER (ORDER BY day DESC) AS BIGINT) AS n1,
+         CAST(SUM(end0) OVER (ORDER BY day DESC) AS BIGINT) AS n0
+  FROM per_day
+),
+terms AS (
+  SELECT d1, d0 + d1 AS d, n1, n0, n1 + n0 AS n
+  FROM risk WHERE d0 + d1 > 0
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(ROUND((d * n1) / CAST(n AS DOUBLE), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS e1,
+         CAST(SUM(CAST(ROUND(((d * n1) / CAST(n AS DOUBLE))
+                             * (n0 / CAST(n AS DOUBLE))
+                             * ((n - d)
+                                / CAST(NULLIF(n - 1, 0) AS DOUBLE)), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS v
+  FROM terms
+)
+SELECT o1 AS observed_g1, e1 AS expected_g1, v AS variance,
+       (o1 - e1) / NULLIF(sqrt(v), 0) AS z_score,
+       ((o1 - e1) / NULLIF(sqrt(v), 0))
+         * ((o1 - e1) / NULLIF(sqrt(v), 0)) AS chi_sq
+FROM agg
+""")
+def survival_log_rank(spark, sf_dir):
+    """LOG-RANK TEST (Mantel 1966; Peto & Peto 1972) between the two
+    deterministic user cohorts (user_id parity) under the SAME
+    right-censoring rule as survival_kaplan_meier: at every churn day,
+    observed group-1 deaths are compared to the hypergeometric
+    expectation d*n1/n, with variance d*(n1/n)*(n0/n)*(n-d)/(n-1); the
+    standardized sum is the survival-curve-difference significance test
+    every cohort/retention analysis needs beside the KM curves
+    themselves. All at-risk and death counts are exact integers from
+    TWO descending running-sum windows over the bounded day axis;
+    per-day expectation and variance terms are round-9-fenced ratio
+    products of those integers (identically-shaped expressions both
+    engines) summed as exact decimals; z and chi-square are arithmetic
+    on identical doubles, NULLIF-guarded. Corpus-sized work is one
+    per-user min/max pass — the same shape as KM."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.max(us).alias("tmax"))
+    life = (e.crossJoin(F.broadcast(b))
+            .groupBy("user_id", "tmax")
+            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
+            .select((F.col("user_id") % 2).alias("grp"),
+                    F.expr("(l - f) div 86400000000").alias("dur"),
+                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
+                    .otherwise(0).alias("cens")))
+    per_day = (life.groupBy(F.col("dur").alias("day"))
+               .agg(F.sum((1 - F.col("cens")) * F.col("grp"))
+                    .cast("bigint").alias("d1"),
+                    F.sum((1 - F.col("cens")) * (1 - F.col("grp")))
+                    .cast("bigint").alias("d0"),
+                    F.sum(F.col("grp")).cast("bigint").alias("end1"),
+                    F.sum(1 - F.col("grp")).cast("bigint").alias("end0")))
+    wdesc = W.orderBy(F.desc("day"))
+    risk = per_day.select(
+        "day", "d1", "d0",
+        F.sum("end1").over(wdesc).cast("bigint").alias("n1"),
+        F.sum("end0").over(wdesc).cast("bigint").alias("n0"))
+    terms = (risk.filter(F.col("d0") + F.col("d1") > 0)
+             .select("d1", (F.col("d0") + F.col("d1")).alias("d"),
+                     "n1", "n0", (F.col("n1") + F.col("n0")).alias("n")))
+    d, n1, n0, n = (F.col("d"), F.col("n1"), F.col("n0"), F.col("n"))
+    e1t = F.round((d * n1) / n.cast("double"), 9)
+    vt = F.round(((d * n1) / n.cast("double"))
+                 * (n0 / n.cast("double"))
+                 * ((n - d) / F.nullif(n - 1, F.lit(0)).cast("double")), 9)
+    agg = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(e1t.cast("decimal(20,9)")).cast("double").alias("e1"),
+        F.sum(vt.cast("decimal(20,9)")).cast("double").alias("v"))
+    z = (F.col("o1") - F.col("e1")) / F.nullif(F.sqrt(F.col("v")),
+                                               F.lit(0.0))
+    return agg.select(
+        F.col("o1").alias("observed_g1"),
+        F.col("e1").alias("expected_g1"),
+        F.col("v").alias("variance"),
+        z.alias("z_score"),
+        (z * z).alias("chi_sq"))
+
+
+# ---------------------------------------------------------------------------
+# fixed-frequency periodogram of the daily revenue series (round 12)
+# ---------------------------------------------------------------------------
+
+_DFT_KS = 4  # Fourier coefficients k = 1..4
+
+
+@query("timeseries_periodogram", f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {{rev}} AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS tt,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+ks AS (SELECT UNNEST(range(1, {_DFT_KS} + 1)) AS k),
+coef AS (
+  SELECT k, MAX(n) AS n,
+         CAST(SUM(CAST(ROUND(rev * ROUND(cos(2 * pi() * k * tt / n), 9),
+                             2) AS DECIMAL(30,2))) AS DOUBLE) AS a_k,
+         CAST(SUM(CAST(ROUND(rev * ROUND(sin(2 * pi() * k * tt / n), 9),
+                             2) AS DECIMAL(30,2))) AS DOUBLE) AS b_k
+  FROM idx CROSS JOIN ks
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k, n AS n_obs, a_k, b_k,
+       (a_k * a_k + b_k * b_k) / n AS power
+FROM coef
+""".format(rev=sql_dsum('o_totalprice')))
+def timeseries_periodogram(spark, sf_dir):
+    """FIXED-FREQUENCY PERIODOGRAM of the daily revenue series: the
+    Fourier coefficients a_k = sum x_t cos(2 pi k t/n) and b_k (k=1..4)
+    and their power (a^2+b^2)/n — the frequency-domain seasonality
+    detector complementing the lag-domain ACF (a weekly cycle shows as
+    power concentrated at the matching k; the classical-decompose
+    entry then extracts it). The basis values cos/sin are round-9
+    fenced per (k, t) — libm trig differs in the last ulp across
+    engines — then the revenue products are round-2 fenced (daily
+    revenue ~1e5-1e6: round-9 products would exceed the double
+    significand, the ACF recipe) and decimal-summed; power is
+    arithmetic on identical doubles. The series is deliberately
+    uncentered (the k >= 1 basis sums are orthogonal to the mean up to
+    fenced rounding, identically on both engines). One combinable
+    daily rollup, then a k×n broadcast expansion over the tiny day
+    table."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(dsum("o_totalprice").alias("rev"))
+             .localCheckpoint(eager=False))
+    wn = W.orderBy("day")
+    idx = daily.select(
+        "rev", (F.row_number().over(wn) - 1).alias("tt"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint").alias("n"))
+    ks = spark.range(1, _DFT_KS + 1).select(F.col("id").alias("k"))
+    ang = (2 * F.expr("pi()") * F.col("k") * F.col("tt") / F.col("n"))
+    coef = (idx.crossJoin(F.broadcast(ks))
+            .groupBy("k")
+            .agg(F.max("n").alias("n"),
+                 F.sum(F.round(F.col("rev") * F.round(F.cos(ang), 9), 2)
+                       .cast("decimal(30,2)")).cast("double").alias("a_k"),
+                 F.sum(F.round(F.col("rev") * F.round(F.sin(ang), 9), 2)
+                       .cast("decimal(30,2)")).cast("double")
+                 .alias("b_k")))
+    return coef.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").alias("n_obs"), "a_k", "b_k",
+        ((F.col("a_k") * F.col("a_k") + F.col("b_k") * F.col("b_k"))
+         / F.col("n")).alias("power"))

@@ -2286,3 +2286,86 @@ def text_yules_k(spark, sf_dir):
                  F.count(F.lit(1)).cast("bigint").alias("n_types"),
                  (F.lit(10000).cast("double") * (s2 - n)
                   / (n * n.cast("double"))).alias("yules_k")))
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit on the vocabulary growth curve (round 12)
+# ---------------------------------------------------------------------------
+
+@query("vocab_heaps_law_fit", """
+WITH growth AS (
+  SELECT thr.n_docs,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM (SELECT UNNEST([100, 200, 300, 400, 500]) AS n_docs) thr
+  JOIN (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents) t
+    ON t.doc_id < thr.n_docs
+  GROUP BY thr.n_docs
+),
+pts AS (
+  SELECT ROUND(LN(CAST(nt AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(v AS DOUBLE)), 9) AS y
+  FROM growth
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           AS sxy
+  FROM pts
+)
+SELECT n AS n_points,
+       ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 9) + 0.0
+         AS beta,
+       ROUND((sy * sxx - sx * sxy) / NULLIF(n * sxx - sx * sx, 0), 9)
+         AS ln_k,
+       ROUND(exp(ROUND((sy * sxx - sx * sxy)
+                       / NULLIF(n * sxx - sx * sx, 0), 9)), 9) AS k_coef
+FROM mo
+""")
+def vocab_heaps_law_fit(spark, sf_dir):
+    """HEAPS' LAW FIT (Heaps 1978; Herdan 1960): V = K * N^beta — least
+    squares on the (ln N, ln V) points of the vocabulary growth curve
+    (the same 5 cumulative prefixes vocab_growth_curve emits). Beta is
+    THE number a tokenizer/dedup planner consults: how fast does new
+    vocabulary keep arriving as the corpus grows (natural text ~0.5;
+    beta near 1 flags an open-ended identifier stream that will blow a
+    fixed vocab). Determinism: round-9 ln points, round-9 products,
+    exact decimal moments, closed-form slope AND intercept as ratios of
+    the same moment expressions (no sequential estimate), round-9
+    outputs; exp of a round-9-identical value is round-9 re-fenced (the
+    r10-piloted exp rule). Corpus-sized work is one explode + count —
+    the growth CTE is the verified vocab_growth_curve shape."""
+    d = t(spark, sf_dir, "documents")
+    thr = spark.range(1, 6).select((F.col("id") * 100).alias("n_docs"))
+    toks = d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    growth = (toks.join(F.broadcast(thr),
+                        F.col("doc_id") < F.col("n_docs"))
+              .groupBy("n_docs")
+              .agg(F.countDistinct("tok").cast("bigint").alias("v"),
+                   F.count(F.lit(1)).cast("bigint").alias("nt")))
+    pts = growth.select(
+        F.round(F.log(F.col("nt").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("v").cast("double")), 9).alias("y"))
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("sxx"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)"))
+        .cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    ln_k = F.round((sy * sxx - sx * sxy) / den, 9)
+    return mo.select(
+        n.alias("n_points"),
+        (F.round((n * sxy - sx * sy) / den, 9) + F.lit(0.0)).alias("beta"),
+        ln_k.alias("ln_k"),
+        F.round(F.exp(ln_k), 9).alias("k_coef"))

@@ -943,3 +943,83 @@ def agg_skewness_kurtosis(spark, sf_dir):
         .alias("skewness"),
         (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0))
         .alias("excess_kurtosis"))
+
+
+# ---------------------------------------------------------------------------
+# market-basket association rules at the brand level (round 12)
+# ---------------------------------------------------------------------------
+
+_MBR_MIN_BOTH = 5  # minimum co-occurrence count for an emitted rule
+
+
+@query("market_basket_rules", f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY b),
+pairs AS (
+  SELECT a.b AS brand_a, c2.b AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob c2 ON c2.ok = a.ok AND a.b < c2.b
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both,
+       ca.c AS n_a, cb.c AS n_b,
+       n_both / CAST(n_orders AS DOUBLE) AS support,
+       n_both / CAST(ca.c AS DOUBLE) AS confidence,
+       (n_both * n_orders) / (ca.c * CAST(cb.c AS DOUBLE)) AS lift
+FROM pairs
+JOIN cnt ca ON ca.b = brand_a
+JOIN cnt cb ON cb.b = brand_b
+CROSS JOIN n
+WHERE n_both >= {_MBR_MIN_BOTH}
+""")
+def market_basket_rules(spark, sf_dir):
+    """MARKET-BASKET ASSOCIATION RULES (Agrawal & Srikant 1994, the
+    Apriori level-2 itemsets) at the brand level: per brand pair,
+    support = P(A,B), confidence = P(B|A), and lift =
+    P(A,B)/(P(A)P(B)) over the order-as-basket relation — the
+    co-occurrence analytics every commerce/recommendation pipeline runs,
+    and (swapping brands for n-gram features) the co-occurrence shape
+    behind feature-correlation audits on training data. Brand-level
+    baskets make the pair space dense and BOUNDED (|brands|^2 / 2
+    candidates max), the standard coarsening that keeps level-2 Apriori
+    a hash join instead of an explosion; the within-basket self-join
+    fans out per order by (distinct brands per order choose 2), bounded
+    by basket width, never all-pairs across orders. All three metrics
+    are plain integer-ratio divisions — exact counts until one IEEE
+    division each (the lift numerator n_both*n_orders stays integer).
+    The {_MBR_MIN_BOTH}-co-occurrence floor is the standard min-support
+    prune, applied AFTER counting so emitted values are exact."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(F.broadcast(p),
+                  li["l_partkey"] == p["p_partkey"])
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("p_brand").alias("b"))
+          .distinct()
+          .localCheckpoint(eager=False))  # pair join sides + counts
+    n = ob.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    cnt = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = ob.select(F.col("ok"), F.col("b").alias("brand_a"))
+    c2 = ob.select(F.col("ok"), F.col("b").alias("brand_b"))
+    pairs = (a.join(c2, "ok")
+             .filter(F.col("brand_a") < F.col("brand_b"))
+             .groupBy("brand_a", "brand_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+             .filter(F.col("n_both") >= _MBR_MIN_BOTH))
+    ca = cnt.select(F.col("b").alias("brand_a"), F.col("c").alias("n_a"))
+    cb = cnt.select(F.col("b").alias("brand_b"), F.col("c").alias("n_b"))
+    return (pairs.join(F.broadcast(ca), "brand_a")
+            .join(F.broadcast(cb), "brand_b")
+            .crossJoin(F.broadcast(n))
+            .select("brand_a", "brand_b", "n_both", "n_a", "n_b",
+                    (F.col("n_both") / F.col("n_orders").cast("double"))
+                    .alias("support"),
+                    (F.col("n_both") / F.col("n_a").cast("double"))
+                    .alias("confidence"),
+                    ((F.col("n_both") * F.col("n_orders"))
+                     / (F.col("n_a") * F.col("n_b").cast("double")))
+                    .alias("lift")))

@@ -304,6 +304,8 @@ BENCH_QUERIES = [
     "eval_average_precision_at_k", "eval_conformal_threshold",
     "drift_wasserstein_1d", "timeseries_ljung_box", "text_yules_k",
     "emb_procrustes_2d", "graph_eigenvector_centrality",
+    "market_basket_rules", "survival_log_rank", "timeseries_periodogram",
+    "eval_cuped_adjustment", "vocab_heaps_law_fit",
 ]
 
 

@@ -234,3 +234,131 @@ def test_eigenvector_centrality_normalized(spark, sf_dir):
         "doc_id", max_bucket=32).collect()
     nodes = {r["doc_a"] for r in cand} | {r["doc_b"] for r in cand}
     assert {r["node"] for r in rows} == nodes
+
+
+def test_market_basket_rules_consistent(spark, sf_dir):
+    """Rules recomputed from the distinct (order, brand) relation:
+    support/confidence/lift exact; n_both <= min(n_a, n_b);
+    confidence >= support; lift symmetric in the pair."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = {(r["l_orderkey"], r["p_brand"]) for r in
+          li.join(p, li["l_partkey"] == p["p_partkey"]).collect()}
+    from collections import defaultdict
+    per_brand = defaultdict(set)
+    for ok, b in ob:
+        per_brand[b].add(ok)
+    n_orders = len({ok for ok, _ in ob})
+    rows = QUERIES["market_basket_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = r["brand_a"], r["brand_b"]
+        assert a < b
+        both = len(per_brand[a] & per_brand[b])
+        assert r["n_both"] == both and both >= 5
+        assert r["n_a"] == len(per_brand[a])
+        assert r["n_b"] == len(per_brand[b])
+        assert r["support"] == both / n_orders
+        assert r["confidence"] == both / len(per_brand[a])
+        assert r["lift"] == (both * n_orders) / (
+            len(per_brand[a]) * float(len(per_brand[b])))
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["confidence"] >= r["support"]
+
+
+def test_log_rank_internal_consistency(spark, sf_dir):
+    """chi_sq must equal z^2; the variance must be positive; expected
+    deaths must be positive and bounded by total deaths."""
+    row = QUERIES["survival_log_rank"](spark, sf_dir).collect()[0]
+    assert row["variance"] > 0.0
+    assert row["chi_sq"] == row["z_score"] * row["z_score"]
+    assert 0.0 < row["expected_g1"]
+    assert row["observed_g1"] >= 0
+
+
+def test_periodogram_matches_bruteforce(spark, sf_dir):
+    """Fourier coefficients recomputed in python with the same fences."""
+    o = t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                  .cast("double").alias("rev"))
+             .orderBy("day").collect())
+    xs = [r["rev"] for r in daily]
+    n = len(xs)
+    rows = {r["k"]: r for r in
+            QUERIES["timeseries_periodogram"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for k in (1, 2, 3, 4):
+        a = float(sum(Decimal(repr(round(
+            x * round(math.cos(2 * math.pi * k * i / n), 9), 2)))
+            for i, x in enumerate(xs)))
+        b = float(sum(Decimal(repr(round(
+            x * round(math.sin(2 * math.pi * k * i / n), 9), 2)))
+            for i, x in enumerate(xs)))
+        r = rows[k]
+        assert r["n_obs"] == n
+        assert abs(r["a_k"] - a) < 1e-6 * max(1.0, abs(a))
+        assert abs(r["b_k"] - b) < 1e-6 * max(1.0, abs(b))
+        assert abs(r["power"] - (r["a_k"] ** 2 + r["b_k"] ** 2) / n) < 1e-9
+
+
+def test_cuped_matches_bruteforce(spark, sf_dir):
+    """theta and rho^2 recomputed in python from per-customer pre/post
+    revenue; rho^2 in [0, 1]."""
+    import datetime
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice").collect()
+    split = datetime.date(1998, 1, 1)
+    from collections import defaultdict
+    pre, post = defaultdict(Decimal), defaultdict(Decimal)
+    for r in o:
+        day = r["o_orderdate"]
+        day = day.date() if hasattr(day, "date") else day
+        cust = r["o_custkey"]
+        v = Decimal(repr(r["o_totalprice"])).quantize(
+            Decimal("0.00000001"))
+        if day < split:
+            pre[cust] += v
+            post[cust] += 0
+        else:
+            post[cust] += v
+            pre[cust] += 0
+    custs = sorted(pre)
+    x = [float(pre[c]) for c in custs]
+    y = [float(post[c]) for c in custs]
+    n = len(custs)
+    sx = float(sum(Decimal(repr(round(v, 4))) for v in x))
+    sy = float(sum(Decimal(repr(round(v, 4))) for v in y))
+    sxx = float(sum(Decimal(repr(round(v * v, 2))) for v in x))
+    syy = float(sum(Decimal(repr(round(v * v, 2))) for v in y))
+    sxy = float(sum(Decimal(repr(round(u * v, 2)))
+                    for u, v in zip(x, y)))
+    theta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) + 0.0
+    rho2 = round((n * sxy - sx * sy) ** 2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) + 0.0
+    row = QUERIES["eval_cuped_adjustment"](spark, sf_dir).collect()[0]
+    assert row["n_customers"] == n
+    assert row["theta"] == theta
+    assert row["variance_reduction"] == rho2
+    assert 0.0 <= row["variance_reduction"] <= 1.0
+
+
+def test_heaps_fit_matches_lstsq(spark, sf_dir):
+    """beta/ln K recomputed with numpy least squares on the growth
+    points (loose 1e-6: numpy skips the round-9 fences)."""
+    import numpy as np
+    g = QUERIES["vocab_growth_curve"](spark, sf_dir).collect()
+    xs = np.log([r["total_tokens"] for r in g])
+    ys = np.log([r["vocab_size"] for r in g])
+    a = np.vstack([xs, np.ones(len(xs))]).T
+    beta, lnk = np.linalg.lstsq(a, ys, rcond=None)[0]
+    row = QUERIES["vocab_heaps_law_fit"](spark, sf_dir).collect()[0]
+    assert row["n_points"] == len(g)
+    assert abs(row["beta"] - beta) < 1e-6
+    assert abs(row["ln_k"] - lnk) < 1e-6
+    assert abs(row["k_coef"] - math.exp(row["ln_k"])) < 1e-9
+    # the synthetic corpus draws from a FIXED 31-token vocabulary, so
+    # Heaps beta is genuinely ~0 here (and K ~= |vocab|); natural text
+    # would sit near 0.5 — the bound only guards against nonsense fits
+    assert -1e-6 <= row["beta"] < 1.2
+    assert abs(row["k_coef"] - 31.0) < 1.0
