@@ -174,6 +174,17 @@ PROBES = [
     "emb_linear_cka",
     "linkage_blocking_quality",
     "forecast_holt_linear",
+    # round-12 flagships: broadcast-query brute-force ranking (the
+    # retrieval-eval base table), support-bounded Wasserstein CDF pass,
+    # basket-bounded brand pair join, power iteration on the capped
+    # graph, per-doc integer tf moments, per-customer CUPED moments
+    "eval_ndcg_at_k",
+    "drift_wasserstein_1d",
+    "market_basket_rules",
+    "graph_eigenvector_centrality",
+    "text_yules_k",
+    "eval_cuped_adjustment",
+    "survival_log_rank",
 ]
 
 
