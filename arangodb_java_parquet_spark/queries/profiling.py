@@ -1579,3 +1579,80 @@ def drift_psi_report(spark, sf_dir):
             .select("bucket", "n_before", "n_after",
                     p.alias("p_before"), q.alias("p_after"),
                     F.round((q - p) * lr, 9).alias("psi_term")))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance audit (round 12)
+# ---------------------------------------------------------------------------
+
+@query("dq_benford_law", """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents WHERE c > 0
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+  GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+scored AS (
+  SELECT digit, n_obs, n,
+         ROUND(LN(1 + 1.0 / CAST(digit AS DOUBLE))
+               / LN(CAST(10 AS DOUBLE)), 9) AS expected_share
+  FROM obs CROSS JOIN tot
+)
+SELECT digit, n_obs,
+       n_obs / CAST(n AS DOUBLE) AS obs_share,
+       expected_share,
+       ROUND((n_obs - n * expected_share) * (n_obs - n * expected_share)
+             / (n * expected_share), 9) AS chi2_contrib,
+       CAST(SUM(CAST(ROUND((n_obs - n * expected_share)
+                           * (n_obs - n * expected_share)
+                           / (n * expected_share), 9) AS DECIMAL(20,9)))
+            OVER () AS DOUBLE) AS chi2_total
+FROM scored
+""")
+def dq_benford_law(spark, sf_dir):
+    """BENFORD'S LAW first-digit audit (Benford 1938; Nigrini's fraud
+    test) on order totals: observed first-significant-digit shares vs
+    the log10(1 + 1/d) expectation, with per-digit chi-square
+    contributions and the pooled chi-square — the classic
+    fabricated-data detector a data-quality layer runs over money and
+    count columns (synthetic uniform-ish generators fail it loudly,
+    which is itself the signal here). First digits come from the exact
+    integer cents (the PSI recipe's round-then-cast), so digit
+    extraction is engine-portable string arithmetic on BIGINTs; the
+    expectation is a round-9 ln-ratio from integer literals;
+    chi-square terms are round-9 arithmetic on identical doubles,
+    decimal-summed by ONE window over the 9-row digit table. Corpus
+    work is a single combinable digit count."""
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+    digits = (cents.filter(F.col("c") > 0)
+              .select(F.substring(F.col("c").cast("string"), 1, 1)
+                      .cast("bigint").alias("digit")))
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp_share = F.round(
+        F.log(1 + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10).cast("double")), 9)
+    scored = (obs.crossJoin(F.broadcast(tot))
+              .select("digit", "n_obs", "n",
+                      exp_share.alias("expected_share")))
+    dev = F.col("n_obs") - F.col("n") * F.col("expected_share")
+    contrib = F.round(dev * dev / (F.col("n") * F.col("expected_share")),
+                      9)
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    return scored.select(
+        "digit", "n_obs",
+        (F.col("n_obs") / F.col("n").cast("double")).alias("obs_share"),
+        "expected_share",
+        contrib.alias("chi2_contrib"),
+        F.sum(contrib.cast("decimal(20,9)")).over(wall).cast("double")
+        .alias("chi2_total"))

@@ -2248,3 +2248,70 @@ def graph_eigenvector_centrality(spark, sf_dir):
              .select("node", F.round(F.col("w") / F.col("m"), 9)
                      .alias("v")))
     return v.select("node", F.col("v").alias("centrality"))
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality indices over customer revenue (round 12)
+# ---------------------------------------------------------------------------
+
+@query("inequality_theil_index", """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE) AS s
+  FROM cust
+),
+terms AS (
+  SELECT n, s,
+         ROUND((rev * n / s)
+               * ROUND(LN(rev * n / s), 9), 9) AS t_term,
+         ROUND(LN(s / (rev * n)), 9) AS l_term
+  FROM cust CROSS JOIN tot
+)
+SELECT MAX(n) AS n_customers,
+       CAST(SUM(CAST(t_term AS DECIMAL(20,9))) AS DOUBLE) / MAX(n)
+         AS theil_t,
+       CAST(SUM(CAST(l_term AS DECIMAL(20,9))) AS DOUBLE) / MAX(n)
+         AS theil_l
+FROM terms GROUP BY n
+""")
+def inequality_theil_index(spark, sf_dir):
+    """THEIL INEQUALITY INDICES (Theil 1967) over per-customer revenue:
+    T = mean(r ln r) and L = mean(ln 1/r) with r = x/mean — the
+    entropy-based inequality family beside the rank-based Gini
+    (gini_revenue_concentration): T and L DECOMPOSE additively across
+    subgroups (between + within), which Gini does not, making them the
+    right concentration metric when a pipeline needs per-source
+    drill-down that sums back to the corpus number. Determinism:
+    per-customer revenue is an exact decimal sum; r = x*n/s is one
+    identically-shaped double expression; ln is round-9 fenced, the
+    r*ln(r) product re-fenced, both series decimal-summed and divided
+    once (every customer has rev > 0, so ln is total). One combinable
+    rollup + one broadcast total — O(rows), no sort (unlike Gini's
+    global rank)."""
+    o = t(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .cast("double").alias("rev")))
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+        .alias("s"))
+    r = F.col("rev") * F.col("n") / F.col("s")
+    terms = (cust.crossJoin(F.broadcast(tot))
+             .select("n",
+                     F.round(r * F.round(F.log(r), 9), 9).alias("t_term"),
+                     F.round(F.log(F.col("s")
+                                   / (F.col("rev") * F.col("n"))), 9)
+                     .alias("l_term")))
+    return (terms.groupBy("n")
+            .agg((F.sum(F.col("t_term").cast("decimal(20,9)"))
+                  .cast("double") / F.max("n")).alias("theil_t"),
+                 (F.sum(F.col("l_term").cast("decimal(20,9)"))
+                  .cast("double") / F.max("n")).alias("theil_l"))
+            .select(F.col("n").alias("n_customers"),
+                    "theil_t", "theil_l"))

@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "emb_procrustes_2d", "graph_eigenvector_centrality",
     "market_basket_rules", "survival_log_rank", "timeseries_periodogram",
     "eval_cuped_adjustment", "vocab_heaps_law_fit",
+    "inequality_theil_index", "dq_benford_law",
 ]
 
 

@@ -362,3 +362,43 @@ def test_heaps_fit_matches_lstsq(spark, sf_dir):
     # would sit near 0.5 — the bound only guards against nonsense fits
     assert -1e-6 <= row["beta"] < 1.2
     assert abs(row["k_coef"] - 31.0) < 1.0
+
+
+def test_theil_indices_match_bruteforce(spark, sf_dir):
+    """T and L recomputed in python with the same fences; both
+    nonnegative (Jensen) and T <= ln(n)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    from collections import defaultdict
+    rev = defaultdict(Decimal)
+    for r in o:
+        rev[r["o_custkey"]] += Decimal(repr(r["o_totalprice"])).quantize(
+            Decimal("0.00000001"))
+    xs = [float(v) for v in rev.values()]
+    n, s = len(xs), float(sum(Decimal(repr(v)) for v in xs))
+    tt = float(sum(Decimal(repr(round((x * n / s)
+                                      * round(math.log(x * n / s), 9), 9)))
+                   for x in xs)) / n
+    tl = float(sum(Decimal(repr(round(math.log(s / (x * n)), 9)))
+                   for x in xs)) / n
+    row = QUERIES["inequality_theil_index"](spark, sf_dir).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["theil_t"] - tt) < 1e-9
+    assert abs(row["theil_l"] - tl) < 1e-9
+    assert row["theil_t"] >= -1e-9 and row["theil_l"] >= -1e-9
+    assert row["theil_t"] <= math.log(n)
+
+
+def test_benford_audit_consistent(spark, sf_dir):
+    """Digit shares sum to 1, expected shares are the Benford
+    logarithms summing to 1, chi2_total equals the decimal sum of the
+    contributions and is identical on every row."""
+    rows = QUERIES["dq_benford_law"](spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["expected_share"] == round(
+            math.log(1 + 1.0 / r["digit"]) / math.log(10.0), 9)
+    want = float(sum(Decimal(repr(r["chi2_contrib"])) for r in rows))
+    assert all(abs(r["chi2_total"] - want) < 1e-9 for r in rows)
+    assert all(r["chi2_contrib"] >= 0.0 for r in rows)
