@@ -1,7 +1,10 @@
 """Hand-computed invariants for the round-12 additions: retrieval-ranking
 evaluation (nDCG@10 / MRR / AP@10), split-conformal thresholds, 1-D
-Wasserstein drift, Ljung-Box, Yule's K, 2-D Procrustes alignment, and
-eigenvector centrality on the capped LSH graph."""
+Wasserstein drift, Ljung-Box, Yule's K, 2-D Procrustes alignment,
+eigenvector centrality on the capped LSH graph, market-basket rules,
+the log-rank survival test, the fixed-frequency periodogram, CUPED
+variance reduction, the Heaps'-law fit, Theil inequality indices, and
+the Benford first-digit audit."""
 
 import math
 from decimal import Decimal
