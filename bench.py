@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "market_basket_rules", "survival_log_rank", "timeseries_periodogram",
     "eval_cuped_adjustment", "vocab_heaps_law_fit",
     "inequality_theil_index", "dq_benford_law",
+    "eval_kruskal_wallis", "eval_brown_forsythe", "eval_welch_ttest",
+    "eval_jarque_bera",
 ]
 
 
