@@ -309,6 +309,8 @@ BENCH_QUERIES = [
     "inequality_theil_index", "dq_benford_law",
     "eval_kruskal_wallis", "eval_brown_forsythe", "eval_welch_ttest",
     "eval_jarque_bera",
+    "graph_hits_scores", "graph_local_clustering",
+    "timeseries_spectral_entropy", "timeseries_hurst_rs",
 ]
 
 
