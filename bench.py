@@ -311,6 +311,8 @@ BENCH_QUERIES = [
     "eval_jarque_bera",
     "graph_hits_scores", "graph_local_clustering",
     "timeseries_spectral_entropy", "timeseries_hurst_rs",
+    "vocab_chao1_ace", "eval_friedman_quarters",
+    "dq_anderson_darling_uniform", "anomaly_grubbs_daily", "eval_cochran_q",
 ]
 
 
