@@ -313,6 +313,8 @@ BENCH_QUERIES = [
     "timeseries_spectral_entropy", "timeseries_hurst_rs",
     "vocab_chao1_ace", "eval_friedman_quarters",
     "dq_anderson_darling_uniform", "anomaly_grubbs_daily", "eval_cochran_q",
+    "token_fertility_by_lang", "stats_partial_correlation",
+    "token_adaptation_churchgale", "text_fightin_words",
 ]
 
 
