@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "dq_anderson_darling_uniform", "anomaly_grubbs_daily", "eval_cochran_q",
     "token_fertility_by_lang", "stats_partial_correlation",
     "token_adaptation_churchgale", "text_fightin_words",
+    "emb_lof_outliers", "eval_tost_equivalence", "drift_qq_deciles",
 ]
 
 
