@@ -316,6 +316,8 @@ BENCH_QUERIES = [
     "token_fertility_by_lang", "stats_partial_correlation",
     "token_adaptation_churchgale", "text_fightin_words",
     "emb_lof_outliers", "eval_tost_equivalence", "drift_qq_deciles",
+    "timeseries_pacf", "stats_runs_test", "timeseries_crosscorr",
+    "stats_mood_median",
 ]
 
 
