@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "emb_lof_outliers", "eval_tost_equivalence", "drift_qq_deciles",
     "timeseries_pacf", "stats_runs_test", "timeseries_crosscorr",
     "stats_mood_median",
+    "eval_permutation_signflip", "graph_powerlaw_alpha", "emb_jl_distortion",
 ]
 
 
