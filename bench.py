@@ -319,6 +319,8 @@ BENCH_QUERIES = [
     "timeseries_pacf", "stats_runs_test", "timeseries_crosscorr",
     "stats_mood_median",
     "eval_permutation_signflip", "graph_powerlaw_alpha", "emb_jl_distortion",
+    "eval_yuen_trimmed_t", "token_dispersion_dp", "eval_cohens_h",
+    "drift_cramer_von_mises",
 ]
 
 
