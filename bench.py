@@ -321,6 +321,8 @@ BENCH_QUERIES = [
     "eval_permutation_signflip", "graph_powerlaw_alpha", "emb_jl_distortion",
     "eval_yuen_trimmed_t", "token_dispersion_dp", "eval_cohens_h",
     "drift_cramer_von_mises",
+    "forecast_holt_winters", "eval_mann_whitney_u",
+    "eval_proportions_ztest",
 ]
 
 

@@ -185,6 +185,19 @@ PROBES = [
     "text_yules_k",
     "eval_cuped_adjustment",
     "survival_log_rank",
+    # round-12 session-2 flagships: mutual-reinforcement iterations on the
+    # transaction bipartite, per-node triangles on the capped graph,
+    # density-ratio LOF on the SRP-capped candidate join, half-doc
+    # presence-set joins, the B=200 md5 replicate fan-out, the degree-tail
+    # MLE, Dirichlet log-odds keyness, and part-bounded DP dispersion
+    "graph_hits_scores",
+    "graph_local_clustering",
+    "emb_lof_outliers",
+    "token_adaptation_churchgale",
+    "eval_permutation_signflip",
+    "graph_powerlaw_alpha",
+    "text_fightin_words",
+    "token_dispersion_dp",
 ]
 
 
