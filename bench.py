@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "drift_cramer_von_mises",
     "forecast_holt_winters", "eval_mann_whitney_u",
     "eval_proportions_ztest",
+    "eval_expected_reciprocal_rank", "dq_rle_dictionary_audit",
 ]
 
 
