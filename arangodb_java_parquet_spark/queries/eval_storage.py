@@ -107,7 +107,9 @@ FROM (
 )"""
 
 
-_AUDIT_COLS = ("o_orderstatus", "o_orderpriority", "o_shippriority")
+# o_orderdate is the deliberate high-cardinality contrast: near-random in
+# key order, so runs ~ n and the audit correctly says "plain encoding".
+_AUDIT_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
 
 _AUDIT_SQL = "\nUNION ALL\n".join(_audit_leg_sql(c) for c in _AUDIT_COLS)
 

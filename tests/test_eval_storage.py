@@ -46,11 +46,11 @@ def test_err_matches_bruteforce(spark, sf_dir):
 def test_rle_audit_matches_python(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority",
-        "o_shippriority").collect()
+        "o_orderdate").collect()
     o = sorted(o, key=lambda r: r["o_orderkey"])
     rows = {r["col_name"]: r for r in
             QUERIES["dq_rle_dictionary_audit"](spark, sf_dir).collect()}
-    for col in ("o_orderstatus", "o_orderpriority", "o_shippriority"):
+    for col in ("o_orderstatus", "o_orderpriority", "o_orderdate"):
         vals = [r[col] for r in o]
         n = len(vals)
         nd = len(set(vals))
