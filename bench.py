@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "forecast_holt_winters", "eval_mann_whitney_u",
     "eval_proportions_ztest",
     "eval_expected_reciprocal_rank", "dq_rle_dictionary_audit",
+    "text_distinct_n", "event_circadian_entropy",
 ]
 
 
