@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "eval_expected_reciprocal_rank", "dq_rle_dictionary_audit",
     "text_distinct_n", "event_circadian_entropy",
     "survival_nelson_aalen", "eval_bland_altman",
+    "stats_durbin_watson", "stats_breusch_pagan",
 ]
 
 
