@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "text_distinct_n", "event_circadian_entropy",
     "survival_nelson_aalen", "eval_bland_altman",
     "stats_durbin_watson", "stats_breusch_pagan",
+    "source_vocab_jaccard", "eval_gwets_ac1",
 ]
 
 
