@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "survival_nelson_aalen", "eval_bland_altman",
     "stats_durbin_watson", "stats_breusch_pagan",
     "source_vocab_jaccard", "eval_gwets_ac1",
+    "forecast_naive_benchmarks",
 ]
 
 
