@@ -74,58 +74,70 @@ from arangodb_java_parquet_spark.queries import forecast_bench  # noqa: F401,E40
 # by tests/test_registry.py): a rows-only entry in the panel would burn a
 # value-checked slot on a permanent "no_oracle".
 # ---------------------------------------------------------------------------
+# PANEL-EXHAUSTION POLICY (decided r13, per VERDICT r12 #6): while ANY
+# oracle-backed entry has never appeared in a committed CORRECTNESS_r*.json,
+# every panel slot MUST be never-sampled (enforced by
+# tests/test_registry.py::test_panel_rotation_policy, which recomputes the
+# never-sampled set from the committed record files at test time). Once the
+# never-sampled pool is empty (~round 15 at 50 slots/round over the current
+# 547-entry registry), rotation switches to OLDEST-GREEN-FIRST: re-sample
+# the 50 entries whose most recent driver-green row is oldest (ties broken
+# by registry name), so the external signal continuously re-validates the
+# whole surface instead of freezing on one historical pass.
 DRIVER_PANEL = [
-    # ROUND-12 ROTATION (VERDICT r11 next-round #1): all 50 slots are
-    # names with NO driver CORRECTNESS row in rounds 1-11 (computed from
-    # the committed CORRECTNESS_r*.json files — 347 distinct sampled,
-    # 129 never-sampled oracle-backed remaining before this round).
-    # Cross-section of the remaining families: the full evaluation-
-    # harness wave (AUC variants, nonparametrics, agreement, calibration,
-    # forecast), the embedding-diagnostics wave (CKA/ZCA/Mahalanobis/
-    # TwoNN/alignment), the remaining dedup breadth (SpotSigs, CDC,
-    # soft weights, LSH planner — incl. the three entries this round's
-    # ADVICE fixes touched, so the driver confirms the fixes), mixture/
-    # sampling, graph, time-series, multimodal plumbing, sketches.
-    # Cumulative distinct driver-green grows 347 -> ~397 of 486.
+    # ROUND-13 ROTATION (VERDICT r12 next-round #1): all 50 slots are
+    # names with NO driver CORRECTNESS row in rounds 1-12 (computed from
+    # the committed CORRECTNESS_r*.json files — 397 distinct sampled,
+    # 140 never-sampled oracle-backed remaining before this round).
+    # Cross-section of the remaining families: the r12 session-2 waves
+    # (classical stats, time-series diagnostics, drift, survival, DQ
+    # audits), the rank-metric evaluation tier (nDCG/MRR/ERR), text/vocab
+    # statistics, graph centralities, the first streaming + multimodal
+    # decode entries ever panel-sampled, and the three entries this
+    # round's ADVICE fixes touched (text_distinct_n,
+    # drift_cramer_von_mises, graph_hits_scores) so the driver confirms
+    # the fixes. Cumulative distinct driver-green grows 397 -> ~447 of
+    # 547; ~90 never-sampled remain (two rotations to exhaustion).
     # Previously-green names stay locally harness-checked every round
-    # via tools/check_correctness.py (full 486-entry drive).
+    # via tools/check_correctness.py (full 547-entry drive).
     #
-    # text / vocab statistics
-    "vocab_growth_curve", "token_length_histogram",
-    "doc_length_by_lang_profile", "lang_purity_by_source",
-    "bpe_apply_compression",
-    # dedup breadth (SpotSigs + CDC + soft weights + LSH planner)
-    "dedup_soft_weights", "dedup_lsh_param_planner", "dedup_cdc_chunking",
-    "dedup_spotsigs", "dedup_cluster_quality_spread",
-    # mixture / sampling / curation
-    "sample_stratified_hash", "sample_language_quota",
-    "sample_weighted_ares", "mixture_source_weights",
-    "mixture_rebalance_rates", "mixture_data_constrained_epochs",
-    # embeddings diagnostics
-    "emb_label_stats", "emb_bucket_histogram", "emb_drift_by_label",
-    "emb_alignment_uniformity", "emb_linear_cka", "emb_zca_whitening_2d",
-    "emb_mahalanobis_outliers_2d", "emb_intrinsic_dim_twonn",
-    # evaluation harness (AUC variants, nonparametrics, agreement,
-    # calibration, forecast)
-    "eval_forecast_accuracy", "eval_bh_fdr_correction",
-    "eval_wilcoxon_signed_rank", "eval_auc_macro_ovr", "eval_pinball_loss",
-    "eval_icc_2_1", "eval_auc_delong_ci", "eval_mcc_matthews",
-    "eval_calibration_spiegelhalter_z", "eval_weighted_kappa",
-    # trend / forecast / drift
-    "trend_mann_kendall", "forecast_holt_linear",
-    "timeseries_classical_decompose", "drift_ks_statistic",
-    # graph (incl. this round's capped-default diagnostics)
-    "graph_adamic_adar", "graph_edge_triangle_support",
-    "graph_rich_club_coefficient",
-    # linkage / intervals / privacy
-    "linkage_blocking_quality", "intervals_allen_profile",
-    "privacy_delta_presence",
-    # sketches
-    "agg_ams_f2_sketch", "sketch_kmv_distinct_ops",
-    # multimodal plumbing (oracle-backed metadata legs)
-    "multimodal_binary_meta", "multimodal_format_sniff",
-    # clustering quality / scale ops
-    "cluster_davies_bouldin", "zonemap_pruning_report",
+    # text / vocab statistics (incl. ADVICE-fixed text_distinct_n)
+    "text_yules_k", "vocab_heaps_law_fit", "vocab_chao1_ace",
+    "token_fertility_by_lang", "text_fightin_words", "text_distinct_n",
+    # IR / language-model scoring
+    "ir_query_expansion_prf", "ir_query_likelihood_jm",
+    # graph centralities (incl. ADVICE-fixed graph_hits_scores)
+    "graph_hits_scores", "graph_eigenvector_centrality",
+    "graph_local_clustering", "graph_assortativity",
+    # evaluation harness: rank metrics + nonparametrics + agreement
+    "eval_ndcg_at_k", "eval_mean_reciprocal_rank",
+    "eval_expected_reciprocal_rank", "eval_mann_whitney_u",
+    "eval_kruskal_wallis", "eval_welch_ttest", "eval_jarque_bera",
+    "eval_gwets_ac1",
+    # classical regression / correlation diagnostics
+    "stats_partial_correlation", "stats_runs_test", "stats_durbin_watson",
+    # drift family (incl. ADVICE-fixed drift_cramer_von_mises)
+    "drift_wasserstein_1d", "drift_qq_deciles", "drift_cramer_von_mises",
+    # time-series diagnostics / forecast
+    "timeseries_strength_measures", "timeseries_ljung_box",
+    "timeseries_pacf", "forecast_holt_winters", "forecast_naive_benchmarks",
+    # embedding diagnostics
+    "emb_procrustes_2d", "emb_lof_outliers", "emb_jl_distortion",
+    # survival analysis
+    "survival_log_rank", "survival_nelson_aalen",
+    # data-quality audits
+    "dq_benford_law", "dq_anderson_darling_uniform",
+    "dq_rle_dictionary_audit",
+    # multimodal decode (first panel sample of the decode legs)
+    "multimodal_image_features", "multimodal_audio_codec_profile",
+    # streaming (first panel sample of the streaming surface)
+    "stream_windowed_counts", "stream_dedup_exact",
+    "stream_topk_event_types",
+    # user / event analytics
+    "rfm_segmentation", "rfm_migration_matrix",
+    "markov_next_event_accuracy", "attribution_position_based",
+    # dataset governance / storage-layout ops
+    "dataset_datasheet", "compaction_bin_plan",
 ]
 
 

@@ -27,7 +27,10 @@ from arangodb_java_parquet_spark.queries.common import query, t
 
 
 def _dn_leg_sql(n: int) -> str:
-    gram = " || ' ' || ".join(f"l[u.i + {j}]" for j in range(n))
+    # Position bound derived FROM THE DATA (range(1, nt-(n-1)+1) per doc),
+    # never a fixed literal: a regenerated testdata set with longer
+    # documents must not silently undercount grams on the oracle side.
+    gram = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
     return f"""
 SELECT {n} AS n,
        CAST(COUNT(*) AS BIGINT) AS total_ngrams,
@@ -35,10 +38,11 @@ SELECT {n} AS n,
        COUNT(DISTINCT gram) / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
 FROM (
   SELECT {gram} AS gram
-  FROM (SELECT string_split(text, ' ') AS l,
-               len(string_split(text, ' ')) AS nt FROM documents) d,
-       (SELECT UNNEST(range(1, 2001)) AS i) u
-  WHERE u.i <= d.nt - {n - 1}
+  FROM (
+    SELECT UNNEST(range(1, greatest(nt - {n - 1}, 0) + 1)) AS i, l
+    FROM (SELECT string_split(text, ' ') AS l,
+                 len(string_split(text, ' ')) AS nt FROM documents)
+  )
 )"""
 
 

@@ -79,8 +79,9 @@ def graph_hits_scores(spark, sf_dir):
     round-9-fenced exact decimal sums, the max normalizer is exact,
     each iteration re-fences at round-9. The edge list is one
     distinct projection of the orders-lineitem join (shuffle on
-    orderkey, then on the pair); each iteration is a broadcast-sized
-    score join + combinable groupBy — O(E) per round."""
+    orderkey, then on the pair); each iteration is a score join (AQE
+    broadcasts the linear-in-sf score vector while it fits, shuffle
+    join beyond) + combinable groupBy — O(E) per round."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
@@ -91,8 +92,14 @@ def graph_hits_scores(spark, sf_dir):
     a = (edges.select("s").distinct()
          .withColumn("a", F.lit(1).cast("double")))
     h = None
+    # The per-node score relations (a/h) scale LINEARLY with sf, so no
+    # explicit broadcast hint on the iteration joins: AQE broadcasts them
+    # at runtime while they fit (they do at sf0.1) and falls back to a
+    # shuffle join at scale factors where a forced broadcast would be a
+    # driver-memory liability. The 1-row max-normalizer joins stay
+    # explicitly broadcast — those are scale-independent.
     for _ in range(_HITS_ITERS):
-        hr = (edges.join(F.broadcast(a), "s")
+        hr = (edges.join(a, "s")
               .groupBy("c")
               .agg(F.sum(F.round(F.col("a"), 9).cast("decimal(30,9)"))
                    .cast("double").alias("h")))
@@ -100,7 +107,7 @@ def graph_hits_scores(spark, sf_dir):
         h = (hr.crossJoin(F.broadcast(hm))
              .select("c", F.round(F.col("h") / F.col("m"), 9).alias("h"))
              .localCheckpoint(eager=False))
-        ar = (edges.join(F.broadcast(h), "c")
+        ar = (edges.join(h, "c")
               .groupBy("s")
               .agg(F.sum(F.round(F.col("h"), 9).cast("decimal(30,9)"))
                    .cast("double").alias("a")))

@@ -356,8 +356,10 @@ p AS (
   FROM p0
 )
 SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n0 AS BIGINT) AS n_other,
-       (n1 * d41 + n0 * d40) / CAST(4 AS DOUBLE) AS u_stat,
-       (n1 * d41 + n0 * d40) / CAST(4 AS DOUBLE)
+       (n1 * CAST(d41 AS DOUBLE) + n0 * CAST(d40 AS DOUBLE))
+         / CAST(4 AS DOUBLE) AS u_stat,
+       (n1 * CAST(d41 AS DOUBLE) + n0 * CAST(d40 AS DOUBLE))
+         / CAST(4 AS DOUBLE)
          / (CAST(n1 AS DOUBLE) * n0 * (n1 + n0))
          - (4 * n1 * n0 - 1) / (CAST(6 AS DOUBLE) * (n1 + n0)) AS t_cvm
 FROM p
@@ -396,7 +398,12 @@ def drift_cramer_von_mises(spark, sf_dir):
         F.max(F.when(F.col("grp") == 1, F.col("d4"))).alias("d41"),
         F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
         F.max(F.when(F.col("grp") == 0, F.col("d4"))).alias("d40"))
-    u = ((F.col("n1") * F.col("d41") + F.col("n0") * F.col("d40"))
+    # d4 grows ~n*(2m)^2, so n*d4 would overflow BIGINT ~10x past sf1
+    # (DuckDB raises, non-ANSI Spark silently wraps): multiply in DOUBLE
+    # on both engines — the operands are exact integers individually well
+    # under 2^53 through sf1 and IEEE multiply/add are deterministic.
+    u = ((F.col("n1") * F.col("d41").cast("double")
+          + F.col("n0") * F.col("d40").cast("double"))
          / F.lit(4.0))
     n1, n0 = F.col("n1"), F.col("n0")
     tstat = (u / (n1.cast("double") * n0 * (n1 + n0))

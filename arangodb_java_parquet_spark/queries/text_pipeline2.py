@@ -602,12 +602,16 @@ def text_novelty_rate(spark, sf_dir):
     aggregations over the gram explode; the gram-frequency table joins
     back keyed on gram — shuffles move (gram-hash, count) pairs. At
     100 TB, hash the grams to fixed-width md5 first so the join key is
-    compact."""
+    compact. The explode base feeds BOTH the frequency agg and the
+    join-back — lambda-HOF subtrees never canonicalize to a
+    ReusedExchange, so materialize it once (localCheckpoint, VERDICT
+    r12 #4) instead of running the transform+explode lineage twice."""
     d = t(spark, sf_dir, "documents")
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
-    g = d.select("doc_id", F.explode(grams_expr).alias("gram"))
+    g = (d.select("doc_id", F.explode(grams_expr).alias("gram"))
+         .localCheckpoint(eager=False))
     gcount = g.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("n_docs"))
     novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))

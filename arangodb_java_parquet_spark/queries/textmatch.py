@@ -452,14 +452,21 @@ def dedup_intradoc_spans(spark, sf_dir):
     whole texts through the compare."""
     d = t(spark, sf_dir, "documents").filter(
         F.size(F.split("text", " ")) >= 3)
+    # toks feeds the anti-join AND the per-doc total; grams feeds the
+    # first-occurrence agg AND the duplicate-start join. Neither lineage
+    # canonicalizes to a ReusedExchange (posexplode over a lambda-HOF
+    # gram array), so materialize each once (VERDICT r12 #4) instead of
+    # re-running the explode per consumer.
     toks = (d.select("doc_id",
                      F.posexplode(F.split("text", " ")).alias("p0", "tok"))
-            .select("doc_id", (F.col("p0") + 1).alias("i"), "tok"))
+            .select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+            .localCheckpoint(eager=False))
     gram_arr = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
     grams = (d.select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
-             .select("doc_id", (F.col("p0") + 1).alias("i"), "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("i"), "gh")
+             .localCheckpoint(eager=False))
     firsts = grams.groupBy("doc_id", "gh").agg(F.min("i").alias("first_i"))
     dup_starts = (grams.join(firsts, ["doc_id", "gh"])
                   .filter(F.col("i") > F.col("first_i"))

@@ -105,3 +105,28 @@ def test_no_zero_row_oracle_passes_in_committed_harness():
                if re.match(r"rows-only\s+\S+: 0 rows", l.strip())]
     assert not zero_ro, (
         f"zero-row rows-only entries in {latest}: {zero_ro}")
+
+
+def test_panel_rotation_policy():
+    """PANEL-EXHAUSTION POLICY (queries/__init__.py, decided r13 per
+    VERDICT r12 #6): while ANY oracle-backed entry has never appeared in
+    a committed driver CORRECTNESS_r*.json, every DRIVER_PANEL slot must
+    be never-sampled — driver correctness rows are the only hard external
+    signal, so a panel slot spent re-sampling an already-green name while
+    never-sampled names exist wastes the scarce resource. Once the pool
+    is empty, rotation switches to oldest-green-first and this test's
+    guard arm goes vacuous (the policy comment governs)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        sampled.update(json.load(open(f)).keys())
+    never = {n for n in QUERIES if n in ORACLES and n not in sampled}
+    if never:
+        stale = [n for n in DRIVER_PANEL if n not in never]
+        assert not stale, (
+            f"{len(never)} never-sampled oracle entries remain but these "
+            f"panel slots re-sample already-driven names: {stale}")
