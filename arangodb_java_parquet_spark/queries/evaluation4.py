@@ -445,3 +445,127 @@ def eval_cuped_adjustment(spark, sf_dir):
         (F.round((cov_n * cov_n)
                  / F.nullif(varx_n * vary_n, F.lit(0.0)), 9)
          + F.lit(0.0)).alias("variance_reduction"))
+
+
+# ---------------------------------------------------------------------------
+# rank-biased precision + group exposure fairness (wave r13a)
+# ---------------------------------------------------------------------------
+
+_RBP_K = 20  # RBP truncation depth (p^19 ~ 2e-6: the dropped tail is nil)
+
+
+@query("eval_rank_biased_precision", _RANKED_SQL + f"""
+SELECT qid,
+       CAST(SUM(CASE WHEN rn <= {_RBP_K} THEN rel ELSE 0 END) AS BIGINT)
+         AS n_rel_topk,
+       CAST(SUM(CASE WHEN rn <= {_RBP_K}
+                     THEN rel * (CAST(1 AS BIGINT) << ({_RBP_K} - rn))
+                     ELSE 0 END) AS BIGINT)
+         / CAST(CAST(1 AS BIGINT) << {_RBP_K} AS DOUBLE) AS rbp
+FROM ranked
+GROUP BY qid
+""")
+def eval_rank_biased_precision(spark, sf_dir):
+    """RANK-BIASED PRECISION (Moffat & Zobel 2008): RBP = (1-p) *
+    sum_k p^(k-1) rel_k — the ranking metric whose position discount
+    models a user with persistence p, and the standard choice when
+    judgments are shallow (unjudged tail contributes a known bound,
+    unlike MAP). Persistence p = 1/2 truncated at depth 20 (the
+    dropped tail is < 2e-6 of the mass). Exact by construction: the
+    weighted sum rides INTEGER bit-shift weights 2^(K-k) — RBP =
+    sum(rel_k * 2^(K-k)) / 2^K, one exact bigint sum and a single IEEE
+    division — no float powers, no fences, max shift 19 (the 62-bit
+    shift-overflow rule). Same broadcast-query / scan-once corpus
+    shape as the nDCG entry."""
+    r = _ranked(spark, sf_dir)
+    w = F.when(F.col("rn") <= _RBP_K,
+               F.col("rel").cast("bigint")
+               * F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RBP_K} - rn)"))\
+        .otherwise(0)
+    topk = F.when(F.col("rn") <= _RBP_K, F.col("rel")).otherwise(0)
+    return (r.groupBy("qid")
+            .agg(F.sum(topk).cast("bigint").alias("n_rel_topk"),
+                 (F.sum(w).cast("bigint")
+                  / F.lit(float(1 << _RBP_K))).alias("rbp")))
+
+
+@query("eval_exposure_fairness", f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS vid, embedding AS cvec, label AS clab
+      FROM embeddings WHERE vec_id >= 10),
+ranked AS (
+  SELECT q.qid, c.vid, c.clab,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY {_sql_cos('q.qvec', 'c.cvec')} DESC,
+                                     c.vid) AS rn
+  FROM c CROSS JOIN q
+),
+expo AS (
+  SELECT clab,
+         CAST(SUM(CAST(ROUND(LN(CAST(2 AS DOUBLE))
+                             / LN(CAST(rn + 1 AS DOUBLE)), 9)
+                       AS DECIMAL(20,9))) AS DOUBLE) AS e,
+         CAST(COUNT(*) // 10 AS BIGINT) AS n_items
+  FROM ranked GROUP BY clab
+),
+tot AS (
+  SELECT CAST(SUM(CAST(e AS DECIMAL(30,9))) AS DOUBLE) AS te,
+         CAST(SUM(n_items) AS BIGINT) AS tn
+  FROM expo
+)
+SELECT clab AS label, n_items,
+       e / te AS exposure_share,
+       n_items / CAST(tn AS DOUBLE) AS item_share,
+       (e / te) / (n_items / CAST(tn AS DOUBLE)) AS disparity
+FROM expo CROSS JOIN tot
+""")
+def eval_exposure_fairness(spark, sf_dir):
+    """GROUP EXPOSURE FAIRNESS (Singh & Joachims 2018): each corpus
+    label's share of total position-discounted exposure
+    (1/log2(rank+1), the nDCG discount) across the 10 query rankings,
+    against its share of corpus items — disparity = exposure share /
+    item share, the audit ranking systems run before a retrieval
+    corpus ships (a label systematically ranked low is invisible to
+    consumers even when recall metrics look fine). Exposure terms are
+    the known-safe round-9 ln-ratio discounts summed as exact
+    decimals per label; shares and disparity are IEEE divisions of
+    identical doubles (group and total sums are both exact decimals).
+    Same broadcast-query / scan-once-corpus shape as the other rank
+    metrics; the per-label rollup is combinable."""
+    e = t(spark, sf_dir, "embeddings")
+    from arangodb_java_parquet_spark.operators.similarity import dot, norm
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec"))
+         .withColumn("qnrm", norm(F.col("qvec"))))
+    c = (e.filter(F.col("vec_id") >= 10)
+         .select(F.col("vec_id").alias("vid"),
+                 F.col("embedding").alias("cvec"),
+                 F.col("label").alias("clab"))
+         .withColumn("cnrm", norm(F.col("cvec"))))
+    ranked = (c.crossJoin(F.broadcast(q))
+              .select("qid", "vid", "clab",
+                      F.round(dot(F.col("qvec"), F.col("cvec"))
+                              / (F.col("qnrm") * F.col("cnrm")), 9)
+                      .alias("cos_sim"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("qid")
+                  .orderBy(F.desc("cos_sim"), F.asc("vid")))))
+    g = F.round(F.log(F.lit(2).cast("double"))
+                / F.log((F.col("rn") + 1).cast("double")), 9)
+    expo = (ranked.groupBy("clab")
+            .agg(F.sum(g.cast("decimal(20,9)")).cast("double").alias("e"),
+                 (F.count(F.lit(1)).cast("bigint") / F.lit(10))
+                 .cast("bigint").alias("n_items")))
+    tot = expo.agg(
+        F.sum(F.col("e").cast("decimal(30,9)")).cast("double").alias("te"),
+        F.sum("n_items").cast("bigint").alias("tn"))
+    return (expo.crossJoin(F.broadcast(tot))
+            .select(F.col("clab").alias("label"), "n_items",
+                    (F.col("e") / F.col("te")).alias("exposure_share"),
+                    (F.col("n_items") / F.col("tn").cast("double"))
+                    .alias("item_share"),
+                    ((F.col("e") / F.col("te"))
+                     / (F.col("n_items") / F.col("tn").cast("double")))
+                    .alias("disparity")))

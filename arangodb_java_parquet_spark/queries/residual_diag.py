@@ -31,7 +31,8 @@ WITH daily AS (
            // 100 AS y
   FROM orders GROUP BY 1
 ),
-idx AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS tt FROM daily),
+idx AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS tt
+       FROM daily),
 m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(tt) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
@@ -49,7 +50,7 @@ fit AS (
   FROM m
 ),
 resid AS (
-  SELECT i.tt, f.n,
+  SELECT i.day, i.tt, f.n,
          (i.y - (f.a + f.b * i.tt)) / CAST(1048576 AS DOUBLE) AS ep
   FROM idx i CROSS JOIN fit f
 )
@@ -196,3 +197,80 @@ def stats_breusch_pagan(spark, sf_dir):
     r2 = num / F.nullif(den, F.lit(0.0))
     return bm.select(n.alias("n_days"), r2.alias("r2_aux"),
                      (n * r2).alias("bp_stat"))
+
+
+@query("stats_cooks_distance", _OLS_SQL + """
+, s2 AS (
+  SELECT CAST(SUM(CAST(ROUND(ep * ep, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           / (MAX(n) - 2) AS s2
+  FROM resid
+),
+lev AS (
+  SELECT r.day, r.tt, r.n, ROUND(r.ep * r.ep, 9) AS e2,
+         CAST(1 AS DOUBLE) / r.n
+           + (r.tt - m.st / CAST(r.n AS DOUBLE))
+             * (r.tt - m.st / CAST(r.n AS DOUBLE))
+             / (m.stt - m.st * (m.st / CAST(r.n AS DOUBLE))) AS h
+  FROM resid r CROSS JOIN m
+)
+SELECT day, tt, h AS leverage,
+       e2 * h / (2 * s.s2 * (1 - h) * (1 - h)) AS cooks_d
+FROM lev CROSS JOIN s2 s
+ORDER BY cooks_d DESC, tt
+LIMIT 10
+""")
+def stats_cooks_distance(spark, sf_dir):
+    """COOK'S DISTANCE top-10 (Cook 1977): D_i = e_i^2 h_i /
+    (p s^2 (1 - h_i)^2) with p = 2 over the daily revenue-on-time OLS
+    — WHICH days single-handedly move the fitted trend (a residual
+    outlier far from the time centroid bends the line; one near the
+    middle barely does). The influence companion to the DW/BP residual
+    diagnostics on the same exact-moment fit: leverage h_i = 1/n +
+    (t - tbar)^2/S_tt comes from the identical integer moments,
+    residuals are the 2^-20-scaled identical doubles (D is
+    scale-invariant), s^2 is a fenced decimal sum, and D itself is
+    straight-line IEEE on identical doubles — deterministic ORDER BY
+    (D desc, day-index asc) with a TakeOrdered top-10."""
+    daily = (t(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS"
+                         " BIGINT)) AS BIGINT) div 100").alias("y")))
+    idx = daily.select(
+        "day", "y", F.row_number().over(W.orderBy("day")).alias("tt"))
+    m = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("tt").cast("bigint").alias("st"),
+                F.sum("y").cast("bigint").alias("sy"),
+                F.sum(F.col("tt") * F.col("tt")).cast("bigint")
+                .alias("stt"),
+                F.sum(F.col("tt") * F.col("y")).cast("bigint")
+                .alias("sty"))
+    b = ((F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+         / (F.col("n").cast("double") * F.col("stt")
+            - F.col("st").cast("double") * F.col("st")))
+    a = (F.col("sy") / F.col("n").cast("double")
+         - b * (F.col("st") / F.col("n").cast("double")))
+    fit = m.select("n", "st", "stt", b.alias("b"), a.alias("a"))
+    resid = (idx.crossJoin(F.broadcast(fit))
+             .select("day", "tt", "n", "st", "stt",
+                     ((F.col("y") - (F.col("a") + F.col("b") * F.col("tt")))
+                      / F.lit(float(1 << 20))).alias("ep"))
+             .localCheckpoint(eager=False))  # feeds s2 + the row leg
+    s2 = resid.agg(
+        (F.sum(F.round(F.col("ep") * F.col("ep"), 9)
+               .cast("decimal(30,9)")).cast("double")
+         / (F.max("n") - 2)).alias("s2"))
+    nd = F.col("n").cast("double")
+    h = (F.lit(1.0) / F.col("n")
+         + (F.col("tt") - F.col("st") / nd)
+         * (F.col("tt") - F.col("st") / nd)
+         / (F.col("stt") - F.col("st") * (F.col("st") / nd)))
+    lev = resid.select("day", "tt",
+                       F.round(F.col("ep") * F.col("ep"), 9).alias("e2"),
+                       h.alias("h"))
+    d = (F.col("e2") * F.col("h")
+         / (2 * F.col("s2") * (1 - F.col("h")) * (1 - F.col("h"))))
+    return (lev.crossJoin(F.broadcast(s2))
+            .select("day", "tt", F.col("h").alias("leverage"),
+                    d.alias("cooks_d"))
+            .orderBy(F.desc("cooks_d"), F.asc("tt"))
+            .limit(10))

@@ -33,7 +33,9 @@ from arangodb_java_parquet_spark.queries.event_analytics import (
 # Nelson-Aalen cumulative hazard (right-censored, KM's censoring rule)
 # ---------------------------------------------------------------------------
 
-_NA_SQL = f"""
+# shared prefix: per-user (duration, censored) lifetimes under the KM
+# censoring rule — composed by Nelson-Aalen and the Weibull fit
+_LIFE_SQL = f"""
 WITH b AS (SELECT epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS tmax FROM events),
 life AS (
   SELECT user_id,
@@ -42,7 +44,9 @@ life AS (
          CASE WHEN epoch_us(CAST(MAX(ts) AS TIMESTAMP))
                    >= b.tmax - {_KM_CENSOR_US} THEN 1 ELSE 0 END AS cens
   FROM events CROSS JOIN b GROUP BY user_id, b.tmax
-),
+)"""
+
+_NA_SQL = _LIFE_SQL + """,
 per_day AS (
   SELECT dur AS day, CAST(SUM(1 - cens) AS BIGINT) AS d,
          CAST(COUNT(*) AS BIGINT) AS ended
@@ -194,3 +198,106 @@ def eval_bland_altman(spark, sf_dir):
                     "n_outside",
                     (F.col("n_outside") / F.col("n").cast("double"))
                     .alias("frac_outside")))
+
+
+# ---------------------------------------------------------------------------
+# Weibull fit by median-rank regression over the uncensored lifetimes
+# ---------------------------------------------------------------------------
+
+@query("survival_weibull_medianrank", _LIFE_SQL + """,
+unc AS (SELECT user_id, dur FROM life WHERE cens = 0 AND dur >= 1),
+rk AS (
+  SELECT dur,
+         ROW_NUMBER() OVER (ORDER BY dur, user_id) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM unc
+),
+pts AS (
+  SELECT n,
+         ROUND(LN(CAST(dur AS DOUBLE)), 9) AS x,
+         ROUND(LN(0 - ROUND(LN(CAST(8 * n - 8 * i + 5 AS DOUBLE)
+                               / (8 * n + 2)), 9)), 9) AS y
+  FROM rk
+),
+m AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(20,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(20,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(20,9))) AS DOUBLE) AS sxx
+  FROM pts
+),
+fit AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS k,
+         sy / CAST(n AS DOUBLE)
+           - (n * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (sx / CAST(n AS DOUBLE)) AS a
+  FROM fit0
+)
+SELECT CAST(n AS BIGINT) AS n_events, k AS shape_k,
+       ROUND(exp(0 - a / k), 9) AS scale_days,
+       ROUND(exp(0 - a / k), 9)
+         * ROUND(exp(ROUND(LN(0 - ROUND(LN(CAST(1 AS DOUBLE) / 2), 9)), 9)
+                     / k), 9) AS median_days
+FROM fit
+""".replace("FROM fit0", "FROM m"))
+def survival_weibull_medianrank(spark, sf_dir):
+    """WEIBULL LIFETIME FIT by median-rank regression (the Weibull-plot
+    method every reliability text opens with): for the UNCENSORED user
+    lifetimes, plot x = ln t against y = ln(-ln(1 - F_i)) at Bernard's
+    median ranks F_i = (i - 0.375)/(n + 0.25) and read the shape k off
+    the OLS slope — k < 1 means churn hazard FALLS with tenure
+    (survive-the-first-week dynamics), k > 1 means wear-out. Emits
+    shape, the scale exp(-intercept/k) in days, and the fitted median
+    lifetime scale*(ln 2)^(1/k). Completes the survival family with a
+    PARAMETRIC fit beside KM / Nelson-Aalen / log-rank.
+
+    Determinism: median ranks ride the integer-scaled exact rational
+    (8n - 8i + 5)/(8n + 2) (one IEEE division); every ln is round-9
+    fenced, fence-products decimal-summed (float operands rounded
+    BEFORE the decimal cast); slope/intercept are straight-line IEEE on
+    the identical moments and both exp legs are round-9 of
+    already-identical arguments — including the (ln 2)^(1/k) power,
+    expressed as exp(ln(ln 2)/k) because libm pow() is not identical
+    across engines. One per-user rollup + one rank window."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.max(us).alias("tmax"))
+    life = (e.crossJoin(F.broadcast(b))
+            .groupBy("user_id", "tmax")
+            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
+            .select("user_id",
+                    F.expr("(l - f) div 86400000000").alias("dur"),
+                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
+                    .otherwise(0).alias("cens")))
+    unc = life.filter((F.col("cens") == 0) & (F.col("dur") >= 1))
+    rk = unc.select(
+        "dur",
+        F.row_number().over(W.orderBy("dur", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy(F.lit(1)))
+        .cast("bigint").alias("n"))
+    q = ((8 * F.col("n") - 8 * F.col("i") + 5).cast("double")
+         / (8 * F.col("n") + 2))
+    pts = rk.select(
+        "n",
+        F.round(F.log(F.col("dur").cast("double")), 9).alias("x"),
+        F.round(F.log(-F.round(F.log(q), 9)), 9).alias("y"))
+    d9 = lambda c: F.sum(c.cast("decimal(20,9)")).cast("double")  # noqa: E731
+    m = pts.agg(F.max("n").alias("n"),
+                d9(F.col("x")).alias("sx"), d9(F.col("y")).alias("sy"),
+                d9(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+                d9(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    k = ((n * F.col("sxy") - sx * sy)
+         / (n.cast("double") * F.col("sxx") - sx.cast("double") * sx))
+    a = sy / n.cast("double") - k * (sx / n.cast("double"))
+    fit = m.select("n", k.alias("k"), a.alias("a"))
+    scale = F.round(F.exp(-F.col("a") / F.col("k")), 9)
+    lnln2 = F.round(F.log(-F.round(F.log(F.lit(1.0) / 2), 9)), 9)
+    return fit.select(
+        n.cast("bigint").alias("n_events"), F.col("k").alias("shape_k"),
+        scale.alias("scale_days"),
+        (scale * F.round(F.exp(lnln2 / F.col("k")), 9)).alias("median_days"))

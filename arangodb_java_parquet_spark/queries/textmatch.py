@@ -951,6 +951,81 @@ def calibration_report(spark, sf_dir):
                                       - F.col("emp_rate")), 9)))
 
 
+_HL_SQL = _irls_prefix_sql() + """
+, g AS (
+  SELECT mu, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN y = 1.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS o1_g
+  FROM final GROUP BY mu
+),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g),
+binned AS (
+  SELECT g.mu, g.n_g, g.o1_g,
+         CAST(((SUM(g.n_g) OVER (ORDER BY g.mu) - g.n_g) * 10) // t.n
+              AS INT) AS bin
+  FROM g CROSS JOIN tot t
+),
+b AS (
+  SELECT bin, CAST(SUM(n_g) AS BIGINT) AS n_b,
+         CAST(SUM(o1_g) AS BIGINT) AS o1,
+         CAST(SUM(CAST(ROUND(mu * n_g, 9) AS DECIMAL(30,9))) AS DOUBLE)
+           AS e1
+  FROM binned GROUP BY bin
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(CAST(ROUND(
+           (o1 - e1) * (o1 - e1) / NULLIF(e1, 0)
+           + (o1 - e1) * (o1 - e1) / NULLIF(n_b - e1, 0), 9)
+         AS DECIMAL(30,9))) AS DOUBLE) AS hl_stat
+FROM b
+"""
+
+
+@query("eval_hosmer_lemeshow", _HL_SQL)
+def eval_hosmer_lemeshow(spark, sf_dir):
+    """HOSMER-LEMESHOW goodness-of-fit (Hosmer & Lemeshow 1980) for the
+    in-engine IRLS logistic model: group predictions into risk deciles,
+    chi2 = sum (O - E)^2/E + (O - E)^2/(n - E) over observed vs expected
+    positives per decile (chi2(bins-2) under a well-specified model) —
+    the fit-level verdict beside calibration_report's per-bin table
+    (ECE says how far off the bins are; HL says whether the model
+    should be refit). Deciles are TIE-SAFE: rows are grouped by their
+    (deterministic, round-9) predicted mu first and whole mu-groups
+    assigned to bins by cumulative-count integer division — identical
+    partitioning on both engines, no per-row tiebreak needed and no
+    arbitrary split of tied predictions across deciles. O is an exact
+    integer, E an exact decimal sum of round-9 mu, per-bin terms
+    round-9 fenced into one exact decimal sum; shares the one-source-
+    of-truth IRLS chain with logistic_irls_fit."""
+    pts, w = _irls_fit(spark, sf_dir)
+    final = pts.crossJoin(F.broadcast(w)).select(
+        "y", _irls_mu_expr().alias("mu"))
+    g = final.groupBy("mu").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("bigint")
+        .alias("o1_g"))
+    tot = g.agg(F.sum("n_g").cast("bigint").alias("n"))
+    # bin = (cumulative count BEFORE this mu-group) * 10 div n — integer
+    # div per the binning rule, whole mu-groups land in one bin
+    binned = (g.crossJoin(F.broadcast(tot))
+              .select("mu", "n_g", "o1_g",
+                      F.expr("CAST(((sum(n_g) OVER (ORDER BY mu"
+                             " ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                             " CURRENT ROW) - n_g) * 10) div n AS INT)")
+                      .alias("bin")))
+    b = binned.groupBy("bin").agg(
+        F.sum("n_g").cast("bigint").alias("n_b"),
+        F.sum("o1_g").cast("bigint").alias("o1"),
+        F.sum(F.round(F.col("mu") * F.col("n_g"), 9)
+              .cast("decimal(30,9)")).cast("double").alias("e1"))
+    d = F.col("o1") - F.col("e1")
+    term = (d * d / F.nullif(F.col("e1"), F.lit(0.0))
+            + d * d / F.nullif(F.col("n_b") - F.col("e1"), F.lit(0.0)))
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.round(term, 9).cast("decimal(30,9)")).cast("double")
+        .alias("hl_stat"))
+
+
 # ---------------------------------------------------------------------------
 # token co-occurrence PMI (collocation mining over the top vocabulary)
 # ---------------------------------------------------------------------------

@@ -2315,3 +2315,74 @@ def inequality_theil_index(spark, sf_dir):
                   .cast("double") / F.max("n")).alias("theil_l"))
             .select(F.col("n").alias("n_customers"),
                     "theil_t", "theil_l"))
+
+
+@query("inequality_atkinson_index", """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(rev AS DECIMAL(30,8))) AS DOUBLE) AS s
+  FROM cust
+),
+terms AS (
+  SELECT n,
+         ROUND(LN(rev * n / s), 9) AS ln_r,
+         ROUND(s / (rev * n), 9) AS inv_r
+  FROM cust CROSS JOIN tot
+),
+agg AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST(ln_r AS DECIMAL(20,9))) AS DOUBLE) AS s_ln,
+         CAST(SUM(CAST(inv_r AS DECIMAL(20,9))) AS DOUBLE) AS s_inv
+  FROM terms GROUP BY n
+)
+SELECT n AS n_customers,
+       1 - ROUND(exp(s_ln / n), 9) AS atkinson_e1,
+       1 - n / s_inv AS atkinson_e2
+FROM agg
+""")
+def inequality_atkinson_index(spark, sf_dir):
+    """ATKINSON INEQUALITY INDICES (Atkinson 1970) over per-customer
+    revenue at the two canonical aversion levels: A(1) = 1 -
+    geomean/mean (one minus the exp of the mean log share — note
+    A(1) = 1 - exp(-Theil_L), the cross-check against the Theil entry)
+    and A(2) = 1 - harmonic_mean/mean — unlike Gini/Theil, Atkinson
+    carries an explicit WELFARE reading ("society would give up A% of
+    total revenue for perfect equality") and its aversion parameter
+    weights the poor tail progressively harder, which is why
+    concentration audits quote A(1)/A(2) beside Gini. Shares r = x*n/s
+    ride the exact decimal revenue sums; ln r and 1/r are round-9
+    fenced into exact decimal sums; A(1)'s exp is round-9 of an
+    already-identical rational (the piloted exp rule) and A(2) is one
+    IEEE division. Same single-rollup + broadcast-total shape as
+    Theil — O(rows), no global sort."""
+    o = t(spark, sf_dir, "orders")
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+                 .cast("double").alias("rev")))
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
+        .alias("s"))
+    r = F.col("rev") * F.col("n") / F.col("s")
+    # 1/r is computed as s/(rev*n) — ONE division, the identical
+    # expression shape as the oracle (1.0/(rev*n/s) would round twice)
+    terms = (cust.crossJoin(F.broadcast(tot))
+             .select("n",
+                     F.round(F.log(r), 9).alias("ln_r"),
+                     F.round(F.col("s") / (F.col("rev") * F.col("n")), 9)
+                     .alias("inv_r")))
+    agg = (terms.groupBy("n")
+           .agg(F.sum(F.col("ln_r").cast("decimal(20,9)")).cast("double")
+                .alias("s_ln"),
+                F.sum(F.col("inv_r").cast("decimal(20,9)")).cast("double")
+                .alias("s_inv")))
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (1 - F.round(F.exp(F.col("s_ln") / F.col("n")), 9))
+        .alias("atkinson_e1"),
+        (1 - F.col("n") / F.col("s_inv")).alias("atkinson_e2"))
