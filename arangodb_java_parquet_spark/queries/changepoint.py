@@ -278,3 +278,73 @@ def forecast_theta_method(spark, sf_dir):
                   .cast("double") / F.count(F.lit(1))).alias("mae"))
             .select("event_type", "a", "b", "ses_level", "n_test",
                     "mse", "mae"))
+
+
+@query("timeseries_dickey_fuller", _DAILY_SQL + """
+, idx AS (
+  SELECT y,
+         LAG(y) OVER (ORDER BY day) AS yl
+  FROM daily
+),
+p AS (SELECT CAST(yl AS BIGINT) AS x, CAST(y - yl AS BIGINT) AS dy
+      FROM idx WHERE yl IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM p
+)
+SELECT n AS n_obs,
+       (n * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS rho_hat,
+       (n * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         / sqrt(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 - (n * sxy - sx * sy)
+                   * ((n * sxy - sx * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                   / 1)
+                / (n - 2)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * n) AS df_tstat
+FROM m
+""")
+def timeseries_dickey_fuller(spark, sf_dir):
+    """DICKEY-FULLER unit-root test (Dickey & Fuller 1979, zero-lag,
+    with intercept): regress the day-over-day difference on the lagged
+    level, dy_t = c + rho*y_{t-1} + e; rho ~ 0 means the daily series
+    is a random walk (differencing needed before any trend fit), rho
+    strongly negative means mean-reversion — the stationarity gate the
+    forecast family assumes, complementing Hurst R/S (long-memory) and
+    the turning-point test (pure randomness). The t-statistic compares
+    against Dickey-Fuller (not normal) critical values (~-2.86 at 5%).
+    Every moment is an exact bigint sum over the calendar-bounded day
+    table; rho and its standard error are straight-line IEEE on the
+    identical centered moments (n*SSE and n*Sxx keep everything in the
+    n-scaled integer-moment form), no fences needed."""
+    daily = _daily(spark, sf_dir)
+    idx = daily.select(
+        "y", F.lag("y").over(W.orderBy("day")).alias("yl"))
+    p = (idx.where(F.col("yl").isNotNull())
+         .select(F.col("yl").cast("bigint").alias("x"),
+                 (F.col("y") - F.col("yl")).cast("bigint").alias("dy")))
+    m = p.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("dy").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("x") * F.col("dy")).cast("bigint").alias("sxy"),
+              F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n.cast("double") * sxx - sx.cast("double") * sx
+    vary_n = n.cast("double") * syy - sy.cast("double") * sy
+    rho = cov_n / varx_n
+    # n-scaled SSE: n*SSE = vary_n - cov_n * rho; se^2 = SSE/(n-2)/Sxx
+    # expressed in the same n-scaled form on both engines
+    se = F.sqrt((vary_n - cov_n * (cov_n / varx_n) / 1)
+                / (n - 2) / varx_n * n)
+    return m.select(n.alias("n_obs"), rho.alias("rho_hat"),
+                    (rho / se).alias("df_tstat"))

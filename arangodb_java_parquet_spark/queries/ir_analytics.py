@@ -2369,3 +2369,119 @@ def vocab_heaps_law_fit(spark, sf_dir):
         (F.round((n * sxy - sx * sy) / den, 9) + F.lit(0.0)).alias("beta"),
         ln_k.alias("ln_k"),
         F.round(F.exp(ln_k), 9).alias("k_coef"))
+
+
+# ---------------------------------------------------------------------------
+# query clarity score (round 13)
+# ---------------------------------------------------------------------------
+
+@query("ir_query_clarity", f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_len
+          FROM documents),
+q AS (SELECT * FROM toks WHERE tok IN ({{terms}})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM q GROUP BY 1, 2),
+dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY 1),
+idf AS (
+  SELECT tok,
+         LN(1.0 + (CAST(stats.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+           AS idf
+  FROM dft CROSS JOIN stats
+),
+scores AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(ROUND(
+           idf.idf * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                               / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+           9) AS DECIMAL(30,9))) AS DOUBLE) AS score
+  FROM tf
+  JOIN idf USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= 10
+),
+fb_tf AS (
+  SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS tf_fb
+  FROM toks t JOIN fb USING (doc_id)
+  GROUP BY t.tok
+),
+fb_len AS (SELECT CAST(SUM(tf_fb) AS BIGINT) AS len_fb FROM fb_tf),
+ctf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_c FROM toks GROUP BY 1),
+terms_kl AS (
+  SELECT ROUND((f.tf_fb / CAST(l.len_fb AS DOUBLE))
+               * ROUND(LN((f.tf_fb * CAST(s.total_len AS DOUBLE))
+                          / (CAST(l.len_fb AS DOUBLE) * c.tf_c)), 9), 9)
+           AS term
+  FROM fb_tf f
+  JOIN ctf c USING (tok)
+  CROSS JOIN fb_len l CROSS JOIN stats s
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n_fb_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fb_tf) AS fb_vocab_size,
+       (SELECT len_fb FROM fb_len) AS fb_len,
+       CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE) AS clarity
+FROM terms_kl
+""".replace("{{terms}}", _BM25_TERMS_SQL))
+def ir_query_clarity(spark, sf_dir):
+    """QUERY CLARITY SCORE (Cronen-Townsend, Zhai & Croft 2002): the KL
+    divergence between the feedback-set language model and the corpus
+    model, KL = sum_w P(w|FB) ln(P(w|FB)/P(w|C)) over the top-10 BM25
+    feedback documents' vocabulary — THE classic pre-retrieval
+    performance predictor (an ambiguous query retrieves a feedback set
+    that looks like the corpus, clarity ~ 0; a crisp query's feedback
+    set concentrates, clarity high). Query-difficulty prediction is
+    the triage signal an IR/RAG pipeline runs before trusting a
+    retrieval answer. Reuses the value-checked BM25 scorer and the PRF
+    entry's feedback construction; both language models are exact
+    rational count ratios, the ln ratio is a single-shape round-9
+    expression and the KL reduction an exact decimal sum. Corpus-scale
+    work: the BM25 pass + one token count; everything after the
+    feedback join is bounded by 10 documents' vocabulary."""
+    d = t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
+    wfb = Window.orderBy(F.desc("score"), "doc_id")
+    fb = (scores.withColumn("rn", F.row_number().over(wfb))
+          .filter(F.col("rn") <= 10).select("doc_id"))
+    toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .localCheckpoint(eager=False))  # corpus counts + feedback leg
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint")
+        .alias("total_len"))
+    fb_tf = (toks.join(F.broadcast(fb), "doc_id")
+             .groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("tf_fb")))
+    fb_len = fb_tf.agg(F.sum("tf_fb").cast("bigint").alias("len_fb"))
+    ctf = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_c"))
+    n_fb = fb.count()
+    lr = F.round(F.log((F.col("tf_fb") * F.col("total_len").cast("double"))
+                       / (F.col("len_fb").cast("double") * F.col("tf_c"))),
+                 9)
+    terms_kl = (fb_tf.join(ctf, "tok")
+                .crossJoin(F.broadcast(fb_len))
+                .crossJoin(F.broadcast(stats))
+                .select(F.round(
+                    (F.col("tf_fb") / F.col("len_fb").cast("double")) * lr,
+                    9).alias("term")))
+    vocab = fb_tf.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    out = terms_kl.agg(
+        F.sum(F.col("term").cast("decimal(20,9)")).cast("double")
+        .alias("clarity"))
+    return (out.crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(fb_len))
+            .select(F.lit(n_fb).cast("bigint").alias("n_fb_docs"),
+                    F.col("v").alias("fb_vocab_size"),
+                    F.col("len_fb").alias("fb_len"), "clarity"))

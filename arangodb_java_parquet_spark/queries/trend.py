@@ -2386,3 +2386,72 @@ def inequality_atkinson_index(spark, sf_dir):
         (1 - F.round(F.exp(F.col("s_ln") / F.col("n")), 9))
         .alias("atkinson_e1"),
         (1 - F.col("n") / F.col("s_inv")).alias("atkinson_e2"))
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality on the capped LSH similarity graph (round 13)
+# ---------------------------------------------------------------------------
+
+_KATZ_ITERS = 3
+
+
+def _katz_sql() -> str:
+    from arangodb_java_parquet_spark.queries.text_pipeline import (
+        _MINHASH_SIG_SQL, capped_pairs_cte_sql)
+    head = _MINHASH_SIG_SQL + capped_pairs_cte_sql(32, out="cand") + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+x0 AS (SELECT DISTINCT src AS node, CAST(1 AS DOUBLE) AS x FROM edges)"""
+    prev = "x0"
+    iters = []
+    for k in range(1, _KATZ_ITERS + 1):
+        iters.append(f"""
+x{k} AS (
+  SELECT e.src AS node,
+         1 + CAST(SUM(CAST(ROUND(p.x, 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / 8 AS x
+  FROM edges e JOIN {prev} p ON p.node = e.dst
+  GROUP BY e.src
+)""")
+        prev = f"x{k}"
+    return (head + "," + ",".join(iters)
+            + f"\nSELECT node, x - 1 AS katz FROM {prev}")
+
+
+@query("graph_katz_centrality", _katz_sql())
+def graph_katz_centrality(spark, sf_dir):
+    """KATZ CENTRALITY (Katz 1953) on the skew-capped LSH similarity
+    graph: x = sum over path lengths k of alpha^k (A^k 1), computed by
+    3 unrolled rounds of the recurrence x <- 1 + alpha A x with
+    attenuation alpha = 1/8 — EXACT BINARY, so the alpha scaling is a
+    lossless halving chain — emitted as x - 1 (the pure attenuated
+    path-count series). Unlike eigenvector centrality (beside it,
+    same graph), Katz stays finite and meaningful on the DISCONNECTED
+    component soup a pre-dedup similarity graph actually is: isolated
+    small components get comparable scores instead of collapsing to
+    the dominant component's eigenvector. Per-round terms are round-9
+    neighbor values in exact decimal sums; each round is one
+    edges-by-dst join + combinable groupBy over the capped graph —
+    O(E) per round, the eigenvector/HITS scale recipe."""
+    from arangodb_java_parquet_spark.operators.dedup import (
+        char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
+    d = t(spark, sf_dir, "documents")
+    sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
+    cand = lsh_candidate_pairs_capped(
+        minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
+    edges = (cand.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+             .unionAll(cand.select(F.col("doc_b").alias("src"),
+                                   F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=False))  # feeds every iteration
+    x = (edges.select(F.col("src").alias("node")).distinct()
+         .withColumn("x", F.lit(1).cast("double")))
+    for _ in range(_KATZ_ITERS):
+        x = (edges.join(x.withColumnRenamed("node", "dst"), "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg((1 + F.sum(F.round(F.col("x"), 9).cast("decimal(30,9)"))
+                   .cast("double") / 8).alias("x"))
+             .localCheckpoint(eager=False))
+    return x.select("node", (F.col("x") - 1).alias("katz"))

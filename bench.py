@@ -329,6 +329,14 @@ BENCH_QUERIES = [
     "stats_durbin_watson", "stats_breusch_pagan",
     "source_vocab_jaccard", "eval_gwets_ac1",
     "forecast_naive_benchmarks",
+    # round 13: changepoint/theta/influence + classical-tests second wave
+    "changepoint_pettitt", "timeseries_turning_points",
+    "forecast_theta_method", "eval_rank_biased_precision",
+    "eval_exposure_fairness", "eval_hosmer_lemeshow",
+    "survival_weibull_medianrank", "stats_cooks_distance",
+    "inequality_atkinson_index", "stats_bartlett", "stats_welch_anova",
+    "stats_hill_tail_index", "stats_fisher_exact_2x2",
+    "timeseries_sample_entropy",
 ]
 
 

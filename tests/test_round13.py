@@ -268,3 +268,44 @@ def test_hosmer_lemeshow_properties(spark, sf_dir):
     row = QUERIES["eval_hosmer_lemeshow"](spark, sf_dir).first()
     assert 1 <= row["n_bins"] <= 10
     assert row["hl_stat"] >= 0
+
+
+def test_dickey_fuller_matches_python(spark, sf_dir):
+    ys = _daily_counts(spark, sf_dir)
+    pairs = [(ys[i - 1], ys[i] - ys[i - 1]) for i in range(1, len(ys))]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(d for _, d in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * d for x, d in pairs)
+    syy = sum(d * d for _, d in pairs)
+    cov_n = n * sxy - sx * sy
+    varx_n = float(n) * sxx - float(sx) * sx
+    vary_n = float(n) * syy - float(sy) * sy
+    rho = cov_n / varx_n
+    se = math.sqrt((vary_n - cov_n * (cov_n / varx_n))
+                   / (n - 2) / varx_n * n)
+    row = QUERIES["timeseries_dickey_fuller"](spark, sf_dir).first()
+    assert row["n_obs"] == n
+    assert abs(row["rho_hat"] - rho) < 1e-9 * max(1, abs(rho))
+    assert abs(row["df_tstat"] - rho / se) < 1e-6 * max(1, abs(rho / se))
+    assert row["rho_hat"] <= 0  # differences regress toward the level
+
+
+def test_katz_properties(spark, sf_dir):
+    rows = QUERIES["graph_katz_centrality"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # x - 1 = alpha*deg + ... > 0 for any node with an edge, and the
+        # 3-term attenuated path series is finite
+        assert r["katz"] > 0
+
+
+def test_query_clarity_properties(spark, sf_dir):
+    row = QUERIES["ir_query_clarity"](spark, sf_dir).first()
+    assert row["n_fb_docs"] >= 1
+    assert row["fb_vocab_size"] > 0
+    assert row["fb_len"] > 0
+    # KL divergence of the feedback model from the corpus model is >= 0
+    # up to the round-9 fences on each term
+    assert row["clarity"] > -1e-6
