@@ -2433,7 +2433,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fb) AS n_fb_docs,
        (SELECT len_fb FROM fb_len) AS fb_len,
        CAST(SUM(CAST(term AS DECIMAL(20,9))) AS DOUBLE) AS clarity
 FROM terms_kl
-""".replace("{{terms}}", _BM25_TERMS_SQL))
+""".replace("{terms}", _BM25_TERMS_SQL))
 def ir_query_clarity(spark, sf_dir):
     """QUERY CLARITY SCORE (Cronen-Townsend, Zhai & Croft 2002): the KL
     divergence between the feedback-set language model and the corpus

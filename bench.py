@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "inequality_atkinson_index", "stats_bartlett", "stats_welch_anova",
     "stats_hill_tail_index", "stats_fisher_exact_2x2",
     "timeseries_sample_entropy",
+    "graph_katz_centrality", "ir_query_clarity", "timeseries_dickey_fuller",
 ]
 
 
