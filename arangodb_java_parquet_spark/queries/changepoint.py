@@ -304,11 +304,10 @@ SELECT n AS n_obs,
          / sqrt(((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
                  - (n * sxy - sx * sy)
                    * ((n * sxy - sx * sy)
-                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
-                   / 1)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)))
                 / (n - 2)
-                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * n) AS df_tstat
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+         AS df_tstat
 FROM m
 """)
 def timeseries_dickey_fuller(spark, sf_dir):
@@ -342,9 +341,12 @@ def timeseries_dickey_fuller(spark, sf_dir):
     varx_n = n.cast("double") * sxx - sx.cast("double") * sx
     vary_n = n.cast("double") * syy - sy.cast("double") * sy
     rho = cov_n / varx_n
-    # n-scaled SSE: n*SSE = vary_n - cov_n * rho; se^2 = SSE/(n-2)/Sxx
-    # expressed in the same n-scaled form on both engines
-    se = F.sqrt((vary_n - cov_n * (cov_n / varx_n) / 1)
-                / (n - 2) / varx_n * n)
+    # se^2 = SSE/((n-2)*Sxx_c): with Syy_c = vary_n/n and Sxx_c =
+    # varx_n/n the n factors CANCEL — (vary_n - cov_n*rho)/((n-2)*varx_n)
+    # is exactly SSE/((n-2)*Sxx_c), no residual n factor (a spurious *n
+    # deflated the t-stat by sqrt(n) in the first cut; caught by review,
+    # pinned against a plain-python OLS in tests/test_round13.py)
+    se = F.sqrt((vary_n - cov_n * (cov_n / varx_n))
+                / (n - 2) / varx_n)
     return m.select(n.alias("n_obs"), rho.alias("rho_hat"),
                     (rho / se).alias("df_tstat"))

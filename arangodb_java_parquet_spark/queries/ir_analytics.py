@@ -2466,7 +2466,9 @@ def ir_query_clarity(spark, sf_dir):
     fb_len = fb_tf.agg(F.sum("tf_fb").cast("bigint").alias("len_fb"))
     ctf = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf_c"))
-    n_fb = fb.count()
+    # in-plan scalar (a .count() here would run a full extra BM25 job
+    # at query-construction time)
+    n_fb = fb.agg(F.count(F.lit(1)).cast("bigint").alias("n_fb_docs"))
     lr = F.round(F.log((F.col("tf_fb") * F.col("total_len").cast("double"))
                        / (F.col("len_fb").cast("double") * F.col("tf_c"))),
                  9)
@@ -2482,6 +2484,7 @@ def ir_query_clarity(spark, sf_dir):
         .alias("clarity"))
     return (out.crossJoin(F.broadcast(vocab))
             .crossJoin(F.broadcast(fb_len))
-            .select(F.lit(n_fb).cast("bigint").alias("n_fb_docs"),
+            .crossJoin(F.broadcast(n_fb))
+            .select("n_fb_docs",
                     F.col("v").alias("fb_vocab_size"),
                     F.col("len_fb").alias("fb_len"), "clarity"))

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.queries.changepoint import (
+    _DAILY_SQL, _daily)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # shared SQL: per-language exact moments of n_chars (k = 5 groups)
@@ -56,8 +58,13 @@ def _lang_moments(spark, sf_dir):
 @query("stats_bartlett", _LANG_MOMENTS_SQL + """
 , per AS (
   SELECT n,
-         -- 2^-20-prescaled group variance (scale cancels in the stat)
-         CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))
+         -- 2^-20-prescaled group variance (scale cancels in the stat).
+         -- Multiplied in DOUBLE: n*s2 grows quadratically with docs and
+         -- overflows BIGINT ~10x past sf1 (DuckDB raises, non-ANSI
+         -- Spark wraps) — operands are individually exact, the IEEE
+         -- product is deterministic (the drift_cramer_von_mises rule)
+         (n * CAST(s2 AS DOUBLE) - s1 * CAST(s1 AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (n - 1))
            / CAST(1048576 AS DOUBLE) AS v
   FROM g
 ),
@@ -92,8 +99,9 @@ def stats_bartlett(spark, sf_dir):
     terms), and M/C is straight-line IEEE on identical doubles. One
     combinable group rollup + one 5-row reduction."""
     g = _lang_moments(spark, sf_dir)
-    v = ((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-         .cast("double") / (F.col("n") * (F.col("n") - 1))
+    v = ((F.col("n") * F.col("s2").cast("double")
+          - F.col("s1") * F.col("s1").cast("double"))
+         / (F.col("n").cast("double") * (F.col("n") - 1))
          / F.lit(float(1 << 20)))
     per = g.select("n", v.alias("v"))
     acc = per.agg(
@@ -118,7 +126,10 @@ def stats_bartlett(spark, sf_dir):
 , per AS (
   SELECT n,
          s1 / CAST(n AS DOUBLE) AS m,
-         n / (CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) AS w
+         -- variance multiplied in DOUBLE (BIGINT n*s2 overflows at
+         -- scale; the drift_cramer_von_mises rule)
+         n / ((n * CAST(s2 AS DOUBLE) - s1 * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1))) AS w
   FROM g
 ),
 t1 AS (
@@ -163,9 +174,10 @@ def stats_welch_anova(spark, sf_dir):
     per = g.select(
         "n",
         (F.col("s1") / F.col("n").cast("double")).alias("m"),
-        (F.col("n") / ((F.col("n") * F.col("s2")
-                        - F.col("s1") * F.col("s1")).cast("double")
-                       / (F.col("n") * (F.col("n") - 1)))).alias("w"))
+        (F.col("n") / ((F.col("n") * F.col("s2").cast("double")
+                        - F.col("s1") * F.col("s1").cast("double"))
+                       / (F.col("n").cast("double")
+                          * (F.col("n") - 1)))).alias("w"))
     t1 = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum(F.round(F.col("w"), 9).cast("decimal(20,9)"))
@@ -204,16 +216,19 @@ rk AS (
 ),
 thr AS (SELECT rev AS x_k1 FROM rk WHERE i = {_HILL_K} + 1),
 top AS (
-  SELECT ROUND(LN(rk.rev / t.x_k1), 9) AS lr
+  SELECT t.x_k1, ROUND(LN(rk.rev / t.x_k1), 9) AS lr
   FROM rk CROSS JOIN thr t WHERE rk.i <= {_HILL_K}
 )
+-- grouped on the threshold so a store with <= k customers yields ZERO
+-- rows on BOTH engines (an ungrouped aggregate would emit one all-NULL
+-- row here while the Spark side emits none — row-count mismatch)
 SELECT CAST({_HILL_K} AS BIGINT) AS k_order_stats,
-       (SELECT x_k1 FROM thr) AS threshold,
+       x_k1 AS threshold,
        CAST(SUM(CAST(lr AS DECIMAL(20,9))) AS DOUBLE) / {_HILL_K}
          AS hill_gamma,
        {_HILL_K} / CAST(SUM(CAST(lr AS DECIMAL(20,9))) AS DOUBLE)
          AS tail_alpha
-FROM top
+FROM top GROUP BY x_k1
 """)
 def stats_hill_tail_index(spark, sf_dir):
     """HILL TAIL-INDEX ESTIMATOR (Hill 1975) on per-customer revenue:
@@ -378,13 +393,8 @@ def stats_fisher_exact_2x2(spark, sf_dir):
             .select("a_observed", "n_total", "logp_obs", "p_two_sided"))
 
 
-@query("timeseries_sample_entropy", """
-WITH daily AS (
-  SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(COUNT(*) AS BIGINT) AS y
-  FROM orders GROUP BY 1
-),
-idx AS (
+@query("timeseries_sample_entropy", _DAILY_SQL + """
+, idx AS (
   SELECT y,
          LEAD(y)    OVER (ORDER BY day) AS y1,
          LEAD(y, 2) OVER (ORDER BY day) AS y2,
@@ -403,16 +413,18 @@ tol AS (
   FROM m
 ),
 pairs AS (
+  -- Richman-Moorman convention: BOTH the length-2 (B) and length-3 (A)
+  -- counts run over the first N-m templates only (y2 non-null), so B
+  -- never counts a template that has no length-3 continuation
   SELECT a.i AS ia, b.i AS ib, t.n, t.r,
          CASE WHEN abs(a.y - b.y) <= t.r AND abs(a.y1 - b.y1) <= t.r
               THEN 1 ELSE 0 END AS mb,
-         CASE WHEN a.y2 IS NOT NULL AND b.y2 IS NOT NULL
-               AND abs(a.y - b.y) <= t.r AND abs(a.y1 - b.y1) <= t.r
+         CASE WHEN abs(a.y - b.y) <= t.r AND abs(a.y1 - b.y1) <= t.r
                AND abs(a.y2 - b.y2) <= t.r
               THEN 1 ELSE 0 END AS ma
   FROM idx a JOIN idx b ON a.i < b.i
   CROSS JOIN tol t
-  WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+  WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
 ),
 c AS (
   SELECT MAX(n) AS n_days, MAX(r) AS r_tolerance,
@@ -439,9 +451,7 @@ def timeseries_sample_entropy(spark, sf_dir):
     CALENDAR-SIZED day table (~2.4k rows -> ~3M codegen comparisons),
     never the raw corpus — at 100 TB the day table is the same size
     and the corpus-scale work remains the daily rollup."""
-    daily = (t(spark, sf_dir, "orders")
-             .groupBy(F.col("o_orderdate").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    daily = _daily(spark, sf_dir)  # the shared day-series base
     w = W.orderBy("day")
     idx = (daily.select(
         "y", F.lead("y").over(w).alias("y1"),
@@ -461,13 +471,13 @@ def timeseries_sample_entropy(spark, sf_dir):
                    F.col("y1").alias("yb1"), F.col("y2").alias("yb2"))
     # broadcast the (calendar-bounded) right side: a non-equi inner join
     # must plan as BroadcastNestedLoop, never CartesianProduct
+    # Richman-Moorman: both counts over the first N-m templates only
     pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
              .crossJoin(F.broadcast(tol))
-             .filter(F.col("ya1").isNotNull() & F.col("yb1").isNotNull()))
+             .filter(F.col("ya2").isNotNull() & F.col("yb2").isNotNull()))
     near = lambda x, y: F.abs(F.col(x) - F.col(y)) <= F.col("r")  # noqa: E731
     mb = F.when(near("ya", "yb") & near("ya1", "yb1"), 1).otherwise(0)
-    ma = F.when(F.col("ya2").isNotNull() & F.col("yb2").isNotNull()
-                & near("ya", "yb") & near("ya1", "yb1")
+    ma = F.when(near("ya", "yb") & near("ya1", "yb1")
                 & near("ya2", "yb2"), 1).otherwise(0)
     c = pairs.agg(F.max("n").alias("n_days"),
                   F.max("r").alias("r_tolerance"),

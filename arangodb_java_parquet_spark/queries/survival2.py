@@ -70,6 +70,24 @@ FROM na
 """
 
 
+def _life(spark, sf_dir):
+    """Spark twin of _LIFE_SQL: per-user (user_id, dur, cens) lifetimes
+    under the KM censoring rule — the ONE source of truth consumed by
+    Nelson-Aalen and the Weibull fit (review r13: the two entries
+    previously carried hand-copied lineages that could silently
+    diverge)."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.max(us).alias("tmax"))
+    return (e.crossJoin(F.broadcast(b))
+            .groupBy("user_id", "tmax")
+            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
+            .select("user_id",
+                    F.expr("(l - f) div 86400000000").alias("dur"),
+                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
+                    .otherwise(0).alias("cens")))
+
+
 @query("survival_nelson_aalen", _NA_SQL)
 def survival_nelson_aalen(spark, sf_dir):
     """NELSON-AALEN cumulative hazard (Nelson 1972, Aalen 1978):
@@ -84,15 +102,7 @@ def survival_nelson_aalen(spark, sf_dir):
     at-risk counts are the KM descending running sum; the corpus-
     sized work is one per-user min/max pass. fh_survival is round-9
     exp of a fenced value (the piloted-safe exp rule)."""
-    e = t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    b = e.agg(F.max(us).alias("tmax"))
-    life = (e.crossJoin(F.broadcast(b))
-            .groupBy("user_id", "tmax")
-            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
-            .select(F.expr("(l - f) div 86400000000").alias("dur"),
-                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
-                    .otherwise(0).alias("cens")))
+    life = _life(spark, sf_dir)
     per_day = (life.groupBy(F.col("dur").alias("day"))
                .agg(F.sum(1 - F.col("cens")).cast("bigint").alias("d"),
                     F.count(F.lit(1)).cast("bigint").alias("ended")))
@@ -263,17 +273,8 @@ def survival_weibull_medianrank(spark, sf_dir):
     already-identical arguments — including the (ln 2)^(1/k) power,
     expressed as exp(ln(ln 2)/k) because libm pow() is not identical
     across engines. One per-user rollup + one rank window."""
-    e = t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    b = e.agg(F.max(us).alias("tmax"))
-    life = (e.crossJoin(F.broadcast(b))
-            .groupBy("user_id", "tmax")
-            .agg(F.min(us).alias("f"), F.max(us).alias("l"))
-            .select("user_id",
-                    F.expr("(l - f) div 86400000000").alias("dur"),
-                    F.when(F.col("l") >= F.col("tmax") - _KM_CENSOR_US, 1)
-                    .otherwise(0).alias("cens")))
-    unc = life.filter((F.col("cens") == 0) & (F.col("dur") >= 1))
+    unc = _life(spark, sf_dir).filter(
+        (F.col("cens") == 0) & (F.col("dur") >= 1))
     rk = unc.select(
         "dur",
         F.row_number().over(W.orderBy("dur", "user_id")).alias("i"),

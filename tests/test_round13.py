@@ -229,12 +229,12 @@ def test_sample_entropy_matches_python(spark, sf_dir):
     sd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
     r = max(int(sd / 5.0), 1)
     bc = ac = 0
-    for i in range(n - 1):
-        for j in range(i + 1, n - 1):
+    # Richman-Moorman: both A and B over the first N-m templates
+    for i in range(n - 2):
+        for j in range(i + 1, n - 2):
             if abs(ys[i] - ys[j]) <= r and abs(ys[i + 1] - ys[j + 1]) <= r:
                 bc += 1
-                if (i < n - 2 and j < n - 2
-                        and abs(ys[i + 2] - ys[j + 2]) <= r):
+                if abs(ys[i + 2] - ys[j + 2]) <= r:
                     ac += 1
     row = QUERIES["timeseries_sample_entropy"](spark, sf_dir).first()
     assert row["n_days"] == n
@@ -283,13 +283,23 @@ def test_dickey_fuller_matches_python(spark, sf_dir):
     varx_n = float(n) * sxx - float(sx) * sx
     vary_n = float(n) * syy - float(sy) * sy
     rho = cov_n / varx_n
+    # textbook OLS slope se (n-scaled moments cancel; no residual n)
     se = math.sqrt((vary_n - cov_n * (cov_n / varx_n))
-                   / (n - 2) / varx_n * n)
+                   / (n - 2) / varx_n)
     row = QUERIES["timeseries_dickey_fuller"](spark, sf_dir).first()
     assert row["n_obs"] == n
     assert abs(row["rho_hat"] - rho) < 1e-9 * max(1, abs(rho))
     assert abs(row["df_tstat"] - rho / se) < 1e-6 * max(1, abs(rho / se))
     assert row["rho_hat"] <= 0  # differences regress toward the level
+    # independent textbook recompute: explicit residuals, never the
+    # n-scaled moment shortcut (guards the sqrt(n) deflation class)
+    xb, yb = sx / n, sy / n
+    a = yb - rho * xb
+    sse = sum((d - a - rho * x) ** 2 for x, d in pairs)
+    sxx_c = sum((x - xb) ** 2 for x, _ in pairs)
+    se_ref = math.sqrt(sse / (n - 2) / sxx_c)
+    assert abs(row["df_tstat"] - rho / se_ref) \
+        < 1e-5 * max(1, abs(rho / se_ref))
 
 
 def test_katz_properties(spark, sf_dir):
