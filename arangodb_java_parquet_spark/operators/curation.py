@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter, materialize_iter_eager)
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame, text_col: str,
@@ -77,7 +79,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst")))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     prev_sum = None
@@ -99,7 +101,7 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         labels = (merged.join(lab2, "component")
                   .select(F.col("node"),
                           F.least("component", "cc").alias("component"))
-                  .localCheckpoint(eager=True))
+                  .transform(materialize_iter_eager))
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -136,7 +138,7 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
               .withColumn("__n", F.count(F.lit(1)).over(wb))
               .filter(F.col("__n") >= 2)
               .select(node_col, *grp)
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     labels = (member.select(node_col).distinct()
               .withColumn("component", F.col(node_col)))
     def propagate(lab):
@@ -155,7 +157,7 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
     # the checkpoint per round is what keeps each hop computed once
     prev_sum = None
     for _ in range(max_iter):
-        labels = propagate(labels).localCheckpoint(eager=True)
+        labels = propagate(labels).transform(materialize_iter_eager)
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -484,13 +486,13 @@ def pagerank_fixed(edges: DataFrame, src: str, dst: str, *,
     # up front — re-joining it inside every iteration (the naive
     # formulation) costs one extra shuffle per round for a value that
     # never changes.
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(materialize)
     nodes = (edges.select(F.col(src).alias("node")).distinct()
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     outdeg = (edges.groupBy(F.col(src).alias("node"))
               .agg(F.count(F.lit(1)).alias("outdeg")))
     edges_deg = (edges.join(outdeg.withColumnRenamed("node", src), src)
-                 .localCheckpoint(eager=False))
+                 .transform(materialize))
     pr = nodes.withColumn("rank", F.lit(1.0))
     base = F.lit(1.0 - damping)
     for _ in range(iterations):
@@ -506,5 +508,5 @@ def pagerank_fixed(edges: DataFrame, src: str, dst: str, *,
                       F.round(base + damping
                               * F.coalesce(F.col("s"), F.lit(0.0)), 7)
                       .alias("rank"))
-              .localCheckpoint(eager=False))
+              .transform(materialize_iter))
     return pr

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from arangodb_java_parquet_spark.materialize import materialize
 
 NUM_HASHES = 8
 # 2 bands × 4 rows: collision probability sim^4 per band. Looser bands
@@ -160,7 +161,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     signatures once PER JOIN SIDE (measured as the
     graph_degree_distribution 10-exchange plan, VERDICT r10 #4)."""
     banded = (lsh_bands(sigs, id_col, num_hashes, band_rows)
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -201,7 +202,7 @@ def lsh_candidate_pairs_capped(sigs: DataFrame, id_col: str,
     # ranked feeds three legs (head self-join sides + tail/min) — lazy
     # checkpoint so the banding lineage materializes once
     ranked = banded.withColumn("rk", F.row_number().over(w)) \
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     head = ranked.filter(F.col("rk") <= max_bucket)
     a, b = head.alias("a"), head.alias("b")
     full = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -418,7 +419,8 @@ def positional_window_fps(docs: DataFrame, text_col: str = "text",
     projection collapse folds a ``split`` column straight back into the
     lambda, so the naive formulation re-splits the document once per
     window — O(tokens^2 / k) per document. Materializing the
-    ``(id, toks)`` projection via ``localCheckpoint(eager=False)`` below
+    ``(id, toks)`` projection via ``materialize()`` (localCheckpoint in
+    local mode) below
     the posexplode pins the split to once per document (the
     ``emb_anisotropy_score`` pattern); each window then costs one O(k)
     array slice.
@@ -426,7 +428,7 @@ def positional_window_fps(docs: DataFrame, text_col: str = "text",
     toks = F.split(F.col(text_col), " ")
     base = (docs.filter(F.size(toks) >= k)
             .select(id_col, toks.alias("_toks"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     win_fps = F.expr(
         f"transform(sequence(1, size(_toks) - {k} + 1),"
         f" i -> md5(array_join(slice(_toks, i, {k}), ' ')))")
@@ -629,7 +631,7 @@ def exact_substring_apply(docs: DataFrame, text_col: str = "text",
         id_col, F.size("_toks").cast("bigint").alias("n_tokens"),
         F.expr("filter(_toks, (x, i) -> NOT exists(_isl,"
                " r -> r.s <= i + 1 AND i + 1 <= r.e))").alias("_kept"))
-        .localCheckpoint(eager=False))
+        .transform(materialize))
     return kept.select(
         id_col, "n_tokens",
         F.size("_kept").cast("bigint").alias("tokens_kept"),

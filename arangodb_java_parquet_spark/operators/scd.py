@@ -11,6 +11,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from arangodb_java_parquet_spark.materialize import materialize
 
 
 def scd2_merge(dim: DataFrame, updates: DataFrame, *, key: str,
@@ -46,7 +47,7 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, *, key: str,
     # plans on the customer merge). One materialization, three cheap scans
     # — what a real MERGE engine does internally.
     joined = (c.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full_outer")
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     changed = reduce(lambda a, b: a | b,
                      [~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
                       for a in attrs])

@@ -63,6 +63,7 @@ from arangodb_java_parquet_spark.queries import source_overlap  # noqa: F401,E40
 from arangodb_java_parquet_spark.queries import forecast_bench  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import changepoint  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import stat_tests2  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import unigram_lm  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver panel: the verification driver checks exactly the FIRST 50 entries
@@ -81,65 +82,76 @@ from arangodb_java_parquet_spark.queries import stat_tests2  # noqa: F401,E402
 # every panel slot MUST be never-sampled (enforced by
 # tests/test_registry.py::test_panel_rotation_policy, which recomputes the
 # never-sampled set from the committed record files at test time). Once the
-# never-sampled pool is empty (~round 15 at 50 slots/round over the current
-# 547-entry registry), rotation switches to OLDEST-GREEN-FIRST: re-sample
-# the 50 entries whose most recent driver-green row is oldest (ties broken
-# by registry name), so the external signal continuously re-validates the
-# whole surface instead of freezing on one historical pass.
+# never-sampled pool is empty (r15 on the current cadence: 57 remained
+# before r14, 7 will remain after), rotation switches to
+# OLDEST-GREEN-FIRST, keyed on the ROUND INDEX of each entry's most recent
+# all-green driver row (parsed from the CORRECTNESS_r{N}.json filename;
+# an entry that was sampled but never all-green keys as round 0, i.e.
+# re-sampled first). Panel = the 50 lowest (last_green_round, name) pairs,
+# except that any still-never-sampled leftovers always take the first
+# slots. Both regimes are enforced by
+# tests/test_registry.py::test_panel_rotation_policy, which recomputes the
+# key from the committed record files — EXCLUDING any record produced by
+# the current panel itself (key set == panel set), so the driver dropping
+# the current round's record into the tree does not retroactively redden
+# the round that produced it (ADVICE r13).
 DRIVER_PANEL = [
-    # ROUND-13 ROTATION (VERDICT r12 next-round #1): all 50 slots are
-    # names with NO driver CORRECTNESS row in rounds 1-12 (computed from
-    # the committed CORRECTNESS_r*.json files — 397 distinct sampled,
-    # 140 never-sampled oracle-backed remaining before this round).
-    # Cross-section of the remaining families: the r12 session-2 waves
-    # (classical stats, time-series diagnostics, drift, survival, DQ
-    # audits), the rank-metric evaluation tier (nDCG/MRR/ERR), text/vocab
-    # statistics, graph centralities, the first streaming + multimodal
-    # decode entries ever panel-sampled, and the three entries this
-    # round's ADVICE fixes touched (text_distinct_n,
-    # drift_cramer_von_mises, graph_hits_scores) so the driver confirms
-    # the fixes. Cumulative distinct driver-green grows 397 -> ~447 of
-    # 547; ~90 never-sampled remain (two rotations to exhaustion).
+    # ROUND-14 ROTATION (VERDICT r13 next-round #1): all 50 slots are
+    # names with NO driver CORRECTNESS row in rounds 1-13 (computed from
+    # the committed CORRECTNESS_r*.json files — 446 distinct sampled,
+    # 107 never-sampled oracle-backed remaining before this round).
+    # Cross-section of the remaining families: the whole remaining
+    # streaming surface (stateful totals, stream-stream joins, HLL
+    # maintenance, sink round-trip), the remaining multimodal decode legs
+    # (audio features, video decode, frame sampling), the r13 statistics
+    # waves (Bartlett/Welch-ANOVA/Cook/Hill/Pettitt/theta/Weibull),
+    # time-series spectral diagnostics, graph centralities, the rank/ab
+    # evaluation tier, and the three entries this round's ADVICE fixes
+    # touch (timeseries_sample_entropy, stats_fisher_exact_2x2,
+    # ir_query_clarity) so the driver confirms the fixes. Cumulative
+    # distinct driver-green grows 446 -> ~496 of 553; 7 never-sampled
+    # remain (pool exhausts next round, then oldest-green-first).
     # Previously-green names stay locally harness-checked every round
-    # via tools/check_correctness.py (full 547-entry drive).
+    # via tools/check_correctness.py (full 564-entry drive).
     #
-    # text / vocab statistics (incl. ADVICE-fixed text_distinct_n)
-    "text_yules_k", "vocab_heaps_law_fit", "vocab_chao1_ace",
-    "token_fertility_by_lang", "text_fightin_words", "text_distinct_n",
-    # IR / language-model scoring
-    "ir_query_expansion_prf", "ir_query_likelihood_jm",
-    # graph centralities (incl. ADVICE-fixed graph_hits_scores)
-    "graph_hits_scores", "graph_eigenvector_centrality",
-    "graph_local_clustering", "graph_assortativity",
-    # evaluation harness: rank metrics + nonparametrics + agreement
-    "eval_ndcg_at_k", "eval_mean_reciprocal_rank",
-    "eval_expected_reciprocal_rank", "eval_mann_whitney_u",
-    "eval_kruskal_wallis", "eval_welch_ttest", "eval_jarque_bera",
-    "eval_gwets_ac1",
-    # classical regression / correlation diagnostics
-    "stats_partial_correlation", "stats_runs_test", "stats_durbin_watson",
-    # drift family (incl. ADVICE-fixed drift_cramer_von_mises)
-    "drift_wasserstein_1d", "drift_qq_deciles", "drift_cramer_von_mises",
-    # time-series diagnostics / forecast
-    "timeseries_strength_measures", "timeseries_ljung_box",
-    "timeseries_pacf", "forecast_holt_winters", "forecast_naive_benchmarks",
-    # embedding diagnostics
-    "emb_procrustes_2d", "emb_lof_outliers", "emb_jl_distortion",
-    # survival analysis
-    "survival_log_rank", "survival_nelson_aalen",
-    # data-quality audits
-    "dq_benford_law", "dq_anderson_darling_uniform",
-    "dq_rle_dictionary_audit",
-    # multimodal decode (first panel sample of the decode legs)
-    "multimodal_image_features", "multimodal_audio_codec_profile",
-    # streaming (first panel sample of the streaming surface)
-    "stream_windowed_counts", "stream_dedup_exact",
-    "stream_topk_event_types",
-    # user / event analytics
-    "rfm_segmentation", "rfm_migration_matrix",
-    "markov_next_event_accuracy", "attribution_position_based",
-    # dataset governance / storage-layout ops
-    "dataset_datasheet", "compaction_bin_plan",
+    # ADVICE-r13-fixed entries (driver confirms the fixes)
+    "timeseries_sample_entropy", "stats_fisher_exact_2x2",
+    "ir_query_clarity",
+    # streaming: the entire remaining never-sampled streaming surface
+    "stream_etl_clean", "stream_hll_maintenance", "stream_hopping_counts",
+    "stream_sink_collection_roundtrip", "stream_stateful_user_totals",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "stream_stream_left_outer_join",
+    # multimodal decode legs never panel-sampled
+    "multimodal_audio_features", "multimodal_frame_sample",
+    "multimodal_video_decode",
+    # time-series diagnostics (r13 waves + spectral family)
+    "timeseries_crosscorr", "timeseries_dickey_fuller",
+    "timeseries_hurst_rs", "timeseries_periodogram",
+    "timeseries_spectral_entropy", "timeseries_turning_points",
+    "changepoint_pettitt",
+    # classical statistics (r13 waves)
+    "stats_bartlett", "stats_breusch_pagan", "stats_cooks_distance",
+    "stats_hill_tail_index", "stats_mood_median", "stats_welch_anova",
+    "survival_weibull_medianrank",
+    # evaluation harness: rank metrics + A/B + calibration
+    "eval_average_precision_at_k", "eval_bland_altman",
+    "eval_brown_forsythe", "eval_cochran_q", "eval_conformal_threshold",
+    "eval_hosmer_lemeshow", "eval_rank_biased_precision",
+    "eval_tost_equivalence",
+    # graph centralities / structure
+    "graph_harmonic_centrality", "graph_katz_centrality",
+    "graph_powerlaw_alpha", "graph_two_hop_reach",
+    # anomaly / forecast
+    "anomaly_grubbs_daily", "anomaly_seasonal_baseline",
+    "forecast_theta_method", "forecast_ewma_daily",
+    # token / vocabulary statistics
+    "token_adaptation_churchgale", "token_dispersion_dp",
+    "source_vocab_jaccard",
+    # similarity index maintenance
+    "sim_index_incremental_append",
+    # storage-layout / skew governance
+    "zorder_cluster_key", "skew_key_report",
 ]
 
 

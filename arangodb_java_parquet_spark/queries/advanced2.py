@@ -10,6 +10,8 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
 from arangodb_java_parquet_spark.queries.common import query, scratch_dir, t
 
 # ---------------------------------------------------------------------------
@@ -188,7 +190,7 @@ def _pca_gram_and_v(spark, sf_dir):
     g = (tri.unionByName(
             tri.filter(F.col("i") < F.col("j"))
             .select(F.col("j").alias("i"), F.col("i").alias("j"), "g"))
-         .localCheckpoint(eager=False))
+         .transform(materialize))
     v = spark.range(1, 65).select(F.col("id").cast("int").alias("j"),
                                   F.lit(1.0).alias("v"))
     for _ in range(3):
@@ -200,12 +202,12 @@ def _pca_gram_and_v(spark, sf_dir):
              .groupBy("i")
              .agg(F.sum(F.round(F.col("g") * F.col("v"), 9)
                         .cast("decimal(30,9)")).cast("double").alias("w"))
-             .localCheckpoint(eager=False))
+             .transform(materialize_iter))
         nrm = w.agg(F.max(F.abs(F.col("w"))).alias("nrm"))
         v = (w.crossJoin(F.broadcast(nrm))
              .select(F.col("i").alias("j"),
                      F.round(F.col("w") / F.col("nrm"), 9).alias("v")))
-    return g, v.localCheckpoint(eager=False)
+    return g, v.transform(materialize)
 
 
 # ---------------------------------------------------------------------------

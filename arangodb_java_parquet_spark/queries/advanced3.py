@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import (
     dsum, query, sql_dsum, t)
 
@@ -111,7 +112,7 @@ def cluster_davies_bouldin(spark, sf_dir):
     assign, cents = _kmeans_assign(e)
     # cents feeds si + both sides of the K x K separation join —
     # materialize the K-row table so the Lloyd lineage runs once.
-    cents = cents.localCheckpoint(eager=False)
+    cents = cents.transform(materialize)
     dist = F.round(F.sqrt(
         (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
         + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))), 9)
@@ -119,7 +120,7 @@ def cluster_davies_bouldin(spark, sf_dir):
           .groupBy("cid")
           .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
                (dsum(dist, 9) / F.count(F.lit(1))).alias("s_intra"))
-          .localCheckpoint(eager=False))  # feeds rr twice + the output
+          .transform(materialize))  # feeds rr twice + the output
     ci = cents.select(F.col("cid").alias("ci"), F.col("cx").alias("ix"),
                       F.col("cy").alias("iy"))
     cj = cents.select(F.col("cid").alias("cj"), F.col("cx").alias("jx"),
@@ -208,7 +209,7 @@ def graph_adamic_adar(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = (lsh_candidate_pairs_capped(
                 minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
-            .localCheckpoint(eager=False))  # feeds edges + the anti-join
+            .transform(materialize))  # feeds edges + the anti-join
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -325,7 +326,7 @@ def emb_linear_cka(spark, sf_dir):
                  (F.col("g") / F.col("n")
                   - (F.col("si") / F.col("n"))
                   * (F.col("sj") / F.col("n"))).alias("c"))
-         .localCheckpoint(eager=False))  # d^2/2 rows feed three sums
+         .transform(materialize))  # d^2/2 rows feed three sums
     # weight as decimal(1,0): decimal(30,9) * plain INT would exceed
     # Spark's 38-digit cap and silently REDUCE THE SCALE of the product
     # (observed: hsic_xx off by 2.5e-5); a 1-digit decimal keeps the
@@ -631,7 +632,7 @@ def linkage_blocking_quality(spark, sf_dir):
                 "c_custkey", F.lit("nation_segment"),
                 F.concat_ws("|", F.col("c_nationkey").cast("string"),
                             F.col("c_mktsegment"))))
-            .localCheckpoint(eager=False))  # feeds blocks + both join legs
+            .transform(materialize))  # feeds blocks + both join legs
     blocks = (keys.groupBy("scheme", "bkey")
               .agg(F.count(F.lit(1)).cast("bigint").alias("sz")))
     cand = (blocks.groupBy("scheme")
@@ -855,7 +856,7 @@ def dedup_spotsigs(spark, sf_dir):
                      F.posexplode(F.split("text", " "))
                      .alias("pos0", "tok"))
             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-            .localCheckpoint(eager=False))  # anchors + nonstop legs
+            .transform(materialize))  # anchors + nonstop legs
     anchors = (toks.where(F.col("tok").isin("a", "the"))
                .select("doc_id", "pos"))
     nonstop = (toks.where(~F.col("tok").isin("a", "the"))
@@ -881,7 +882,7 @@ def dedup_spotsigs(spark, sf_dir):
                         F.count(F.lit(1)).over(
                             Window.partitionBy("doc_id"))
                         .cast("bigint"))
-            .localCheckpoint(eager=False))  # df + both pair legs
+            .transform(materialize))  # df + both pair legs
     df = (sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("ndocs"))
           .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= _SPOT_DF_CAP))
           .select("sig"))
@@ -1120,7 +1121,7 @@ def forecast_holt_linear(spark, sf_dir):
         "event_type", "d", "y",
         F.row_number().over(wt.orderBy("d")).alias("rn"),
         F.count(F.lit(1)).over(wt).cast("bigint").alias("nd"))
-        .localCheckpoint(eager=False))  # feeds the fit + the holdout
+        .transform(materialize))  # feeds the fit + the holdout
     series = (rk.where(F.col("rn") <= F.expr("nd div 2"))
               .groupBy("event_type", F.expr("nd div 2").alias("n_train"))
               .agg(F.expr(
@@ -1462,7 +1463,7 @@ def intervals_allen_profile(spark, sf_dir):
            .otherwise("overlaps"))
     pairs = (a.join(b, "ok").where(canon)
              .select(rel.alias("relation"))
-             .localCheckpoint(eager=False))  # census + the total
+             .transform(materialize))  # census + the total
     tot = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (pairs.groupBy("relation")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
@@ -1694,7 +1695,7 @@ def eval_weighted_kappa(spark, sf_dir):
         .cast("bigint").alias("r2"))
     joint = (rated.groupBy("r1", "r2")
              .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-             .localCheckpoint(eager=False))  # marginals + totals + obs
+             .transform(materialize))  # marginals + totals + obs
     rows_ = joint.groupBy("r1").agg(F.sum("o").cast("bigint").alias("nr"))
     cols_ = joint.groupBy("r2").agg(F.sum("o").cast("bigint").alias("nc"))
     nn = joint.agg(F.sum("o").cast("bigint").alias("n"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # shared SQL: the daily order-count series (exact integers, one day table)
@@ -93,7 +94,7 @@ def changepoint_pettitt(spark, sf_dir):
         "day", "n",
         (F.sum("r2").over(W.orderBy("tt"))
          - F.col("tt") * (F.col("n") + 1)).cast("bigint").alias("ut"))
-        .localCheckpoint(eager=False))  # feeds the max + the arg-min day
+        .transform(materialize))  # feeds the max + the arg-min day
     k = u.agg(F.max("n").alias("n"),
               F.max(F.abs(F.col("ut"))).cast("bigint").alias("k_stat"))
     hit = (u.join(F.broadcast(k), F.abs(F.col("ut")) == F.col("k_stat"))
@@ -237,7 +238,7 @@ def forecast_theta_method(spark, sf_dir):
         "event_type", "d", "y",
         F.row_number().over(wt.orderBy("d")).alias("rn"),
         F.count(F.lit(1)).over(wt).cast("bigint").alias("nd"))
-        .localCheckpoint(eager=False))  # feeds the fit + the holdout
+        .transform(materialize))  # feeds the fit + the holdout
     m = (rk.where(F.col("rn") <= F.expr("nd div 2"))
          .groupBy("event_type", F.expr("nd div 2").alias("n_train"))
          .agg(F.sum("rn").cast("bigint").alias("st"),

@@ -17,6 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Materialization policy (local localCheckpoint vs cluster-reliable
+# checkpoint/persist) — see arangodb_java_parquet_spark/materialize.py.
+# Re-exported here because nearly every query module already imports
+# from queries.common.
+from arangodb_java_parquet_spark.materialize import (  # noqa: F401
+    materialize, materialize_iter, materialize_iter_eager,
+    materialize_scalar)
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.curation import (
     _CLUSTER_SQL, _must_replace)
@@ -974,12 +975,12 @@ def split_temporal_holdout(spark, sf_dir):
     cutoff = (ranked.filter(
         F.col("rn") == F.expr("(7 * nd + 9) div 10"))
         .select(F.col("day").alias("cut"), "nd")
-        .localCheckpoint(eager=False))  # 1 row, 2 consumers
+        .transform(materialize))  # 1 row, 2 consumers
     lab = (e.crossJoin(F.broadcast(cutoff.select("cut")))
            .select("user_id",
                    F.when(F.to_date("ts") <= F.col("cut"), 1).otherwise(0)
                    .alias("is_tr"))
-           .localCheckpoint(eager=False))  # feeds event + user rollups
+           .transform(materialize))  # feeds event + user rollups
     ev = lab.agg(
         F.sum("is_tr").cast("bigint").alias("n_train_events"),
         F.sum(1 - F.col("is_tr")).cast("bigint").alias("n_test_events"))
@@ -1056,7 +1057,7 @@ def sample_neyman_allocation(spark, sf_dir):
                                    * (F.col("n_chars") - F.col("mu")), 6)
                            .cast("decimal(30,6)")).cast("double")
                      / F.max("n_docs")).alias("sigma"))
-         .localCheckpoint(eager=False))  # feeds total + report
+         .transform(materialize))  # feeds total + report
     tot = v.agg(F.sum(F.round(F.col("n_docs") * F.col("sigma"), 9)
                       .cast("decimal(30,9)")).cast("double").alias("t"))
     w = (F.round(F.col("n_docs") * F.col("sigma"), 9)

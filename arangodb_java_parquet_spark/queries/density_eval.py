@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.similarity import (
     dot, norm, srp_bucket)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -141,7 +142,7 @@ def emb_lof_outliers(spark, sf_dir):
     knn = (pairs.withColumn("rn", F.row_number().over(wr))
            .filter(F.col("rn") <= _LOF_K)
            .select("vid", "nid", "dist")
-           .localCheckpoint(eager=False))  # feeds kdist + reach + lof
+           .transform(materialize))  # feeds kdist + reach + lof
     kdist = (knn.groupBy("vid")
              .agg(F.max("dist").alias("kd"),
                   F.count(F.lit(1)).alias("nk"))
@@ -158,7 +159,7 @@ def emb_lof_outliers(spark, sf_dir):
                 .alias("lrd"),
                 F.count(F.lit(1)).alias("nk"))
            .filter(F.col("nk") == _LOF_K).drop("nk")
-           .localCheckpoint(eager=False))  # joined twice below
+           .transform(materialize))  # joined twice below
     lof = (knn.join(lrd.withColumnRenamed("vid", "nid")
                     .withColumnRenamed("lrd", "lrd_o"), "nid")
            .join(lrd, "vid")

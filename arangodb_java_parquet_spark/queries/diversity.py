@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -146,7 +147,7 @@ def event_circadian_entropy(spark, sf_dir):
     h = (ev.groupBy("event_type",
                     F.hour(F.col("ts").cast("timestamp")).alias("hr"))
          .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-         .localCheckpoint(eager=False))  # feeds totals, terms, peak
+         .transform(materialize))  # feeds totals, terms, peak
     tot = h.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("n"))
     p_ = F.col("c") / F.col("n").cast("double")

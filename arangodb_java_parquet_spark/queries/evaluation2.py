@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.similarity import (
     topk_cosine_bruteforce)
 from arangodb_java_parquet_spark.queries.common import dsum, query, t
@@ -142,7 +143,7 @@ def eval_bleu_rouge_pairs(spark, sf_dir):
     p2 = (base.filter(F.col("rn") <= F.col("nsrc") - F.col("nsrc") % 2)
           .select("source", F.expr("(rn + 1) DIV 2").alias("pk"),
                   (F.col("rn") % 2).alias("side"), "toks")
-          .localCheckpoint(eager=False))
+          .transform(materialize))
 
     uni = p2.select("source", "pk", "side", F.explode("toks").alias("g"))
     big = p2.select("source", "pk", "side",
@@ -350,13 +351,13 @@ def eval_conformal_coverage(spark, sf_dir):
     # the train aggregation don't re-run per consumer.
     model = (train.groupBy("prio")
              .agg((dsum("y") / F.count(F.lit(1))).alias("yhat"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     ntrain = train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
 
     calr = (assigned.filter((F.col("d") >= 8) & (F.col("d") < 12))
             .join(F.broadcast(model), "prio")
             .select(F.abs(F.col("y") - F.col("yhat")).alias("r"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     cnt = F.count(F.lit(1))
     # kt and q_hat are 1-row constants with two consumers each (the
     # rank filter / coverage pass AND the final report row) — checkpoint
@@ -364,13 +365,13 @@ def eval_conformal_coverage(spark, sf_dir):
     kt = calr.agg(
         cnt.cast("bigint").alias("n_cal"),
         F.least(F.expr("((count(1) + 1) * 9 + 9) DIV 10"), cnt)
-        .cast("bigint").alias("k_rank")).localCheckpoint(eager=False)
+        .cast("bigint").alias("k_rank")).transform(materialize)
     byv = calr.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
     wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
     cum = byv.select("r", F.sum("c").over(wcum).alias("cumc"))
     qh = (cum.crossJoin(F.broadcast(kt.select("k_rank")))
           .filter(F.col("cumc") >= F.col("k_rank"))
-          .agg(F.min("r").alias("q_hat")).localCheckpoint(eager=False))
+          .agg(F.min("r").alias("q_hat")).transform(materialize))
     cov = (assigned.filter(F.col("d") >= 12)
            .join(F.broadcast(model), "prio")
            .crossJoin(F.broadcast(qh))
@@ -475,7 +476,7 @@ def emb_matryoshka_recall(spark, sf_dir):
          .withColumn("qn", norm(F.col("qvec")))
          .withColumn("qn16", norm(F.col("qv16")))
          .withColumn("qn32", norm(F.col("qv32")))
-         .localCheckpoint(eager=False))
+         .transform(materialize))
     c = (e.filter(F.col("vec_id") % 37 != 0)
          .select(F.col("vec_id").alias("vid"),
                  F.col("embedding").alias("cvec"),
@@ -495,14 +496,14 @@ def emb_matryoshka_recall(spark, sf_dir):
                      cos("qvec", "cvec", "qn", "cn").alias("cf"),
                      cos("qv16", "cv16", "qn16", "cn16").alias("c16"),
                      cos("qv32", "cv32", "qn32", "cn32").alias("c32"))
-             .localCheckpoint(eager=False))  # one scoring pass, 3 windows
+             .transform(materialize))  # one scoring pass, 3 windows
 
     def topk(col):
         w = Window.partitionBy("qid").orderBy(F.desc(col), "vid")
         return (pairs.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= _MAT_K).select("qid", "vid"))
 
-    full = topk("cf").localCheckpoint(eager=False)
+    full = topk("cf").transform(materialize)
     # the truncated-width slates are |Q| x k rows — broadcast them into
     # the overlap joins (a shuffled join on (qid, vid) costs 2 exchanges
     # per overlap for 320-row inputs)
@@ -1311,7 +1312,7 @@ def emb_alignment_uniformity(spark, sf_dir):
     u = (e.filter(F.col("vec_id") < _AU_N)
          .select("vec_id", "embedding", "label")
          .withColumn("nrm", norm(F.col("embedding")))
-         .localCheckpoint(eager=False))  # pair sides + n_vectors
+         .transform(materialize))  # pair sides + n_vectors
     a = u.select(F.col("vec_id").alias("ia"),
                  F.col("embedding").alias("va"),
                  F.col("label").alias("la"), F.col("nrm").alias("na"))

@@ -45,6 +45,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import (
     dsum, query, sql_dsum, t)
 
@@ -336,7 +337,7 @@ def eval_auc_macro_ovr(spark, sf_dir):
     scores = (emb.select(F.col("label").cast("bigint").alias("label"),
                          F.element_at("embedding", 1).cast("double")
                          .alias("s"))
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     byv = scores.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"))
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
@@ -355,7 +356,7 @@ def eval_auc_macro_ovr(spark, sf_dir):
                      / F.nullif(F.col("n_pos").cast("double")
                                 * (F.col("n") - F.col("n_pos")),
                                 F.lit(0.0))).alias("auc"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     macro = (aucs
              .agg(F.first(F.lit(-1).cast("bigint")).alias("label"),
                   F.count(F.lit(1)).cast("bigint").alias("n_pos"),
@@ -424,7 +425,7 @@ def trend_mann_kendall(spark, sf_dir):
     monthly = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
                          .alias("mth"))
                .agg(dsum("o_totalprice").alias("x"))
-               .localCheckpoint(eager=False))
+               .transform(materialize))
     seq = monthly.select(
         "x", F.row_number().over(Window.orderBy("mth")).alias("rn"))
     a, b = seq.alias("a"), seq.alias("b")

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.similarity import dot, norm
 from arangodb_java_parquet_spark.queries.common import dsum, query, t
 from arangodb_java_parquet_spark.queries.similarity import _sql_cos
@@ -140,7 +141,7 @@ def eval_ndcg_at_k(spark, sf_dir):
     cosines (the brute-force baseline — swap the ranked CTE for an ANN
     shortlist to evaluate an index instead); the discount and ideal
     tables are k-row literals."""
-    r = _ranked(spark, sf_dir).localCheckpoint(eager=False)
+    r = _ranked(spark, sf_dir).transform(materialize)
     disc = (spark.range(1, _K + 1)
             .select(F.col("id").cast("int").alias("rn"),
                     F.round(F.log(F.lit(2).cast("double"))
@@ -208,7 +209,7 @@ def eval_mean_reciprocal_rank(spark, sf_dir):
             .withColumn("rr_n",
                         F.expr("1000000000 div first_rel_rank")
                         .cast("bigint"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     per_rows = perq.select(
         "qid", "first_rel_rank",
         (F.col("rr_n").cast("double")
@@ -254,7 +255,7 @@ def eval_average_precision_at_k(spark, sf_dir):
     the round-9 halfway boundary), exact-decimal summed, divided by
     min(n_rel, 10) — the standard truncated-AP normalizer. One window +
     one combinable aggregation over the shared ranked table."""
-    r = _ranked(spark, sf_dir).localCheckpoint(eager=False)
+    r = _ranked(spark, sf_dir).transform(materialize)
     wcum = (Window.partitionBy("qid").orderBy("rn")
             .rowsBetween(Window.unboundedPreceding, 0))
     topk = (r.filter(F.col("rn") <= _K)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import (davg, dsum, query,
                                                         sql_davg, sql_dsum, t)
 
@@ -307,10 +308,10 @@ def event_pmi_pairs(spark, sf_dir):
     # (non-canonicalizing self-join lineage; the r10/r11 checkpoint
     # pattern)
     ue = (e.select("user_id", "event_type").distinct()
-          .localCheckpoint(eager=False))
+          .transform(materialize))
     n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
     cnt = (ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
-           .localCheckpoint(eager=False))
+           .transform(materialize))
     a, b = ue.alias("a"), ue.alias("b")
     pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
                     & (F.col("a.event_type") < F.col("b.event_type")))
@@ -907,7 +908,7 @@ def timeseries_acf(spark, sf_dir):
     daily = (e.filter(F.col("event_type") == "purchase")
              .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
              .agg(dsum("value").alias("revenue"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     out = None
     w = W.orderBy("day")
     for lag in _ACF_LAGS:
@@ -1264,7 +1265,7 @@ def markov_next_event_accuracy(spark, sf_dir):
                    F.lead("event_type").over(wl).alias("nxt"))
     counts = (seq.filter(F.col("nxt").isNotNull())
               .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     wp = W.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
     pred = (counts.withColumn("rn", F.row_number().over(wp))
             .filter(F.col("rn") == 1)
@@ -1440,7 +1441,7 @@ def timeseries_periodogram(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(dsum("o_totalprice").alias("rev"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     wn = W.orderBy("day")
     idx = daily.select(
         "rev", (F.row_number().over(wn) - 1).alias("tt"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -144,7 +145,7 @@ def forecast_holt_winters(spark, sf_dir):
         F.count(F.lit(1)).over(
             W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
         .cast("bigint").alias("nd"))
-        .localCheckpoint(eager=False))  # feeds the fit + the holdout
+        .transform(materialize))  # feeds the fit + the holdout
     series = (rk.where(F.col("rn") <= F.expr("nd div 2"))
               .groupBy(F.expr("CAST(nd div 2 AS BIGINT)").alias("n_train"))
               .agg(F.expr(

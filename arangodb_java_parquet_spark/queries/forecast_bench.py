@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 _FNB_SQL = """
@@ -93,7 +94,7 @@ def forecast_naive_benchmarks(spark, sf_dir):
             W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
         .cast("bigint").alias("nd"),
         F.lag("y", 7).over(wd).alias("y_lag7"))
-        .localCheckpoint(eager=False))  # feeds the anchor + the holdout
+        .transform(materialize))  # feeds the anchor + the holdout
     anchor = rk.agg(
         F.max(F.when(F.col("rn") == F.expr("nd div 2"), F.col("y")))
         .alias("y_last"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_candidate_pairs_capped, minhash_signatures)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -88,7 +90,7 @@ def graph_hits_scores(spark, sf_dir):
              .select(F.col("o_custkey").alias("c"),
                      F.col("l_suppkey").alias("s"))
              .distinct()
-             .localCheckpoint(eager=False))  # feeds all 6 iteration joins
+             .transform(materialize))  # feeds all 6 iteration joins
     a = (edges.select("s").distinct()
          .withColumn("a", F.lit(1).cast("double")))
     h = None
@@ -106,7 +108,7 @@ def graph_hits_scores(spark, sf_dir):
         hm = hr.agg(F.max("h").alias("m"))
         h = (hr.crossJoin(F.broadcast(hm))
              .select("c", F.round(F.col("h") / F.col("m"), 9).alias("h"))
-             .localCheckpoint(eager=False))
+             .transform(materialize_iter))
         ar = (edges.join(h, "c")
               .groupBy("s")
               .agg(F.sum(F.round(F.col("h"), 9).cast("decimal(30,9)"))
@@ -114,7 +116,7 @@ def graph_hits_scores(spark, sf_dir):
         am = ar.agg(F.max("a").alias("m"))
         a = (ar.crossJoin(F.broadcast(am))
              .select("s", F.round(F.col("a") / F.col("m"), 9).alias("a"))
-             .localCheckpoint(eager=False))
+             .transform(materialize_iter))
     hubs = h.select(F.lit("hub").alias("role"),
                     F.col("c").alias("node"), F.col("h").alias("score"))
     auths = a.select(F.lit("authority").alias("role"),
@@ -169,7 +171,7 @@ def graph_local_clustering(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     e = (lsh_candidate_pairs_capped(minhash_signatures(sh, "doc_id"),
                                     "doc_id", max_bucket=32)
-         .select("doc_a", "doc_b").localCheckpoint(eager=False))
+         .select("doc_a", "doc_b").transform(materialize))
     deg = (e.select(F.col("doc_a").alias("node"))
            .unionAll(e.select("doc_b"))
            .groupBy("node")
@@ -181,7 +183,7 @@ def graph_local_clustering(spark, sf_dir):
            .select(F.col("ab.doc_a").alias("a"),
                    F.col("ab.doc_b").alias("b"),
                    F.col("bc.doc_b").alias("c"))
-           .localCheckpoint(eager=False))  # feeds the 3-corner unionAll
+           .transform(materialize))  # feeds the 3-corner unionAll
     pernode = (tri.select(F.col("a").alias("node"))
                .unionAll(tri.select("b"))
                .unionAll(tri.select("c"))
@@ -277,7 +279,7 @@ def timeseries_spectral_entropy(spark, sf_dir):
              .agg((F.sum(F.round(F.col("o_totalprice") * 100)
                          .cast("bigint")).cast("bigint") / 100.0)
                   .alias("rev"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     wn = W.orderBy("day")
     idx = daily.select(
         "rev", (F.row_number().over(wn) - 1).alias("tt"),
@@ -409,7 +411,7 @@ def timeseries_hurst_rs(spark, sf_dir):
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS"
                          " BIGINT)) AS BIGINT) div 100").alias("v"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     idx = daily.select(
         "v", (F.row_number().over(W.orderBy("day")) - 1).alias("tt"))
     ms = spark.createDataFrame([(m,) for m in _RS_SIZES], "m bigint")

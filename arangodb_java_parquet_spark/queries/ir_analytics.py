@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
     containment_pairs, word_ngrams)
 from arangodb_java_parquet_spark.operators.ir import (
@@ -638,7 +639,7 @@ def quality_composite_gate(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = (d.select("doc_id",
                      F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     vocab = _lm_unigrams_stored(spark, sf_dir).select(
         "tok", F.col("cnt1").alias("cnt"))
     ent = token_entropy(d, "text", "doc_id", toks=toks)
@@ -1255,7 +1256,7 @@ def quality_kneser_ney_logprob(spark, sf_dir):
         "bg", "cnt2",
         F.element_at(F.split(F.col("bg"), " "), 1).alias("v"),
         F.element_at(F.split(F.col("bg"), " "), 2).alias("w")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ctx = bsplit.groupBy("v").agg(
         F.sum("cnt2").cast("bigint").alias("cv"),
         F.count(F.lit(1)).cast("bigint").alias("n1v"))
@@ -1460,14 +1461,14 @@ def keywords_textrank(spark, sf_dir):
                                          F.col("src").alias("dst")))
              .groupBy("src", "dst")
              .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     wdeg = (edges.groupBy(F.col("src").alias("node"))
             .agg(F.sum("w").cast("bigint").alias("wd"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     # nn is a 1-row constant with 4 consumers (s0 + each round's damped
     # affine) — checkpoint it or its SinglePartition agg re-plans 4x
     nn = (wdeg.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-          .localCheckpoint(eager=False))
+          .transform(materialize))
     # exchange discipline (VERDICT r10 #4): the score table is
     # vocabulary-sized (the only iteration state, see docstring), so
     # each round BROADCASTS (score ⨝ out-weight) into the edge table
@@ -1635,7 +1636,7 @@ def mixture_js_divergence(spark, sf_dir):
     st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
           .groupBy("source", "tok")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-          .localCheckpoint(eager=False))  # feeds totals, vocab, matrix
+          .transform(materialize))  # feeds totals, vocab, matrix
     sn = (st.groupBy("source")
           .agg(F.sum("c").cast("bigint").alias("n")))
     vocab = st.select("tok").distinct()
@@ -1707,7 +1708,7 @@ def vocab_good_turing(spark, sf_dir):
     st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
           .groupBy("source", "tok")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-          .localCheckpoint(eager=False))  # feeds count-of-counts + totals
+          .transform(materialize))  # feeds count-of-counts + totals
     coc = (st.groupBy("source", F.col("c").alias("r"))
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_r")))
     tot = (st.groupBy("source")
@@ -1918,7 +1919,7 @@ def text_burrows_delta(spark, sf_dir):
     st = (d.select("source", F.explode(F.split("text", " ")).alias("tok"))
           .groupBy("source", "tok")
           .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-          .localCheckpoint(eager=False))  # totals, top-K, matrix
+          .transform(materialize))  # totals, top-K, matrix
     sn = st.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
     top = (st.groupBy("tok").agg(F.sum("c").alias("tc"))
            .withColumn("rn", F.row_number().over(
@@ -1929,7 +1930,7 @@ def text_burrows_delta(spark, sf_dir):
          .select("source", "tok",
                  (F.coalesce(F.col("c"), F.lit(0))
                   / F.col("n").cast("double")).alias("fr"))
-         .localCheckpoint(eager=False))  # feeds mu, the square sum, z
+         .transform(materialize))  # feeds mu, the square sum, z
     mu = (f.groupBy("tok")
           .agg((F.sum(F.round("fr", 9).cast("decimal(30,9)"))
                 .cast("double") / F.count(F.lit(1))).alias("m"),
@@ -2010,7 +2011,7 @@ def text_bigram_entropy_rate(spark, sf_dir):
                   F.col("s.w2").alias("w2")))
     c12 = (bg.groupBy("source", "w1", "w2")
            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-           .localCheckpoint(eager=False))  # feeds c1, n, terms
+           .transform(materialize))  # feeds c1, n, terms
     c1 = (c12.groupBy("source", "w1")
           .agg(F.sum("c").cast("bigint").alias("c1")))
     n = c12.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
@@ -2136,7 +2137,7 @@ def dedup_lsh_param_planner(spark, sf_dir):
                 for j in range(8))
     est = (pairs.join(sa, "doc_a").join(sb, "doc_b")
            .select((agree / F.lit(8.0)).alias("s"))
-           .localCheckpoint(eager=False))  # feeds all three config aggs
+           .transform(materialize))  # feeds all three config aggs
     legs = []
     for r, b in _LSH_CONFIGS:
         p = F.lit(1) - _lsh_pow_col(
@@ -2452,17 +2453,26 @@ def ir_query_clarity(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     scores = bm25_scores(d, "text", "doc_id", list(_BM25_TERMS))
     wfb = Window.orderBy(F.desc("score"), "doc_id")
+    # materialize the 10-row feedback set ONCE (ADVICE r13): fb fans out
+    # to the fb_tf broadcast join AND the n_fb aggregate — without this
+    # the corpus-scale BM25 scoring pass would execute twice at action
+    # time, contradicting the "one BM25 pass" contract below.
     fb = (scores.withColumn("rn", F.row_number().over(wfb))
-          .filter(F.col("rn") <= 10).select("doc_id"))
+          .filter(F.col("rn") <= 10).select("doc_id")
+          .transform(materialize))
     toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint(eager=False))  # corpus counts + feedback leg
+            .transform(materialize))  # corpus counts + feedback leg
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint")
         .alias("total_len"))
+    # fb_tf (bounded by 10 documents' vocabulary) feeds three consumers
+    # (fb_len, terms_kl, vocab) — materialize so the toks-join+groupBy
+    # runs once, not three times.
     fb_tf = (toks.join(F.broadcast(fb), "doc_id")
              .groupBy("tok")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("tf_fb")))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("tf_fb"))
+             .transform(materialize))
     fb_len = fb_tf.agg(F.sum("tf_fb").cast("bigint").alias("len_fb"))
     ctf = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf_c"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_candidate_pairs, lsh_candidate_pairs_capped,
     minhash_signatures)
@@ -255,7 +256,7 @@ def graph_triangle_count(spark, sf_dir):
     # measured).
     e = (lsh_candidate_pairs_capped(minhash_signatures(sh, "doc_id"),
                                     "doc_id", max_bucket=32)
-         .select("doc_a", "doc_b").localCheckpoint(eager=False))
+         .select("doc_a", "doc_b").transform(materialize))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
            .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))
@@ -598,7 +599,7 @@ def graph_clustering_coefficient(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     e = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
          .select("doc_a", "doc_b")
-         .localCheckpoint(eager=False))
+         .transform(materialize))
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (ab.join(bc, F.col("bc.doc_a") == F.col("ab.doc_b"))
            .join(ac, (F.col("ac.doc_a") == F.col("ab.doc_a"))

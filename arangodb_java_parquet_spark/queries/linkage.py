@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -399,7 +400,7 @@ def dedup_ppjoin_prefix(spark, sf_dir):
     # 17 exchanges without).
     toksd = (d.select("doc_id",
                       F.explode(F.split("text", " ")).alias("tok"))
-             .distinct().localCheckpoint(eager=False))
+             .distinct().transform(materialize))
     df = toksd.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     sizes = toksd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
@@ -413,7 +414,7 @@ def dedup_ppjoin_prefix(spark, sf_dir):
     capped = (prefix.withColumn("pr", F.row_number().over(wc))
               .filter(F.col("pr") <= _PPJ_CAP)
               .select("doc_id", "tok", "s")
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     a = (capped.withColumnRenamed("doc_id", "doc_a")
          .withColumnRenamed("s", "sa"))
     b = (capped.withColumnRenamed("doc_id", "doc_b")

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import dsum, query, t
 
 
@@ -1329,7 +1330,7 @@ def rfm_migration_matrix(spark, sf_dir):
     # NTILE window don't re-run per consumer
     seg = (spend.select("o_custkey", "period",
                         F.ntile(5).over(wq).alias("quintile"))
-           .localCheckpoint(eager=False))
+           .transform(materialize))
     a = (seg.filter(F.col("period") == 1)
          .select("o_custkey", F.col("quintile").alias("seg_p1")))
     b = (seg.filter(F.col("period") == 2)
@@ -1476,7 +1477,7 @@ def categorical_cramers_v(spark, sf_dir):
     # it, and broadcast it into the full-grid left join (r11 exchange
     # discipline: 9 -> 5 exchanges)
     obs = (p.groupBy("p_brand", "p_size").agg(
-        F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False))
+        F.count(F.lit(1)).alias("o")).transform(materialize))
     nb = obs.groupBy("p_brand").agg(F.sum("o").alias("nb"))
     nc = obs.groupBy("p_size").agg(F.sum("o").alias("nc"))
     tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
@@ -1565,7 +1566,7 @@ def drift_psi_report(spark, sf_dir):
              .agg(F.sum("is_before").cast("bigint").alias("n_before"),
                   F.sum(1 - F.col("is_before")).cast("bigint")
                   .alias("n_after"))
-             .localCheckpoint(eager=False))  # feeds totals + report
+             .transform(materialize))  # feeds totals + report
     tot = cells.agg(F.sum("n_before").cast("bigint").alias("np"),
                     F.sum("n_after").cast("bigint").alias("nq"),
                     F.count(F.lit(1)).cast("bigint").alias("b"))

@@ -480,11 +480,14 @@ def set_ops_all_variants(spark, sf_dir):
 
 
 @query("posexplode_positions", """
-SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos,
-       (string_split(d.text, ' '))[u.i] AS tok
-FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) d,
-     (SELECT UNNEST(range(1, 2001)) AS i) u
-WHERE u.i <= len(string_split(d.text, ' '))
+-- Position bound derived FROM THE DATA (per-doc LATERAL over the token
+-- list length), never a fixed literal: a regenerated testdata set with
+-- >2000-token documents must not silently truncate the oracle side
+-- (the diversity.py r13 fixed-range rule).
+SELECT d.doc_id, CAST(u.i - 1 AS INT) AS pos, d.l[u.i] AS tok
+FROM (SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 20) d,
+     LATERAL (SELECT UNNEST(range(1, len(d.l) + 1)) AS i) u
 """)
 def posexplode_positions(spark, sf_dir):
     """posexplode: tokens with their ordinal positions (the LATERAL

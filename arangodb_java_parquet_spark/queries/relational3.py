@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import (
     dsum, query, sql_dsum, t)
 
@@ -1000,7 +1001,7 @@ def market_basket_rules(spark, sf_dir):
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("p_brand").alias("b"))
           .distinct()
-          .localCheckpoint(eager=False))  # pair join sides + counts
+          .transform(materialize))  # pair join sides + counts
     n = ob.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
     cnt = ob.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a = ob.select(F.col("ok"), F.col("b").alias("brand_a"))

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -96,7 +97,7 @@ def eval_permutation_signflip(spark, sf_dir):
                   - F.expr(chars.format(
                       part="slice(l, n div 2 + 1, n - n div 2)")))
                  .alias("di"))
-         .localCheckpoint(eager=False))  # feeds obs + the B-replicate scan
+         .transform(materialize))  # feeds obs + the B-replicate scan
     obs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum("di").cast("bigint").alias("t_obs"))
     reps = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
@@ -173,7 +174,7 @@ def graph_powerlaw_alpha(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     e = (lsh_candidate_pairs_capped(minhash_signatures(sh, "doc_id"),
                                     "doc_id", max_bucket=32)
-         .select("doc_a", "doc_b").localCheckpoint(eager=False))
+         .select("doc_a", "doc_b").transform(materialize))
     deg = (e.select(F.col("doc_a").alias("node"))
            .unionAll(e.select("doc_b"))
            .groupBy("node")

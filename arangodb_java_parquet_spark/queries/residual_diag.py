@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # shared SQL prefix: daily integer series, exact-moment OLS, scaled
@@ -254,7 +255,7 @@ def stats_cooks_distance(spark, sf_dir):
              .select("day", "tt", "n", "st", "stt",
                      ((F.col("y") - (F.col("a") + F.col("b") * F.col("tt")))
                       / F.lit(float(1 << 20))).alias("ep"))
-             .localCheckpoint(eager=False))  # feeds s2 + the row leg
+             .transform(materialize))  # feeds s2 + the row leg
     s2 = resid.agg(
         (F.sum(F.round(F.col("ep") * F.col("ep"), 9)
                .cast("decimal(30,9)")).cast("double")

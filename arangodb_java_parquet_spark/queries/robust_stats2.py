@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -116,7 +117,7 @@ def eval_yuen_trimmed_t(spark, sf_dir):
         "grp", "x",
         F.row_number().over(wg.orderBy("x", "doc_id")).alias("i"),
         F.count(F.lit(1)).over(wg).cast("bigint").alias("n"))
-    ranked = ranked.localCheckpoint(eager=False)  # 3 self-join consumers
+    ranked = ranked.transform(materialize)  # 3 self-join consumers
     bounds = (ranked.groupBy("grp")
               .agg(F.max("n").alias("nn"))
               .select("grp", F.expr("CAST(nn div 5 AS BIGINT)")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -233,7 +234,7 @@ def graph_link_prediction_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
-            .localCheckpoint(eager=False))  # feeds edges + the anti-join
+            .transform(materialize))  # feeds edges + the anti-join
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -569,7 +570,7 @@ def curation_bias_audit(spark, sf_dir):
     # lazy-checkpoint the signatures so the band self-join shares one
     # materialization instead of re-deriving the non-canonicalizing
     # minhash lineage per side (r5 VERDICT #4)
-    sigs = minhash_signatures(sh, "doc_id").localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh, "doc_id").transform(materialize)
     cand = lsh_candidate_pairs(sigs, "doc_id")
     dropped = cand.select(F.col("doc_b").alias("doc_id")).distinct()
     flags = (d.select(
@@ -583,7 +584,7 @@ def curation_bias_audit(spark, sf_dir):
     cells = (flags.groupBy("passes_quality",
                            (~F.col("__d")).alias("is_survivor"))
              .agg(F.count(F.lit(1)).alias("n"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     tot = cells.agg(
         F.sum("n").cast("double").alias("total"),
         F.sum(F.when(F.col("passes_quality"), F.col("n")).otherwise(0))
@@ -672,7 +673,7 @@ def vocab_overlap_matrix(spark, sf_dir):
                    .orderBy(F.desc("c"), F.asc("tok"))))
            .filter(F.col("rn") <= _VOCAB_K)
            .select("source", "tok")
-           .localCheckpoint(eager=False))
+           .transform(materialize))
     sizes = top.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
     a = top.select(F.col("source").alias("src_a"), "tok")
     b = top.select(F.col("source").alias("src_b"), "tok")

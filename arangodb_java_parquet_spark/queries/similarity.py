@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
 from arangodb_java_parquet_spark.operators.similarity import (
     cosine, dot, norm, srp_bucket, topk_cosine_bruteforce,
     topk_cosine_lsh)
@@ -340,10 +342,10 @@ def _pq_fit_shared(spark, sf_dir):
         best = (pq_encode(e, id_col="vec_id", vec_col="embedding",
                           emit="struct")
                 .select("vec_id", "pq_best")
-                .localCheckpoint(eager=False))
+                .transform(materialize))
         cb = (pq_codebook(e, id_col="vec_id", vec_col="embedding",
                           cent_mod=37)
-              .localCheckpoint(eager=False))
+              .transform(materialize))
         hit = (best, cb)
         _PQ_FIT_CACHE[key] = hit
     best, cb = hit
@@ -592,9 +594,9 @@ def _ivfpq_fit_shared(spark, sf_dir):
         e = t(spark, sf_dir, "embeddings")
         cents, enc, cb = ivfpq_fit(e, id_col="vec_id",
                                    vec_col="embedding")
-        hit = (cents.localCheckpoint(eager=False),
-               enc.localCheckpoint(eager=False),
-               cb.localCheckpoint(eager=False))
+        hit = (cents.transform(materialize),
+               enc.transform(materialize),
+               cb.transform(materialize))
         _IVFPQ_FIT_CACHE[key] = hit
     return hit
 
@@ -1672,7 +1674,7 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     # 0.98 -> 1.9 s drift at sf0.1).
     short = (rel.orderBy(F.desc("rel"), "vid").limit(_MMR_SHORTLIST)
              .select("vid", "embedding", "nrm", "rel")
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     sa = short.select(F.col("vid").alias("va"),
                       F.col("embedding").alias("ea"),
                       F.col("nrm").alias("na"))
@@ -1683,7 +1685,7 @@ def sim_mmr_diversified_topk(spark, sf_dir):
           .select("va", "vb",
                   F.round(dot(F.col("ea"), F.col("eb"))
                           / (F.col("na") * F.col("nb")), 9).alias("sim"))
-          .localCheckpoint(eager=False))  # 90 rows, 3 consumers
+          .transform(materialize))  # 90 rows, 3 consumers
     lam = F.lit(7.0) / F.lit(10.0)
     om = F.lit(3.0) / F.lit(10.0)
 
@@ -1900,16 +1902,16 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
            .join(e.select("vec_id", "label"), "vec_id"))
     cont = (asg.groupBy("cid", "label")
             .agg(F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     nt = cont.agg(F.sum("n")).collect()[0][0]
     # the contingency marginals are K- and L-row tables consumed twice
     # (entropy legs + the MI join) — materialize them and broadcast the
     # MI-side joins so neither re-derives nor shuffles (r8 VERDICT item 4)
     crow = (cont.groupBy("cid").agg(F.sum("n").cast("bigint").alias("nc"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     lrow = (cont.groupBy("label")
             .agg(F.sum("n").cast("bigint").alias("nl"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     pure_n = (cont.groupBy("cid").agg(F.max("n").alias("mx"))
               .agg(F.sum("mx").cast("bigint").alias("pure_n")))
 
@@ -2003,7 +2005,7 @@ def coreset_kcenter_greedy(spark, sf_dir):
     Scale: each round is ONE corpus scan cross-joined with the <=K-row
     broadcast center table, a combinable per-point MIN, and a
     TakeOrdered(1) — no driver collect of anything but the plan. The
-    center table is localCheckpoint(eager=False)-truncated every round:
+    center table is materialize_iter()-truncated every round:
     s_r references s_{r-1} twice (carry + candidate pool), so without
     truncation the logical plan doubles per round (2^K leaf scans by
     round 8 — Catalyst analysis, not execution, becomes the bottleneck);
@@ -2036,7 +2038,7 @@ def coreset_kcenter_greedy(spark, sf_dir):
                 .select(F.col("vec_id").alias("sel_id"),
                         F.col("x").alias("sx"), F.col("y").alias("sy"),
                         F.lit(r).alias("ord")))
-        s = s.unionByName(pick).localCheckpoint(eager=False)
+        s = s.unionByName(pick).transform(materialize_iter)
 
     asg = (pts.crossJoin(F.broadcast(s))
            .withColumn("dd", dd_expr())
@@ -2206,7 +2208,7 @@ def emb_anisotropy_score(spark, sf_dir):
     # (measured 52 s -> ~3 s at sf0.01; the CLAUDE.md HOF-collapse trap).
     nv = (e.select("embedding", norm(F.col("embedding")).alias("nrm"))
           .filter(F.col("nrm") > 0)
-          .localCheckpoint(eager=False))
+          .transform(materialize))
     x = nv.select((F.posexplode("embedding")).alias("i0", "val"),
                   F.col("nrm"))
     dims = (x.groupBy((F.col("i0") + 1).alias("dim"))
@@ -2302,7 +2304,7 @@ def emb_effective_rank(spark, sf_dir):
     dims = (x.groupBy((F.col("i0") + 1).alias("dim"))
             .agg(cnt.cast("bigint").alias("n"),
                  F.round((s2 - s1 * s1 / cnt) / (cnt - 1), 9).alias("v"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     tv = dims.agg(
         F.max("n").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_dims"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.sketches import (
     CMS_DEPTH, cms_build, cms_pos_sql, cms_probe, hll_estimate,
     hll_registers, hll_registers_sql, hll_sql)
@@ -580,7 +581,7 @@ def sketch_kmv_distinct_ops(spark, sf_dir):
                     F.md5(F.col("o_custkey").cast("string")), 1, 15),
                     16, 10).cast("bigint").alias("h"))
                 .distinct()
-                .localCheckpoint(eager=False))  # feeds sketch + membership
+                .transform(materialize))  # feeds sketch + membership
 
     a, b = hset("1-URGENT"), hset("2-HIGH")
     u = a.unionByName(b).distinct()
@@ -595,7 +596,7 @@ def sketch_kmv_distinct_ops(spark, sf_dir):
                 .otherwise(F.lit(_KMV_K - 1).cast("double")
                            / (F.col(hc) / F.lit(_KMV_SCALE))))
 
-    ku = u.orderBy("h").limit(_KMV_K).localCheckpoint(eager=False)
+    ku = u.orderBy("h").limit(_KMV_K).transform(materialize)
     su = ku.agg(F.count(F.lit(1)).cast("bigint").alias("nu"),
                 F.max("h").alias("hu"))
     mem = (ku.join(a, "h", "left_semi").join(b, "h", "left_semi")

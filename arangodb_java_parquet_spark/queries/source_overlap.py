@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -67,7 +68,7 @@ def source_vocab_jaccard(spark, sf_dir):
     st = (d.select("source",
                    F.explode(F.split(F.col("text"), " ")).alias("tok"))
           .distinct()
-          .localCheckpoint(eager=False))  # feeds sizes + both join sides
+          .transform(materialize))  # feeds sizes + both join sides
     vs = st.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("v"))
     a = st.select(F.col("source").alias("src_a"), "tok")

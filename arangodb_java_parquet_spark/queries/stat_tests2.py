@@ -28,9 +28,12 @@ comparisons against an identical double tolerance.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.changepoint import (
     _DAILY_SQL, _daily)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -251,7 +254,7 @@ def stats_hill_tail_index(spark, sf_dir):
     rk = cust.select(
         "rev", F.row_number().over(
             W.orderBy(F.desc("rev"), F.asc("o_custkey"))).alias("i")) \
-        .localCheckpoint(eager=False)  # feeds threshold + top slice
+        .transform(materialize)  # feeds threshold + top slice
     thr = rk.filter(F.col("i") == _HILL_K + 1).select(
         F.col("rev").alias("x_k1"))
     top = (rk.filter(F.col("i") <= _HILL_K)
@@ -339,7 +342,17 @@ def stats_fisher_exact_2x2(spark, sf_dir):
         F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
         .cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n"))
-    n_val = cells.select("n").first()[0]  # scalar bound for the tables
+    # Scalar bound for the range tables. The bound IS the unfiltered
+    # documents row count, which the parquet FOOTER already records —
+    # read it via pyarrow metadata (O(1), no Spark job) so query
+    # CONSTRUCTION stays action-free (ADVICE r13: the previous eager
+    # cells.first() ran a full documents scan at construction time,
+    # taxing every registry-wide plan/report pass). At 100 TB this is
+    # a sum of footer num_rows over the file listing — still
+    # metadata-only, never a data scan.
+    import pyarrow.parquet as _pq
+    n_val = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     lf = (spark.range(1, n_val + 1)
           .select(F.col("id").alias("x"),
                   F.sum(F.round(F.log(F.col("id").cast("double")), 9)
@@ -350,7 +363,7 @@ def stats_fisher_exact_2x2(spark, sf_dir):
           .unionAll(spark.range(1).select(
               F.lit(0).cast("bigint").alias("x"),
               F.lit(0.0).alias("f")))
-          .localCheckpoint(eager=False))  # 9 lookup consumers
+          .transform(materialize))  # 9 lookup consumers
     supp = (spark.range(0, n_val + 1).select(F.col("id").alias("k"))
             .crossJoin(F.broadcast(cells))
             .filter((F.col("k") >= F.greatest(
@@ -378,7 +391,7 @@ def stats_fisher_exact_2x2(spark, sf_dir):
         "a", "n", "k",
         (F.col("fr1") + F.col("fr2") + F.col("fc1") + F.col("fc2")
          - F.col("fn") - F.col("fk") - F.col("fak") - F.col("fbk")
-         - F.col("fdk")).alias("logp")).localCheckpoint(eager=False)
+         - F.col("fdk")).alias("logp")).transform(materialize)
     obs = pmf.filter(F.col("k") == F.col("a")).select(
         F.col("logp").alias("logp_obs"))
     return (pmf.crossJoin(F.broadcast(obs))
@@ -408,7 +421,10 @@ m AS (
 ),
 tol AS (
   SELECT n, CAST(greatest(floor(
-           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))
+           -- variance multiplied in DOUBLE (BIGINT n*s2 overflows at
+           -- scale; the drift_cramer_von_mises rule)
+           sqrt((n * CAST(s2 AS DOUBLE) - s1 * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1)))
            / CAST(5 AS DOUBLE)), 1) AS BIGINT) AS r
   FROM m
 ),
@@ -433,7 +449,8 @@ c AS (
   FROM pairs
 )
 SELECT n_days, r_tolerance, b_count, a_count,
-       0 - ROUND(LN(a_count / CAST(NULLIF(b_count, 0) AS DOUBLE)), 9)
+       0 - ROUND(LN(NULLIF(a_count, 0)
+                    / CAST(NULLIF(b_count, 0) AS DOUBLE)), 9)
          AS sampen
 FROM c
 """)
@@ -457,12 +474,15 @@ def timeseries_sample_entropy(spark, sf_dir):
         "y", F.lead("y").over(w).alias("y1"),
         F.lead("y", 2).over(w).alias("y2"),
         F.row_number().over(w).alias("i"))
-        .localCheckpoint(eager=False))  # both sides of the pair join
+        .transform(materialize))  # both sides of the pair join
     m = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum("y").cast("bigint").alias("s1"),
                 F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"))
-    sd = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-                .cast("double") / (F.col("n") * (F.col("n") - 1)))
+    # variance multiplied in DOUBLE (BIGINT n*s2 overflows at scale;
+    # the drift_cramer_von_mises rule — caught by tools/oracle_lint.py)
+    sd = F.sqrt((F.col("n") * F.col("s2").cast("double")
+                 - F.col("s1") * F.col("s1").cast("double"))
+                / (F.col("n").cast("double") * (F.col("n") - 1)))
     tol = m.select("n", F.greatest(F.floor(sd / F.lit(5.0)), F.lit(1))
                    .cast("bigint").alias("r"))
     a = idx.select(F.col("i").alias("ia"), F.col("y").alias("ya"),
@@ -487,6 +507,10 @@ def timeseries_sample_entropy(spark, sf_dir):
     # shape and avoids the -0.0 repr split when A == B rounds to zero
     return c.select(
         "n_days", "r_tolerance", "b_count", "a_count",
-        (F.lit(0.0) - F.round(F.log(F.col("a_count")
+        # NULLIF on BOTH counts (ADVICE r13): a_count = 0 would make
+        # DuckDB raise on LN(0) while Spark's F.log returns NULL —
+        # sampen must be NULL on both engines when no length-3 template
+        # pair matches.
+        (F.lit(0.0) - F.round(F.log(F.nullif(F.col("a_count"), F.lit(0))
                                     / F.nullif(F.col("b_count"), F.lit(0))
                                     .cast("double")), 9)).alias("sampen"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.event_analytics import (
     _KM_CENSOR_US)
@@ -184,7 +185,7 @@ def eval_bland_altman(spark, sf_dir):
     e = d.select(
         (F.col("n_chars").cast("bigint")
          - 5 * F.size(F.split(F.col("text"), " ")).cast("bigint"))
-        .alias("e5")).localCheckpoint(eager=False)  # feeds m + outside
+        .alias("e5")).transform(materialize)  # feeds m + outside
     m = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
               F.sum("e5").cast("bigint").alias("s1"),
               F.sum(F.col("e5") * F.col("e5")).cast("bigint").alias("s2"))

@@ -16,6 +16,7 @@ key's group is the duplicate set of ONE paragraph).
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import (
     minhash_sig_cte_sql)
@@ -341,7 +342,7 @@ def dedup_lsh_precision_recall(spark, sf_dir):
     d = (t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") < _PR_UNIVERSE))
     sh = (char_shingles(d, "text", "doc_id", k=5, distinct=True)
-          .localCheckpoint(eager=False))
+          .transform(materialize))
     truth = (jaccard_pairs(sh.select("doc_id", "shingle"), "doc_id",
                            threshold=_PR_TAU, bounded=True)
              .select("doc_a", "doc_b"))
@@ -611,7 +612,7 @@ def text_novelty_rate(spark, sf_dir):
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
     g = (d.select("doc_id", F.explode(grams_expr).alias("gram"))
-         .localCheckpoint(eager=False))
+         .transform(materialize))
     gcount = g.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("n_docs"))
     novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
@@ -733,7 +734,7 @@ def dedup_lsh_tuning_curve(spark, sf_dir):
     # shingle+minhash passes where one suffices (r5 VERDICT #4)
     sigs = minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id").localCheckpoint(eager=False)
+        "doc_id").transform(materialize)
     rows = None
     for label, band_rows in (("1x8", 8), ("2x4", 4), ("4x2", 2)):
         pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=8,
@@ -1059,7 +1060,7 @@ def langid_cohens_kappa(spark, sf_dir):
     cells = (scored.select("lang", pred_col.alias("lang_pred"))
              .groupBy("lang", "lang_pred")
              .agg(F.count(F.lit(1)).alias("n"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     tots = cells.agg(
         F.sum("n").cast("double").alias("total"),
         F.sum(F.when(F.col("lang") == F.col("lang_pred"), F.col("n"))
@@ -1182,7 +1183,7 @@ def corpus_diversity_minhash(spark, sf_dir):
         char_shingles, minhash_signatures)
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
-    sigs = minhash_signatures(sh, "doc_id").localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh, "doc_id").transform(materialize)
     n_docs = sigs.count()
     stacked = sigs.select(F.expr(
         "stack(" + str(_DIV_HASHES) + ", "

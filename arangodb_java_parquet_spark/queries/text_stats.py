@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -261,7 +262,7 @@ def token_adaptation_churchgale(spark, sf_dir):
                       F.slice(F.col("l"), F.lit(1), h).alias("first_half"),
                       F.slice(F.col("l"), h + 1, F.col("n") - h)
                       .alias("second_half"))
-              .localCheckpoint(eager=False))  # feeds f, s and the count
+              .transform(materialize))  # feeds f, s and the count
     f = (halved.select("doc_id", F.explode("first_half").alias("tok"))
          .distinct())
     s = (halved.select("doc_id", F.explode("second_half").alias("tok"))

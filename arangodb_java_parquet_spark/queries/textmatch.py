@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize, materialize_iter_eager
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_candidate_pairs, minhash_signatures)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -329,7 +330,7 @@ def _bpe_fit(spark, sf_dir):
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
     learned = []
     for step in range(1, _BPE_STEPS + 1):
-        state = state.localCheckpoint(eager=True)
+        state = state.transform(materialize_iter_eager)
         pairs = state.withColumn(
             "nxt", F.lead("tok").over(
                 W.partitionBy("doc_id").orderBy("i")))
@@ -460,13 +461,13 @@ def dedup_intradoc_spans(spark, sf_dir):
     toks = (d.select("doc_id",
                      F.posexplode(F.split("text", " ")).alias("p0", "tok"))
             .select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     gram_arr = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
     grams = (d.select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
              .select("doc_id", (F.col("p0") + 1).alias("i"), "gh")
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     firsts = grams.groupBy("doc_id", "gh").agg(F.min("i").alias("first_i"))
     dup_starts = (grams.join(firsts, ["doc_id", "gh"])
                   .filter(F.col("i") > F.col("first_i"))
@@ -606,12 +607,12 @@ def _nb_scored(spark, sf_dir):
     # two consumers each
     toks = (train.select("lang",
                          F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint(eager=False))
+            .transform(materialize))
     class_tot = (toks.groupBy("lang")
                  .agg(F.count(F.lit(1)).alias("n_toks"))
-                 .localCheckpoint(eager=False))
+                 .transform(materialize))
     vocab = (toks.agg(F.countDistinct("tok").alias("v"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     priors = (train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
               .crossJoin(F.broadcast(
                   train.agg(F.count(F.lit(1)).alias("total"))))
@@ -1084,13 +1085,13 @@ def token_pmi_collocations(spark, sf_dir):
     # each once instead of re-exploding documents per consumer (17
     # exchanges measured without it).
     toks = (d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .distinct().localCheckpoint(eager=False))
+            .distinct().transform(materialize))
     top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
            .withColumn("rn", F.row_number().over(
                W.orderBy(F.desc("df"), F.asc("tok"))))
            .filter(F.col("rn") <= _PMI_TOPK)
            .select("tok"))
-    inc = toks.join(F.broadcast(top), "tok").localCheckpoint(eager=False)
+    inc = toks.join(F.broadcast(top), "tok").transform(materialize)
     n_docs = toks.agg(F.countDistinct("doc_id").cast("double").alias("n"))
     df = inc.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("d"))
     a = inc.select("doc_id", F.col("tok").alias("tok_a"))
@@ -1200,7 +1201,7 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
                  (F.col("tf") * F.round(F.log(
                      (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
                      9)).alias("w"))
-         .localCheckpoint(eager=False))
+         .transform(materialize))
     nrm = (w.groupBy("doc_id")
            .agg(F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 9)
                              .cast("decimal(30,9)")).cast("double"))
@@ -1497,7 +1498,7 @@ def dedup_winnowing_matches(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     dfp = (winnowing_fingerprints(d, "text", "doc_id", k=_WIN_K, w=_WIN_W)
            .select("doc_id", "fp").distinct()
-           .localCheckpoint(eager=False))  # feeds df-cap + both join sides
+           .transform(materialize))  # feeds df-cap + both join sides
     live = (dfp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_DF_CAP))
             .select("fp"))
@@ -1762,7 +1763,7 @@ def dedup_cross_source_containment(spark, sf_dir):
             "transform(sequence(1, greatest(size(split(text, ' ')) - 4,"
             " 1)), i -> array_join(slice(split(text, ' '), i, 5), ' '))"))
         .alias("shingle"))
-        .distinct().localCheckpoint(eager=False))  # counts + both sides
+        .distinct().transform(materialize))  # counts + both sides
     counts = (grams.groupBy("source")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_sh")))
     a = grams.select(F.col("source").alias("source_a"), "shingle")
@@ -1842,7 +1843,7 @@ def dedup_weighted_jaccard(spark, sf_dir):
            .agg(F.round(F.log(F.lit(float(n_docs + 1))
                               / (F.count(F.lit(1)) + 1).cast("double")), 9)
                 .alias("w")))
-    wg = grams.join(idf, "shingle").localCheckpoint(eager=False)
+    wg = grams.join(idf, "shingle").transform(materialize)
     sums = (wg.groupBy("doc_id")
             .agg(F.sum(F.col("w").cast("decimal(30,9)")).cast("double")
                  .alias("s")))
@@ -1992,19 +1993,19 @@ def label_confident_joint(spark, sf_dir):
     meeting no class threshold are dropped, per the paper. Shape: adds
     two per-doc combinable aggregations and one |classes|-row broadcast
     to the NB chain — same scale posture."""
-    scored2 = _nb_scored(spark, sf_dir).localCheckpoint(eager=False)
+    scored2 = _nb_scored(spark, sf_dir).transform(materialize)
     mx = scored2.groupBy("doc_id").agg(F.max("sc").alias("m"))
     ex = (scored2.join(mx, "doc_id")
           .select("doc_id", "actual_lang", "lang",
                   F.round(F.exp(F.col("sc") - F.col("m")), 9).alias("e"))
-          .localCheckpoint(eager=False))  # feeds normalizer + probs
+          .transform(materialize))  # feeds normalizer + probs
     den = (ex.groupBy("doc_id")
            .agg(F.sum(F.col("e").cast("decimal(20,9)")).cast("double")
                 .alias("den")))
     prob = (ex.join(den, "doc_id")
             .select("doc_id", "actual_lang", "lang",
                     F.round(F.col("e") / F.col("den"), 9).alias("p"))
-            .localCheckpoint(eager=False))  # feeds thresholds + counting
+            .transform(materialize))  # feeds thresholds + counting
     th = (prob.filter(F.col("lang") == F.col("actual_lang"))
           .groupBy("lang")
           .agg((F.sum(F.col("p").cast("decimal(20,9)")).cast("double")
@@ -2086,7 +2087,7 @@ def token_collocations_llr(spark, sf_dir):
           .select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")))
     c12 = (bg.groupBy("w1", "w2")
            .agg(F.count(F.lit(1)).cast("bigint").alias("k11"))
-           .localCheckpoint(eager=False))  # feeds both marginals + cells
+           .transform(materialize))  # feeds both marginals + cells
     c1 = c12.groupBy("w1").agg(F.sum("k11").cast("bigint").alias("r1"))
     c2 = c12.groupBy("w2").agg(F.sum("k11").cast("bigint").alias("s1"))
     n = c12.agg(F.sum("k11").cast("bigint").alias("n"))

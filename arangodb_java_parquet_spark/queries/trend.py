@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
 from arangodb_java_parquet_spark.queries.common import (
     dsum, query, sql_dsum, t)
 
@@ -74,7 +76,7 @@ def cusum_change_point(spark, sf_dir):
     # orders per consumer (16 exchanges measured without it).
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(dsum("o_totalprice").alias("rev"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     stats = daily.agg(
         F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
         .alias("total"),
@@ -95,7 +97,7 @@ def cusum_change_point(spark, sf_dir):
             .select(F.col("day").alias("change_day"),
                     F.col("s").alias("cusum_at_peak"),
                     F.abs(F.col("s")).alias("magnitude"))
-            .localCheckpoint(eager=False))  # 1 row, 3 consumers
+            .transform(materialize))  # 1 row, 3 consumers
     before = (daily.join(F.broadcast(peak.select("change_day")),
                          daily.day <= F.col("change_day"))
               .agg(F.round(
@@ -639,7 +641,7 @@ def _lpa_labels(spark, sf_dir):
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     for _ in range(_LPA_ROUNDS):
@@ -744,7 +746,7 @@ def graph_modularity_lpa(spark, sf_dir):
                   "n_members",
                   F.count(F.lit(1)).over(W.partitionBy("label"))
                   .cast("bigint"))
-              .localCheckpoint(eager=False))
+              .transform(materialize))
     ls = labels.select(F.col("node").alias("src"),
                        F.col("label").alias("lsrc"), "n_members")
     ld = labels.select(F.col("node").alias("dst"),
@@ -948,7 +950,7 @@ def graph_two_hop_reach(spark, sf_dir):
     # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -1008,7 +1010,7 @@ def graph_assortativity(spark, sf_dir):
     # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
@@ -1074,12 +1076,12 @@ def graph_harmonic_centrality(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))  # deg + both hop legs + union
+             .transform(materialize))  # deg + both hop legs + union
     deg = (edges.groupBy("src")
            .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
     e2 = edges.select(F.col("src").alias("mid"),
@@ -1472,18 +1474,18 @@ def graph_kcore_2core(spark, sf_dir):
     # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     for _ in range(2):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= 2).select("src")
         edges = (edges.join(keep, "src")
                  .join(keep.withColumnRenamed("src", "dst"), "dst")
-                 .select("src", "dst").localCheckpoint(eager=False))
+                 .select("src", "dst").transform(materialize_iter))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return (deg.filter(F.col("deg") >= 2)
             .select(F.col("src").alias("doc_id"),
@@ -1591,12 +1593,12 @@ def graph_edge_triangle_support(spark, sf_dir):
     # exchanges measured).
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     ua = edges.select(F.col("src").alias("doc_a"),
                       F.col("dst").alias("na"))
     ub = edges.select(F.col("src").alias("doc_b"),
@@ -1837,7 +1839,7 @@ def timeseries_strength_measures(spark, sf_dir):
                     ((F.col("revenue") - F.col("seasonal")) / k)
                     .alias("tr"),
                     ((F.col("revenue") - F.col("trend")) / k).alias("sr"))
-            .localCheckpoint(eager=False))  # feeds means + deviations
+            .transform(materialize))  # feeds means + deviations
     dmean = lambda c: (F.sum(F.round(F.col(c), 9)  # noqa: E731
                              .cast("decimal(30,9)")).cast("double")
                        / F.count(F.lit(1)))
@@ -1901,15 +1903,15 @@ def graph_rich_club_coefficient(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
-        "doc_id"), "doc_id").localCheckpoint(eager=False)
+        "doc_id"), "doc_id").transform(materialize)
     edges = (cand.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))  # deg + edge sweep
+             .transform(materialize))  # deg + edge sweep
     deg = (edges.groupBy("src")
            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-           .localCheckpoint(eager=False))  # both join sides + rich sets
+           .transform(materialize))  # both join sides + rich sets
     ks = spark.range(1, 9).select(F.col("id").cast("bigint").alias("k"))
     rich = (ks.join(deg, deg.d > ks.k)
             .select("k", F.col("src").alias("node")))
@@ -1973,7 +1975,7 @@ def drift_page_hinkley(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(dsum("o_totalprice").alias("rev"))
-             .localCheckpoint(eager=False))  # stats + running sums
+             .transform(materialize))  # stats + running sums
     stats = daily.agg(
         F.sum(F.col("rev").cast("decimal(30,8)")).cast("double")
         .alias("total"),
@@ -2136,7 +2138,7 @@ def timeseries_ljung_box(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(dsum("o_totalprice").alias("rev"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = W.orderBy("day")
     acfs = None
@@ -2234,7 +2236,7 @@ def graph_eigenvector_centrality(spark, sf_dir):
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))  # feeds every iteration
+             .transform(materialize))  # feeds every iteration
     v = (edges.select(F.col("src").alias("node")).distinct()
          .withColumn("v", F.lit(1).cast("double")))
     for _ in range(_EIG_ITERS):
@@ -2242,7 +2244,7 @@ def graph_eigenvector_centrality(spark, sf_dir):
              .groupBy(F.col("src").alias("node"))
              .agg(F.sum(F.round(F.col("v"), 9).cast("decimal(30,9)"))
                   .cast("double").alias("w"))
-             .localCheckpoint(eager=False))  # normalizer + next iter
+             .transform(materialize_iter))  # normalizer + next iter
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (w.crossJoin(F.broadcast(m))
              .select("node", F.round(F.col("w") / F.col("m"), 9)
@@ -2445,7 +2447,7 @@ def graph_katz_centrality(spark, sf_dir):
                          F.col("doc_b").alias("dst"))
              .unionAll(cand.select(F.col("doc_b").alias("src"),
                                    F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=False))  # feeds every iteration
+             .transform(materialize))  # feeds every iteration
     x = (edges.select(F.col("src").alias("node")).distinct()
          .withColumn("x", F.lit(1).cast("double")))
     for _ in range(_KATZ_ITERS):
@@ -2453,5 +2455,5 @@ def graph_katz_centrality(spark, sf_dir):
              .groupBy(F.col("src").alias("node"))
              .agg((1 + F.sum(F.round(F.col("x"), 9).cast("decimal(30,9)"))
                    .cast("double") / 8).alias("x"))
-             .localCheckpoint(eager=False))
+             .transform(materialize_iter))
     return x.select("node", (F.col("x") - 1).alias("katz"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, sql_dsum, t
 
 # ---------------------------------------------------------------------------
@@ -101,7 +102,7 @@ def timeseries_pacf(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
              .agg(dsum("o_totalprice").alias("rev"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = W.orderBy("day")
     acfs = None
@@ -292,7 +293,7 @@ def timeseries_crosscorr(spark, sf_dir):
              .agg(F.count(F.lit(1)).cast("bigint").alias("x"),
                   F.expr("CAST(sum(CAST(round(o_totalprice * 100) AS"
                          " BIGINT)) AS BIGINT) div 100").alias("y"))
-             .localCheckpoint(eager=False))
+             .transform(materialize))
     w = W.orderBy("day")
     out = None
     for lag in _CCF_LAGS:

@@ -1,0 +1,322 @@
+"""Unigram-LM (SentencePiece-style) tokenizer fit + apply (VERDICT r13
+#5): the OTHER dominant subword-tokenizer family beside BPE
+(`textmatch.py`). Kudo 2018 trains a unigram language model over a seed
+vocabulary of substrings by EM and prunes low-likelihood pieces; the
+deterministic in-engine formulation here is VITERBI (hard) EM with a
+fixed round count:
+
+  seed   p0(s)  ∝ frequency-weighted count of every substring s
+                 (len 1..4) of every corpus word (len 1..12; longer
+                 words are excluded as a MODELING choice applied
+                 identically on both engines, never an oracle-side
+                 truncation — the diversity.py fixed-range rule)
+  E-step         per-word best segmentation by lattice DP over
+                 positions (score = sum of round-9 ln p(piece);
+                 ties broken by the segmentation string ASC — fully
+                 deterministic on both engines)
+  M-step         p_{r+1}(s) ∝ frequency-weighted piece usage in the
+                 best segmentations; unused pieces are PRUNED except
+                 single characters, which survive with an epsilon
+                 score ln(0.5/total) so every word stays segmentable
+                 (standard unigram-LM char fallback)
+
+Two rounds of EM, then the fitted vocabulary (fit entry) and the
+model-based per-language fertility/compression report (apply entry —
+the honest replacement for `token_fertility_by_lang`'s disclosed
+4-char proxy).
+
+Determinism notes: piece log-probs are round-9 ln of exact integer
+ratios; DP scores are chain additions of those identical doubles in
+identical lattice order; window tie-breaks are total orders
+(score DESC, seg ASC / cnt DESC, piece ASC). The '|' segmentation
+joiner is split with identical literal semantics on both engines
+(Spark's regex split has '|' escaped), so even a corpus word
+containing '|' cannot make the engines diverge from each other.
+
+Scale: everything after the ONE corpus scan (word-frequency rollup)
+rides VOCABULARY-scale tables — distinct words grow sublinearly
+(Heaps' law), the lattice is (distinct words) x (<=12 positions) x
+(<=4 lengths), and the piece table is bounded by 4-gram diversity.
+At 100 TB the fit is dominated by the word count, exactly like a real
+SentencePiece corpus pass; the per-position DP states are
+materialize_iter'd (reliable checkpoints on a cluster) because each
+state feeds up to 4 later positions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
+from arangodb_java_parquet_spark.queries.common import query, t
+
+_MAX_WLEN = 12   # words longer than this are excluded (both engines)
+_MAX_PLEN = 4    # max piece length in the seed vocabulary
+_EM_ROUNDS = 2   # fixed Viterbi-EM rounds
+_TOPK = 50       # fitted-vocabulary report size
+
+
+# ---------------------------------------------------------------------------
+# generated DuckDB oracle (single template, mirrored by the Spark code)
+# ---------------------------------------------------------------------------
+
+def _ulm_chain_sql() -> str:
+    """Chained-CTE oracle: seed counts, then per-round lattice DP CTEs
+    dp{r}_{i} (i = 0..12), best{r}, usage counts c{r+1} / tot{r+1} and
+    next-round scores p{r+1} — one block per EM round so Spark and the
+    oracle cannot drift."""
+    parts = [f"""WITH wf AS MATERIALIZED (
+  SELECT w, len(w) AS n, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_MAX_WLEN}
+  GROUP BY w
+),
+sub AS (
+  SELECT substr(wf.w, ui.i, ul.l) AS piece, CAST(SUM(wf.f) AS BIGINT) AS c
+  FROM wf,
+       LATERAL (SELECT UNNEST(range(1, wf.n + 1)) AS i) ui,
+       LATERAL (SELECT UNNEST(range(1, {_MAX_PLEN} + 1)) AS l) ul
+  WHERE ui.i + ul.l - 1 <= wf.n
+  GROUP BY 1
+),
+tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM sub),
+p0 AS MATERIALIZED (
+  SELECT piece, ROUND(LN(CAST(c AS DOUBLE) / t.tot), 9) AS lp
+  FROM sub, tot0 t
+)"""]
+    for r in range(_EM_ROUNDS):
+        parts.append(f""",
+dp{r}_0 AS MATERIALIZED (
+  SELECT w, n, f, CAST(0 AS DOUBLE) AS score, '' AS seg FROM wf
+)""")
+        for i in range(1, _MAX_WLEN + 1):
+            arms = []
+            for l in range(1, min(_MAX_PLEN, i) + 1):
+                arms.append(f"""      SELECT d.w, d.n, d.f,
+             d.score + p.lp AS score,
+             CASE WHEN d.seg = '' THEN p.piece
+                  ELSE d.seg || '|' || p.piece END AS seg
+      FROM dp{r}_{i - l} d
+      JOIN p{r} p ON p.piece = substr(d.w, {i - l + 1}, {l})
+      WHERE d.n >= {i}""")
+            union = "\n      UNION ALL\n".join(arms)
+            parts.append(f""",
+dp{r}_{i} AS MATERIALIZED (
+  SELECT w, n, f, score, seg FROM (
+    SELECT w, n, f, score, seg,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY score DESC, seg ASC) AS rn
+    FROM (
+{union}
+    )
+  ) WHERE rn = 1
+)""")
+        finals = "\n  UNION ALL\n".join(
+            f"  SELECT w, n, f, seg FROM dp{r}_{i} WHERE n = {i}"
+            for i in range(1, _MAX_WLEN + 1))
+        parts.append(f""",
+best{r} AS MATERIALIZED (
+{finals}
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(f) AS BIGINT) AS c
+  FROM (SELECT f, UNNEST(string_split(seg, '|')) AS piece FROM best{r})
+  GROUP BY piece
+),
+tot{r + 1} AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM c{r + 1}),
+p{r + 1} AS MATERIALIZED (
+  SELECT piece, ROUND(LN(CAST(c AS DOUBLE) / t.tot), 9) AS lp
+  FROM c{r + 1}, tot{r + 1} t
+  UNION ALL
+  SELECT p.piece, ROUND(LN(0.5 / t.tot), 9) AS lp
+  FROM p{r} p, tot{r + 1} t
+  WHERE len(p.piece) = 1
+    AND p.piece NOT IN (SELECT piece FROM c{r + 1})
+)""")
+    return "".join(parts)
+
+
+_ULM_FIT_SQL = _ulm_chain_sql() + f"""
+SELECT piece, cnt, logp FROM (
+  SELECT c.piece, c.c AS cnt,
+         ROUND(LN(CAST(c.c AS DOUBLE) / t.tot), 9) AS logp,
+         ROW_NUMBER() OVER (ORDER BY c.c DESC, c.piece ASC) AS rn
+  FROM c{_EM_ROUNDS} c, tot{_EM_ROUNDS} t
+) WHERE rn <= {_TOPK}
+"""
+
+_ULM_FERTILITY_SQL = _ulm_chain_sql() + f"""
+, np AS (
+  SELECT w, n,
+         CAST(len(string_split(seg, '|')) AS BIGINT) AS np
+  FROM best{_EM_ROUNDS - 1}
+),
+wfl AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_MAX_WLEN}
+  GROUP BY lang, w
+)
+SELECT wfl.lang,
+       CAST(SUM(wfl.f) AS BIGINT) AS n_tokens,
+       CAST(SUM(wfl.f * np.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(wfl.f * np.n) AS BIGINT) AS n_chars,
+       CAST(SUM(wfl.f * np.np) AS BIGINT)
+         / CAST(SUM(wfl.f) AS DOUBLE) AS fertility,
+       CAST(SUM(wfl.f * np.n) AS BIGINT)
+         / CAST(SUM(wfl.f * np.np) AS DOUBLE) AS chars_per_piece
+FROM wfl JOIN np ON np.w = wfl.w
+GROUP BY wfl.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark mirror
+# ---------------------------------------------------------------------------
+
+def _ulm_word_freqs(d, with_lang=False):
+    cols = (["lang"] if with_lang else []) + ["w"]
+    w = d.select(*(["lang"] if with_lang else []),
+                 F.explode(F.split("text", " ")).alias("w"))
+    return (w.filter((F.length("w") >= 1) & (F.length("w") <= _MAX_WLEN))
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+            .withColumn("n", F.length("w").cast("bigint")))
+
+
+def _ulm_seed_scores(words):
+    pos = words.select(
+        "w", "n", "f",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+    sub = (pos.select(
+        "f",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.least(F.lit(_MAX_PLEN), F.col("n") - F.col("i") + 1)))
+        .alias("l"),
+        "w", "i")
+        .select("f", F.expr("substr(w, i, l)").alias("piece")))
+    c = sub.groupBy("piece").agg(F.sum("f").cast("bigint").alias("c"))
+    tot = c.agg(F.sum("c").cast("bigint").alias("tot"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("piece",
+                    F.round(F.log(F.col("c").cast("double")
+                                  / F.col("tot")), 9).alias("lp")))
+
+
+def _ulm_viterbi(words, scores):
+    """Lattice DP: dp[i] = best (score, seg) covering the first i chars.
+    Each dp state feeds up to _MAX_PLEN later positions — materialize_iter
+    keeps the DAG linear (reliable checkpoint on a cluster)."""
+    scores = materialize(scores)
+    dp = {0: words.select(
+        "w", "n", "f", F.lit(0.0).alias("score"), F.lit("").alias("seg"))}
+    for i in range(1, _MAX_WLEN + 1):
+        arms = []
+        for l in range(1, min(_MAX_PLEN, i) + 1):
+            prev = dp[i - l]
+            arms.append(
+                prev.filter(F.col("n") >= i)
+                .withColumn("piece", F.expr(f"substr(w, {i - l + 1}, {l})"))
+                .join(scores, "piece")
+                .select("w", "n", "f",
+                        (F.col("score") + F.col("lp")).alias("score"),
+                        F.when(F.col("seg") == "", F.col("piece"))
+                        .otherwise(F.concat(F.col("seg"), F.lit("|"),
+                                            F.col("piece"))).alias("seg")))
+        u = reduce(lambda a, b: a.unionByName(b), arms)
+        rn = F.row_number().over(
+            W.partitionBy("w").orderBy(F.desc("score"), F.asc("seg")))
+        dp[i] = (u.withColumn("rn", rn).filter(F.col("rn") == 1)
+                 .drop("rn").transform(materialize_iter))
+    best = reduce(lambda a, b: a.unionByName(b),
+                  [dp[i].filter(F.col("n") == i)
+                   .select("w", "n", "f", "seg")
+                   for i in range(1, _MAX_WLEN + 1)])
+    return best
+
+
+def _ulm_usage(best):
+    ex = best.select("f", F.explode(F.split("seg", "\\|")).alias("piece"))
+    c = ex.groupBy("piece").agg(F.sum("f").cast("bigint").alias("c"))
+    tot = c.agg(F.sum("c").cast("bigint").alias("tot"))
+    return materialize(c), tot
+
+
+def _ulm_next_scores(c, tot, prev_scores):
+    used = (c.crossJoin(F.broadcast(tot))
+            .select("piece",
+                    F.round(F.log(F.col("c").cast("double")
+                                  / F.col("tot")), 9).alias("lp")))
+    fallback = (prev_scores.filter(F.length("piece") == 1)
+                .select("piece")
+                .join(c.select("piece"), "piece", "left_anti")
+                .crossJoin(F.broadcast(tot))
+                .select("piece",
+                        F.round(F.log(F.lit(0.5) / F.col("tot")), 9)
+                        .alias("lp")))
+    return used.unionByName(fallback)
+
+
+def _ulm_fit(spark, sf_dir):
+    """Shared EM chain: returns (final usage counts c, total tot, final
+    best segmentations)."""
+    d = t(spark, sf_dir, "documents")
+    words = materialize(_ulm_word_freqs(d))
+    scores = _ulm_seed_scores(words)
+    best = None
+    c = tot = None
+    for _ in range(_EM_ROUNDS):
+        best = _ulm_viterbi(words, scores)
+        c, tot = _ulm_usage(best)
+        scores = _ulm_next_scores(c, tot, scores)
+    return c, tot, best
+
+
+@query("unigram_lm_fit", _ULM_FIT_SQL)
+def unigram_lm_fit(spark, sf_dir):
+    """Fitted unigram-LM vocabulary: top-50 pieces after 2 Viterbi-EM
+    rounds with usage count and round-9 log-probability. See module
+    docstring for the exact EM contract shared with the oracle."""
+    c, tot, _ = _ulm_fit(spark, sf_dir)
+    rn = F.row_number().over(W.orderBy(F.desc("c"), F.asc("piece")))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("piece", F.col("c").alias("cnt"),
+                    F.round(F.log(F.col("c").cast("double")
+                                  / F.col("tot")), 9).alias("logp"),
+                    rn.alias("rn"))
+            .filter(F.col("rn") <= _TOPK)
+            .select("piece", "cnt", "logp"))
+
+
+@query("unigram_lm_fertility", _ULM_FERTILITY_SQL)
+def unigram_lm_fertility(spark, sf_dir):
+    """Tokenizer APPLY stage: per-language fertility (pieces per word
+    token) and compression (chars per piece) under the fitted unigram
+    LM — the model-based replacement for token_fertility_by_lang's
+    4-char proxy. Plain double divisions of exact integer sums
+    (IEEE-identical; the unrounded-ratio rule)."""
+    _, _, best = _ulm_fit(spark, sf_dir)
+    np_df = best.select(
+        "w", "n",
+        F.size(F.split("seg", "\\|")).cast("bigint").alias("np"))
+    d = t(spark, sf_dir, "documents")
+    wfl = _ulm_word_freqs(d, with_lang=True).drop("n")
+    j = wfl.join(np_df, "w")
+    return (j.groupBy("lang")
+            .agg(F.sum("f").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("f") * F.col("np")).cast("bigint")
+                 .alias("n_pieces"),
+                 F.sum(F.col("f") * F.col("n")).cast("bigint")
+                 .alias("n_chars"))
+            .select("lang", "n_tokens", "n_pieces", "n_chars",
+                    (F.col("n_pieces")
+                     / F.col("n_tokens").cast("double")).alias("fertility"),
+                    (F.col("n_chars")
+                     / F.col("n_pieces").cast("double"))
+                    .alias("chars_per_piece")))

@@ -107,26 +107,73 @@ def test_no_zero_row_oracle_passes_in_committed_harness():
         f"zero-row rows-only entries in {latest}: {zero_ro}")
 
 
-def test_panel_rotation_policy():
-    """PANEL-EXHAUSTION POLICY (queries/__init__.py, decided r13 per
-    VERDICT r12 #6): while ANY oracle-backed entry has never appeared in
-    a committed driver CORRECTNESS_r*.json, every DRIVER_PANEL slot must
-    be never-sampled — driver correctness rows are the only hard external
-    signal, so a panel slot spent re-sampling an already-green name while
-    never-sampled names exist wastes the scarce resource. Once the pool
-    is empty, rotation switches to oldest-green-first and this test's
-    guard arm goes vacuous (the policy comment governs)."""
+def _panel_records():
+    """Committed driver CORRECTNESS_r*.json records, EXCLUDING any record
+    produced by the CURRENT panel (key set == set(DRIVER_PANEL)): the
+    driver drops the current round's record into the tree before the next
+    rotation lands, and counting it would retroactively mark the very
+    panel that produced it as 'already sampled' (ADVICE r13). Returns
+    [(round_index, {name: all_green_bool})] sorted by round."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled = set()
+    panel = set(DRIVER_PANEL)
+    out = []
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        sampled.update(json.load(open(f)).keys())
-    never = {n for n in QUERIES if n in ORACLES and n not in sampled}
+        d = json.load(open(f))
+        if set(d.keys()) == panel:
+            continue
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        rnd = int(m.group(1)) if m else 0
+        out.append((rnd, {
+            k: bool(isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match") and v.get("hash_match"))
+            for k, v in d.items()}))
+    out.sort()
+    return out
+
+
+def test_panel_rotation_policy():
+    """PANEL-EXHAUSTION POLICY (queries/__init__.py, decided r13 per
+    VERDICT r12 #6; second regime codified r14 per VERDICT r13 #6).
+
+    Regime 1 — while ANY oracle-backed entry has never appeared in a
+    committed driver CORRECTNESS_r*.json (current-panel record excluded,
+    see _panel_records): every DRIVER_PANEL slot must be never-sampled —
+    driver correctness rows are the only hard external signal, so a slot
+    spent re-sampling an already-driven name wastes the scarce resource.
+
+    Regime 2 — once the pool is empty: OLDEST-GREEN-FIRST. Key every
+    oracle entry by the round index of its most recent all-green driver
+    row (sampled-but-never-all-green keys as round 0). The panel must be
+    exactly the 50 lowest (last_green_round, name) pairs, so the external
+    signal continuously re-validates the whole surface."""
+    records = _panel_records()
+    sampled = set()
+    last_green = {}
+    for rnd, rows in records:
+        sampled.update(rows.keys())
+        for name, green in rows.items():
+            if green:
+                last_green[name] = rnd
+    oracle_names = {n for n in QUERIES if n in ORACLES}
+    never = oracle_names - sampled
     if never:
         stale = [n for n in DRIVER_PANEL if n not in never]
         assert not stale, (
             f"{len(never)} never-sampled oracle entries remain but these "
             f"panel slots re-sample already-driven names: {stale}")
+    else:
+        key = lambda n: (last_green.get(n, 0), n)  # noqa: E731
+        want = sorted(oracle_names, key=key)[:len(DRIVER_PANEL)]
+        # Any entry tied with the 50th slot's key is an acceptable swap
+        # (stable cross-section tweaks within a tie don't break the
+        # oldest-first invariant).
+        cutoff = key(want[-1])
+        bad = [n for n in DRIVER_PANEL if key(n) > cutoff]
+        assert not bad, (
+            f"oldest-green-first regime: panel slots newer than the "
+            f"cutoff {cutoff}: {bad}")
