@@ -320,3 +320,150 @@ def unigram_lm_fertility(spark, sf_dir):
                     (F.col("n_chars")
                      / F.col("n_pieces").cast("double"))
                     .alias("chars_per_piece")))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match-first apply (third tokenizer family
+# beside BPE and the unigram LM). Real WordPiece TRAINING is likelihood-
+# driven; what production tokenizers ship is the greedy leftmost-longest
+# APPLY over a frequency-thresholded vocabulary — that apply stage is what
+# this entry re-expresses (honest naming: no likelihood fit is claimed).
+# ---------------------------------------------------------------------------
+
+_WP_RATE = 300  # piece joins the vocab when c * RATE >= total (or len 1)
+
+
+def _wp_sql() -> str:
+    parts = [f"""WITH wf AS MATERIALIZED (
+  SELECT w, len(w) AS n, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_MAX_WLEN}
+  GROUP BY w
+),
+cand AS MATERIALIZED (
+  SELECT wf.w, ui.i AS p, ul.l, substr(wf.w, ui.i, ul.l) AS piece
+  FROM wf,
+       LATERAL (SELECT UNNEST(range(1, wf.n + 1)) AS i) ui,
+       LATERAL (SELECT UNNEST(range(1, {_MAX_PLEN} + 1)) AS l) ul
+  WHERE ui.i + ul.l - 1 <= wf.n
+),
+sub AS (
+  SELECT c.piece, CAST(SUM(wf.f) AS BIGINT) AS c
+  FROM cand c JOIN wf ON wf.w = c.w
+  GROUP BY 1
+),
+tot0 AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM sub),
+v AS MATERIALIZED (
+  SELECT piece FROM sub, tot0 t
+  WHERE c * {_WP_RATE} >= t.tot OR len(piece) = 1
+),
+la AS MATERIALIZED (
+  SELECT c.w, c.p, CAST(MAX(c.l) AS BIGINT) AS l
+  FROM cand c JOIN v ON v.piece = c.piece
+  GROUP BY c.w, c.p
+),
+st0 AS MATERIALIZED (
+  SELECT w, n, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS k FROM wf
+)"""]
+    for j in range(1, _MAX_WLEN + 1):
+        parts.append(f""",
+st{j} AS MATERIALIZED (
+  SELECT s.w, s.n, s.pos + la.l AS pos, s.k + 1 AS k
+  FROM st{j - 1} s JOIN la ON la.w = s.w AND la.p = s.pos
+  WHERE s.pos <= s.n
+)""")
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT w, n, k AS np FROM st{j} WHERE pos > n"
+        for j in range(1, _MAX_WLEN + 1))
+    parts.append(f""",
+np AS MATERIALIZED (
+{finals}
+),
+wfl AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE len(w) BETWEEN 1 AND {_MAX_WLEN}
+  GROUP BY lang, w
+)
+SELECT wfl.lang,
+       CAST(SUM(wfl.f) AS BIGINT) AS n_tokens,
+       CAST(SUM(wfl.f * np.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(wfl.f * np.n) AS BIGINT) AS n_chars,
+       CAST(SUM(wfl.f * np.np) AS BIGINT)
+         / CAST(SUM(wfl.f) AS DOUBLE) AS fertility,
+       CAST(SUM(wfl.f * np.n) AS BIGINT)
+         / CAST(SUM(wfl.f * np.np) AS DOUBLE) AS chars_per_piece
+FROM wfl JOIN np ON np.w = wfl.w
+GROUP BY wfl.lang
+""")
+    return "".join(parts)
+
+
+@query("wordpiece_greedy_fertility", _wp_sql())
+def wordpiece_greedy_fertility(spark, sf_dir):
+    """WordPiece-style GREEDY LEFTMOST-LONGEST segmentation over a
+    frequency-thresholded substring vocabulary (pieces covering >=
+    1/300 of the substring mass, plus all single chars so every word
+    segments), reported as per-language fertility/compression beside
+    the unigram-LM entry — the fertility gap between greedy and
+    Viterbi segmentation is a standard tokenizer-quality diagnostic.
+    The walk advances one longest-match per step (<= 12 steps, bounded
+    by the word-length cap); each step is a vocabulary-scale join, and
+    the longest-match table is ONE hash join of the candidate
+    substrings against the vocab (never a per-position scan)."""
+    d = t(spark, sf_dir, "documents")
+    words = materialize(_ulm_word_freqs(d))
+    pos = words.select(
+        "w", "n", "f",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"))
+    cand = (pos.select(
+        "w", "n", "f", "i",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.least(F.lit(_MAX_PLEN), F.col("n") - F.col("i") + 1)))
+        .alias("l"))
+        .select("w", "f", F.col("i").alias("p"), "l",
+                F.expr("substr(w, i, l)").alias("piece"))
+        .transform(materialize))
+    sub = cand.groupBy("piece").agg(F.sum("f").cast("bigint").alias("c"))
+    tot = sub.agg(F.sum("c").cast("bigint").alias("tot"))
+    v = (sub.crossJoin(F.broadcast(tot))
+         .filter((F.col("c") * _WP_RATE >= F.col("tot"))
+                 | (F.length("piece") == 1))
+         .select("piece"))
+    la = (cand.join(v, "piece")
+          .groupBy("w", "p")
+          .agg(F.max("l").cast("bigint").alias("l"))
+          .select(F.col("w").alias("law"), F.col("p").alias("lap"),
+                  F.col("l").alias("lal"))
+          .transform(materialize))
+    st = words.select("w", "n",
+                      F.lit(1).cast("bigint").alias("pos"),
+                      F.lit(0).cast("bigint").alias("k"))
+    finals = []
+    for _ in range(_MAX_WLEN):
+        st = (st.filter(F.col("pos") <= F.col("n"))
+              .join(la, (F.col("law") == F.col("w"))
+                    & (F.col("lap") == F.col("pos")))
+              .select("w", "n",
+                      (F.col("pos") + F.col("lal")).alias("pos"),
+                      (F.col("k") + 1).alias("k"))
+              .transform(materialize_iter))
+        finals.append(st.filter(F.col("pos") > F.col("n"))
+                      .select("w", "n", F.col("k").alias("np")))
+    np_df = reduce(lambda a, b: a.unionByName(b), finals)
+    wfl = _ulm_word_freqs(d, with_lang=True).drop("n")
+    j = wfl.join(np_df, "w")
+    return (j.groupBy("lang")
+            .agg(F.sum("f").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("f") * F.col("np")).cast("bigint")
+                 .alias("n_pieces"),
+                 F.sum(F.col("f") * F.col("n")).cast("bigint")
+                 .alias("n_chars"))
+            .select("lang", "n_tokens", "n_pieces", "n_chars",
+                    (F.col("n_pieces")
+                     / F.col("n_tokens").cast("double")).alias("fertility"),
+                    (F.col("n_chars")
+                     / F.col("n_pieces").cast("double"))
+                    .alias("chars_per_piece")))

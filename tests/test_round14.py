@@ -109,3 +109,211 @@ def test_unigram_lm_fertility_matches_python(spark, sf_dir):
     # tokenization (fertility < chars per token) and stay >= 1
     for r in rows:
         assert 1.0 <= r["fertility"] < r["n_chars"] / r["n_tokens"]
+
+
+def test_wordpiece_greedy_matches_python(spark, sf_dir):
+    """Independent greedy leftmost-longest recompute: vocabulary from
+    the 1/300 substring-mass threshold (plus single chars), then the
+    walk, then per-lang fertility."""
+    wf = _word_freqs(spark, sf_dir)
+    c0 = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for l in range(1, MAX_PLEN + 1):
+                if i + l <= len(w):
+                    c0[w[i:i + l]] += f
+    tot = sum(c0.values())
+    vocab = {s for s, c in c0.items() if c * 300 >= tot or len(s) == 1}
+
+    def np_of(w):
+        pos, k = 0, 0
+        while pos < len(w):
+            l = max(l for l in range(1, min(MAX_PLEN, len(w) - pos) + 1)
+                    if w[pos:pos + l] in vocab)
+            pos += l
+            k += 1
+        return k
+
+    wfl = _word_freqs(spark, sf_dir, with_lang=True)
+    agg = {}
+    for (lang, w), f in wfl.items():
+        np = np_of(w)
+        tkn, pcs, chs = agg.get(lang, (0, 0, 0))
+        agg[lang] = (tkn + f, pcs + f * np, chs + f * len(w))
+    rows = QUERIES["wordpiece_greedy_fertility"](spark, sf_dir).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        tkn, pcs, chs = agg[r["lang"]]
+        assert (r["n_tokens"], r["n_pieces"], r["n_chars"]) == \
+            (tkn, pcs, chs)
+        assert r["fertility"] == pcs / tkn
+
+
+def test_gmm_em_matches_python(spark, sf_dir):
+    """Independent diagonal-GMM EM recompute (tertile-median init,
+    max-shift softmax, 2 rounds) in plain python floats, mirroring the
+    exact round-9 fencing."""
+    rows = (t(spark, sf_dir, "embeddings")
+            .selectExpr("vec_id AS id",
+                        "CAST(embedding[0] AS DOUBLE) AS x1",
+                        "CAST(embedding[1] AS DOUBLE) AS x2").collect())
+    pts = [(r["id"], _r9(r["x1"]), _r9(r["x2"])) for r in rows]
+    n = len(pts)
+    import math as m
+
+    def dsum9(vals):  # exact decimal sum at scale 9, like the engines
+        from decimal import Decimal
+        tot = sum(Decimal(f"{v:.9f}") for v in vals)
+        return float(tot)
+
+    s1 = [dsum9([p[d] for p in pts]) for d in (1, 2)]
+    s2 = [dsum9([_r9(p[d] * p[d]) for p in pts]) for d in (1, 2)]
+    gv = [_r9(s2[i] / n - (s1[i] / n) * (s1[i] / n)) + 0.0
+          for i in (0, 1)]
+    order = sorted(pts, key=lambda p: (p[1], p[0]))
+    comp = []
+    for j in range(3):
+        seed = order[((2 * j + 1) * n) // 6]  # rank is 1-based in SQL
+        comp.append([1.0 / 3, seed[1], seed[2], gv[0], gv[1]])
+    two_pi = 2 * m.pi
+    for _ in range(2):
+        qs = {}
+        for (i, x1, x2) in pts:
+            row = []
+            for j, (w, m1, m2, v1, v2) in enumerate(comp):
+                q = _r9(m.log(w)
+                        - 0.5 * _r9(m.log(two_pi * v1))
+                        - 0.5 * _r9(m.log(two_pi * v2))
+                        - 0.5 * ((x1 - m1) * (x1 - m1) / v1
+                                 + (x2 - m2) * (x2 - m2) / v2))
+                row.append(q)
+            mx = max(row)
+            es = [_r9(m.exp(q - mx)) for q in row]
+            se = dsum9(es)
+            qs[i] = [_r9(e / se) for e in es]
+        new = []
+        for j in range(3):
+            rs = [(qs[i][j], x1, x2) for (i, x1, x2) in pts]
+            sr = dsum9([r for r, _, _ in rs])
+            srx1 = dsum9([_r9(r * x1) for r, x1, _ in rs])
+            srx2 = dsum9([_r9(r * x2) for r, _, x2 in rs])
+            srxx1 = dsum9([_r9(r * _r9(x1 * x1)) for r, x1, _ in rs])
+            srxx2 = dsum9([_r9(r * _r9(x2 * x2)) for r, _, x2 in rs])
+            new.append([sr / n, srx1 / sr, srx2 / sr,
+                        _r9(srxx1 / sr - (srx1 / sr) * (srx1 / sr)) + 0.0,
+                        _r9(srxx2 / sr - (srx2 / sr) * (srx2 / sr)) + 0.0])
+        comp = new
+    got = {r["component"]: r for r in
+           QUERIES["gmm_em_diag_2d"](spark, sf_dir).collect()}
+    assert len(got) == 3
+    for j, (w, m1, m2, v1, v2) in enumerate(comp):
+        r = got[j]
+        assert r["weight"] == w
+        assert r["m1"] == _r9(m1) + 0.0 and r["m2"] == _r9(m2) + 0.0
+        assert r["v1"] == v1 and r["v2"] == v2
+    # weights form a distribution; variances are positive
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-9
+    assert all(r["v1"] > 0 and r["v2"] > 0 for r in got.values())
+
+
+def _emb_pts(spark, sf_dir, dims=2):
+    rows = (t(spark, sf_dir, "embeddings")
+            .selectExpr("vec_id AS id", "embedding").collect())
+    return [(r["id"], [float(v) for v in r["embedding"]]) for r in rows]
+
+
+def test_dbscan_matches_python(spark, sf_dir):
+    """Independent DBSCAN recompute: naive O(n^2) neighbor counting
+    (no grid), textbook core/border/noise, BFS components — a
+    different algorithmic route than the engine's grid-bucketed join +
+    min-label propagation."""
+    pts = [(i, _r9(v[0]), _r9(v[1])) for i, v in _emb_pts(spark, sf_dir)]
+    eps2 = 1.0 / (32 * 32)
+    nbrs = {i: set() for i, _, _ in pts}
+    for (i, x1, x2) in pts:
+        for (j, y1, y2) in pts:
+            if i != j and (x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2) \
+                    <= eps2:
+                nbrs[i].add(j)
+    core = {i for i in nbrs if 1 + len(nbrs[i]) >= 5}
+    # BFS components over core-core edges
+    comp = {}
+    for s in sorted(core):
+        if s in comp:
+            continue
+        stack, seen = [s], {s}
+        while stack:
+            u = stack.pop()
+            for v in nbrs[u]:
+                if v in core and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        lbl = min(seen)
+        for u in seen:
+            comp[u] = lbl
+    border = {}
+    for i in nbrs:
+        if i in core:
+            continue
+        cn = [comp[j] for j in nbrs[i] if j in core]
+        if cn:
+            border[i] = min(cn)
+    want = {}
+    for i, lbl in comp.items():
+        sz, nc, nb = want.get(lbl, (0, 0, 0))
+        want[lbl] = (sz + 1, nc + 1, nb)
+    for i, lbl in border.items():
+        sz, nc, nb = want.get(lbl, (0, 0, 0))
+        want[lbl] = (sz + 1, nc, nb + 1)
+    noise = len(pts) - len(comp) - len(border)
+    rows = QUERIES["cluster_dbscan_grid"](spark, sf_dir).collect()
+    got = {r["cluster_id"]: (r["size"], r["n_core"], r["n_border"])
+           for r in rows}
+    assert got.pop(-1) == (noise, 0, 0)
+    assert got == want
+
+
+def test_facility_location_matches_python(spark, sf_dir):
+    """Independent greedy facility-location recompute with exact
+    decimal accumulation of the round-9 marginals."""
+    from decimal import Decimal
+    pts = _emb_pts(spark, sf_dir)
+    import math as m
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    nrm = {i: m.sqrt(dot(v, v)) for i, v in pts}
+    vec = dict(pts)
+    cand = sorted(i for i, _ in pts if i < 30)
+    sims = {(c, i): _r9(dot(vec[c], vec[i]) / (nrm[c] * nrm[i]))
+            for c in cand for i in vec}
+    cov = {i: 0.0 for i in vec}
+    chosen = []
+    engine = sorted(QUERIES["coreset_facility_location"](
+        spark, sf_dir).collect(), key=lambda r: r["step"])
+    for step in range(1, 6):
+        best = None
+        for c in cand:
+            if c in chosen:
+                continue
+            g = sum(Decimal(f"{max(_r9(max(sims[(c, i)] - cov[i], 0.0)), 0.0):.9f}")
+                    for i in vec)
+            g = float(g)
+            if best is None or (-g, c) < (-best[1], best[0]):
+                best = (c, g)
+        c, g = best
+        chosen.append(c)
+        for i in vec:
+            cov[i] = max(cov[i], sims[(c, i)])
+        obj = float(sum(Decimal(f"{cov[i]:.9f}") for i in vec))
+        r = engine[step - 1]
+        assert (r["selected_id"], r["step"]) == (c, step)
+        assert r["gain"] == g
+        assert r["objective"] == obj
+    # submodularity: marginal gains must be non-increasing
+    gains = [r["gain"] for r in engine]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
