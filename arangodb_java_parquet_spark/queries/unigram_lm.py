@@ -38,9 +38,15 @@ rides VOCABULARY-scale tables — distinct words grow sublinearly
 (Heaps' law), the lattice is (distinct words) x (<=12 positions) x
 (<=4 lengths), and the piece table is bounded by 4-gram diversity.
 At 100 TB the fit is dominated by the word count, exactly like a real
-SentencePiece corpus pass; the per-position DP states are
-materialize_iter'd (reliable checkpoints on a cluster) because each
-state feeds up to 4 later positions.
+SentencePiece corpus pass; the per-word lattice DP runs as a single
+HOF expression against a broadcast piece->logp map (vocabulary-scale,
+microseconds per word), so each EM round is one projection + one
+usage rollup rather than 12 position-unrolled shuffle stages.
+(Trade-off disclosed: Spark's map element_at is a linear scan, so past
+~10^5 pieces the right spelling flips back to the position-unrolled
+piece-table HASH JOIN — both formulations are in this file's git
+history and produce identical results; the join one is the 100 TB
+shape, the HOF one wins wherever the piece table fits a broadcast.)
 """
 
 from __future__ import annotations
@@ -211,34 +217,54 @@ def _ulm_seed_scores(words):
 
 def _ulm_viterbi(words, scores):
     """Lattice DP: dp[i] = best (score, seg) covering the first i chars.
-    Each dp state feeds up to _MAX_PLEN later positions — materialize_iter
-    keeps the DAG linear (reliable checkpoint on a cluster)."""
-    scores = materialize(scores)
-    dp = {0: words.select(
-        "w", "n", "f", F.lit(0.0).alias("score"), F.lit("").alias("seg"))}
-    for i in range(1, _MAX_WLEN + 1):
-        arms = []
-        for l in range(1, min(_MAX_PLEN, i) + 1):
-            prev = dp[i - l]
-            arms.append(
-                prev.filter(F.col("n") >= i)
-                .withColumn("piece", F.expr(f"substr(w, {i - l + 1}, {l})"))
-                .join(scores, "piece")
-                .select("w", "n", "f",
-                        (F.col("score") + F.col("lp")).alias("score"),
-                        F.when(F.col("seg") == "", F.col("piece"))
-                        .otherwise(F.concat(F.col("seg"), F.lit("|"),
-                                            F.col("piece"))).alias("seg")))
-        u = reduce(lambda a, b: a.unionByName(b), arms)
-        rn = F.row_number().over(
-            W.partitionBy("w").orderBy(F.desc("score"), F.asc("seg")))
-        dp[i] = (u.withColumn("rn", rn).filter(F.col("rn") == 1)
-                 .drop("rn").transform(materialize_iter))
-    best = reduce(lambda a, b: a.unionByName(b),
-                  [dp[i].filter(F.col("n") == i)
-                   .select("w", "n", "f", "seg")
-                   for i in range(1, _MAX_WLEN + 1)])
-    return best
+
+    The whole per-word lattice runs as ONE HOF expression against a
+    broadcast piece->logp MAP (the word table is vocabulary-scale, so
+    the interpreted HOF loop is microseconds per word) — the original
+    position-unrolled join/window formulation was plan-identical to the
+    oracle's chained CTEs but paid ~24 sequential tiny-stage shuffles
+    of pure fixed overhead (measured 14.5 s -> ~2 s at sf0.1). The
+    semantics are bit-identical to the oracle's chained CTEs: same
+    round-9 lp values, same left-to-right DP additions, same
+    (score DESC, seg ASC) tie-break — the fold over the <=4 split
+    candidates selects the max of a TOTAL order, so fold order is
+    irrelevant. Distinct segmentations can never compare equal on the
+    seg string, so the selection is deterministic."""
+    mp = scores.agg(F.map_from_entries(
+        F.collect_list(F.struct("piece", "lp"))).alias("mp"))
+    worst = "named_struct('s', CAST(-1e18 AS DOUBLE), 'g', '')"
+
+    def cand(l):
+        sub = f"substr(w, i - {l} + 1, {l})"
+        prev = f"element_at(acc, i - {l} + 1)"
+        return (f"(CASE WHEN i >= {l}"
+                f" AND element_at(mp, {sub}) IS NOT NULL THEN"
+                f" named_struct("
+                f"'s', {prev}.s + element_at(mp, {sub}),"
+                f" 'g', CASE WHEN {prev}.g = '' THEN {sub}"
+                f" ELSE {prev}.g || '|' || {sub} END)"
+                f" ELSE {worst} END)")
+
+    cands = ", ".join(cand(l) for l in range(1, _MAX_PLEN + 1))
+    dp_expr = f"""
+element_at(
+  aggregate(
+    sequence(1, CAST(n AS INT)),
+    array(named_struct('s', CAST(0 AS DOUBLE), 'g', '')),
+    (acc, i) -> concat(acc, array(
+      aggregate(array({cands}), {worst},
+                (b, c) -> CASE WHEN c.s > b.s
+                               OR (c.s = b.s AND c.g < b.g)
+                          THEN c ELSE b END)))),
+  CAST(n AS INT) + 1).g
+"""
+    # materialize BEFORE the downstream explode: projection collapse
+    # would otherwise fold the whole lattice HOF through the Generate
+    # and re-run it once per emitted piece (the emb_anisotropy_score
+    # lesson).
+    return materialize(
+        words.crossJoin(F.broadcast(mp))
+        .select("w", "n", "f", F.expr(dp_expr).alias("seg")))
 
 
 def _ulm_usage(best):
@@ -432,7 +458,7 @@ def wordpiece_greedy_fertility(spark, sf_dir):
          .filter((F.col("c") * _WP_RATE >= F.col("tot"))
                  | (F.length("piece") == 1))
          .select("piece"))
-    la = (cand.join(v, "piece")
+    la = (cand.join(F.broadcast(v), "piece")
           .groupBy("w", "p")
           .agg(F.max("l").cast("bigint").alias("l"))
           .select(F.col("w").alias("law"), F.col("p").alias("lap"),
@@ -444,7 +470,7 @@ def wordpiece_greedy_fertility(spark, sf_dir):
     finals = []
     for _ in range(_MAX_WLEN):
         st = (st.filter(F.col("pos") <= F.col("n"))
-              .join(la, (F.col("law") == F.col("w"))
+              .join(F.broadcast(la), (F.col("law") == F.col("w"))
                     & (F.col("lap") == F.col("pos")))
               .select("w", "n",
                       (F.col("pos") + F.col("lal")).alias("pos"),
