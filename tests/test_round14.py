@@ -317,3 +317,141 @@ def test_facility_location_matches_python(spark, sf_dir):
     # submodularity: marginal gains must be non-increasing
     gains = [r["gain"] for r in engine]
     assert all(a >= b for a, b in zip(gains, gains[1:]))
+
+
+def _daily_counts(spark, sf_dir):
+    rows = (t(spark, sf_dir, "orders")
+            .selectExpr("CAST(o_orderdate AS DATE) AS day")
+            .groupBy("day").count().orderBy("day").collect())
+    return [int(r["count"]) for r in rows]
+
+
+def test_isotonic_matches_stack_pava(spark, sf_dir):
+    """The engine computes isotonic regression via the minimax identity;
+    this pin runs the CLASSIC sequential pool-adjacent-violators stack
+    algorithm — a genuinely different algorithmic route to the same
+    unique L2 projection."""
+    rows = (t(spark, sf_dir, "orders")
+            .selectExpr("o_totalprice AS score",
+                        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END"
+                        " AS y", "o_orderkey").collect())
+    rows.sort(key=lambda r: (r["score"], r["o_orderkey"]))
+    n = len(rows)
+    bins = {}
+    for rk, r in enumerate(rows, 1):
+        b = (rk - 1) * 100 // n
+        cnt, pos = bins.get(b, (0, 0))
+        bins[b] = (cnt + 1, pos + r["y"])
+    # stack PAVA over (sum, weight) blocks
+    blocks = []
+    for b in sorted(bins):
+        cnt, pos = bins[b]
+        blocks.append([pos, cnt, [b]])
+        while len(blocks) >= 2 and \
+                blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]:
+            s2, w2, l2 = blocks.pop()
+            blocks[-1][0] += s2
+            blocks[-1][1] += w2
+            blocks[-1][2] += l2
+    want = {}
+    for s, w, bl in blocks:
+        for b in bl:
+            want[b] = (s, w)
+    got = QUERIES["eval_isotonic_calibration"](spark, sf_dir).collect()
+    assert len(got) == 100
+    for r in got:
+        s, w = want[r["bin"]]
+        assert r["iso_rate"] == s / w, (r["bin"], r["iso_rate"], s, w)
+        cnt, pos = bins[r["bin"]]
+        assert (r["n"], r["n_pos"]) == (cnt, pos)
+    # fitted curve is monotone non-decreasing in bin order
+    iso = [r["iso_rate"] for r in sorted(got, key=lambda r: r["bin"])]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+
+
+def test_count_min_matches_python(spark, sf_dir):
+    import hashlib
+    d = t(spark, sf_dir, "documents").select("text").collect()
+    cnt = Counter(w for r in d for w in r["text"].split(" "))
+
+    def col_of(tok, r):
+        return int(hashlib.md5(f"{tok}:{r}".encode()).hexdigest()[:8],
+                   16) % 64
+
+    cells = Counter()
+    for tok, c in cnt.items():
+        for r in range(4):
+            cells[(r, col_of(tok, r))] += c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = {r["tok"]: r for r in
+           QUERIES["agg_count_min_sketch"](spark, sf_dir).collect()}
+    assert set(got) == {tok for tok, _ in top}
+    for tok, c in top:
+        est = min(cells[(r, col_of(tok, r))] for r in range(4))
+        r = got[tok]
+        assert (r["true_count"], r["cm_estimate"], r["overcount"]) == \
+            (c, est, est - c)
+        assert r["overcount"] >= 0  # CM never underestimates
+
+
+def test_huber_irls_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    def d6(vals):
+        return float(sum(Decimal(f"{v:.6f}") for v in vals))
+
+    def d9(vals):
+        return float(sum(Decimal(f"{v:.9f}") for v in vals))
+
+    ys = _daily_counts(spark, sf_dir)
+    n = len(ys)
+    pts = [(i + 1, y) for i, y in enumerate(ys)]
+    w = {x: 1.0 for x, _ in pts}
+    for _ in range(2):
+        sw = d9([_r9(w[x]) for x, _ in pts])
+        swx = d6([w[x] * x for x, _ in pts])
+        swy = d6([w[x] * y for x, y in pts])
+        swxx = d6([w[x] * x * x for x, _ in pts])
+        swxy = d6([w[x] * x * y for x, y in pts])
+        b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        a = (swy - b * swx) / sw
+        ar = sorted(abs(y - a - b * x) for x, y in pts)
+        mad = ar[(n + 1) // 2 - 1] if n % 2 == 1 else \
+            (ar[n // 2 - 1] + ar[n // 2]) / 2.0
+        k = 19940970 * mad / 10000000.0
+        w = {x: _r9(1.0 if abs(y - a - b * x) <= k
+                    else k / abs(y - a - b * x)) for x, y in pts}
+    r = QUERIES["regression_huber_irls"](spark, sf_dir).collect()[0]
+    assert r["intercept"] == _r9(a)
+    assert r["slope"] == _r9(b) + 0.0
+    assert r["k_threshold"] == _r9(k)
+    assert r["n_downweighted"] == sum(1 for v in w.values() if v < 1)
+
+
+def test_ar2_yule_walker_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    def d6(vals):
+        return float(sum(Decimal(f"{v:.6f}") for v in vals))
+
+    ys = _daily_counts(spark, sf_dir)
+    n = len(ys)
+    mean = sum(ys) / n
+    d = [y - mean for y in ys]
+    den = d6([x * x for x in d])
+    num1 = d6([d[i] * d[i + 1] for i in range(n - 1)])
+    num2 = d6([d[i] * d[i + 2] for i in range(n - 2)])
+    r1, r2 = num1 / den, num2 / den
+    dn = 1 - r1 * r1
+    phi1 = r1 * (1 - r2) / dn
+    phi2 = (r2 - r1 * r1) / dn
+    sigma2 = (den / n) * (1 - phi1 * r1 - phi2 * r2)
+    fc = mean + phi1 * d[-1] + phi2 * d[-2]
+    r = QUERIES["forecast_ar2_yule_walker"](spark, sf_dir).collect()[0]
+    assert r["n_days"] == n
+    assert r["r1"] == _r9(r1) + 0.0 and r["r2"] == _r9(r2) + 0.0
+    assert r["phi1"] == _r9(phi1) + 0.0 and r["phi2"] == _r9(phi2) + 0.0
+    assert r["sigma2"] == _r9(sigma2) + 0.0
+    assert r["forecast_next"] == _r9(fc)
+    # stationarity sanity for a fitted AR(2): |r1|, |r2| <= 1, sigma2 >= 0
+    assert abs(r1) <= 1 and abs(r2) <= 1 and r["sigma2"] >= 0
