@@ -338,6 +338,11 @@ BENCH_QUERIES = [
     "stats_hill_tail_index", "stats_fisher_exact_2x2",
     "timeseries_sample_entropy",
     "graph_katz_centrality", "ir_query_clarity", "timeseries_dickey_fuller",
+    # round 14: tokenizer families, clustering/selection, fitting/sketch
+    "unigram_lm_fit", "unigram_lm_fertility", "wordpiece_greedy_fertility",
+    "gmm_em_diag_2d", "cluster_dbscan_grid", "coreset_facility_location",
+    "eval_isotonic_calibration", "agg_count_min_sketch",
+    "regression_huber_irls", "forecast_ar2_yule_walker",
 ]
 
 

@@ -198,6 +198,20 @@ PROBES = [
     "graph_powerlaw_alpha",
     "text_fightin_words",
     "token_dispersion_dp",
+    # round-14 flagships: the tokenizer fits (vocabulary-scale lattice,
+    # should be sublinear past the word-count rollup), grid DBSCAN
+    # (density doubles with replicas in the fixed 2-D box — the probe
+    # measures how the cell-join pair count actually grows), facility
+    # location (candidate-bounded pair table), the bins^2 isotonic
+    # lattice, and the CM sketch (combinable cells)
+    "unigram_lm_fit",
+    "wordpiece_greedy_fertility",
+    "gmm_em_diag_2d",
+    "cluster_dbscan_grid",
+    "coreset_facility_location",
+    "eval_isotonic_calibration",
+    "agg_count_min_sketch",
+    "regression_huber_irls",
 ]
 
 
