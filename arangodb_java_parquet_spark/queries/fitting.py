@@ -488,3 +488,102 @@ def forecast_ar2_yule_walker(spark, sf_dir):
         F.round(F.col("s") / F.col("n").cast("double")
                 + phi1 * F.col("dlast") + phi2 * F.col("dprev"), 9)
         .alias("forecast_next"))
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand (Croston 1972), alpha = 1/4.
+# ---------------------------------------------------------------------------
+
+_CROSTON_SQL = """
+WITH err AS (
+  SELECT CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM events WHERE event_type = 'error'
+),
+thr AS (
+  -- exact P99 by rank selection (never an engine percentile)
+  SELECT value AS thr FROM err WHERE rk = (n * 99 + 99) // 100
+),
+dem AS MATERIALIZED (
+  SELECT e.day, CAST(COUNT(*) AS BIGINT) AS d
+  FROM err e, thr WHERE e.value >= thr.thr
+  GROUP BY e.day
+),
+seq AS (
+  SELECT day, d,
+         COALESCE(day - LAG(day) OVER (ORDER BY day), 1) AS q
+  FROM dem
+),
+steps AS (
+  SELECT list([CAST(d AS DOUBLE), CAST(q AS DOUBLE)] ORDER BY day) AS s,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM seq
+),
+fin AS (
+  -- DOUBLE-list accumulator (snapshot-correct on both engines;
+  -- DuckDB list_reduce has no init arg, the seed IS element 1)
+  SELECT m,
+         list_reduce(s, (acc, x) -> [
+           acc[1] + (x[1] - acc[1]) / 4,
+           acc[2] + (x[2] - acc[2]) / 4]) AS zp
+  FROM steps
+)
+SELECT m AS n_demand_days,
+       ROUND(zp[1], 9) AS z_size,
+       ROUND(zp[2], 9) AS p_interval,
+       ROUND(zp[1] / zp[2], 9) AS forecast_per_day
+FROM fin
+"""
+
+
+@query("forecast_croston", _CROSTON_SQL)
+def forecast_croston(spark, sf_dir):
+    """CROSTON'S METHOD (1972) for INTERMITTENT demand — the standard
+    forecaster when most periods have ZERO demand, where EWMA/Holt
+    systematically bias low: separate exponential smoothing (alpha =
+    1/4, binary-exact) of the nonzero demand SIZES z and the
+    inter-demand INTERVALS p, forecast = z/p per period. The demand
+    series here is genuinely intermittent: days with 'error' events at
+    or above the exact rank-selected P99 severity value. The recursion
+    runs as one ordered-list fold with a DOUBLE-LIST accumulator (the
+    forecast_holt_linear pattern: snapshot-correct on both engines,
+    immune to DuckDB's in-place struct-accumulator mutation). Scale:
+    one corpus pass to the daily rollup; the fold is calendar-bounded."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    err = e.select(
+        F.col("ts").cast("date").alias("day"), "value",
+        F.row_number().over(W.orderBy("value", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .cast("bigint").alias("n"))
+    thr = err.filter(
+        F.col("rk") == F.expr("(n * 99 + 99) div 100")).select(
+        F.col("value").alias("thr"))
+    dem = materialize(
+        err.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") >= F.col("thr"))
+        .groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    seq = dem.select(
+        "day", "d",
+        F.coalesce(F.datediff(F.col("day"),
+                              F.lag("day").over(W.orderBy("day"))),
+                   F.lit(1)).alias("q"))
+    steps = seq.agg(
+        F.expr("transform(array_sort(collect_list(struct(day,"
+               " array(CAST(d AS DOUBLE), CAST(q AS DOUBLE)) AS v))),"
+               " e -> e.v)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("m"))
+    fold = ("aggregate(slice(s, 2, size(s) - 1),"
+            " element_at(s, 1),"
+            " (acc, x) -> array("
+            "   element_at(acc, 1)"
+            "     + (element_at(x, 1) - element_at(acc, 1)) / 4,"
+            "   element_at(acc, 2)"
+            "     + (element_at(x, 2) - element_at(acc, 2)) / 4))")
+    return steps.select(
+        F.col("m").alias("n_demand_days"),
+        F.round(F.expr(f"element_at({fold}, 1)"), 9).alias("z_size"),
+        F.round(F.expr(f"element_at({fold}, 2)"), 9).alias("p_interval"),
+        F.round(F.expr(f"element_at({fold}, 1) / element_at({fold}, 2)"),
+                9).alias("forecast_per_day"))

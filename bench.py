@@ -343,6 +343,7 @@ BENCH_QUERIES = [
     "gmm_em_diag_2d", "cluster_dbscan_grid", "coreset_facility_location",
     "eval_isotonic_calibration", "agg_count_min_sketch",
     "regression_huber_irls", "forecast_ar2_yule_walker",
+    "forecast_croston",
 ]
 
 

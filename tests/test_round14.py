@@ -455,3 +455,28 @@ def test_ar2_yule_walker_matches_python(spark, sf_dir):
     assert r["forecast_next"] == _r9(fc)
     # stationarity sanity for a fitted AR(2): |r1|, |r2| <= 1, sigma2 >= 0
     assert abs(r1) <= 1 and abs(r2) <= 1 and r["sigma2"] >= 0
+
+
+def test_croston_matches_python(spark, sf_dir):
+    rows = (t(spark, sf_dir, "events")
+            .filter("event_type = 'error'")
+            .selectExpr("CAST(ts AS DATE) AS day", "value", "event_id")
+            .collect())
+    n = len(rows)
+    srt = sorted(rows, key=lambda r: (r["value"], r["event_id"]))
+    thr = srt[(n * 99 + 99) // 100 - 1]["value"]
+    days = sorted(Counter(r["day"] for r in rows
+                          if r["value"] >= thr).items())
+    assert 1 < len(days) < n / 10  # genuinely intermittent, nontrivial
+    z, p = float(days[0][1]), 1.0
+    prev = days[0][0]
+    for day, d in days[1:]:
+        q = (day - prev).days
+        z = z + (d - z) / 4
+        p = p + (q - p) / 4
+        prev = day
+    r = QUERIES["forecast_croston"](spark, sf_dir).collect()[0]
+    assert r["n_demand_days"] == len(days)
+    assert r["z_size"] == _r9(z)
+    assert r["p_interval"] == _r9(p)
+    assert r["forecast_per_day"] == _r9(z / p)
