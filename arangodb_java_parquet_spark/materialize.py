@@ -56,7 +56,6 @@ from pyspark.sql import DataFrame
 
 _MODES = ("local", "reliable")
 _KINDS = ("base", "iter", "scalar")
-_ckpt_dir_set = False
 
 
 def materialize_mode(spark) -> str:
@@ -69,15 +68,16 @@ def materialize_mode(spark) -> str:
 
 
 def _reliable_checkpoint(df: DataFrame, eager: bool) -> DataFrame:
-    global _ckpt_dir_set
     sc = df.sparkSession.sparkContext
-    if not _ckpt_dir_set and sc.getCheckpointDir() is None:
+    # Always check THIS context (one cheap py4j call) — a process-global
+    # "already set" flag would skip the fallback for a new SparkContext
+    # created after the first one stops (review r14).
+    if sc.getCheckpointDir() is None:
         # Local fallback so "reliable" mode is testable without HDFS/S3;
         # a cluster deployment sets sparkContext.setCheckpointDir (or
         # spark.checkpoint.dir) to the shared reliable store instead.
         from arangodb_java_parquet_spark.queries.common import scratch_dir
         sc.setCheckpointDir(scratch_dir("graft_ckpt_"))
-    _ckpt_dir_set = True
     return df.checkpoint(eager=eager)
 
 

@@ -162,6 +162,15 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # min-label propagation needs graph-DIAMETER rounds; returning
+        # unconverged labels would silently split true components
+        # (review r14). Callers with long-chain graphs pass a larger
+        # max_iter; an error here is a wrong answer prevented.
+        raise RuntimeError(
+            f"connected_components_bipartite: labels still changing "
+            f"after max_iter={max_iter} rounds — raise max_iter "
+            f"(graph diameter exceeds it)")
     return labels.select(F.col(node_col).alias("node"), "component")
 
 

@@ -46,6 +46,19 @@ pts AS MATERIALIZED (
 )"""
 
 
+
+def _pts(spark, sf_dir):
+    """Spark mirror of _pts_sql (factored so both entries share one
+    extraction, like the SQL side — review r14)."""
+    e = t(spark, sf_dir, "embeddings")
+    return materialize(e.select(
+        F.col("vec_id").alias("id"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 9)
+        .alias("x1"),
+        F.round(F.col("embedding").getItem(1).cast("double"), 9)
+        .alias("x2")))
+
+
 def _gmm_sql() -> str:
     parts = [f"""WITH {_pts_sql()},
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
@@ -79,11 +92,16 @@ comp0 AS MATERIALIZED (
         parts.append(f""",
 q{r} AS MATERIALIZED (
   SELECT p.id, c.j, p.x1, p.x2,
-         ROUND(LN(c.w)
-               - 0.5 * ROUND(LN(2 * pi() * c.v1), 9)
-               - 0.5 * ROUND(LN(2 * pi() * c.v2), 9)
-               - 0.5 * ((p.x1 - c.m1) * (p.x1 - c.m1) / c.v1
-                        + (p.x2 - c.m2) * (p.x2 - c.m2) / c.v2),
+         -- NULLIF on every data-dependent denominator / ln arg
+         -- (review r14): a zero-variance component or zero weight must
+         -- yield NULL on BOTH engines (Spark ANSI would abort, DuckDB
+         -- would return NULL/raise on ln(0))
+         ROUND(LN(NULLIF(c.w, 0))
+               - 0.5 * ROUND(LN(2 * pi() * NULLIF(c.v1, 0)), 9)
+               - 0.5 * ROUND(LN(2 * pi() * NULLIF(c.v2, 0)), 9)
+               - 0.5 * ((p.x1 - c.m1) * (p.x1 - c.m1) / NULLIF(c.v1, 0)
+                        + (p.x2 - c.m2) * (p.x2 - c.m2)
+                          / NULLIF(c.v2, 0)),
                9) AS q
   FROM pts p CROSS JOIN comp{r} c
 ),
@@ -104,9 +122,13 @@ resp{r} AS MATERIALIZED (
 comp{r + 1} AS MATERIALIZED (
   SELECT j,
          sr / nn.n AS w,
-         srx1 / sr AS m1, srx2 / sr AS m2,
-         ROUND(srxx1 / sr - (srx1 / sr) * (srx1 / sr), 9) + 0.0 AS v1,
-         ROUND(srxx2 / sr - (srx2 / sr) * (srx2 / sr), 9) + 0.0 AS v2
+         srx1 / NULLIF(sr, 0) AS m1, srx2 / NULLIF(sr, 0) AS m2,
+         ROUND(srxx1 / NULLIF(sr, 0)
+               - (srx1 / NULLIF(sr, 0)) * (srx1 / NULLIF(sr, 0)), 9)
+           + 0.0 AS v1,
+         ROUND(srxx2 / NULLIF(sr, 0)
+               - (srx2 / NULLIF(sr, 0)) * (srx2 / NULLIF(sr, 0)), 9)
+           + 0.0 AS v2
   FROM (
     SELECT j,
       CAST(SUM(CAST(resp AS DECIMAL(20,9))) AS DOUBLE) AS sr,
@@ -141,13 +163,7 @@ def gmm_em_diag_2d(spark, sf_dir):
     exp, r10 pilot); M-step = one combinable decimal-sum rollup per
     round. At 100 TB each round is exactly two corpus passes with
     vocabulary... point-scale shuffles only on the 3-key rollup."""
-    e = t(spark, sf_dir, "embeddings")
-    pts = materialize(e.select(
-        F.col("vec_id").alias("id"),
-        F.round(F.col("embedding").getItem(0).cast("double"), 9)
-        .alias("x1"),
-        F.round(F.col("embedding").getItem(1).cast("double"), 9)
-        .alias("x2")))
+    pts = _pts(spark, sf_dir)
     nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def d30(c):
@@ -176,13 +192,19 @@ def gmm_em_diag_2d(spark, sf_dir):
     for _ in range(_GMM_ROUNDS):
         q = (pts.crossJoin(F.broadcast(comp))
              .select("id", "j", "x1", "x2", F.round(
-                 F.log("w")
-                 - 0.5 * F.round(F.log(F.lit(two_pi) * F.col("v1")), 9)
-                 - 0.5 * F.round(F.log(F.lit(two_pi) * F.col("v2")), 9)
+                 F.log(F.nullif(F.col("w"), F.lit(0.0)))
+                 - 0.5 * F.round(F.log(F.lit(two_pi)
+                                       * F.nullif(F.col("v1"),
+                                                  F.lit(0.0))), 9)
+                 - 0.5 * F.round(F.log(F.lit(two_pi)
+                                       * F.nullif(F.col("v2"),
+                                                  F.lit(0.0))), 9)
                  - 0.5 * ((F.col("x1") - F.col("m1"))
-                          * (F.col("x1") - F.col("m1")) / F.col("v1")
+                          * (F.col("x1") - F.col("m1"))
+                          / F.nullif(F.col("v1"), F.lit(0.0))
                           + (F.col("x2") - F.col("m2"))
-                          * (F.col("x2") - F.col("m2")) / F.col("v2")),
+                          * (F.col("x2") - F.col("m2"))
+                          / F.nullif(F.col("v2"), F.lit(0.0))),
                  9).alias("q")))
         e_ = q.select(
             "id", "j", "x1", "x2",
@@ -205,19 +227,20 @@ def gmm_em_diag_2d(spark, sf_dir):
             d30(F.round(F.col("resp")
                         * F.round(F.col("x2") * F.col("x2"), 9), 9))
             .alias("srxx2"))
+        srn = F.nullif(F.col("sr"), F.lit(0.0))
         comp = (agg.crossJoin(F.broadcast(nn))
                 .select(
                     "j",
                     (F.col("sr") / F.col("n")).alias("w"),
-                    (F.col("srx1") / F.col("sr")).alias("m1"),
-                    (F.col("srx2") / F.col("sr")).alias("m2"),
-                    (F.round(F.col("srxx1") / F.col("sr")
-                             - (F.col("srx1") / F.col("sr"))
-                             * (F.col("srx1") / F.col("sr")), 9) + 0.0)
+                    (F.col("srx1") / srn).alias("m1"),
+                    (F.col("srx2") / srn).alias("m2"),
+                    (F.round(F.col("srxx1") / srn
+                             - (F.col("srx1") / srn)
+                             * (F.col("srx1") / srn), 9) + 0.0)
                     .alias("v1"),
-                    (F.round(F.col("srxx2") / F.col("sr")
-                             - (F.col("srx2") / F.col("sr"))
-                             * (F.col("srx2") / F.col("sr")), 9) + 0.0)
+                    (F.round(F.col("srxx2") / srn
+                             - (F.col("srx2") / srn)
+                             * (F.col("srx2") / srn), 9) + 0.0)
                     .alias("v2"))
                 .transform(materialize_iter))
     return comp.select(
@@ -315,13 +338,7 @@ def cluster_dbscan_grid(spark, sf_dir):
     engines."""
     from arangodb_java_parquet_spark.operators.curation import (
         connected_components_bipartite)
-    e = t(spark, sf_dir, "embeddings")
-    pts = materialize(e.select(
-        F.col("vec_id").alias("id"),
-        F.round(F.col("embedding").getItem(0).cast("double"), 9)
-        .alias("x1"),
-        F.round(F.col("embedding").getItem(1).cast("double"), 9)
-        .alias("x2")))
+    pts = _pts(spark, sf_dir)
     inv = _DB_EPS_INV
     cells = pts.select(
         "id", "x1", "x2",
@@ -364,7 +381,12 @@ def cluster_dbscan_grid(spark, sf_dir):
     membership = (pairs.select(F.col("lo").alias("node"), "lo", "hi")
                   .unionByName(
                       pairs.select(F.col("hi").alias("node"), "lo", "hi")))
-    cc = connected_components_bipartite(membership, "node", ["lo", "hi"])
+    # min-label propagation needs graph-DIAMETER rounds; an eps-chain
+    # can span hundreds of cells, so pass a worst-case bound instead of
+    # the default 20 (the operator RAISES if still unconverged — review
+    # r14; convergence exits early on real data)
+    cc = connected_components_bipartite(membership, "node", ["lo", "hi"],
+                                        max_iter=500)
     comp = (core.join(cc, core["id"] == cc["node"], "left")
             .select("id", F.coalesce(F.col("component"), F.col("id"))
                     .alias("comp"))
@@ -419,7 +441,8 @@ cand AS MATERIALIZED (
 ),
 sims AS MATERIALIZED (
   SELECT c.c, u.i,
-         ROUND({_FL_DOT.format(a='c.cv', b='u.v')} / (c.nc * u.nv), 9)
+         ROUND({_FL_DOT.format(a='c.cv', b='u.v')}
+               / NULLIF(c.nc * u.nv, 0), 9)
            AS s
   FROM uni u CROSS JOIN cand c
 ),
@@ -481,7 +504,8 @@ def coreset_facility_location(spark, sf_dir):
     sims = (uni.crossJoin(F.broadcast(cand))
             .select("c", "i",
                     F.round(dot(F.col("cv"), F.col("v"))
-                            / (F.col("nc") * F.col("nv")), 9).alias("s"))
+                            / F.nullif(F.col("nc") * F.col("nv"),
+                                       F.lit(0.0)), 9).alias("s"))
             .transform(materialize))
     cov = uni.select("i", F.lit(0.0).alias("cov"))
     selected = None

@@ -241,8 +241,12 @@ fit{r} AS MATERIALIZED (
   -- weighted least squares, moments multiplied in DOUBLE (BIGINT
   -- n*Sxy overflows at scale; the drift_cramer_von_mises rule)
   SELECT
-    (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS b,
-    (swy - (sw * swxy - swx * swy) / (sw * swxx - swx * swx) * swx) / sw
+    -- NULLIF on the data-dependent WLS denominators (review r14):
+    -- a 1-row or weight-degenerate series must yield NULL on both
+    -- engines, not a Spark-ANSI abort vs a DuckDB NULL
+    (sw * swxy - swx * swy) / NULLIF(sw * swxx - swx * swx, 0) AS b,
+    (swy - (sw * swxy - swx * swy)
+             / NULLIF(sw * swxx - swx * swx, 0) * swx) / NULLIF(sw, 0)
       AS a
   FROM (
     SELECT
@@ -330,10 +334,12 @@ def regression_huber_irls(spark, sf_dir):
             d6(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
             d6(F.col("w") * F.col("x") * F.col("y")).alias("swxy"))
         b_ = ((F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
-              / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")))
+              / F.nullif(F.col("sw") * F.col("swxx")
+                         - F.col("swx") * F.col("swx"), F.lit(0.0)))
         fit = materialize(mom.select(
             b_.alias("b"),
-            ((F.col("swy") - b_ * F.col("swx")) / F.col("sw")).alias("a")))
+            ((F.col("swy") - b_ * F.col("swx"))
+             / F.nullif(F.col("sw"), F.lit(0.0))).alias("a")))
         res = materialize(base.crossJoin(F.broadcast(fit)).select(
             "x", "y", "n",
             F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x"))
@@ -410,7 +416,8 @@ acc AS (
 ),
 yw AS (
   SELECT n, s, den, dlast, dprev,
-         num1 / den AS r1, num2 / den AS r2
+         -- NULLIF: a constant series has den = 0 exactly (review r14)
+         num1 / NULLIF(den, 0) AS r1, num2 / NULLIF(den, 0) AS r2
   FROM acc
 )
 SELECT n AS n_days,
@@ -471,8 +478,8 @@ def forecast_ar2_yule_walker(spark, sf_dir):
         F.max(F.when(F.col("rk_end") == 2, F.col("d0"))).alias("dprev"))
     yw = acc.select(
         "n", "s", "den", "dlast", "dprev",
-        (F.col("num1") / F.col("den")).alias("r1"),
-        (F.col("num2") / F.col("den")).alias("r2"))
+        (F.col("num1") / F.nullif(F.col("den"), F.lit(0.0))).alias("r1"),
+        (F.col("num2") / F.nullif(F.col("den"), F.lit(0.0))).alias("r2"))
     r1, r2 = F.col("r1"), F.col("r2")
     dn = F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0))
     phi1 = r1 * (1 - r2) / dn
@@ -574,13 +581,19 @@ def forecast_croston(spark, sf_dir):
                " array(CAST(d AS DOUBLE), CAST(q AS DOUBLE)) AS v))),"
                " e -> e.v)").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("m"))
-    fold = ("aggregate(slice(s, 2, size(s) - 1),"
+    # m = 0 guard (review r14): an empty demand series must yield NULL
+    # outputs on both engines, not a Spark ANSI slice/element_at error
+    # vs DuckDB's NULL list. CASE short-circuits per row, so the fold
+    # never evaluates when s is empty.
+    fold = ("CASE WHEN size(s) >= 1 THEN"
+            " aggregate(slice(s, 2, greatest(size(s) - 1, 0)),"
             " element_at(s, 1),"
             " (acc, x) -> array("
             "   element_at(acc, 1)"
             "     + (element_at(x, 1) - element_at(acc, 1)) / 4,"
             "   element_at(acc, 2)"
-            "     + (element_at(x, 2) - element_at(acc, 2)) / 4))")
+            "     + (element_at(x, 2) - element_at(acc, 2)) / 4))"
+            " END")
     return steps.select(
         F.col("m").alias("n_demand_days"),
         F.round(F.expr(f"element_at({fold}, 1)"), 9).alias("z_size"),

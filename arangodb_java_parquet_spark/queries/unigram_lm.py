@@ -269,9 +269,13 @@ element_at(
 
 def _ulm_usage(best):
     ex = best.select("f", F.explode(F.split("seg", "\\|")).alias("piece"))
-    c = ex.groupBy("piece").agg(F.sum("f").cast("bigint").alias("c"))
+    # materialize BEFORE deriving tot: otherwise tot re-runs the
+    # vocabulary-scale explode+rollup instead of reading the
+    # checkpointed c (review r14)
+    c = materialize(ex.groupBy("piece")
+                    .agg(F.sum("f").cast("bigint").alias("c")))
     tot = c.agg(F.sum("c").cast("bigint").alias("tot"))
-    return materialize(c), tot
+    return c, tot
 
 
 def _ulm_next_scores(c, tot, prev_scores):
@@ -304,6 +308,27 @@ def _ulm_fit(spark, sf_dir):
     return c, tot, best
 
 
+def _fertility_report(spark, sf_dir, np_df):
+    """Shared per-language fertility/compression rollup (factored so the
+    unigram and WordPiece entries cannot drift — review r14). np_df:
+    (w, n, np) = word, char length, piece count."""
+    d = t(spark, sf_dir, "documents")
+    wfl = _ulm_word_freqs(d, with_lang=True).drop("n")
+    j = wfl.join(np_df, "w")
+    return (j.groupBy("lang")
+            .agg(F.sum("f").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("f") * F.col("np")).cast("bigint")
+                 .alias("n_pieces"),
+                 F.sum(F.col("f") * F.col("n")).cast("bigint")
+                 .alias("n_chars"))
+            .select("lang", "n_tokens", "n_pieces", "n_chars",
+                    (F.col("n_pieces")
+                     / F.col("n_tokens").cast("double")).alias("fertility"),
+                    (F.col("n_chars")
+                     / F.col("n_pieces").cast("double"))
+                    .alias("chars_per_piece")))
+
+
 @query("unigram_lm_fit", _ULM_FIT_SQL)
 def unigram_lm_fit(spark, sf_dir):
     """Fitted unigram-LM vocabulary: top-50 pieces after 2 Viterbi-EM
@@ -331,21 +356,7 @@ def unigram_lm_fertility(spark, sf_dir):
     np_df = best.select(
         "w", "n",
         F.size(F.split("seg", "\\|")).cast("bigint").alias("np"))
-    d = t(spark, sf_dir, "documents")
-    wfl = _ulm_word_freqs(d, with_lang=True).drop("n")
-    j = wfl.join(np_df, "w")
-    return (j.groupBy("lang")
-            .agg(F.sum("f").cast("bigint").alias("n_tokens"),
-                 F.sum(F.col("f") * F.col("np")).cast("bigint")
-                 .alias("n_pieces"),
-                 F.sum(F.col("f") * F.col("n")).cast("bigint")
-                 .alias("n_chars"))
-            .select("lang", "n_tokens", "n_pieces", "n_chars",
-                    (F.col("n_pieces")
-                     / F.col("n_tokens").cast("double")).alias("fertility"),
-                    (F.col("n_chars")
-                     / F.col("n_pieces").cast("double"))
-                    .alias("chars_per_piece")))
+    return _fertility_report(spark, sf_dir, np_df)
 
 
 # ---------------------------------------------------------------------------
@@ -479,17 +490,4 @@ def wordpiece_greedy_fertility(spark, sf_dir):
         finals.append(st.filter(F.col("pos") > F.col("n"))
                       .select("w", "n", F.col("k").alias("np")))
     np_df = reduce(lambda a, b: a.unionByName(b), finals)
-    wfl = _ulm_word_freqs(d, with_lang=True).drop("n")
-    j = wfl.join(np_df, "w")
-    return (j.groupBy("lang")
-            .agg(F.sum("f").cast("bigint").alias("n_tokens"),
-                 F.sum(F.col("f") * F.col("np")).cast("bigint")
-                 .alias("n_pieces"),
-                 F.sum(F.col("f") * F.col("n")).cast("bigint")
-                 .alias("n_chars"))
-            .select("lang", "n_tokens", "n_pieces", "n_chars",
-                    (F.col("n_pieces")
-                     / F.col("n_tokens").cast("double")).alias("fertility"),
-                    (F.col("n_chars")
-                     / F.col("n_pieces").cast("double"))
-                    .alias("chars_per_piece")))
+    return _fertility_report(spark, sf_dir, np_df)
