@@ -84,8 +84,9 @@ from arangodb_java_parquet_spark.queries import fitting  # noqa: F401,E402
 # every panel slot MUST be never-sampled (enforced by
 # tests/test_registry.py::test_panel_rotation_policy, which recomputes the
 # never-sampled set from the committed record files at test time). Once the
-# never-sampled pool is empty (r15 on the current cadence: 57 remained
-# before r14, 7 will remain after), rotation switches to
+# never-sampled pool is empty (r16 on the current cadence: 107 remained
+# before r14, 57+11-new = 68 after r14, 18 after r15 — the r14 judge
+# corrected an earlier dropped-digit "7"), rotation switches to
 # OLDEST-GREEN-FIRST, keyed on the ROUND INDEX of each entry's most recent
 # all-green driver row (parsed from the CORRECTNESS_r{N}.json filename;
 # an entry that was sampled but never all-green keys as round 0, i.e.
@@ -98,62 +99,56 @@ from arangodb_java_parquet_spark.queries import fitting  # noqa: F401,E402
 # the current round's record into the tree does not retroactively redden
 # the round that produced it (ADVICE r13).
 DRIVER_PANEL = [
-    # ROUND-14 ROTATION (VERDICT r13 next-round #1): all 50 slots are
-    # names with NO driver CORRECTNESS row in rounds 1-13 (computed from
-    # the committed CORRECTNESS_r*.json files — 446 distinct sampled,
-    # 107 never-sampled oracle-backed remaining before this round).
-    # Cross-section of the remaining families: the whole remaining
-    # streaming surface (stateful totals, stream-stream joins, HLL
-    # maintenance, sink round-trip), the remaining multimodal decode legs
-    # (audio features, video decode, frame sampling), the r13 statistics
-    # waves (Bartlett/Welch-ANOVA/Cook/Hill/Pettitt/theta/Weibull),
-    # time-series spectral diagnostics, graph centralities, the rank/ab
-    # evaluation tier, and the three entries this round's ADVICE fixes
-    # touch (timeseries_sample_entropy, stats_fisher_exact_2x2,
-    # ir_query_clarity) so the driver confirms the fixes. Cumulative
-    # distinct driver-green grows 446 -> ~496 of 553; 7 never-sampled
-    # remain (pool exhausts next round, then oldest-green-first).
-    # Previously-green names stay locally harness-checked every round
-    # via tools/check_correctness.py (full 564-entry drive).
+    # ROUND-15 ROTATION (VERDICT r14 next-round #1): all 50 slots are
+    # names with NO driver CORRECTNESS row in rounds 1-14 (recomputed
+    # from the committed CORRECTNESS_r*.json files — 496 distinct
+    # sampled, 68 never-sampled oracle-backed remaining before this
+    # round: 57 left over from the pre-r14 pool of 107 plus the 11 new
+    # r14 entries; the r14 judge corrected the earlier "7 remain"
+    # dropped digit). This panel takes 50 of the 68, prioritizing the
+    # 11 r14-new entries (incl. the two this round's ADVICE fixes touch,
+    # gmm_em_diag_2d and forecast_croston, and the rewritten
+    # wordpiece_greedy_fertility) so the driver confirms the fixes;
+    # 18 never-sampled names remain for r16 (pool exhausts then, and
+    # oldest-green-first starts). Cumulative distinct driver-green grows
+    # 496 -> ~546. Previously-green names stay locally harness-checked
+    # every round via tools/check_correctness.py (full-registry drive).
     #
-    # ADVICE-r13-fixed entries (driver confirms the fixes)
-    "timeseries_sample_entropy", "stats_fisher_exact_2x2",
-    "ir_query_clarity",
-    # streaming: the entire remaining never-sampled streaming surface
-    "stream_etl_clean", "stream_hll_maintenance", "stream_hopping_counts",
-    "stream_sink_collection_roundtrip", "stream_stateful_user_totals",
-    "stream_static_enrich", "stream_stream_interval_join",
-    "stream_stream_left_outer_join",
-    # multimodal decode legs never panel-sampled
-    "multimodal_audio_features", "multimodal_frame_sample",
-    "multimodal_video_decode",
-    # time-series diagnostics (r13 waves + spectral family)
-    "timeseries_crosscorr", "timeseries_dickey_fuller",
-    "timeseries_hurst_rs", "timeseries_periodogram",
-    "timeseries_spectral_entropy", "timeseries_turning_points",
-    "changepoint_pettitt",
-    # classical statistics (r13 waves)
-    "stats_bartlett", "stats_breusch_pagan", "stats_cooks_distance",
-    "stats_hill_tail_index", "stats_mood_median", "stats_welch_anova",
-    "survival_weibull_medianrank",
-    # evaluation harness: rank metrics + A/B + calibration
-    "eval_average_precision_at_k", "eval_bland_altman",
-    "eval_brown_forsythe", "eval_cochran_q", "eval_conformal_threshold",
-    "eval_hosmer_lemeshow", "eval_rank_biased_precision",
-    "eval_tost_equivalence",
-    # graph centralities / structure
-    "graph_harmonic_centrality", "graph_katz_centrality",
-    "graph_powerlaw_alpha", "graph_two_hop_reach",
-    # anomaly / forecast
-    "anomaly_grubbs_daily", "anomaly_seasonal_baseline",
-    "forecast_theta_method", "forecast_ewma_daily",
-    # token / vocabulary statistics
-    "token_adaptation_churchgale", "token_dispersion_dp",
-    "source_vocab_jaccard",
-    # similarity index maintenance
-    "sim_index_incremental_append",
-    # storage-layout / skew governance
-    "zorder_cluster_key", "skew_key_report",
+    # r14-new entries (driver confirms ADVICE fixes + the WordPiece
+    # single-pass rewrite)
+    "unigram_lm_fit", "unigram_lm_fertility", "wordpiece_greedy_fertility",
+    "cluster_dbscan_grid", "gmm_em_diag_2d", "coreset_facility_location",
+    "regression_huber_irls", "forecast_ar2_yule_walker", "forecast_croston",
+    "agg_count_min_sketch", "eval_isotonic_calibration",
+    # anomaly / robust statistics
+    "anomaly_mad_days", "anomaly_zscore_days", "boxplot_stats",
+    "winsorize_stats", "filter_by_percentile",
+    "regression_residual_outliers",
+    # evaluation harness: A/B + fairness + nonparametric tier
+    "calibration_report", "eval_cohens_h", "eval_cuped_adjustment",
+    "eval_exposure_fairness", "eval_friedman_quarters",
+    "eval_lift_gain_deciles", "eval_permutation_signflip",
+    "eval_proportions_ztest", "eval_yuen_trimmed_t",
+    # categorical association / classification
+    "categorical_chi2_independence", "categorical_cramers_v",
+    "decision_stump_fit", "nb_classifier_confusion",
+    "feature_target_encode", "active_margin_sampling",
+    # inequality / market-concentration tier
+    "gini_revenue_concentration", "inequality_atkinson_index",
+    "inequality_theil_index", "power_users_captured_share",
+    # sequence / market-basket pattern mining
+    "market_basket_rules", "seq_pattern_support", "seq_pattern_support_l3",
+    "event_pattern_contiguous", "order_priority_markov",
+    # user-behavior analytics
+    "user_burstiness_fano", "user_recency_weighted_activity",
+    "user_trajectory_similarity",
+    # data-quality / profiling
+    "dq_sequence_gap_audit", "dq_unit_price_consistency",
+    "profile_orders_columns",
+    # time-series / finance style
+    "revenue_max_drawdown", "rolling_corr_revenue_orders",
+    # multi-objective frontier
+    "skyline_pareto_parts",
 ]
 
 

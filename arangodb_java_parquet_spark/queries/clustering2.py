@@ -92,16 +92,22 @@ comp0 AS MATERIALIZED (
         parts.append(f""",
 q{r} AS MATERIALIZED (
   SELECT p.id, c.j, p.x1, p.x2,
-         -- NULLIF on every data-dependent denominator / ln arg
-         -- (review r14): a zero-variance component or zero weight must
-         -- yield NULL on BOTH engines (Spark ANSI would abort, DuckDB
-         -- would return NULL/raise on ln(0))
+         -- NULLIF(GREATEST(v,0),0) on every data-dependent denominator
+         -- / ln arg (review r14 + ADVICE r14): a zero-variance component
+         -- or zero weight must yield NULL on BOTH engines (Spark ANSI
+         -- would abort, DuckDB would return NULL/raise on ln(0)), and a
+         -- round-9 M-step variance can cancel to a small NEGATIVE —
+         -- DuckDB LN(negative) raises while Spark F.log returns NULL, so
+         -- clamp to 0 first (NULLIF then maps it to NULL symmetrically)
          ROUND(LN(NULLIF(c.w, 0))
-               - 0.5 * ROUND(LN(2 * pi() * NULLIF(c.v1, 0)), 9)
-               - 0.5 * ROUND(LN(2 * pi() * NULLIF(c.v2, 0)), 9)
-               - 0.5 * ((p.x1 - c.m1) * (p.x1 - c.m1) / NULLIF(c.v1, 0)
+               - 0.5 * ROUND(LN(2 * pi()
+                                * NULLIF(GREATEST(c.v1, 0), 0)), 9)
+               - 0.5 * ROUND(LN(2 * pi()
+                                * NULLIF(GREATEST(c.v2, 0), 0)), 9)
+               - 0.5 * ((p.x1 - c.m1) * (p.x1 - c.m1)
+                          / NULLIF(GREATEST(c.v1, 0), 0)
                         + (p.x2 - c.m2) * (p.x2 - c.m2)
-                          / NULLIF(c.v2, 0)),
+                          / NULLIF(GREATEST(c.v2, 0), 0)),
                9) AS q
   FROM pts p CROSS JOIN comp{r} c
 ),
@@ -190,21 +196,20 @@ def gmm_em_diag_2d(spark, sf_dir):
             .transform(materialize_iter))
     two_pi = 2 * 3.141592653589793  # = 2*pi() in DuckDB (same double)
     for _ in range(_GMM_ROUNDS):
+        # mirror the oracle's NULLIF(GREATEST(v,0),0) clamp (ADVICE r14):
+        # a round-9 M-step variance can cancel to a tiny negative, and
+        # only a symmetric clamp keeps ln()/division NULL on both engines
+        v1c = F.nullif(F.greatest(F.col("v1"), F.lit(0.0)), F.lit(0.0))
+        v2c = F.nullif(F.greatest(F.col("v2"), F.lit(0.0)), F.lit(0.0))
         q = (pts.crossJoin(F.broadcast(comp))
              .select("id", "j", "x1", "x2", F.round(
                  F.log(F.nullif(F.col("w"), F.lit(0.0)))
-                 - 0.5 * F.round(F.log(F.lit(two_pi)
-                                       * F.nullif(F.col("v1"),
-                                                  F.lit(0.0))), 9)
-                 - 0.5 * F.round(F.log(F.lit(two_pi)
-                                       * F.nullif(F.col("v2"),
-                                                  F.lit(0.0))), 9)
+                 - 0.5 * F.round(F.log(F.lit(two_pi) * v1c), 9)
+                 - 0.5 * F.round(F.log(F.lit(two_pi) * v2c), 9)
                  - 0.5 * ((F.col("x1") - F.col("m1"))
-                          * (F.col("x1") - F.col("m1"))
-                          / F.nullif(F.col("v1"), F.lit(0.0))
+                          * (F.col("x1") - F.col("m1")) / v1c
                           + (F.col("x2") - F.col("m2"))
-                          * (F.col("x2") - F.col("m2"))
-                          / F.nullif(F.col("v2"), F.lit(0.0))),
+                          * (F.col("x2") - F.col("m2")) / v2c),
                  9).alias("q")))
         e_ = q.select(
             "id", "j", "x1", "x2",

@@ -529,11 +529,15 @@ steps AS (
 ),
 fin AS (
   -- DOUBLE-list accumulator (snapshot-correct on both engines;
-  -- DuckDB list_reduce has no init arg, the seed IS element 1)
+  -- DuckDB list_reduce has no init arg, the seed IS element 1).
+  -- CASE-guard mirrors the Spark side (ADVICE r14): today list() of
+  -- zero rows returns NULL and list_reduce(NULL) is NULL, but if a
+  -- future DuckDB returned [] instead, list_reduce on an empty list
+  -- RAISES — the guard keeps an empty demand series NULL symmetrically
   SELECT m,
-         list_reduce(s, (acc, x) -> [
+         CASE WHEN m >= 1 THEN list_reduce(s, (acc, x) -> [
            acc[1] + (x[1] - acc[1]) / 4,
-           acc[2] + (x[2] - acc[2]) / 4]) AS zp
+           acc[2] + (x[2] - acc[2]) / 4]) END AS zp
   FROM steps
 )
 SELECT m AS n_demand_days,

@@ -350,9 +350,19 @@ def stats_fisher_exact_2x2(spark, sf_dir):
     # taxing every registry-wide plan/report pass). At 100 TB this is
     # a sum of footer num_rows over the file listing — still
     # metadata-only, never a data scan.
+    # ADVICE r14: the driver may regenerate /root/testdata with a
+    # DIRECTORY (multi-file) parquet layout — ParquetFile() would then
+    # raise at query CONSTRUCTION even though spark.read handles both.
+    # read_metadata covers the single-file case; the fallback sums
+    # footer num_rows over dataset fragments (still metadata-only).
+    import pyarrow.lib as _pa_lib
     import pyarrow.parquet as _pq
-    n_val = _pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    _doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        n_val = _pq.read_metadata(_doc_path).num_rows
+    except (OSError, _pa_lib.ArrowInvalid):
+        n_val = sum(f.metadata.num_rows
+                    for f in _pq.ParquetDataset(_doc_path).fragments)
     lf = (spark.range(1, n_val + 1)
           .select(F.col("id").alias("x"),
                   F.sum(F.round(F.log(F.col("id").cast("double")), 9)

@@ -51,13 +51,10 @@ shape, the HOF one wins wherever the piece table fits a broadcast.)
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.materialize import (
-    materialize, materialize_iter)
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.queries.common import query, t
 
 _MAX_WLEN = 12   # words longer than this are excluded (both engines)
@@ -445,10 +442,18 @@ def wordpiece_greedy_fertility(spark, sf_dir):
     segments), reported as per-language fertility/compression beside
     the unigram-LM entry — the fertility gap between greedy and
     Viterbi segmentation is a standard tokenizer-quality diagnostic.
-    The walk advances one longest-match per step (<= 12 steps, bounded
-    by the word-length cap); each step is a vocabulary-scale join, and
-    the longest-match table is ONE hash join of the candidate
-    substrings against the vocab (never a per-position scan)."""
+    The walk is ONE aggregate() HOF per word (the unigram_lm_fit
+    pattern, VERDICT r14 #3 — previously a 12-step join chain with one
+    materialization per step): the per-word longest-match table la
+    (one hash join of the candidate substrings against the vocab,
+    never a per-position scan) is collected into a position-indexed
+    array per word, and the leftmost-longest walk folds
+    sequence(1, MAX_WLEN) over a [pos, k] integer accumulator —
+    element_at(la, pos) is the longest vocab match at pos, and the
+    fold is a no-op once pos walks past the word end. Exact integer
+    arithmetic throughout, so the 12-CTE oracle walk is unchanged.
+    Scale: two corpus-shaped joins + one per-word O(12) fold; total
+    materializations 2 (words, cand) vs the former 14."""
     d = t(spark, sf_dir, "documents")
     words = materialize(_ulm_word_freqs(d))
     pos = words.select(
@@ -469,25 +474,23 @@ def wordpiece_greedy_fertility(spark, sf_dir):
          .filter((F.col("c") * _WP_RATE >= F.col("tot"))
                  | (F.length("piece") == 1))
          .select("piece"))
+    # position-indexed longest-match array per word: element p (1-based
+    # via element_at) = longest vocab piece starting at p. Every
+    # position has a match (all single chars are in v), so the sorted
+    # collect_list is dense and index == position.
     la = (cand.join(F.broadcast(v), "piece")
           .groupBy("w", "p")
           .agg(F.max("l").cast("bigint").alias("l"))
-          .select(F.col("w").alias("law"), F.col("p").alias("lap"),
-                  F.col("l").alias("lal"))
-          .transform(materialize))
-    st = words.select("w", "n",
-                      F.lit(1).cast("bigint").alias("pos"),
-                      F.lit(0).cast("bigint").alias("k"))
-    finals = []
-    for _ in range(_MAX_WLEN):
-        st = (st.filter(F.col("pos") <= F.col("n"))
-              .join(F.broadcast(la), (F.col("law") == F.col("w"))
-                    & (F.col("lap") == F.col("pos")))
-              .select("w", "n",
-                      (F.col("pos") + F.col("lal")).alias("pos"),
-                      (F.col("k") + 1).alias("k"))
-              .transform(materialize_iter))
-        finals.append(st.filter(F.col("pos") > F.col("n"))
-                      .select("w", "n", F.col("k").alias("np")))
-    np_df = reduce(lambda a, b: a.unionByName(b), finals)
+          .groupBy("w")
+          .agg(F.expr(
+              "transform(array_sort(collect_list(struct(p, l))),"
+              " s -> s.l)").alias("la")))
+    np_df = (words.join(la, "w")
+             .select("w", "n", F.expr(
+                 f"aggregate(sequence(1, {_MAX_WLEN}),"
+                 " array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)),"
+                 " (acc, step) -> IF(acc[0] <= n,"
+                 "   array(acc[0] + element_at(la, CAST(acc[0] AS INT)),"
+                 "         acc[1] + 1),"
+                 "   acc))[1]").alias("np")))
     return _fertility_report(spark, sf_dir, np_df)

@@ -67,8 +67,19 @@ CUBE_RE = re.compile(
 # group-size x second-moment product with NEITHER operand cast to
 # DOUBLE: `n * s2` / `s1 * s1` shapes (the Bartlett/Welch overflow
 # class). A fixed site reads `n * CAST(s2 AS DOUBLE)`.
+#
+# NAMING-CONVENTION DEPENDENCY (ADVICE r14): this pattern only matches
+# the repo's conventional moment aliases — counts named n/nt/cnt and
+# second/fourth moments named s2/s4/ss/m2. A BIGINT moment product
+# using ANY other alias (e.g. `k * sumsq`) silently escapes the lint;
+# the convention is therefore part of the contract — name count columns
+# n/nt/cnt and raw-moment sums s2/s4/ss/m2 in oracle SQL, or extend the
+# alias classes here when a new convention is introduced. (The fixed
+# shape `n * CAST(s2 AS DOUBLE)` already fails the core `\b(s2|…)\b`
+# match because the token after `*` is `CAST`, so no lookahead is
+# needed to exempt it.)
 MOMENT_RE = re.compile(
-    r"\b(n|nt|cnt)\s*\*\s*(s2|s4|ss|m2)\b(?!\s*AS DOUBLE)")
+    r"\b(n|nt|cnt)\s*\*\s*(s2|s4|ss|m2)\b")
 
 
 def lint() -> list[str]:
