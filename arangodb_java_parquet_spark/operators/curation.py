@@ -151,13 +151,25 @@ def connected_components_bipartite(membership: DataFrame, node_col: str,
         return (member.join(gmin, group_cols)
                 .groupBy(node_col).agg(F.min("gmin").alias("component")))
 
-    # one propagation hop per materialized round: `labels` feeds both the
-    # group-min join and the final least(), so unrolling two hops between
-    # checkpoints recomputes the inner hop twice (measured 2x slower) —
-    # the checkpoint per round is what keeps each hop computed once
+    # one propagation hop + one pointer-doubling shortcut per round
+    # (VERDICT r14 #4 — previously propagate only, O(eps-chain diameter)
+    # rounds): every component value is itself a member-node id (min
+    # reachable so far), so the label's-label self-join is total and
+    # least() keeps the monotone decrease, exactly as in the pairwise
+    # operator above. The shortcut turns long-chain convergence into
+    # O(log n) rounds. `merged` feeds BOTH branches of the shortcut
+    # join, so it gets its own lazy materialization — without it the
+    # whole propagate hop is recomputed once per branch (the same
+    # measured-2x trap the per-round checkpoint already guards).
     prev_sum = None
     for _ in range(max_iter):
-        labels = propagate(labels).transform(materialize_iter_eager)
+        merged = propagate(labels).transform(materialize_iter)
+        lab2 = merged.select(F.col(node_col).alias("component"),
+                             F.col("component").alias("cc"))
+        labels = (merged.join(lab2, "component")
+                  .select(F.col(node_col),
+                          F.least("component", "cc").alias("component"))
+                  .transform(materialize_iter_eager))
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -774,3 +774,115 @@ def gram_matrix_arrow(emb: DataFrame, *, vec_col: str = "embedding",
         partial_gram, schema="i bigint, j bigint, sg bigint")
     return (part.groupBy("i", "j")
             .agg((F.sum("sg") / F.lit(mul)).alias("g")))
+
+
+def nndescent_knn_graph(vectors: DataFrame, *, id_col: str, vec_col: str,
+                        k: int = 8, init_window: int = 8,
+                        init_bits: int = 6, rounds: int = 2,
+                        stages: bool = False) -> DataFrame:
+    """NN-DESCENT kNN-graph construction (Dong, Moses & Li, WWW 2011) —
+    the graph-built ANN family beside the IVF/PQ/LSH index entries: start
+    from a cheap initial kNN guess and iterate "a neighbor of a neighbor
+    is likely a neighbor", comparing each node only against its local
+    join (neighbors ∪ capped reverse neighbors of its neighbors). This is
+    the batch construction underlying graph-based vector serving (the
+    HNSW family's offline cousin): per round O(n·(2k)²) scored pairs,
+    never an all-pairs product.
+
+    Deterministic for the DuckDB oracle — every stochastic knob in the
+    paper pinned:
+
+    * init = top-k by cosine over the union of TWO equi-join candidate
+      sets: same ``init_bits``-bit SRP bucket (the existing bucketed
+      candidate contract — semantically correlated seeds) ∪ ids within
+      ±``init_window`` (bucket-spanning diversity edges, the paper's
+      random init made deterministic). Two equi-joins + distinct, never
+      an OR-join (Spark cannot hash an OR of equi-conditions — it would
+      fall back to a nested-loop product).
+    * reverse edges capped at k per node by (cos DESC, id ASC) — the
+      paper's ρ-sampling, deterministic; bounds hub in-degree so the
+      local join stays ≤ n·(2k)² instead of quadratic in hub degree.
+    * candidate pairs are DEDUPLICATED then ANTI-JOINED against
+      already-scored edges so each pair is scored exactly once (the
+      paper's incremental-search optimization).
+    * ranking is round-9 cosine with an id tiebreak throughout; norms
+      are computed once per node BELOW the pair joins (HOF-collapse
+      rule), so every pair evaluates ONE dot.
+
+    With ``stages=True`` returns (stage, qid, vid, cos_sim, rn) for the
+    init graph (stage 0) and after each round — the shape the recall
+    entry reports so per-round convergence is value-checked.
+
+    At 100 TB: grow ``init_bits`` ~log2(n/target-bucket) so init-bucket
+    pair work stays linear (the emb_near_dup_pairs fixed-bits
+    disclosure); the per-round cost is linear in n by construction.
+    """
+    from arangodb_java_parquet_spark.materialize import (
+        materialize, materialize_iter)
+    base = materialize(
+        vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("bkt", srp_bucket(F.col("vec"), init_bits)))
+    bq = base.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"),
+                     F.col("nrm").alias("qnrm"))
+    bc = base.select(F.col("id").alias("vid"), F.col("vec").alias("cvec"),
+                     F.col("nrm").alias("cnrm"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        # one dot per pair; vectors+norms fetched by two id equi-joins
+        return (pairs.join(bq, "qid").join(bc, "vid")
+                .select("qid", "vid",
+                        F.round(dot(F.col("qvec"), F.col("cvec"))
+                                / (F.col("qnrm") * F.col("cnrm")), 9)
+                        .alias("cos_sim")))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
+        return (scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k))
+
+    p_bucket = (base.select(F.col("id").alias("qid"), "bkt")
+                .join(base.select(F.col("id").alias("vid"), "bkt"), "bkt")
+                .filter(F.col("qid") != F.col("vid"))
+                .select("qid", "vid"))
+    p_window = (base.select(
+        F.col("id").alias("qid"),
+        F.explode(F.sequence(F.lit(-init_window),
+                             F.lit(init_window))).alias("d"))
+        .filter(F.col("d") != 0)
+        .select("qid", (F.col("qid") + F.col("d")).alias("vid"))
+        .join(bc.select("vid"), "vid"))  # drop out-of-range ids
+    init_pairs = p_bucket.unionByName(p_window).distinct()
+    knn = materialize_iter(topk(score(init_pairs)))
+    out = [knn.select(F.lit(0).alias("stage"),
+                      "qid", "vid", "cos_sim", "rn")]
+    for r in range(rounds):
+        fwd = knn.select("qid", "vid", "cos_sim")
+        rev_w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
+        rev = (knn.select(F.col("vid").alias("qid"),
+                          F.col("qid").alias("vid"), "cos_sim")
+               .withColumn("rrn", F.row_number().over(rev_w))
+               .filter(F.col("rrn") <= k)
+               .select("qid", "vid", "cos_sim"))
+        und = materialize_iter(fwd.unionByName(rev))
+        cand = (und.select(F.col("qid").alias("a"),
+                           F.col("vid").alias("m"))
+                .join(und.select(F.col("qid").alias("m"),
+                                 F.col("vid").alias("c")), "m")
+                .filter(F.col("a") != F.col("c"))
+                .select(F.col("a").alias("qid"), F.col("c").alias("vid"))
+                .distinct()
+                .join(fwd.select("qid", "vid"), ["qid", "vid"],
+                      "left_anti"))
+        knn = materialize_iter(
+            topk(score(cand).unionByName(fwd)).select(
+                "qid", "vid", "cos_sim", "rn"))
+        out.append(knn.select(F.lit(r + 1).alias("stage"),
+                              "qid", "vid", "cos_sim", "rn"))
+    if stages:
+        res = out[0]
+        for s in out[1:]:
+            res = res.unionByName(s)
+        return res
+    return knn.select("qid", "vid", "cos_sim", "rn")

@@ -344,6 +344,8 @@ BENCH_QUERIES = [
     "eval_isotonic_calibration", "agg_count_min_sketch",
     "regression_huber_irls", "forecast_ar2_yule_walker",
     "forecast_croston",
+    # round 15: graph-built ANN (NN-descent)
+    "ann_nndescent_graph", "ann_nndescent_recall",
 ]
 
 
