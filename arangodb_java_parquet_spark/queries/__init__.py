@@ -65,6 +65,8 @@ from arangodb_java_parquet_spark.queries import changepoint  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import stat_tests2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import unigram_lm  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import ann_graph  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import doremi  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import packing  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import clustering2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import fitting  # noqa: F401,E402
 

@@ -344,8 +344,10 @@ BENCH_QUERIES = [
     "eval_isotonic_calibration", "agg_count_min_sketch",
     "regression_huber_irls", "forecast_ar2_yule_walker",
     "forecast_croston",
-    # round 15: graph-built ANN (NN-descent)
+    # round 15: graph-built ANN (NN-descent), mixture optimization,
+    # whole-document bin packing
     "ann_nndescent_graph", "ann_nndescent_recall",
+    "mixture_doremi_fit", "pack_bestfit_decreasing",
 ]
 
 

@@ -179,3 +179,116 @@ def test_nndescent_candidate_counts_bounded():
                             tbl["embedding"].to_pylist())}
     _, py_counts = _python_nndescent(vecs)
     assert list(sql_counts) == py_counts
+
+
+def test_doremi_fit_matches_python_recompute(spark):
+    """Independent plain-python recompute of the full DoReMi EG fit —
+    unigram LM, per-source NLL (the engines' exact decimal sums are
+    reproduced with decimal.Decimal over the round-9 values), clipped
+    excess, 5 EG rounds, round-averaged ᾱ — compared row-for-row
+    against the engine output."""
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+    import math
+
+    from arangodb_java_parquet_spark.queries.doremi import (
+        _ETA_DEN, _ETA_NUM, _MIN_CNT, _ROUNDS, _SMOOTH_DEN)
+
+    SF15 = "/root/testdata/sf0.01"
+    rows = (t(spark, SF15, "documents")
+            .select("doc_id", "source", "text").collect())
+    vocab = Counter()
+    for r in rows:
+        for tok in r["text"].split(" "):
+            vocab[tok] += 1
+    total = sum(vocab.values())
+    logp = {tok: round(math.log(c / total), 9)
+            for tok, c in vocab.items() if c >= _MIN_CNT}
+    floor = round(math.log(1.0 / total), 9)
+    slp = defaultdict(Decimal)
+    ntok = Counter()
+    ndocs = Counter()
+    for r in rows:
+        ndocs[r["source"]] += 1
+        for tok in r["text"].split(" "):
+            slp[r["source"]] += Decimal(repr(
+                logp.get(tok, floor))).quantize(Decimal("1.000000000"))
+            ntok[r["source"]] += 1
+    sources = sorted(slp)
+    ref_nll = -(float(sum(slp[s] for s in sources))
+                / sum(ntok[s] for s in sources))
+    tn = float(sum(ndocs.values()))
+    k = len(sources)
+    eta = _ETA_NUM / _ETA_DEN
+    c_s = 1.0 / _SMOOTH_DEN
+    nll = {s: -(float(slp[s]) / ntok[s]) for s in sources}
+    excess = {s: round(max(nll[s] - ref_nll, 0.0), 9) for s in sources}
+    boost = {s: round(math.exp(eta * excess[s]), 9) for s in sources}
+    w = {s: ndocs[s] / tn for s in sources}
+    w0 = dict(w)
+    traj = []
+    for _ in range(_ROUNDS):
+        b = {s: round(w[s] * boost[s], 9) for s in sources}
+        z = float(sum(Decimal(repr(b[s])).quantize(
+            Decimal("1.000000000")) for s in sources))
+        w = {s: round((1.0 - c_s) * (b[s] / z) + c_s / k, 9)
+             for s in sources}
+        traj.append(dict(w))
+    want = {}
+    for s in sources:
+        acc = Decimal(0)
+        for wt in traj:
+            acc += Decimal(repr(wt[s])).quantize(Decimal("1.000000000"))
+        want[s] = (round(w0[s], 9), excess[s], traj[-1][s],
+                   round(float(acc) / _ROUNDS, 9))
+    got_rows = QUERIES["mixture_doremi_fit"](spark, SF15).collect()
+    got = {r["source"]: (r["natural_share"], r["excess_nll"],
+                         r["final_weight"], r["avg_weight"])
+           for r in got_rows}
+    assert got == want
+
+
+def test_bfd_packing_matches_python_recompute(spark):
+    """Independent python recompute of both packers (next-fit arrival
+    order; best-fit-decreasing with first-on-tie bin choice) at sf0.01,
+    plus the quality invariant BFD never uses more bins than next-fit."""
+    from collections import defaultdict
+
+    from arangodb_java_parquet_spark.queries.packing import _BUDGET
+
+    SF15 = "/root/testdata/sf0.01"
+    rows = (t(spark, SF15, "documents")
+            .select("doc_id", "lang", "text").collect())
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r["lang"]].append((r["doc_id"], len(r["text"].split(" "))))
+    want = {}
+    for lang, docs in shards.items():
+        total = sum(nt for _d, nt in docs)
+        # next-fit, arrival order
+        load, nf_bins = 0, 1
+        for _d, nt in sorted(docs):
+            if load + nt <= _BUDGET:
+                load += nt
+            else:
+                load, nf_bins = nt, nf_bins + 1
+        # best-fit-decreasing: fullest bin that fits, first on tie
+        loads = []
+        for _d, nt in sorted(docs, key=lambda p: (-p[1], p[0])):
+            fits = [(ld, i) for i, ld in enumerate(loads)
+                    if ld + nt <= _BUDGET]
+            if not fits:
+                loads.append(nt)
+            else:
+                best = max(ld for ld, _i in fits)
+                loads[loads.index(best)] = best + nt
+        assert len(loads) <= nf_bins  # BFD never worse than next-fit
+        want[lang] = (len(docs), total, nf_bins, len(loads),
+                      total / (nf_bins * _BUDGET),
+                      total / (len(loads) * _BUDGET))
+    got = {r["shard"]: (r["n_docs"], r["total_tokens"],
+                        r["nextfit_bins"], r["bfd_bins"],
+                        r["nextfit_fill"], r["bfd_fill"])
+           for r in QUERIES["pack_bestfit_decreasing"](spark, SF15)
+           .collect()}
+    assert got == want
