@@ -39,6 +39,7 @@ operators/curation.py:unigram_logprob); everything after is K-row
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
@@ -201,3 +202,140 @@ def mixture_doremi_fit(spark, sf_dir):
         F.col("excess").alias("excess_nll"),
         F.col(f"w{_ROUNDS}v").alias("final_weight"),
         F.round(avg.cast("double") / _ROUNDS, 9).alias("avg_weight"))
+
+
+# ---------------------------------------------------------------------------
+# RHO-loss sample selection (Mindermann et al., "Prioritized Training on
+# Points that are Learnable, Worth Learning, and Not Yet Learnt", ICML
+# 2022) — the SAMPLE-level counterpart of the DoReMi domain fit above:
+# reducible holdout loss = training-model loss − irreducible-loss-model
+# loss; select the top-N docs. The deterministic in-engine proxy pair:
+# the corpus-wide unigram LM is the "training" model, the doc's OWN
+# LANGUAGE's unigram LM is the irreducible-loss model (a doc that the
+# corpus model finds hard but its in-language model finds easy is
+# learnable signal, not noise — the paper's selection logic exactly).
+# ---------------------------------------------------------------------------
+
+_RHO_TOPN = 50
+
+
+_RHO_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, lang FROM documents),
+ltoks AS (
+  SELECT t.doc_id, d.lang, t.tok FROM toks t JOIN dl d USING (doc_id)
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+vtot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok, round(ln(cnt::DOUBLE / total::DOUBLE), 9) AS logp
+  FROM vocab CROSS JOIN vtot WHERE cnt >= {_MIN_CNT}
+),
+fl AS (SELECT round(ln(1.0 / total::DOUBLE), 9) AS floor_logp FROM vtot),
+lvocab AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM ltoks GROUP BY lang, tok
+),
+lvtot AS (SELECT lang, SUM(cnt) AS total FROM lvocab GROUP BY lang),
+llp AS (
+  SELECT v.lang, v.tok,
+         round(ln(v.cnt::DOUBLE / t.total::DOUBLE), 9) AS logp
+  FROM lvocab v JOIN lvtot t USING (lang) WHERE v.cnt >= {_MIN_CNT}
+),
+lfl AS (
+  SELECT lang, round(ln(1.0 / total::DOUBLE), 9) AS floor_logp
+  FROM lvtot
+),
+scored AS (
+  SELECT l.doc_id, l.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         -- train loss (corpus LM) and irreducible loss (in-lang LM):
+         -- per-token round-9 logps, exact decimal sums, plain /count
+         -(CAST(SUM(CAST(COALESCE(lp.logp, fl.floor_logp)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*))
+           AS train_nll,
+         -(CAST(SUM(CAST(COALESCE(llp.logp, lfl.floor_logp)
+                         AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*))
+           AS holdout_nll
+  FROM ltoks l
+  LEFT JOIN lp ON lp.tok = l.tok CROSS JOIN fl
+  LEFT JOIN llp ON llp.lang = l.lang AND llp.tok = l.tok
+  JOIN lfl ON lfl.lang = l.lang
+  GROUP BY l.doc_id, l.lang
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         round(train_nll, 9) AS train_nll,
+         round(holdout_nll, 9) AS holdout_nll,
+         round(train_nll - holdout_nll, 9) AS rho_loss,
+         ROW_NUMBER() OVER (ORDER BY round(train_nll - holdout_nll, 9)
+                              DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, train_nll, holdout_nll, rho_loss,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_RHO_TOPN}
+"""
+
+
+@query("select_rho_loss", _RHO_SQL)
+def select_rho_loss(spark, sf_dir):
+    """Top-{N} docs by REDUCIBLE loss (RHO-loss): corpus-unigram NLL
+    minus in-language-unigram NLL, both CCNet-style round-9/decimal-sum
+    models — high values are docs the mixture finds hard but their own
+    domain finds easy, i.e. learnable and not yet learnt. One corpus
+    pass builds both LMs (token rollups are map-side combinable; the
+    in-language model shuffles by (lang, tok), bounded by per-language
+    vocabulary); scoring is a corpus-scale projection against the two
+    broadcast head vocabularies; the top-N is a TakeOrdered, never a
+    global sort."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ltoks = materialize(
+        toks.join(d.select("doc_id", "lang"), "doc_id"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vtot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (vocab.crossJoin(F.broadcast(vtot))
+          .filter(F.col("cnt") >= _MIN_CNT)
+          .select("tok", F.round(F.log(F.col("cnt").cast("double")
+                                       / F.col("total").cast("double")), 9)
+                  .alias("logp")))
+    fl = vtot.select(F.round(F.log(F.lit(1.0)
+                                   / F.col("total").cast("double")), 9)
+                     .alias("floor_logp"))
+    lvocab = ltoks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    lvtot = lvocab.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    llp = (lvocab.join(lvtot, "lang")
+           .filter(F.col("cnt") >= _MIN_CNT)
+           .select("lang", "tok",
+                   F.round(F.log(F.col("cnt").cast("double")
+                                 / F.col("total").cast("double")), 9)
+                   .alias("llogp")))
+    lfl = lvtot.select("lang",
+                       F.round(F.log(F.lit(1.0)
+                                     / F.col("total").cast("double")), 9)
+                       .alias("lfloor"))
+    scored = (ltoks
+              .join(F.broadcast(lp), "tok", "left")
+              .crossJoin(F.broadcast(fl))
+              .join(F.broadcast(llp), ["lang", "tok"], "left")
+              .join(F.broadcast(lfl), "lang")
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                   (-(F.sum(F.coalesce("logp", "floor_logp")
+                            .cast("decimal(20,9)")).cast("double")
+                      / F.count(F.lit(1)))).alias("train_nll_raw"),
+                   (-(F.sum(F.coalesce("llogp", "lfloor")
+                            .cast("decimal(20,9)")).cast("double")
+                      / F.count(F.lit(1)))).alias("holdout_nll_raw")))
+    rho = F.round(F.col("train_nll_raw") - F.col("holdout_nll_raw"), 9)
+    w = W.orderBy(rho.desc(), F.asc("doc_id"))
+    return (scored
+            .select("doc_id", "lang", "n_tokens",
+                    F.round("train_nll_raw", 9).alias("train_nll"),
+                    F.round("holdout_nll_raw", 9).alias("holdout_nll"),
+                    rho.alias("rho_loss"),
+                    F.row_number().over(w).cast("bigint").alias("rn"))
+            .filter(F.col("rn") <= _RHO_TOPN))

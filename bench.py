@@ -347,7 +347,7 @@ BENCH_QUERIES = [
     # round 15: graph-built ANN (NN-descent), mixture optimization,
     # whole-document bin packing
     "ann_nndescent_graph", "ann_nndescent_recall",
-    "mixture_doremi_fit", "pack_bestfit_decreasing",
+    "mixture_doremi_fit", "pack_bestfit_decreasing", "select_rho_loss",
 ]
 
 

@@ -292,3 +292,56 @@ def test_bfd_packing_matches_python_recompute(spark):
            for r in QUERIES["pack_bestfit_decreasing"](spark, SF15)
            .collect()}
     assert got == want
+
+
+def test_rho_loss_matches_python_recompute(spark):
+    """Independent python recompute of the RHO-loss selection: corpus
+    and per-language unigram LMs (round-9 logps, Decimal sums), per-doc
+    NLL pair, reducible loss, deterministic top-50."""
+    from collections import Counter
+    from decimal import Decimal
+    import math
+
+    from arangodb_java_parquet_spark.queries.doremi import (
+        _MIN_CNT, _RHO_TOPN)
+
+    SF15 = "/root/testdata/sf0.01"
+    rows = (t(spark, SF15, "documents")
+            .select("doc_id", "lang", "text").collect())
+    vocab = Counter()
+    lvocab = Counter()
+    for r in rows:
+        for tok in r["text"].split(" "):
+            vocab[tok] += 1
+            lvocab[(r["lang"], tok)] += 1
+    total = sum(vocab.values())
+    ltotal = Counter()
+    for (lang, _tok), c in lvocab.items():
+        ltotal[lang] += c
+    logp = {tok: round(math.log(c / total), 9)
+            for tok, c in vocab.items() if c >= _MIN_CNT}
+    floor = round(math.log(1.0 / total), 9)
+    llogp = {(lang, tok): round(math.log(c / ltotal[lang]), 9)
+             for (lang, tok), c in lvocab.items() if c >= _MIN_CNT}
+    lfloor = {lang: round(math.log(1.0 / tt), 9)
+              for lang, tt in ltotal.items()}
+    q9 = Decimal("1.000000000")
+    scored = []
+    for r in rows:
+        toks = r["text"].split(" ")
+        st = sum((Decimal(repr(logp.get(tok, floor))).quantize(q9)
+                  for tok in toks), Decimal(0))
+        sh = sum((Decimal(repr(
+            llogp.get((r["lang"], tok), lfloor[r["lang"]]))).quantize(q9)
+            for tok in toks), Decimal(0))
+        tn = -(float(st) / len(toks))
+        hn = -(float(sh) / len(toks))
+        scored.append((r["doc_id"], r["lang"], len(toks),
+                       round(tn, 9), round(hn, 9), round(tn - hn, 9)))
+    scored.sort(key=lambda x: (-x[5], x[0]))
+    want = {(row[0]): (row[1], row[2], row[3], row[4], row[5], i + 1)
+            for i, row in enumerate(scored[:_RHO_TOPN])}
+    got = {r["doc_id"]: (r["lang"], r["n_tokens"], r["train_nll"],
+                         r["holdout_nll"], r["rho_loss"], r["rn"])
+           for r in QUERIES["select_rho_loss"](spark, SF15).collect()}
+    assert got == want
