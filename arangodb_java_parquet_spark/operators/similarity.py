@@ -831,10 +831,14 @@ def nndescent_knn_graph(vectors: DataFrame, *, id_col: str, vec_col: str,
 
     def score(pairs: DataFrame) -> DataFrame:
         # one dot per pair; vectors+norms fetched by two id equi-joins
+        # NULLIF the norm product (write-time rule: Spark ANSI aborts on
+        # /0 where DuckDB returns inf — a zero-norm vector after a testdata
+        # regeneration must yield NULL symmetrically, never an abort)
         return (pairs.join(bq, "qid").join(bc, "vid")
                 .select("qid", "vid",
                         F.round(dot(F.col("qvec"), F.col("cvec"))
-                                / (F.col("qnrm") * F.col("cnrm")), 9)
+                                / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                           F.lit(0.0)), 9)
                         .alias("cos_sim")))
 
     def topk(scored: DataFrame) -> DataFrame:

@@ -81,7 +81,7 @@ i0 AS (
   -- union-of-two-equi-joins + distinct
   SELECT a.id AS qid, c.id AS vid,
          round({_DOT.format(a='a.vec', b='c.vec')}
-               / (a.nrm * c.nrm), 9) AS cos_sim
+               / NULLIF(a.nrm * c.nrm, 0), 9) AS cos_sim
   FROM b a JOIN b c
     ON (c.bkt = a.bkt
         OR c.id BETWEEN a.id - {_INIT_W} AND a.id + {_INIT_W})
@@ -122,7 +122,7 @@ cand{r} AS (
 sc{r} AS (
   SELECT c.qid, c.vid,
          round({_DOT.format(a='a.vec', b='e.vec')}
-               / (a.nrm * e.nrm), 9) AS cos_sim
+               / NULLIF(a.nrm * e.nrm, 0), 9) AS cos_sim
   FROM cand{r} c JOIN b a ON a.id = c.qid JOIN b e ON e.id = c.vid
 ),
 knn{r + 1} AS MATERIALIZED (
@@ -150,7 +150,8 @@ bf AS MATERIALIZED (
            ROW_NUMBER() OVER (
              PARTITION BY q.id
              ORDER BY round({_DOT.format(a='q.vec', b='e.vec')}
-                            / (q.nrm * e.nrm), 9) DESC, e.id ASC) AS rn
+                            / NULLIF(q.nrm * e.nrm, 0), 9)
+               DESC, e.id ASC) AS rn
     FROM b q JOIN b e ON e.id != q.id
     WHERE q.id < {_NPROBE}
   ) WHERE rn <= {_K}

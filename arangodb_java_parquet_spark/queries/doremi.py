@@ -105,7 +105,7 @@ b{r} AS MATERIALIZED (
 ),
 w{r} AS MATERIALIZED (
   SELECT source, excess, k, w0, boost,
-         round((1 - {_C_SQL}) * (b / zz.z) + {_C_SQL} / k, 9) AS w{r}v
+         round((1 - {_C_SQL}) * (b / NULLIF(zz.z, 0)) + {_C_SQL} / k, 9) AS w{r}v
   FROM b{r} CROSS JOIN (
     SELECT CAST(SUM(CAST(b AS DECIMAL(20,9))) AS DOUBLE) AS z
     FROM b{r}) zz
@@ -189,7 +189,8 @@ def mixture_doremi_fit(spark, sf_dir):
         cur = (b.crossJoin(F.broadcast(z))
                .withColumn(f"w{r}v",
                            F.round((F.lit(1.0) - c)
-                                   * (F.col("b") / F.col("z"))
+                                   * (F.col("b")
+                                      / F.nullif(F.col("z"), F.lit(0.0)))
                                    + c / F.col("k"), 9))
                .drop("b", "z"))
         prev_col = f"w{r}v"
