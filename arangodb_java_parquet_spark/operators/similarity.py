@@ -42,7 +42,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # NULLIF the norm product: a zero-norm vector yields NULL cosine on
+    # both engines (Spark ANSI would abort; DuckDB returns inf) — the
+    # divergence class swept r15. Values unchanged on nonzero norms.
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def topk_cosine_bruteforce(queries: DataFrame, corpus: DataFrame, *,
@@ -80,7 +83,8 @@ def topk_cosine_bruteforce(queries: DataFrame, corpus: DataFrame, *,
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
                      F.round(dot(F.col("qvec"), F.col("cvec"))
-                             / (F.col("qnrm") * F.col("cnrm")), 9)
+                             / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(w))
@@ -223,7 +227,8 @@ def ivf_probe(queries: DataFrame, corpus: DataFrame, centroids: list, *,
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
                      F.round(dot(F.col("qvec"), F.col("cvec"))
-                             / (F.col("qnrm") * F.col("cnrm")), 9)
+                             / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     # a (qid, vid) pair can appear once per probed cell — dedup before rank
     return (pairs.groupBy("qid", "vid")
@@ -278,7 +283,8 @@ def topk_cosine_lsh(queries: DataFrame, corpus: DataFrame, *,
              .filter(F.col("qid") != F.col("vid"))
              .select("qid", "vid",
                      F.round(dot(F.col("qvec"), F.col("cvec"))
-                             / (F.col("qnrm") * F.col("cnrm")), 9)
+                             / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(w))
@@ -373,7 +379,8 @@ def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
          .withColumnRenamed(vec_col, "__vecb")
          .withColumnRenamed("__nrm", "__nrmb").alias("b"))
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col("b.__vecb"))
-                  / (F.col("a.__nrm") * F.col("b.__nrmb")), 9)
+                  / F.nullif(F.col("a.__nrm") * F.col("b.__nrmb"),
+                             F.lit(0.0)), 9)
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col(f"a.{id_col}") < F.col("b.__idb")))
             .select(F.col("b.__idb").alias(id_col),
@@ -802,9 +809,12 @@ def nndescent_knn_graph(vectors: DataFrame, *, id_col: str, vec_col: str,
     * reverse edges capped at k per node by (cos DESC, id ASC) — the
       paper's ρ-sampling, deterministic; bounds hub in-degree so the
       local join stays ≤ n·(2k)² instead of quadratic in hub degree.
-    * candidate pairs are DEDUPLICATED then ANTI-JOINED against
-      already-scored edges so each pair is scored exactly once (the
-      paper's incremental-search optimization).
+    * candidate pairs are DEDUPLICATED then ANTI-JOINED against the
+      CURRENT graph's edges, so a surviving pair is never re-scored
+      within a round. (A pair scored and dropped in an earlier round
+      can be regenerated and re-scored later — full incremental
+      bookkeeping would carry an ever-growing seen-set through the
+      loop, costing more than the bounded-k re-scored dots.)
     * ranking is round-9 cosine with an id tiebreak throughout; norms
       are computed once per node BELOW the pair joins (HOF-collapse
       rule), so every pair evaluates ONE dot.

@@ -18,10 +18,11 @@ so a fixed-round unrolled DuckDB mirror is bit-identical):
   round r   reverse edges capped at k per node by (cos DESC, id ASC)
             (the paper's ρ-sampling, deterministic); local join =
             neighbors-of-neighbors over the capped undirected lists;
-            candidates DEDUPLICATED then ANTI-JOINED against
-            already-scored edges so each pair is scored exactly once
-            (the paper's incremental-search optimization); new graph =
-            top-k over old edges ∪ newly scored candidates
+            candidates DEDUPLICATED then ANTI-JOINED against the
+            current graph's edges (a pair scored-and-dropped in an
+            earlier round may be regenerated — the bounded-k re-scored
+            dots cost less than carrying a growing seen-set); new graph
+            = top-k over old edges ∪ newly scored candidates
   ranking   round-9 cosine, vid ASC tiebreak throughout
 
 Scale: per round ≤ n·(2k)² scored pairs — linear in corpus size with a

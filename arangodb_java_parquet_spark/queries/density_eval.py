@@ -133,7 +133,7 @@ def emb_lof_outliers(spark, sf_dir):
          .withColumnRenamed("nrm", "nrm_b").alias("c"))
     dist = F.lit(1.0) - F.round(
         dot(F.col("a.embedding"), F.col("c.emb_b"))
-        / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+        / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"), F.lit(0.0)), 9)
     pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                     & (F.col("a.vec_id") != F.col("nid")))
              .select(F.col("a.vec_id").alias("vid"), "nid",

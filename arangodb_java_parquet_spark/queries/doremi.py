@@ -132,13 +132,12 @@ FROM w{_ROUNDS} f {joins}
 """
 
 
-@query("mixture_doremi_fit", _doremi_final_sql())
-def mixture_doremi_fit(spark, sf_dir):
-    """Fixed-round DoReMi EG fit: per source the natural share, clipped
-    unigram-NLL excess vs the corpus reference, the round-5 weight, and
-    the paper's round-averaged weight ᾱ. See module docstring for the
-    full contract."""
-    d = t(spark, sf_dir, "documents")
+def _corpus_lm(d):
+    """Shared corpus-unigram-LM head-vocab build (one source of truth for
+    both entries in this module — review r15; the same contract as
+    operators/curation.py:unigram_logprob's bounded-broadcast model):
+    returns (toks, lp, fl) = the (doc_id, tok) explode, the round-9
+    head-vocab logp table (cnt >= _MIN_CNT), and the 1-row OOV floor."""
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vtot = vocab.agg(F.sum("cnt").alias("total"))
@@ -150,6 +149,17 @@ def mixture_doremi_fit(spark, sf_dir):
     fl = vtot.select(F.round(F.log(F.lit(1.0)
                                    / F.col("total").cast("double")), 9)
                      .alias("floor_logp"))
+    return toks, lp, fl
+
+
+@query("mixture_doremi_fit", _doremi_final_sql())
+def mixture_doremi_fit(spark, sf_dir):
+    """Fixed-round DoReMi EG fit: per source the natural share, clipped
+    unigram-NLL excess vs the corpus reference, the round-5 weight, and
+    the paper's round-averaged weight ᾱ. See module docstring for the
+    full contract."""
+    d = t(spark, sf_dir, "documents")
+    toks, lp, fl = _corpus_lm(d)
     stok = (toks.join(d.select("doc_id", "source"), "doc_id")
             .join(F.broadcast(lp), "tok", "left")
             .crossJoin(F.broadcast(fl))
@@ -269,7 +279,9 @@ ranked AS (
   SELECT doc_id, lang, n_tokens,
          round(train_nll, 9) AS train_nll,
          round(holdout_nll, 9) AS holdout_nll,
-         round(train_nll - holdout_nll, 9) AS rho_loss,
+         -- + 0.0 fence: the difference can round to ZERO FROM BELOW
+         -- (-1e-12 -> -0.0 on one engine, 0.0 on the other; CLAUDE.md)
+         round(train_nll - holdout_nll, 9) + 0.0 AS rho_loss,
          ROW_NUMBER() OVER (ORDER BY round(train_nll - holdout_nll, 9)
                               DESC, doc_id ASC) AS rn
   FROM scored
@@ -292,19 +304,9 @@ def select_rho_loss(spark, sf_dir):
     broadcast head vocabularies; the top-N is a TakeOrdered, never a
     global sort."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks, lp, fl = _corpus_lm(d)
     ltoks = materialize(
         toks.join(d.select("doc_id", "lang"), "doc_id"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    vtot = vocab.agg(F.sum("cnt").alias("total"))
-    lp = (vocab.crossJoin(F.broadcast(vtot))
-          .filter(F.col("cnt") >= _MIN_CNT)
-          .select("tok", F.round(F.log(F.col("cnt").cast("double")
-                                       / F.col("total").cast("double")), 9)
-                  .alias("logp")))
-    fl = vtot.select(F.round(F.log(F.lit(1.0)
-                                   / F.col("total").cast("double")), 9)
-                     .alias("floor_logp"))
     lvocab = ltoks.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).alias("cnt"))
     lvtot = lvocab.groupBy("lang").agg(F.sum("cnt").alias("total"))
@@ -332,11 +334,19 @@ def select_rho_loss(spark, sf_dir):
                             .cast("decimal(20,9)")).cast("double")
                       / F.count(F.lit(1)))).alias("holdout_nll_raw")))
     rho = F.round(F.col("train_nll_raw") - F.col("holdout_nll_raw"), 9)
-    w = W.orderBy(rho.desc(), F.asc("doc_id"))
-    return (scored
-            .select("doc_id", "lang", "n_tokens",
-                    F.round("train_nll_raw", 9).alias("train_nll"),
-                    F.round("holdout_nll_raw", 9).alias("holdout_nll"),
-                    rho.alias("rho_loss"),
-                    F.row_number().over(w).cast("bigint").alias("rn"))
-            .filter(F.col("rn") <= _RHO_TOPN))
+    # top-N via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps); a global un-partitioned row_number window would funnel
+    # every per-doc row through ONE task (review r15). rn is then a
+    # window over the 50 surviving rows only. + 0.0 fences the -0.0
+    # round-from-below case (CLAUDE.md), mirrored in the oracle.
+    top = (scored
+           .select("doc_id", "lang", "n_tokens",
+                   F.round("train_nll_raw", 9).alias("train_nll"),
+                   F.round("holdout_nll_raw", 9).alias("holdout_nll"),
+                   (rho + F.lit(0.0)).alias("rho_loss"),
+                   rho.alias("__rho_key"))
+           .orderBy(F.desc("__rho_key"), F.asc("doc_id"))
+           .limit(_RHO_TOPN))
+    w = W.orderBy(F.desc("__rho_key"), F.asc("doc_id"))
+    return (top.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .drop("__rho_key"))

@@ -42,7 +42,10 @@ def _sql_cos(a: str, b: str) -> str:
     d = _DOT.format(a=a, b=b)
     na = f"sqrt({_DOT.format(a=a, b=a)})"
     nb = f"sqrt({_DOT.format(a=b, b=b)})"
-    return f"round(({d}) / (({na}) * ({nb})), 9)"
+    # NULLIF: a zero-norm vector must yield NULL on both engines (Spark
+    # ANSI aborts on /0 where DuckDB returns inf — the divergence class
+    # swept r15); values are unchanged whenever both norms are nonzero
+    return f"round(({d}) / NULLIF(({na}) * ({nb}), 0), 9)"
 
 
 _K = 10  # rank cutoff; 2520 = LCM(1..10) makes precision@r integer-exact

@@ -488,7 +488,7 @@ def emb_matryoshka_recall(spark, sf_dir):
 
     def cos(qv, cv, qn, cn):
         return F.round(dot(F.col(qv), F.col(cv))
-                       / (F.col(qn) * F.col(cn)), 9)
+                       / F.nullif(F.col(qn) * F.col(cn), F.lit(0.0)), 9)
 
     pairs = (c.crossJoin(F.broadcast(q))
              .filter(F.col("qid") != F.col("vid"))
@@ -1320,7 +1320,7 @@ def emb_alignment_uniformity(spark, sf_dir):
                  F.col("embedding").alias("vb"),
                  F.col("label").alias("lb"), F.col("nrm").alias("nb"))
     cos = F.round(dot(F.col("va"), F.col("vb"))
-                  / (F.col("na") * F.col("nb")), 9)
+                  / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 9)
     pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
              .select(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
                      .alias("pos"),

@@ -89,7 +89,8 @@ def _ranked(spark, sf_dir):
                       F.when(F.col("clab") == F.col("qlab"), 1)
                       .otherwise(0).alias("rel"),
                       F.round(dot(F.col("qvec"), F.col("cvec"))
-                              / (F.col("qnrm") * F.col("cnrm")), 9)
+                              / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                         F.lit(0.0)), 9)
                       .alias("cos_sim")))
     return scored.withColumn(
         "rn", F.row_number().over(
@@ -548,7 +549,8 @@ def eval_exposure_fairness(spark, sf_dir):
     ranked = (c.crossJoin(F.broadcast(q))
               .select("qid", "vid", "clab",
                       F.round(dot(F.col("qvec"), F.col("cvec"))
-                              / (F.col("qnrm") * F.col("cnrm")), 9)
+                              / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                         F.lit(0.0)), 9)
                       .alias("cos_sim"))
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("qid")

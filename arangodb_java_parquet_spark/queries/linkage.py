@@ -232,7 +232,10 @@ def _sql_cos(a: str, b: str) -> str:
     d = _DOT.format(a=a, b=b)
     na = f"sqrt({_DOT.format(a=a, b=a)})"
     nb = f"sqrt({_DOT.format(a=b, b=b)})"
-    return f"round(({d}) / (({na}) * ({nb})), 9)"
+    # NULLIF: a zero-norm vector must yield NULL on both engines (Spark
+    # ANSI aborts on /0 where DuckDB returns inf — the divergence class
+    # swept r15); values are unchanged whenever both norms are nonzero
+    return f"round(({d}) / NULLIF(({na}) * ({nb}), 0), 9)"
 
 
 _BITEXT_MIN_COS = 0.40
@@ -292,7 +295,8 @@ def bitext_mining_candidates(spark, sf_dir):
          .withColumnRenamed("embedding", "embedding_b")
          .withColumnRenamed("nrm", "nrm_b").alias("c"))
     cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
-                  / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+                  / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"),
+                             F.lit(0.0)), 9)
     pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                     & (F.col("a.lang") < F.col("c.lang_b")))
              .select(F.col("a.doc_id").alias("doc_a"),

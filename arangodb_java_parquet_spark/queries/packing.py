@@ -25,7 +25,8 @@ exact integer arithmetic, so the only doubles in the output are the
 fill-rate ratios of exact integers (plain division, IEEE-identical).
 DuckDB's list_reduce has no init argument, so the seed rides as a
 prepended sentinel element of matching LIST type (empty list for BFD,
-[0,1] for next-fit) — snapshot semantics are irrelevant here because
+[BUDGET, 0] for next-fit — the full seed forces the first item to open
+bin 1, so an oversized first document cannot seal a phantom empty bin) — snapshot semantics are irrelevant here because
 the accumulator is a plain list, not a struct (the in-place-mutation
 trap is struct-specific).
 
@@ -78,9 +79,12 @@ per AS (
                        list([CAST(nt AS BIGINT)]
                             ORDER BY nt DESC, doc_id ASC)),
            {_BFD_STEP}) AS bfd_loads,
-         -- next-fit: arrival (doc_id) order; seed [0 load, 1 bin]
+         -- next-fit: arrival (doc_id) order; seed [BUDGET load,
+         -- 0 bins] so the FIRST item always opens bin 1 — a [0,1] seed
+         -- sealed a phantom empty bin when the first doc was oversized
+         -- (review r15)
          list_reduce(
-           list_concat([[CAST(0 AS BIGINT), CAST(1 AS BIGINT)]],
+           list_concat([[CAST({_BUDGET} AS BIGINT), CAST(0 AS BIGINT)]],
                        list([nt, CAST(0 AS BIGINT)] ORDER BY doc_id)),
            {_NF_STEP}) AS nf_state
   FROM sized GROUP BY lang
@@ -133,9 +137,12 @@ def pack_bestfit_decreasing(spark, sf_dir):
                       array_max(filter(acc, y -> y + t <= {_BUDGET})))
                       AS INT)))
           END)""")
+    # seed [BUDGET, 0]: first item always opens bin 1 (review r15 —
+    # mirrors the oracle's seed; a [0,1] seed miscounted an oversized
+    # first doc as two bins)
     nf = F.expr(f"""
       aggregate(arr_items,
-                array(CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+                array(CAST({_BUDGET} AS BIGINT), CAST(0 AS BIGINT)),
         (acc, t) -> CASE
           WHEN acc[0] + t <= {_BUDGET} THEN array(acc[0] + t, acc[1])
           ELSE array(t, acc[1] + 1) END)""")

@@ -28,7 +28,10 @@ def _sql_cos(a: str, b: str) -> str:
     d = _DOT.format(a=a, b=b)
     na = f"sqrt({_DOT.format(a=a, b=a)})"
     nb = f"sqrt({_DOT.format(a=b, b=b)})"
-    return f"round(({d}) / (({na}) * ({nb})), 9)"
+    # NULLIF: a zero-norm vector must yield NULL on both engines (Spark
+    # ANSI aborts on /0 where DuckDB returns inf — the divergence class
+    # swept r15); values are unchanged whenever both norms are nonzero
+    return f"round(({d}) / NULLIF(({na}) * ({nb}), 0), 9)"
 
 
 @query("sim_topk_bruteforce", f"""
@@ -125,7 +128,8 @@ def emb_near_dup_pairs(spark, sf_dir):
          .withColumnRenamed("embedding", "embedding_b")
          .withColumnRenamed("nrm", "nrm_b").alias("c"))
     cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
-                  / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+                  / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"),
+                             F.lit(0.0)), 9)
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                    & (F.col("a.vec_id") < F.col("c.vec_id_b")))
             .select(F.col("a.vec_id").alias("vec_a"),
@@ -183,10 +187,10 @@ _L2 = ("sqrt(list_sum(list_transform(range(1, len(embedding)+1),"
 @query("emb_l2_normalize", f"""
 SELECT vec_id,
        round({_L2}, 9) AS l2_norm,
-       round(embedding[1]::DOUBLE / {_L2}, 9) AS u1,
-       round(embedding[2]::DOUBLE / {_L2}, 9) AS u2,
-       round(embedding[3]::DOUBLE / {_L2}, 9) AS u3,
-       round(embedding[4]::DOUBLE / {_L2}, 9) AS u4
+       round(embedding[1]::DOUBLE / NULLIF({_L2}, 0), 9) AS u1,
+       round(embedding[2]::DOUBLE / NULLIF({_L2}, 0), 9) AS u2,
+       round(embedding[3]::DOUBLE / NULLIF({_L2}, 0), 9) AS u3,
+       round(embedding[4]::DOUBLE / NULLIF({_L2}, 0), 9) AS u4
 FROM embeddings
 """)
 def emb_l2_normalize(spark, sf_dir):
@@ -197,7 +201,8 @@ def emb_l2_normalize(spark, sf_dir):
     full array column would defeat the driver's scalar canonicalizer)."""
     e = t(spark, sf_dir, "embeddings")
     nrm = norm(F.col("embedding"))
-    cols = [F.round(F.col("embedding").getItem(i).cast("double") / nrm, 9)
+    cols = [F.round(F.col("embedding").getItem(i).cast("double")
+                    / F.nullif(nrm, F.lit(0.0)), 9)
             .alias(f"u{i + 1}") for i in range(4)]
     return e.select("vec_id", F.round(nrm, 9).alias("l2_norm"), *cols)
 
@@ -272,7 +277,8 @@ def sim_topk_ivf_rulebased(spark, sf_dir):
              .filter(F.col("qid") != F.col("vec_id"))
              .select("qid", F.col("vec_id").alias("vid"),
                      F.round(dot(F.col("qvec"), F.col("embedding"))
-                             / (F.col("qnrm") * F.col("cnrm")), 9)
+                             / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (pairs.withColumn("rn", F.row_number().over(wr))
@@ -571,7 +577,8 @@ def decontaminate_semantic(spark, sf_dir):
     pairs = (corpus.crossJoin(F.broadcast(q))
              .select("vec_id",
                      F.round(dot(F.col("qvec"), F.col("embedding"))
-                             / (F.col("qnrm") * F.col("cnrm")), 9)
+                             / F.nullif(F.col("qnrm") * F.col("cnrm"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     return (pairs.groupBy("vec_id")
             .agg(F.max("cos_sim").alias("max_cos"),
@@ -810,7 +817,8 @@ def emb_cosine_calibration(spark, sf_dir):
     pairs = (b.join(a2, (F.col("bucket") == F.col("bucket_b"))
                     & (F.col("vec_id") < F.col("vid_b")))
              .select(F.round(dot(F.col("embedding"), F.col("emb_b"))
-                             / (F.col("nrm") * F.col("nrm_b")), 9)
+                             / F.nullif(F.col("nrm") * F.col("nrm_b"),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     return (pairs.groupBy(F.floor(F.col("cos_sim") * 10).cast("int")
                           .alias("cos_decile"))
@@ -1467,8 +1475,9 @@ def sim_topk_pq_rerank(spark, sf_dir):
     rerank = (shortlist.join(F.broadcast(qv), "qid").join(cv, "vid")
               .select("qid", "vid",
                       F.round(dot(F.col("qvec"), F.col("cvec"))
-                              / (norm(F.col("qvec"))
-                                 * norm(F.col("cvec"))), 9)
+                              / F.nullif(norm(F.col("qvec"))
+                                         * norm(F.col("cvec")),
+                                         F.lit(0.0)), 9)
                       .alias("cos_sim")))
     return (rerank.withColumn("rn", F.row_number().over(
                 Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
@@ -1510,8 +1519,9 @@ def emb_hard_negatives(spark, sf_dir):
              .select("qid", F.col("vec_id").alias("vid"),
                      F.col("label").alias("vlab"),
                      F.round(dot(F.col("qvec"), F.col("embedding"))
-                             / (norm(F.col("qvec"))
-                                * norm(F.col("embedding"))), 9)
+                             / F.nullif(norm(F.col("qvec"))
+                                        * norm(F.col("embedding")),
+                                        F.lit(0.0)), 9)
                      .alias("cos_sim")))
     return (pairs.withColumn("rn", F.row_number().over(
                 Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")))
@@ -1664,7 +1674,8 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     rel = (corpus.crossJoin(F.broadcast(q))
            .select(F.col("vec_id").alias("vid"), "embedding", "nrm",
                    F.round(dot(F.col("embedding"), F.col("qv"))
-                           / (F.col("nrm") * F.col("qn")), 9).alias("rel")))
+                           / F.nullif(F.col("nrm") * F.col("qn"),
+                                      F.lit(0.0)), 9).alias("rel")))
     # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
     # no single-partition shuffle of the corpus — an unpartitioned
     # row_number Window would funnel every embedding row through one task)
@@ -1684,7 +1695,8 @@ def sim_mmr_diversified_topk(spark, sf_dir):
     ps = (sa.join(sb, F.col("va") != F.col("vb"))
           .select("va", "vb",
                   F.round(dot(F.col("ea"), F.col("eb"))
-                          / (F.col("na") * F.col("nb")), 9).alias("sim"))
+                          / F.nullif(F.col("na") * F.col("nb"),
+                                     F.lit(0.0)), 9).alias("sim"))
           .transform(materialize))  # 90 rows, 3 consumers
     lam = F.lit(7.0) / F.lit(10.0)
     om = F.lit(3.0) / F.lit(10.0)
@@ -1809,7 +1821,7 @@ def emb_knn_outlier_score(spark, sf_dir):
          .withColumnRenamed("nrm", "nrm_b").alias("c"))
     dist = F.lit(1.0) - F.round(
         dot(F.col("a.embedding"), F.col("c.emb_b"))
-        / (F.col("a.nrm") * F.col("c.nrm_b")), 9)
+        / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"), F.lit(0.0)), 9)
     pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                     & (F.col("a.vec_id") != F.col("nid")))
              .select(F.col("a.vec_id").alias("vid"), "nid",

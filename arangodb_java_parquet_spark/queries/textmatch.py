@@ -1157,7 +1157,9 @@ dots AS (
 ),
 cos AS (
   SELECT d.qid, d.vid,
-         ROUND(d.dot / (nq.nrm * nv.nrm), 9) AS cos_sim
+         -- NULLIF: zero TF-IDF norm (every token zero-IDF) must yield
+         -- NULL on both engines, never a Spark ANSI abort vs DuckDB inf
+         ROUND(d.dot / NULLIF(nq.nrm * nv.nrm, 0), 9) AS cos_sim
   FROM dots d
   JOIN nrm nq ON nq.doc_id = d.qid
   JOIN nrm nv ON nv.doc_id = d.vid
@@ -1220,8 +1222,9 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
         "nrm", "nrm_v")
     cos = (dots.join(nq, "qid").join(nv, "vid")
            .select("qid", "vid",
-                   F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_v")),
-                           9).alias("cos_sim")))
+                   F.round(F.col("dot")
+                           / F.nullif(F.col("nrm_q") * F.col("nrm_v"),
+                                      F.lit(0.0)), 9).alias("cos_sim")))
     win = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "vid")
     return (cos.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") <= _TFC_TOPK))

@@ -265,8 +265,9 @@ def test_bfd_packing_matches_python_recompute(spark):
     want = {}
     for lang, docs in shards.items():
         total = sum(nt for _d, nt in docs)
-        # next-fit, arrival order
-        load, nf_bins = 0, 1
+        # next-fit, arrival order; seed (BUDGET, 0) so the first item
+        # always opens bin 1 (the engines' seed — review r15)
+        load, nf_bins = _BUDGET, 0
         for _d, nt in sorted(docs):
             if load + nt <= _BUDGET:
                 load += nt
@@ -336,8 +337,10 @@ def test_rho_loss_matches_python_recompute(spark):
             for tok in toks), Decimal(0))
         tn = -(float(st) / len(toks))
         hn = -(float(sh) / len(toks))
+        # + 0.0 mirrors the engines' -0.0 fence on rho_loss
         scored.append((r["doc_id"], r["lang"], len(toks),
-                       round(tn, 9), round(hn, 9), round(tn - hn, 9)))
+                       round(tn, 9), round(hn, 9),
+                       round(tn - hn, 9) + 0.0))
     scored.sort(key=lambda x: (-x[5], x[0]))
     want = {(row[0]): (row[1], row[2], row[3], row[4], row[5], i + 1)
             for i, row in enumerate(scored[:_RHO_TOPN])}
