@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_iter)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 _ETA_NUM, _ETA_DEN = 2, 1   # EG step size η = 2
@@ -188,12 +189,19 @@ def mixture_doremi_fit(spark, sf_dir):
                     F.round(F.exp(eta * excess), 9).alias("boost"),
                     "k",
                     (F.col("n") / F.col("tn")).alias("w0")))
-    cur = base
+    cur = materialize(base)
     prev_col = "w0"
     weight_cols = []
     for r in range(1, _ROUNDS + 1):
-        b = cur.withColumn(
-            "b", F.round(F.col(prev_col) * F.col("boost"), 9))
+        # materialize the K-row b table per round: it feeds BOTH the
+        # normalizer aggregate and the next-round projection, and
+        # without the truncation the 5-round chain re-expands the
+        # whole upstream tree once per reference (plan report showed
+        # 159 exchanges / 96 checkpoint readbacks of 20-row data —
+        # review r15). Values unchanged; each round's plan is now a
+        # constant-size block over the previous round's scan.
+        b = materialize_iter(cur.withColumn(
+            "b", F.round(F.col(prev_col) * F.col("boost"), 9)))
         z = b.agg(F.sum(F.col("b").cast("decimal(20,9)")).cast("double")
                   .alias("z"))
         cur = (b.crossJoin(F.broadcast(z))
