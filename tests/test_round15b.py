@@ -1,0 +1,104 @@
+"""Round-15 continuation pins (SQ8 scalar quantization + later wave).
+
+Each entry gets an INDEPENDENT plain-python recompute (the r13
+Dickey-Fuller lesson: both engines can share the same wrong formula; a
+third implementation can't) plus the family-level contract property —
+for SQ8, recall@5 of the quantized ranking against the exact
+squared-L2 ranking.
+"""
+
+import pytest
+
+from arangodb_java_parquet_spark.queries.common import QUERIES, t
+
+SF = "/root/testdata/sf0.001"
+
+_NBINS = 256
+_DIMS = 64
+
+
+def _load_vectors(spark):
+    rows = (t(spark, SF, "embeddings")
+            .select("vec_id", "embedding").collect())
+    return {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in rows}
+
+
+def _python_sq8(vecs):
+    """Range fit + codes + midpoint reconstruction, pure python doubles
+    (same correctly-rounded double ops as both engines)."""
+    ids = sorted(vecs)
+    mns = [min(vecs[v][i] for v in ids) for i in range(_DIMS)]
+    mxs = [max(vecs[v][i] for v in ids) for i in range(_DIMS)]
+    codes, recon = {}, {}
+    for v in ids:
+        cs, rs = [], []
+        for i in range(_DIMS):
+            mn, mx = mns[i], mxs[i]
+            if mx == mn:
+                c = 0
+            else:
+                import math
+                c = min(_NBINS - 1,
+                        int(math.floor(((vecs[v][i] - mn) / (mx - mn))
+                                       * _NBINS)))
+            cs.append(c)
+            rs.append(mn + (((c + 0.5) * (mx - mn)) / _NBINS))
+        codes[v] = cs
+        recon[v] = rs
+    return codes, recon
+
+
+def _l2_9(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return round(acc, 9)
+
+
+def test_sq8_encode_matches_python_recompute(spark):
+    vecs = _load_vectors(spark)
+    codes, _ = _python_sq8(vecs)
+    got = {r["vec_id"]: r["sq_code"]
+           for r in QUERIES["sim_sq8_encode"](spark, SF).collect()}
+    assert set(got) == set(codes)
+    for v, cs in codes.items():
+        assert got[v] == "-".join(str(c) for c in cs), v
+
+
+def test_sq8_topk_matches_python_recompute(spark):
+    vecs = _load_vectors(spark)
+    _, recon = _python_sq8(vecs)
+    qids = [v for v in vecs if v < 5]
+    expect = {}
+    for q in qids:
+        scored = sorted(
+            ((_l2_9(vecs[q], recon[v]), v) for v in vecs if v != q))
+        expect[q] = [(v, d, rn + 1)
+                     for rn, (d, v) in enumerate(scored[:5])]
+    rows = QUERIES["sim_topk_sq8"](spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["qid"], []).append(
+            (r["vid"], r["sq_dist"], r["rn"]))
+    for q in got:
+        got[q].sort(key=lambda p: p[2])
+    assert got == expect
+
+
+def test_sq8_recall_vs_exact_l2(spark):
+    """Family contract: SQ8 (256 bins over the observed range) is a
+    near-lossless quantizer — the quantized top-5 must recover almost
+    all of the exact squared-L2 top-5."""
+    vecs = _load_vectors(spark)
+    _, recon = _python_sq8(vecs)
+    qids = [v for v in vecs if v < 5]
+    hits = total = 0
+    for q in qids:
+        exact = {v for _, v in sorted(
+            ((_l2_9(vecs[q], vecs[v]), v) for v in vecs if v != q))[:5]}
+        quant = {v for _, v in sorted(
+            ((_l2_9(vecs[q], recon[v]), v) for v in vecs if v != q))[:5]}
+        hits += len(exact & quant)
+        total += 5
+    assert hits / total >= 0.9, f"SQ8 recall@5 {hits}/{total}"
