@@ -86,6 +86,46 @@ def test_sq8_topk_matches_python_recompute(spark):
     assert got == expect
 
 
+def _python_lz78_phrases(tokens):
+    """Classic LZ78 incremental parse: number of emitted phrases plus
+    the trailing partial phrase."""
+    dic = set()
+    w = ()
+    n = 0
+    for c in tokens:
+        cand = w + (c,)
+        if cand in dic:
+            w = cand
+        else:
+            dic.add(cand)
+            n += 1
+            w = ()
+    return n + (1 if w else 0)
+
+
+def test_lz78_matches_python_recompute(spark):
+    docs = (t(spark, SF, "documents")
+            .select("source", "text").collect())
+    import math
+    agg = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        p = _python_lz78_phrases(toks)
+        a = agg.setdefault(r["source"], [0, 0, 0, 0.0])
+        a[0] += 1
+        a[1] += p
+        a[2] += len(toks)
+        a[3] = round(a[3] + round(math.log(p / len(toks)), 9), 9)
+    rows = QUERIES["quality_lz78_compression"](spark, SF).collect()
+    assert {r["source"] for r in rows} == set(agg)
+    for r in rows:
+        n, sp, st, slog = agg[r["source"]]
+        assert (r["n_docs"], r["sum_phrases"], r["sum_tokens"]) == \
+            (n, sp, st), r["source"]
+        assert r["phrase_rate"] == sp / st
+        assert abs(r["avg_log_ratio"] - slog / n) < 1e-12, r["source"]
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
