@@ -126,6 +126,52 @@ def test_lz78_matches_python_recompute(spark):
         assert abs(r["avg_log_ratio"] - slog / n) < 1e-12, r["source"]
 
 
+def _python_journeys(spark):
+    """Per converting user: the set of distinct non-purchase channels
+    touched strictly before the first purchase."""
+    rows = (t(spark, SF, "events")
+            .select("user_id", "ts", "event_id", "event_type").collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"]))
+    journeys = []
+    for u, evs in by_user.items():
+        evs.sort()
+        fp = next(((ts, eid) for ts, eid, et in evs
+                   if et == "purchase"), None)
+        if fp is None:
+            continue
+        touched = {et for ts, eid, et in evs
+                   if et != "purchase" and (ts, eid) < fp}
+        if touched:
+            journeys.append(frozenset(touched))
+    return journeys
+
+
+def test_shapley_matches_closed_form(spark):
+    """The engine computes the FULL coalition enumeration; for the
+    additive v(S) = #journeys with set ⊆ S, the Shapley value equals
+    the independent closed form sum_{R ∋ i} C(R)/|R| — plus the
+    efficiency axiom sum_i phi_i = #nonempty converting journeys."""
+    journeys = _python_journeys(spark)
+    channels = sorted({c for j in journeys for c in j})
+    phi = {c: 0.0 for c in channels}
+    touched = {c: 0 for c in channels}
+    for j in journeys:
+        for c in j:
+            phi[c] += 1.0 / len(j)
+            touched[c] += 1
+    rows = QUERIES["attribution_shapley"](spark, SF).collect()
+    assert sorted(r["channel"] for r in rows) == channels
+    for r in rows:
+        assert r["n_journeys"] == touched[r["channel"]], r["channel"]
+        assert abs(r["shapley_phi"] - phi[r["channel"]]) < 1e-9, \
+            r["channel"]
+    assert abs(sum(r["shapley_phi"] for r in rows)
+               - len(journeys)) < 1e-9
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
