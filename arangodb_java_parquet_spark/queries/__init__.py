@@ -72,6 +72,7 @@ from arangodb_java_parquet_spark.queries import fitting  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import ann_sq  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import compress  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import shapley  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import hmm  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver panel: the verification driver checks exactly the FIRST 50 entries

@@ -172,6 +172,49 @@ def test_shapley_matches_closed_form(spark):
                - len(journeys)) < 1e-9
 
 
+def test_viterbi_matches_python_recompute(spark):
+    """Independent Viterbi DP in plain python: same round-9 log
+    constants, same lower-median binarization, same tie-break; paths
+    and log-likelihoods must match row-for-row."""
+    import math
+    rnd = lambda p, q: round(math.log(p / q), 9)
+    pi = (rnd(1, 2), rnd(1, 2))
+    A = ((rnd(4, 5), rnd(1, 5)), (rnd(2, 5), rnd(3, 5)))
+    Bh = (rnd(7, 10), rnd(2, 10))
+    Bl = (rnd(3, 10), rnd(8, 10))
+    rows = (t(spark, SF, "events").filter("user_id < 200")
+            .select("user_id", "ts", "event_id", "value").collect())
+    seq = sorted((r["value"], r["event_id"]) for r in rows)
+    med = seq[(len(seq) + 1) // 2 - 1][0]
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], 1.0 if r["value"] > med else 0.0))
+    expect = {}
+    for u, evs in by_user.items():
+        os_ = [o for _, _, o in sorted(evs)]
+        e = lambda j, o: (o * Bh[j] + (1 - o) * Bl[j])
+        d = [pi[0] + e(0, os_[0]), pi[1] + e(1, os_[0])]
+        bps = []
+        for o in os_[1:]:
+            c = [[d[i] + A[i][j] for i in range(2)] for j in range(2)]
+            bps.append([0 if c[j][0] >= c[j][1] else 1
+                        for j in range(2)])
+            d = [max(c[j]) + e(j, o) for j in range(2)]
+        s = 0 if d[0] >= d[1] else 1
+        path = [s]
+        for bp in reversed(bps):
+            s = bp[s]
+            path.append(s)
+        expect[u] = ("".join(str(x) for x in reversed(path)), max(d))
+    got = {r["user_id"]: (r["state_path"], r["loglik"])
+           for r in QUERIES["hmm_viterbi_decode"](spark, SF).collect()}
+    assert set(got) == set(expect)
+    for u in got:
+        assert got[u][0] == expect[u][0], u
+        assert abs(got[u][1] - expect[u][1]) < 1e-12, u
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
