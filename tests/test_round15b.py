@@ -215,6 +215,53 @@ def test_viterbi_matches_python_recompute(spark):
         assert abs(got[u][1] - expect[u][1]) < 1e-12, u
 
 
+def test_temperature_scaling_matches_python_recompute(spark):
+    """Independent Newton trajectory in plain python: same median
+    selection, round-9 logits, round-9 sigmoid, decimal-exact sums
+    (emulated with integer nano-units); NLL must be non-increasing."""
+    import math
+    rows = (t(spark, SF, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .collect())
+    seq = sorted((r["o_totalprice"], r["o_orderkey"]) for r in rows)
+    med = seq[(len(seq) + 1) // 2 - 1][0]
+    data = [(1 if r["o_orderstatus"] == "F" else 0,
+             round(math.log(r["o_totalprice"] / med), 9))
+            for r in rows]
+
+    def nano_sum(vals):  # exact decimal(…,9) sum
+        return sum(int(round(v * 1e9)) for v in vals) / 1e9
+
+    def nll(s):
+        return nano_sum(
+            round(math.log(1 + round(math.exp(s * z), 9))
+                  - y * (s * z), 9) for y, z in data)
+
+    s = 1.0
+    traj = [(0, s, 1 / s, nll(s))]
+    for r in range(1, 5):
+        g = nano_sum(
+            round(z * (round(1 / (1 + math.exp(-(s * z))), 9) - y), 9)
+            for y, z in data)
+        h = nano_sum(
+            round((z * z) * (round(1 / (1 + math.exp(-(s * z))), 9)
+                             * (1 - round(1 / (1 + math.exp(-(s * z))),
+                                          9))), 9)
+            for y, z in data)
+        s = s - g / h
+        traj.append((r, s, 1 / s, nll(s)))
+    got = [(r["rnd"], r["scale_s"], r["temperature"], r["nll"])
+           for r in QUERIES["eval_temperature_scaling"](
+               spark, SF).collect()]
+    assert len(got) == 5
+    for (er, es, et, en), (gr, gs, gt, gn) in zip(traj, got):
+        assert er == gr
+        assert abs(es - gs) < 1e-9 and abs(et - gt) < 1e-9, er
+        assert abs(en - gn) < 1e-6, er
+    nlls = [r[3] for r in got]
+    assert all(nlls[i + 1] <= nlls[i] + 1e-9 for i in range(4)), nlls
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
