@@ -262,6 +262,58 @@ def test_temperature_scaling_matches_python_recompute(spark):
     assert all(nlls[i + 1] <= nlls[i] + 1e-9 for i in range(4)), nlls
 
 
+def test_sinkhorn_matches_python_recompute(spark):
+    """Independent Sinkhorn in plain python: same binning, same
+    round-9 Gibbs kernel, same left-to-right folds, 25 rounds; cost
+    and column-marginal error must match to the last ulps, cost must
+    be nonnegative and marginal error tiny after 25 rounds."""
+    import math
+    B, R = 8, 25
+    docs = (t(spark, SF, "documents")
+            .select("source", "n_chars").collect())
+    cnt = {}
+    for r in docs:
+        b = min(B - 1, r["n_chars"] // 32)
+        cnt[(r["source"], b)] = cnt.get((r["source"], b), 0) + 1
+    sources = sorted({s for s, _ in cnt})
+    nall = len(docs)
+    a = [sum(cnt.get((s, j), 0) for s in sources) / nall
+         for j in range(B)]
+    K = [round(math.exp(-1.0 * abs(i - j)), 9)
+         for i in range(B) for j in range(B)]
+
+    def lsum(vals):
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return acc
+
+    got = {r["source"]: r for r in QUERIES["ot_sinkhorn_distance"](
+        spark, SF).collect()}
+    assert sorted(got) == sources
+    for s in sources:
+        n = sum(cnt.get((s, j), 0) for j in range(B))
+        b_ = [cnt.get((s, j), 0) / n for j in range(B)]
+        u, v = [1.0] * B, [1.0] * B
+        for _ in range(R):
+            vn = [b_[j] / lsum(K[i * B + j] * u[i] for i in range(B))
+                  for j in range(B)]
+            un = [a[i] / lsum(K[i * B + j] * vn[j] for j in range(B))
+                  for i in range(B)]
+            u, v = un, vn
+        cost = lsum(u[(x - 1) // B] * K[x - 1] * v[(x - 1) % B]
+                    * float(abs((x - 1) // B - (x - 1) % B))
+                    for x in range(1, B * B + 1))
+        merr = lsum(abs(v[j] * lsum(K[i * B + j] * u[i]
+                                    for i in range(B)) - b_[j])
+                    for j in range(B))
+        r = got[s]
+        assert r["n_docs"] == n, s
+        assert abs(r["ot_cost"] - cost) < 1e-12, s
+        assert abs(r["col_marg_err"] - merr) < 1e-12, s
+        assert r["ot_cost"] >= 0 and r["col_marg_err"] < 0.01, s
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
