@@ -314,6 +314,62 @@ def test_sinkhorn_matches_python_recompute(spark):
         assert r["ot_cost"] >= 0 and r["col_marg_err"] < 0.01, s
 
 
+def test_ucb1_replay_matches_python_recompute(spark):
+    """Independent UCB1 replay in plain python: same arm indexing,
+    same lower-median rewards, same unplayed-first / lowest-index-
+    argmax policy; per-user matched counts, pulls, rewards and CTR
+    must match row-for-row. (This pin is what caught the DuckDB 1.0
+    list_reduce `ELSE acc` corruption — see queries/bandit.py.)"""
+    import math
+    rows = (t(spark, SF, "events").filter("user_id < 150")
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .collect())
+    seq = sorted((r["value"], r["event_id"]) for r in rows)
+    med = seq[(len(seq) + 1) // 2 - 1][0]
+    arms = sorted({r["event_type"] for r in rows})
+    ai = {a: i + 1 for i, a in enumerate(arms)}
+    k = len(arms)
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], ai[r["event_type"]],
+             1.0 if r["value"] > med else 0.0))
+    expect = {}
+    for u, evs in by_user.items():
+        st = [(a, rw) for _, _, a, rw in sorted(evs)]
+        matched, trew = 0, 0.0
+        n, s = [0.0] * k, [0.0] * k
+        for a, rw in st:
+            mzv = min([z + 1 for z in range(k) if n[z] == 0] or [99])
+            if mzv < 90:
+                chosen = mzv
+            else:
+                sl = [s[z] / n[z]
+                      + math.sqrt(2 * round(math.log(matched + 1), 9)
+                                  / n[z]) for z in range(k)]
+                mx = max(sl)
+                chosen = min(z + 1 for z in range(k) if sl[z] == mx)
+            if chosen == a:
+                matched += 1
+                trew += rw
+                n[a - 1] += 1
+                s[a - 1] += rw
+        expect[u] = (len(st), matched, int(trew),
+                     "-".join(str(int(x)) for x in n),
+                     trew / matched if matched else None)
+    got = {r["user_id"]: (r["n_events"], r["n_matched"],
+                          r["total_reward"], r["arm_pulls"],
+                          r["replay_ctr"])
+           for r in QUERIES["bandit_ucb1_replay"](spark, SF).collect()}
+    assert set(got) == set(expect)
+    for u in got:
+        assert got[u][:4] == expect[u][:4], u
+        if expect[u][4] is None:
+            assert got[u][4] is None, u
+        else:
+            assert abs(got[u][4] - expect[u][4]) < 1e-12, u
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
