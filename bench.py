@@ -348,6 +348,13 @@ BENCH_QUERIES = [
     # whole-document bin packing
     "ann_nndescent_graph", "ann_nndescent_recall",
     "mixture_doremi_fit", "pack_bestfit_decreasing", "select_rho_loss",
+    # round 15 continuation: SQ8 quantization, LZ78 quality signal,
+    # Shapley attribution, HMM Viterbi, temperature scaling, Sinkhorn
+    # OT, UCB1 replay
+    "sim_sq8_encode", "sim_topk_sq8", "quality_lz78_compression",
+    "attribution_shapley", "hmm_viterbi_decode",
+    "eval_temperature_scaling", "ot_sinkhorn_distance",
+    "bandit_ucb1_replay",
 ]
 
 

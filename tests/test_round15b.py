@@ -370,6 +370,68 @@ def test_ucb1_replay_matches_python_recompute(spark):
             assert abs(got[u][4] - expect[u][4]) < 1e-12, u
 
 
+def _python_jw(s, t):
+    """Canonical Jaro-Winkler (unconditional prefix bonus, p=0.1)."""
+    ls, lt = len(s), len(t)
+    w = max(max(ls, lt) // 2 - 1, 0)
+    used = [False] * lt
+    ms = []
+    for i in range(ls):
+        lo, hi = max(0, i - w), min(lt - 1, i + w)
+        for j in range(lo, hi + 1):
+            if not used[j] and t[j] == s[i]:
+                used[j] = True
+                ms.append(s[i])
+                break
+    mt = [t[j] for j in range(lt) if used[j]]
+    m = len(ms)
+    if m == 0:
+        return 0.0, 0, 0, 0
+    tr = sum(1 for a, b in zip(ms, mt) if a != b)
+    jaro = (m / ls + m / lt + (m - tr / 2.0) / m) / 3
+    pl = 0
+    for a, b in zip(s[:4], t[:4]):
+        if a != b:
+            break
+        pl += 1
+    return jaro + pl * 0.1 * (1 - jaro), m, tr, pl
+
+
+def test_jaro_winkler_matches_python_recompute(spark):
+    parts = (t(spark, SF, "part")
+             .select("p_partkey", "p_name", "p_brand", "p_size")
+             .collect())
+    blocks = {}
+    for r in parts:
+        blocks.setdefault((r["p_brand"], r["p_size"]), []).append(
+            (r["p_partkey"], r["p_name"]))
+    scored = []
+    for _, rows in blocks.items():
+        rows.sort()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                k1, s = rows[i]
+                k2, tt = rows[j]
+                jw, m, tr, pl = _python_jw(s, tt)
+                scored.append((-jw, k1, k2, s, tt, m, tr, pl))
+    scored.sort()
+    expect = [(k1, k2, s, tt, m, tr, pl, -njw, rn + 1)
+              for rn, (njw, k1, k2, s, tt, m, tr, pl)
+              in enumerate(scored[:25])]
+    got = sorted(
+        ((r["k1"], r["k2"], r["name1"], r["name2"], r["m"], r["tr"],
+          r["prefix_len"], r["jw"], r["rn"])
+         for r in QUERIES["dedup_jaro_winkler"](spark, SF).collect()),
+        key=lambda x: x[8])
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        assert g[:7] == e[:7], (g, e)
+        assert abs(g[7] - e[7]) < 1e-12
+    # sanity: output is ranked by descending JW
+    jws = [g[7] for g in got]
+    assert jws == sorted(jws, reverse=True)
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
