@@ -432,6 +432,47 @@ def test_jaro_winkler_matches_python_recompute(spark):
     assert jws == sorted(jws, reverse=True)
 
 
+def test_did_matches_python_recompute(spark):
+    """Independent DiD in plain python: same treatment rule, same
+    rank-selected cutoff, exact integer moments; estimate, SE and
+    t-ratio must match; the DiD identity (difference of cell-mean
+    differences) must hold exactly."""
+    import math
+    orders = (t(spark, SF, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice").collect())
+    cust = {r["c_custkey"]: r["c_nationkey"]
+            for r in t(spark, SF, "customer").collect()}
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in t(spark, SF, "nation").collect()}
+    base = [(r["o_orderkey"], r["o_orderdate"],
+             int(math.floor(r["o_totalprice"])),
+             1 if nat[cust[r["o_custkey"]]] % 2 == 0 else 0)
+            for r in orders]
+    seq = sorted((d, k) for k, d, _, _ in base)
+    cutoff = seq[(len(seq) + 1) // 2 - 1][0]
+    cells = {}
+    for k, d, y, tr in base:
+        g = ("t" if tr else "c") + ("1" if d > cutoff else "0")
+        n, s1, s2 = cells.get(g, (0, 0, 0))
+        cells[g] = (n + 1, s1 + y, s2 + y * y)
+    m, v = {}, {}
+    for g, (n, s1, s2) in cells.items():
+        m[g] = s1 / n
+        v[g] = (s2 - s1 / n * s1) / (n - 1) / n
+    did = (m["t1"] - m["t0"]) - (m["c1"] - m["c0"])
+    se = math.sqrt(v["t1"] + v["t0"] + v["c1"] + v["c0"])
+    r = QUERIES["causal_diff_in_diff"](spark, SF).collect()[0]
+    for g in ("t1", "t0", "c1", "c0"):
+        assert r[f"n_{g}"] == cells[g][0], g
+        assert abs(r[f"m_{g}"] - m[g]) < 1e-9, g
+    assert abs(r["did"] - did) < 1e-9
+    assert abs(r["se"] - se) < 1e-9
+    assert abs(r["t_stat"] - did / se) < 1e-9
+    assert abs(r["did"] - ((r["m_t1"] - r["m_t0"])
+                           - (r["m_c1"] - r["m_c0"]))) == 0.0
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
