@@ -473,6 +473,47 @@ def test_did_matches_python_recompute(spark):
                            - (r["m_c1"] - r["m_c0"]))) == 0.0
 
 
+def test_misra_gries_matches_python_recompute(spark):
+    """Independent MG(8) in plain python over the same per-source
+    doc-ordered streams; counters must match row-for-row, the
+    N/(k+1) undercount bound must hold, and every token with true
+    frequency > N/(k+1) must survive in the summary."""
+    K = 8
+    docs = (t(spark, SF, "documents")
+            .select("doc_id", "source", "text").collect())
+    streams = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        streams.setdefault(r["source"], []).extend(
+            r["text"].split(" "))
+    expect = {}
+    for src, stream in streams.items():
+        ctr = {}
+        for tok in stream:
+            if tok in ctr:
+                ctr[tok] += 1
+            elif len(ctr) < K:
+                ctr[tok] = 1
+            else:
+                ctr = {k: v - 1 for k, v in ctr.items() if v - 1 > 0}
+        exact = {}
+        for tok in stream:
+            exact[tok] = exact.get(tok, 0) + 1
+        n = len(stream)
+        for tok, cnt in ctr.items():
+            expect[(src, tok)] = (cnt, exact[tok], n, n / (K + 1))
+        # completeness: heavy tokens must survive
+        for tok, tc in exact.items():
+            if tc > n / (K + 1):
+                assert tok in ctr, (src, tok)
+    rows = QUERIES["sketch_misra_gries"](spark, SF).collect()
+    got = {(r["source"], r["token"]):
+           (r["mg_count"], r["true_count"], r["n_tokens"],
+            r["max_undercount"]) for r in rows}
+    assert got == expect
+    for (src, tok), (mg, tc, n, bound) in got.items():
+        assert 0 <= tc - mg <= bound, (src, tok)
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
