@@ -514,6 +514,86 @@ def test_misra_gries_matches_python_recompute(spark):
         assert 0 <= tc - mg <= bound, (src, tok)
 
 
+def test_competing_risks_matches_python_recompute(spark):
+    """Independent Aalen-Johansen in plain python (same censoring,
+    cause rule, round-9 ln/exp fences, nano-exact sums); plus the AJ
+    identity CIF1(t) + CIF2(t) + S(t) ≈ 1 at every day."""
+    import math
+    rows = (t(spark, SF, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect())
+    by_user = {}
+    tmax = max(r["ts"] for r in rows)
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"]))
+    US = 1_000_000
+    lifes = []
+    for u, evs in by_user.items():
+        evs.sort()
+        first, last = evs[0][0], evs[-1][0]
+        dur = (int(last.timestamp() * US)
+               - int(first.timestamp() * US)) // 86_400_000_000
+        cens = 1 if (int(last.timestamp() * US)
+                     >= int(tmax.timestamp() * US)
+                     - 2 * 3600 * US) else 0
+        cause = 1 if evs[-1][2] == "error" else 2
+        lifes.append((dur, cens, cause))
+    days = {}
+    for dur, cens, cause in lifes:
+        d1, d2, ended = days.get(dur, (0, 0, 0))
+        days[dur] = (d1 + (1 if cens == 0 and cause == 1 else 0),
+                     d2 + (1 if cens == 0 and cause == 2 else 0),
+                     ended + 1)
+    at_risk, cum = {}, 0
+    for day in sorted(days, reverse=True):
+        cum += days[day][2]
+        at_risk[day] = cum
+    lncum = 0  # nano-units
+    zero = False
+    c1 = c2 = 0  # nano-units
+    expect = {}
+    for day in sorted(days):
+        d1, d2, _ = days[day]
+        d = d1 + d2
+        if d == 0:
+            continue
+        n = at_risk[day]
+        sp = 0.0 if zero else round(math.exp(lncum / 1e9), 9)
+        i1 = round(sp * (d1 / n), 9)
+        i2 = round(sp * (d2 / n), 9)
+        c1 += int(round(i1 * 1e9))
+        c2 += int(round(i2 * 1e9))
+        expect[day] = (d1, d2, n, sp, c1 / 1e9, c2 / 1e9)
+        if d == n:
+            zero = True
+        else:
+            lncum += int(round(round(math.log(1.0 - d / n), 9) * 1e9))
+    got = {r["churn_day"]: (r["d_error"], r["d_other"],
+                            r["n_at_risk"], r["s_prev"],
+                            r["cif_error"], r["cif_other"])
+           for r in QUERIES["survival_competing_risks"](
+               spark, SF).collect()}
+    assert set(got) == set(expect)
+    for day in got:
+        g, e = got[day], expect[day]
+        assert g[:3] == e[:3], day
+        for gi, ei in zip(g[3:], e[3:]):
+            assert abs(gi - ei) < 1e-12, day
+    # AJ identity: cif1 + cif2 + S(t) == 1 (within round-9 slack)
+    last_day = max(got)
+    # recompute S(last) including the last day's factor
+    surv = 1.0
+    for day in sorted(days):
+        d1, d2, _ = days[day]
+        d = d1 + d2
+        if d == 0:
+            continue
+        surv *= (1.0 - d / at_risk[day])
+    g = got[last_day]
+    assert abs(g[4] + g[5] + surv - 1.0) < 1e-6
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
