@@ -594,6 +594,51 @@ def test_competing_risks_matches_python_recompute(spark):
     assert abs(g[4] + g[5] + surv - 1.0) < 1e-6
 
 
+def test_knn_shapley_matches_python_recompute(spark):
+    """Independent KNN-Shapley recurrence in plain python (backward
+    recurrence, not the suffix-sum rewrite — a genuinely different
+    formulation) plus the efficiency identity
+    Σ_j s_j = (#correct among K nearest)/K."""
+    K = 5
+    vecs = _load_vectors(spark)
+    labels = {r["vec_id"]: r["label"]
+              for r in t(spark, SF, "embeddings")
+              .select("vec_id", "label").collect()}
+    qids = [v for v in vecs if v < 5]
+    train = [v for v in vecs if v >= 5]
+    got_rows = QUERIES["knn_shapley_valuation"](spark, SF).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["qid"], []).append(
+            (r["rn"], r["vid"], r["pos"], r["ind"],
+             r["shapley_value"]))
+    for q in qids:
+        order = sorted((_l2_9(vecs[q], vecs[v]), v) for v in train)
+        inds = [1 if labels[v] == labels[q] else 0 for _, v in order]
+        vids = [v for _, v in order]
+        N = len(order)
+        s = [0.0] * N
+        s[N - 1] = inds[N - 1] / N
+        nano = round(s[N - 1] * 1e9)  # emulate seed + decimal suffix
+        svals = {vids[N - 1]: s[N - 1]}
+        acc = 0
+        for j in range(N - 2, -1, -1):
+            tj = round(((inds[j] - inds[j + 1]) / K)
+                       * (min(K, j + 1) / (j + 1)), 9)
+            acc += int(round(tj * 1e9))
+            svals[vids[j]] = inds[N - 1] / N + acc / 1e9
+        # efficiency identity — up to accumulated round-9 noise on
+        # the N per-term fences (observed ~1.5e-6 at N=195)
+        total = sum(svals.values())
+        topk_correct = sum(inds[:K]) / K
+        assert abs(total - topk_correct) < 1e-5, q
+        expect = sorted(((-svals[v], v) for v in vids))[:10]
+        mine = [(rn, v, s_) for rn, v, _, _, s_ in sorted(got[q])]
+        for (rn, v, s_), (negs, ev) in zip(mine, expect):
+            assert v == ev, (q, rn)
+            assert abs(s_ - (-negs)) < 1e-12, (q, rn)
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
