@@ -81,6 +81,7 @@ from arangodb_java_parquet_spark.queries import causal  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import sketches2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import survival3  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import datavalue  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import causal2  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver panel: the verification driver checks exactly the FIRST 50 entries

@@ -639,6 +639,75 @@ def test_knn_shapley_matches_python_recompute(spark):
             assert abs(s_ - (-negs)) < 1e-12, (q, rn)
 
 
+def test_propensity_strata_matches_python_recompute(spark):
+    """Independent subclassification in plain python: same cells,
+    frequency propensities, rank-tiebroken NTILE, treated-weighted
+    ATT with nano-exact term sums."""
+    orders = (t(spark, SF, "orders")
+              .select("o_custkey", "o_orderdate", "o_totalprice")
+              .collect())
+    cust = {r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"])
+            for r in t(spark, SF, "customer").collect()}
+    nat = {r["n_nationkey"]: r["n_regionkey"]
+           for r in t(spark, SF, "nation").collect()}
+    import math
+    cells = {}
+    for r in orders:
+        nk, seg = cust[r["o_custkey"]]
+        treat = 1 if nat[nk] % 2 == 0 else 0
+        y = int(math.floor(r["o_totalprice"]))
+        key = (r["o_orderdate"].month, seg)
+        n, nt, syt, syc = cells.get(key, (0, 0, 0, 0))
+        cells[key] = (n + 1, nt + treat,
+                      syt + treat * y, syc + (1 - treat) * y)
+    ordered = sorted(cells.items(),
+                     key=lambda kv: (kv[1][1] / kv[1][0],
+                                     kv[0][0], kv[0][1]))
+    NS = 5
+    n_cells = len(ordered)
+    # NTILE semantics: first (n % NS) tiles get ceil(n/NS)
+    sizes = [n_cells // NS + (1 if i < n_cells % NS else 0)
+             for i in range(NS)]
+    strata = {}
+    idx = 0
+    for s_i, sz in enumerate(sizes, start=1):
+        for _ in range(sz):
+            (key, (n, nt, syt, syc)) = ordered[idx]
+            a = strata.setdefault(
+                s_i, [0, 0, 0, 0, float("inf"), float("-inf")])
+            a[0] += nt
+            a[1] += n - nt
+            a[2] += syt
+            a[3] += syc
+            a[4] = min(a[4], nt / n)
+            a[5] = max(a[5], nt / n)
+            idx += 1
+    n_t_all = sum(a[0] for a in strata.values())
+    acc = 0
+    rows_exp = {}
+    for s_i, a in sorted(strata.items()):
+        m_t = a[2] / a[0] if a[0] else None
+        m_c = a[3] / a[1] if a[1] else None
+        diff = (m_t - m_c) if (m_t is not None and m_c is not None) \
+            else None
+        if diff is not None:
+            acc += int(round(round((a[0] / n_t_all) * diff, 9) * 1e9))
+        rows_exp[s_i] = (a[0], a[1], a[4], a[5], m_t, m_c, diff)
+    att = acc / 1e9
+    got = {r["stratum"]: r for r in
+           QUERIES["causal_propensity_strata"](spark, SF).collect()}
+    assert set(got) == set(rows_exp)
+    for s_i, (nt, nc, pmin, pmax, m_t, m_c, diff) in rows_exp.items():
+        r = got[s_i]
+        assert (r["n_treat"], r["n_ctrl"]) == (nt, nc), s_i
+        assert abs(r["phat_min"] - pmin) < 1e-12
+        assert abs(r["phat_max"] - pmax) < 1e-12
+        assert abs(r["m_treat"] - m_t) < 1e-9, s_i
+        assert abs(r["m_ctrl"] - m_c) < 1e-9, s_i
+        assert abs(r["diff"] - diff) < 1e-9, s_i
+        assert abs(r["att"] - att) < 1e-9, s_i
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
