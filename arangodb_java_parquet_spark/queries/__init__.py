@@ -101,9 +101,11 @@ from arangodb_java_parquet_spark.queries import causal2  # noqa: F401,E402
 # tests/test_registry.py::test_panel_rotation_policy, which recomputes the
 # never-sampled set from the committed record files at test time). Once the
 # never-sampled pool is empty (r16 on the current cadence: 107 remained
-# before r14, 57+11-new = 68 after r14, 18+8-new = 26 after r15 (the
-# 8 late-r15 entries: SQ8 pair, LZ78, Shapley, Viterbi, temperature
-# scaling, Sinkhorn, UCB1 replay) — the r14 judge
+# before r14, 57+11-new = 68 after r14, 18+14-new = 32 after r15 (the
+# 14 late-r15 entries: SQ8 pair, LZ78, Shapley attribution, Viterbi,
+# temperature scaling, Sinkhorn, UCB1 replay, Jaro-Winkler, DiD,
+# propensity strata, Misra-Gries, Aalen-Johansen, KNN-Shapley) —
+# the r14 judge
 # corrected an earlier dropped-digit "7"), rotation switches to
 # OLDEST-GREEN-FIRST, keyed on the ROUND INDEX of each entry's most recent
 # all-green driver row (parsed from the CORRECTNESS_r{N}.json filename;

@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.common import (
+    materialize, query, t)
 
 _TOPN = 25
 
@@ -157,6 +158,13 @@ def dedup_jaro_winkler(spark, sf_dir):
         F.greatest(
             F.expr("(greatest(length(s), length(t_)) div 2) - 1"),
             F.lit(0)).alias("w"))
+    # A broadcast self-join of a single-file dim emits ONE partition
+    # (measured: 160k pairs / 1 task at sf0.1 — the whole matching
+    # fold ran single-threaded, 8.4 s). Spread the expensive per-pair
+    # fold across the cluster keyed by pair id; at scale the blocking
+    # key already partitions this, but a one-file dim needs the
+    # explicit spread.
+    calc = calc.repartition(32, "k1", "k2")
 
     sC, tC = F.col("s"), F.col("t_")
     lsC, ltC, wC = F.col("ls"), F.col("lt"), F.col("w")
@@ -193,6 +201,7 @@ def dedup_jaro_winkler(spark, sf_dir):
             F.sequence(F.lit(1), lsC),
             F.array(F.repeat(F.lit("0"), ltC), F.lit("")),
             step))
+
     msC = F.element_at("acc", 2)
     mC = F.length(msC)
     mtC = F.array_join(F.transform(
@@ -202,6 +211,7 @@ def dedup_jaro_winkler(spark, sf_dir):
             F.substring(tC, jj, F.lit(1))).otherwise(F.lit(""))), "")
     m2 = m1.select("k1", "k2", "s", "t_", "ls", "lt",
                    msC.alias("ms"), mC.alias("m"), mtC.alias("mt"))
+
     trC = F.coalesce(
         F.aggregate(
             F.when(F.col("m") >= 1,

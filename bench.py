@@ -354,7 +354,10 @@ BENCH_QUERIES = [
     "sim_sq8_encode", "sim_topk_sq8", "quality_lz78_compression",
     "attribution_shapley", "hmm_viterbi_decode",
     "eval_temperature_scaling", "ot_sinkhorn_distance",
-    "bandit_ucb1_replay",
+    "bandit_ucb1_replay", "dedup_jaro_winkler",
+    "causal_diff_in_diff", "causal_propensity_strata",
+    "sketch_misra_gries", "survival_competing_risks",
+    "knn_shapley_valuation",
 ]
 
 
