@@ -212,6 +212,18 @@ PROBES = [
     "eval_isotonic_calibration",
     "agg_count_min_sketch",
     "regression_huber_irls",
+    # round-15 continuation flagships: per-doc parse folds (LZ78),
+    # blocked pair folds (Jaro-Winkler — pair count grows with block
+    # density), the per-source MG stream fold (stream length grows
+    # linearly), SQ8 ADC scan, the windowed KNN-Shapley suffix sum,
+    # and the constant-size-after-rollup Sinkhorn/Shapley pair
+    "quality_lz78_compression",
+    "dedup_jaro_winkler",
+    "sketch_misra_gries",
+    "sim_topk_sq8",
+    "knn_shapley_valuation",
+    "ot_sinkhorn_distance",
+    "attribution_shapley",
 ]
 
 
