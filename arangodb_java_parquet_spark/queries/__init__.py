@@ -82,6 +82,7 @@ from arangodb_java_parquet_spark.queries import sketches2  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import survival3  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import datavalue  # noqa: F401,E402
 from arangodb_java_parquet_spark.queries import causal2  # noqa: F401,E402
+from arangodb_java_parquet_spark.queries import mst  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Driver panel: the verification driver checks exactly the FIRST 50 entries
@@ -101,11 +102,11 @@ from arangodb_java_parquet_spark.queries import causal2  # noqa: F401,E402
 # tests/test_registry.py::test_panel_rotation_policy, which recomputes the
 # never-sampled set from the committed record files at test time). Once the
 # never-sampled pool is empty (r16 on the current cadence: 107 remained
-# before r14, 57+11-new = 68 after r14, 18+14-new = 32 after r15 (the
-# 14 late-r15 entries: SQ8 pair, LZ78, Shapley attribution, Viterbi,
+# before r14, 57+11-new = 68 after r14, 18+15-new = 33 after r15 (the
+# 15 late-r15 entries: SQ8 pair, LZ78, Shapley attribution, Viterbi,
 # temperature scaling, Sinkhorn, UCB1 replay, Jaro-Winkler, DiD,
-# propensity strata, Misra-Gries, Aalen-Johansen, KNN-Shapley) —
-# the r14 judge
+# propensity strata, Misra-Gries, Aalen-Johansen, KNN-Shapley,
+# Boruvka MST) — the r14 judge
 # corrected an earlier dropped-digit "7"), rotation switches to
 # OLDEST-GREEN-FIRST, keyed on the ROUND INDEX of each entry's most recent
 # all-green driver row (parsed from the CORRECTNESS_r{N}.json filename;

@@ -357,7 +357,7 @@ BENCH_QUERIES = [
     "bandit_ucb1_replay", "dedup_jaro_winkler",
     "causal_diff_in_diff", "causal_propensity_strata",
     "sketch_misra_gries", "survival_competing_risks",
-    "knn_shapley_valuation",
+    "knn_shapley_valuation", "graph_mst_boruvka",
 ]
 
 

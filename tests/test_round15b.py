@@ -708,6 +708,59 @@ def test_propensity_strata_matches_python_recompute(spark):
         assert abs(r["att"] - att) < 1e-9, s_i
 
 
+def test_boruvka_matches_python_kruskal(spark):
+    """Third-implementation pin: python Kruskal with path-compressed
+    union-find (different from BOTH the engine's Borůvka and the
+    oracle's relabeling fold) must agree on components, sizes, edge
+    count and total weight; plus the forest invariant
+    n_mst_edges = n_vertices − n_components."""
+    vecs = _load_vectors(spark)
+    verts = sorted(v for v in vecs if v < 300)
+    def bucket(v):
+        e = vecs[v]
+        return ((8 if e[0] > 0 else 0) + (4 if e[1] > 0 else 0)
+                + (2 if e[2] > 0 else 0) + (1 if e[3] > 0 else 0))
+    edges = []
+    by_b = {}
+    for v in verts:
+        by_b.setdefault(bucket(v), []).append(v)
+    for vs in by_b.values():
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                a, b = vs[i], vs[j]
+                edges.append((_l2_9(vecs[a], vecs[b]), a, b))
+    edges.sort()
+    parent = {v: v for v in verts}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    n_edges, nano = 0, 0
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            n_edges += 1
+            nano += int(round(w * 1e9))
+    comps = {}
+    for v in verts:
+        comps.setdefault(find(v), []).append(v)
+    total_w = nano / 1e9
+    rows = QUERIES["graph_mst_boruvka"](spark, SF).collect()
+    got = {r["component"]: r for r in rows}
+    assert set(got) == set(comps)
+    for c, members in comps.items():
+        r = got[c]
+        assert r["n_vertices"] == len(members), c
+        assert r["n_all_vertices"] == len(verts)
+        assert r["n_components"] == len(comps)
+        assert r["n_mst_edges"] == n_edges
+        assert abs(r["total_mst_weight"] - total_w) < 1e-9
+        assert r["n_mst_edges"] == r["n_all_vertices"] \
+            - r["n_components"]
+
+
 def test_sq8_recall_vs_exact_l2(spark):
     """Family contract: SQ8 (256 bins over the observed range) is a
     near-lossless quantizer — the quantized top-5 must recover almost
