@@ -42,8 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.queries.common import (
-    materialize, query, t)
+from arangodb_java_parquet_spark.queries.common import query, t
 
 _TOPN = 25
 

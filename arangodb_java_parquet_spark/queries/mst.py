@@ -49,7 +49,6 @@ from arangodb_java_parquet_spark.queries.common import (
     materialize, materialize_iter, query, t)
 
 _MAXV = 300
-_BITS = 4
 _ROUNDS = 12
 
 _D2 = ("round(list_sum(list_transform(range(1, len({a}) + 1),"
