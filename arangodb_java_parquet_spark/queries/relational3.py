@@ -550,8 +550,17 @@ def agg_corr_matrix(spark, sf_dir):
     first/second/cross moments (4+4+6 sums), then the 6 correlations
     derive from the one-row moment table — the standard profile-stage
     shape, corpus scanned once regardless of pair count. Round-9 on the
-    cancellation-sensitive derived ratio (repo determinism rule)."""
-    li = t(spark, sf_dir, "lineitem")
+    cancellation-sensitive derived ratio (repo determinism rule).
+
+    The 15 decimal(30,8) partial sums are the dominant cost and run in
+    the SCAN stage, which is one task per row group — spread the four
+    needed columns across the cluster first (decimal partial sums are
+    exact, so the partitioning cannot change the result; the moved bytes
+    are 4 narrow columns, negligible next to the BigDecimal accumulation
+    they parallelize; r15: 4.96 s -> 1.5 s)."""
+    from arangodb_java_parquet_spark.operators.dedup import spread
+    li = spread(t(spark, sf_dir, "lineitem")
+                .select(*[c for _, c in _CORR_VARS]))
 
     def ms(e):
         return F.sum(e.cast("decimal(30,8)")).cast("double")

@@ -1279,13 +1279,19 @@ def ivf_cell_balance(spark, sf_dir):
     sim_topk_ivf_rulebased (array_min over (d2, cid) structs — zero
     shuffle), then two report-sized rollups. The skewed-bucket analog of
     emb_bucket_histogram/skew_key_report for the IVF family."""
+    from arangodb_java_parquet_spark.operators.dedup import spread
     from arangodb_java_parquet_spark.operators.similarity import (
         assign_cells)
     e = t(spark, sf_dir, "embeddings")
     cents = (e.filter(F.col("vec_id") % 37 == 0)
              .select(F.col("vec_id").alias("cid"),
                      F.col("embedding").alias("cvec")))
-    cells = assign_cells(e, cents, id_col="vec_id", vec_col="embedding")
+    # the argmin HOF (n_cents x dim interpreted mults per vector) runs in
+    # the scan stage = ONE task per row group; spread the vectors first
+    # (r15: 3.0 s -> 1.1 s, assignment is per-row so any partitioning
+    # yields identical cells)
+    cells = assign_cells(spread(e), cents,
+                         id_col="vec_id", vec_col="embedding")
     occ = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
     tot = occ.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),

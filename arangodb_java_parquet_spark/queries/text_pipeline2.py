@@ -755,10 +755,16 @@ def dedup_minhash_merge_proof(spark, sf_dir):
     to single-pass signatures — the property that lets sketches build
     incrementally per ingest batch and re-merge at read (the MinHash
     analog of rollup_cascade_daily's decimal partials and the HLL merge
-    entry). The oracle is simply the single-pass signature SQL."""
+    entry). The oracle is simply the single-pass signature SQL.
+
+    The positional shingle explode + md5s run in the scan stage (one
+    task per row group) — spread the compact documents first, exactly as
+    char_shingles does internally (r15: 4.6 s -> ~2 s; a one-pass
+    16-conditional-min formulation was tried and measured SLOWER than
+    the two filtered passes — 24M conditional min updates vs 12M)."""
     from arangodb_java_parquet_spark.operators.dedup import (
-        minhash_signatures)
-    d = t(spark, sf_dir, "documents")
+        minhash_signatures, spread)
+    d = spread(t(spark, sf_dir, "documents"))
     shingle_list = F.expr(
         "transform(sequence(1, greatest(length(text)-4, 1)),"
         " i -> struct(i AS pos, substring(text, i, 5) AS shingle))")

@@ -192,14 +192,18 @@ def theil_sen_trend(spark, sf_dir):
     the full multi-year span would be millions of pairs), never raw
     orders — the classic pattern of 'reduce first, then the O(n²)
     statistic is cheap'. Slopes round-9 before the median; exact decimal
-    daily sums underneath."""
+    daily sums underneath. The daily rollup is materialized once: the
+    self-join's two sides otherwise plan two independent scans+aggs of
+    orders (hash exchange on one side, broadcast on the other — no
+    ReusedExchange), doubling the heavy part of the query (r15)."""
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").cast("date") >= F.lit("1998-01-01"))
     daily = (o.groupBy(
                 F.expr("CAST(unix_millis(CAST(CAST(o_orderdate AS DATE)"
                        " AS TIMESTAMP)) div 86400000 AS BIGINT)")
                 .alias("dnum"))
-             .agg(dsum("o_totalprice").alias("rev")))
+             .agg(dsum("o_totalprice").alias("rev"))
+             .transform(materialize))
     a = daily.select(F.col("dnum").alias("da"), F.col("rev").alias("ra"))
     b = daily.select(F.col("dnum").alias("db"), F.col("rev").alias("rb"))
     slopes = (a.join(b, F.col("db") > F.col("da"))
@@ -207,12 +211,45 @@ def theil_sen_trend(spark, sf_dir):
                   (F.col("rb") - F.col("ra"))
                   / (F.col("db") - F.col("da")).cast("double"), 9)
                   .alias("slope")))
-    return slopes.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5D)"), 9)
-        .alias("theil_sen_slope"),
-        F.round(F.min("slope"), 9).alias("min_slope"),
-        F.round(F.max("slope"), 9).alias("max_slope"))
+    # r15: percentile() builds an O(distinct) boxed OpenHashMap buffer
+    # and sorts it single-threaded in the final agg — 1.9 s of the
+    # entry's 3.9 s on ~856k distinct slopes. The exact percentile is
+    # instead derived from ONE ranked pass (row_number + full count),
+    # picking the two middle order statistics and applying percentile()'s
+    # own interpolation formula (higher-pos)*lower + (pos-lower)*higher
+    # — bit-identical output, HashAggregate instead of
+    # ObjectHashAggregate. min/max ride the same ranked pass (rn == 1 /
+    # rn == n). The unpartitioned sort window is over DAILY-pair slopes
+    # (n_days^2/2 rows), bounded by the one-year day count, not corpus
+    # size.
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"))
+    pos = (F.col("n") - 1) * 0.5
+    lower = F.floor(pos)
+    higher = F.ceil(pos)
+    picked = ranked.filter(
+        ((F.col("rn") - 1 == lower) | (F.col("rn") - 1 == higher)
+         | (F.col("rn") == 1) | (F.col("rn") == F.col("n"))))
+    agg = picked.agg(
+        F.max("n").alias("n_pairs"),
+        F.max(F.when(F.col("rn") - 1 == lower, F.col("slope"))).alias("lk"),
+        F.max(F.when(F.col("rn") - 1 == higher, F.col("slope"))).alias("hk"),
+        F.max(F.when(F.col("rn") == 1, F.col("slope"))).alias("mn"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("slope"))).alias("mx"))
+    apos = (F.col("n_pairs") - 1) * 0.5
+    alower = F.floor(apos)
+    ahigher = F.ceil(apos)
+    median = F.when(alower == ahigher, F.col("lk")).otherwise(
+        (ahigher.cast("double") - apos) * F.col("lk")
+        + (apos - alower.cast("double")) * F.col("hk"))
+    return agg.select(
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint"))
+        .alias("n_pairs"),
+        F.round(median, 9).alias("theil_sen_slope"),
+        F.round(F.col("mn"), 9).alias("min_slope"),
+        F.round(F.col("mx"), 9).alias("max_slope"))
 
 
 # ---------------------------------------------------------------------------
