@@ -95,8 +95,14 @@ def eval_temperature_scaling(spark, sf_dir):
                         W.partitionBy(F.lit(1))).alias("n"))
            .filter(F.col("rk") == F.expr("(n + 1) div 2"))
            .select(F.col("v").alias("med")))
+    # spread before the checkpoint: the scan is one task per row group,
+    # so an unspread base materializes as ONE partition and every one of
+    # the 9 Newton-round aggregates (4 g/h + 5 NLL, each a full pass of
+    # exp/round work over base) would run single-threaded (r15:
+    # 4.02 s -> ~1.7 s)
+    from arangodb_java_parquet_spark.operators.dedup import spread
     base = materialize(
-        o.crossJoin(F.broadcast(med)).select(
+        spread(o).crossJoin(F.broadcast(med)).select(
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
             .alias("y"),
             F.round(F.log(F.col("o_totalprice") / F.col("med")), 9)

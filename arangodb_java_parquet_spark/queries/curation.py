@@ -18,6 +18,7 @@ from arangodb_java_parquet_spark.operators.curation import (
     PII_EMAIL, PII_PHONE, cap_per_group, connected_components,
     connected_components_bipartite, decontaminate, hash_sample,
     pack_sequences, pagerank_fixed, redact_pii, unigram_logprob)
+from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_bands, lsh_candidate_pairs,
     minhash_signatures, word_ngrams)
@@ -719,8 +720,13 @@ def dedup_funnel_survivors(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
-    grams = (word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
-             .select("doc_id", F.md5("shingle").alias("gh")).distinct())
+    # grams feeds THREE consumers (counts, both verify-join sides) over
+    # the full corpus: spread the explode (this is not the bounded-
+    # universe case do_spread=False exists for) and materialize once
+    # (r15: 6.15 s -> see OPTIMIZATION_r15.md)
+    grams = (word_ngrams(d, "text", "doc_id", n=3)
+             .select("doc_id", F.md5("shingle").alias("gh")).distinct()
+             .transform(materialize))
     counts = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "gh")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "gh")

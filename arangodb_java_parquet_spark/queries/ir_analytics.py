@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
-    containment_pairs, word_ngrams)
+    containment_pairs, spread, word_ngrams)
 from arangodb_java_parquet_spark.operators.ir import (
     bm25_scores, inverted_index, source_kl_divergence, token_entropy)
 from arangodb_java_parquet_spark.queries.common import query, t
@@ -327,8 +327,12 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # materialize once: pairs, sa and sb otherwise re-derive the full
+    # shingle+minhash lineage per consumer (non-canonicalizing md5/HOF
+    # subtrees -> no ReusedExchange; the r15 3-pass fix)
     sigs = minhash_signatures(
-        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id").transform(materialize)
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     sa = sigs.select([F.col("doc_id").alias("doc_a")]
                      + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
@@ -1556,8 +1560,12 @@ def dedup_minhash_bbit(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # materialize once: pairs, sa and sb otherwise re-derive the full
+    # shingle+minhash lineage per consumer (non-canonicalizing md5/HOF
+    # subtrees -> no ReusedExchange; the r15 3-pass fix)
     sigs = minhash_signatures(
-        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id").transform(materialize)
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     sa = sigs.select([F.col("doc_id").alias("doc_a")]
                      + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])
@@ -2001,7 +2009,7 @@ def text_bigram_entropy_rate(spark, sf_dir):
     table."""
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bg = (d.filter(F.size(toks) >= 2)
+    bg = (spread(d.filter(F.size(toks) >= 2))  # r15: one-task scan stage
           .select("source", F.posexplode(
               F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
                      " i -> struct(element_at(split(text, ' '), i) AS w1,"
@@ -2126,8 +2134,12 @@ def dedup_lsh_param_planner(spark, sf_dir):
     from arangodb_java_parquet_spark.operators.dedup import (
         char_shingles, lsh_candidate_pairs, minhash_signatures)
     d = t(spark, sf_dir, "documents")
+    # materialize once: pairs, sa and sb otherwise re-derive the full
+    # shingle+minhash lineage per consumer (non-canonicalizing md5/HOF
+    # subtrees -> no ReusedExchange; the r15 3-pass fix)
     sigs = minhash_signatures(
-        char_shingles(d, "text", "doc_id", k=5, distinct=False), "doc_id")
+        char_shingles(d, "text", "doc_id", k=5, distinct=False),
+        "doc_id").transform(materialize)
     pairs = lsh_candidate_pairs(sigs, "doc_id")
     sa = sigs.select([F.col("doc_id").alias("doc_a")]
                      + [F.col(f"h{j}").alias(f"a{j}") for j in range(8)])

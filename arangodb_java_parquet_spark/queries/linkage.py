@@ -287,8 +287,11 @@ def bitext_mining_candidates(spark, sf_dir):
         "doc_id", "lang", "embedding")
     from arangodb_java_parquet_spark.operators.similarity import (
         dot, norm, srp_bucket)
+    # materialize: b feeds both self-join sides (the doc⋈embedding join +
+    # srp/norm HOFs re-derive per side otherwise — non-canonicalizing) — r15
     b = (joined.withColumn("bucket", srp_bucket(F.col("embedding"), 4))
-         .withColumn("nrm", norm(F.col("embedding"))))
+         .withColumn("nrm", norm(F.col("embedding")))
+         .transform(materialize))
     a = b.alias("a")
     c = (b.withColumnRenamed("doc_id", "doc_id_b")
          .withColumnRenamed("lang", "lang_b")

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.operators.dedup import spread
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -807,7 +808,12 @@ def regression_residual_outliers(spark, sf_dir):
     arithmetic); the σ sum uses round-2 pre-decimal operands (residual²
     reaches ~1e10, where round-9 would exceed double's 16 significant
     digits)."""
-    li = t(spark, sf_dir, "lineitem")
+    # r15: both fact passes' partial aggregations (15 decimal sums /
+    # residual sigma) otherwise run in the one-task scan stage; the
+    # shared spread subtree also lets Catalyst ReusedExchange the two
+    # residual evaluations
+    li = spread(t(spark, sf_dir, "lineitem")
+                .select("l_returnflag", "l_quantity", "l_extendedprice"))
     m = (li.groupBy("l_returnflag")
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(F.col("l_quantity").cast("decimal(30,8)"))

@@ -1579,12 +1579,17 @@ def rocchio_nearest_centroid(spark, sf_dir):
     and takes the round-9 squared-L2 argmin with a label tiebreak; the
     confusion rollup is one combinable count. Everything cross-engine
     deterministic, no collect of vectors."""
+    from arangodb_java_parquet_spark.operators.dedup import spread
     e = t(spark, sf_dir, "embeddings")
-    x = (e.select("vec_id", "label",
-                  F.posexplode("embedding").alias("i0", "v"))
+    # spread: the 64-way posexplode runs in the one-task scan stage;
+    # materialize: x feeds BOTH the centroid means and the distance agg
+    # (the broadcast(cent) subtree re-derives the explode otherwise) — r15
+    x = (spread(e).select("vec_id", "label",
+                          F.posexplode("embedding").alias("i0", "v"))
          .select("vec_id", F.col("label").alias("true_label"),
                  (F.col("i0") + 1).alias("i"),
-                 F.col("v").cast("double").alias("v")))
+                 F.col("v").cast("double").alias("v"))
+         .transform(materialize))
     cent = (x.groupBy(F.col("true_label").alias("cand"), "i")
             .agg((F.sum(F.col("v").cast("decimal(30,8)")).cast("double")
                   / F.count(F.lit(1))).alias("m")))

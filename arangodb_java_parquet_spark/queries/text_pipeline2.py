@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.operators.dedup import spread
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import (
     minhash_sig_cte_sql)
@@ -530,7 +531,7 @@ def boilerplate_ngram_catalog(spark, sf_dir):
     grams = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = spread(d).select("doc_id", F.explode(grams).alias("gram"))  # r15
     stats = g.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"))
@@ -611,7 +612,8 @@ def text_novelty_rate(spark, sf_dir):
     grams_expr = F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> array_join(slice(split(text, ' '), i, 5), ' '))")
-    g = (d.select("doc_id", F.explode(grams_expr).alias("gram"))
+    g = (spread(d)  # r15: one-task scan-stage explode
+         .select("doc_id", F.explode(grams_expr).alias("gram"))
          .transform(materialize))
     gcount = g.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("n_docs"))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize, materialize_iter_eager
 from arangodb_java_parquet_spark.operators.dedup import (
-    char_shingles, lsh_candidate_pairs, minhash_signatures)
+    char_shingles, lsh_candidate_pairs, minhash_signatures, spread)
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
@@ -91,9 +91,13 @@ def dedup_substring_span(spark, sf_dir):
     gram_arr = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> md5(array_join(slice(split(text, ' '), i, 3), ' ')))")
-    grams = (d.filter(F.size(toks) >= 3)
+    # spread: the gram explode+md5 otherwise runs in the one-task scan
+    # stage; materialize: grams feeds BOTH pair-join sides (lambda-HOF
+    # lineage never canonicalizes to a ReusedExchange) — r15
+    grams = (spread(d.filter(F.size(toks) >= 3))
              .select("doc_id", F.posexplode(gram_arr).alias("p0", "gh"))
-             .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh"))
+             .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
+             .transform(materialize))
 
     hits = (cand
             .join(grams.select(F.col("doc_id").alias("doc_a"),
@@ -185,7 +189,8 @@ def langid_trigram_confusion(spark, sf_dir):
     multilingual data the same plan yields the standard >0.99-diagonal
     matrix. Scale: profiles are n_langs × K rows broadcast; documents
     explode once and never shuffle whole."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))  # r15: trigram explodes
+    # for train AND held-out otherwise run in the one-task scan stage
     tri = F.expr("transform(sequence(1, length(text) - 2),"
                  " i -> substring(text, i, 3))")
 
@@ -325,7 +330,8 @@ def _bpe_fit(spark, sf_dir):
     Returns (final merged state (doc_id, i, tok), learned merge Rows)."""
     from pyspark.sql import Row
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))  # r15: step-1 explode +
+    # window otherwise pay the one-task scan stage
     state = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
     learned = []
@@ -451,8 +457,9 @@ def dedup_intradoc_spans(spark, sf_dir):
     100 TB no cross-document shuffle exists at all. Output keeps counts
     plus a 150-char cleaned prefix (value-checked) rather than shipping
     whole texts through the compare."""
-    d = t(spark, sf_dir, "documents").filter(
-        F.size(F.split("text", " ")) >= 3)
+    d = spread(t(spark, sf_dir, "documents")).filter(
+        F.size(F.split("text", " ")) >= 3)  # r15: both explodes below
+    # otherwise run in the one-task scan stage
     # toks feeds the anti-join AND the per-doc total; grams feeds the
     # first-occurrence agg AND the duplicate-start join. Neither lineage
     # canonicalizes to a ReusedExchange (posexplode over a lambda-HOF
@@ -1760,7 +1767,7 @@ def dedup_cross_source_containment(spark, sf_dir):
     document count, so the join output is at most |shingles| x
     |sources|². Pure integer counting to one final division."""
     d = t(spark, sf_dir, "documents")
-    grams = (d.select(
+    grams = (spread(d).select(  # r15: one-task scan-stage explode
         "source",
         F.explode(F.expr(
             "transform(sequence(1, greatest(size(split(text, ' ')) - 4,"
@@ -2081,7 +2088,7 @@ def token_collocations_llr(spark, sf_dir):
     back on single-token keys; nothing is all-pairs."""
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bg = (d.filter(F.size(toks) >= 2)
+    bg = (spread(d.filter(F.size(toks) >= 2))  # r15: one-task scan stage
           .select(F.posexplode(
               F.expr("transform(sequence(1, size(split(text, ' ')) - 1),"
                      " i -> struct(element_at(split(text, ' '), i) AS w1,"
