@@ -55,6 +55,22 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(tgt)
 
 
+def symmetric_edges(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both directions of an undirected candidate-pair list in ONE pass:
+    explode([(a,b), (b,a)]) per pair row instead of the self-UNION of
+    two projections. The union's branches each re-derive the whole pair
+    lineage (md5/band subtrees never canonicalize to a ReusedExchange),
+    so every graph_* consumer paid the shingle->minhash->band self-join
+    twice; the one-Generate form computes it once (r15). Row SET is
+    identical — only the emit order differs (a,b interleaved instead of
+    concatenated), which no downstream aggregate/join observes."""
+    e = F.explode(F.array(
+        F.struct(F.col(a).alias(src), F.col(b).alias(dst)),
+        F.struct(F.col(b).alias(src), F.col(a).alias(dst)))).alias("__e")
+    return pairs.select(e).select("__e.*")
+
+
 def char_shingles(df: DataFrame, text_col: str, id_col: str,
                   k: int = 5, distinct: bool = True) -> DataFrame:
     """k-char shingles per document: (id, shingle).

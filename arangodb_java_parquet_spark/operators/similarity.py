@@ -856,19 +856,31 @@ def nndescent_knn_graph(vectors: DataFrame, *, id_col: str, vec_col: str,
         return (scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= k))
 
+    # The init candidate set is symmetric BY CONSTRUCTION (a bucket join
+    # emits both directions; the ±w id window emits (q, q+d) iff it emits
+    # (q+d, q)), and dot(a,b) == dot(b,a) — so enumerate each unordered
+    # pair ONCE (qid < vid / positive offsets), score one dot, and emit
+    # both directions afterwards (r15; halves the interpreted-HOF dot
+    # count of the init stage, guide §1.2 per-task work; directed pair
+    # set and cosine values are bit-identical, A/B-pinned).
     p_bucket = (base.select(F.col("id").alias("qid"), "bkt")
                 .join(base.select(F.col("id").alias("vid"), "bkt"), "bkt")
-                .filter(F.col("qid") != F.col("vid"))
+                .filter(F.col("qid") < F.col("vid"))
                 .select("qid", "vid"))
     p_window = (base.select(
         F.col("id").alias("qid"),
-        F.explode(F.sequence(F.lit(-init_window),
-                             F.lit(init_window))).alias("d"))
-        .filter(F.col("d") != 0)
+        F.explode(F.sequence(F.lit(1), F.lit(init_window))).alias("d"))
         .select("qid", (F.col("qid") + F.col("d")).alias("vid"))
         .join(bc.select("vid"), "vid"))  # drop out-of-range ids
     init_pairs = p_bucket.unionByName(p_window).distinct()
-    knn = materialize_iter(topk(score(init_pairs)))
+    init_scored = (score(init_pairs)
+                   .select(F.explode(F.array(
+                       F.struct("qid", "vid", "cos_sim"),
+                       F.struct(F.col("vid").alias("qid"),
+                                F.col("qid").alias("vid"),
+                                F.col("cos_sim")))).alias("__e"))
+                   .select("__e.*"))
+    knn = materialize_iter(topk(init_scored))
     out = [knn.select(F.lit(0).alias("stage"),
                       "qid", "vid", "cos_sim", "rn")]
     for r in range(rounds):

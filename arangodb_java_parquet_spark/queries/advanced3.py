@@ -42,6 +42,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.operators.dedup import symmetric_edges
 from arangodb_java_parquet_spark.queries.common import (
     dsum, query, sql_dsum, t)
 
@@ -210,10 +211,7 @@ def graph_adamic_adar(spark, sf_dir):
     cand = (lsh_candidate_pairs_capped(
                 minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
             .transform(materialize))  # feeds edges + the anti-join
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+    edges = (symmetric_edges(cand))
     deg = edges.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("m"))

@@ -21,7 +21,7 @@ from arangodb_java_parquet_spark.operators.curation import (
 from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, lsh_bands, lsh_candidate_pairs,
-    minhash_signatures, word_ngrams)
+    minhash_signatures, symmetric_edges, word_ngrams)
 from arangodb_java_parquet_spark.queries.common import query, t
 from arangodb_java_parquet_spark.queries.text_pipeline import _MINHASH_SIG_SQL
 
@@ -770,10 +770,7 @@ def graph_pagerank_simdocs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+    edges = (symmetric_edges(cand))
     pr = pagerank_fixed(edges, "src", "dst", iterations=5, damping=0.85)
     return pr.select(F.col("node").alias("doc_id"), "rank")
 

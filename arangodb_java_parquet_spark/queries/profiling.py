@@ -702,16 +702,25 @@ def dq_referential_orphans(spark, sf_dir):
     result: orphan counts for every fact→dimension edge via LEFT ANTI
     joins (the scalable NOT EXISTS — dimension keys broadcast, facts
     never shuffle). The cross-table complement of dq_constraint_report's
-    single-edge check; a non-zero row fails the ingest gate."""
+    single-edge check; a non-zero row fails the ingest gate.
+
+    One LAZY plan (r15): the old shape ran 2 eager driver actions per
+    edge (anti-join .count() + fact .count() feeding createDataFrame) —
+    8 sequential jobs of pure latency. Now each edge is a 1-row
+    crossJoin of its two lazy aggregates and the 4 edges union into a
+    single job whose 8 aggregate subtrees schedule concurrently; counts
+    are computed by the identical anti-join, so values are unchanged."""
     def orphans(fact, fact_key, dim, dim_key, label):
         f = t(spark, sf_dir, fact)
         d = t(spark, sf_dir, dim).select(dim_key)
         n_orphans = (f.join(F.broadcast(d),
                             F.col(fact_key) == F.col(dim_key), "left_anti")
-                     .count())
-        return spark.createDataFrame(
-            [(label, n_orphans, f.count())],
-            "fk_edge STRING, n_orphans BIGINT, n_rows BIGINT")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_orphans")))
+        n_rows = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (n_orphans.crossJoin(n_rows)
+                .select(F.lit(label).alias("fk_edge"),
+                        "n_orphans", "n_rows"))
 
     out = orphans("orders", "o_custkey", "customer", "c_custkey",
                   "orders->customer")

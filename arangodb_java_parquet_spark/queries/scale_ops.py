@@ -15,7 +15,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
-from arangodb_java_parquet_spark.operators.dedup import spread
+from arangodb_java_parquet_spark.operators.dedup import (
+    spread, symmetric_edges)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -236,10 +237,7 @@ def graph_link_prediction_jaccard(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = (lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
             .transform(materialize))  # feeds edges + the anti-join
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+    edges = (symmetric_edges(cand))
     deg = edges.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).alias("d"))
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("m"))

@@ -428,7 +428,11 @@ def dedup_ensemble_votes(spark, sf_dir):
             char_shingles(d, "text", "doc_id", k=5, distinct=False),
             "doc_id"), "doc_id") \
         .select("doc_a", "doc_b", F.lit("minhash").alias("detector"))
-    ss = simhash_signatures(d, "text", "doc_id", n_bits=16)
+    # the simhash lineage (spread + token explode + 16 vote aggregates)
+    # is consumed by BOTH sides of the fingerprint self-join and never
+    # canonicalizes to a ReusedExchange — materialize it once (r15)
+    ss = simhash_signatures(d, "text", "doc_id", n_bits=16) \
+        .transform(materialize)
     a = ss.alias("a")
     b = ss.withColumnRenamed("doc_id", "doc_id_b").alias("b")
     sh = (a.join(b, (F.col("a.simhash") == F.col("b.simhash"))

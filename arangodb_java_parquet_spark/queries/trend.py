@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from arangodb_java_parquet_spark.operators.dedup import symmetric_edges
 from arangodb_java_parquet_spark.materialize import (
     materialize, materialize_iter)
 from arangodb_java_parquet_spark.queries.common import (
@@ -674,10 +675,7 @@ def _lpa_labels(spark, sf_dir):
     # re-derived per use (r4 plan audit: 31 exchanges, 0 reused).
     # localCheckpoint caps the plan at the materialized edge list —
     # the same pattern as bpe_pair_merge_fit / curation.py CC.
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
@@ -988,10 +986,7 @@ def graph_two_hop_reach(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+    edges = (symmetric_edges(cand))
     e2 = edges.select(F.col("src").alias("mid"),
                       F.col("dst").alias("reached"))
     hop2 = (edges.join(e2, edges.dst == e2.mid)
@@ -1048,10 +1043,7 @@ def graph_assortativity(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst"))))
+    edges = (symmetric_edges(cand))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     dp = (edges
           .join(deg.select(F.col("src").alias("_s"),
@@ -1114,10 +1106,7 @@ def graph_harmonic_centrality(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))  # deg + both hop legs + union
     deg = (edges.groupBy("src")
            .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))
@@ -1512,10 +1501,7 @@ def graph_kcore_2core(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))
     for _ in range(2):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -1631,10 +1617,7 @@ def graph_edge_triangle_support(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))
     ua = edges.select(F.col("src").alias("doc_a"),
                       F.col("dst").alias("na"))
@@ -1941,10 +1924,7 @@ def graph_rich_club_coefficient(spark, sf_dir):
     cand = lsh_candidate_pairs(minhash_signatures(
         char_shingles(d, "text", "doc_id", k=5, distinct=False),
         "doc_id"), "doc_id").transform(materialize)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))  # deg + edge sweep
     deg = (edges.groupBy("src")
            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
@@ -2269,10 +2249,7 @@ def graph_eigenvector_centrality(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = lsh_candidate_pairs_capped(
         minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))  # feeds every iteration
     v = (edges.select(F.col("src").alias("node")).distinct()
          .withColumn("v", F.lit(1).cast("double")))
@@ -2480,10 +2457,7 @@ def graph_katz_centrality(spark, sf_dir):
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     cand = lsh_candidate_pairs_capped(
         minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=32)
-    edges = (cand.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-             .unionAll(cand.select(F.col("doc_b").alias("src"),
-                                   F.col("doc_a").alias("dst")))
+    edges = (symmetric_edges(cand)
              .transform(materialize))  # feeds every iteration
     x = (edges.select(F.col("src").alias("node")).distinct()
          .withColumn("x", F.lit(1).cast("double")))
