@@ -381,11 +381,17 @@ def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col("b.__vecb"))
                   / F.nullif(F.col("a.__nrm") * F.col("b.__nrmb"),
                              F.lit(0.0)), 9)
+    # materialize before the tau filter — otherwise Catalyst pushes the
+    # inlined cos_sim predicate into the cell join's condition and every
+    # in-cell pair pays the HOF dot twice (r15, the fuzzy-levenshtein
+    # duplicated-evaluation class)
+    from arangodb_java_parquet_spark.materialize import materialize
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col(f"a.{id_col}") < F.col("b.__idb")))
             .select(F.col("b.__idb").alias(id_col),
                     F.col("a.cell").alias("cell"),
                     cos.alias("cos_sim"))
+            .transform(materialize)
             .filter(F.col("cos_sim") >= tau)
             .groupBy(id_col, "cell")
             .agg(F.count(F.lit(1)).alias("n_dups"),

@@ -300,6 +300,11 @@ def bitext_mining_candidates(spark, sf_dir):
     cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
                   / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"),
                              F.lit(0.0)), 9)
+    # materialize the scored pairs BEFORE the threshold filter: Catalyst
+    # inlines the cos_sim alias into the filter and pushes it into the
+    # bucket join's residual CONDITION — one extra interpreted HOF dot
+    # per candidate pair (r15 plan audit; the fuzzy-levenshtein
+    # duplicated-evaluation class)
     pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                     & (F.col("a.lang") < F.col("c.lang_b")))
              .select(F.col("a.doc_id").alias("doc_a"),
@@ -307,6 +312,7 @@ def bitext_mining_candidates(spark, sf_dir):
                      F.col("c.doc_id_b").alias("doc_b"),
                      F.col("c.lang_b").alias("lang_b"),
                      cos.alias("cos_sim"))
+             .transform(materialize)
              .filter(F.col("cos_sim") >= _BITEXT_MIN_COS))
     w = W.partitionBy("doc_a").orderBy(F.desc("cos_sim"), "doc_b")
     return (pairs.withColumn("rn", F.row_number().over(w))
