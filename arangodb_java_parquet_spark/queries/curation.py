@@ -281,11 +281,14 @@ def tfidf_top_terms(spark, sf_dir):
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # corpus size as a LAZY broadcast scalar instead of an eager
+    # d.count() at construction time (one fewer sequential driver job;
+    # identical arithmetic — r15)
+    nd = d.agg(F.count(F.lit(1)).alias("__n"))
     score = F.round(
-        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 9)
+        F.col("tf") * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)), 9)
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
-    return (tf.join(df, "tok")
+    return (tf.join(df, "tok").crossJoin(F.broadcast(nd))
             .select("doc_id", "tok", "tf", "df", score.alias("score"))
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 3))

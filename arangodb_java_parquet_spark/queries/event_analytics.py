@@ -592,17 +592,21 @@ def user_survival_curve(spark, sf_dir):
             .select("user_id",
                     F.expr("(last_us - first_us) div 86400000000")
                     .alias("lifetime_days")))
-    n_users = life.count()
+    # user count as a LAZY broadcast scalar: the eager life.count() at
+    # construction time re-ran the whole per-user lifetime aggregation
+    # as a separate sequential job before the real one (r15)
+    nu = life.agg(F.count(F.lit(1)).alias("__n"))
     horizons = spark.createDataFrame(
         [(d,) for d in (1, 3, 7, 14, 21, 28)], "day_t LONG")
     return (life.crossJoin(F.broadcast(horizons))
             .groupBy("day_t")
             .agg(F.sum(F.when(F.col("lifetime_days") >= F.col("day_t"), 1)
-                       .otherwise(0)).alias("n_surviving"),
-                 F.round(
-                     F.sum(F.when(F.col("lifetime_days") >= F.col("day_t"),
-                                  1).otherwise(0))
-                     / F.lit(float(n_users)), 9).alias("survival_frac")))
+                       .otherwise(0)).alias("n_surviving"))
+            .crossJoin(F.broadcast(nu))
+            .select("day_t", "n_surviving",
+                    F.round(F.col("n_surviving")
+                            / F.col("__n").cast("double"),
+                            9).alias("survival_frac")))
 
 
 @query("ab_test_conversion_lift", """

@@ -1051,16 +1051,19 @@ def ir_query_expansion_prf(spark, sf_dir):
     fb = (scores.withColumn("rn", F.row_number().over(wfb))
           .filter(F.col("rn") <= _PRF_FB_DOCS).select("doc_id"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    n_docs = d.count()
+    # corpus size as a LAZY broadcast scalar (was an eager d.count()
+    # job at construction time — r15)
+    nd = d.agg(F.count(F.lit(1)).alias("__n"))
     fb_terms = (toks.join(F.broadcast(fb), "doc_id")
                 .filter(~F.col("tok").isin(*_BM25_TERMS))
                 .groupBy("tok")
                 .agg(F.countDistinct("doc_id").alias("df_fb")))
     corpus_df = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+    idf = F.log(F.lit(1.0)
+                + (F.col("__n").cast("double") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
-    scored = (fb_terms.join(corpus_df, "tok")
+    scored = (fb_terms.join(corpus_df, "tok").crossJoin(F.broadcast(nd))
               .select(F.col("tok").alias("term"), "df_fb",
                       F.col("df").alias("df_corpus"),
                       F.round(F.col("df_fb") * idf, 9)

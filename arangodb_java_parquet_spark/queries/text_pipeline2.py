@@ -539,11 +539,14 @@ def boilerplate_ngram_catalog(spark, sf_dir):
     stats = g.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"))
-    total = d.count()
+    # corpus size as a LAZY broadcast scalar (was an eager d.count()
+    # job at construction time — r15)
+    total = d.agg(F.count(F.lit(1)).alias("__n"))
     return (stats.filter(F.col("n_docs") >= 3)
+            .crossJoin(F.broadcast(total))
             .select("gram", "n_occurrences", "n_docs",
-                    F.round(F.col("n_docs") / F.lit(float(total)), 9)
-                    .alias("doc_share")))
+                    F.round(F.col("n_docs") / F.col("__n").cast("double"),
+                            9).alias("doc_share")))
 
 
 @query("dedup_prefix_fingerprint", """
@@ -1196,7 +1199,10 @@ def corpus_diversity_minhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     sigs = minhash_signatures(sh, "doc_id").transform(materialize)
-    n_docs = sigs.count()
+    # doc count as a LAZY broadcast scalar (was an eager sigs.count()
+    # job at construction time — r15); n*(n-1) is exact in double far
+    # past any harness corpus size, identical to the old literal pair
+    nd = sigs.agg(F.count(F.lit(1)).alias("__n"))
     stacked = sigs.select(F.expr(
         "stack(" + str(_DIV_HASHES) + ", "
         + ", ".join(f"{j}, h{j}" for j in range(_DIV_HASHES))
@@ -1205,12 +1211,13 @@ def corpus_diversity_minhash(spark, sf_dir):
            .agg(F.count(F.lit(1)).alias("c"))
            .groupBy("hash_idx")
            .agg(F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
-                .alias("coll_pairs")))
+                .alias("coll_pairs"))
+           .crossJoin(F.broadcast(nd)))
     est = (F.col("coll_pairs")
-           / (F.lit(float(n_docs)) * F.lit(n_docs - 1)))
+           / (F.col("__n").cast("double") * (F.col("__n") - 1)))
     return out.select(
         "hash_idx", "coll_pairs",
-        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.col("__n").cast("bigint").alias("n_docs"),
         est.alias("jaccard_est"),
         (F.lit(1.0) - est).alias("diversity"))
 

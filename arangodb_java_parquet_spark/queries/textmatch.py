@@ -1197,9 +1197,13 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = d.count()
+    # corpus size as a LAZY broadcast scalar (was an eager d.count()
+    # job at construction time — r15)
+    nd = d.agg(F.count(F.lit(1)).alias("__nd"))
     df = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-          .filter(F.col("df") * _TFC_DF_DEN <= F.lit(n_docs) * _TFC_DF_NUM))
+          .crossJoin(F.broadcast(nd))
+          .filter(F.col("df") * _TFC_DF_DEN
+                  <= F.col("__nd") * _TFC_DF_NUM))
     # the weighted-token table feeds THREE consumers (query side, corpus
     # side, norms); without a checkpoint the whole token->tf->df lineage
     # re-derives per branch (measured 16 exchanges). localCheckpoint
@@ -1208,7 +1212,8 @@ def sim_tfidf_cosine_topk(spark, sf_dir):
     w = (tf.join(df, "tok")
          .select("doc_id", "tok",
                  (F.col("tf") * F.round(F.log(
-                     (F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+                     (F.col("__nd").cast("double") + 1.0)
+                     / (F.col("df") + 1.0)),
                      9)).alias("w"))
          .transform(materialize))
     nrm = (w.groupBy("doc_id")
@@ -1848,11 +1853,15 @@ def dedup_weighted_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < _WJ_DOCS)
     from arangodb_java_parquet_spark.operators.dedup import word_ngrams
     grams = word_ngrams(d, "text", "doc_id", n=3, do_spread=False)
-    n_docs = d.count()
+    # bounded-universe doc count as a LAZY broadcast scalar (was an
+    # eager d.count() job at construction time — r15)
+    nd = d.agg(F.count(F.lit(1)).alias("__nd"))
     idf = (grams.groupBy("shingle")
-           .agg(F.round(F.log(F.lit(float(n_docs + 1))
-                              / (F.count(F.lit(1)) + 1).cast("double")), 9)
-                .alias("w")))
+           .agg((F.count(F.lit(1)) + 1).cast("double").alias("__dfp1"))
+           .crossJoin(F.broadcast(nd))
+           .select("shingle",
+                   F.round(F.log((F.col("__nd") + 1).cast("double")
+                                 / F.col("__dfp1")), 9).alias("w")))
     wg = grams.join(idf, "shingle").transform(materialize)
     sums = (wg.groupBy("doc_id")
             .agg(F.sum(F.col("w").cast("decimal(30,9)")).cast("double")
