@@ -516,18 +516,23 @@ def quality_dsir_weights(spark, sf_dir):
     raw_cnt = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt_cnt = (toks.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
                .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt")))
-    n_raw = raw_cnt.agg(F.sum("c_raw")).collect()[0][0] or 0
-    # SUM over an empty target slice is NULL -> None; Laplace (+BUCKETS)
-    # already keeps the log-ratio finite at n_tgt=0, so degrade smoothly
-    # instead of raising TypeError (and matching the oracle's NULL-free
-    # COALESCE'd denominator)
-    n_tgt = tgt_cnt.agg(F.sum("c_tgt")).collect()[0][0] or 0
+    # bucket totals as LAZY broadcast scalars (were two eager .collect()
+    # jobs, each re-running the full token explode + bucket rollup as a
+    # separate pass before the real one — r15). SUM over an empty target
+    # slice is NULL; Laplace (+BUCKETS) already keeps the log-ratio
+    # finite at n_tgt=0, so coalesce to 0 exactly as the old `or 0` did
+    # (matching the oracle's NULL-free COALESCE'd denominator).
+    n_raw = raw_cnt.agg(
+        F.coalesce(F.sum("c_raw"), F.lit(0)).alias("__nraw"))
+    n_tgt = tgt_cnt.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("__ntgt"))
     lr = (raw_cnt.join(tgt_cnt, "bucket", "left")
+          .crossJoin(F.broadcast(n_raw)).crossJoin(F.broadcast(n_tgt))
           .select("bucket", F.round(F.log(
               ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
-               / F.lit(float(n_tgt + _DSIR_BUCKETS)))
+               / (F.col("__ntgt") + _DSIR_BUCKETS).cast("double"))
               / ((F.col("c_raw") + 1)
-                 / F.lit(float(n_raw + _DSIR_BUCKETS)))), 9)
+                 / (F.col("__nraw") + _DSIR_BUCKETS).cast("double"))), 9)
               .alias("log_ratio")))
     return (toks.join(F.broadcast(lr), "bucket")
             .groupBy("doc_id")
@@ -574,12 +579,14 @@ def mixture_temperature_sampling(spark, sf_dir):
     monthly_seasonal_index lesson: no round on derived ratios)."""
     d = t(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    n = src.agg(F.sum("n_docs")).collect()[0][0]
+    # corpus total as a LAZY broadcast scalar (was an eager .collect()
+    # that re-ran the source rollup as a separate job — r15)
+    n = src.agg(F.sum("n_docs").cast("double").alias("__n"))
     alpha = F.lit(float(_TEMP_ALPHA_NUM)) / F.lit(float(_TEMP_ALPHA_DEN))
-    p = src.select(
+    p = src.crossJoin(F.broadcast(n)).select(
         "source", "n_docs",
-        (F.col("n_docs") / F.lit(float(n))).alias("nat_share"),
-        F.round(F.pow(F.col("n_docs") / F.lit(float(n)), alpha), 9)
+        (F.col("n_docs") / F.col("__n")).alias("nat_share"),
+        F.round(F.pow(F.col("n_docs") / F.col("__n"), alpha), 9)
         .alias("p_alpha"))
     z = p.agg(F.sum(F.col("p_alpha").cast("decimal(30,9)"))
               .cast("double").alias("z"))

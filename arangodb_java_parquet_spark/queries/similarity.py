@@ -1932,7 +1932,10 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
     cont = (asg.groupBy("cid", "label")
             .agg(F.count(F.lit(1)).alias("n"))
             .transform(materialize))
-    nt = cont.agg(F.sum("n")).collect()[0][0]
+    # total count as a LAZY broadcast scalar (was an eager .collect()
+    # that ran the whole k-means + contingency lineage as a separate
+    # job before the real one — r15)
+    ntrow = cont.agg(F.sum("n").cast("bigint").alias("__nt"))
     # the contingency marginals are K- and L-row tables consumed twice
     # (entropy legs + the MI join) — materialize them and broadcast the
     # MI-side joins so neither re-derives nor shuffles (r8 VERDICT item 4)
@@ -1947,20 +1950,24 @@ def kmeans_cluster_purity_nmi(spark, sf_dir):
     def rdsum9(c):
         return F.sum(F.round(c, 9).cast("decimal(30,9)")).cast("double")
 
-    ntd = F.lit(float(nt))
+    ntd = F.col("__nt").cast("double")
     mi_term = ((F.col("n") / ntd)
                * F.log((F.col("n") * ntd)
                        / (F.col("nc") * F.col("nl").cast("double"))))
     mi = (cont.join(F.broadcast(crow), "cid")
           .join(F.broadcast(lrow), "label")
+          .crossJoin(F.broadcast(ntrow))
           .agg(rdsum9(mi_term).alias("mi")))
-    hc = crow.agg(rdsum9(-(F.col("nc") / ntd)
-                         * F.log(F.col("nc") / ntd)).alias("hc"))
-    hl = lrow.agg(rdsum9(-(F.col("nl") / ntd)
-                         * F.log(F.col("nl") / ntd)).alias("hl"))
-    return (pure_n.crossJoin(F.broadcast(mi))
+    hc = (crow.crossJoin(F.broadcast(ntrow))
+          .agg(rdsum9(-(F.col("nc") / ntd)
+                      * F.log(F.col("nc") / ntd)).alias("hc")))
+    hl = (lrow.crossJoin(F.broadcast(ntrow))
+          .agg(rdsum9(-(F.col("nl") / ntd)
+                      * F.log(F.col("nl") / ntd)).alias("hl")))
+    return (pure_n.crossJoin(F.broadcast(ntrow))
+            .crossJoin(F.broadcast(mi))
             .crossJoin(F.broadcast(hc)).crossJoin(F.broadcast(hl))
-            .select(F.lit(nt).cast("bigint").alias("n_points"),
+            .select(F.col("__nt").alias("n_points"),
                     "pure_n",
                     (F.col("pure_n") / ntd).alias("purity"),
                     (F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")))
