@@ -32,6 +32,20 @@ kind        mode="local" (default) mode="reliable" (multi-node)
                                    plan-depth blowup in unrolled
                                    iterations; on a cluster the
                                    recompute is free and lineage-safe.
+"barrier"   localCheckpoint(lazy)  persist(MEMORY_AND_DISK) — a SINGLE-
+            predicate-pushdown     consumer optimization barrier (stops
+            block                  Catalyst inlining an expensive
+                                   just-projected column into a pushed
+                                   filter, the §4.4 duplicated-eval
+                                   class). Unlike "base" it is never
+                                   re-read by a second consumer, so the
+                                   2x-replicated cache would pay a full
+                                   replica of the operator's LARGEST
+                                   intermediate (every pre-threshold
+                                   candidate pair) for pure waste —
+                                   non-replicated storage re-derives on
+                                   executor loss, which is the right
+                                   trade for a one-shot barrier.
 ==========  =====================  ==================================
 
 Mode resolution (per call, so tests can flip it): Spark conf
@@ -55,7 +69,7 @@ import os
 from pyspark.sql import DataFrame
 
 _MODES = ("local", "reliable")
-_KINDS = ("base", "iter", "scalar")
+_KINDS = ("base", "iter", "scalar", "barrier")
 
 
 def materialize_mode(spark) -> str:
@@ -93,7 +107,13 @@ def materialize(df: DataFrame, kind: str = "base",
     if kind == "iter":
         return _reliable_checkpoint(df, eager)
     from pyspark import StorageLevel
+    if kind == "barrier":
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
     return df.persist(StorageLevel.MEMORY_AND_DISK_2)
+
+
+def materialize_barrier(df: DataFrame) -> DataFrame:
+    return materialize(df, "barrier")
 
 
 def materialize_iter(df: DataFrame) -> DataFrame:

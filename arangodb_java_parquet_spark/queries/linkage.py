@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_barrier)
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -300,11 +301,13 @@ def bitext_mining_candidates(spark, sf_dir):
     cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
                   / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"),
                              F.lit(0.0)), 9)
-    # materialize the scored pairs BEFORE the threshold filter: Catalyst
+    # barrier the scored pairs BEFORE the threshold filter: Catalyst
     # inlines the cos_sim alias into the filter and pushes it into the
     # bucket join's residual CONDITION — one extra interpreted HOF dot
     # per candidate pair (r15 plan audit; the fuzzy-levenshtein
-    # duplicated-evaluation class)
+    # duplicated-evaluation class). kind="barrier": single consumer, so
+    # reliable mode must not 2x-replicate the pre-threshold pairs
+    # (ADVICE r15).
     pairs = (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                     & (F.col("a.lang") < F.col("c.lang_b")))
              .select(F.col("a.doc_id").alias("doc_a"),
@@ -312,7 +315,7 @@ def bitext_mining_candidates(spark, sf_dir):
                      F.col("c.doc_id_b").alias("doc_b"),
                      F.col("c.lang_b").alias("lang_b"),
                      cos.alias("cos_sim"))
-             .transform(materialize)
+             .transform(materialize_barrier)
              .filter(F.col("cos_sim") >= _BITEXT_MIN_COS))
     w = W.partitionBy("doc_a").orderBy(F.desc("cos_sim"), "doc_b")
     return (pairs.withColumn("rn", F.row_number().over(w))

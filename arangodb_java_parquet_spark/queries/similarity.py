@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import (
-    materialize, materialize_iter)
+    materialize, materialize_barrier, materialize_iter)
 from arangodb_java_parquet_spark.operators.similarity import (
     cosine, dot, norm, srp_bucket, topk_cosine_bruteforce,
     topk_cosine_lsh)
@@ -130,17 +130,18 @@ def emb_near_dup_pairs(spark, sf_dir):
     cos = F.round(dot(F.col("a.embedding"), F.col("c.embedding_b"))
                   / F.nullif(F.col("a.nrm") * F.col("c.nrm_b"),
                              F.lit(0.0)), 9)
-    # materialize before the threshold filter — otherwise Catalyst pushes
+    # barrier before the threshold filter — otherwise Catalyst pushes
     # the inlined cos_sim predicate into the bucket join's condition and
     # every candidate pair pays the HOF dot twice (r15, the
-    # fuzzy-levenshtein duplicated-evaluation class)
-    from arangodb_java_parquet_spark.materialize import materialize
+    # fuzzy-levenshtein duplicated-evaluation class). kind="barrier":
+    # single consumer, so reliable mode must not 2x-replicate the full
+    # pre-threshold pair set (ADVICE r15)
     return (a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
                    & (F.col("a.vec_id") < F.col("c.vec_id_b")))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("c.vec_id_b").alias("vec_b"),
                     cos.alias("cos_sim"))
-            .transform(materialize)
+            .transform(materialize_barrier)
             .filter(F.col("cos_sim") >= 0.4))
 
 

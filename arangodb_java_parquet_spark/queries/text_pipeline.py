@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.operators.dedup import (
     char_shingles, jaccard_pairs, lsh_candidate_pairs, minhash_signatures,
     simhash_signatures, word_ngrams)
+from arangodb_java_parquet_spark.materialize import materialize_barrier
 from arangodb_java_parquet_spark.queries.common import query, t
 
 # ---------------------------------------------------------------------------
@@ -684,7 +685,6 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     kind of expensive verifier the LSH funnel exists to shield; prefixing
     bounds the cost per pair. Both engines evaluate their native
     levenshtein (identical unit-cost DP definition)."""
-    from arangodb_java_parquet_spark.materialize import materialize
     d = t(spark, sf_dir, "documents")
     sh = char_shingles(d, "text", "doc_id", k=5, distinct=False)
     pairs = lsh_candidate_pairs(minhash_signatures(sh, "doc_id"), "doc_id")
@@ -692,16 +692,18 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
                   F.expr("left(text, 80)").alias("__ta"))
     db = d.select(F.col("doc_id").alias("doc_b"),
                   F.expr("left(text, 80)").alias("__tb"))
-    # materialize the scored pairs BEFORE the distance filter: Catalyst
+    # barrier the scored pairs BEFORE the distance filter: Catalyst
     # inlines the edit_dist alias into the filter and pushes it into the
     # pair join's CONDITION, so every candidate pair ran the O(80²) DP
     # once in the join and every survivor ran it AGAIN in the projection
     # (r15 plan audit; the §4.4 duplicated-evaluation trap, expression
-    # flavor). The checkpoint pins one evaluation per pair.
+    # flavor). The checkpoint pins one evaluation per pair; kind="barrier"
+    # because this is a single-consumer pushdown block — reliable mode
+    # must not 2x-replicate the full pre-threshold pair set (ADVICE r15).
     scored = (pairs.join(da, "doc_a").join(db, "doc_b")
               .select("doc_a", "doc_b",
                       F.levenshtein("__ta", "__tb").alias("edit_dist"))
-              .transform(materialize))
+              .transform(materialize_barrier))
     return (scored.filter(F.col("edit_dist") <= 40)
             .select("doc_a", "doc_b", "edit_dist"))
 

@@ -45,12 +45,34 @@ def _run_in_mode(spark, name, mode):
 #  - timeseries_sample_entropy: shared scan base (the lead-lagged idx
 #    projection feeds both sides of the pair join) + scalar tolerance.
 @pytest.mark.parametrize("name", [
-    "emb_pca_power_iteration", "timeseries_sample_entropy"])
+    "emb_pca_power_iteration", "timeseries_sample_entropy",
+    # single-consumer predicate barrier (kind="barrier", ADVICE r15):
+    # reliable mode swaps to a NON-replicated persist
+    "dedup_fuzzy_levenshtein"])
 def test_reliable_mode_matches_local(spark, name):
     local = _run_in_mode(spark, name, "local")
     reliable = _run_in_mode(spark, name, "reliable")
     assert local == reliable
     assert local  # nonzero rows — no vacuous pass
+
+
+def test_barrier_kind_is_nonreplicated_persist(spark):
+    """kind="barrier" must persist WITHOUT replication in reliable mode —
+    a single-consumer pushdown block would otherwise pay a 2x-replicated
+    cache of the operator's largest intermediate (ADVICE r15)."""
+    from pyspark import StorageLevel
+    spark.conf.set("spark.graft.materialize", "reliable")
+    try:
+        df = M.materialize(spark.range(5), "barrier")
+        assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
+        # a DIFFERENT plan — CacheManager dedups identical plans and
+        # would return the barrier entry's storage level
+        base = M.materialize(spark.range(7), "base")
+        assert base.storageLevel == StorageLevel.MEMORY_AND_DISK_2
+        base.unpersist()
+        df.unpersist()
+    finally:
+        spark.conf.set("spark.graft.materialize", "local")
 
 
 def test_mode_resolution_and_kind_validation(spark):
