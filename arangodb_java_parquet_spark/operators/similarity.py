@@ -133,22 +133,93 @@ def ivf_fit_centroids(corpus: DataFrame, *, id_col: str, vec_col: str,
 
     Recall/speed trade: n_probe/n_centroids of the corpus is scanned per
     query instead of all of it.
+
+    r16 (VERDICT r15 #4): the Lloyd loop over the BOUNDED sample runs
+    driver-side — ONE distributed job (the sample collect; the old
+    TakeOrderedAndProject already pulled all 2000 vectors through the
+    driver anyway) replaces the r15 protocol of 4 fixed jobs (ids
+    collect, seed collect, one assignment+mean job per iteration), each
+    ~0.5-1.2 s of scheduling/python-interop floor on a 2000-row frame —
+    exactly the guide-§5 "driver coordinates, executors compute" balance
+    INVERTED for data this small. Bit-identical to the distributed loop
+    (pinned by tests/test_similarity.py::
+    test_ivf_driver_fit_matches_distributed and the stored-model
+    equality pins in tests/test_ann_stored.py, which compare against
+    artifacts fit by the r15 code): the collect preserves the exact
+    sample plan (orderBy→limit→repartition(8, sid)) whose partition
+    order seeds rng.choice; assignment reuses the same numpy d2-argmin
+    expression as the Arrow kernel (per-row reductions — batch split
+    cannot change them); the per-(cell, dim) means replicate Spark's
+    SUM(CAST(val AS DECIMAL(30,12)))/COUNT exactly via per-element
+    half-up quantization to 1e-12 (shortest-repr decimal, the same
+    BigDecimal.valueOf path Spark's float→decimal cast takes) summed as
+    exact int64. ``ivf_fit_centroids_distributed`` keeps the
+    cluster-shaped loop for a widened sample (the 100 TB posture when
+    the sample no longer fits a driver collect).
     """
     import numpy as np
 
-    # the global limit collapses to ONE partition — hash-repartition the
-    # cached sample so each Lloyd job actually runs parallel tasks (8 is
-    # plenty for a 2000-row bounded sample; widen with the sample if ever
-    # raised)
-    sample = (corpus.select(F.col(id_col).alias("sid"),
-                            F.col(vec_col).alias("svec"))
-              .orderBy("sid").limit(2000).repartition(8, "sid").cache())
-    ids = [r["sid"] for r in sample.select("sid").collect()]
+    rows = _ivf_sample(corpus, id_col=id_col, vec_col=vec_col).collect()
+    centroids, _ = _ivf_seeds(rows, n_centroids, seed)
+    X = np.array([[float(v) for v in r["svec"]] for r in rows],
+                 dtype="float64")
+    # per-element quantization to DECIMAL(30,12), half-up — computed once
+    # (it does not depend on the iteration), summed exactly in int64
+    # (|v|~O(1) => |q| <= ~1e13; 2000-row sums stay far below 2^63)
+    from decimal import ROUND_HALF_UP, Decimal
+    one_e12 = Decimal(1).scaleb(-12)
+    Q = np.array([[int(Decimal(repr(v)).quantize(one_e12, ROUND_HALF_UP)
+                       .scaleb(12)) for v in row] for row in X.tolist()],
+                 dtype="int64")
+    for _ in range(n_iter):
+        C = np.asarray(centroids, dtype="float64")
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        centroids = [
+            [float(Decimal(int(s)).scaleb(-12)) / int(cnt)
+             for s in Q[cells == c].sum(axis=0).tolist()]
+            if (cnt := int((cells == c).sum())) else centroids[c]
+            for c in range(len(centroids))]
+    return centroids
+
+
+def _ivf_sample(corpus: DataFrame, *, id_col: str, vec_col: str):
+    """The bounded deterministic seed sample — orderBy→limit→repartition
+    EXACTLY as r15 shaped it: the repartition(8, sid) partition order is
+    what seeds rng.choice, so it is part of the fit's determinism
+    contract (the stored-model equality pins depend on it)."""
+    return (corpus.select(F.col(id_col).alias("sid"),
+                          F.col(vec_col).alias("svec"))
+            .orderBy("sid").limit(2000).repartition(8, "sid"))
+
+
+def _ivf_seeds(rows, n_centroids: int, seed: int):
+    import numpy as np
+    ids = [r["sid"] for r in rows]
     rng = np.random.RandomState(seed)
     chosen = {ids[i] for i in rng.choice(
         len(ids), size=min(n_centroids, len(ids)), replace=False)}
-    # seed centroids: n_centroids vectors — bounded by the centroid count,
-    # i.e. exactly the data every later stage broadcasts anyway
+    centroids = [[float(v) for v in r["svec"]]
+                 for r in sorted((r for r in rows if r["sid"] in chosen),
+                                 key=lambda r: r["sid"])]
+    return centroids, len(centroids[0])
+
+
+def ivf_fit_centroids_distributed(corpus: DataFrame, *, id_col: str,
+                                  vec_col: str, n_centroids: int = 16,
+                                  n_iter: int = 3, seed: int = 42) -> list:
+    """The r15 cluster-shaped Lloyd loop (one distributed job per
+    iteration: Arrow-kernel assignment + posexplode + narrow decimal-mean
+    groupBy; only n_centroids × dim scalars reach the driver per round).
+    Kept as the widened-sample path and as the equality pin's reference:
+    ivf_fit_centroids (driver-side, default) must reproduce it
+    bit-for-bit on the bounded sample."""
+    sample = _ivf_sample(corpus, id_col=id_col, vec_col=vec_col).cache()
+    ids = [r["sid"] for r in sample.select("sid").collect()]
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    chosen = {ids[i] for i in rng.choice(
+        len(ids), size=min(n_centroids, len(ids)), replace=False)}
     centroids = [[float(v) for v in r["svec"]] for r in
                  sample.filter(F.col("sid").isin(list(chosen)))
                  .orderBy("sid").collect()]
@@ -157,16 +228,7 @@ def ivf_fit_centroids(corpus: DataFrame, *, id_col: str, vec_col: str,
     from arangodb_java_parquet_spark.operators._ivf_kernel import (
         make_cell_udf as _cell_udf)
 
-    for _ in range(n_iter):  # fixed Lloyd iterations — ONE distributed job each
-        # assignment as a vectorized Arrow kernel (the fit is a rows-only,
-        # recall-tested stage, so python is allowed here — the CORPUS
-        # assignment/probe below stays pure JVM), then decimal-exact
-        # per-(cell, dim) means via posexplode + ONE narrow groupBy —
-        # deliberately NOT dim separate wide aggregates, whose generated
-        # code is dim x n_aggs wide and dominates first-iteration cost.
-        # The driver only ever sees n_centroids x dim SCALAR means; no
-        # vector collect beyond the seed rows, so widening the sample
-        # runs the identical plan cluster-wide.
+    for _ in range(n_iter):
         rows = (sample
                 .select(_cell_udf(centroids)(F.col("svec")).alias("cell"),
                         F.posexplode("svec").alias("pos", "val"))
@@ -174,9 +236,6 @@ def ivf_fit_centroids(corpus: DataFrame, *, id_col: str, vec_col: str,
                 .agg((F.sum(F.col("val").cast("decimal(30,12)"))
                       .cast("double") / F.count(F.lit(1))).alias("m"))
                 .collect())
-        # rebuild by explicit (cell, pos) lookup: an EMPTY cell keeps its
-        # previous centroid (a positional rebuild would silently shift
-        # every later centroid's index)
         means: dict = {}
         for r in rows:
             means.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
@@ -381,17 +440,19 @@ def semdedup_prune(emb: DataFrame, *, id_col: str, vec_col: str,
     cos = F.round(dot(F.col(f"a.{vec_col}"), F.col("b.__vecb"))
                   / F.nullif(F.col("a.__nrm") * F.col("b.__nrmb"),
                              F.lit(0.0)), 9)
-    # materialize before the tau filter — otherwise Catalyst pushes the
+    # barrier before the tau filter — otherwise Catalyst pushes the
     # inlined cos_sim predicate into the cell join's condition and every
     # in-cell pair pays the HOF dot twice (r15, the fuzzy-levenshtein
-    # duplicated-evaluation class)
-    from arangodb_java_parquet_spark.materialize import materialize
+    # duplicated-evaluation class). kind="barrier": single consumer, so
+    # reliable mode must not 2x-replicate the full pre-threshold pair
+    # set (ADVICE r15).
+    from arangodb_java_parquet_spark.materialize import materialize_barrier
     return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
                    & (F.col(f"a.{id_col}") < F.col("b.__idb")))
             .select(F.col("b.__idb").alias(id_col),
                     F.col("a.cell").alias("cell"),
                     cos.alias("cos_sim"))
-            .transform(materialize)
+            .transform(materialize_barrier)
             .filter(F.col("cos_sim") >= tau)
             .groupBy(id_col, "cell")
             .agg(F.count(F.lit(1)).alias("n_dups"),
@@ -419,7 +480,8 @@ def _sub_d2(vec: Column, cvec: Column, s: int, sub_dim: int) -> Column:
 def pq_encode(emb: DataFrame, *, id_col: str, vec_col: str,
               n_sub: int = 8, sub_dim: int = 8,
               cent_mod: int = 37, emit: str = "cid",
-              impl: str = "jvm") -> DataFrame:
+              impl: str = "jvm",
+              cb_from: DataFrame | None = None) -> DataFrame:
     """Product quantization encode (Jégou et al. 2011, the FAISS PQ
     scheme): split each vector into ``n_sub`` subvectors and store, per
     subspace, only the id of the nearest codeword — compressing a
@@ -456,10 +518,17 @@ def pq_encode(emb: DataFrame, *, id_col: str, vec_col: str,
     size. Both paths broadcast the codebook and scale linearly with zero
     shuffles.
 
+    ``cb_from`` (optional) derives the codebook from a DIFFERENT frame
+    than the one being encoded — the incremental-append shape, where a
+    new batch must encode against the FULL corpus's codebook (filtering
+    the batch AFTER encoding would either change the codebook or, on the
+    arrow path, encode the whole corpus because a filter cannot push
+    below mapInPandas).
+
     Output: (id, vec, pq_code | pq_pos).
     """
-    cb = pq_codebook(emb, id_col=id_col, vec_col=vec_col,
-                     cent_mod=cent_mod)
+    cb = pq_codebook(cb_from if cb_from is not None else emb,
+                     id_col=id_col, vec_col=vec_col, cent_mod=cent_mod)
     if impl == "arrow":
         return _pq_encode_arrow(emb, cb, id_col=id_col, vec_col=vec_col,
                                 n_sub=n_sub, sub_dim=sub_dim, emit=emit)
@@ -721,6 +790,20 @@ ARROW_GRAM_CONSUMERS = frozenset({
     "emb_pca_explained_variance",   # same shared _pca_gram_and_v chain
     "emb_linear_cka",               # all 3 covariance blocks are sub-blocks
                                     # of the one pinned d×d Gram
+})
+
+# Oracle-checked entries that deliberately consume the Arrow PQ-encode
+# path (_pq_encode_arrow) inside a hash-compared query — the same
+# exemption contract as ARROW_GRAM_CONSUMERS above: legitimate ONLY
+# because the numpy argmin mirrors the JVM expression bit-for-bit
+# (left-to-right double d2 accumulation, round-9, first-occurrence
+# argmin == (d2, cid) struct-min on the cid-sorted codebook), pinned by
+# tests/test_similarity.py::test_pq_encode_arrow_matches_jvm on the real
+# corpus. Added r16 (VERDICT r15 #2): the incremental-append batch
+# encode moves off the interpreted JVM argmin (~10× of the entry's
+# cost); disclosed python_stages grows 12 -> 13 in PLAN_REPORT.md.
+ARROW_PQ_CONSUMERS = frozenset({
+    "sim_index_incremental_append",
 })
 
 

@@ -149,7 +149,19 @@ def sim_index_incremental_append(spark, sf_dir):
     construction, so the batch encode reproduces the stored codebook
     exactly; the oracle recomputes all codes from scratch with that
     codebook, so a hash match proves the stored base codes + fresh
-    batch codes are byte-faithful. Output tags each row's origin."""
+    batch codes are byte-faithful. Output tags each row's origin.
+
+    r16 (VERDICT r15 #2): the recurring BATCH encode runs the Arrow
+    production path (vectorized numpy argmin over Arrow batches) instead
+    of the interpreted JVM HOF argmin — the dominant per-append cost,
+    ~10× faster, codes pinned bit-identical by
+    tests/test_similarity.py::test_pq_encode_arrow_matches_jvm and
+    disclosed in operators/similarity.ARROW_PQ_CONSUMERS (python_stages
+    12 -> 13). The batch slice filters BELOW the python stage via
+    cb_from (a filter cannot push through mapInPandas), while the
+    codebook still derives from the full corpus — the append invariant.
+    The fit-once base encode stays on the JVM oracle path (it runs once
+    into the model store; byte-faithful history is the point)."""
     from arangodb_java_parquet_spark.operators.similarity import pq_encode
     e = t(spark, sf_dir, "embeddings")
     root = store_root_for(sf_dir, "embeddings")
@@ -165,8 +177,9 @@ def sim_index_incremental_append(spark, sf_dir):
 
     base = ensure_model(spark, root, "pq_codes_base_cid", "pq_codes",
                         fit_base)
-    batch = (pq_encode(e, id_col="vec_id", vec_col="embedding")
-             .filter(F.col("vec_id") >= _APPEND_SPLIT)
+    batch = (pq_encode(e.filter(F.col("vec_id") >= _APPEND_SPLIT),
+                       id_col="vec_id", vec_col="embedding",
+                       impl="arrow", cb_from=e)
              .select("vec_id", "pq_code"))
     combined = base.unionByName(batch)
     return combined.select(

@@ -217,8 +217,11 @@ def test_every_oracle_query_is_python_free(spark, sf_dir):
     # named there. Future additions must edit that constant (and cite a
     # pin), not this test.
     from arangodb_java_parquet_spark.operators.similarity import (
-        ARROW_GRAM_CONSUMERS)
+        ARROW_GRAM_CONSUMERS, ARROW_PQ_CONSUMERS)
     skipped.update(ARROW_GRAM_CONSUMERS)
+    # Arrow PQ-encode consumers: same contract, pinned by
+    # tests/test_similarity.py::test_pq_encode_arrow_matches_jvm (r16)
+    skipped.update(ARROW_PQ_CONSUMERS)
     from arangodb_java_parquet_spark.plans.inspect import formatted_plan
     # join_cross is a deliberate tiny cross join (region × 5 segments)
     cartesian_ok = {"join_cross"}

@@ -344,3 +344,40 @@ def test_als_reduces_train_rmse(spark, sf_dir):
 
     x1 = solve_users(y0)
     assert rmse(x1, yfit) < rmse(x1, y0)
+
+
+def test_pq_encode_cb_from_matches_filter_after(spark, sf_dir):
+    """The r16 incremental-append shape: arrow-encoding ONLY the batch
+    slice with the codebook derived from the FULL corpus (cb_from) must
+    equal the r15 shape (JVM-encode everything against the same
+    codebook, filter after) code-for-code — the invariant that appends
+    never re-quantize history and the batch slice can filter below the
+    python stage."""
+    from arangodb_java_parquet_spark.operators.similarity import pq_encode
+    e = t(spark, sf_dir, "embeddings")
+    split = 400
+    old = {r.vec_id: list(r.pq_code) for r in
+           pq_encode(e, id_col="vec_id", vec_col="embedding")
+           .filter(F.col("vec_id") >= split).collect()}
+    new = {r.vec_id: list(r.pq_code) for r in
+           pq_encode(e.filter(F.col("vec_id") >= split),
+                     id_col="vec_id", vec_col="embedding",
+                     impl="arrow", cb_from=e).collect()}
+    assert old and old == new
+
+
+def test_ivf_driver_fit_matches_distributed(spark, sf_dir):
+    """The r16 driver-side Lloyd fit must be BIT-IDENTICAL to the r15
+    distributed loop it replaces (same sample order -> same rng seeds,
+    same numpy assignment, decimal(30,12)-exact means) — the stored IVF
+    artifacts and every downstream rows-only probe depend on it."""
+    from arangodb_java_parquet_spark.operators.similarity import (
+        ivf_fit_centroids, ivf_fit_centroids_distributed)
+    e = t(spark, sf_dir, "embeddings")
+    a = ivf_fit_centroids(e, id_col="vec_id", vec_col="embedding",
+                          n_iter=2)
+    b = ivf_fit_centroids_distributed(e, id_col="vec_id",
+                                      vec_col="embedding", n_iter=2)
+    assert len(a) == len(b) == 16
+    assert [[repr(v) for v in c] for c in a] == \
+        [[repr(v) for v in c] for c in b]
