@@ -108,3 +108,87 @@ def sql_dsum(expr: str, scale: int = 8) -> str:
 def sql_davg(expr: str, scale: int = 8) -> str:
     return (f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
             f" / COUNT({expr})")
+
+
+# -- exact distributed percentiles -------------------------------------------
+
+def exact_percentiles(df: DataFrame, value_col: str,
+                      fractions: list[float], out_cols: list[str],
+                      group_cols: tuple[str, ...] = (),
+                      n_col: str | None = None) -> DataFrame:
+    """Exact percentile(value_col, p) for several fractions in ONE fully
+    distributed ranked pass — the scale-safe replacement for Spark's
+    percentile() aggregate, whose ObjectHashAggregate buffers an
+    O(distinct-values) boxed OpenHashMap on the final reducer and sorts
+    it single-threaded (guide §5 memory risk; measured 1.9 s of
+    theil_sen_trend's 3.9 s at sf0.1, r15).
+
+    Mechanics (both halves already proven in this codebase):
+      * global rank WITHOUT a single-task sort: repartitionByRange on
+        (*group_cols, value) -> per-partition row_number -> tiny
+        per-(partition, group) counts rolled into broadcast prefix
+        offsets (the join_range_binned prefix-scan shape, temporal.py);
+      * percentile()'s own interpolation over the two middle order
+        statistics: pos = (n-1)*p, (ceil(pos)-pos)*v[floor] +
+        (pos-floor(pos))*v[ceil] — the formula verified bit-identical to
+        percentile()/quantile_cont in the r15 theil_sen rewrite, here
+        pinned registry-wide by tests/test_percentile_helper.py.
+
+    NULL values are excluded (percentile() semantics); ``n_col`` (if
+    given) carries the per-group NON-NULL count. Output: one row per
+    group with *group_cols, [n_col], and ``out_cols`` — UNROUNDED
+    doubles, bit-identical to percentile(value_col, p). Rows ranked by
+    the DOUBLE cast of the value (exact for float/int inputs; callers
+    here pass doubles).
+    """
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    vals = (df.filter(F.col(value_col).isNotNull())
+            .select(*gcols, F.col(value_col).cast("double").alias("__v")))
+    # materialize pins ONE set of sampled range boundaries so the local-
+    # rank and per-partition-total subtrees see identical pids
+    rb = (vals.repartitionByRange(nparts, *gcols, "__v")
+          .withColumn("__pid", F.spark_partition_id())
+          .transform(materialize))
+    loc = rb.withColumn("__lrn", F.row_number().over(
+        W.partitionBy("__pid", *gcols).orderBy("__v")))
+    tot = rb.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__c"))
+    woff = (W.partitionBy(*gcols) if gcols else W.partitionBy()
+            ).orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy(*gcols) if gcols else W.partitionBy()
+    off = tot.select(
+        "__pid", *gcols,
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__c").over(wall).alias("__n"))
+    ranked = (loc.join(F.broadcast(off), ["__pid", *gcols])
+              .select(*gcols, "__v", "__n",
+                      (F.col("__lrn") + F.col("__off")).alias("__rn")))
+    conds, aggs = [], []
+    for i, p in enumerate(fractions):
+        pos = (F.col("__n") - 1) * F.lit(float(p))
+        lower, higher = F.floor(pos), F.ceil(pos)
+        conds.append((F.col("__rn") - 1 == lower)
+                     | (F.col("__rn") - 1 == higher))
+        aggs.append(F.max(F.when(F.col("__rn") - 1 == lower,
+                                 F.col("__v"))).alias(f"__lk{i}"))
+        aggs.append(F.max(F.when(F.col("__rn") - 1 == higher,
+                                 F.col("__v"))).alias(f"__hk{i}"))
+    picked = ranked.filter(reduce(or_, conds))
+    gb = picked.groupBy(*gcols) if gcols else picked.groupBy()
+    agg = gb.agg(F.max("__n").alias("__n"), *aggs)
+    outs = []
+    for i, (p, name) in enumerate(zip(fractions, out_cols)):
+        apos = (F.col("__n") - 1) * F.lit(float(p))
+        alower, ahigher = F.floor(apos), F.ceil(apos)
+        outs.append(
+            F.when(alower == ahigher, F.col(f"__lk{i}"))
+            .otherwise((ahigher.cast("double") - apos) * F.col(f"__lk{i}")
+                       + (apos - alower.cast("double")) * F.col(f"__hk{i}"))
+            .alias(name))
+    keep = ([F.col("__n").alias(n_col)] if n_col else [])
+    return agg.select(*gcols, *keep, *outs)

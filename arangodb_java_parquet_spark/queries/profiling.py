@@ -10,7 +10,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from arangodb_java_parquet_spark.materialize import materialize
-from arangodb_java_parquet_spark.queries.common import dsum, query, t
+from arangodb_java_parquet_spark.queries.common import (
+    dsum, exact_percentiles, query, t)
 
 
 @query("profile_orders_columns", """
@@ -402,14 +403,15 @@ GROUP BY 1
 def winsorize_stats(spark, sf_dir):
     """Winsorized aggregation: clip order values at the exact global
     1st/99th percentiles, then aggregate per priority — outlier-robust
-    metrics without dropping rows. The percentile pair is one scalar
-    aggregate broadcast to the clip pass (two scans, zero shuffles of the
-    fact table beyond the final combinable agg); round-9 pins the
-    interpolated cutpoints across engines."""
+    metrics without dropping rows. The percentile pair comes from ONE
+    distributed ranked pass (exact_percentiles, r16 — bit-identical to
+    percentile() but without its O(distinct) single-reducer
+    ObjectHashAggregate buffer) broadcast to the clip pass; round-9 pins
+    the interpolated cutpoints across engines."""
     o = t(spark, sf_dir, "orders")
-    q = o.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.01)"), 9).alias("lo"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 9).alias("hi"))
+    q = exact_percentiles(
+        o, "o_totalprice", [0.01, 0.99], ["_lo", "_hi"]).select(
+        F.round("_lo", 9).alias("lo"), F.round("_hi", 9).alias("hi"))
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
                       F.col("hi"))
     out_of_range = ((F.col("o_totalprice") < F.col("lo"))
@@ -556,33 +558,39 @@ GROUP BY 1, 2, 3, 4, 5
 def boxplot_stats(spark, sf_dir):
     """Box-plot profile per group: exact quartiles + the count of
     high-fence (Q3 + 1.5·IQR) outliers — the distribution summary every
-    data-quality dashboard draws. Spark computes the quartiles once per
-    group via a percentile-array aggregate and rejoins them broadcast for
-    the fence count (two passes over the group, zero extra shuffles of
-    note); round-9 pins the interpolated cutpoints AND the fence itself
-    (an unrounded fence could flip the count for a row within an ulp of
-    a divergently-interpolated quantile — same rule as winsorize)."""
+    data-quality dashboard draws. All three quartiles AND the fence come
+    from ONE distributed ranked pass per group (exact_percentiles, r16 —
+    the r15 shape ran TWO independent percentile ObjectHashAggregate
+    lineages, 5 percentile evaluations; the builtin also buffers
+    O(distinct) boxed values on one reducer, guide §5), rejoined
+    broadcast for the fence count; round-9 pins the interpolated
+    cutpoints AND the fence itself (an unrounded fence could flip the
+    count for a row within an ulp of a divergently-interpolated
+    quantile — same rule as winsorize)."""
     o = t(spark, sf_dir, "orders")
-    q = (o.groupBy("o_orderpriority")
-         .agg(F.count(F.lit(1)).alias("n"),
-              F.round(F.expr("percentile(o_totalprice, 0.25)"), 9)
-              .alias("q1"),
-              F.round(F.expr("percentile(o_totalprice, 0.5)"), 9)
-              .alias("med"),
-              F.round(F.expr("percentile(o_totalprice, 0.75)"), 9)
-              .alias("q3")))
-    fence = F.round(
-        F.expr("percentile(o_totalprice, 0.75)"
-               " + 1.5 * (percentile(o_totalprice, 0.75)"
-               " - percentile(o_totalprice, 0.25))"), 9)
-    outl = (o.groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("_n_all"),
-                 fence.alias("_fence")))
-    joined = o.join(F.broadcast(outl), "o_orderpriority")
+    # materialize: the quartile table feeds both the output row and the
+    # broadcast fence join — without it the ranked pass runs twice
+    pct = exact_percentiles(
+        o, "o_totalprice", [0.25, 0.5, 0.75], ["_p25", "_p50", "_p75"],
+        group_cols=("o_orderpriority",)).transform(materialize)
+    q = pct.select(
+        "o_orderpriority",
+        F.round("_p25", 9).alias("q1"),
+        F.round("_p50", 9).alias("med"),
+        F.round("_p75", 9).alias("q3"))
+    fence = (pct.select(
+        "o_orderpriority",
+        F.round(F.col("_p75")
+                + 1.5 * (F.col("_p75") - F.col("_p25")), 9)
+        .alias("_fence")))
+    joined = o.join(F.broadcast(fence), "o_orderpriority")
     n_out = (joined.groupBy("o_orderpriority")
-             .agg(F.sum(F.when(F.col("o_totalprice") > F.col("_fence"), 1)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("o_totalprice") > F.col("_fence"), 1)
                         .otherwise(0)).alias("n_high_outliers")))
-    return q.join(n_out, "o_orderpriority")
+    return (q.join(n_out, "o_orderpriority")
+            .select("o_orderpriority", "n", "q1", "med", "q3",
+                    "n_high_outliers"))
 
 
 @query("categorical_chi2_independence", """

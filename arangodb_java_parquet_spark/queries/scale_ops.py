@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from arangodb_java_parquet_spark.materialize import materialize
 from arangodb_java_parquet_spark.operators.dedup import (
     spread, symmetric_edges)
-from arangodb_java_parquet_spark.queries.common import query, t
+from arangodb_java_parquet_spark.queries.common import (
+    exact_percentiles, query, t)
 
 # ---------------------------------------------------------------------------
 # deterministic global shuffle -> shard files
@@ -292,12 +293,15 @@ def robust_scale_features(spark, sf_dir):
     engines via nullif — Spark's non-ANSI /0 is NULL but DuckDB's is
     inf, so the guard is required for cross-engine parity."""
     o = t(spark, sf_dir, "orders")
-    stats = (o.groupBy("o_orderpriority")
-             .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
-                  .alias("med"),
-                  F.round(F.percentile("o_totalprice", F.lit(0.75))
-                          - F.percentile("o_totalprice", F.lit(0.25)), 9)
-                  .alias("iqr")))
+    # one distributed ranked pass for all three percentiles (r16,
+    # exact_percentiles — bit-identical to percentile(), no O(distinct)
+    # ObjectHashAggregate buffer on the final reducer)
+    stats = exact_percentiles(
+        o, "o_totalprice", [0.5, 0.25, 0.75], ["_med", "_q1", "_q3"],
+        group_cols=("o_orderpriority",)).select(
+        "o_orderpriority",
+        F.round("_med", 9).alias("med"),
+        F.round(F.col("_q3") - F.col("_q1"), 9).alias("iqr"))
     return (o.filter(F.col("o_orderkey") < 2000)
             .join(F.broadcast(stats), "o_orderpriority")
             .select("o_orderkey", "o_orderpriority", "med", "iqr",
