@@ -219,33 +219,56 @@ def cms_pos_sql(token_expr: str, row: int) -> str:
 QSK_BINS = 128
 
 
+def quantile_sketch_bounds(df: DataFrame, cents_expr: str) -> DataFrame:
+    """1-row (lo, width) bounds table for the histogram sketch — a LAZY
+    broadcast scalar, so the sketch plans as one job instead of an eager
+    min/max `.first()` gating query construction (r16, the batch-5
+    eager-scalar class; VERDICT r15 #6). A production deployment pins
+    bounds a priori instead."""
+    c = F.expr(cents_expr)
+    return df.agg(F.min(c).alias("__lo"),
+                  (F.max(c) - F.min(c) + F.lit(1)).alias("__width"))
+
+
 def quantile_sketch_hist(df: DataFrame, cents_expr: str,
-                         lo: int, hi: int) -> DataFrame:
+                         lo: int | None = None, hi: int | None = None,
+                         bounds: DataFrame | None = None) -> DataFrame:
     """(bin, cnt): fixed-width histogram sketch over an exact-integer
     (cents) value with CLOSED bounds [lo, hi] — the bin index is pure
     integer arithmetic ((c - lo) * B div (hi - lo + 1)), so identical in
-    every engine and under any partitioning. With bounds fixed a priori
-    (as a production sketch would), per-shard histograms merge by counter
-    SUM (tests pin it); one map-side-combinable aggregation, B rows out
-    whatever the corpus."""
+    every engine and under any partitioning. Bounds come either as
+    python ints (the a-priori production form the merge test pins) or as
+    a lazy 1-row ``bounds`` table (quantile_sketch_bounds) crossJoined
+    broadcast — bin arithmetic is identical either way (exact bigint
+    columns vs exact bigint literals). With bounds fixed, per-shard
+    histograms merge by counter SUM (tests pin it); one
+    map-side-combinable aggregation, B rows out whatever the corpus."""
     b = QSK_BINS
+    if bounds is not None:
+        return (df.crossJoin(F.broadcast(bounds))
+                .select(F.expr(
+                    f"({cents_expr} - __lo) * {b} div __width").alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
     width = hi - lo + 1
     return (df.select(F.expr(
                 f"({cents_expr} - {lo}) * {b} div {width}").alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def quantile_sketch_estimate(hist: DataFrame, lo: int, hi: int,
-                             quantiles: list[float]) -> DataFrame:
+def quantile_sketch_estimate(hist: DataFrame, lo: int | None = None,
+                             hi: int | None = None,
+                             quantiles: list[float] = (),
+                             bounds: DataFrame | None = None) -> DataFrame:
     """Interpolated quantile estimates from the histogram sketch: walk the
     cumulative counts to the bin containing rank ceil(q*n), then linearly
     interpolate inside the bin. Every input to the double arithmetic is an
-    exact integer (ranks, cumulative counts, bin index, bounds), and the
-    expression is written left-to-right identically in the oracle, so the
-    estimates hash-match cross-engine; round-9 caps libm-free drift."""
+    exact integer (ranks, cumulative counts, bin index, bounds — as
+    literals or as exact bigint columns cast to double, identical
+    values), and the expression is written left-to-right identically in
+    the oracle, so the estimates hash-match cross-engine; round-9 caps
+    libm-free drift."""
     from pyspark.sql import Window as W
     b = QSK_BINS
-    width = hi - lo + 1
     cum = hist.withColumn(
         "cum", F.sum("cnt").over(W.orderBy("bin")
                                  .rowsBetween(W.unboundedPreceding, 0)))
@@ -259,11 +282,16 @@ def quantile_sketch_estimate(hist: DataFrame, lo: int, hi: int,
                     (F.col("cum") >= F.col("target")) &
                     (F.col("cum") - F.col("cnt") < F.col("target")))
            .select("q", "target", "bin", "cnt", "cum"))
+    if bounds is not None:
+        lo_s, w_s = "CAST(__lo AS DOUBLE)", "CAST(__width AS DOUBLE)"
+        hit = hit.crossJoin(F.broadcast(bounds))
+    else:
+        lo_s, w_s = f"{lo}.0e0", f"{hi - lo + 1}.0e0"
     est = F.expr(
-        f"round(({lo}.0e0 + CAST(bin AS DOUBLE) * {width}.0e0 / {b}.0e0"
+        f"round(({lo_s} + CAST(bin AS DOUBLE) * {w_s} / {b}.0e0"
         f" + (CAST(target AS DOUBLE) - (CAST(cum AS DOUBLE)"
         f" - CAST(cnt AS DOUBLE))) / CAST(cnt AS DOUBLE)"
-        f" * ({width}.0e0 / {b}.0e0)) / 100.0e0, 9)")
+        f" * ({w_s} / {b}.0e0)) / 100.0e0, 9)")
     return hit.select("q", est.alias("est_value"))
 
 

@@ -151,19 +151,24 @@ def agg_quantile_sketch_portable(spark, sf_dir):
     the last bit — the portable alternative to approx_percentile (whose
     GK/KLL internals are engine-private and forever rows-only). Binning
     is pure integer arithmetic over exact cents with bounds from one
-    cheap min/max pass (a production deployment pins bounds a priori, so
+    cheap min/max pass — a LAZY broadcast scalar since r16 (was an eager
+    `.first()` gating construction with an extra sequential driver job;
+    VERDICT r15 #6; bin values unchanged: exact bigint columns vs exact
+    bigint literals). A production deployment pins bounds a priori, so
     per-shard histograms merge by counter SUM —
-    tests/test_sketches.py::test_quantile_sketch_merge); the estimate
+    tests/test_sketches.py::test_quantile_sketch_merge; the estimate
     interpolates inside the rank-containing bin with left-to-right
     double arithmetic identical to the oracle. B rows of state whatever
     the corpus size."""
     from arangodb_java_parquet_spark.operators.sketches import (
-        quantile_sketch_estimate, quantile_sketch_hist)
+        quantile_sketch_bounds, quantile_sketch_estimate,
+        quantile_sketch_hist)
     o = t(spark, sf_dir, "orders")
     cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
-    lo, hi = o.selectExpr(f"MIN({cents})", f"MAX({cents})").first()
-    hist = quantile_sketch_hist(o, cents, lo, hi)
-    return quantile_sketch_estimate(hist, lo, hi, _QSK_QUANTILES)
+    bounds = quantile_sketch_bounds(o, cents)
+    hist = quantile_sketch_hist(o, cents, bounds=bounds)
+    return quantile_sketch_estimate(hist, quantiles=_QSK_QUANTILES,
+                                    bounds=bounds)
 
 
 _HSA_A = "1-URGENT"

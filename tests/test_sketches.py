@@ -125,3 +125,28 @@ def test_gk_summary_rank_error_bound(spark, sf_dir):
         # [target - shards*s, target + shards*s]
         assert lo - shards * s <= target <= hi + shards * s, \
             (r["o_orderpriority"], r["q"], lo, hi, target)
+
+
+def test_quantile_sketch_lazy_bounds_matches_literals(spark, sf_dir):
+    """The r16 lazy-bounds path (1-row broadcast scalar instead of an
+    eager min/max .first(); VERDICT r15 #6) must be BIT-IDENTICAL to the
+    int-literal path — exact bigint columns vs exact bigint literals
+    feed the same integer bin arithmetic and the same left-to-right
+    double interpolation."""
+    from arangodb_java_parquet_spark.operators.sketches import (
+        quantile_sketch_bounds, quantile_sketch_estimate,
+        quantile_sketch_hist)
+    o = t(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    lo, hi = o.selectExpr(f"MIN({cents})", f"MAX({cents})").first()
+    qs = [0.25, 0.5, 0.9, 0.99]
+
+    lit_est = quantile_sketch_estimate(
+        quantile_sketch_hist(o, cents, lo, hi), lo, hi, qs)
+    bounds = quantile_sketch_bounds(o, cents)
+    lazy_est = quantile_sketch_estimate(
+        quantile_sketch_hist(o, cents, bounds=bounds),
+        quantiles=qs, bounds=bounds)
+    key = lambda r: (r["q"], repr(r["est_value"]))  # noqa: E731
+    assert sorted(map(key, lazy_est.collect())) == \
+        sorted(map(key, lit_est.collect()))
