@@ -98,33 +98,39 @@ def graph_hits_scores(spark, sf_dir):
     # explicit broadcast hint on the iteration joins: AQE broadcasts them
     # at runtime while they fit (they do at sf0.1) and falls back to a
     # shuffle join at scale factors where a forced broadcast would be a
-    # driver-memory liability. The 1-row max-normalizer joins stay
-    # explicitly broadcast — those are scale-independent.
-    # materialize the PRE-normalization aggregate (hr/ar), not the
-    # normalized scores: the scalar max-normalizer is a broadcast
-    # subquery over the same hr/ar lineage, so materializing after the
-    # normalization evaluated each edge join+agg TWICE (once under the
-    # BroadcastExchange for the max, once in the main path — lambda-free
-    # but still no ReusedExchange across the two jobs). Checkpointing hr
-    # first makes the max a cheap RDD re-scan and the normalized score a
-    # deferred projection (r15: 4.4 s -> 3.4 s isolated).
+    # driver-memory liability.
+    # r16 (VERDICT r15 #9): the max normalizer is FOLDED into the
+    # iteration as an unpartitioned window max over the per-node
+    # aggregate instead of a 1-row broadcast-subquery crossJoin — the
+    # r15 shape paid a separate BroadcastExchange job per half-step
+    # (2·iters extra jobs re-scanning the hr/ar checkpoint); the window
+    # evaluates inline in the same job. Same max, same round-9 division
+    # — the oracle's CROSS JOIN max CTE is unchanged. The window's
+    # single-partition exchange holds one row PER NODE (score vectors
+    # are the linear-in-nodes relations every iteration already
+    # broadcasts); the NORMALIZED score is what gets checkpointed now —
+    # each h/a feeds the next half-step join and (for the last round)
+    # the output union, so the checkpoint still cuts the two-consumer
+    # re-derivation.
+    wmax = W.partitionBy().rowsBetween(W.unboundedPreceding,
+                                       W.unboundedFollowing)
     for _ in range(_HITS_ITERS):
         hr = (edges.join(a, "s")
               .groupBy("c")
               .agg(F.sum(F.round(F.col("a"), 9).cast("decimal(30,9)"))
-                   .cast("double").alias("h"))
-              .transform(materialize_iter))
-        hm = hr.agg(F.max("h").alias("m"))
-        h = (hr.crossJoin(F.broadcast(hm))
-             .select("c", F.round(F.col("h") / F.col("m"), 9).alias("h")))
+                   .cast("double").alias("h")))
+        h = (hr.select(
+                "c", F.round(F.col("h") / F.max("h").over(wmax), 9)
+                .alias("h"))
+             .transform(materialize_iter))
         ar = (edges.join(h, "c")
               .groupBy("s")
               .agg(F.sum(F.round(F.col("h"), 9).cast("decimal(30,9)"))
-                   .cast("double").alias("a"))
-              .transform(materialize_iter))
-        am = ar.agg(F.max("a").alias("m"))
-        a = (ar.crossJoin(F.broadcast(am))
-             .select("s", F.round(F.col("a") / F.col("m"), 9).alias("a")))
+                   .cast("double").alias("a")))
+        a = (ar.select(
+                "s", F.round(F.col("a") / F.max("a").over(wmax), 9)
+                .alias("a"))
+             .transform(materialize_iter))
     hubs = h.select(F.lit("hub").alias("role"),
                     F.col("c").alias("node"), F.col("h").alias("score"))
     auths = a.select(F.lit("authority").alias("role"),
