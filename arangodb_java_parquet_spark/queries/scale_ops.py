@@ -293,15 +293,19 @@ def robust_scale_features(spark, sf_dir):
     engines via nullif — Spark's non-ANSI /0 is NULL but DuckDB's is
     inf, so the guard is required for cross-engine parity."""
     o = t(spark, sf_dir, "orders")
-    # one distributed ranked pass for all three percentiles (r16,
-    # exact_percentiles — bit-identical to percentile(), no O(distinct)
-    # ObjectHashAggregate buffer on the final reducer)
-    stats = exact_percentiles(
-        o, "o_totalprice", [0.5, 0.25, 0.75], ["_med", "_q1", "_q3"],
-        group_cols=("o_orderpriority",)).select(
-        "o_orderpriority",
-        F.round("_med", 9).alias("med"),
-        F.round(F.col("_q3") - F.col("_q1"), 9).alias("iqr"))
+    # r16: the exact_percentiles ranked pass was TRIED here and measured
+    # consistently ~1.5x SLOWER isolated (alternating A/B, NEW 2.63/2.85
+    # vs OLD 1.85/1.50) — unlike winsorize/boxplot there is no duplicate
+    # percentile lineage to offset the ranked pass's exchanges, and the
+    # grouped builtin distributes its per-group buffers across the group
+    # reducers (the single-reducer §5 risk is the UNGROUPED corpus-scale
+    # case). Reverted; kept the builtin.
+    stats = (o.groupBy("o_orderpriority")
+             .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 9)
+                  .alias("med"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.75))
+                          - F.percentile("o_totalprice", F.lit(0.25)), 9)
+                  .alias("iqr")))
     return (o.filter(F.col("o_orderkey") < 2000)
             .join(F.broadcast(stats), "o_orderpriority")
             .select("o_orderkey", "o_orderpriority", "med", "iqr",

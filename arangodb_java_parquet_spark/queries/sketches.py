@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from arangodb_java_parquet_spark.materialize import materialize
+from arangodb_java_parquet_spark.materialize import (
+    materialize, materialize_scalar)
 from arangodb_java_parquet_spark.operators.sketches import (
     CMS_DEPTH, cms_build, cms_pos_sql, cms_probe, hll_estimate,
     hll_registers, hll_registers_sql, hll_sql)
@@ -165,8 +166,16 @@ def agg_quantile_sketch_portable(spark, sf_dir):
         quantile_sketch_hist)
     o = t(spark, sf_dir, "orders")
     cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
-    bounds = quantile_sketch_bounds(o, cents)
-    hist = quantile_sketch_hist(o, cents, bounds=bounds)
+    # bounds feeds the bin expression AND the estimate interpolation,
+    # hist feeds the cumulative walk AND the rank targets — materialize
+    # both (1-row / B-row normalizer class) or each consumer re-scans
+    # orders (10 parquet scans vs 4 in the first r16 plan; isolated time
+    # is flat either way at sf0.1 — the scans are the right thing to cut
+    # at scale)
+    bounds = (quantile_sketch_bounds(o, cents)
+              .transform(materialize_scalar))
+    hist = (quantile_sketch_hist(o, cents, bounds=bounds)
+            .transform(materialize_scalar))
     return quantile_sketch_estimate(hist, quantiles=_QSK_QUANTILES,
                                     bounds=bounds)
 
