@@ -156,19 +156,30 @@ def sim_topk_sq8(spark, sf_dir):
     — 4x less IO than raw float32 — and routes through IVF cells."""
     e = t(spark, sf_dir, "embeddings")
     srow = _range_fit(spark, sf_dir)
-    enc = _encode(e, srow)
 
+    # r16: encode+reconstruct FUSED into one per-row HOF pass — the r15
+    # shape ran TWO interpreted 64-element transforms per corpus vector
+    # (code_at over embedding, then recon_at over codes); the code value
+    # is only an intermediate here, so compute the midpoint
+    # reconstruction directly from x with the IDENTICAL arithmetic
+    # (same when/least/floor bigint chain, same cast-to-double point) —
+    # bit-equal rvec, half the interpreted HOF work on the corpus leg.
     def recon_at(i):
+        x = F.element_at("embedding", i).cast("double")
         mn = F.element_at("mns", i)
         mx = F.element_at("mxs", i)
-        c = F.element_at("codes", i).cast("double")
+        c = (F.when(mx == mn, F.lit(0).cast("bigint"))
+             .otherwise(F.least(
+                 F.lit(_NBINS - 1).cast("bigint"),
+                 F.floor(((x - mn) / (mx - mn)) * F.lit(_NBINS))))
+             .cast("double"))
         return mn + (((c + (F.lit(1).cast("double") / F.lit(2)))
                       * (mx - mn)) / F.lit(_NBINS))
 
-    rec = enc.select(
-        "vec_id",
-        F.transform(F.sequence(F.lit(1), F.lit(_DIMS)),
-                    recon_at).alias("rvec"))
+    rec = (e.crossJoin(F.broadcast(srow))
+           .select("vec_id",
+                   F.transform(F.sequence(F.lit(1), F.lit(_DIMS)),
+                               recon_at).alias("rvec")))
     q = (e.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qvec")))
